@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count()-style action (results consumed,
+not collected to the driver) and timed individually after a warmup of
+the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datas_spark.registry import QUERIES
+from datas_spark.session import get_spark
+
+# Headline set: the flagship selection path + the scale-sensitive
+# operator families (dedup joins, window aggs, array math).
+HEADLINE = [
+    "middle_band_select",
+    "band_gather",
+    "ifd_score",
+    "exact_dedup",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "events_window_agg",
+    "least_confidence",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("datas-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        # count() consumes the full result distributed-side
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Sinks (SURVEY §2.1 S3-S6).
+
+Reference writes a single pretty-printed JSON file
+(``/root/reference/main.py:263,482`` ``Dataset.to_json(indent=4)``).
+Distributed engines write JSONL part-files; ``single_file=True`` gives
+the reference's one-file behavior via ``coalesce(1)`` (fine for the
+small selected subsets the reference emits; never used for bulk data).
+Parquet is the intermediate/cache format replacing the reference's
+``.pt`` feature caches (``main.py:168-171,263``) — columnar, prunable,
+and partitionable by model/stage (``src/utils/get_info.py:118-140``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """S3: JSONL sink. ``single_file`` mirrors the reference's one-file
+    ``to_json`` for small result sets only."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S5/S6: Parquet intermediate store; ``partition_by`` replaces the
+    reference's per-model artifact directories (partition pruning at
+    read time)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,292 @@
+"""Deduplication operators — north-star extensions (SURVEY §2.9).
+
+The reference has only an *intent* toward similarity structure (the
+commented-out FAISS index at ``/root/reference/src/utils/get_info.py:
+142-146``); a real 100 TB SFT-data pipeline needs dedup as a first-class
+operator family. All variants here are shuffle-conscious:
+
+- exact:   group/join on a 56-bit fingerprint of normalized text — the
+           shuffle key is 8 bytes, never the document body.
+- MinHash: shingle → k permuted min-hashes → band buckets → join on
+           (band, bucket_hash). Candidate generation is an equi-join on
+           a tiny key, O(n·bands) shuffle rows — never a cross join.
+- SimHash: 32-bit bit-majority signature; near-dups share signature or
+           differ in few bits.
+- n-gram Jaccard: explode shingles → self-equi-join on shingle →
+           count per pair / union — exact, but pair cardinality bounded
+           by shared-shingle blocking (plus a frequency cap to kill
+           hot-shingle skew).
+- embedding cosine: blocked self-join within a blocking key.
+
+Hashes are md5-derived (``hash32``/``hash56``) so the DuckDB oracle can
+reproduce them bit-for-bit — Spark's xxhash64 has no DuckDB twin.
+
+MinHash permutation constants are generated from a fixed seed and
+exported (``MINHASH_A``/``MINHASH_B``/``MINHASH_P``) so the oracle SQL
+embeds identical literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datas_spark.functions.text import fingerprint, hash32, shingles, word_tokens
+
+__all__ = [
+    "MINHASH_A",
+    "MINHASH_B",
+    "MINHASH_P",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+]
+
+# Fixed-seed permutation constants, shared verbatim with the oracle SQL.
+# A_i odd and < 2^30 so A*h (h < 2^32) stays below 2^62 — no int64 overflow
+# in either engine. P = 2^31 - 1 (Mersenne prime).
+MINHASH_P = 2147483647
+_rng = random.Random(42)
+MINHASH_A = [(_rng.randrange(1, 1 << 30) | 1) for _ in range(16)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(16)]
+
+
+def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, keeping the first row
+    per group in ``order_col`` order (deterministic survivor).
+
+    Shuffles on the 8-byte fingerprint, not the text. Equivalent to
+    ``dropDuplicates`` but with a defined survivor + normalization.
+    """
+    w = Window.partitionBy("__fp").orderBy(order_col)
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def _perm(h: Column, i: int) -> Column:
+    return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Append ``minhash`` (array<bigint>, len ``num_hashes``): for each
+    permutation i, min over word-``shingle_n``-gram shingles of
+    ``(A_i * hash32(shingle) + B_i) mod P``.
+
+    Empty shingle sets (docs shorter than n words) get P as a sentinel
+    (max possible value + 1 — never collides with a real min).
+    One pass, no shuffle; signature is 128 bytes/doc at k=16.
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
+    sh = shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: hash32(s))
+
+    # single-parameter lambda factory: PySpark HOFs pass a Column for
+    # every named lambda parameter, so `lambda h, i=i:` would break
+    def _perm_fn(i: int):
+        return lambda h: _perm(h, i)
+
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(base, _perm_fn(i))),
+                F.lit(MINHASH_P),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn("minhash", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band land in the same bucket → equi-join on
+    (band, bucket) — shuffle rows = n·bands, never O(n²). Pair-level
+    estimated Jaccard = fraction of equal signature components; filter
+    by ``min_est_jaccard``.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
+    bands.
+    """
+    rows = num_hashes // bands
+    sigd = minhash_signature(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("__id"), "minhash"
+    )
+    banded = sigd.select(
+        "__id",
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # bucket key: hash of the band's slice (join key stays 16 bytes)
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col("minhash")[b * rows + j] for j in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "minhash", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.minhash").alias("__ma"),
+            F.col("r.minhash").alias("__mb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("__ma", "__mb", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
+    """Append ``simhash``: bit-majority signature over token hash32s.
+
+    bit b of the signature is 1 iff, across tokens, bit b is set in more
+    token-hashes than not. Single map-side pass (token hashes computed
+    once, folded per bit position).
+    """
+    token_hashes = F.transform(word_tokens(text_col), lambda t: hash32(t))
+    def bit_vote(b: int) -> Column:
+        # b is closure-bound by this function scope — no default-arg
+        # binding (PySpark HOFs pass a Column per named lambda param)
+        return F.aggregate(
+            token_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(bit_vote(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("simhash", sig)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle-blocked self-join.
+
+    explode(shingles) → self-equi-join on shingle → count shared per
+    pair; |union| = |A|+|B|−shared. Only pairs sharing ≥1 shingle are
+    ever materialized. ``max_shingle_freq`` drops shingles appearing in
+    more than that many docs (hot-shingle skew cap: a stop-shingle in
+    10⁶ docs would otherwise emit 10¹² join rows).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+    )
+    exploded = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
+        exploded = (
+            exploded.join(freq, "__s")
+            .where(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key.
+
+    ``block_col`` bounds the join (e.g. a cluster label or LSH bucket);
+    without it this is a cross join — refuse at scale, allow for tests.
+    Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+    """
+    from datas_spark.functions.arrays import cosine_similarity
+
+    sel = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    pairs = a.join(b, cond).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= threshold)

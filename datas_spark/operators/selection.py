@@ -1,0 +1,212 @@
+"""Selection / sampling analytics — the heart of the reference pipeline
+(SURVEY §2.5-2.6).
+
+Re-expresses ``sample_middle_confidence_data``
+(``/root/reference/main.py:402-450``):
+
+    per cluster:
+        if cluster has fewer than n rows: keep ALL rows (bypass, :417-420)
+        else: lower = percentile(conf, low_th), upper = percentile(conf, up_th)
+              (numpy linear interpolation, :423-425)
+              keep rows with lower <= conf <= upper  (:429)
+        then systematic sample: step = count // n; rows [::step][:n]
+        in original row order  (:437-441)
+
+plus the gather-back-to-source join (:461-471) and the active-learning
+strategies dispatched at ``main.py:56-67`` (module absent; standard
+semantics by name).
+
+Scale design:
+- Per-cluster percentile bounds are computed with a ``groupBy`` (partial
+  aggregation map-side) and joined back via **broadcast** — at 100 TB a
+  window over the full data would sort every partition; the per-cluster
+  stats table is tiny (|clusters| rows) and must broadcast.
+- ``F.percentile`` is exact linear interpolation, matching numpy and
+  DuckDB's ``quantile_cont``. At extreme scale swap for
+  ``approx_percentile`` (documented tolerance) — one-line change.
+- Stride sampling needs a per-cluster dense rank: one window over
+  ``(cluster, row order)``, partitioned by cluster → shuffles once by
+  cluster key, no global sort. Skewed clusters are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from datas_spark.functions.arrays import entropy as _entropy
+
+__all__ = [
+    "percentile_band_filter",
+    "stride_sample",
+    "middle_confidence_sample",
+    "gather_rows",
+    "random_sampling",
+    "least_confidence_sampling",
+    "margin_sampling",
+    "entropy_sampling",
+    "kcenter_sampling",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def percentile_band_filter(
+    df: DataFrame,
+    cluster_col: str,
+    conf_col: str,
+    n: int,
+    low_th: float = 0.25,
+    up_th: float = 0.75,
+) -> DataFrame:
+    """A1: keep rows whose confidence lies in the per-cluster
+    [low_th, up_th] percentile band; clusters with fewer than ``n`` rows
+    bypass the filter entirely (main.py:417-429).
+
+    Exact percentiles with linear interpolation (matches numpy default
+    and DuckDB ``quantile_cont``). Stats table is broadcast-joined.
+    """
+    stats = df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.percentile(conf_col, F.lit(low_th)).alias("__lo"),
+        F.percentile(conf_col, F.lit(up_th)).alias("__hi"),
+    )
+    joined = df.join(broadcast(stats), cluster_col)
+    kept = joined.where(
+        (F.col("__cnt") < n)
+        | ((_c(conf_col) >= F.col("__lo")) & (_c(conf_col) <= F.col("__hi")))
+    )
+    return kept.drop("__cnt", "__lo", "__hi")
+
+
+def stride_sample(
+    df: DataFrame,
+    cluster_col: str,
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """A2: deterministic systematic sampling — within each cluster, order
+    by ``order_col``, take every ``step``-th row (step = count // n,
+    floored at 1) and keep the first ``n`` (main.py:437-441
+    ``middle_indices[::step][:n]``)."""
+    w = Window.partitionBy(cluster_col).orderBy(order_col)
+    wc = Window.partitionBy(cluster_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__m", F.count(F.lit(1)).over(wc)
+    )
+    step = F.greatest(F.floor(F.col("__m") / n), F.lit(1))
+    strided = ranked.where((F.col("__rn") - 1) % step == 0)
+    w2 = Window.partitionBy(cluster_col).orderBy("__rn")
+    return (
+        strided.withColumn("__k", F.row_number().over(w2))
+        .where(F.col("__k") <= n)
+        .drop("__rn", "__m", "__k")
+    )
+
+
+def middle_confidence_sample(
+    df: DataFrame,
+    cluster_col: str,
+    conf_col: str,
+    order_col: str,
+    n: int = 5,
+    low_th: float = 0.25,
+    up_th: float = 0.75,
+) -> DataFrame:
+    """A1+A2 composed — the full ``sample_middle_confidence_data``
+    semantics (main.py:402-450) as one lazy plan."""
+    band = percentile_band_filter(df, cluster_col, conf_col, n, low_th, up_th)
+    return stride_sample(band, cluster_col, order_col, n)
+
+
+def gather_rows(raw: DataFrame, selected: DataFrame, key: str) -> DataFrame:
+    """A3: selected ids → original records (main.py:461-471) as a
+    LEFT SEMI join — no duplication, keys never leave the build side."""
+    return raw.join(selected.select(key), key, "left_semi")
+
+
+# --- active-learning strategies (SURVEY §2.6; main.py:56-67 dispatch) ----
+
+def random_sampling(df: DataFrame, k: int, seed: int = 0) -> DataFrame:
+    """L1: uniform k of N. ``orderBy(rand(seed)).limit(k)`` →
+    TakeOrderedAndProject, no full sort materialization."""
+    return df.orderBy(F.rand(seed)).limit(k)
+
+
+def least_confidence_sampling(
+    df: DataFrame, conf_col: str, k: int, tiebreak: str | None = None
+) -> DataFrame:
+    """L2: highest-uncertainty first. In the reference's setting
+    confidence is perplexity, so 'least confident' = highest ppl → take
+    top-k by ``conf`` descending. Deterministic via tiebreak key."""
+    order = [F.col(conf_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return df.orderBy(*order).limit(k)
+
+
+def margin_sampling(
+    df: DataFrame, prob_col: str, k: int, tiebreak: str | None = None
+) -> DataFrame:
+    """L3: smallest top1−top2 margin over a probability array column."""
+    sorted_desc = F.reverse(F.array_sort(_c(prob_col)))
+    margin = sorted_desc[0] - sorted_desc[1]
+    order = [F.col("__margin").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return df.withColumn("__margin", margin).orderBy(*order).limit(k).drop("__margin")
+
+
+def entropy_sampling(
+    df: DataFrame, prob_col: str, k: int, tiebreak: str | None = None
+) -> DataFrame:
+    """L4: highest predictive entropy over a probability array column."""
+    order = [F.col("__entropy").desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return (
+        df.withColumn("__entropy", _entropy(prob_col))
+        .orderBy(*order)
+        .limit(k)
+        .drop("__entropy")
+    )
+
+
+def kcenter_sampling(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> DataFrame:
+    """L5: greedy k-center — iteratively add the point maximizing its
+    min distance to the chosen set. Inherently sequential in k: k driver
+    rounds, each a full-scan max over a running min-distance column.
+
+    Distributed formulation: centers (k rows) stay on the driver and are
+    folded into the plan as literals; each round updates
+    ``min_dist = least(min_dist, dist(vec, new_center))`` — one map-only
+    stage — then takes ``max`` (no shuffle beyond the scalar agg).
+    ``df`` should be cached by the caller for multi-round efficiency.
+    """
+    from datas_spark.functions.arrays import l2_distance
+
+    first = df.orderBy(id_col).limit(1).select(id_col, vec_col).collect()[0]
+    chosen = [first[id_col]]
+    center_vec = F.array(*[F.lit(float(x)) for x in first[vec_col]])
+    work = df.select(id_col, vec_col).withColumn(
+        "__min_dist", l2_distance(vec_col, center_vec)
+    )
+    for _ in range(1, k):
+        work = work.cache()
+        far = (
+            work.where(~F.col(id_col).isin(chosen))
+            .orderBy(F.col("__min_dist").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(far[id_col])
+        cvec = F.array(*[F.lit(float(x)) for x in far[vec_col]])
+        work = work.withColumn(
+            "__min_dist", F.least(F.col("__min_dist"), l2_distance(vec_col, cvec))
+        )
+    return df.where(F.col(id_col).isin(chosen))

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns — north-star extension
+(SURVEY §2.9; replaces the reference's commented-out FAISS intent at
+``/root/reference/src/utils/get_info.py:142-146``).
+
+Two tiers:
+- ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set, one map-side cosine per (row, query), per-query top-k via
+  window rank. Baseline + ground truth.
+- ``lsh_topk``         — random-hyperplane LSH: sign-bit signature →
+  bucket equi-join → exact cosine only within matching buckets. The
+  scale path: shuffle is O(n) bucket keys instead of O(n·|queries|)
+  full scan per query batch.
+
+Hyperplanes are generated from a fixed seed so results are
+deterministic and the plumbing oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from datas_spark.functions.arrays import cosine_similarity, dot
+
+__all__ = ["cosine_topk", "random_hyperplanes", "hyperplane_signature", "lsh_topk"]
+
+
+def _out_names(query_id: str, data_id: str) -> tuple[str, str]:
+    """Output column names; disambiguated when query/data share an id name."""
+    if query_id == data_id:
+        return f"q_{query_id}", f"d_{data_id}"
+    return query_id, data_id
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries, score every data
+    row, rank per query. Returns (query_id, data_id, cos, rank<=k).
+
+    Ties broken by data id ascending for determinism.
+    """
+    qname, dname = _out_names(query_id, data_id)
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+    scored = d.crossJoin(broadcast(q)).select(
+        F.col("__qid").alias(qname),
+        F.col("__did").alias(dname),
+        F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (Box–Muller-free: sum of
+    uniforms, CLT) — plain Python so the same literals can be embedded
+    in tests and docs."""
+    rng = random.Random(seed)
+    return [
+        [sum(rng.uniform(-1, 1) for _ in range(3)) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def hyperplane_signature(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
+    """Append ``bucket``: sign-bit signature of the vector against each
+    hyperplane, packed into a bigint. Map-only, codegen'd."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec_col, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to rows whose
+    hyperplane bucket equals the query's bucket.
+
+    Recall improves with fewer planes (bigger buckets) and can be tuned
+    with multi-probe (flip one bit) — left as the documented knob.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    d = hyperplane_signature(
+        data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")),
+        "__dv",
+        planes,
+    )
+    q = hyperplane_signature(
+        queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        planes,
+    ).withColumnRenamed("bucket", "__qbucket")
+    qname, dname = _out_names(query_id, data_id)
+    scored = d.join(broadcast(q), F.col("bucket") == F.col("__qbucket")).select(
+        F.col("__qid").alias(qname),
+        F.col("__did").alias(dname),
+        F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,220 @@
+"""Task-vector / model-merging algebra on long parameter tables
+(SURVEY §2.7, T1–T11).
+
+The reference manipulates checkpoints as in-memory dicts
+``param_name → tensor`` (``/root/reference/src/utils/merging.py``,
+``get_taskV.py``). We model a checkpoint as a **long relational table**
+
+    (key: string, idx: bigint, value: double)
+
+one row per scalar parameter (``idx`` = position in the flattened
+tensor; a separate dims table keeps shapes, T10). Every merge op then
+becomes a join + arithmetic — and arbitrarily large checkpoints merge
+with cluster parallelism instead of host RAM.
+
+Scale notes: joins are equi-joins on (key, idx) — co-partitioned if the
+tables were written bucketed by (key, idx); coefficient tables (T4) are
+tiny and broadcast; TIES per-row top-k (T6) is a window over
+(key, row) — partition count = #parameter-matrix rows, no skew since
+rows are equal-length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = [
+    "task_vector",
+    "tv_add",
+    "tv_negate",
+    "tv_weighted_merge",
+    "tv_apply",
+    "ties_topk_mask",
+    "ties_elect_sign",
+    "ties_disjoint_merge",
+    "ties_merge",
+    "key_symmetric_difference",
+]
+
+_KEYS = ["key", "idx"]
+
+
+def task_vector(finetuned: DataFrame, pretrained: DataFrame, skip_keys: list[str] | None = None) -> DataFrame:
+    """T1: ``tv = finetuned − pretrained`` over shared (key, idx)
+    (merging.py:44-50). ``skip_keys`` mirrors the reference's int64/uint8
+    skip (:48-49) — callers pass the keys of non-float params."""
+    f, p = finetuned.alias("f"), pretrained.alias("p")
+    out = f.join(p, _KEYS).select(
+        "key", "idx", (F.col("f.value") - F.col("p.value")).alias("value")
+    )
+    if skip_keys:
+        out = out.where(~F.col("key").isin(skip_keys))
+    return out
+
+
+def tv_add(a: DataFrame, b: DataFrame) -> DataFrame:
+    """T2: elementwise add over shared keys (merging.py:52-61); rows
+    present on only one side are dropped (reference warns + skips)."""
+    return a.alias("a").join(b.alias("b"), _KEYS).select(
+        "key", "idx", (F.col("a.value") + F.col("b.value")).alias("value")
+    )
+
+
+def tv_negate(tv: DataFrame) -> DataFrame:
+    """T3 (merging.py:68-74)."""
+    return tv.select("key", "idx", (-F.col("value")).alias("value"))
+
+
+def tv_weighted_merge(tvs: list[DataFrame], coefs: list[float]) -> DataFrame:
+    """T4: ``Σ coef_k · tv_k`` (merging.py:76-81). Union with vector id +
+    groupBy — partial aggregation handles the sum map-side."""
+    tagged = [
+        tv.select("key", "idx", (F.col("value") * F.lit(c)).alias("value"))
+        for tv, c in zip(tvs, coefs)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*_KEYS).agg(F.sum("value").alias("value"))
+
+
+def tv_apply(pretrained: DataFrame, tv: DataFrame, scaling: float = 1.0) -> DataFrame:
+    """T5: ``new = pretrained + scaling · tv`` (merging.py:83-95); keys
+    missing from the task vector pass through unchanged (left join —
+    the reference warns and keeps the pretrained value)."""
+    p, t = pretrained.alias("p"), tv.alias("t")
+    return p.join(t, _KEYS, "left").select(
+        "key",
+        "idx",
+        (
+            F.col("p.value") + F.lit(scaling) * F.coalesce(F.col("t.value"), F.lit(0.0))
+        ).alias("value"),
+    )
+
+
+def ties_topk_mask(tv: DataFrame, k_pct: float, row_size: int | None = None) -> DataFrame:
+    """T6: per parameter-matrix row, keep entries whose |value| is in the
+    top K%; zero the rest (merging.py:186-211).
+
+    The reference computes the kth largest |value| per row and keeps
+    ``abs(M) >= kth`` — i.e. ties at the threshold are KEPT. We mirror
+    that with a rank over |value| desc: keep rank <= ceil(K% * row_n)
+    extended to all ties at the cutoff via ``min(|value|)`` of the kept
+    set — expressed directly as ``abs(value) >= kth_value`` where
+    kth_value is the k-th largest per row.
+
+    ``row`` = matrix row = idx // row_size when the long table is a
+    flattened 2-D tensor; with ``row_size=None`` the whole key is one
+    row (1-D tensors).
+    """
+    if row_size:
+        rowed = tv.withColumn("__row", (F.col("idx") / F.lit(row_size)).cast("long"))
+    else:
+        rowed = tv.withColumn("__row", F.lit(0))
+    w = Window.partitionBy("key", "__row")
+    n = F.count(F.lit(1)).over(w)
+    k = F.greatest((n * F.lit(k_pct)).cast("long"), F.lit(1))
+    wr = Window.partitionBy("key", "__row").orderBy(F.abs(F.col("value")).desc())
+    ranked = rowed.withColumn("__rank", F.row_number().over(wr)).withColumn("__k", k)
+    # kth largest |value| per row, then keep all entries >= it (ties kept,
+    # matching torch.kthvalue + `abs(M) >= kth` at merging.py:204-207)
+    kth = F.max(F.when(F.col("__rank") == F.col("__k"), F.abs("value"))).over(
+        Window.partitionBy("key", "__row")
+    )
+    return (
+        ranked.withColumn("__kth", kth)
+        .select(
+            "key",
+            "idx",
+            F.when(F.abs("value") >= F.col("__kth"), F.col("value"))
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+        )
+    )
+
+
+def ties_elect_sign(tvs: DataFrame, method: str = "mass") -> DataFrame:
+    """T7: per (key, idx) elect a sign (merging.py:214-233).
+
+    ``tvs`` is a union of task vectors tagged with ``vector_id``.
+    mass: sign of Σ values. Zero-sum entries inherit the majority global
+    sign (the reference's zero-replacement).
+    Returns (key, idx, sign).
+    """
+    if method != "mass":
+        raise ValueError("only 'mass' sign election is implemented")
+    per_entry = tvs.groupBy(*_KEYS).agg(F.signum(F.sum("value")).alias("sign"))
+    # global majority sign among nonzero entries (scalar, broadcast)
+    majority = per_entry.where(F.col("sign") != 0).agg(
+        F.signum(F.sum("sign")).alias("gsign")
+    )
+    return per_entry.crossJoin(broadcast(majority)).select(
+        "key",
+        "idx",
+        F.when(F.col("sign") != 0, F.col("sign"))
+        .otherwise(F.coalesce(F.col("gsign"), F.lit(1.0)))
+        .alias("sign"),
+    )
+
+
+def ties_disjoint_merge(tvs: DataFrame, signs: DataFrame, mode: str = "mean") -> DataFrame:
+    """T8: keep entries agreeing with the elected sign, then aggregate
+    (merging.py:239-267): mean = sum(agree)/max(count_agree,1);
+    sum; max = max|value|·sign."""
+    j = tvs.join(signs, _KEYS)
+    agree = F.col("value") * F.col("sign") > 0
+    g = j.groupBy(*_KEYS)
+    if mode == "mean":
+        out = g.agg(
+            (
+                F.coalesce(F.sum(F.when(agree, F.col("value"))), F.lit(0.0))
+                / F.greatest(
+                    F.count(F.when(agree, F.lit(1))).cast("double"), F.lit(1.0)
+                )
+            ).alias("value")
+        )
+    elif mode == "sum":
+        out = g.agg(F.coalesce(F.sum(F.when(agree, F.col("value"))), F.lit(0.0)).alias("value"))
+    elif mode == "max":
+        out = g.agg(
+            (
+                F.coalesce(F.max(F.when(agree, F.abs("value"))), F.lit(0.0))
+                * F.first("sign")
+            ).alias("value")
+        )
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+    return out
+
+
+def ties_merge(
+    tvs: list[DataFrame], k_pct: float = 0.2, mode: str = "mean", row_size: int | None = None
+) -> DataFrame:
+    """T9: full TIES driver — top-k mask each vector → elect signs →
+    disjoint merge (merging.py:154-171) as ONE lazy plan."""
+    masked = [
+        ties_topk_mask(tv, k_pct, row_size).withColumn("vector_id", F.lit(i))
+        for i, tv in enumerate(tvs)
+    ]
+    union = masked[0]
+    for m in masked[1:]:
+        union = union.unionByName(m)
+    signs = ties_elect_sign(union)
+    return ties_disjoint_merge(union, signs, mode)
+
+
+def key_symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """T11: param keys present in exactly one checkpoint
+    (get_taskV.py:78-99) — full outer join on distinct keys."""
+    ka = a.select("key").distinct().withColumn("__in_a", F.lit(1))
+    kb = b.select("key").distinct().withColumn("__in_b", F.lit(1))
+    return (
+        ka.join(kb, "key", "full_outer")
+        .where(F.col("__in_a").isNull() | F.col("__in_b").isNull())
+        .select(
+            "key",
+            F.when(F.col("__in_a").isNotNull(), F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        )
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tests/bench run on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB deployment described in BASELINE.json:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+- Arrow on (pandas_udf boundaries are the only Python hot paths).
+- shuffle.partitions sized to cores locally; on a real cluster AQE
+  coalesces from a high initial number, so we set the initial high and
+  let AQE shrink rather than hand-tuning per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datas_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so bench and tests share sizing with the driver harness.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join handling. At 100 TB
+        # the initial shuffle partition count should be high (e.g. 2000+)
+        # and AQE coalesces; locally cores is the right size.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: small dims (region/nation/cluster stats)
+        # must broadcast, never shuffle-join.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamp semantics for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quieter driver-side logs for bench runs.
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

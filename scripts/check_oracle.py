@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+the same sf, compare row count + sorted-column value multiset.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from datas_spark.session import get_spark
+from datas_spark.io.sources import TPCH_TABLES
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            failed.append(name)
+            continue
+        srow_py = [[r[c] for c in scols] for r in srows]
+        a, b = _canon(srow_py, scols), _canon(orows, ocols)
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
+            failed.append(name)
+        elif a != b:
+            diff = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            print(f"FAIL  {name}: value mismatch at sorted row {diff}:")
+            print(f"      spark : {a[diff][:200]}")
+            print(f"      duckdb: {b[diff][:200]}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(a)} rows match")
+    spark.stop()
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

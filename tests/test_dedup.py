@@ -1,0 +1,72 @@
+"""Dedup operator tests on small in-memory frames."""
+
+from datas_spark.operators import dedup as D
+
+
+def test_exact_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),      # same after normalization
+            (3, "something else"),
+        ],
+        "id long, text string",
+    )
+    got = sorted(r.id for r in D.exact_dedup(df, "text", "id").collect())
+    assert got == [1, 3]  # keeps first by id
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, t), (2, t), (3, "completely different words here today")],
+                               "id long, text string")
+    sigs = {r.id: tuple(r.minhash) for r in D.minhash_signature(df, "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_pairs_finds_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"   # high shingle overlap
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    pairs = D.minhash_lsh_pairs(df, "id", "text", min_est_jaccard=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f"), (3, "x y z w q")],
+        "id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.1).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # shingles(1) = {abc,bcd,cde} (3), shingles(2) = + {def} (4); shared 3, union 4
+    assert (p.id_a, p.id_b) == (1, 2)
+    assert abs(p.jaccard - 0.75) < 1e-9
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, a), (2, a + " today"), (3, "totally unrelated content about spark sql")],
+        "id long, text string",
+    )
+    rows = {r.id: r.simhash for r in D.simhash(df, "text").collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_embedding_near_dup_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.999, 0.01], "a"),
+            (3, [0.0, 1.0], "a"),
+            (4, [1.0, 0.0], "b"),  # identical to 1 but different block → excluded
+        ],
+        "id long, v array<double>, blk string",
+    )
+    pairs = D.embedding_near_dup_pairs(df, "id", "v", "blk", threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}

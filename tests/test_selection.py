@@ -1,0 +1,92 @@
+"""Unit tests for the selection operators (SURVEY §2.5) against the
+reference semantics of ``/root/reference/main.py:402-450``, checked on
+tiny in-memory frames with a pure-Python re-computation (numpy
+percentile = linear interpolation)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from datas_spark.operators.selection import (
+    gather_rows,
+    least_confidence_sampling,
+    middle_confidence_sample,
+    percentile_band_filter,
+    stride_sample,
+)
+
+
+def _ref_select(rows, n=3, low=25, up=75):
+    """Faithful re-implementation of sample_middle_confidence_data
+    (main.py:402-450) in plain Python for cross-checking."""
+    by_cluster = {}
+    for rid, cluster, conf in rows:
+        by_cluster.setdefault(cluster, []).append((rid, conf))
+    out = []
+    for cluster, members in by_cluster.items():
+        members.sort()
+        ids = [m[0] for m in members]
+        confs = np.array([m[1] for m in members], dtype=float)
+        if len(ids) < n:
+            out.extend(ids)
+            continue
+        lo, hi = np.percentile(confs, low), np.percentile(confs, up)
+        middle = [i for i, c in zip(ids, confs) if lo <= c <= hi]
+        step = max(len(middle) // n, 1)
+        out.extend(middle[::step][:n])
+    return sorted(out)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "row_id long, cluster string, conf double")
+
+
+def test_band_filter_matches_numpy_percentile(spark):
+    rows = [(i, "a", float((i * 37) % 101)) for i in range(20)]
+    df = _mk(spark, rows)
+    kept = percentile_band_filter(df, "cluster", "conf", n=3).collect()
+    confs = np.array([r[2] for r in rows])
+    lo, hi = np.percentile(confs, 25), np.percentile(confs, 75)
+    expected = {r[0] for r in rows if lo <= r[2] <= hi}
+    assert {r.row_id for r in kept} == expected
+
+
+def test_small_cluster_bypasses_band(spark):
+    rows = [(0, "tiny", 1.0), (1, "tiny", 100.0)]
+    df = _mk(spark, rows)
+    kept = percentile_band_filter(df, "cluster", "conf", n=5).collect()
+    assert len(kept) == 2  # fewer than n rows → no filtering (main.py:417-420)
+
+
+def test_stride_sample_systematic(spark):
+    rows = [(i, "a", 0.0) for i in range(10)]
+    df = _mk(spark, rows)
+    got = sorted(r.row_id for r in stride_sample(df, "cluster", "row_id", 3).collect())
+    # step = 10 // 3 = 3 → indices 0, 3, 6 (then capped at n)
+    assert got == [0, 3, 6]
+
+
+def test_middle_confidence_sample_equals_reference(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(rng.randint(0, 1000)))
+        for i in range(60)
+    ] + [(100 + j, "small", float(j)) for j in range(2)]
+    df = _mk(spark, rows)
+    got = sorted(
+        r.row_id
+        for r in middle_confidence_sample(df, "cluster", "conf", "row_id", n=3).collect()
+    )
+    assert got == _ref_select(rows, n=3)
+
+
+def test_gather_rows_semi_join(spark):
+    raw = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, v string")
+    sel = spark.createDataFrame([(1,), (3,)], "id long")
+    got = sorted(r.v for r in gather_rows(raw, sel, "id").collect())
+    assert got == ["x", "z"]
+
+
+def test_least_confidence_topk(spark):
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(20)], "id long, conf double")
+    got = least_confidence_sampling(df, "conf", 3, tiebreak="id").collect()
+    assert [(r.id, r.conf) for r in got] == [(6, 6.0), (13, 6.0), (5, 5.0)]

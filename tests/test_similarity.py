@@ -1,0 +1,54 @@
+"""Similarity-search tests: exact top-k ground truth + LSH plumbing."""
+
+import math
+import random
+
+from datas_spark.operators import similarity as SIM
+
+
+def _vecs(spark, n=30, dim=8, seed=3):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "id long, v array<double>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_cosine_topk_matches_bruteforce(spark):
+    rows, df = _vecs(spark)
+    queries = df.where("id < 2")
+    got = SIM.cosine_topk(df, queries, "id", "id", "v", k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r[0], []).append(r)
+    vec = dict(rows)
+    for qid, hits in by_q.items():
+        expected = sorted(
+            ((round(_cos(vec[qid], v), 6), i) for i, v in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got_ids = [h[1] for h in sorted(hits, key=lambda h: h.rank)]
+        assert got_ids == [i for _, i in expected]
+
+
+def test_lsh_topk_self_hit(spark):
+    rows, df = _vecs(spark)
+    queries = df.where("id < 3")
+    got = SIM.lsh_topk(df, queries, "id", "id", "v", k=3, n_planes=4)
+    res = got.collect()
+    # every query shares a bucket with itself → rank-1 hit is itself (cos=1)
+    top1 = {r[0]: r[1] for r in res if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_hyperplane_signature_deterministic(spark):
+    _, df = _vecs(spark, n=5)
+    planes = SIM.random_hyperplanes(8, 4, seed=42)
+    a = [r.bucket for r in SIM.hyperplane_signature(df, "v", planes).orderBy("id").collect()]
+    b = [r.bucket for r in SIM.hyperplane_signature(df, "v", planes).orderBy("id").collect()]
+    assert a == b
+    assert all(0 <= x < 16 for x in a)

@@ -1,0 +1,79 @@
+"""Task-vector algebra tests (SURVEY §2.7) cross-checked against a
+plain-Python re-computation of the reference semantics
+(``/root/reference/src/utils/merging.py``)."""
+
+import pytest
+
+from datas_spark.operators import taskvector as TV
+
+
+def _long(spark, d):
+    """dict {key: [values]} → long table (key, idx, value)."""
+    rows = [(k, i, float(v)) for k, vs in d.items() for i, v in enumerate(vs)]
+    return spark.createDataFrame(rows, "key string, idx long, value double")
+
+
+def _to_dict(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.key, {})[r.idx] = r.value
+    return out
+
+
+def test_task_vector_diff(spark):
+    ft = _long(spark, {"w": [2.0, 4.0], "b": [1.0]})
+    pt = _long(spark, {"w": [1.0, 1.0], "b": [3.0]})
+    got = _to_dict(TV.task_vector(ft, pt))
+    assert got == {"w": {0: 1.0, 1: 3.0}, "b": {0: -2.0}}
+
+
+def test_tv_add_and_negate(spark):
+    a = _long(spark, {"w": [1.0, 2.0]})
+    b = _long(spark, {"w": [10.0, 20.0]})
+    assert _to_dict(TV.tv_add(a, b)) == {"w": {0: 11.0, 1: 22.0}}
+    assert _to_dict(TV.tv_negate(a)) == {"w": {0: -1.0, 1: -2.0}}
+
+
+def test_tv_weighted_merge(spark):
+    a = _long(spark, {"w": [1.0, 2.0]})
+    b = _long(spark, {"w": [10.0, 20.0]})
+    got = _to_dict(TV.tv_weighted_merge([a, b], [0.5, 0.1]))
+    assert got == {"w": {0: 1.5, 1: 3.0}}
+
+
+def test_tv_apply_missing_keys_pass_through(spark):
+    pt = _long(spark, {"w": [1.0], "extra": [5.0]})
+    tv = _long(spark, {"w": [2.0]})
+    got = _to_dict(TV.tv_apply(pt, tv, scaling=2.0))
+    assert got == {"w": {0: 5.0}, "extra": {0: 5.0}}
+
+
+def test_ties_topk_keeps_largest_magnitude(spark):
+    tv = _long(spark, {"w": [0.1, -5.0, 0.2, 3.0, -0.05]})
+    got = _to_dict(TV.ties_topk_mask(tv, k_pct=0.4))  # keep top 2 of 5
+    assert got == {"w": {0: 0.0, 1: -5.0, 2: 0.0, 3: 3.0, 4: 0.0}}
+
+
+def test_ties_merge_mean(spark):
+    # two vectors; disagreement on sign at idx1
+    a = _long(spark, {"w": [1.0, -2.0]})
+    b = _long(spark, {"w": [3.0, 4.0]})
+    got = _to_dict(TV.ties_merge([a, b], k_pct=1.0, mode="mean"))
+    # idx0: sum=4>0 → mean of agreeing {1,3} = 2; idx1: sum=2>0 → mean of {4} = 4
+    assert got == {"w": {0: 2.0, 1: 4.0}}
+
+
+def test_ties_merge_modes(spark):
+    a = _long(spark, {"w": [1.0]})
+    b = _long(spark, {"w": [3.0]})
+    assert _to_dict(TV.ties_merge([a, b], 1.0, "sum")) == {"w": {0: 4.0}}
+    assert _to_dict(TV.ties_merge([a, b], 1.0, "max")) == {"w": {0: 3.0}}
+    with pytest.raises(ValueError):
+        TV.ties_disjoint_merge(_long(spark, {"w": [1.0]}), _long(spark, {"w": [1.0]}), "bogus")
+
+
+def test_key_symmetric_difference(spark):
+    a = _long(spark, {"w": [1.0], "only_a": [1.0]})
+    b = _long(spark, {"w": [1.0], "only_b": [1.0]})
+    got = {(r.key, r.side) for r in TV.key_symmetric_difference(a, b).collect()}
+    assert got == {("only_a", "a"), ("only_b", "b")}
