@@ -35,6 +35,10 @@ HEADLINE = [
     "language_id",
     "events_window_agg",
     "least_confidence",
+    "simhash",
+    "ties_merge",
+    "cosine_topk",
+    "events_sessionize",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Feature-engineering / ML operators (SURVEY §2.4, F1-F6).
+
+The reference extracts last-hidden-state embeddings row-by-row on GPU,
+``torch.cat``s them into a [N, 4096] matrix on the driver, and runs
+sklearn KMeans (``/root/reference/main.py:316-376``). Here the
+embedding stays a distributed ``array<float>`` column end-to-end:
+``array_to_vector`` bridges into MLlib, KMeans fit streams over the
+data (executors aggregate, only k centroids come to the driver), and
+``transform`` appends the cluster label as a column — no N×4096 driver
+materialization.
+
+t-SNE (F4) has no distributed formulation; the reference uses it only
+for a scatter-plot png (main.py:360-376). We keep it driver-side,
+gated on a small sampled collect — viz tooling, not engine path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "embedding_proxy",
+    "kmeans_cluster",
+    "pca_reduce",
+    "cluster_sizes",
+    "cluster_indices",
+    "tsne_viz",
+]
+
+
+def embedding_proxy(df: DataFrame, text_col: str, dim: int = 16, out_col: str = "emb_ins_alone") -> DataFrame:
+    """F1 with the model proxied (real path: iterator pandas_udf per
+    SURVEY §4): deterministic pseudo-embedding — component i is the
+    md5-unit-interval hash of (text, i), shifted to [-0.5, 0.5).
+    Pure expression → reproducible anywhere."""
+    from datas_spark.operators.scoring import hash_unit_interval
+
+    c = F.col(text_col)
+    comps = [
+        (hash_unit_interval(F.concat(c, F.lit(f"#emb{i}"))) - F.lit(0.5)).cast("float")
+        for i in range(dim)
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def kmeans_cluster(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 3,
+    seed: int = 0,
+    out_col: str = "cluster",
+    max_iter: int = 20,
+) -> DataFrame:
+    """F2 (main.py:316-322 do_clustering): KMeans(k, seed) labels.
+    MLlib fit/transform; the ``array<float>`` column converts via
+    ``array_to_vector`` (no Python boundary — JVM-side)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    work = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol=out_col).fit(work)
+    return model.transform(work).drop("__features")
+
+
+def pca_reduce(df: DataFrame, vec_col: str, k: int = 10, out_col: str = "pca") -> DataFrame:
+    """F3 (main.py:362-364): PCA to k dims; output back as array<double>."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    work = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = PCA(k=k, inputCol="__features", outputCol="__pca").fit(work)
+    return (
+        model.transform(work)
+        .withColumn(out_col, vector_to_array(F.col("__pca")))
+        .drop("__features", "__pca")
+    )
+
+
+def cluster_sizes(df: DataFrame, cluster_col: str = "cluster") -> DataFrame:
+    """F5 (main.py:381-383): per-cluster row counts (the distinct count
+    is one more agg on top)."""
+    return df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def cluster_indices(df: DataFrame, cluster_col: str, id_col: str) -> DataFrame:
+    """F6 (main.py:386-389): cluster → sorted member-id list. At scale
+    prefer the long form (this materializes per-cluster arrays)."""
+    return df.groupBy(cluster_col).agg(
+        F.array_sort(F.collect_list(id_col)).alias("row_ids")
+    )
+
+
+def tsne_viz(df: DataFrame, vec_col: str, sample: int = 1000, seed: int = 0, **tsne_kwargs):
+    """F4 (main.py:360-376): driver-side t-SNE on a bounded sample —
+    viz-only, outside the engine core. Requires sklearn (absent in this
+    container) → raises with guidance."""
+    try:
+        from sklearn.manifold import TSNE  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "t-SNE viz needs scikit-learn on the driver; engine-side ops "
+            "never depend on it (SURVEY §4: viz outside engine core)"
+        ) from e
+    rows = df.select(vec_col).limit(sample).toPandas()
+    import numpy as np
+
+    mat = np.array(rows[vec_col].tolist())
+    params = {"perplexity": 5, "learning_rate": 200, "max_iter": 1000, **tsne_kwargs}
+    return TSNE(n_components=2, random_state=seed, **params).fit_transform(mat)

@@ -149,30 +149,30 @@ def least_confidence_sampling(
 
 
 def margin_sampling(
-    df: DataFrame, prob_col: str, k: int, tiebreak: str | None = None
+    df: DataFrame, prob_col: str, k: int, tiebreak: str | None = None,
+    keep_score: bool = False,
 ) -> DataFrame:
-    """L3: smallest top1−top2 margin over a probability array column."""
+    """L3: smallest top1−top2 margin over a probability array column.
+    ``keep_score`` retains the computed ``margin`` column."""
     sorted_desc = F.reverse(F.array_sort(_c(prob_col)))
     margin = sorted_desc[0] - sorted_desc[1]
-    order = [F.col("__margin").asc()]
+    order = [F.col("margin").asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
-    return df.withColumn("__margin", margin).orderBy(*order).limit(k).drop("__margin")
+    out = df.withColumn("margin", margin).orderBy(*order).limit(k)
+    return out if keep_score else out.drop("margin")
 
 
 def entropy_sampling(
-    df: DataFrame, prob_col: str, k: int, tiebreak: str | None = None
+    df: DataFrame, prob_col: str, k: int, tiebreak: str | None = None,
+    keep_score: bool = False,
 ) -> DataFrame:
     """L4: highest predictive entropy over a probability array column."""
-    order = [F.col("__entropy").desc()]
+    order = [F.col("entropy").desc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
-    return (
-        df.withColumn("__entropy", _entropy(prob_col))
-        .orderBy(*order)
-        .limit(k)
-        .drop("__entropy")
-    )
+    out = df.withColumn("entropy", _entropy(prob_col)).orderBy(*order).limit(k)
+    return out if keep_score else out.drop("entropy")
 
 
 def kcenter_sampling(

@@ -456,3 +456,8 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+# batch-2 registrations (scorer proxies, AL, clustering, task vectors,
+# similarity, sessionization) — imported for side effects.
+from datas_spark import registry2  # noqa: E402,F401  (isort: skip)

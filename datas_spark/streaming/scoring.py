@@ -1,0 +1,104 @@
+"""Structured Streaming operators — north-star extension (SURVEY §2.9;
+the reference has no streaming of any kind).
+
+Design: every transform here is the SAME Column-expression logic the
+batch engine uses — a streaming DataFrame goes through identical
+``withColumn``/``groupBy(window)`` plans, which is the whole point of
+re-expressing the reference on Spark: one set of operator semantics,
+two execution modes. The batch twin of ``windowed_event_agg`` is
+oracle-checked (registry ``events_window_agg``); streaming runs are
+tested with file sources + ``trigger(availableNow=True)`` against the
+batch results.
+
+Scale notes: watermarks bound state; ``dropDuplicatesWithinWatermark``
+bounds the dedup map; session windows use the native
+``session_window`` (state store, not a giant sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """File-source stream of events rows (schema fixed — streaming scans
+    must not infer)."""
+    reader = spark.readStream.format(fmt).schema(EVENT_SCHEMA)
+    if fmt == "json":
+        reader = reader.option("multiLine", "false")
+    return reader.load(path)
+
+
+def score_stream(stream: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-event scoring — identical expression logic as batch scorers
+    (stateless map; no watermark needed)."""
+    from datas_spark.operators.scoring import hash_unit_interval
+
+    return stream.withColumn(
+        "score", F.round(hash_unit_interval(F.col("event_id").cast("string")), 6)
+    ).withColumn("value_bucket", F.floor(F.col(value_col) / 100.0).cast("long"))
+
+
+def windowed_event_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide``) window × event_type counts +
+    sums with late-data watermark. Same plan as the oracle-checked
+    batch query ``events_window_agg``."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps keys only inside the
+    watermark horizon — the streaming twin of ``exact_dedup``."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize(
+    stream: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — native ``session_window``
+    state store; emits one row per closed session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
