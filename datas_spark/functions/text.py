@@ -202,18 +202,33 @@ def hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
 
 
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token ARRAY
+    COLUMN (array<string>, distinct, order-insensitive).
+
+    PERF: pass a bound column reference, not the ``word_tokens(...)``
+    expression — subtrees referenced inside HOF lambdas are re-evaluated
+    per element (no cross-lambda CSE), so an inline tokenizer makes
+    shingling O(tokens × regex-split). Callers project tokens first.
+    ``F.get`` (O(1) access) beats ``F.slice`` per-element copies.
+    """
+    cnt = F.size(toks) - (n - 1)
+    # guard: Spark sequence(1, 0) counts DOWN ([1, 0]) — empty must be explicit
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>, distinct, order-insensitive).
 
     Built from whitespace tokens: positions 1..len-n+1 each yield the
     space-joined n-gram. Used by MinHash and n-gram-Jaccard dedup.
+    Prefer ``shingles_of_tokens`` over a projected token column in hot
+    paths (see its PERF note).
     """
-    toks = word_tokens(col)
-    cnt = F.size(toks) - (n - 1)
-    # guard: Spark sequence(1, 0) counts DOWN ([1, 0]) — empty must be explicit
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return shingles_of_tokens(word_tokens(col), n)

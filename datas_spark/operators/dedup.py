@@ -33,7 +33,13 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datas_spark.functions.text import fingerprint, hash32, shingles, word_tokens
+from datas_spark.functions.text import (
+    fingerprint,
+    hash32,
+    shingles,
+    shingles_of_tokens,
+    word_tokens,
+)
 
 __all__ = [
     "MINHASH_A",
@@ -89,8 +95,21 @@ def minhash_signature(
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
-    sh = shingles(text_col, shingle_n)
-    base = F.transform(sh, lambda s: hash32(s))
+    # materialize tokens, then shingle hashes, ONCE: HOF lambdas
+    # re-evaluate unbound subtrees per element, and the 16 permutation
+    # transforms must fold over a bound column, not a shingle subtree
+    hashed = (
+        df.withColumn("__mh_toks", word_tokens(text_col))
+        .withColumn(
+            "__mh_base",
+            F.transform(
+                shingles_of_tokens(F.col("__mh_toks"), shingle_n),
+                lambda s: hash32(s),
+            ),
+        )
+        .drop("__mh_toks")
+    )
+    base = F.col("__mh_base")
 
     # single-parameter lambda factory: PySpark HOFs pass a Column for
     # every named lambda parameter, so `lambda h, i=i:` would break
@@ -106,7 +125,7 @@ def minhash_signature(
             for i in range(num_hashes)
         ]
     )
-    return df.withColumn("minhash", sig)
+    return hashed.withColumn("minhash", sig).drop("__mh_base")
 
 
 def minhash_lsh_pairs(
@@ -136,7 +155,9 @@ def minhash_lsh_pairs(
     banded = sigd.select(
         "__id",
         "minhash",
-        F.explode(
+        # explode_outer: see ngram_jaccard_pairs — avoids the inferred
+        # size()>0 filter that would inline the minhash signature expr
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -190,7 +211,7 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     token-hashes than not. Single map-side pass (token hashes computed
     once, folded per bit position).
     """
-    token_hashes = F.transform(word_tokens(text_col), lambda t: hash32(t))
+    token_hashes = F.col("__st_hashes")
     def bit_vote(b: int) -> Column:
         # b is closure-bound by this function scope — no default-arg
         # binding (PySpark HOFs pass a Column per named lambda param)
@@ -205,7 +226,15 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
         sig = sig + F.when(bit_vote(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.withColumn("simhash", sig)
+    # token hashes materialized once; the `bits` aggregates fold over a
+    # bound column reference instead of re-running tokenizer + hash
+    return (
+        df.withColumn(
+            "__st_hashes", F.transform(word_tokens(text_col), lambda t: hash32(t))
+        )
+        .withColumn("simhash", sig)
+        .drop("__st_hashes")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -227,28 +256,46 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = (
-        df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select("__id", shingles_of_tokens(F.col("__toks"), n).alias("__sh"))
         .withColumn("__n", F.size("__sh"))
     )
-    exploded = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+    # explode_outer + isNotNull on the GENERATED column: plain explode
+    # triggers InferFiltersFromGenerate, which clones the whole shingle
+    # expression (tokenizer inlined, re-evaluated per element) into a
+    # pushed-down per-row filter — catastrophic on the hot path
+    exploded = (
+        sh.select("__id", "__n", F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    # inverted index: one shuffle on the shingle key, then the upper
+    # triangle of each posting list is generated map-side — no self-join
+    # (a sort-merge self-join on hot shingles re-shuffles the full
+    # posting set twice and explodes inside the join instead of here)
+    grouped = exploded.groupBy("__s").agg(
+        F.array_sort(F.collect_list(F.struct("__id", "__n"))).alias("__docs")
+    )
+    grouped = grouped.where(F.size("__docs") >= 2)
     if max_shingle_freq is not None:
-        freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
-        exploded = (
-            exploded.join(freq, "__s")
-            .where(F.col("__f") <= max_shingle_freq)
-            .drop("__f")
+        grouped = grouped.where(F.size("__docs") <= max_shingle_freq)
+    docs = F.col("__docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
-        )
+        grouped.select(F.explode_outer(pair_structs).alias("__p"))
+        .where(F.col("__p").isNotNull())
         .groupBy(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
+            F.col("__p.a.__id").alias("id_a"),
+            F.col("__p.b.__id").alias("id_b"),
+            F.col("__p.a.__n").alias("__na"),
+            F.col("__p.b.__n").alias("__nb"),
         )
         .agg(F.count(F.lit(1)).alias("__shared"))
     )

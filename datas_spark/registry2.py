@@ -300,13 +300,14 @@ _TIES_ORACLE = f"""
     ), unioned AS (
       SELECT 0 AS vector_id, * FROM tv1 UNION ALL SELECT 1, * FROM tv2
     ), ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY vector_id, key ORDER BY abs(value) DESC) AS rk,
-             count(*) OVER (PARTITION BY vector_id, key) AS n
+      SELECT *, row_number() OVER (PARTITION BY vector_id, key, idx // 1024
+                                   ORDER BY abs(value) DESC) AS rk,
+             count(*) OVER (PARTITION BY vector_id, key, idx // 1024) AS n
       FROM unioned
     ), kth AS (
-      SELECT *, max(CASE WHEN rk = greatest((n * {_TIES_K})::BIGINT, 1)
+      SELECT *, max(CASE WHEN rk = greatest(floor(n * {_TIES_K})::BIGINT, 1)
                          THEN abs(value) END)
-                  OVER (PARTITION BY vector_id, key) AS kth_abs
+                  OVER (PARTITION BY vector_id, key, idx // 1024) AS kth_abs
       FROM ranked
     ), masked AS (
       SELECT vector_id, key, idx,
@@ -330,16 +331,18 @@ _TIES_ORACLE = f"""
 
 @register("ties_merge", oracle=_TIES_ORACLE)
 def q_ties_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6-T9 (merging.py:154-267): full TIES — per-key top-20% magnitude
-    mask, mass sign election with global-majority zero replacement,
-    disjoint mean merge — as one lazy plan over two lineitem-derived
-    task vectors."""
+    """T6-T9 (merging.py:154-267): full TIES — per-matrix-row top-20%
+    magnitude mask (row_size=1024, mirroring the reference's per-row
+    ``kthvalue`` along dim=1 at merging.py:204), mass sign election with
+    global-majority zero replacement, disjoint mean merge — one lazy
+    plan over two lineitem-derived task vectors. Row-granular windows
+    keep partitions ~1k entries regardless of checkpoint size."""
     li = read_table(spark, sf_dir, "lineitem")
     key = F.concat("l_returnflag", "l_linestatus").alias("key")
     idx = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("idx")
     tv1 = li.select(key, idx, (F.col("l_discount") - 0.05).alias("value"))
     tv2 = li.select(key, idx, (F.col("l_tax") - 0.04).alias("value"))
-    return TV.ties_merge([tv1, tv2], k_pct=_TIES_K, mode="mean")
+    return TV.ties_merge([tv1, tv2], k_pct=_TIES_K, mode="mean", row_size=1024)
 
 
 # ---------------------------------------------------------------------------
