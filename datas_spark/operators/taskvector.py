@@ -35,6 +35,7 @@ __all__ = [
     "ties_elect_sign",
     "ties_disjoint_merge",
     "ties_merge",
+    "flatten_positions",
     "key_symmetric_difference",
 ]
 
@@ -203,6 +204,34 @@ def ties_merge(
         union = union.unionByName(m)
     signs = ties_elect_sign(union)
     return ties_disjoint_merge(union, signs, mode)
+
+
+def flatten_positions(ckpt: DataFrame) -> DataFrame:
+    """T10 (get_taskV.py:20-36): state_dict → flat vector. In the long
+    layout the "flat vector" is just a global position: sort keys, then
+    ``pos = offset(key) + idx``.
+
+    Scale: offsets come from a per-key count aggregate (one row per
+    tensor — tiny) cumulated with a window over keys and broadcast back;
+    the big table is never globally sorted (a global ``row_number``
+    would single-partition 10¹¹ rows).
+    """
+    dims = ckpt.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = dims.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    ).select("key", "__offset")
+    wk = Window.partitionBy("key").orderBy("idx")
+    return (
+        ckpt.withColumn("__rn", F.row_number().over(wk))
+        .join(broadcast(offsets), "key")
+        .select(
+            "key",
+            "idx",
+            (F.col("__offset") + F.col("__rn") - 1).alias("pos"),
+            "value",
+        )
+    )
 
 
 def key_symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -25,15 +25,21 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from datas_spark.io.sinks import write_json
 from datas_spark.io.sources import read_json_auto
 
 Transform = Callable[[DataFrame], DataFrame]
 
-ALPACA_SCHEMA = StructType.fromDDL(
-    "instruction string, input string, output string"
+# constructed directly: StructType.fromDDL needs a live SparkContext,
+# which must not be an import-time requirement of this module
+ALPACA_SCHEMA = StructType(
+    [
+        StructField("instruction", StringType()),
+        StructField("input", StringType()),
+        StructField("output", StringType()),
+    ]
 )
 
 

@@ -458,6 +458,8 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# batch-2 registrations (scorer proxies, AL, clustering, task vectors,
-# similarity, sessionization) — imported for side effects.
+# batch-2/3 registrations (scorer proxies, AL, clustering, task vectors,
+# similarity, sessionization, conversations, multimodal) — imported for
+# side effects.
 from datas_spark import registry2  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry3  # noqa: E402,F401  (isort: skip)

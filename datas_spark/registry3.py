@@ -1,0 +1,332 @@
+"""Query registry, batch 3: remaining task-vector algebra (T2/T3/T10/
+T11), ShareGPT conversation flattening, multimodal column plumbing
+(deterministic fake codecs), MinHash-LSH candidate pairs, LESS stub,
+random sampling, PCA.
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators import clustering as C
+from datas_spark.operators import conversations as CV
+from datas_spark.operators import dedup as D
+from datas_spark.operators import multimodal as MM
+from datas_spark.operators import scoring as SC
+from datas_spark.operators import selection as S
+from datas_spark.operators import taskvector as TV
+from datas_spark.registry import register
+from datas_spark.registry2 import _ckpt_f, _ckpt_p
+
+# ---------------------------------------------------------------------------
+# §2.7 T2/T3/T10/T11 — remaining task-vector ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "task_vector_add",
+    oracle="""
+    SELECT p_brand AS key, p_partkey AS idx,
+           p_retailprice + p_size AS value
+    FROM part
+    """,
+)
+def q_task_vector_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (merging.py:52-61): tv1 + tv2 over shared (key, idx)."""
+    return TV.tv_add(_ckpt_f(spark, sf_dir), _ckpt_p(spark, sf_dir))
+
+
+@register(
+    "task_vector_negate",
+    oracle="SELECT p_brand AS key, p_partkey AS idx, -p_retailprice AS value FROM part",
+)
+def q_task_vector_negate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (merging.py:68-74)."""
+    return TV.tv_negate(_ckpt_f(spark, sf_dir))
+
+
+@register(
+    "checkpoint_flatten",
+    oracle="""
+    SELECT p_brand AS key, p_partkey AS idx,
+           row_number() OVER (ORDER BY p_brand, p_partkey) - 1 AS pos,
+           p_retailprice AS value
+    FROM part
+    """,
+)
+def q_checkpoint_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 (get_taskV.py:20-36): state_dict → flat-vector positions.
+    Spark side avoids the oracle's global sort: per-key offsets (tiny
+    cumulated dims table, broadcast) + per-key row_number."""
+    return TV.flatten_positions(_ckpt_f(spark, sf_dir))
+
+
+@register(
+    "param_key_symdiff",
+    oracle="""
+    WITH ka AS (SELECT DISTINCT 'layer_' || (p_partkey % 29) AS key FROM part),
+         kb AS (SELECT DISTINCT 'layer_' || (p_partkey % 31) AS key FROM part)
+    SELECT coalesce(ka.key, kb.key) AS key,
+           CASE WHEN kb.key IS NULL THEN 'a' ELSE 'b' END AS side
+    FROM ka FULL OUTER JOIN kb ON ka.key = kb.key
+    WHERE ka.key IS NULL OR kb.key IS NULL
+    """,
+)
+def q_param_key_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (get_taskV.py:78-99): param names present in exactly one
+    checkpoint — two synthetic checkpoints whose layer-name sets differ
+    (mod-29 vs mod-31 buckets) so the diff is nonempty at every SF."""
+    part = read_table(spark, sf_dir, "part")
+
+    def ckpt(mod: int) -> DataFrame:
+        return part.select(
+            F.concat(F.lit("layer_"), F.col("p_partkey") % mod).alias("key"),
+            F.col("p_partkey").alias("idx"),
+            F.col("p_retailprice").alias("value"),
+        )
+
+    return TV.key_symmetric_difference(ckpt(29), ckpt(31))
+
+
+# ---------------------------------------------------------------------------
+# §1.2 ShareGPT — conversation flatten / alpaca projection
+# ---------------------------------------------------------------------------
+
+def _synth_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic 2-turn sharegpt rows (schema parity with
+    data/rawdata/sharegpt_simple.jsonl)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("conversation_id"),
+        F.col("source").alias("category"),
+        F.array(
+            F.struct(
+                F.substring("text", 1, 40).alias("human"),
+                F.col("lang").alias("assistant"),
+            ),
+            F.struct(
+                F.substring("text", 41, 40).alias("human"),
+                F.col("source").alias("assistant"),
+            ),
+        ).alias("conversation"),
+    )
+
+
+@register(
+    "sharegpt_flatten",
+    oracle="""
+    SELECT doc_id AS conversation_id, 0 AS turn,
+           substr(text, 1, 40) AS human, lang AS assistant
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, substr(text, 41, 40), source FROM documents
+    """,
+)
+def q_sharegpt_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShareGPT flatten (base.py:28 'later'; readme.md:12-24 format):
+    posexplode to one row per turn, order preserved."""
+    conv = _synth_conversations(spark, sf_dir)
+    return CV.flatten_conversations(conv, "conversation", ["conversation_id"]).select(
+        "conversation_id", F.col("turn").cast("int").alias("turn"), "human", "assistant"
+    )
+
+
+@register(
+    "sharegpt_turn_scores",
+    oracle="""
+    WITH turns AS (
+      SELECT doc_id AS conversation_id, 0 AS turn,
+             substr(text, 1, 40) AS human, lang AS assistant
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1, substr(text, 41, 40), source FROM documents
+    )
+    SELECT conversation_id, turn, length(assistant)::BIGINT AS lenth
+    FROM turns
+    """,
+)
+def q_sharegpt_turn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn → alpaca projection → P2 length scorer: the whole
+    scorer family applies per-turn once flattened."""
+    conv = _synth_conversations(spark, sf_dir)
+    turns = CV.turns_to_alpaca(
+        CV.flatten_conversations(conv, "conversation", ["conversation_id"])
+    )
+    return SC.length_scorer(turns).select(
+        "conversation_id", F.col("turn").cast("int").alias("turn"), "lenth"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 multimodal columns — binary payload plumbing (fake codecs)
+# ---------------------------------------------------------------------------
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → binary media rows: text bytes, 1-in-3 prefixed with
+    PNG/JPEG magic so the mime sniffer has work to do."""
+    docs = read_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("89504E47"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("FFD8"))
+        .otherwise(F.lit(""))
+    )
+    content = F.unhex(F.concat(magic, F.hex(F.encode(F.col("text"), "utf-8"))))
+    return docs.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+
+
+@register(
+    "media_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+        unhex(CASE WHEN doc_id % 3 = 0 THEN '89504E47'
+                   WHEN doc_id % 3 = 1 THEN 'FFD8' ELSE '' END
+              || hex(encode(text))) AS content
+      FROM documents
+    )
+    SELECT media_id, octet_length(content)::BIGINT AS n_bytes,
+      CASE WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+           WHEN substr(hex(content), 1, 4) = 'FFD8' THEN 'image/jpeg'
+           ELSE 'application/octet-stream' END AS mime
+    FROM m
+    """,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata without decoding (magic-byte sniff +
+    byte length); blobs never leave the scan."""
+    media = _synth_media(spark, sf_dir)
+    return MM.attach_media_metadata(media).select("media_id", "n_bytes", "mime")
+
+
+def _fake_decoder(b: bytes) -> list[float]:
+    """Deterministic stand-in for an image codec: features derivable
+    from raw bytes (length mod, first/last byte) — reproducible in SQL."""
+    return [float(len(b) % 7), float(b[0]), float(b[-1])]
+
+
+@register(
+    "media_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+      [CAST(length(text) % 7 AS FLOAT), CAST(ord(substr(text, 1, 1)) AS FLOAT),
+       CAST(ord(substr(text, -1, 1)) AS FLOAT), CAST(0 AS FLOAT)] AS features
+    FROM documents
+    """,
+)
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract through the REAL mapInPandas path
+    (Arrow batches, schema contract); codec is the deterministic fake —
+    swap a PIL/ffmpeg callable in production (operators/multimodal.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return MM.decode_features(media, dim=4, decoder=_fake_decoder)
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id, length(text) AS n,
+             unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS frame_idx
+      FROM documents
+    )
+    SELECT media_id, frame_idx,
+           least(16, n - frame_idx * 16)::BIGINT AS frame_len
+    FROM t
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (mapInPandas row expansion); fake
+    extractor chunks the payload every 16 bytes."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    frames = MM.frame_sample(
+        media,
+        frame_extractor=lambda b, ms: [b[i : i + 16] for i in range(0, len(b), 16)],
+    )
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (band join — the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+    from datas_spark.registry import _minhash_oracle
+
+    rows = num_hashes // bands
+    sig_cte = _minhash_oracle(num_hashes, shingle_n).strip()
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, minhash, {b} AS band, "
+        f"md5(array_to_string(minhash[{b * rows + 1}:{b * rows + rows}], ',')) AS bucket "
+        f"FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({sig_cte}),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.minhash AS ma, r.minhash AS mb
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+      list_sum(list_transform(range(1, {num_hashes} + 1),
+               i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {num_hashes} AS est_jaccard
+    FROM cand
+    """
+
+
+@register("minhash_lsh_pairs", oracle=_lsh_pairs_oracle())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (SURVEY §2.9; replaces the FAISS
+    intent at get_info.py:142-146): banded signatures → equi-join on
+    (band, bucket) — shuffle rows n·bands, never O(n²)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P9 LESS stub + §2.6 L1 random + §2.4 F3 PCA
+# ---------------------------------------------------------------------------
+
+@register(
+    "less_score_stub",
+    oracle="SELECT doc_id, length(lang)::DOUBLE AS less_score FROM documents",
+)
+def q_less_score_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (score_pipeline_less.py:54-57): the reference ships a
+    len(output) placeholder; mirrored as a documented stub."""
+    docs = read_table(spark, sf_dir, "documents").withColumn("output", F.col("lang"))
+    return SC.less_scorer_stub(docs).select("doc_id", "less_score")
+
+
+@register("random_sample")  # rows-only: F.rand stream has no DuckDB twin
+def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 (main.py:56-67 RandomSampling): seeded uniform k of N."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return S.random_sampling(docs, k=50, seed=42)
+
+
+@register("pca_embeddings")  # rows-only: SVD sign/rotation not SQL-expressible
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (main.py:362-364): PCA k=4 over the embedding column via
+    MLlib; invariants (dims, variance order) unit-tested."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = C.pca_reduce(emb, "embedding", k=4)
+    return out.select("vec_id", F.col("pca"))

@@ -1,0 +1,59 @@
+"""MLlib-backed ops (F2/F3) — seed-pinned invariants, since SVD signs
+and centroid init aren't SQL-expressible (SURVEY §5)."""
+
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators.clustering import (
+    cluster_indices,
+    cluster_sizes,
+    embedding_proxy,
+    kmeans_cluster,
+    pca_reduce,
+)
+
+
+def test_kmeans_partition_invariants(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    labeled = kmeans_cluster(emb, "embedding", k=3, seed=0)
+    # every row gets exactly one label in 0..k-1; row count preserved
+    assert labeled.count() == n
+    labels = {r.cluster for r in labeled.select("cluster").distinct().collect()}
+    assert labels <= {0, 1, 2} and len(labels) >= 2
+    # deterministic under a fixed seed
+    again = kmeans_cluster(emb, "embedding", k=3, seed=0)
+    assert (
+        labeled.select("vec_id", "cluster").subtract(again.select("vec_id", "cluster")).count()
+        == 0
+    )
+
+
+def test_cluster_aggregates_partition_rows(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").withColumnRenamed("label", "cluster")
+    sizes = {r.cluster: r.n_rows for r in cluster_sizes(emb).collect()}
+    assert sum(sizes.values()) == emb.count()
+    idx = cluster_indices(emb, "cluster", "vec_id").collect()
+    assert sum(len(r.row_ids) for r in idx) == emb.count()
+    for r in idx:
+        assert r.row_ids == sorted(r.row_ids)
+
+
+def test_pca_shapes_and_determinism(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = pca_reduce(emb, "embedding", k=4)
+    assert out.count() == emb.count()
+    first = out.select("pca").first().pca
+    assert len(first) == 4
+    # same seedless SVD on same data → same result
+    again = pca_reduce(emb, "embedding", k=4).select("pca").first().pca
+    assert first == again
+
+
+def test_embedding_proxy_deterministic(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    a = embedding_proxy(docs, "text", dim=8).select("doc_id", "emb_ins_alone")
+    b = embedding_proxy(docs, "text", dim=8).select("doc_id", "emb_ins_alone")
+    assert a.subtract(b).count() == 0
+    vec = a.first().emb_ins_alone
+    assert len(vec) == 8 and all(-0.5 <= x < 0.5 for x in vec)

@@ -1,0 +1,74 @@
+"""Multimodal binary-column plumbing: schema contracts, mapInPandas
+batch shapes, and the documented NotImplementedError stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datas_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    decode_features,
+    frame_sample,
+)
+
+PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47])
+JPEG_MAGIC = bytes([0xFF, 0xD8])
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, PNG_MAGIC + b"payload-one", None, None),
+        (2, JPEG_MAGIC + b"payload-two!", None, None),
+        (3, b"RIFFxxxxWAVE", None, None),
+        (4, b"plain bytes here", None, None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_media_schema_roundtrip(media):
+    assert [f.name for f in media.schema] == ["media_id", "content", "mime", "meta"]
+    assert media.count() == 4
+
+
+def test_metadata_sniff(media):
+    got = {
+        r.media_id: (r.mime, r.n_bytes)
+        for r in attach_media_metadata(media.drop("mime")).collect()
+    }
+    assert got[1] == ("image/png", 15)
+    assert got[2] == ("image/jpeg", 14)
+    assert got[3] == ("audio/wav", 12)
+    assert got[4] == ("application/octet-stream", 16)
+
+
+def test_decode_features_fake_codec(media):
+    feats = decode_features(
+        media, dim=3, decoder=lambda b: [float(len(b)), float(b[0])]
+    )
+    assert feats.schema.simpleString() == "struct<media_id:bigint,features:array<float>>"
+    got = {r.media_id: r.features for r in feats.collect()}
+    assert got[4] == [16.0, float(b"p"[0]), 0.0]  # padded to dim
+
+
+def test_decode_features_stub_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|no media decoder"):
+        decode_features(media).collect()
+
+
+def test_frame_sample_row_expansion(media):
+    frames = frame_sample(
+        media,
+        frame_extractor=lambda b, ms: [b[i : i + 4] for i in range(0, len(b), 4)],
+    )
+    got = frames.collect()
+    # 15+14+12+16 bytes in chunks of 4 -> 4+4+3+4 frames
+    assert len(got) == 15
+    by_id = {(r.media_id, r.frame_idx): bytes(r.frame) for r in got}
+    assert by_id[(3, 0)] == b"RIFF"
+    assert by_id[(1, 3)] == b"one"  # ragged tail preserved
+
+
+def test_frame_sample_stub_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|no video codec"):
+        frame_sample(media).collect()

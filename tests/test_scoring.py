@@ -1,0 +1,94 @@
+"""Scorer family unit tests mirroring the reference's 3 canonical
+alpaca examples (score_pipeline_ifd.py:237-253) plus the IFD drop
+filter, LP math, and the scores-map view."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datas_spark.operators.scoring import (
+    ifd_from_losses,
+    ifd_scorer_proxy,
+    length_scorer,
+    lp_score,
+    make_model_scorer,
+    perplexity_scorer_proxy,
+    reward_scorer_proxy,
+    with_scores_map,
+)
+
+# the reference's canonical smoke examples (score_pipeline_ifd.py:237-253)
+CANONICAL = [
+    Row(instruction="Give three tips for staying healthy.", input="",
+        output="1.Eat a balanced diet. 2.Exercise regularly. 3.Get enough sleep."),
+    Row(instruction="What are the three primary colors?", input="",
+        output="The three primary colors are red, blue, and yellow."),
+    Row(instruction="Describe the structure of an atom.", input="",
+        output="An atom is made up of a nucleus, which contains protons and neutrons."),
+]
+
+
+@pytest.fixture(scope="module")
+def alpaca(spark):
+    return spark.createDataFrame(CANONICAL)
+
+
+def test_length_scorer(spark, alpaca):
+    got = {r.instruction[:4]: r.lenth for r in length_scorer(alpaca).collect()}
+    assert got["Give"] == len(CANONICAL[0].output)
+
+
+def test_reward_and_ppl_proxies_deterministic(spark, alpaca):
+    rw1 = {r.instruction: r.score_rw for r in reward_scorer_proxy(alpaca).collect()}
+    rw2 = {r.instruction: r.score_rw for r in reward_scorer_proxy(alpaca).collect()}
+    assert rw1 == rw2
+    assert all(0.0 <= v < 1.0 for v in rw1.values())
+    ppl = {r.instruction: r.ppl_ins_alone for r in perplexity_scorer_proxy(alpaca).collect()}
+    assert all(1.0 <= v < 100.0 for v in ppl.values())
+
+
+def test_ifd_drop_filter(spark):
+    rows = [
+        Row(id=1, lc=[0.5, 0.5], la=[1.0, 1.0]),   # ratio 0.5 -> kept
+        Row(id=2, lc=[2.0], la=[1.0]),              # ratio 2.0 -> dropped (>1)
+        Row(id=3, lc=[], la=[1.0]),                 # empty -> NULL -> dropped
+    ]
+    df = spark.createDataFrame(rows)
+    got = ifd_from_losses(df, "lc", "la").collect()
+    assert [r.id for r in got] == [1]
+    assert math.isclose(got[0].score_ifd, 0.5)
+
+
+def test_ifd_proxy_composition(spark, alpaca):
+    out = ifd_scorer_proxy(alpaca)
+    for r in out.collect():
+        assert r.score_ifd <= 1.0  # the mean_rate>1 drop (ifd.py:199-204)
+
+
+def test_lp_score_null_denominator(spark):
+    df = spark.createDataFrame([Row(id=1, p0=10.0, p1=8.0, pn=4.0),
+                                Row(id=2, p0=5.0, p1=9.0, pn=5.0)])
+    got = {r.id: r.score_lp for r in lp_score(df, ["p0", "p1", "pn"]).collect()}
+    assert math.isclose(got[1], (8.0 - 10.0) / (10.0 - 4.0))
+    assert got[2] is None  # P0 == Pn -> undefined, not a crash
+
+
+def test_scores_map_view(spark, alpaca):
+    scored = with_scores_map(length_scorer(alpaca), ["lenth"])
+    first = scored.first()
+    assert first.scores == {"lenth": float(first.lenth)}
+
+
+def test_make_model_scorer_loads_once_per_worker(spark, alpaca):
+    calls = []
+
+    def factory():
+        calls.append(1)  # executor-side; list stays empty on driver
+        return lambda s: s.str.len().astype("float64")
+
+    scorer = make_model_scorer(factory)
+    out = alpaca.withColumn("s", scorer(F.col("output"))).collect()
+    assert all(r.s == float(len(r.output)) for r in out)
+    assert calls == []  # factory ran on workers, not the driver

@@ -1,0 +1,110 @@
+"""Structured Streaming operators run against file sources with
+``trigger(availableNow=True)`` and compared to their batch twins — one
+set of expression semantics, two execution modes (SURVEY §2.9)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datas_spark.streaming.scoring import (
+    read_event_stream,
+    score_stream,
+    sessionize,
+    stream_dedup,
+    windowed_event_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("events")
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                # two users; 30s apart, with a >5min session gap at i==20
+                "ts": f"2024-01-01T00:{(i % 20) * 2:02d}:{(i // 20) * 30:02d}",
+                "user_id": i % 2,
+                "event_type": ["click", "view"][i % 2],
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+    # a duplicate event_id to exercise stream dedup
+    rows.append(dict(rows[0]))
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _run_append_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_scoring_matches_batch(spark, event_dir):
+    stream = score_stream(read_event_stream(spark, event_dir))
+    got = _run_append_stream(spark, stream, "scored_events").collect()
+    batch = score_stream(
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ).json(event_dir)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_windowed_agg_matches_batch(spark, event_dir):
+    stream = windowed_event_agg(
+        read_event_stream(spark, event_dir), window="10 minutes"
+    )
+    got = _run_stream(spark, stream, "windowed_events")
+    batch_src = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).json(event_dir)
+    batch = windowed_event_agg(batch_src, window="10 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_dedup_drops_watermark_duplicates(spark, event_dir):
+    stream = stream_dedup(read_event_stream(spark, event_dir), ["event_id"])
+    got = _run_append_stream(spark, stream, "deduped_events")
+    assert got.count() == 40  # 41 rows in, 1 duplicate event_id dropped
+    assert got.select("event_id").distinct().count() == 40
+
+
+def test_sessionize_gap_semantics(spark, event_dir):
+    stream = sessionize(read_event_stream(spark, event_dir), gap="5 minutes")
+    got = _run_stream(spark, stream, "sessions")
+    rows = got.collect()
+    # 2 users x 20 events each at 4-minute spacing within a user: the
+    # 30s-shifted second half keeps gaps < 5min -> ONE session per user
+    # (user 0 carries the duplicated event: 21)
+    assert {(r.user_id, r.n_events) for r in rows} == {(0, 21), (1, 20)}
+    # session_window end = last event + gap
+    for r in rows:
+        assert (r.session_end - r.session_start).total_seconds() > 0
