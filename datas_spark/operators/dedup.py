@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datas_spark.functions.text import (
@@ -66,16 +66,19 @@ def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint, keeping the first row
     per group in ``order_col`` order (deterministic survivor).
 
-    Shuffles on the 8-byte fingerprint, not the text. Equivalent to
-    ``dropDuplicates`` but with a defined survivor + normalization.
+    ``min_by(struct(*), order)`` instead of a row_number window: the
+    aggregate combines map-side, so the shuffle carries one candidate
+    survivor per (fingerprint, map partition) — a window would shuffle
+    and sort EVERY row. Survivor is deterministic because ``order_col``
+    is unique per row.
     """
-    w = Window.partitionBy("__fp").orderBy(order_col)
-    return (
+    cols = df.columns
+    surv = (
         df.withColumn("__fp", fingerprint(text_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("__row"))
     )
+    return surv.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def _perm(h: Column, i: int) -> Column:

@@ -194,16 +194,86 @@ def ties_merge(
     tvs: list[DataFrame], k_pct: float = 0.2, mode: str = "mean", row_size: int | None = None
 ) -> DataFrame:
     """T9: full TIES driver — top-k mask each vector → elect signs →
-    disjoint merge (merging.py:154-171) as ONE lazy plan."""
-    masked = [
-        ties_topk_mask(tv, k_pct, row_size).withColumn("vector_id", F.lit(i))
-        for i, tv in enumerate(tvs)
-    ]
-    union = masked[0]
-    for m in masked[1:]:
-        union = union.unionByName(m)
-    signs = ties_elect_sign(union)
-    return ties_disjoint_merge(union, signs, mode)
+    disjoint merge (merging.py:154-171) as ONE lazy plan.
+
+    Fused formulation (vs composing T6→T7→T8 literally): the naive
+    composition references the masked union from four plan branches
+    (sign groupBy, global majority, and both join sides), so Spark
+    evaluates the expensive mask windows 4×. Here ONE groupBy(key, idx)
+    over the masked union computes every sufficient statistic
+    (sum, positive/negative sums+counts+maxes); sign election and the
+    disjoint merge collapse to column arithmetic, and the single
+    remaining second consumer (the global-majority scalar) shares the
+    grouped exchange via AQE exchange reuse. Semantics are identical —
+    oracle-checked against the step-by-step SQL.
+    """
+    tagged = [tv.withColumn("vector_id", F.lit(i)) for i, tv in enumerate(tvs)]
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+
+    # T6 mask, one window pass over the union (partitions include
+    # vector_id so each vector's rows rank independently)
+    if row_size:
+        rowed = union.withColumn("__row", (F.col("idx") / F.lit(row_size)).cast("long"))
+    else:
+        rowed = union.withColumn("__row", F.lit(0))
+    pw = ["vector_id", "key", "__row"]
+    w = Window.partitionBy(*pw)
+    wr = Window.partitionBy(*pw).orderBy(F.abs(F.col("value")).desc())
+    n = F.count(F.lit(1)).over(w)
+    k = F.greatest((n * F.lit(k_pct)).cast("long"), F.lit(1))
+    ranked = rowed.withColumn("__rank", F.row_number().over(wr)).withColumn("__k", k)
+    kth = F.max(F.when(F.col("__rank") == F.col("__k"), F.abs("value"))).over(w)
+    masked = ranked.withColumn("__kth", kth).select(
+        "key",
+        "idx",
+        F.when(F.abs("value") >= F.col("__kth"), F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("value"),
+    )
+
+    # one pass: every per-entry statistic T7/T8 need
+    pos, neg = F.col("value") > 0, F.col("value") < 0
+    per_entry = masked.groupBy(*_KEYS).agg(
+        F.signum(F.sum("value")).alias("__sign"),
+        F.coalesce(F.sum(F.when(pos, F.col("value"))), F.lit(0.0)).alias("__pos_sum"),
+        F.count(F.when(pos, F.lit(1))).cast("double").alias("__pos_cnt"),
+        F.coalesce(F.sum(F.when(neg, F.col("value"))), F.lit(0.0)).alias("__neg_sum"),
+        F.count(F.when(neg, F.lit(1))).cast("double").alias("__neg_cnt"),
+        F.max(F.when(pos, F.col("value"))).alias("__max_pos"),
+        F.max(F.when(neg, -F.col("value"))).alias("__max_neg_abs"),
+    )
+    # global majority of nonzero signs (zeros contribute 0 to the sum)
+    majority = per_entry.agg(F.signum(F.sum("__sign")).alias("__gsign"))
+    elected = per_entry.crossJoin(broadcast(majority)).withColumn(
+        "__s",
+        F.when(F.col("__sign") != 0, F.col("__sign")).otherwise(
+            F.coalesce(F.col("__gsign"), F.lit(1.0))
+        ),
+    )
+    s = F.col("__s")
+    if mode == "mean":
+        value = (
+            F.when(s > 0, F.col("__pos_sum") / F.greatest(F.col("__pos_cnt"), F.lit(1.0)))
+            .when(s < 0, F.col("__neg_sum") / F.greatest(F.col("__neg_cnt"), F.lit(1.0)))
+            .otherwise(F.lit(0.0))
+        )
+    elif mode == "sum":
+        value = (
+            F.when(s > 0, F.col("__pos_sum"))
+            .when(s < 0, F.col("__neg_sum"))
+            .otherwise(F.lit(0.0))
+        )
+    elif mode == "max":
+        value = (
+            F.when(s > 0, F.coalesce(F.col("__max_pos"), F.lit(0.0)))
+            .when(s < 0, -F.coalesce(F.col("__max_neg_abs"), F.lit(0.0)))
+            .otherwise(F.lit(0.0))
+        )
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+    return elected.select("key", "idx", value.alias("value"))
 
 
 def flatten_positions(ckpt: DataFrame) -> DataFrame:
