@@ -12,7 +12,9 @@ and partitionable by model/stage (``src/utils/get_info.py:118-140``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
@@ -35,3 +37,20 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def parquet_cache(
+    spark: SparkSession, df: DataFrame, path: str, recompute: bool = False
+) -> DataFrame:
+    """C5/S5: materialized feature cache with a skip-if-exists guard
+    (main.py:168-171 raises on existing ``.pt``; :312-314 reloads).
+
+    Returns a DataFrame reading ``path``; computes + writes only when
+    the cache is missing (or ``recompute``). Downstream stages read the
+    Parquet — pruned, pushdown-capable — instead of re-running the
+    (potentially model-backed) producer plan.
+    """
+    marker = os.path.join(path, "_SUCCESS")
+    if recompute or not os.path.exists(marker):
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

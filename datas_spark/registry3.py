@@ -330,3 +330,58 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = C.pca_reduce(emb, "embedding", k=4)
     return out.select("vec_id", F.col("pca"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 F1 — embedding extraction (proxy) + sliding-window events agg
+# ---------------------------------------------------------------------------
+
+def _emb_proxy_oracle(dim: int = 4) -> str:
+    comps = ",\n       ".join(
+        f"((('0x' || substr(md5(substr(text, 1, 80) || '#emb{i}'), 1, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5)::FLOAT)"
+        for i in range(dim)
+    )
+    return f"""
+    SELECT doc_id, [{comps}] AS emb_ins_alone
+    FROM documents
+    """
+
+
+@register("embedding_proxy", oracle=_emb_proxy_oracle())
+def q_embedding_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (get_info.py:69-83, main.py:340-349): per-row embedding column
+    — model proxied by the deterministic hash embedding; the real model
+    swaps in behind the same ArrayType(Float) contract (pandas_udf)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__ins", F.substring("text", 1, 80)
+    )
+    return C.embedding_proxy(docs, "__ins", dim=4).select("doc_id", "emb_ins_alone")
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min window counts — the streaming
+    ``windowed_event_agg(slide=...)`` plan executed on the batch twin
+    (each event lands in exactly two windows)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
