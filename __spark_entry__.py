@@ -20,9 +20,11 @@ from datas_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the DataS middle-band
-    selection (A1+A2+A3) gathered back to full document rows."""
-    return QUERIES["band_gather"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the reference's entire
+    main.py flow — embedding column → KMeans clusters → per-cluster
+    percentile-band confidence filter → stride sample → gather back to
+    full document rows (SURVEY §3.1)."""
+    return QUERIES["datas_full_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

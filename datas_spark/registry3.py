@@ -360,6 +360,64 @@ def q_embedding_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multi_scorer_wide",
+    oracle=f"""
+    SELECT doc_id,
+      length(lang)::BIGINT AS lenth,
+      {{rw}} AS score_rw,
+      1.0 + 99.0 * {{ppl}} AS ppl_ins_alone
+    FROM documents
+    """.format(
+        rw="(('0x' || substr(md5({p} || lang), 1, 8))::BIGINT / 4294967296.0)".format(
+            p="__PROMPT__"
+        ),
+        ppl="(('0x' || substr(md5(__PROMPT__), 1, 8))::BIGINT / 4294967296.0)",
+    ).replace(
+        "__PROMPT__",
+        """'Below is an instruction that describes a task. Write a response that appropriately completes the request.
+
+### Instruction:
+' || substr(text, 1, 80) || '
+
+### Response:'""",
+    ),
+)
+def q_multi_scorer_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:35-38 multi-scorer surface: several scorers composed in
+    ONE plan, one column each (SURVEY §1.4 'one column per scorer' —
+    prunable, oracle-checkable; the map view is ``with_scores_map``)."""
+    from datas_spark.registry2 import _pseudo_alpaca
+
+    df = _pseudo_alpaca(spark, sf_dir)
+    df = SC.length_scorer(df)
+    df = SC.reward_scorer_proxy(df)
+    df = SC.perplexity_scorer_proxy(df)
+    return df.select("doc_id", "lenth", "score_rw", "ppl_ins_alone")
+
+
+@register("datas_full_pipeline")  # rows-only: KMeans inside (seed-pinned)
+def q_datas_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE main.py flow as one lazy composition
+    (SURVEY §3.1): pseudo-alpaca projection → embedding column (proxy
+    F1) → KMeans k=5 (F2) → per-cluster ppl confidence (P5 proxy) →
+    percentile-band filter + stride sample (A1+A2) → gather original
+    rows (A3). Deterministic under seed; invariants unit-tested."""
+    docs = read_table(spark, sf_dir, "documents")
+    pseudo = docs.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("instruction"),
+        F.lit("").alias("input"),
+    )
+    emb = C.embedding_proxy(pseudo, "instruction", dim=8)
+    clustered = C.kmeans_cluster(emb, "emb_ins_alone", k=5, seed=0)
+    scored = SC.perplexity_scorer_proxy(clustered)
+    selected = S.middle_confidence_sample(
+        scored, "cluster", "ppl_ins_alone", "doc_id", n=5
+    )
+    return S.gather_rows(docs, selected, "doc_id")
+
+
+@register(
     "events_sliding_window",
     oracle="""
     WITH w AS (

@@ -21,3 +21,16 @@ def test_each_query_runs_at_sf0001(spark, sf_dir):
     for name, fn in E.queries().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_full_pipeline_invariants(spark, sf_dir):
+    """datas_full_pipeline: ≤ n rows per cluster, subset of source,
+    deterministic under the pinned seed."""
+    fn = E.queries()["datas_full_pipeline"]
+    out = fn(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5 * 5  # k=5 clusters × n=5 quota
+    src_ids = {r.doc_id for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert {r.doc_id for r in rows} <= src_ids
+    again = {r.doc_id for r in fn(spark, sf_dir).collect()}
+    assert {r.doc_id for r in rows} == again
