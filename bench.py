@@ -39,6 +39,8 @@ HEADLINE = [
     "ties_merge",
     "cosine_topk",
     "events_sessionize",
+    "order_totals_by_nation",
+    "multi_scorer_wide",
 ]
 
 

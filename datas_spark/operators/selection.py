@@ -69,10 +69,17 @@ def percentile_band_filter(
     Exact percentiles with linear interpolation (matches numpy default
     and DuckDB ``quantile_cont``). Stats table is broadcast-joined.
     """
+    # ONE percentile aggregate for both bounds: each exact-percentile
+    # buffers every group value, so two separate calls double the agg
+    # state and merge cost
     stats = df.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("__cnt"),
-        F.percentile(conf_col, F.lit(low_th)).alias("__lo"),
-        F.percentile(conf_col, F.lit(up_th)).alias("__hi"),
+        F.percentile(conf_col, F.array(F.lit(low_th), F.lit(up_th))).alias("__band"),
+    ).select(
+        cluster_col,
+        "__cnt",
+        F.col("__band")[0].alias("__lo"),
+        F.col("__band")[1].alias("__hi"),
     )
     joined = df.join(broadcast(stats), cluster_col)
     kept = joined.where(

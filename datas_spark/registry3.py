@@ -395,6 +395,42 @@ def q_multi_scorer_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lenth", "score_rw", "ppl_ins_alone")
 
 
+@register(
+    "order_totals_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+)
+def q_order_totals_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational join discipline demo (beyond the reference — SURVEY
+    §2.9 notes it has no user-table joins): fact⋈fact shuffle join on
+    custkey, then dimension joins that MUST broadcast (nation/region are
+    tiny); filter pushed to the orders scan; partial agg map-side."""
+    from pyspark.sql.functions import broadcast
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 @register("datas_full_pipeline")  # rows-only: KMeans inside (seed-pinned)
 def q_datas_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE main.py flow as one lazy composition
