@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from datas_spark.functions.text import (
     fingerprint,
     hash32,
+    hash56,
     shingles,
     shingles_of_tokens,
     word_tokens,
@@ -261,6 +262,13 @@ def ngram_jaccard_pairs(
     sh = (
         df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
         .select("__id", shingles_of_tokens(F.col("__toks"), n).alias("__sh"))
+        # shuffle 56-bit shingle hashes, not shingle strings: the
+        # grouping key drops to 8 bytes and compares as a long
+        # (collision odds ~d²/2⁵⁷ — negligible at any corpus size)
+        .select(
+            "__id",
+            F.transform("__sh", lambda s: hash56(s)).alias("__sh"),
+        )
         .withColumn("__n", F.size("__sh"))
     )
     # explode_outer + isNotNull on the GENERATED column: plain explode
