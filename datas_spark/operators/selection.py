@@ -40,6 +40,7 @@ from datas_spark.functions.arrays import entropy as _entropy
 __all__ = [
     "percentile_band_filter",
     "stride_sample",
+    "stride_sample_skew_resistant",
     "middle_confidence_sample",
     "gather_rows",
     "random_sampling",
@@ -105,13 +106,68 @@ def stride_sample(
         "__m", F.count(F.lit(1)).over(wc)
     )
     step = F.greatest(F.floor(F.col("__m") / n), F.lit(1))
-    strided = ranked.where((F.col("__rn") - 1) % step == 0)
-    w2 = Window.partitionBy(cluster_col).orderBy("__rn")
+    # surviving rows have (rn-1) = j*step; keeping j < n IS "first n of
+    # the strided rows" — no second ranking window needed
     return (
-        strided.withColumn("__k", F.row_number().over(w2))
-        .where(F.col("__k") <= n)
-        .drop("__rn", "__m", "__k")
+        ranked.where(((F.col("__rn") - 1) % step == 0) & ((F.col("__rn") - 1) / step < n))
+        .drop("__rn", "__m")
     )
+
+
+def stride_sample_skew_resistant(
+    df: DataFrame,
+    cluster_col: str,
+    order_col: str,
+    n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """A2 for EXTREME skew: same semantics as ``stride_sample``, but no
+    window is ever partitioned by the cluster key, so one giant cluster
+    cannot serialize onto a single task.
+
+    Mechanism: range-repartition by (cluster, order) → per-PHYSICAL-
+    partition local ranks (balanced by the range partitioner regardless
+    of cluster skew) → tiny per-partition count table cumulated into
+    offsets → global position = offset + local rank → per-cluster rank =
+    position − min(position in cluster) + 1 (another tiny broadcast
+    table). Costs one extra balanced shuffle vs the window version;
+    use when a cluster key is known to be pathological.
+    """
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), F.col(cluster_col), F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # per-physical-partition counts: |partitions| rows — broadcast both ways
+    offsets = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    local = Window.partitionBy("__pid").orderBy(cluster_col, order_col)
+    pos = (
+        with_pid.withColumn("__local", F.row_number().over(local))
+        .join(broadcast(offsets), "__pid")
+        .withColumn("__pos", F.col("__offset") + F.col("__local"))
+    )
+    starts = pos.groupBy(cluster_col).agg(
+        F.min("__pos").alias("__start"), F.count(F.lit(1)).alias("__m")
+    )
+    ranked = pos.join(broadcast(starts), cluster_col).withColumn(
+        "__rn", F.col("__pos") - F.col("__start") + 1
+    )
+    step = F.greatest(F.floor(F.col("__m") / n), F.lit(1))
+    strided = ranked.where((F.col("__rn") - 1) % step == 0).where(
+        ((F.col("__rn") - 1) / step) < n
+    )
+    return strided.drop("__pid", "__local", "__offset", "__pos", "__start", "__m", "__rn")
 
 
 def middle_confidence_sample(

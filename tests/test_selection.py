@@ -12,6 +12,7 @@ from datas_spark.operators.selection import (
     middle_confidence_sample,
     percentile_band_filter,
     stride_sample,
+    stride_sample_skew_resistant,
 )
 
 
@@ -90,3 +91,16 @@ def test_least_confidence_topk(spark):
     df = spark.createDataFrame([(i, float(i % 7)) for i in range(20)], "id long, conf double")
     got = least_confidence_sampling(df, "conf", 3, tiebreak="id").collect()
     assert [(r.id, r.conf) for r in got] == [(6, 6.0), (13, 6.0), (5, 5.0)]
+
+
+def test_stride_sample_skew_resistant_matches_window_version(spark, sf_dir):
+    from datas_spark.io.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("cluster")
+    )
+    a = stride_sample(docs, "cluster", "doc_id", 7)
+    b = stride_sample_skew_resistant(docs, "cluster", "doc_id", 7, num_partitions=8)
+    ra = sorted((r.cluster, r.doc_id) for r in a.collect())
+    rb = sorted((r.cluster, r.doc_id) for r in b.collect())
+    assert ra == rb and len(ra) > 0
