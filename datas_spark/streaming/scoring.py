@@ -82,6 +82,46 @@ def stream_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, emitted on every update (SURVEY
+    §2.9 — the reference has nothing stateful; this is the engine's
+    template for arbitrary user-defined streaming state).
+
+    State per key is two numbers — bounded regardless of stream length.
+    Aggregation logic is order-insensitive (count/sum), so results are
+    deterministic under any batch/partition arrival order. The same
+    code path handles real state-store checkpointing in continuous
+    runs; tests drive it with ``availableNow``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize(
     stream: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

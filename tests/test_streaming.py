@@ -108,3 +108,33 @@ def test_sessionize_gap_semantics(spark, event_dir):
     # session_window end = last event + gap
     for r in rows:
         assert (r.session_end - r.session_start).total_seconds() > 0
+
+
+def test_stateful_running_stats(spark, event_dir):
+    from datas_spark.streaming.scoring import running_user_stats
+
+    stream = running_user_stats(read_event_stream(spark, event_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("running_stats").collect()
+    # last emitted row per user == the batch aggregate (order-insensitive)
+    latest = {r.user_id: (r.n_events, r.total_value) for r in got}
+    batch_src = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).json(event_dir)
+    expected = {
+        r.user_id: (r.n, r.t)
+        for r in batch_src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in latest.items()} == {u: v[0] for u, v in expected.items()}
+    for u in expected:
+        assert abs(latest[u][1] - expected[u][1]) < 1e-6
