@@ -174,14 +174,22 @@ def language_id(col: Column | str) -> Column:
     return expr
 
 
-def fingerprint(col: Column | str) -> Column:
-    """Normalized-content fingerprint: lowercase, collapse whitespace,
-    strip punctuation, then a portable 56-bit md5-derived integer.
-    Exact-dup keys at 100 TB: group/join on this, never on raw text."""
-    normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(_c(col)), r"[^\w\s]", ""), r"\s+", " "
+def normalized_text(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, strip punctuation, collapse
+    whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(_c(col)), r"[^\w\s]", ""), r"\s+", " "
+        )
     )
-    return hash56(F.trim(normalized))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Normalized-content fingerprint: a portable 56-bit md5-derived
+    integer of ``normalized_text`` (md5 so the oracle reproduces the
+    VALUE bit-for-bit — this one is query output).
+    Exact-dup keys at 100 TB: group/join on this, never on raw text."""
+    return hash56(normalized_text(col))
 
 
 # --- portable hashing (identical in DuckDB for oracle checks) ------------

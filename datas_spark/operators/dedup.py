@@ -5,7 +5,7 @@ commented-out FAISS index at ``/root/reference/src/utils/get_info.py:
 142-146``); a real 100 TB SFT-data pipeline needs dedup as a first-class
 operator family. All variants here are shuffle-conscious:
 
-- exact:   group/join on a 56-bit fingerprint of normalized text — the
+- exact:   group/join on a 64-bit hash of normalized text — the
            shuffle key is 8 bytes, never the document body.
 - MinHash: shingle → k permuted min-hashes → band buckets → join on
            (band, bucket_hash). Candidate generation is an equi-join on
@@ -18,8 +18,12 @@ operator family. All variants here are shuffle-conscious:
            hot-shingle skew).
 - embedding cosine: blocked self-join within a blocking key.
 
-Hashes are md5-derived (``hash32``/``hash56``) so the DuckDB oracle can
-reproduce them bit-for-bit — Spark's xxhash64 has no DuckDB twin.
+Hash discipline: hashes whose VALUES are query output (MinHash
+signatures, SimHash, doc fingerprints) are md5-derived so the DuckDB
+oracle reproduces them bit-for-bit; hashes that only key an internal
+group/join (dedup groups, Jaccard shingle postings) use the native
+``xxhash64`` — membership is what matters, and results are identical
+absent 64-bit collisions.
 
 MinHash permutation constants are generated from a fixed seed and
 exported (``MINHASH_A``/``MINHASH_B``/``MINHASH_P``) so the oracle SQL
@@ -34,9 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datas_spark.functions.text import (
-    fingerprint,
     hash32,
-    hash56,
+    normalized_text,
     shingles,
     shingles_of_tokens,
     word_tokens,
@@ -74,8 +77,12 @@ def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
     is unique per row.
     """
     cols = df.columns
+    # INTERNAL group key → native xxhash64 (fast, never leaves the
+    # plan); survivors depend only on group membership, so the md5
+    # oracle groups identically. `fingerprint` stays md5 where the hash
+    # VALUE is query output (doc_fingerprint).
     surv = (
-        df.withColumn("__fp", fingerprint(text_col))
+        df.withColumn("__fp", F.xxhash64(normalized_text(text_col)))
         .groupBy("__fp")
         .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("__row"))
     )
@@ -262,12 +269,14 @@ def ngram_jaccard_pairs(
     sh = (
         df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
         .select("__id", shingles_of_tokens(F.col("__toks"), n).alias("__sh"))
-        # shuffle 56-bit shingle hashes, not shingle strings: the
+        # shuffle 64-bit shingle hashes, not shingle strings: the
         # grouping key drops to 8 bytes and compares as a long
-        # (collision odds ~d²/2⁵⁷ — negligible at any corpus size)
+        # (collision odds ~d²/2⁶⁵ — negligible at any corpus size).
+        # Native xxhash64: the hash is INTERNAL (pair membership only),
+        # so it needs no DuckDB twin — md5 here costs ~1.7s/5k docs
         .select(
             "__id",
-            F.transform("__sh", lambda s: hash56(s)).alias("__sh"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
         )
         .withColumn("__n", F.size("__sh"))
     )

@@ -431,6 +431,35 @@ def q_order_totals_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "score_distribution",
+    oracle="""
+    SELECT lang,
+      count(*) AS n,
+      round(avg(n_chars), 4) AS mean_score,
+      round(stddev_samp(n_chars), 4) AS std_score,
+      min(n_chars) AS min_score,
+      max(n_chars) AS max_score,
+      round(quantile_cont(n_chars, 0.5), 4) AS median_score
+    FROM documents GROUP BY lang
+    """,
+)
+def q_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's absent ``analysis.data_analysis`` surface
+    (main.py:18 import): per-group score summary stats — count, mean,
+    sample stddev, min/max, exact median — one pass, partial-agg
+    friendly except the exact median (documented approx swap at 100 TB)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("mean_score"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("std_score"),
+        F.min("n_chars").alias("min_score"),
+        F.max("n_chars").alias("max_score"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_score"),
+    )
+
+
 @register("datas_full_pipeline")  # rows-only: KMeans inside (seed-pinned)
 def q_datas_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE main.py flow as one lazy composition
