@@ -299,25 +299,39 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         grouped = grouped.where(F.size("__docs") <= max_shingle_freq)
     docs = F.col("__docs")
+    # length filter (exact, from the set-similarity-join literature):
+    # J(A,B) >= t forces t*max(|A|,|B|) <= min(|A|,|B|) — prune inside
+    # the pair transform, BEFORE the pair ever hits the shuffle. Prunes
+    # quadratically on corpora with varied doc lengths.
     pair_structs = F.flatten(
         F.transform(
             docs,
             lambda x, i: F.transform(
-                F.slice(docs, i + F.lit(2), F.size(docs) - i - F.lit(1)),
+                F.filter(
+                    F.slice(docs, i + F.lit(2), F.size(docs) - i - F.lit(1)),
+                    lambda y: F.least(x["__n"], y["__n"])
+                    >= threshold * F.greatest(x["__n"], y["__n"]),
+                ),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
+    # group on ONE packed 64-bit pair key, not (id_a, id_b, na, nb):
+    # the shuffle compares 8-byte longs instead of two id strings; ids
+    # and sizes ride along as any_value (functionally dependent on the
+    # pair). Collision odds over pair count are the same negligible
+    # d²/2⁶⁵ already accepted for shingle hashes.
     shared = (
         grouped.select(F.explode_outer(pair_structs).alias("__p"))
         .where(F.col("__p").isNotNull())
-        .groupBy(
-            F.col("__p.a.__id").alias("id_a"),
-            F.col("__p.b.__id").alias("id_b"),
-            F.col("__p.a.__n").alias("__na"),
-            F.col("__p.b.__n").alias("__nb"),
+        .groupBy(F.xxhash64("__p.a.__id", "__p.b.__id").alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.any_value("__p.a.__id").alias("id_a"),
+            F.any_value("__p.b.__id").alias("id_b"),
+            F.any_value("__p.a.__n").alias("__na"),
+            F.any_value("__p.b.__n").alias("__nb"),
         )
-        .agg(F.count(F.lit(1)).alias("__shared"))
     )
     jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
     return (

