@@ -10,9 +10,16 @@ Two tiers:
   bucket equi-join → exact cosine only within matching buckets. The
   scale path: shuffle is O(n) bucket keys instead of O(n·|queries|)
   full scan per query batch.
+- ``ivf_topk``         — IVF (inverted-file) ANN: a KMeans coarse
+  quantizer assigns every data row to a cell once (index build);
+  each query probes only its ``n_probe`` nearest cells and runs exact
+  cosine inside them. Unlike LSH's fixed random planes, the cells
+  adapt to the data distribution — the standard trade: better
+  recall/candidate ratio, plus a (re-usable, persistable) index build.
 
 Hyperplanes are generated from a fixed seed so results are
-deterministic and the plumbing oracle-checkable.
+deterministic and the plumbing oracle-checkable; the IVF quantizer is
+seed-pinned MLlib KMeans (deterministic, rows-only checkable).
 """
 
 from __future__ import annotations
@@ -25,7 +32,14 @@ from pyspark.sql.functions import broadcast
 
 from datas_spark.functions.arrays import cosine_similarity, dot
 
-__all__ = ["cosine_topk", "random_hyperplanes", "hyperplane_signature", "lsh_topk"]
+__all__ = [
+    "cosine_topk",
+    "random_hyperplanes",
+    "hyperplane_signature",
+    "lsh_topk",
+    "ivf_build_index",
+    "ivf_topk",
+]
 
 
 def _out_names(query_id: str, data_id: str) -> tuple[str, str]:
@@ -118,6 +132,83 @@ def lsh_topk(
     ).withColumnRenamed("bucket", "__qbucket")
     qname, dname = _out_names(query_id, data_id)
     scored = d.join(broadcast(q), F.col("bucket") == F.col("__qbucket")).select(
+        F.col("__qid").alias(qname),
+        F.col("__did").alias(dname),
+        F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    data: DataFrame,
+    data_id: str,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: seed-pinned MLlib KMeans coarse quantizer.
+
+    Returns ``(assigned, centers)`` where ``assigned`` is the data with a
+    ``__cell`` column (the inverted lists) and ``centers`` the k cell
+    centroids as plain lists (small — lives on the driver, broadcast at
+    query time).
+
+    At scale the index is built ONCE and persisted partitioned by cell
+    (``assigned.write.partitionBy("__cell").parquet(...)``) so query-time
+    probes become partition-pruned scans — no re-clustering per query
+    batch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    feat = d.withColumn("__feat", array_to_vector(F.col("__dv").cast("array<double>")))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell"
+    ).fit(feat)
+    assigned = model.transform(feat).select("__did", "__dv", "__cell")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its ``n_probe`` nearest KMeans
+    cells (by centroid cosine) and runs exact cosine only inside them.
+
+    Plan shape: the probe assignment is a broadcast crossJoin of queries
+    × centroids (both tiny) ranked per query; the candidate scan is a
+    broadcast hash join of the (query, probed-cell) pairs against the
+    cell-assigned data — the big side never shuffles. Candidate fraction
+    ≈ n_probe / n_cells, and unlike LSH's fixed random planes the cells
+    adapt to the data distribution.
+    """
+    assigned, centers = ivf_build_index(data, data_id, vec_col, n_cells=n_cells, seed=seed)
+    spark = data.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "__cell int, __cv array<double>"
+    )
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+    wp = Window.partitionBy("__qid").orderBy(F.col("__csim").desc(), F.col("__cell").asc())
+    probed = (
+        q.crossJoin(broadcast(centers_df))
+        .withColumn("__csim", cosine_similarity("__qv", "__cv"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= n_probe)
+        .select("__qid", "__qv", "__cell")
+    )
+    qname, dname = _out_names(query_id, data_id)
+    scored = assigned.join(broadcast(probed), "__cell").select(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
         F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),

@@ -411,6 +411,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10, n_planes=6)
 
 
+@register("ivf_topk")  # approximate — rows-only check (KMeans quantizer, no SQL oracle)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seed-pinned KMeans coarse quantizer, each query probes
+    its 3 nearest of 8 cells, exact cosine inside (recall vs cosine_topk
+    is data-dependent → rows-only driver check)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=3,
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = "\n        + ".join(
         f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // {1 << b}) % 2 = 1 "

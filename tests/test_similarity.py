@@ -45,6 +45,41 @@ def test_lsh_topk_self_hit(spark):
     assert top1 == {0: 0, 1: 1, 2: 2}
 
 
+def test_ivf_topk_self_hit_and_recall(spark):
+    rows, df = _vecs(spark, n=40)
+    queries = df.where("id < 3")
+    got = SIM.ivf_topk(df, queries, "id", "id", "v", k=5, n_cells=4, n_probe=2).collect()
+    # every query's own cell is always its nearest cell → rank-1 is itself
+    top1 = {r[0]: r[1] for r in got if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # probing 2/4 cells must surface a decent share of the true top-5
+    vec = dict(rows)
+    exact = {
+        qid: {
+            i
+            for _, i in sorted(
+                ((round(_cos(vec[qid], v), 6), i) for i, v in rows),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+        }
+        for qid in (0, 1, 2)
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r[0], set()).add(r[1])
+    hits = sum(len(by_q.get(q, set()) & exact[q]) for q in exact)
+    assert hits >= 6  # ≥40% overall recall on this tiny fixture
+
+
+def test_ivf_index_partitions_rows(spark):
+    _, df = _vecs(spark, n=25)
+    assigned, centers = SIM.ivf_build_index(df, "id", "v", n_cells=3)
+    assert len(centers) == 3 and all(len(c) == 8 for c in centers)
+    rows = assigned.collect()
+    assert len(rows) == 25  # every row lands in exactly one cell
+    assert {r["__cell"] for r in rows} <= {0, 1, 2}
+
+
 def test_hyperplane_signature_deterministic(spark):
     _, df = _vecs(spark, n=5)
     planes = SIM.random_hyperplanes(8, 4, seed=42)
