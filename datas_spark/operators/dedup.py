@@ -55,6 +55,8 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "connected_components",
+    "near_dedup_keep_first",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -371,3 +373,80 @@ def embedding_near_dup_pairs(
         cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: iterative min-label
+    propagation. Returns ``(node, component)`` where ``component`` is
+    the smallest node id in the component — deterministic, so the
+    DuckDB recursive-CTE oracle reproduces it exactly.
+
+    Scale notes: each round is one shuffle (edges ⋈ labels on the node
+    key) and converges in O(component diameter) rounds — duplicate
+    clusters are near-cliques (diameter ≤ ~3), so 3–5 rounds in
+    practice, with ``max_iter`` as the runaway guard. The adjacency
+    list is cached (reused every round) and labels are
+    ``localCheckpoint``-ed per round so the plan does not grow with the
+    iteration count (lineage blow-up is the classic iterative-Spark
+    failure). For adversarial graphs with giant high-diameter
+    components, the documented upgrade is alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log² n) rounds with the same per-round shape.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("component")
+        )
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_keep_first(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup pairs into keep/drop decisions: group pairs into
+    connected components and elect the smallest id as the survivor
+    (keep-"first" in id order — deterministic and join-free to elect,
+    because the component label IS the min id).
+
+    Appends ``component`` (own id for docs with no duplicate) and
+    ``is_representative`` (1 = keep, 0 = drop). Filter on it for the
+    deduplicated corpus; keep the full table for dedup audit trails.
+    """
+    comp = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn(
+            "is_representative", (F.col("component") == F.col(id_col)).cast("int")
+        )
+    )

@@ -411,6 +411,52 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "near_dedup_resolve",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING shared / (na + nb - shared) >= 0.2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(comp.component, d.doc_id) AS component,
+           CASE WHEN comp.component IS NULL OR comp.component = d.doc_id
+                THEN 1 ELSE 0 END AS is_representative
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    """,
+)
+def q_near_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair generation is half of dedup; this resolves n-gram Jaccard
+    pairs into keep/drop decisions via connected components (iterative
+    min-label propagation; DuckDB twin is a recursive CTE)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return D.near_dedup_keep_first(docs, "doc_id", pairs).select(
+        "doc_id", "component", "is_representative"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 active-learning strategies
 # ---------------------------------------------------------------------------

@@ -70,3 +70,24 @@ def test_embedding_near_dup_blocked(spark):
     )
     pairs = D.embedding_near_dup_pairs(df, "id", "v", "blk", threshold=0.99).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # 1-2-3 chained (transitive), 7-8 separate, 9 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 8)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_near_dedup_keep_first_elects_min_id(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (7, 8)], "id_a long, id_b long")
+    rows = D.near_dedup_keep_first(docs, "doc_id", pairs).collect()
+    kept = {r.doc_id for r in rows if r.is_representative == 1}
+    comp = {r.doc_id: r.component for r in rows}
+    assert kept == {1, 7, 9}  # min of {1,2,3}, min of {7,8}, isolated 9
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
