@@ -35,6 +35,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "decode_features",
+    "resize_media",
     "frame_sample",
 ]
 
@@ -103,6 +104,55 @@ def decode_features(
                 for b in pdf[content_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize: binary in → binary out plus the new dimensions,
+    as an Arrow-batched ``mapInPandas`` stage (same stub discipline as
+    ``decode_features`` — the codec is pluggable, the plumbing real).
+
+    Map-only by design: blobs transform in place per partition and
+    never shuffle; downstream writers should partition on metadata,
+    not content.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("content", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no image codec in this environment; pass resizer= "
+                    "(e.g. a PIL-backed callable) — the Spark plumbing "
+                    "around it is complete"
+                )
+            out = [
+                resizer(bytes(b), width, height) if b is not None else None
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": out,
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                }
+            )
 
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
 

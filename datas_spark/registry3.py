@@ -258,6 +258,31 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           least(length(text), 64)::BIGINT AS n_bytes,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (binary→binary mapInPandas, blobs never
+    shuffle); fake resizer truncates the payload to width*height bytes."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    resized = MM.resize_media(
+        media, 8, 8, resizer=lambda b, w, h: b[: w * h]
+    )
+    return resized.select(
+        "media_id", F.length("content").cast("long").alias("n_bytes"), "width", "height"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs (band join — the scale path for near-dup)
 # ---------------------------------------------------------------------------

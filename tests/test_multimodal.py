@@ -8,6 +8,7 @@ from datas_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     attach_media_metadata,
     decode_features,
+    resize_media,
     frame_sample,
 )
 
@@ -72,3 +73,20 @@ def test_frame_sample_row_expansion(media):
 def test_frame_sample_stub_raises(media):
     with pytest.raises(Exception, match="NotImplementedError|no video codec"):
         frame_sample(media).collect()
+
+
+def test_resize_media_truncates_and_stamps_dims(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 10))],
+        "media_id long, content binary",
+    )
+    out = resize_media(df, 8, 8, resizer=lambda b, w, h: b[: w * h]).collect()
+    got = {r.media_id: (len(r.content), r.width, r.height) for r in out}
+    assert got == {1: (64, 8, 8), 2: (10, 8, 8)}
+
+
+def test_resize_media_without_codec_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
+    plan = resize_media(df, 4, 4)  # analyzes fine — stub fails at execution
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        plan.collect()
