@@ -38,6 +38,7 @@ HEADLINE = [
     "simhash",
     "ties_merge",
     "cosine_topk",
+    "cosine_topk_vec",
     "events_sessionize",
     "order_totals_by_nation",
     "multi_scorer_wide",

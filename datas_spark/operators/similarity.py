@@ -2,10 +2,13 @@
 (SURVEY §2.9; replaces the reference's commented-out FAISS intent at
 ``/root/reference/src/utils/get_info.py:142-146``).
 
-Two tiers:
+Two tiers (the exact tier has two physical paths):
 - ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
   query set, one map-side cosine per (row, query), per-query top-k via
   window rank. Baseline + ground truth.
+- ``cosine_topk_vectorized`` — same exact semantics, numpy matmul over
+  Arrow batches with local-top-k candidate pruning; the wide-embedding
+  (4096-dim) path.
 - ``lsh_topk``         — random-hyperplane LSH: sign-bit signature →
   bucket equi-join → exact cosine only within matching buckets. The
   scale path: shuffle is O(n) bucket keys instead of O(n·|queries|)
@@ -34,6 +37,7 @@ from datas_spark.functions.arrays import cosine_similarity, dot
 
 __all__ = [
     "cosine_topk",
+    "cosine_topk_vectorized",
     "random_hyperplanes",
     "hyperplane_signature",
     "lsh_topk",
@@ -75,6 +79,81 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cosine_topk_vectorized(
+    data: DataFrame,
+    queries: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy path — same semantics and
+    tie-break as ``cosine_topk`` (cos desc, data id asc; cos rounded to
+    6 before ranking, float32 widened to float64 first), different
+    physical plan for wide embeddings.
+
+    The reference's embeddings are 4096-dim (``main.py:349``); a
+    per-element ``zip_with`` fold evaluates 3×4096 lambda nodes per
+    (row, query) pair, while one ``mapInPandas`` matmul scores an
+    entire Arrow batch against all queries at BLAS speed. Candidate
+    generation is local-top-k: each batch emits at most k rows per
+    query, so the final shuffle carries O(k · batches · |queries|)
+    rows instead of O(n · |queries|) — the global window then ranks a
+    frame that fits on one reducer regardless of data size. Pruning is
+    lossless because per-batch selection uses the same rounded
+    (cos desc, id asc) total order as the global rank.
+
+    Queries are collected to the driver (they are small by contract —
+    this is the broadcast side) and ship to workers inside the UDF
+    closure once per task. Zero vectors score 0.0 rather than NaN.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qname, dname = _out_names(query_id, data_id)
+    qrows = queries.select(query_id, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = [r[0] for r in qrows]
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0
+    qm = qm / qnorm
+
+    out_schema = StructType(
+        [
+            StructField(qname, queries.schema[query_id].dataType),
+            StructField(dname, data.schema[data_id].dataType),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dm = np.vstack(pdf["__dv"].to_numpy()).astype(np.float64)
+            dnorm = np.linalg.norm(dm, axis=1, keepdims=True)
+            dnorm[dnorm == 0.0] = 1.0
+            sims = np.round((dm / dnorm) @ qm.T, 6)  # (batch, |queries|)
+            ids = pdf["__did"].to_numpy()
+            kk = min(k, len(ids))
+            out_q, out_d, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                top = np.lexsort((ids, -sims[:, j]))[:kk]
+                out_q.extend([qid] * kk)
+                out_d.extend(ids[top])
+                out_c.extend(sims[top, j])
+            yield pd.DataFrame({qname: out_q, dname: out_d, "cos": out_c})
+
+    cand = data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")
+    ).mapInPandas(run, out_schema)
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -375,9 +375,7 @@ def q_labeled_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search + simhash
 # ---------------------------------------------------------------------------
 
-@register(
-    "cosine_topk",
-    oracle="""
+_COSINE_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
     scored AS (
       SELECT q.q_vec_id, d.vec_id AS d_vec_id,
@@ -394,13 +392,27 @@ def q_labeled_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, d_vec_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 3 query vectors (the exact
     baseline; lsh_topk is the approximate scale path)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10)
+
+
+@register("cosine_topk_vec", oracle=_COSINE_TOPK_ORACLE)
+def q_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-10, Arrow/numpy physical path: per-batch matmul +
+    local top-k, global rank over O(k·batches·queries) candidates — the
+    plan shape for the reference's 4096-dim embeddings (main.py:349).
+    Checked against the identical DuckDB oracle as cosine_topk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_vectorized(
+        emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10
+    )
 
 
 @register("lsh_topk")  # approximate — rows-only check (no SQL oracle)

@@ -87,3 +87,25 @@ def test_hyperplane_signature_deterministic(spark):
     b = [r.bucket for r in SIM.hyperplane_signature(df, "v", planes).orderBy("id").collect()]
     assert a == b
     assert all(0 <= x < 16 for x in a)
+
+
+def test_cosine_topk_vectorized_matches_hof_path(spark):
+    rows, df = _vecs(spark, n=60)
+    queries = df.where("id < 3")
+    hof = SIM.cosine_topk(df, queries, "id", "id", "v", k=7)
+    vec = SIM.cosine_topk_vectorized(df, queries, "id", "id", "v", k=7)
+    key = lambda r: (r[0], r.rank)
+    hof_rows = sorted(hof.collect(), key=key)
+    vec_rows = sorted(vec.collect(), key=key)
+    assert [tuple(r) for r in hof_rows] == [tuple(r) for r in vec_rows]
+
+
+def test_cosine_topk_vectorized_prunes_per_batch(spark):
+    # force many small partitions so local-top-k pruning actually kicks
+    # in across batch boundaries, then check global ranks stay exact
+    rows, df = _vecs(spark, n=50)
+    df = df.repartition(10)
+    queries = spark.createDataFrame([rows[5]], "id long, v array<double>")
+    got = SIM.cosine_topk_vectorized(df, queries, "id", "id", "v", k=5).collect()
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    assert sorted(got, key=lambda r: r.rank)[0][1] == 5  # self-hit first
