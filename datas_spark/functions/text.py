@@ -231,6 +231,32 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_shingles_of_hashes(token_hashes: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as 64-bit hashes (array<bigint>, distinct),
+    from an already-materialized array<bigint> of per-token hashes.
+
+    For dedup paths where the shingle is only ever a join/grouping key,
+    building the intermediate ``concat_ws`` STRING per gram (then
+    dedup'ing and hashing strings) is pure overhead — hash each token
+    once, then combine the n token hashes per position with one more
+    ``xxhash64`` over longs. Same set cardinality as the string path
+    modulo 64-bit collisions (~d²/2⁶⁵, negligible; already accepted for
+    the downstream keys).
+
+    PERF: pass a bound column reference (same rule as
+    ``shingles_of_tokens`` — HOF lambda subtrees re-evaluate per
+    element, so callers project the token-hash array first).
+    """
+    cnt = F.size(token_hashes) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.xxhash64(*[F.get(token_hashes, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>, distinct, order-insensitive).
 

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datas_spark.functions.text import (
+    hashed_shingles_of_hashes,
     hash32,
     normalized_text,
     shingles,
@@ -268,18 +269,21 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    # shingle keys stay 64-bit hashes end-to-end: hash each token once,
+    # combine n token hashes per gram position with one xxhash64 over
+    # longs — no intermediate concat_ws string is ever built, and the
+    # grouping key shuffles as an 8-byte long. The hash is INTERNAL
+    # (pair membership only), so it needs no DuckDB twin; collision
+    # odds ~d²/2⁶⁵ are negligible at any corpus size. Each array is
+    # projected before the next HOF consumes it (lambda subtrees
+    # re-evaluate per element — see hashed_shingles_of_hashes PERF note)
     sh = (
         df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
-        .select("__id", shingles_of_tokens(F.col("__toks"), n).alias("__sh"))
-        # shuffle 64-bit shingle hashes, not shingle strings: the
-        # grouping key drops to 8 bytes and compares as a long
-        # (collision odds ~d²/2⁶⁵ — negligible at any corpus size).
-        # Native xxhash64: the hash is INTERNAL (pair membership only),
-        # so it needs no DuckDB twin — md5 here costs ~1.7s/5k docs
         .select(
             "__id",
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
+            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
         )
+        .select("__id", hashed_shingles_of_hashes(F.col("__th"), n).alias("__sh"))
         .withColumn("__n", F.size("__sh"))
     )
     # explode_outer + isNotNull on the GENERATED column: plain explode
