@@ -225,29 +225,45 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     token-hashes than not. Single map-side pass (token hashes computed
     once, folded per bit position).
     """
-    token_hashes = F.col("__st_hashes")
-    def bit_vote(b: int) -> Column:
-        # b is closure-bound by this function scope — no default-arg
-        # binding (PySpark HOFs pass a Column per named lambda param)
-        return F.aggregate(
-            token_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(bit_vote(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    # token hashes materialized once; the `bits` aggregates fold over a
-    # bound column reference instead of re-running tokenizer + hash
+    # one fold over the token hashes with a `bits`-wide vote accumulator
+    # (the per-bit-aggregate formulation walks the array `bits` times —
+    # 32 traversals/row; this walks it once). `masks` is all-literal, so
+    # constant folding turns it into a single Literal — safe inside the
+    # lambda (not a re-evaluated subtree).
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        F.col("__st_hashes"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # bit b set iff vote >= 0 (ties → 1, matching the per-bit version);
+    # null text folds to a null vote array → signature 0, as before
+    sig = F.coalesce(
+        F.aggregate(
+            F.zip_with(
+                F.col("__votes"),
+                masks,
+                lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0).cast("long"),
+    )
     return (
         df.withColumn(
             "__st_hashes", F.transform(word_tokens(text_col), lambda t: hash32(t))
         )
+        .withColumn("__votes", votes)
         .withColumn("simhash", sig)
-        .drop("__st_hashes")
+        .drop("__st_hashes", "__votes")
     )
 
 
