@@ -219,18 +219,42 @@ def q_ifd_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas_udf behind the Scorer protocol, SURVEY §5); the relational
     math downstream of the model is what this verifies."""
     docs = read_table(spark, sf_dir, "documents")
-    words = T.word_tokens("text")
-    loss_alone = F.transform(words, lambda w: ((F.length(w) * 7 + 3) % 11) / F.lit(10.0) + 0.1)
-    loss_cond = F.transform(words, lambda w: ((F.length(w) * 5 + 1) % 11) / F.lit(10.0) + 0.05)
-    scored = docs.select(
+    # project each array before the next consumer: arr_mean references
+    # its argument twice (fold + size), so feeding it the transform
+    # EXPRESSION would tokenize+score every row twice per loss array —
+    # bound column references make each stage compute once
+    toks = docs.select("doc_id", T.word_tokens("text").alias("__toks"))
+    losses = toks.select(
         "doc_id",
-        A.arr_mean(loss_alone).alias("mean_alone"),
-        A.arr_mean(loss_cond).alias("mean_cond"),
-    ).where(F.col("mean_alone").isNotNull())
+        F.transform(
+            "__toks", lambda w: ((F.length(w) * 7 + 3) % 11) / F.lit(10.0) + 0.1
+        ).alias("__la"),
+        F.transform(
+            "__toks", lambda w: ((F.length(w) * 5 + 1) % 11) / F.lit(10.0) + 0.05
+        ).alias("__lc"),
+    )
+    means = losses.select(
+        "doc_id",
+        A.arr_mean("__la").alias("mean_alone"),
+        A.arr_mean("__lc").alias("mean_cond"),
+    )
     ratio = F.col("mean_cond") / F.col("mean_alone")
+    keep = F.col("mean_alone").isNotNull() & (ratio <= 1.0)
+    # the drop-filter rides through a generator, NOT a where() on the
+    # derived ratio: predicate pushdown substitutes aliases, so a plain
+    # filter above these projections re-inlines the whole tokenize+fold
+    # tree ~4x into the pushed condition (HOFs are interpreted — no
+    # codegen CSE rescues it; measured 2x slower). A filter on the
+    # generator OUTPUT cannot push below the Generate, and explode_outer
+    # (not explode) avoids InferFiltersFromGenerate cloning the
+    # generator expression into a per-row filter.
     return (
-        scored.where(ratio <= 1.0)
-        .select("doc_id", F.round(ratio, 6).alias("score_ifd"))
+        means.select(
+            "doc_id",
+            F.explode_outer(F.when(keep, F.array(F.round(ratio, 6)))).alias(
+                "score_ifd"
+            ),
+        ).where(F.col("score_ifd").isNotNull())
     )
 
 
