@@ -124,12 +124,19 @@ def q_token_span_mean_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token loss list (slice [3, 5] → tokens 3..7), then mean."""
     docs = read_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
-    losses = F.transform(words, lambda w: ((F.length(w) * 7 + 3) % 11) / F.lit(10.0) + 0.1)
-    span = SC.token_span_slice(losses, 3, 5)
-    return (
-        docs.select("doc_id", losses.alias("__l"), span.alias("__s"))
-        .where(F.size("__l") >= 7)
-        .select("doc_id", F.round(A.arr_mean("__s"), 6).alias("span_mean_loss"))
+    # filter on the TOKEN array's size before projecting losses
+    # (size(transform(x)) == size(x)): the pushed-down predicate then
+    # inlines only the split, not the whole loss transform
+    toks = docs.select("doc_id", words.alias("__w")).where(F.size("__w") >= 7)
+    losses = toks.select(
+        "doc_id",
+        F.transform(
+            "__w", lambda w: ((F.length(w) * 7 + 3) % 11) / F.lit(10.0) + 0.1
+        ).alias("__l"),
+    )
+    span = SC.token_span_slice(F.col("__l"), 3, 5)
+    return losses.select(
+        "doc_id", F.round(A.arr_mean(span), 6).alias("span_mean_loss")
     )
 
 
