@@ -398,12 +398,28 @@ def _minhash_oracle(num_hashes: int = 16, shingle_n: int = 3) -> str:
     """
 
 
-@register("minhash_signature", oracle=_minhash_oracle())
+@register(
+    "minhash_signature",
+    oracle=f"""
+    WITH sig AS ({_minhash_oracle().strip()})
+    SELECT doc_id, array_to_string(minhash, ',') AS minhash_csv FROM sig
+    """,
+)
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 perms over word-3-gram shingles) — the
-    signature stage of MinHash+LSH near-dup (SURVEY §2.9)."""
+    signature stage of MinHash+LSH near-dup (SURVEY §2.9).
+
+    The signature array is projected to a CSV scalar for the driver's
+    pandas canonicalizer (list cells are unhashable there); the values
+    are the bit-exact md5-permutation minima either way."""
     docs = read_table(spark, sf_dir, "documents")
-    return D.minhash_signature(docs, "text").select("doc_id", "minhash")
+    sig = D.minhash_signature(docs, "text")
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("minhash", lambda x: x.cast("string"))
+        ).alias("minhash_csv"),
+    )
 
 
 @register(

@@ -218,14 +218,23 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_indices",
     oracle="""
-    SELECT label AS cluster, list(vec_id ORDER BY vec_id) AS row_ids
+    SELECT label AS cluster,
+           array_to_string(list(vec_id ORDER BY vec_id), ',') AS row_ids_csv
     FROM embeddings GROUP BY 1
     """,
 )
 def q_cluster_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 (main.py:386-389): cluster → member row-id list."""
+    """F6 (main.py:386-389): cluster → member row-id list. The sorted id
+    list is projected to a CSV scalar for the driver's pandas
+    canonicalizer (list cells are unhashable there)."""
     emb = read_table(spark, sf_dir, "embeddings").withColumnRenamed("label", "cluster")
-    return C.cluster_indices(emb, "cluster", "vec_id")
+    idx = C.cluster_indices(emb, "cluster", "vec_id")
+    return idx.select(
+        "cluster",
+        F.concat_ws(
+            ",", F.transform("row_ids", lambda x: x.cast("string"))
+        ).alias("row_ids_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -211,21 +211,30 @@ def _fake_decoder(b: bytes) -> list[float]:
     "media_decode_features",
     oracle="""
     SELECT doc_id AS media_id,
-      [CAST(length(text) % 7 AS FLOAT), CAST(ord(substr(text, 1, 1)) AS FLOAT),
-       CAST(ord(substr(text, -1, 1)) AS FLOAT), CAST(0 AS FLOAT)] AS features
+      (length(text) % 7)::BIGINT || ',' || ord(substr(text, 1, 1))::BIGINT
+        || ',' || ord(substr(text, -1, 1))::BIGINT || ',0' AS features_csv
     FROM documents
     """,
 )
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → feature-extract through the REAL mapInPandas path
     (Arrow batches, schema contract); codec is the deterministic fake —
-    swap a PIL/ffmpeg callable in production (operators/multimodal.py)."""
+    swap a PIL/ffmpeg callable in production (operators/multimodal.py).
+    The feature vector (whole-number floats by construction) is
+    projected to an int CSV scalar for the driver's pandas canonicalizer
+    (list cells are unhashable there)."""
     docs = read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    return MM.decode_features(media, dim=4, decoder=_fake_decoder)
+    feats = MM.decode_features(media, dim=4, decoder=_fake_decoder)
+    return feats.select(
+        "media_id",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("long").cast("string"))
+        ).alias("features_csv"),
+    )
 
 
 @register(
@@ -351,10 +360,12 @@ def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("pca_embeddings")  # rows-only: SVD sign/rotation not SQL-expressible
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 (main.py:362-364): PCA k=4 over the embedding column via
-    MLlib; invariants (dims, variance order) unit-tested."""
+    MLlib; invariants (dims, variance order) unit-tested. The component
+    array is serialized to JSON so even the rows-only driver check never
+    sees an unhashable list cell."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = C.pca_reduce(emb, "embedding", k=4)
-    return out.select("vec_id", F.col("pca"))
+    return out.select("vec_id", F.to_json(F.struct("pca")).alias("pca_json"))
 
 
 # ---------------------------------------------------------------------------
@@ -362,13 +373,17 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _emb_proxy_oracle(dim: int = 4) -> str:
+    # each float32 component is widened to double, scaled by 1e6 and
+    # FLOORED (floor is round-toward--inf in both engines; a plain
+    # bigint cast truncates in Spark but rounds in DuckDB) so the CSV
+    # projection is integer-exact on both sides
     comps = ",\n       ".join(
-        f"((('0x' || substr(md5(substr(text, 1, 80) || '#emb{i}'), 1, 8))::BIGINT"
-        f" / 4294967296.0 - 0.5)::FLOAT)"
+        f"floor(((('0x' || substr(md5(substr(text, 1, 80) || '#emb{i}'), 1, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5)::FLOAT)::DOUBLE * 1000000)::BIGINT"
         for i in range(dim)
     )
     return f"""
-    SELECT doc_id, [{comps}] AS emb_ins_alone
+    SELECT doc_id, array_to_string([{comps}], ',') AS emb_csv
     FROM documents
     """
 
@@ -377,11 +392,23 @@ def _emb_proxy_oracle(dim: int = 4) -> str:
 def q_embedding_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 (get_info.py:69-83, main.py:340-349): per-row embedding column
     — model proxied by the deterministic hash embedding; the real model
-    swaps in behind the same ArrayType(Float) contract (pandas_udf)."""
+    swaps in behind the same ArrayType(Float) contract (pandas_udf).
+    Components are projected to a floor-scaled int CSV scalar for the
+    driver's pandas canonicalizer (list cells are unhashable there)."""
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "__ins", F.substring("text", 1, 80)
     )
-    return C.embedding_proxy(docs, "__ins", dim=4).select("doc_id", "emb_ins_alone")
+    emb = C.embedding_proxy(docs, "__ins", dim=4)
+    return emb.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "emb_ins_alone",
+                lambda x: F.floor(x.cast("double") * 1000000).cast("string"),
+            ),
+        ).alias("emb_csv"),
+    )
 
 
 @register(
