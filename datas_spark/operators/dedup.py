@@ -150,6 +150,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -159,6 +160,16 @@ def minhash_lsh_pairs(
     estimated Jaccard = fraction of equal signature components; filter
     by ``min_est_jaccard``.
 
+    Docs with an EMPTY shingle set (shorter than ``shingle_n`` words)
+    are excluded from banding: their all-sentinel signature would land
+    every short doc in one shared bucket — O(n_short²) pairs of
+    unrelated docs, all with est_jaccard 1.0. MinHash says nothing
+    about empty sets; route short docs through exact_dedup instead.
+    ``max_bucket_size`` additionally drops buckets holding more than
+    that many docs (skew cap for adversarial corpora where many
+    NON-empty docs collide — e.g. boilerplate-dominated shards; each
+    dropped bucket suppresses pairs, the usual LSH recall trade).
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
     bands.
     """
@@ -166,28 +177,45 @@ def minhash_lsh_pairs(
     sigd = minhash_signature(df, text_col, num_hashes, shingle_n).select(
         F.col(id_col).alias("__id"), "minhash"
     )
-    banded = sigd.select(
-        "__id",
-        "minhash",
-        # explode_outer: see ngram_jaccard_pairs — avoids the inferred
-        # size()>0 filter that would inline the minhash signature expr
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # bucket key: hash of the band's slice (join key stays 16 bytes)
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.col("minhash")[b * rows + j] for j in range(rows)]
-                            )
-                        ).alias("bucket"),
+    # empty-shingle exclusion rides INSIDE the generator (when() → null
+    # → explode_outer emits one null row, filtered on the OUTPUT): a
+    # where() on minhash[0] above this projection would be alias-
+    # substituted below it, re-inlining the tokenize+shingle+perm tree
+    # into the pushed filter (the round-1 HOF-pushdown landmine).
+    # A non-empty shingle set makes every permutation min < P.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # bucket key: hash of the band's slice (join key stays 16 bytes)
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col("minhash")[b * rows + j] for j in range(rows)]
                     )
-                    for b in range(bands)
-                ]
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("__id", "minhash", "bb.band", "bb.bucket")
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sigd.select(
+            "__id",
+            "minhash",
+            F.explode_outer(
+                F.when(F.col("minhash")[0] < MINHASH_P, band_structs)
+            ).alias("bb"),
+        )
+        .where(F.col("bb").isNotNull())
+        .select("__id", "minhash", "bb.band", "bb.bucket")
+    )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

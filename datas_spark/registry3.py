@@ -301,10 +301,12 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) 
 
     rows = num_hashes // bands
     sig_cte = _minhash_oracle(num_hashes, shingle_n).strip()
+    # empty-shingle docs (all-sentinel signature) never band — mirrors
+    # minhash_lsh_pairs' short-doc exclusion
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, minhash, {b} AS band, "
         f"md5(array_to_string(minhash[{b * rows + 1}:{b * rows + rows}], ',')) AS bucket "
-        f"FROM sig"
+        f"FROM sig WHERE minhash[1] < {D.MINHASH_P}"
         for b in range(bands)
     )
     return f"""

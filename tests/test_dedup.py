@@ -34,6 +34,26 @@ def test_minhash_lsh_pairs_finds_near_dup(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
+def test_minhash_lsh_pairs_excludes_empty_shingle_docs(spark):
+    # docs shorter than shingle_n words have no shingles; the all-
+    # sentinel signature must NOT band them into one shared bucket
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "yo"), (3, "ok"), (4, "a b c d e f g h"), (5, "a b c d e f g z")],
+        "id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(df, "id", "text").collect()}
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+    assert (4, 5) in pairs  # real near-dups still pair
+
+
+def test_minhash_lsh_pairs_bucket_cap(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(i, t) for i in range(6)], "id long, text string")
+    # 6 identical docs share every bucket; cap below 6 suppresses all pairs
+    assert D.minhash_lsh_pairs(df, "id", "text", max_bucket_size=5).count() == 0
+    assert D.minhash_lsh_pairs(df, "id", "text").count() == 15
+
+
 def test_ngram_jaccard_exact(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e f"), (3, "x y z w q")],
