@@ -41,6 +41,9 @@ __all__ = [
     "less_scorer_stub",
     "with_scores_map",
     "make_model_scorer",
+    "make_token_loss_scorer",
+    "fake_causal_lm_factory",
+    "ifd_model_scorer",
 ]
 
 
@@ -187,3 +190,77 @@ def make_model_scorer(
             yield model_fn(batch)
 
     return scorer
+
+
+def make_token_loss_scorer(
+    model_fn_factory: Callable[[], Callable[[str, str], list[float]]],
+) -> Callable[[Column, Column], Column]:
+    """The model boundary of the IFD pipeline (score_pipeline_ifd.py:
+    78-116): given (context, text), a causal LM returns the per-token
+    NLL list for ``text`` conditioned on ``context`` (empty context =
+    the 'alone' pass). Iterator pandas_udf over (context, text) column
+    pairs; the factory runs once per executor python worker — the Spark
+    twin of the reference's process-global model load (:54-57).
+
+    Returns a 2-arg column function producing ``array<double>``.
+    """
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def scorer(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        model_fn = model_fn_factory()  # once per worker, not per batch
+        for ctx, txt in batches:
+            yield pd.Series(
+                [
+                    model_fn(c if c is not None else "", t if t is not None else "")
+                    for c, t in zip(ctx, txt)
+                ]
+            )
+
+    return scorer
+
+
+def fake_causal_lm_factory() -> Callable[[str, str], list[float]]:
+    """Deterministic stand-in with a real causal LM's lifecycle and
+    signature: 'loads' its state once (per executor worker, via
+    make_token_loss_scorer), then maps (context, text) → per-token NLL
+    list. Token loss = md5_unit(context + '#' + token): context-
+    dependent like a real conditional NLL, and bit-reproducible in
+    DuckDB SQL so the whole pipeline stays oracle-checkable.
+
+    Tokenization matches ``split(trim(text), '\\s+')`` (the engine-side
+    word_tokens / DuckDB string_split_regex convention — an empty text
+    yields one empty token, never an empty list).
+    """
+    import re
+
+    vocab_salt = "#"  # the 'loaded weights' of the fake model
+
+    def nll(context: str, text: str) -> list[float]:
+        toks = re.split(r"\s+", text.strip())
+        return [_md5_unit(context + vocab_salt + w) for w in toks]
+
+    return nll
+
+
+def ifd_model_scorer(
+    df: DataFrame,
+    instruction_col: str = "instruction",
+    input_col: str = "input",
+    output_col: str = "output",
+    model_fn_factory: Callable[[], Callable[[str, str], list[float]]] | None = None,
+    max_ratio: float = 1.0,
+) -> DataFrame:
+    """P6+P8 end-to-end THROUGH the model boundary (score_pipeline_ifd.
+    py:78-219): two conditional-NLL passes over the pandas_udf path —
+    loss(output | prompt) and loss(output | ∅) — then the IFD ratio and
+    drop filter. Default model is the deterministic fake; swap an HF
+    causal LM factory in production (identical closure signature)."""
+    scorer = make_token_loss_scorer(model_fn_factory or fake_causal_lm_factory)
+    prompt = alpaca_prompt(instruction_col, input_col)
+    staged = df.withColumn("__lc", scorer(prompt, F.col(output_col))).withColumn(
+        "__la", scorer(F.lit(""), F.col(output_col))
+    )
+    return ifd_from_losses(staged, "__lc", "__la", max_ratio).drop("__la", "__lc")

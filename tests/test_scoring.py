@@ -9,11 +9,15 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from datas_spark.operators.scoring import (
+    _md5_unit,
+    fake_causal_lm_factory,
     ifd_from_losses,
+    ifd_model_scorer,
     ifd_scorer_proxy,
     length_scorer,
     lp_score,
     make_model_scorer,
+    make_token_loss_scorer,
     perplexity_scorer_proxy,
     reward_scorer_proxy,
     with_scores_map,
@@ -92,3 +96,32 @@ def test_make_model_scorer_loads_once_per_worker(spark, alpaca):
     out = alpaca.withColumn("s", scorer(F.col("output"))).collect()
     assert all(r.s == float(len(r.output)) for r in out)
     assert calls == []  # factory ran on workers, not the driver
+
+
+def test_token_loss_scorer_matches_direct_model_call(spark, alpaca):
+    scorer = make_token_loss_scorer(fake_causal_lm_factory)
+    out = alpaca.withColumn(
+        "losses", scorer(F.col("instruction"), F.col("output"))
+    ).collect()
+    model = fake_causal_lm_factory()
+    for r in out:
+        assert r.losses == pytest.approx(model(r.instruction, r.output))
+        assert len(r.losses) == len(r.output.split())
+
+
+def test_ifd_model_scorer_e2e(spark, alpaca):
+    # full P6+P8 through the pandas_udf model boundary: conditional
+    # loss, alone loss, ratio, drop filter — checked against a plain
+    # Python reimplementation of the fake model math
+    got = {r.instruction: r.score_ifd for r in ifd_model_scorer(alpaca).collect()}
+    from datas_spark.functions.text import PROMPT_NO_INPUT
+
+    model = fake_causal_lm_factory()
+    for row in CANONICAL:
+        prompt = PROMPT_NO_INPUT.format(instruction=row.instruction)
+        lc, la = model(prompt, row.output), model("", row.output)
+        ratio = (sum(lc) / len(lc)) / (sum(la) / len(la))
+        if ratio <= 1.0:
+            assert got[row.instruction] == pytest.approx(ratio)
+        else:
+            assert row.instruction not in got
