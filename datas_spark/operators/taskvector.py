@@ -95,9 +95,18 @@ def tv_apply(pretrained: DataFrame, tv: DataFrame, scaling: float = 1.0) -> Data
     )
 
 
-def ties_topk_mask(tv: DataFrame, k_pct: float, row_size: int | None = None) -> DataFrame:
+def ties_topk_mask(
+    tv: DataFrame,
+    k_pct: float,
+    row_size: int | None = None,
+    global_topk: bool = False,
+) -> DataFrame:
     """T6: per parameter-matrix row, keep entries whose |value| is in the
-    top K%; zero the rest (merging.py:186-211).
+    top K%; zero the rest (merging.py:186-211). ``global_topk=True``
+    masks over the WHOLE flattened vector instead (the reference
+    driver's flow — flat vectors from get_taskV.py:20-36), ranking in a
+    single window partition; see ties_merge for the approx-threshold
+    swap at extreme scale.
 
     The reference computes the kth largest |value| per row and keeps
     ``abs(M) >= kth`` — i.e. ties at the threshold are KEPT. We mirror
@@ -110,20 +119,19 @@ def ties_topk_mask(tv: DataFrame, k_pct: float, row_size: int | None = None) -> 
     flattened 2-D tensor; with ``row_size=None`` the whole key is one
     row (1-D tensors).
     """
-    if row_size:
+    if row_size and not global_topk:
         rowed = tv.withColumn("__row", (F.col("idx") / F.lit(row_size)).cast("long"))
     else:
         rowed = tv.withColumn("__row", F.lit(0))
-    w = Window.partitionBy("key", "__row")
+    part = ["__row"] if global_topk else ["key", "__row"]
+    w = Window.partitionBy(*part)
     n = F.count(F.lit(1)).over(w)
     k = F.greatest((n * F.lit(k_pct)).cast("long"), F.lit(1))
-    wr = Window.partitionBy("key", "__row").orderBy(F.abs(F.col("value")).desc())
+    wr = Window.partitionBy(*part).orderBy(F.abs(F.col("value")).desc())
     ranked = rowed.withColumn("__rank", F.row_number().over(wr)).withColumn("__k", k)
     # kth largest |value| per row, then keep all entries >= it (ties kept,
     # matching torch.kthvalue + `abs(M) >= kth` at merging.py:204-207)
-    kth = F.max(F.when(F.col("__rank") == F.col("__k"), F.abs("value"))).over(
-        Window.partitionBy("key", "__row")
-    )
+    kth = F.max(F.when(F.col("__rank") == F.col("__k"), F.abs("value"))).over(w)
     return (
         ranked.withColumn("__kth", kth)
         .select(
@@ -140,23 +148,28 @@ def ties_elect_sign(tvs: DataFrame, method: str = "mass") -> DataFrame:
     """T7: per (key, idx) elect a sign (merging.py:214-233).
 
     ``tvs`` is a union of task vectors tagged with ``vector_id``.
-    mass: sign of Σ values. Zero-sum entries inherit the majority global
-    sign (the reference's zero-replacement).
+    Sign = sign of Σ values per entry; zero-sum entries are resolved by
+    ``method`` (merging.py:226-233 resolve_zero_signs):
+    - ``mass`` (the reference's "majority"): inherit the global majority
+      sign over nonzero entries.
+    - ``minority``: inherit the NEGATED global majority sign.
     Returns (key, idx, sign).
     """
-    if method != "mass":
-        raise ValueError("only 'mass' sign election is implemented")
+    if method not in ("mass", "minority"):
+        raise ValueError("sign election method must be 'mass' or 'minority'")
     per_entry = tvs.groupBy(*_KEYS).agg(F.signum(F.sum("value")).alias("sign"))
     # global majority sign among nonzero entries (scalar, broadcast)
     majority = per_entry.where(F.col("sign") != 0).agg(
         F.signum(F.sum("sign")).alias("gsign")
     )
+    if method == "mass":
+        fallback = F.coalesce(F.col("gsign"), F.lit(1.0))
+    else:
+        fallback = F.coalesce(-F.col("gsign"), F.lit(-1.0))
     return per_entry.crossJoin(broadcast(majority)).select(
         "key",
         "idx",
-        F.when(F.col("sign") != 0, F.col("sign"))
-        .otherwise(F.coalesce(F.col("gsign"), F.lit(1.0)))
-        .alias("sign"),
+        F.when(F.col("sign") != 0, F.col("sign")).otherwise(fallback).alias("sign"),
     )
 
 
@@ -191,10 +204,30 @@ def ties_disjoint_merge(tvs: DataFrame, signs: DataFrame, mode: str = "mean") ->
 
 
 def ties_merge(
-    tvs: list[DataFrame], k_pct: float = 0.2, mode: str = "mean", row_size: int | None = None
+    tvs: list[DataFrame],
+    k_pct: float = 0.2,
+    mode: str = "mean",
+    row_size: int | None = None,
+    global_topk: bool = False,
+    sign_method: str = "mass",
 ) -> DataFrame:
     """T9: full TIES driver — top-k mask each vector → elect signs →
     disjoint merge (merging.py:154-171) as ONE lazy plan.
+
+    ``global_topk=True`` reproduces the reference DRIVER's actual data
+    flow (ties_merging at merging.py:155-163 over get_taskV.py:20-36
+    flat vectors): each checkpoint is ONE flattened vector and the
+    top-K% magnitude mask spans the whole model, not each matrix row.
+    Exact global selection ranks each vector in a single window
+    partition — fine up to ~10⁸ params/executor; beyond that, swap the
+    rank for an ``approx_percentile(abs(value), 1 - k_pct)`` threshold
+    per vector_id (distributed, map-side partial) and accept boundary
+    fuzz of ±accuracy⁻¹ quantile mass — the mask keeps |v| >= threshold
+    either way.
+
+    ``sign_method``: zero-sum sign resolution (merging.py:226-233) —
+    ``mass`` inherits the global majority sign, ``minority`` its
+    negation.
 
     Fused formulation (vs composing T6→T7→T8 literally): the naive
     composition references the masked union from four plan branches
@@ -224,12 +257,20 @@ def ties_merge(
 
     # T6 mask, one window pass over the union (partitions include
     # vector_id so each vector's rows rank independently)
-    if row_size:
+    if global_topk:
+        rowed = union.withColumn("__row", F.lit(0))
+        # the mask spans every key: the window's own exchange clusters
+        # each whole vector (exact global rank — see docstring for the
+        # approx-threshold swap at extreme scale)
+        pw = ["vector_id"]
+    elif row_size:
         rowed = union.withColumn("__row", (F.col("idx") / F.lit(row_size)).cast("long"))
+        rowed = rowed.repartition("key", "__row")
+        pw = ["vector_id", "key", "__row"]
     else:
         rowed = union.withColumn("__row", F.lit(0))
-    rowed = rowed.repartition("key", "__row")
-    pw = ["vector_id", "key", "__row"]
+        rowed = rowed.repartition("key", "__row")
+        pw = ["vector_id", "key", "__row"]
     w = Window.partitionBy(*pw)
     wr = Window.partitionBy(*pw).orderBy(F.abs(F.col("value")).desc())
     n = F.count(F.lit(1)).over(w)
@@ -263,11 +304,15 @@ def ties_merge(
     per_entry = per_entry.repartition("key", "__row")
     # global majority of nonzero signs (zeros contribute 0 to the sum)
     majority = per_entry.agg(F.signum(F.sum("__sign")).alias("__gsign"))
+    if sign_method == "mass":
+        fallback = F.coalesce(F.col("__gsign"), F.lit(1.0))
+    elif sign_method == "minority":
+        fallback = F.coalesce(-F.col("__gsign"), F.lit(-1.0))
+    else:
+        raise ValueError("sign_method must be 'mass' or 'minority'")
     elected = per_entry.crossJoin(broadcast(majority)).withColumn(
         "__s",
-        F.when(F.col("__sign") != 0, F.col("__sign")).otherwise(
-            F.coalesce(F.col("__gsign"), F.lit(1.0))
-        ),
+        F.when(F.col("__sign") != 0, F.col("__sign")).otherwise(fallback),
     )
     s = F.col("__s")
     if mode == "mean":

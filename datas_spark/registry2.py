@@ -302,7 +302,15 @@ def q_task_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TIES_K = 0.2
 
-_TIES_ORACLE = f"""
+
+def _ties_oracle(
+    mask_partition: str = "vector_id, key, idx // 1024",
+    zero_fallback: str = "coalesce((SELECT g FROM gmaj), 1)",
+) -> str:
+    """DuckDB twin of the fused ties_merge, parametrized over the top-k
+    mask partition (per-matrix-row vs whole-vector global_topk) and the
+    zero-sign fallback (mass vs minority)."""
+    return f"""
     WITH tv1 AS (
       SELECT l_returnflag || l_linestatus AS key,
              l_orderkey * 8 + l_linenumber AS idx,
@@ -316,14 +324,14 @@ _TIES_ORACLE = f"""
     ), unioned AS (
       SELECT 0 AS vector_id, * FROM tv1 UNION ALL SELECT 1, * FROM tv2
     ), ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY vector_id, key, idx // 1024
+      SELECT *, row_number() OVER (PARTITION BY {mask_partition}
                                    ORDER BY abs(value) DESC) AS rk,
-             count(*) OVER (PARTITION BY vector_id, key, idx // 1024) AS n
+             count(*) OVER (PARTITION BY {mask_partition}) AS n
       FROM unioned
     ), kth AS (
       SELECT *, max(CASE WHEN rk = greatest(floor(n * {_TIES_K})::BIGINT, 1)
                          THEN abs(value) END)
-                  OVER (PARTITION BY vector_id, key, idx // 1024) AS kth_abs
+                  OVER (PARTITION BY {mask_partition}) AS kth_abs
       FROM ranked
     ), masked AS (
       SELECT vector_id, key, idx,
@@ -334,7 +342,7 @@ _TIES_ORACLE = f"""
     ), gmaj AS (
       SELECT sign(sum(s)) AS g FROM signs WHERE s != 0
     ), elected AS (
-      SELECT key, idx, CASE WHEN s != 0 THEN s ELSE coalesce((SELECT g FROM gmaj), 1) END AS s
+      SELECT key, idx, CASE WHEN s != 0 THEN s ELSE {zero_fallback} END AS s
       FROM signs
     )
     SELECT m.key, m.idx,
@@ -345,6 +353,19 @@ _TIES_ORACLE = f"""
 """
 
 
+_TIES_ORACLE = _ties_oracle()
+
+
+def _ties_tvs(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Two lineitem-derived task vectors shared by the TIES queries."""
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat("l_returnflag", "l_linestatus").alias("key")
+    idx = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("idx")
+    tv1 = li.select(key, idx, (F.col("l_discount") - 0.05).alias("value"))
+    tv2 = li.select(key, idx, (F.col("l_tax") - 0.04).alias("value"))
+    return [tv1, tv2]
+
+
 @register("ties_merge", oracle=_TIES_ORACLE)
 def q_ties_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6-T9 (merging.py:154-267): full TIES — per-matrix-row top-20%
@@ -353,12 +374,7 @@ def q_ties_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-majority zero replacement, disjoint mean merge — one lazy
     plan over two lineitem-derived task vectors. Row-granular windows
     keep partitions ~1k entries regardless of checkpoint size."""
-    li = read_table(spark, sf_dir, "lineitem")
-    key = F.concat("l_returnflag", "l_linestatus").alias("key")
-    idx = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("idx")
-    tv1 = li.select(key, idx, (F.col("l_discount") - 0.05).alias("value"))
-    tv2 = li.select(key, idx, (F.col("l_tax") - 0.04).alias("value"))
-    return TV.ties_merge([tv1, tv2], k_pct=_TIES_K, mode="mean", row_size=1024)
+    return TV.ties_merge(_ties_tvs(spark, sf_dir), k_pct=_TIES_K, mode="mean", row_size=1024)
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,40 @@ def q_ifd_model_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = SC.ifd_model_scorer(pseudo)
     return scored.select("doc_id", F.round("score_ifd", 6).alias("score_ifd_model"))
+
+
+# ---------------------------------------------------------------------------
+# TIES fidelity variants: whole-vector global top-k mask (the reference
+# driver's actual flow) and minority zero-sign resolution
+# ---------------------------------------------------------------------------
+
+from datas_spark.operators import taskvector as TV  # noqa: E402
+from datas_spark.registry2 import _TIES_K, _ties_oracle, _ties_tvs  # noqa: E402
+
+
+@register("ties_merge_global", oracle=_ties_oracle(mask_partition="vector_id"))
+def q_ties_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIES with the top-20% mask over each WHOLE flattened checkpoint
+    (merging.py:155-163 driver flow over get_taskV.py:20-36 flat
+    vectors) instead of per matrix row."""
+    return TV.ties_merge(
+        _ties_tvs(spark, sf_dir), k_pct=_TIES_K, mode="mean", global_topk=True
+    )
+
+
+@register(
+    "ties_merge_minority",
+    oracle=_ties_oracle(
+        zero_fallback="coalesce(-(SELECT g FROM gmaj), -1)"
+    ),
+)
+def q_ties_merge_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIES with minority zero-sign resolution (merging.py:231-232):
+    zero-sum entries inherit the NEGATED global majority sign."""
+    return TV.ties_merge(
+        _ties_tvs(spark, sf_dir),
+        k_pct=_TIES_K,
+        mode="mean",
+        row_size=1024,
+        sign_method="minority",
+    )

@@ -3,6 +3,7 @@ plain-Python re-computation of the reference semantics
 (``/root/reference/src/utils/merging.py``)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from datas_spark.operators import taskvector as TV
 
@@ -70,6 +71,48 @@ def test_ties_merge_modes(spark):
     assert _to_dict(TV.ties_merge([a, b], 1.0, "max")) == {"w": {0: 3.0}}
     with pytest.raises(ValueError):
         TV.ties_disjoint_merge(_long(spark, {"w": [1.0]}), _long(spark, {"w": [1.0]}), "bogus")
+
+
+def test_ties_global_topk_spans_keys(spark):
+    # per-key top-1: each key keeps its own largest; global top-20% of
+    # 10 entries keeps only the 2 largest magnitudes ACROSS keys
+    tv = _long(spark, {"a": [9.0, 0.1, 0.2, 0.3, 0.4], "b": [8.0, 0.1, 0.2, 0.3, 0.4]})
+    per_key = _to_dict(TV.ties_topk_mask(tv, k_pct=0.2))
+    glob = _to_dict(TV.ties_topk_mask(tv, k_pct=0.2, global_topk=True))
+    assert per_key["a"][0] == 9.0 and per_key["b"][0] == 8.0
+    assert glob == {
+        "a": {0: 9.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0},
+        "b": {0: 8.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0},
+    }
+
+
+def test_ties_merge_global_topk(spark):
+    # global mask keeps top-50% of each 4-entry vector: a keeps {4,-3},
+    # b keeps {5, 2} — then disjoint-mean merges per entry
+    a = _long(spark, {"w": [4.0, -3.0], "v": [1.0, 0.5]})
+    b = _long(spark, {"w": [5.0, 0.1], "v": [2.0, 0.2]})
+    got = _to_dict(TV.ties_merge([a, b], k_pct=0.5, mode="mean", global_topk=True))
+    # w0: 4,5 agree + → 4.5; w1: -3 masked-b → sign − → -3
+    # v0: masked-a, 2 → 2; v1: both masked → sign 0 → mass fallback +1 → 0
+    assert got == {"w": {0: 4.5, 1: -3.0}, "v": {0: 2.0, 1: 0.0}}
+
+
+def test_ties_sign_methods(spark):
+    # idx0 sums to zero → mass inherits majority (+), minority its negation
+    a = _long(spark, {"w": [1.0, 5.0]})
+    b = _long(spark, {"w": [-1.0, 2.0]})
+    tagged = TV.ties_topk_mask(a, 1.0).withColumn("vector_id", F.lit(0)).unionByName(
+        TV.ties_topk_mask(b, 1.0).withColumn("vector_id", F.lit(1))
+    )
+    mass = {r.idx: r.sign for r in TV.ties_elect_sign(tagged).collect()}
+    mino = {r.idx: r.sign for r in TV.ties_elect_sign(tagged, "minority").collect()}
+    assert mass == {0: 1.0, 1: 1.0}
+    assert mino == {0: -1.0, 1: 1.0}
+    # through the fused driver: minority keeps the NEGATIVE side at idx0
+    got = _to_dict(TV.ties_merge([a, b], k_pct=1.0, mode="mean", sign_method="minority"))
+    assert got == {"w": {0: -1.0, 1: 3.5}}
+    with pytest.raises(ValueError):
+        TV.ties_merge([a, b], k_pct=1.0, sign_method="bogus")
 
 
 def test_key_symmetric_difference(spark):
