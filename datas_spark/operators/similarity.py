@@ -60,11 +60,27 @@ def cosine_topk(
     query_id: str,
     vec_col: str,
     k: int = 10,
+    prune_buckets: int = 64,
 ) -> DataFrame:
-    """Exact cosine top-k per query: broadcast queries, score every data
-    row, rank per query. Returns (query_id, data_id, cos, rank<=k).
+    """Exact cosine top-k per query with pure Column-expression scoring
+    (the oracle ground-truth path — prefer ``cosine_topk_vectorized``
+    as the default for wide embeddings; it is the faster physical plan
+    with identical semantics). Returns (query_id, data_id, cos, rank<=k),
+    ties broken by data id ascending.
 
-    Ties broken by data id ascending for determinism.
+    Two-stage bucketed rank (so no per-query hot reducer ever sorts
+    n·|queries| rows): each scored row gets a hash bucket, ONE explicit
+    exchange partitions the NARROW (query, id, cos) projection by
+    (query, bucket) — the vectors themselves never shuffle — and the
+    stage-1 window ranks each small (query, bucket) slice in place
+    (its partitioning already satisfies the window, no second
+    exchange). A row outranked within its own bucket cannot be in the
+    global top-k, so stage 2 ranks only ≤ k·buckets survivors per
+    query. Cosine is evaluated once, map-side, before the exchange.
+
+    Zero-norm vectors have undefined cosine: their NULL cos is
+    filtered between the stages, so such rows never rank —
+    ``cosine_topk_vectorized`` drops them identically.
     """
     qname, dname = _out_names(query_id, data_id)
     d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
@@ -73,11 +89,22 @@ def cosine_topk(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
         F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+        F.pmod(F.xxhash64(F.col("__did")), F.lit(max(prune_buckets, 1))).alias("__b"),
+    )
+    part = scored.repartition(F.col(qname), F.col("__b"))
+    w1 = Window.partitionBy(qname, "__b").orderBy(F.col("cos").desc(), F.col(dname).asc())
+    # NULL-cos filter sits ABOVE the stage-1 window on purpose: cos is a
+    # post-exchange attribute there, so predicate pushdown cannot clone
+    # the cosine HOF tree into a map-side filter (the round-1 landmine)
+    local = (
+        part.withColumn("__r", F.row_number().over(w1))
+        .where((F.col("__r") <= k) & F.col("cos").isNotNull())
     )
     w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .drop("__b", "__r")
     )
 
 
@@ -107,11 +134,19 @@ def cosine_topk_vectorized(
 
     Queries are collected to the driver (they are small by contract —
     this is the broadcast side) and ship to workers inside the UDF
-    closure once per task. Zero vectors score 0.0 rather than NaN.
+    closure once per task. Zero-norm vectors (undefined cosine) are
+    dropped — data rows and whole queries alike — exactly as the
+    expression path's NULL cos never survives its threshold filter.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def _round6(a):
+        # F.round / DuckDB round are half-away-from-zero; np.round is
+        # half-to-even — align so the two exact paths cannot diverge on
+        # a boundary value
+        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
     qname, dname = _out_names(query_id, data_id)
     qrows = queries.select(query_id, vec_col).collect()
@@ -120,8 +155,11 @@ def cosine_topk_vectorized(
     qids = [r[0] for r in qrows]
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
-    qnorm[qnorm == 0.0] = 1.0
-    qm = qm / qnorm
+    keep_q = qnorm[:, 0] != 0.0
+    qids = [qid for qid, keep in zip(qids, keep_q) if keep]
+    qm = qm[keep_q] / qnorm[keep_q]
+    if not qids:
+        raise ValueError("all query vectors have zero norm")
 
     out_schema = StructType(
         [
@@ -136,10 +174,13 @@ def cosine_topk_vectorized(
             if len(pdf) == 0:
                 continue
             dm = np.vstack(pdf["__dv"].to_numpy()).astype(np.float64)
-            dnorm = np.linalg.norm(dm, axis=1, keepdims=True)
-            dnorm[dnorm == 0.0] = 1.0
-            sims = np.round((dm / dnorm) @ qm.T, 6)  # (batch, |queries|)
             ids = pdf["__did"].to_numpy()
+            dnorm = np.linalg.norm(dm, axis=1, keepdims=True)
+            nz = dnorm[:, 0] != 0.0
+            dm, ids, dnorm = dm[nz], ids[nz], dnorm[nz]
+            if len(ids) == 0:
+                continue
+            sims = _round6((dm / dnorm) @ qm.T)  # (batch, |queries|)
             kk = min(k, len(ids))
             out_q, out_d, out_c = [], [], []
             for j, qid in enumerate(qids):

@@ -429,8 +429,12 @@ _COSINE_TOPK_ORACLE = """
 
 @register("cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for 3 query vectors (the exact
-    baseline; lsh_topk is the approximate scale path)."""
+    """Brute-force cosine top-10 for 3 query vectors — the Column-
+    expression ORACLE BASELINE. Use cosine_topk_vec as the default
+    exact path (same semantics, Arrow matmul, faster — especially at
+    4096-dim); lsh_topk/ivf_topk are the approximate scale paths. Even
+    this baseline prunes via per-bucket maxima thresholds, so no
+    O(n·|q|) rows reach the rank window."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10)
 

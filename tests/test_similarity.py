@@ -35,6 +35,26 @@ def test_cosine_topk_matches_bruteforce(spark):
         assert got_ids == [i for _, i in expected]
 
 
+def test_cosine_topk_zero_norm_dropped_both_paths(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5]), (3, [-1.0, 0.2])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    queries = df.where("id = 0")
+    hof = SIM.cosine_topk(df, queries, "id", "id", "v", k=4).collect()
+    vec = SIM.cosine_topk_vectorized(df, queries, "id", "id", "v", k=4).collect()
+    hof_ids = [r.d_id for r in sorted(hof, key=lambda r: r.rank)]
+    vec_ids = [r.d_id for r in sorted(vec, key=lambda r: r.rank)]
+    assert hof_ids == vec_ids
+    assert 1 not in hof_ids  # zero-norm row excluded, not ranked as 0.0
+
+
+def test_cosine_topk_prune_is_lossless_small_bucket_count(spark):
+    # k > number of non-empty buckets exercises the no-prune fallback
+    rows, df = _vecs(spark, n=12)
+    queries = df.where("id < 2")
+    got = SIM.cosine_topk(df, queries, "id", "id", "v", k=11, prune_buckets=2).collect()
+    assert len(got) == 22  # 11 ranked hits per query, nothing lost
+
+
 def test_lsh_topk_self_hit(spark):
     rows, df = _vecs(spark)
     queries = df.where("id < 3")
