@@ -56,6 +56,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_vectorized",
     "connected_components",
     "near_dedup_keep_first",
 ]
@@ -421,6 +422,86 @@ def embedding_near_dup_pairs(
         cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold)
+
+
+def embedding_near_dup_pairs_vectorized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+    max_block_rows: int = 100_000,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``embedding_near_dup_pairs``: one numpy
+    matmul per block instead of a per-pair ``zip_with`` fold — the wide-
+    embedding (e.g. 4096-dim) path, same semantics at the oracle
+    boundary (``cos`` is rounded half-away-from-zero to 6 decimals and
+    the threshold compares the ROUNDED value, matching the registry's
+    round-then-filter oracle).
+
+    ``block_col`` is REQUIRED here: blocks ship to workers whole via
+    ``applyInPandas`` (one shuffle on the block key), and the m×m
+    similarity matrix is materialized per block — O(m²) floats. The
+    scale contract is that blocks are bounded (an LSH bucket or cluster
+    label, like the Jaccard path's posting-list cap); ``max_block_rows``
+    enforces it, raising rather than silently OOMing an executor.
+    Zero-norm vectors (undefined cosine) emit no pairs, exactly as the
+    expression path's NULL cos never passes its threshold filter.
+
+    Returns (id_a, id_b, cos) with id_a < id_b within each block.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    empty = {"id_a": [], "id_b": [], "cos": []}
+
+    def _round6(a):
+        # half-away-from-zero, matching F.round / DuckDB (np.round is
+        # half-to-even) — keeps this path bit-identical to the
+        # expression twin at the rounded oracle boundary
+        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_block_rows:
+            raise ValueError(
+                f"near-dup block exceeds max_block_rows={max_block_rows} "
+                f"({len(pdf)} rows): tighten the blocking key (LSH bucket "
+                "/ cluster) or raise the cap if executor memory allows"
+            )
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        dm = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")  # upper triangle ⇒ id_a < id_b
+        ids, dm = ids[order], dm[order]
+        norms = np.linalg.norm(dm, axis=1, keepdims=True)
+        nz = norms[:, 0] != 0.0
+        ids, dm = ids[nz], dm[nz] / norms[nz]
+        if len(ids) < 2:
+            return pd.DataFrame(empty)
+        sims = _round6(dm @ dm.T)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": sims[ia, ib][keep]}
+        )
+
+    sel = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(block_col).alias("__blk"),
+    )
+    return sel.groupBy("__blk").applyInPandas(_block_pairs, out_schema)
 
 
 def connected_components(

@@ -495,9 +495,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "text").select("doc_id", "simhash")
 
 
-@register(
-    "embedding_near_dup",
-    oracle="""
+_EMB_NEAR_DUP_ORACLE = """
     SELECT * FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(
@@ -510,16 +508,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cos >= 0.3
-    """,
-)
+    """
+
+
+@register("embedding_near_dup", oracle=_EMB_NEAR_DUP_ORACLE)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by label (the blocking
-    key bounds the self-join — at scale an LSH bucket plays this role)."""
+    key bounds the self-join — at scale an LSH bucket plays this role).
+    Expression-path oracle baseline; embedding_near_dup_vec is the
+    wide-embedding default."""
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.0)
     return pairs.select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     ).where(F.col("cos") >= 0.3)
+
+
+@register("embedding_near_dup_vec", oracle=_EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-matmul twin of embedding_near_dup — one numpy matmul per
+    block via applyInPandas instead of a per-pair zip_with fold; the
+    default for wide embeddings. Same oracle row as the expression
+    path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs_vectorized(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,31 @@ def test_embedding_near_dup_blocked(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
+def test_embedding_near_dup_vectorized_matches_expression_path(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.999, 0.01], "a"),
+            (3, [0.0, 1.0], "a"),
+            (4, [1.0, 0.0], "b"),
+            (5, [0.0, 0.0], "a"),  # zero-norm: undefined cosine, never pairs
+        ],
+        "id long, v array<double>, blk string",
+    )
+    expr = D.embedding_near_dup_pairs(df, "id", "v", "blk", threshold=0.0)
+    expr = {(r.id_a, r.id_b, round(r.cos, 6)) for r in expr.collect()}
+    vec = D.embedding_near_dup_pairs_vectorized(df, "id", "v", "blk", threshold=0.0)
+    vec = {(r.id_a, r.id_b, r.cos) for r in vec.collect()}
+    assert vec == expr
+    assert not any(5 in (a, b) for a, b, _ in vec)
+    with pytest.raises(Exception, match="max_block_rows"):
+        D.embedding_near_dup_pairs_vectorized(
+            df, "id", "v", "blk", max_block_rows=2
+        ).collect()
+
+
 def test_connected_components_chain_and_islands(spark):
     # 1-2-3 chained (transitive), 7-8 separate, 9 isolated (absent)
     pairs = spark.createDataFrame(
