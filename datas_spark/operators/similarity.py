@@ -12,7 +12,9 @@ Two tiers (the exact tier has two physical paths):
 - ``lsh_topk``         — random-hyperplane LSH: sign-bit signature →
   bucket equi-join → exact cosine only within matching buckets. The
   scale path: shuffle is O(n) bucket keys instead of O(n·|queries|)
-  full scan per query batch.
+  full scan per query batch. ``n_probe>1`` enables multi-probe
+  (flip the smallest-margin sign bits on the broadcast query side)
+  for recall without extra tables.
 - ``ivf_topk``         — IVF (inverted-file) ANN: a KMeans coarse
   quantizer assigns every data row to a cell once (index build);
   each query probes only its ``n_probe`` nearest cells and runs exact
@@ -230,28 +232,74 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to rows whose
-    hyperplane bucket equals the query's bucket.
+    hyperplane bucket matches one of the query's probe buckets.
 
-    Recall improves with fewer planes (bigger buckets) and can be tuned
-    with multi-probe (flip one bit) — left as the documented knob.
+    ``n_probe=1`` probes only the query's own bucket. ``n_probe>1`` adds
+    multi-probe (Lv et al., "Multi-Probe LSH"): the extra probes flip
+    ONE sign bit each, choosing the planes with the smallest projection
+    margin first — a near-boundary sign bit is exactly the one a true
+    neighbor most likely landed on the other side of. Recall rises with
+    ``n_probe`` at candidate cost ≈ n_probe × bucket size, without
+    re-hashing or extra tables.
+
+    Plan shape is unchanged: the probe expansion happens on the tiny
+    broadcast query side (n_probe rows per query); the data side still
+    carries one 8-byte bucket key per row and never re-shuffles.
     """
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
+    if not 1 <= n_probe <= n_planes + 1:
+        raise ValueError(f"n_probe must be in [1, n_planes + 1], got {n_probe}")
     planes = random_hyperplanes(dim, n_planes, seed)
     d = hyperplane_signature(
         data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")),
         "__dv",
         planes,
     )
-    q = hyperplane_signature(
-        queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")),
-        "__qv",
-        planes,
-    ).withColumnRenamed("bucket", "__qbucket")
+    # query side: project the per-plane dots ONCE (HOF lambdas re-evaluate
+    # unbound subtrees per element), then derive bucket + probe set
+    plane_lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    q = (
+        queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+        .withColumn("__dots", F.array(*[dot("__qv", p) for p in plane_lits]))
+    )
+    dots = F.col("__dots")
+    own = F.lit(0).cast("long")
+    for i in range(n_planes):
+        own = own + F.when(dots[i] >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    q = q.withColumn("__qbucket", own)
+    if n_probe > 1:
+        # struct(margin, bit) sorts by margin asc — smallest margin first
+        flips = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(dots[i]).alias("m"),
+                        F.lit(1 << i).cast("long").alias("bit"),
+                    )
+                    for i in range(n_planes)
+                ]
+            )
+        )
+        probes = F.concat(
+            F.array(F.col("__qbucket")),
+            F.transform(
+                F.slice(flips, 1, n_probe - 1),
+                lambda s: F.col("__qbucket").bitwiseXOR(s["bit"]),
+            ),
+        )
+    else:
+        probes = F.array(F.col("__qbucket"))
+    # probe buckets are distinct by construction (own ^ distinct single
+    # bits), so the bucket join emits each (query, row) pair at most once
+    qp = q.select("__qid", "__qv", F.explode(probes).alias("__qbucket"))
     qname, dname = _out_names(query_id, data_id)
-    scored = d.join(broadcast(q), F.col("bucket") == F.col("__qbucket")).select(
+    scored = d.join(broadcast(qp), F.col("bucket") == F.col("__qbucket")).select(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
         F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),

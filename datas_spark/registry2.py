@@ -459,6 +459,19 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10, n_planes=6)
 
 
+@register("lsh_topk_multiprobe")  # approximate — rows-only check (no SQL oracle)
+def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: same plan as lsh_topk plus 3 extra flip-one-
+    bit probes per query (smallest projection margin first) — higher
+    recall at ~4x candidate cost, no extra hash tables. Rows-only
+    driver check; the recall-vs-single-probe invariant is pytest'd."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(
+        emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",
+        k=10, n_planes=6, n_probe=4,
+    )
+
+
 @register("ivf_topk")  # approximate — rows-only check (KMeans quantizer, no SQL oracle)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: seed-pinned KMeans coarse quantizer, each query probes

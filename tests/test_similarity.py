@@ -65,6 +65,48 @@ def test_lsh_topk_self_hit(spark):
     assert top1 == {0: 0, 1: 1, 2: 2}
 
 
+def _recall_at_k(rows, got, k, qids):
+    vec = dict(rows)
+    exact = {
+        qid: {
+            i
+            for _, i in sorted(
+                ((round(_cos(vec[qid], v), 6), i) for i, v in rows),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        }
+        for qid in qids
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r[0], set()).add(r[1])
+    return sum(len(by_q.get(q, set()) & exact[q]) for q in exact) / (k * len(qids))
+
+
+def test_lsh_topk_multiprobe_recall_not_worse(spark):
+    rows, df = _vecs(spark, n=80, seed=7)
+    queries = df.where("id < 4")
+    qids = (0, 1, 2, 3)
+    single = SIM.lsh_topk(df, queries, "id", "id", "v", k=5, n_planes=6).collect()
+    multi = SIM.lsh_topk(
+        df, queries, "id", "id", "v", k=5, n_planes=6, n_probe=4
+    ).collect()
+    r1 = _recall_at_k(rows, single, 5, qids)
+    rn = _recall_at_k(rows, multi, 5, qids)
+    assert rn >= r1
+    assert rn >= 0.5  # 4 probes of 64 buckets must beat coin-flip recall
+    top1 = {r[0]: r[1] for r in multi if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}  # self-hit survives probing
+
+
+def test_lsh_topk_n_probe_validation(spark):
+    import pytest
+
+    _, df = _vecs(spark, n=5)
+    with pytest.raises(ValueError, match="n_probe"):
+        SIM.lsh_topk(df, df, "id", "id", "v", n_planes=4, n_probe=6)
+
+
 def test_ivf_topk_self_hit_and_recall(spark):
     rows, df = _vecs(spark, n=40)
     queries = df.where("id < 3")
