@@ -509,29 +509,59 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "min_label",
 ) -> DataFrame:
-    """Connected components over near-dup pairs: iterative min-label
-    propagation. Returns ``(node, component)`` where ``component`` is
-    the smallest node id in the component — deterministic, so the
-    DuckDB recursive-CTE oracle reproduces it exactly.
+    """Connected components over near-dup pairs. Returns
+    ``(node, component)`` where ``component`` is the smallest node id in
+    the component — deterministic, so the DuckDB recursive-CTE oracle
+    reproduces it exactly (both algorithms converge to the same labels).
 
-    Scale notes: each round is one shuffle (edges ⋈ labels on the node
-    key) and converges in O(component diameter) rounds — duplicate
-    clusters are near-cliques (diameter ≤ ~3), so 3–5 rounds in
-    practice, with ``max_iter`` as the runaway guard. The adjacency
-    list is cached (reused every round) and labels are
-    ``localCheckpoint``-ed per round so the plan does not grow with the
-    iteration count (lineage blow-up is the classic iterative-Spark
-    failure). For adversarial graphs with giant high-diameter
-    components, the documented upgrade is alternating large-star /
-    small-star (Kiveris et al., "Connected Components in MapReduce"),
-    which converges in O(log² n) rounds with the same per-round shape.
+    ``algorithm="min_label"`` (default): iterative min-label
+    propagation — one shuffle per round (edges ⋈ labels on the node
+    key), O(component diameter) rounds. Duplicate clusters are
+    near-cliques (diameter ≤ ~3), so 3–5 rounds in practice; the right
+    default for dedup graphs.
+
+    ``algorithm="star"``: alternating large-star / small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — every
+    round hooks whole subtrees to the per-neighborhood minimum, so
+    convergence is O(log² n) rounds INDEPENDENT of diameter. The flag
+    for adversarial graphs (long chains, giant high-diameter
+    components) where min-label's diameter bound is the cliff.
+
+    Both paths ``localCheckpoint`` per round so the plan does not grow
+    with the iteration count (lineage blow-up is the classic
+    iterative-Spark failure), and warn if ``max_iter`` rounds pass
+    without convergence — labels may then be wrong (a component split
+    across two labels), which matters downstream where the label elects
+    dedup survivors.
     """
+    if algorithm == "min_label":
+        return _cc_min_label(pairs, src, dst, max_iter)
+    if algorithm == "star":
+        return _cc_star(pairs, src, dst, max_iter)
+    raise ValueError(f"unknown algorithm {algorithm!r}: use 'min_label' or 'star'")
+
+
+def _warn_not_converged(algorithm: str, max_iter: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"connected_components({algorithm}) hit max_iter={max_iter} without "
+        "converging — returned labels may split components; raise max_iter "
+        "(or use algorithm='star' for high-diameter graphs)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+def _cc_min_label(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges["b"] == labels["node"]).select(
             F.col("a").alias("node"), F.col("component")
@@ -551,7 +581,76 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    if not converged:
+        _warn_not_converged("min_label", max_iter)
     edges.unpersist()
+    return labels
+
+
+def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star rounds.
+
+    Neither star op ever materializes a neighbor LIST: each is a
+    groupBy-min on the node key plus an equi-join of the edge list back
+    to those minima — per-round shuffle is O(|edges|) rows of two ids,
+    and a hot node (a boilerplate near-clique hub) is just a big
+    aggregation group, combined map-side. Edges always point strictly
+    downward (child > parent), monotonically approaching the star
+    forest whose roots are the component minima.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical child>parent orientation up front
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        # large-star: group the BIDIRECTIONAL neighborhood of u; every
+        # strictly-larger neighbor re-hooks to min(N(u) ∪ {u})
+        bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = bi.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            bi.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: group by the larger endpoint; u and all its
+        # smaller neighbors hook to the smallest of them
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            small.exceptAll(edges).isEmpty() and edges.exceptAll(small).isEmpty()
+        )
+        edges = small
+        if converged:
+            break
+    if not converged:
+        _warn_not_converged("star", max_iter)
+    # at convergence edges IS the star forest (child → component min);
+    # roots (and isolated nodes filtered out up front) label themselves
+    labels = nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", F.col("node")).alias("component"))
     return labels
 
 
@@ -561,6 +660,7 @@ def near_dedup_keep_first(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    cc_algorithm: str = "min_label",
 ) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: group pairs into
     connected components and elect the smallest id as the survivor
@@ -571,7 +671,9 @@ def near_dedup_keep_first(
     ``is_representative`` (1 = keep, 0 = drop). Filter on it for the
     deduplicated corpus; keep the full table for dedup audit trails.
     """
-    comp = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    comp = connected_components(
+        pairs, src, dst, algorithm=cc_algorithm
+    ).withColumnRenamed("node", id_col)
     return (
         df.join(comp, id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))

@@ -451,9 +451,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register(
-    "near_dedup_resolve",
-    oracle=r"""
+_NEAR_DEDUP_RESOLVE_ORACLE = r"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
         list_distinct(list_transform(
@@ -484,8 +482,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN comp.component IS NULL OR comp.component = d.doc_id
                 THEN 1 ELSE 0 END AS is_representative
     FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
-    """,
-)
+    """
+
+
+@register("near_dedup_resolve", oracle=_NEAR_DEDUP_RESOLVE_ORACLE)
 def q_near_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair generation is half of dedup; this resolves n-gram Jaccard
     pairs into keep/drop decisions via connected components (iterative
@@ -495,6 +495,19 @@ def q_near_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dedup_keep_first(docs, "doc_id", pairs).select(
         "doc_id", "component", "is_representative"
     )
+
+
+@register("near_dedup_resolve_star", oracle=_NEAR_DEDUP_RESOLVE_ORACLE)
+def q_near_dedup_resolve_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same resolution through the large-star/small-star connected-
+    components path (O(log^2 n) rounds regardless of component
+    diameter — the adversarial-graph flag). Identical labels, same
+    recursive-CTE oracle row as near_dedup_resolve."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return D.near_dedup_keep_first(
+        docs, "doc_id", pairs, cc_algorithm="star"
+    ).select("doc_id", "component", "is_representative")
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,64 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id, matching both Spark algorithms
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_star_matches_union_find_random_graphs(spark):
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 40
+        edges = list(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(10, 60))
+            }
+        )
+        expected = _union_find_labels(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.component
+            for r in D.connected_components(pairs, algorithm="star").collect()
+        }
+        assert got == expected, f"seed {seed}"
+
+
+def test_connected_components_star_high_diameter_chain(spark):
+    # a 24-node chain: min-label needs ~23 rounds, star needs O(log^2)
+    edges = [(i, i + 1) for i in range(23)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in D.connected_components(pairs, algorithm="star", max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(24)}
+
+
+def test_connected_components_min_label_warns_on_max_iter(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="without\\s+converging"):
+        D.connected_components(pairs, max_iter=2)
+
+
 def test_near_dedup_keep_first_elects_min_id(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
