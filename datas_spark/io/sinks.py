@@ -12,8 +12,6 @@ and partitionable by model/stage (``src/utils/get_info.py:118-140``).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -39,6 +37,19 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _cache_marker_exists(spark: SparkSession, path: str) -> bool:
+    """Check for the ``_SUCCESS`` marker through the Hadoop FileSystem
+    API, so the guard works for ANY supported filesystem scheme
+    (hdfs://, s3a://, file:/...) — ``os.path.exists`` only sees the
+    driver's local disk and would silently rewrite a remote cache on
+    every call."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    fs = marker.getFileSystem(hconf)
+    return bool(fs.exists(marker))
+
+
 def parquet_cache(
     spark: SparkSession, df: DataFrame, path: str, recompute: bool = False
 ) -> DataFrame:
@@ -48,9 +59,10 @@ def parquet_cache(
     Returns a DataFrame reading ``path``; computes + writes only when
     the cache is missing (or ``recompute``). Downstream stages read the
     Parquet — pruned, pushdown-capable — instead of re-running the
-    (potentially model-backed) producer plan.
+    (potentially model-backed) producer plan. The existence check goes
+    through the Hadoop FileSystem of ``path``'s scheme, so remote
+    stores (hdfs://, s3a://) honor the skip-if-exists contract too.
     """
-    marker = os.path.join(path, "_SUCCESS")
-    if recompute or not os.path.exists(marker):
+    if recompute or not _cache_marker_exists(spark, path):
         df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

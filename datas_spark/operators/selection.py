@@ -248,28 +248,57 @@ def kcenter_sampling(
     Distributed formulation: centers (k rows) stay on the driver and are
     folded into the plan as literals; each round updates
     ``min_dist = least(min_dist, dist(vec, new_center))`` — one map-only
-    stage — then takes ``max`` (no shuffle beyond the scalar agg).
-    ``df`` should be cached by the caller for multi-round efficiency.
+    stage — then takes the 1-row argmax (``limit(1).collect()``, the
+    inherent greedy step).
+
+    Iteration hygiene (large k would otherwise blow up driver and
+    executors): exactly ONE round's frame is cached at a time (the
+    previous round is unpersisted as soon as the new one materializes),
+    the frame is ``localCheckpoint``-ed every few rounds so the growing
+    ``F.least`` / chosen-flag lineage never exceeds a bounded plan
+    depth, and already-chosen rows are excluded via a boolean column
+    updated in place — no k-literal ``isin`` list re-parsed into every
+    round's plan.
     """
     from datas_spark.functions.arrays import l2_distance
 
+    checkpoint_every = 8
     first = df.orderBy(id_col).limit(1).select(id_col, vec_col).collect()[0]
     chosen = [first[id_col]]
     center_vec = F.array(*[F.lit(float(x)) for x in first[vec_col]])
-    work = df.select(id_col, vec_col).withColumn(
-        "__min_dist", l2_distance(vec_col, center_vec)
+    work = (
+        df.select(id_col, vec_col)
+        .withColumn("__min_dist", l2_distance(vec_col, center_vec))
+        .withColumn("__chosen", F.col(id_col) == F.lit(first[id_col]))
     )
-    for _ in range(1, k):
-        work = work.cache()
-        far = (
-            work.where(~F.col(id_col).isin(chosen))
+    prev = None
+    for r in range(1, k):
+        work = (
+            work.localCheckpoint(eager=True)
+            if r % checkpoint_every == 0
+            else work.cache()
+        )
+        far_rows = (
+            work.where(~F.col("__chosen"))
             .orderBy(F.col("__min_dist").desc(), F.col(id_col).asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        # the collect above materialized this round's frame — the
+        # previous round's storage is now safe to drop
+        if prev is not None:
+            prev.unpersist()
+        prev = work
+        if not far_rows:
+            break  # fewer distinct points than k
+        far = far_rows[0]
         chosen.append(far[id_col])
         cvec = F.array(*[F.lit(float(x)) for x in far[vec_col]])
         work = work.withColumn(
             "__min_dist", F.least(F.col("__min_dist"), l2_distance(vec_col, cvec))
+        ).withColumn(
+            "__chosen", F.col("__chosen") | (F.col(id_col) == F.lit(far[id_col]))
         )
+    if prev is not None:
+        prev.unpersist()
     return df.where(F.col(id_col).isin(chosen))

@@ -104,3 +104,56 @@ def test_stride_sample_skew_resistant_matches_window_version(spark, sf_dir):
     ra = sorted((r.cluster, r.doc_id) for r in a.collect())
     rb = sorted((r.cluster, r.doc_id) for r in b.collect())
     assert ra == rb and len(ra) > 0
+
+
+def test_kcenter_sampling_matches_greedy_reference(spark):
+    import math
+    import random
+
+    from datas_spark.operators.selection import kcenter_sampling
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    vec = dict(rows)
+    chosen = [0]  # smallest id seeds the greedy walk
+    mind = {i: dist(v, vec[0]) for i, v in rows}
+    for _ in range(1, 6):
+        far = min(
+            (i for i in vec if i not in chosen),
+            key=lambda i: (-mind[i], i),
+        )
+        chosen.append(far)
+        for i, v in rows:
+            mind[i] = min(mind[i], dist(v, vec[far]))
+    got = sorted(r.id for r in kcenter_sampling(df, "v", "id", k=6).collect())
+    assert got == sorted(chosen)
+
+
+def test_kcenter_sampling_large_k_no_plan_blowup(spark):
+    # k=64 rounds: bounded lineage (periodic localCheckpoint), one cached
+    # frame at a time, no growing isin literal list
+    import random
+
+    from datas_spark.operators.selection import kcenter_sampling
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = kcenter_sampling(df, "v", "id", k=64).collect()
+    assert len(got) == 64
+    assert len({r.id for r in got}) == 64
+
+
+def test_kcenter_sampling_k_exceeds_rows(spark):
+    from datas_spark.operators.selection import kcenter_sampling
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])], "id long, v array<double>"
+    )
+    got = sorted(r.id for r in kcenter_sampling(df, "v", "id", k=10).collect())
+    assert got == [1, 2, 3]
