@@ -26,6 +26,7 @@ from datas_spark.session import get_spark
 HEADLINE = [
     "middle_band_select",
     "band_gather",
+    "stride_skew_sample",
     "ifd_score",
     "exact_dedup",
     "minhash_signature",

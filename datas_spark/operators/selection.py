@@ -178,10 +178,21 @@ def middle_confidence_sample(
     n: int = 5,
     low_th: float = 0.25,
     up_th: float = 0.75,
+    skew_resistant: bool = False,
 ) -> DataFrame:
     """A1+A2 composed — the full ``sample_middle_confidence_data``
-    semantics (main.py:402-450) as one lazy plan."""
+    semantics (main.py:402-450) as one lazy plan.
+
+    ``skew_resistant=True`` routes the stride through
+    ``stride_sample_skew_resistant`` (identical output): flip it when
+    one cluster dwarfs the rest — a boilerplate-dominated source tag, a
+    single dominant language — and the per-cluster window would
+    serialize that cluster onto one task. The heuristic worth
+    automating upstream: max cluster count ≳ rows/partitions × 10.
+    """
     band = percentile_band_filter(df, cluster_col, conf_col, n, low_th, up_th)
+    if skew_resistant:
+        return stride_sample_skew_resistant(band, cluster_col, order_col, n)
     return stride_sample(band, cluster_col, order_col, n)
 
 

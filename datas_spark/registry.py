@@ -152,6 +152,34 @@ def q_middle_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stride_skew_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS m
+      FROM documents
+    ), strided AS (
+      SELECT doc_id, row_number() OVER (ORDER BY rn) AS k FROM ranked
+      WHERE (rn - 1) % greatest(m // 20, 1) = 0
+    )
+    SELECT doc_id FROM strided WHERE k <= 20
+    """,
+)
+def q_stride_skew_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 under pathological skew: EVERY row in one cluster (the
+    worst case for a cluster-partitioned window — one task would sort
+    the whole table). stride_sample_skew_resistant keeps the same
+    semantics with no per-cluster window: range-repartition balances
+    the giant cluster across tasks, per-cluster ranks are rebuilt from
+    broadcast per-partition offsets. Oracle is the PLAIN stride SQL —
+    proving output parity, not just plumbing."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("all").alias("cluster")
+    )
+    return S.stride_sample_skew_resistant(docs, "cluster", "doc_id", 20).select("doc_id")
+
+
+@register(
     "band_gather",
     oracle=f"""
     WITH conf AS (
