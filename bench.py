@@ -43,6 +43,8 @@ HEADLINE = [
     "events_sessionize",
     "order_totals_by_nation",
     "multi_scorer_wide",
+    "ngram_contamination",
+    "tfidf_top_terms",
 ]
 
 

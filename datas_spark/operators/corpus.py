@@ -1,0 +1,250 @@
+"""Corpus-level curation operators — north-star extensions beyond the
+reference surface (SURVEY §2.9): the operations a production LLM
+training-data pipeline runs over a whole corpus rather than per row.
+
+The reference stops at per-row scoring + per-cluster selection
+(``/root/reference/main.py:402-450``); a 100 TB pipeline additionally
+needs decontamination against evaluation benchmarks, stratified /
+quota-capped sampling across sources, corpus-statistics term weighting,
+and sequence packing for training-batch assembly. All are expressed as
+lazy DataFrame plans:
+
+- contamination: benchmark n-gram set is SMALL by nature (eval suites
+  are thousands of docs, not billions) → hashed-shingle broadcast join;
+  the corpus side never shuffles its text, only matched (doc, gram-hash)
+  pairs reach the counting shuffle.
+- stratified sample / quota cap: per-stratum windows over a
+  deterministic hash order — seed-free, reproducible on any cluster
+  size. Skewed strata inherit the documented skew-resistant upgrade
+  from ``selection.stride_sample_skew_resistant``.
+- TF-IDF: two aggregations (term-in-doc, term-in-corpus) joined on the
+  term key; the per-doc top-k rank windows only each doc's own terms.
+- packing: running token cumsum per shard → bin index; packing is
+  sequential BY DEFINITION inside a shard, so shards (source, date,
+  bucket) are the parallelism unit — pick shard keys so one shard's
+  token mass fits a worker's window comfortably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from datas_spark.functions.text import (
+    hashed_shingles_of_hashes,
+    token_count,
+    word_tokens,
+)
+
+__all__ = [
+    "ngram_contamination",
+    "stratified_sample",
+    "source_quota_cap",
+    "tfidf_top_terms",
+    "pack_sequences",
+]
+
+
+def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle_hash) pairs, DISTINCT per doc — hash-of-token-hashes
+    so no gram string is ever materialized (same discipline as
+    ``dedup.ngram_jaccard_pairs``)."""
+    sh = (
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+        .select(
+            "__id",
+            F.array_distinct(hashed_shingles_of_hashes(F.col("__th"), n)).alias("__sh"),
+        )
+    )
+    # explode_outer + null filter: plain explode would clone the shingle
+    # HOF tree into a pushed-down filter (round-1 landmine)
+    return sh.select("__id", F.explode_outer("__sh").alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Decontamination check: for every corpus doc, count DISTINCT
+    ``n``-gram shingles it shares with ANY benchmark doc; flag docs with
+    ``shared_ngrams >= min_shared`` as contaminated. Standard eval-set
+    decontamination (the n-gram-overlap method used by most LLM data
+    pipelines).
+
+    Plan: both sides reduce to (id, shingle-hash) pairs; the benchmark's
+    DISTINCT shingle set — small by nature, eval suites are thousands of
+    docs — is broadcast, so the corpus side is a map-side hash-join
+    probe and only MATCHED pairs reach the per-doc counting shuffle.
+    Shingle keys are internal 64-bit hashes (membership only; collision
+    odds ~|grams|²/2⁶⁵ are negligible), so no gram string shuffles.
+
+    Returns (id, shared_ngrams, contaminated) for every corpus doc.
+    """
+    c = _doc_shingle_hashes(corpus, id_col, text_col, n)
+    b = _doc_shingle_hashes(benchmark, id_col, text_col, n).select("__s").distinct()
+    matched = c.join(broadcast(b), "__s")  # map-side probe, matches only
+    counts = matched.groupBy("__id").agg(
+        F.count_distinct("__s").alias("shared_ngrams")
+    )
+    ids = corpus.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(counts, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("shared_ngrams", F.lit(0)).alias("shared_ngrams"),
+        )
+        .withColumn(
+            "contaminated", (F.col("shared_ngrams") >= min_shared).cast("int")
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Deterministic proportional sample: within each stratum, order by
+    ``md5(id)`` (a seed-free uniform shuffle that reproduces bit-for-bit
+    on any cluster layout) and keep ``ceil(fraction * stratum_count)``
+    rows. Guarantees every non-empty stratum contributes at least one
+    row — the property plain ``df.sample`` loses for rare strata, which
+    is the whole point of stratifying (keep the tail languages/sources).
+
+    One window per stratum; for a pathologically dominant stratum the
+    ``stride_sample_skew_resistant`` rank construction applies verbatim.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__m", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.where(
+        F.col("__rk") <= F.ceil(F.col("__m") * F.lit(fraction))
+    ).drop("__rk", "__m")
+
+
+def source_quota_cap(
+    df: DataFrame,
+    source_col: str,
+    order_col: str,
+    max_per_source: int,
+) -> DataFrame:
+    """Cap every source at ``max_per_source`` rows, keeping the first in
+    ``order_col`` order — domain balancing so no single crawl/source
+    dominates the mixture (the per-domain cap every web-scale corpus
+    recipe applies).
+
+    rank-window per source; the filter is a top-k per key, so at scale
+    the two-stage bucketed-rank construction (see
+    ``similarity.cosine_topk``) drops in if a source is hot enough to
+    matter.
+    """
+    w = Window.partitionBy(source_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_per_source)
+        .drop("__rk")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` whitespace terms by TF-IDF
+    (``tf * ln(N / df)``, natural log, raw counts — the textbook
+    formulation, reproducible in any SQL engine).
+
+    Plan: one explode → (doc, term) count aggregation; document
+    frequency is a second aggregation of the SAME (doc, term) frame
+    (Spark reuses the shuffle via exchange reuse); idf joins back on the
+    term key; the final window ranks only each doc's own distinct terms.
+    Ties break lexicographically for determinism.
+
+    Returns (id, term, tf, tfidf, rank<=k).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_tokens(text_col)).alias("__t"),
+    ).where(F.col("__t").isNotNull() & (F.col("__t") != ""))
+    toks = toks.select("__id", F.lower(F.col("__t")).alias("__t"))
+    tf = toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("tf"))
+    # N as a broadcast 1-row frame keeps the whole plan lazy (no count()
+    # job at plan-construction time)
+    nd = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(dfreq, "__t")
+        .crossJoin(broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("__n").cast("double") / F.col("__df")),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("__t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__t").alias("term"),
+            "tf",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training-batch assembly: walk docs in
+    ``id_col`` order, accumulate token counts, and assign
+    ``bin = floor((cumsum − own_tokens) / budget)`` — contiguous greedy
+    fill where a doc straddling a boundary stays in the bin it STARTED
+    in (bins may overflow by at most one doc; the streaming-friendly
+    packing used when truncation is handled downstream).
+
+    Packing is sequential by definition, so the cumsum window partitions
+    by ``shard_col`` (source, date, hash bucket...) and shards pack in
+    parallel — the 100 TB contract is "one shard's token mass per task",
+    not "one global ordering". ``shard_col=None`` packs globally
+    (single-task ordering: test/small-corpus use only).
+
+    Returns (shard?, id, n_tokens, bin).
+    """
+    shard = [F.col(shard_col)] if shard_col else []
+    w = Window.partitionBy(*shard).orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = df.select(
+        *shard,
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    return toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )

@@ -591,3 +591,4 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 from datas_spark import registry2  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry3  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry4  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry5  # noqa: E402,F401  (isort: skip)

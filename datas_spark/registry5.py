@@ -1,0 +1,155 @@
+r"""Query registry, batch 5 (round 2): corpus-level curation operators —
+decontamination, stratified sampling, per-source quota caps, TF-IDF,
+sequence packing (``operators/corpus.py``).
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators import corpus as C
+from datas_spark.registry import register
+
+# DuckDB twin of the whitespace 3-gram shingling used across the dedup
+# family (tokens[i:i+2] is an INCLUSIVE DuckDB slice = 3 tokens)
+_SHINGLES_CTE = r"""
+    sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(grams) AS g FROM sh
+    )
+"""
+
+
+@register(
+    "ngram_contamination",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, bench AS (
+      SELECT DISTINCT g FROM ex WHERE doc_id < 20
+    ), cnt AS (
+      SELECT e.doc_id, count(DISTINCT e.g) AS shared_ngrams
+      FROM ex e JOIN bench b ON e.g = b.g
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.shared_ngrams, 0) AS shared_ngrams,
+           CASE WHEN coalesce(c.shared_ngrams, 0) >= 5 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: count distinct 3-gram shingles each
+    corpus doc shares with the benchmark slice (doc_id < 20 stands in
+    for an eval suite), flag >= 5 shared. Benchmark shingle set is
+    broadcast — the corpus side never shuffles text."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.ngram_contamination(
+        docs, docs.where("doc_id < 20"), "doc_id", "text", n=3, min_shared=5
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS m
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= ceil(m * 0.1)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per language: md5-hash order
+    (seed-free, layout-independent), ceil guarantees >= 1 row per
+    stratum — the tail-language guarantee plain sample() loses."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return C.stratified_sample(docs, "lang", "doc_id", 0.1)
+
+
+@register(
+    "source_quota_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap every source at its first 15 docs so no
+    single crawl dominates the mixture."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return C.source_quota_cap(docs, "source", "doc_id", 15)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks WHERE t != '' GROUP BY doc_id, t
+    ), dfq AS (
+      SELECT t, count(*) AS dfc FROM tf GROUP BY t
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS nd FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf,
+             tf.tf * ln(n.nd::DOUBLE / dfq.dfc) AS tfidf_raw
+      FROM tf JOIN dfq USING (t) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_raw DESC, t ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, t AS term, tf, round(tfidf_raw, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 terms by TF-IDF (tf * ln(N/df), textbook raw-count
+    form). Two reused aggregations + a term-key join; the rank window
+    sees only each doc's own distinct terms."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, doc_id,
+        len(list_filter(
+          string_split_regex(trim(regexp_replace(lower(text), '([^\w\s])', ' \1 ', 'g')), '\s+'),
+          t -> t != ''))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+      ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_tokens) // 500)::BIGINT AS bin
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source running token cumsum -> 500-token
+    bin index (contiguous greedy fill; a straddling doc stays in the
+    bin it started). Shards pack in parallel — the sequential part is
+    bounded by one source's token mass."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, "doc_id", "text", budget=500, shard_col="source")

@@ -1,0 +1,98 @@
+"""Unit tests for corpus-level curation operators (decontamination,
+stratified sampling, quota caps, TF-IDF, sequence packing)."""
+
+import math
+
+from datas_spark.operators import corpus as C
+
+
+def test_ngram_contamination_flags_copied_text(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the fence"),  # shares 3-grams
+            (2, "completely unrelated content about spark engines here"),
+            (3, "tiny"),  # no 3-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.shared_ngrams, r.contaminated)
+        for r in C.ngram_contamination(corpus, bench, "doc_id", "text", min_shared=2).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    # "fox jumps over", "jumps over the" = 5 shingles
+    assert rows[1] == (5, 1)
+    assert rows[2] == (0, 0)
+    assert rows[3] == (0, 0)
+
+
+def test_stratified_sample_every_stratum_represented(spark):
+    rows = [(i, "big" if i < 90 else "tiny") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = C.stratified_sample(df, "s", "id", 0.1).collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r.s, []).append(r.id)
+    assert len(by_s["big"]) == math.ceil(90 * 0.1)
+    assert len(by_s["tiny"]) == 1  # ceil(10 * 0.1) — the tail survives
+
+
+def test_stratified_sample_deterministic_across_layouts(spark):
+    rows = [(i, str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    a = sorted(r.id for r in C.stratified_sample(df, "s", "id", 0.2).collect())
+    b = sorted(
+        r.id for r in C.stratified_sample(df.repartition(7), "s", "id", 0.2).collect()
+    )
+    assert a == b and len(a) == 12
+
+
+def test_source_quota_cap_keeps_first_in_order(spark):
+    rows = [(i, "a" if i < 8 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = sorted(r.id for r in C.source_quota_cap(df, "src", "id", 3).collect())
+    assert got == [0, 1, 2, 8, 9]  # first 3 of a, all (2) of b
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1"),
+            (2, "common common rare2"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = C.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in got}
+    # "common" appears in all 3 docs → idf = ln(1) = 0; the rare term wins
+    assert top[1] == "rare1" and top[2] == "rare2"
+    assert top[3] == "common"  # only term left, tfidf 0
+    r1 = next(r for r in got if r.doc_id == 1)
+    assert r1.tf == 1 and abs(r1.tfidf - round(math.log(3.0), 6)) < 1e-9
+
+
+def test_pack_sequences_bins_by_running_budget(spark):
+    # token counts: 3, 3, 3 → cumsum 3,6,9; budget 5 → starts 0,3,6 → bins 0,0,1
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i")], "id long, text string"
+    )
+    got = {r.id: (r.n_tokens, r.bin) for r in C.pack_sequences(df, "id", "text", 5).collect()}
+    assert got == {1: (3, 0), 2: (3, 0), 3: (3, 1)}
+
+
+def test_pack_sequences_shards_pack_independently(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e f", "y"), (3, "g h i", "x")],
+        "id long, text string, shard string",
+    )
+    got = {
+        (r.shard, r.id): r.bin
+        for r in C.pack_sequences(df, "id", "text", 5, shard_col="shard").collect()
+    }
+    # shard x: ids 1,3 → starts 0,3 → bins 0,0 ; shard y: id 2 → bin 0
+    assert got == {("x", 1): 0, ("x", 3): 0, ("y", 2): 0}
