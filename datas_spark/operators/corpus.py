@@ -55,7 +55,8 @@ def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> Da
         .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
         .select(
             "__id",
-            F.array_distinct(hashed_shingles_of_hashes(F.col("__th"), n)).alias("__sh"),
+            # helper output is already distinct — no extra array_distinct
+            hashed_shingles_of_hashes(F.col("__th"), n).alias("__sh"),
         )
     )
     # explode_outer + null filter: plain explode would clone the shingle
@@ -186,9 +187,16 @@ def tfidf_top_terms(
     # N as a broadcast 1-row frame keeps the whole plan lazy (no count()
     # job at plan-construction time)
     nd = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
-    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency as a WINDOW over the compact (doc, term, tf)
+    # frame, not a second aggregation branch: a groupBy-then-join
+    # formulation makes Catalyst re-derive the branch from the scan
+    # (column pruning strips tf, the subtrees stop being identical, and
+    # exchange reuse is lost) — the corpus would be scanned and
+    # tokenized TWICE. The window costs one narrow shuffle of the tf
+    # frame on the term key instead.
+    wdf = Window.partitionBy("__t")
     scored = (
-        tf.join(dfreq, "__t")
+        tf.withColumn("__df", F.count(F.lit(1)).over(wdf))
         .crossJoin(broadcast(nd))
         .withColumn(
             "tfidf",
