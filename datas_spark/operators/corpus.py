@@ -27,7 +27,7 @@ lazy DataFrame plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -43,6 +43,8 @@ __all__ = [
     "source_quota_cap",
     "tfidf_top_terms",
     "pack_sequences",
+    "hash_split",
+    "group_split",
 ]
 
 
@@ -256,3 +258,62 @@ def pack_sequences(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
         ).cast("long"),
     )
+
+
+def _md5_unit(key: Column) -> Column:
+    """Deterministic uniform [0, 1) from a key: first 8 md5 hex chars as
+    an integer over 2³². Seed-free and engine-portable (the identical
+    expression exists in DuckDB), so splits reproduce bit-for-bit
+    anywhere — no rand(seed) whose stream depends on partition layout."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def _split_expr(u: Column, weights: dict[str, float]) -> Column:
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Append ``split``: assign each row to a named split by hashing its
+    id into [0,1) and cutting at the cumulative ``weights`` (normalized;
+    default 90/10 train/test). Map-only, no shuffle, reproducible on any
+    cluster layout — the property ``randomSplit`` does NOT have (its
+    assignment depends on partitioning).
+    """
+    weights = weights or {"train": 0.9, "test": 0.1}
+    u = _md5_unit(F.col(id_col))
+    return df.withColumn("split", _split_expr(u, weights))
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Append ``split`` decided by the GROUP key, so every row of a
+    group lands in the same split — the leakage guard: pass a dedup
+    component label (``near_dedup_keep_first``'s ``component``) and
+    near-duplicate docs can never straddle the train/test boundary,
+    which is the failure mode row-wise splitting silently has on any
+    corpus with duplicates. Map-only; realized fractions converge to
+    ``weights`` over many groups (weighting by group SIZE would need an
+    aggregation — this is the standard hash-by-group contract).
+    """
+    weights = weights or {"train": 0.9, "test": 0.1}
+    u = _md5_unit(F.col(group_col))
+    return df.withColumn("split", _split_expr(u, weights))

@@ -153,3 +153,39 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by one source's token mass."""
     docs = read_table(spark, sf_dir, "documents")
     return C.pack_sequences(docs, "doc_id", "text", budget=500, shard_col="source")
+
+
+_MD5_UNIT_SQL = "(('0x' || substr(md5({key}), 1, 8))::BIGINT / 4294967296.0)"
+
+
+@register(
+    "hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5_UNIT_SQL.format(key="doc_id::VARCHAR")} < 0.9
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by md5(doc_id) — map-only,
+    layout-independent (randomSplit is not), engine-portable."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return C.hash_split(docs, "doc_id")
+
+
+@register(
+    "group_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_MD5_UNIT_SQL.format(key="lang")} < 0.8
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: the GROUP key (lang here; a dedup component
+    label in production) decides the split, so related rows never
+    straddle the train/test boundary."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return C.group_split(docs, "lang", {"train": 0.8, "test": 0.2})

@@ -3,6 +3,8 @@ stratified sampling, quota caps, TF-IDF, sequence packing)."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from datas_spark.operators import corpus as C
 
 
@@ -96,3 +98,29 @@ def test_pack_sequences_shards_pack_independently(spark):
     }
     # shard x: ids 1,3 → starts 0,3 → bins 0,0 ; shard y: id 2 → bin 0
     assert got == {("x", 1): 0, ("x", 3): 0, ("y", 2): 0}
+
+
+def test_hash_split_deterministic_and_layout_independent(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in C.hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in C.hash_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.8 < frac < 1.0  # ~0.9 by construction
+
+
+def test_group_split_never_straddles_groups(spark):
+    df = (
+        spark.range(300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("component", (F.col("doc_id") % 29))
+    )
+    rows = C.group_split(df, "component", {"train": 0.7, "val": 0.1, "test": 0.2}).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_g.values())
+    assert {s for ss in by_g.values() for s in ss} <= {"train", "val", "test"}
