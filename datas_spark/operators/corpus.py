@@ -45,6 +45,7 @@ __all__ = [
     "pack_sequences",
     "hash_split",
     "group_split",
+    "repetition_stats",
 ]
 
 
@@ -317,3 +318,76 @@ def group_split(
     weights = weights or {"train": 0.9, "test": 0.1}
     u = _md5_unit(F.col(group_col))
     return df.withColumn("split", _split_expr(u, weights))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4-style filters):
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — how much of
+      the doc is repeated words.
+    - ``top_bigram_frac``: occurrences of the single most frequent
+      bigram / total bigrams — boilerplate and template spam light up
+      here long before exact dedup catches them.
+
+    Entirely MAP-SIDE: no explode, no shuffle. The most-frequent-bigram
+    count is the longest run of equal values in the SORTED bigram-hash
+    array, found with one ``aggregate`` fold — O(b log b) per row
+    instead of a per-doc groupBy. Bigram keys are internal 64-bit
+    hashes (count-only; collisions negligible). Fractions round to 6
+    decimals at the oracle boundary.
+
+    Returns (id, dup_token_frac, top_bigram_frac).
+    """
+    toks = df.select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    nt = F.size("__toks")
+    dup_frac = F.when(
+        nt > 0, F.round(F.lit(1.0) - F.size(F.array_distinct("__toks")) / nt, 6)
+    ).otherwise(F.lit(0.0))
+    hashed = toks.withColumn(
+        "__th", F.transform("__toks", lambda t: F.xxhash64(t))
+    )
+    # raw (non-distinct) bigram hashes, then sort so equal grams are
+    # adjacent and one fold finds the longest run = max bigram count
+    cnt = F.size("__th") - 1
+    grams = F.when(
+        cnt >= 1,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.xxhash64(F.get(F.col("__th"), i), F.get(F.col("__th"), i + 1)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    withg = hashed.withColumn("__bg", grams)
+    run = F.aggregate(
+        F.col("__bg"),
+        F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_frac = F.when(
+        F.size("__bg") > 0, F.round(F.col("__run") / F.size("__bg"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        withg.withColumn("__run", run)
+        .select(
+            F.col(id_col),
+            dup_frac.alias("dup_token_frac"),
+            top_frac.alias("top_bigram_frac"),
+        )
+    )

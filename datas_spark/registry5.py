@@ -189,3 +189,37 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle the train/test boundary."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return C.group_split(docs, "lang", {"train": 0.8, "test": 0.2})
+
+
+@register(
+    "repetition_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS ndt,
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1]) AS bg
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(bg) AS g FROM b
+    ), c AS (
+      SELECT doc_id, max(cnt) AS mx FROM (
+        SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      round(CASE WHEN nt > 0 THEN 1 - ndt::DOUBLE / nt ELSE 0 END, 6)
+        AS dup_token_frac,
+      round(CASE WHEN len(bg) > 0 THEN coalesce(mx, 0)::DOUBLE / len(bg)
+                 ELSE 0 END, 6) AS top_bigram_frac
+    FROM b LEFT JOIN c USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality stats, fully map-side: the
+    top-bigram count is the longest equal run in the SORTED bigram-hash
+    array (one aggregate fold) — the oracle proves parity with the
+    unnest+groupBy formulation."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.repetition_stats(docs, "doc_id", "text")

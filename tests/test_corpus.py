@@ -124,3 +124,19 @@ def test_group_split_never_straddles_groups(spark):
         by_g.setdefault(r.component, set()).add(r.split)
     assert all(len(s) == 1 for s in by_g.values())
     assert {s for ss in by_g.values() for s in ss} <= {"train", "val", "test"}
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "q"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_token_frac, r.top_bigram_frac)
+        for r in C.repetition_stats(df, "doc_id", "text").collect()
+    }
+    # doc1: 6 tokens 2 distinct -> 2/3 dup; bigrams ab,ba,ab,ba,ab -> 3/5
+    assert got[1] == (0.666667, 0.6)
+    assert got[2] == (0.0, 0.333333)  # all distinct, 3 distinct bigrams
+    assert got[3] == (0.0, 0.0)  # single token: no bigrams
+    assert got[4] == (0.0, 0.0)  # empty text
