@@ -125,49 +125,79 @@ def stride_sample_skew_resistant(
     window is ever partitioned by the cluster key, so one giant cluster
     cannot serialize onto a single task.
 
-    Mechanism: range-repartition by (cluster, order) → per-PHYSICAL-
-    partition local ranks (balanced by the range partitioner regardless
-    of cluster skew) → tiny per-partition count table cumulated into
-    offsets → global position = offset + local rank → per-cluster rank =
-    position − min(position in cluster) + 1 (another tiny broadcast
-    table). Costs one extra balanced shuffle vs the window version;
-    use when a cluster key is known to be pathological.
+    Mechanism: ONE balanced range-repartition by (cluster, order), a
+    LOCAL sort, and monotonic ids for local ranks; a single tiny
+    per-(partition, cluster) partial aggregate feeds partition offsets,
+    cluster starts, and cluster sizes; global position = offset + local
+    rank, per-cluster rank = position − cluster start + 1. Full data is
+    touched twice (stats pass + final projection), each through the one
+    range exchange; everything else is broadcast-tiny.
+
+    ``order_col`` must be unique per row (the same contract
+    ``stride_sample`` needs for a deterministic survivor set): the local
+    sort's total order is what makes the monotonic ids — and therefore
+    the two passes — agree.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(parts), F.col(cluster_col), F.col(order_col))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    # per-physical-partition counts: |partitions| rows — broadcast both ways
-    offsets = (
-        with_pid.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
+    # ONE exchange total: range-partition by (cluster, order), then sort
+    # WITHIN partitions (local sort, no shuffle) and tag rows with
+    # monotonically_increasing_id — nondeterministic expressions are
+    # never reordered across the sort by Catalyst, so ids are assigned
+    # in sorted order and are consecutive within a partition. Local rank
+    # = id − min(id in partition): recovered from a tiny per-partition
+    # stats aggregate (map-side combined to |partitions| rows), NOT a
+    # Window.partitionBy(__pid) — that window would add a second
+    # full-data hash exchange + sort on top of the range one.
+    ranged = (
+        df.repartitionByRange(int(parts), F.col(cluster_col), F.col(order_col))
+        .sortWithinPartitions(cluster_col, order_col)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # ONE partial aggregate per (partition, cluster) — |pids|·|clusters
+    # touching them| rows, map-side combined — feeds EVERYTHING tiny
+    # downstream: per-partition offsets, per-cluster starts and sizes.
+    # The full data is touched exactly twice (this aggregate + the final
+    # projection), each through the single range exchange.
+    partials = ranged.groupBy("__pid", cluster_col).agg(
+        F.count(F.lit(1)).alias("__pc"), F.min("__mid").alias("__pmin")
+    )
+    pstats = partials.groupBy("__pid").agg(
+        F.sum("__pc").alias("__cnt"), F.min("__pmin").alias("__base")
+    )
+    offsets = pstats.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
             ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__base", "__offset")
+    # a cluster's global start = min over partitions of (partition
+    # offset + first-row-of-cluster local index); its size = sum of the
+    # per-partition pieces — tiny frames joined on tiny keys
+    cstats = (
+        partials.join(offsets, "__pid")
+        .withColumn(
+            "__ppos", F.col("__offset") + (F.col("__pmin") - F.col("__base")) + 1
         )
-        .select("__pid", "__offset")
+        .groupBy(cluster_col)
+        .agg(F.min("__ppos").alias("__start"), F.sum("__pc").alias("__m"))
     )
-    local = Window.partitionBy("__pid").orderBy(cluster_col, order_col)
-    pos = (
-        with_pid.withColumn("__local", F.row_number().over(local))
-        .join(broadcast(offsets), "__pid")
-        .withColumn("__pos", F.col("__offset") + F.col("__local"))
-    )
-    starts = pos.groupBy(cluster_col).agg(
-        F.min("__pos").alias("__start"), F.count(F.lit(1)).alias("__m")
-    )
-    ranked = pos.join(broadcast(starts), cluster_col).withColumn(
-        "__rn", F.col("__pos") - F.col("__start") + 1
+    ranked = (
+        ranged.join(broadcast(offsets), "__pid")
+        .join(broadcast(cstats), cluster_col)
+        .withColumn(
+            "__pos", F.col("__offset") + (F.col("__mid") - F.col("__base")) + 1
+        )
+        .withColumn("__rn", F.col("__pos") - F.col("__start") + 1)
     )
     step = F.greatest(F.floor(F.col("__m") / n), F.lit(1))
     strided = ranked.where((F.col("__rn") - 1) % step == 0).where(
         ((F.col("__rn") - 1) / step) < n
     )
-    return strided.drop("__pid", "__local", "__offset", "__pos", "__start", "__m", "__rn")
+    return strided.drop("__pid", "__mid", "__base", "__offset", "__pos", "__start", "__m", "__rn")
 
 
 def middle_confidence_sample(
