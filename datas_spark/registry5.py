@@ -223,3 +223,35 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest+groupBy formulation."""
     docs = read_table(spark, sf_dir, "documents")
     return C.repetition_stats(docs, "doc_id", "text")
+
+
+@register(
+    "events_enriched",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           sum(e.value::DECIMAL(18,6)) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment's batch twin: events left-join a small
+    customer dimension (broadcast) then aggregate per market segment.
+    Decimal sums keep the oracle exact (double sums are
+    order-dependent). The identical plan runs per-micro-batch in
+    streaming via streaming.scoring.enrich_stream."""
+    from datas_spark.streaming.scoring import enrich_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        enrich_stream(ev, cust, "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+    )

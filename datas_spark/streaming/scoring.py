@@ -35,6 +35,23 @@ def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> Data
     return reader.load(path)
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream–static enrichment: left-join each event against a slowly-
+    changing dimension table. Spark plans a stream-static join as a
+    per-micro-batch BROADCAST hash join when the static side is small —
+    stateless (no watermark, no state store), the standard enrichment
+    topology. The dim side is re-resolvable per batch, so an updated
+    dimension parquet is picked up without restarting the query.
+
+    Works identically on a batch DataFrame (same plan minus the
+    micro-batching) — that twin is the oracle-checked registry query
+    ``events_enriched``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), key, "left")
+
+
 def score_stream(stream: DataFrame, value_col: str = "value") -> DataFrame:
     """Per-event scoring — identical expression logic as batch scorers
     (stateless map; no watermark needed)."""

@@ -138,3 +138,20 @@ def test_stateful_running_stats(spark, event_dir):
     assert {u: v[0] for u, v in latest.items()} == {u: v[0] for u, v in expected.items()}
     for u in expected:
         assert abs(latest[u][1] - expected[u][1]) < 1e-6
+
+
+def test_enrich_stream_static_join_matches_batch(spark, event_dir):
+    from datas_spark.streaming.scoring import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver")], "user_id long, tier string"
+    )
+    stream = enrich_stream(read_event_stream(spark, event_dir), dim, "user_id")
+    got = _run_append_stream(spark, stream, "enriched_events").collect()
+    batch_src = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).json(event_dir)
+    batch = enrich_stream(batch_src, dim, "user_id").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert all(r.tier in ("gold", "silver") for r in got)
