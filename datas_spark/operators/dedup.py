@@ -57,6 +57,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_vectorized",
+    "lsh_blocked_near_dup_pairs",
     "connected_components",
     "near_dedup_keep_first",
 ]
@@ -502,6 +503,50 @@ def embedding_near_dup_pairs_vectorized(
         F.col(block_col).alias("__blk"),
     )
     return sel.groupBy("__blk").applyInPandas(_block_pairs, out_schema)
+
+
+def lsh_blocked_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    max_block_rows: int = 100_000,
+) -> DataFrame:
+    """THE scale default for embedding near-dup when no natural blocking
+    key exists: block by random-hyperplane sign signature (map-only,
+    deterministic), then run the Arrow-matmul pairwise cosine inside
+    each bucket. Two near-identical vectors almost surely share every
+    sign bit, so recall for genuine near-dups (cos → 1) stays high
+    while the candidate space drops by ~2^n_planes; n_planes tunes the
+    recall/cost trade the same way as in ``similarity.lsh_topk``
+    (cross-bucket misses are the usual LSH trade — raise threshold
+    sensitivity by lowering n_planes).
+
+    No cross join exists anywhere: the only shuffle is the bucket-key
+    ``applyInPandas`` exchange. Returns (id_a, id_b, cos).
+    """
+    from datas_spark.operators.similarity import (
+        hyperplane_signature,
+        random_hyperplanes,
+    )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = hyperplane_signature(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, planes
+    )
+    return embedding_near_dup_pairs_vectorized(
+        bucketed,
+        id_col,
+        vec_col,
+        "bucket",
+        threshold=threshold,
+        max_block_rows=max_block_rows,
+    )
 
 
 def connected_components(

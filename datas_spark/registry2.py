@@ -537,6 +537,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cos") >= 0.3)
 
 
+@register("lsh_blocked_near_dup")  # rows-only: LSH bucket recall is data-dependent
+def q_lsh_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-natural-blocking-key scale default: hyperplane sign
+    buckets (map-only) bound the pairwise matmul — no cross join
+    anywhere. Pytest plants near-identical twins and proves recall;
+    the blocked/vectorized cosine itself is oracle-checked via
+    embedding_near_dup_vec."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 @register("embedding_near_dup_vec", oracle=_EMB_NEAR_DUP_ORACLE)
 def q_embedding_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-matmul twin of embedding_near_dup — one numpy matmul per

@@ -194,3 +194,26 @@ def test_near_dedup_keep_first_elects_min_id(spark):
     comp = {r.doc_id: r.component for r in rows}
     assert kept == {1, 7, 9}  # min of {1,2,3}, min of {7,8}, isolated 9
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_lsh_blocked_near_dup_finds_near_identical_vectors(spark):
+    import random
+
+    rng = random.Random(9)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # near-identical twins of the first 3 vectors (tiny perturbation)
+    rows += [(100 + i, [x + 1e-4 for x in base[i]]) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_blocked_near_dup_pairs(
+            df, "id", "v", threshold=0.999, n_planes=4
+        ).collect()
+    }
+    # every planted twin shares all sign bits with its source -> found
+    assert {(0, 100), (1, 101), (2, 102)} <= got
+    # and nothing below the cosine threshold sneaks in
+    from datas_spark.operators import similarity  # planes are deterministic
+
+    assert all(a != b for a, b in got)
