@@ -171,3 +171,22 @@ def test_cosine_topk_vectorized_prunes_per_batch(spark):
     got = SIM.cosine_topk_vectorized(df, queries, "id", "id", "v", k=5).collect()
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
     assert sorted(got, key=lambda r: r.rank)[0][1] == 5  # self-hit first
+
+
+def test_ivf_index_persists_and_partition_prunes(spark, tmp_path):
+    # the 100 TB contract from ivf_build_index's docstring: persist the
+    # inverted lists partitioned by cell, and a cell probe becomes a
+    # partition-PRUNED scan (no full-index read per query batch)
+    from pyspark.sql import functions as F
+
+    _, df = _vecs(spark, n=40)
+    assigned, centers = SIM.ivf_build_index(df, "id", "v", n_cells=4)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("__cell").parquet(path)
+    back = spark.read.parquet(path)
+    probe = back.where(F.col("__cell") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan returns exactly that cell's rows, index round-trips whole
+    assert probe.count() == assigned.where("__cell = 1").count()
+    assert back.count() == 40
