@@ -46,6 +46,7 @@ __all__ = [
     "hash_split",
     "group_split",
     "repetition_stats",
+    "temperature_sample",
 ]
 
 
@@ -318,6 +319,54 @@ def group_split(
     weights = weights or {"train": 0.9, "test": 0.1}
     u = _md5_unit(F.col(group_col))
     return df.withColumn("split", _split_expr(u, weights))
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    temperature: float = 0.7,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual /
+    multi-domain recipe): resample so domain shares follow
+    ``p_d ∝ (n_d / N)^(1/τ)`` — τ > 1 flattens the mixture toward rare
+    domains (the usual setting, e.g. τ ≈ 2–3 for multilingual
+    rebalancing), τ = 1 keeps natural proportions, τ < 1 sharpens
+    toward the dominant domain. Each domain keeps
+    ``min(1, target_total · p_d / n_d)`` of its rows, selected by the
+    deterministic md5 unit hash (so reruns and engines agree row-for-
+    row; no seed, no layout dependence).
+
+    Plan: one tiny per-domain count aggregate → rates via a scalar
+    window over |domains| rows → broadcast back → map-side filter. The
+    corpus itself is touched once and never shuffled.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__nd"))
+    wall = Window.partitionBy()
+    total = F.sum("__nd").over(wall)
+    weight = F.pow(F.col("__nd") / total, F.lit(1.0 / temperature))
+    rates = (
+        counts.withColumn("__w", weight)
+        .withColumn("__p", F.col("__w") / F.sum("__w").over(wall))
+        .withColumn(
+            "__rate",
+            F.least(
+                F.lit(1.0),
+                (F.coalesce(F.lit(target_total).cast("double"), total) * F.col("__p"))
+                / F.col("__nd"),
+            ),
+        )
+        .select(domain_col, "__rate")
+    )
+    u = _md5_unit(F.col(id_col))
+    return (
+        df.join(broadcast(rates), domain_col)
+        .where(u < F.col("__rate"))
+        .drop("__rate")
+    )
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -255,3 +255,30 @@ def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
         )
     )
+
+
+@register(
+    "temperature_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+    ), t AS (
+      SELECT *, sum(nd) OVER () AS total FROM c
+    ), w AS (
+      SELECT *, pow(nd::DOUBLE / total, 1.0 / 2.0) AS wgt FROM t
+    ), r AS (
+      SELECT lang,
+             least(1.0, (total * (wgt / sum(wgt) OVER ())) / nd) AS rate
+      FROM w
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE {_MD5_UNIT_SQL.format(key="d.doc_id::VARCHAR")} < r.rate
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture rebalancing at tau=2: the dominant language
+    (en, ~44% of docs) is downsampled toward the flattened share while
+    rare languages keep all rows (rate capped at 1) — deterministic
+    md5 row selection, corpus touched once, never shuffled."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return C.temperature_sample(docs, "lang", "doc_id", temperature=2.0)

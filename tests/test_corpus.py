@@ -140,3 +140,21 @@ def test_repetition_stats_known_values(spark):
     assert got[2] == (0.0, 0.333333)  # all distinct, 3 distinct bigrams
     assert got[3] == (0.0, 0.0)  # single token: no bigrams
     assert got[4] == (0.0, 0.0)  # empty text
+
+
+def test_temperature_sample_flattens_dominant_domain(spark):
+    rows = [(i, "big" if i < 180 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, d string")
+    got = C.temperature_sample(df, "d", "doc_id", temperature=3.0).collect()
+    by_d = {}
+    for r in got:
+        by_d.setdefault(r.d, []).append(r.doc_id)
+    # rare domain keeps everything (rate capped at 1)
+    assert len(by_d["small"]) == 20
+    # dominant domain is downsampled toward the flattened share
+    assert len(by_d["big"]) < 180
+    # deterministic: same rows on rerun with different layout
+    again = C.temperature_sample(df.repartition(7), "d", "doc_id", temperature=3.0)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in got)
+    # tau=1 keeps natural proportions (every row)
+    assert C.temperature_sample(df, "d", "doc_id", temperature=1.0).count() == 200
