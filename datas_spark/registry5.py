@@ -282,3 +282,27 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 row selection, corpus touched once, never shuffled."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return C.temperature_sample(docs, "lang", "doc_id", temperature=2.0)
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract(props, '$.k')::INT) AS sum_k,
+           max(json_extract(props, '$.k')::INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction: parse the props JSON with an
+    EXPLICIT schema via from_json (typed, codegen'd, no sampling
+    inference pass over 100 TB) and aggregate the extracted field per
+    event type. Integer sums keep the oracle exact."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("__p", F.from_json("props", "k int"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__p.k")).alias("sum_k"),
+        F.max(F.col("__p.k")).alias("max_k"),
+    )
