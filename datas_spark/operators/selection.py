@@ -162,6 +162,12 @@ def stride_sample_skew_resistant(
     partials = ranged.groupBy("__pid", cluster_col).agg(
         F.count(F.lit(1)).alias("__pc"), F.min("__mid").alias("__pmin")
     )
+    # LAZY localCheckpoint: materialized once on first action, then every
+    # downstream derivation (offsets, cluster stats) reads the tiny
+    # checkpointed frame instead of re-expanding — and re-running — the
+    # full-data range-exchange subtree (each lazy reference otherwise
+    # re-scans: nondeterministic monotonic ids defeat exchange reuse)
+    partials = partials.localCheckpoint(eager=False)
     pstats = partials.groupBy("__pid").agg(
         F.sum("__pc").alias("__cnt"), F.min("__pmin").alias("__base")
     )
