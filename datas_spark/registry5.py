@@ -306,3 +306,34 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("__p.k")).alias("sum_k"),
         F.max(F.col("__p.k")).alias("max_k"),
     )
+
+
+def _dedup_safe_split_oracle() -> str:
+    from datas_spark.registry import _NEAR_DEDUP_RESOLVE_ORACLE
+
+    unit = _MD5_UNIT_SQL.format(key="component::VARCHAR")
+    return f"""
+    WITH resolved AS (
+      {_NEAR_DEDUP_RESOLVE_ORACLE}
+    )
+    SELECT doc_id, component,
+           CASE WHEN {unit} < 0.8 THEN 'train' ELSE 'test' END AS split
+    FROM resolved
+    """
+
+
+@register("dedup_safe_split", oracle=_dedup_safe_split_oracle())
+def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage-safe pipeline end-to-end: n-gram Jaccard pairs →
+    connected components → split decided by the COMPONENT label, so a
+    near-duplicate cluster can never straddle the train/test boundary.
+    Composes three operator families in one lazy plan, same oracle
+    recursion as near_dedup_resolve plus the md5 split."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    resolved = D.near_dedup_keep_first(docs, "doc_id", pairs)
+    return C.group_split(
+        resolved.select("doc_id", "component"), "component", {"train": 0.8, "test": 0.2}
+    )
