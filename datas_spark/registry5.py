@@ -337,3 +337,48 @@ def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.group_split(
         resolved.select("doc_id", "component"), "component", {"train": 0.8, "test": 0.2}
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS first_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN clicks c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT c.user_id,
+           CASE WHEN v.first_purchase IS NOT NULL THEN 1 ELSE 0 END AS converted,
+           date_diff('second', c.first_click, v.first_purchase)::BIGINT
+             AS secs_to_convert
+    FROM clicks c LEFT JOIN conv v USING (user_id)
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first click -> first purchase at or
+    after it. Two keyed aggregations and a broadcast-size join on
+    user_id — no per-user window sort over the raw event stream."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return clicks.join(conv, "user_id", "left").select(
+        "user_id",
+        F.col("first_purchase").isNotNull().cast("int").alias("converted"),
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+        ).alias("secs_to_convert"),
+    )
