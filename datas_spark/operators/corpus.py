@@ -47,6 +47,7 @@ __all__ = [
     "group_split",
     "repetition_stats",
     "temperature_sample",
+    "ngram_lm_score",
 ]
 
 
@@ -366,6 +367,63 @@ def temperature_sample(
         df.join(broadcast(rates), domain_col)
         .where(u < F.col("__rate"))
         .drop("__rate")
+    )
+
+
+def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram LM score (the CCNet/KenLM-style quality
+    signal, self-trained): estimate ``P(w2|w1) = c(w1,w2) / c(w1·)``
+    from the corpus itself, then score every doc by the average
+    negative log-likelihood of its bigrams — fluent, corpus-typical
+    text scores LOW, gibberish and boilerplate-with-rare-joins score
+    high. Docs with no bigram (< 2 tokens) get NULL.
+
+    Plan: one explode → (w1,w2)-hash count aggregate (the "training"
+    pass); context counts are a reaggregation of those counts (tiny);
+    the scoring pass joins each doc's bigrams to the probability table
+    on the 8-byte bigram key and averages per doc. Token keys are
+    internal 64-bit hashes; the probability VALUES are what the oracle
+    reproduces (DuckDB twin trains on string grams — identical counts
+    modulo negligible hash collisions).
+
+    Returns (id, n_bigrams, nll) with nll rounded to 6 decimals.
+    """
+    bg = (
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+        .withColumn(
+            "__bg",
+            F.when(
+                F.size("__th") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__th") - 2),
+                    lambda i: F.struct(
+                        F.get(F.col("__th"), i).alias("w1"),
+                        F.get(F.col("__th"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:bigint,w2:bigint>>")),
+        )
+        .select("__id", F.explode_outer("__bg").alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .select("__id", F.col("__g.w1").alias("__w1"), F.col("__g.w2").alias("__w2"))
+    )
+    cnt_bg = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cbg"))
+    cnt_ctx = cnt_bg.groupBy("__w1").agg(F.sum("__cbg").alias("__cctx"))
+    probs = cnt_bg.join(cnt_ctx, "__w1").withColumn(
+        "__lp", F.log(F.col("__cbg") / F.col("__cctx"))
+    )
+    scored = bg.join(probs.select("__w1", "__w2", "__lp"), ["__w1", "__w2"]).groupBy(
+        "__id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("__lp"), 6).alias("nll"),
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "nll",
     )
 
 

@@ -382,3 +382,35 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
         ).alias("secs_to_convert"),
     )
+
+
+@register(
+    "ngram_lm_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    ), cbg AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, sum(c) AS cc FROM cbg GROUP BY w1
+    ), p AS (
+      SELECT cbg.w1, cbg.w2, ln(cbg.c::DOUBLE / cctx.cc) AS lp
+      FROM cbg JOIN cctx USING (w1)
+    ), s AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams, round(-avg(p.lp), 6) AS nll
+      FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.nll
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM negative log-likelihood per doc (the
+    CCNet/KenLM-style quality signal): one training aggregate over
+    8-byte bigram hash keys, one scoring join, per-doc average."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.ngram_lm_score(docs, "doc_id", "text")

@@ -158,3 +158,16 @@ def test_temperature_sample_flattens_dominant_domain(spark):
     assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in got)
     # tau=1 keeps natural proportions (every row)
     assert C.temperature_sample(df, "d", "doc_id", temperature=1.0).count() == 200
+
+
+def test_ngram_lm_score_matches_hand_computed_probs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.nll) for r in C.ngram_lm_score(df, "doc_id", "text").collect()}
+    # corpus counts: c(a,b)=2 c(b,a)=1 c(a,c)=1 ; contexts c(a.)=3 c(b.)=1
+    # doc1: bigrams ab,ba,ab -> -(ln(2/3)+ln(1)+ln(2/3))/3
+    exp1 = round(-(2 * math.log(2 / 3) + math.log(1.0)) / 3, 6)
+    assert got[1] == (3, exp1)
+    assert got[2] == (1, round(-math.log(1 / 3), 6))
+    assert got[3] == (0, None)  # single token: no bigrams
