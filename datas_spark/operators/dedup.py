@@ -60,6 +60,7 @@ __all__ = [
     "lsh_blocked_near_dup_pairs",
     "connected_components",
     "near_dedup_keep_first",
+    "near_dedup_keep_best",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -725,4 +726,49 @@ def near_dedup_keep_first(
         .withColumn(
             "is_representative", (F.col("component") == F.col(id_col)).cast("int")
         )
+    )
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    cc_algorithm: str = "min_label",
+) -> DataFrame:
+    """Score-priority survivor election (the DEITA-style selection
+    intent: among near-duplicates, keep the HIGHEST-scored example, not
+    the first): group pairs into connected components, then elect the
+    max-``score_col`` row per component (ties break to the smallest
+    id). Appends ``component`` and ``is_representative``.
+
+    One ``min_by(id, struct(-score, id))`` aggregate per component —
+    map-side combinable, no per-component sort window, so a giant
+    near-dup cluster is just a big aggregation group. ``score_col``
+    must be numeric (negated for the lexicographic tie-break).
+    """
+    comp = connected_components(
+        pairs, src, dst, algorithm=cc_algorithm
+    ).withColumnRenamed("node", id_col)
+    labeled = (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    best = labeled.groupBy("component").agg(
+        F.min_by(
+            F.col(id_col), F.struct((-F.col(score_col)).alias("ns"), F.col(id_col))
+        ).alias("__keep_id")
+    )
+    # no broadcast hint on the election table: it is one row per
+    # component, which is tiny for dup-heavy corpora but DATA-SCALE when
+    # most docs are unique — AQE picks broadcast vs shuffle from the
+    # real runtime size
+    return (
+        labeled.join(best, "component")
+        .withColumn(
+            "is_representative", (F.col(id_col) == F.col("__keep_id")).cast("int")
+        )
+        .drop("__keep_id")
     )

@@ -414,3 +414,60 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte bigram hash keys, one scoring join, per-doc average."""
     docs = read_table(spark, sf_dir, "documents")
     return C.ngram_lm_score(docs, "doc_id", "text")
+
+
+@register(
+    "near_dedup_keep_best",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING shared / (na + nb - shared) >= 0.2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    ), best AS (
+      SELECT component, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM labeled
+    )
+    SELECT l.doc_id, l.component,
+           CASE WHEN b.keep_id = l.doc_id THEN 1 ELSE 0 END AS is_representative
+    FROM labeled l JOIN best b ON l.component = b.component AND b.rn = 1
+    """,
+)
+def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEITA-style survivor election: among near-duplicates keep the
+    HIGHEST-scored doc (n_chars as the score here; any scorer column
+    works), not the first — min_by over a negated-score struct, one
+    map-side-combinable aggregate per component, no per-component sort
+    window."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return D.near_dedup_keep_best(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", pairs
+    ).select("doc_id", "component", "is_representative")

@@ -217,3 +217,17 @@ def test_lsh_blocked_near_dup_finds_near_identical_vectors(spark):
     from datas_spark.operators import similarity  # planes are deterministic
 
     assert all(a != b for a, b in got)
+
+
+def test_near_dedup_keep_best_elects_highest_score(spark):
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (7, 1.0), (8, 1.0), (9, 4.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (7, 8)], "id_a long, id_b long")
+    rows = D.near_dedup_keep_best(docs, "doc_id", "score", pairs).collect()
+    kept = {r.doc_id for r in rows if r.is_representative == 1}
+    # {1,2,3}: doc 2 has the top score; {7,8}: tie -> min id 7; 9 isolated
+    assert kept == {2, 7, 9}
+    comp = {r.doc_id: r.component for r in rows}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
