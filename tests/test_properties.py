@@ -110,3 +110,72 @@ def test_ties_mask_keeps_top_magnitudes(spark, vals, k_pct):
     # masked entries pass through unchanged
     for i in kept:
         assert got[i] == float(vals[i])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    frac=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_exact_per_stratum_quota(spark, rows, frac):
+    from datas_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, s) for s, i in rows], "doc_id long, s string"
+    )
+    got = C.stratified_sample(df, "s", "doc_id", frac).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.s, 0)
+        per[r.s] += 1
+    src = {}
+    for s, _ in rows:
+        src[s] = src.get(s, 0) + 1
+    # exactly ceil(frac * m) rows per non-empty stratum — never zero
+    assert per == {s: math.ceil(m * frac) for s, m in src.items()}
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True),
+    w=st.sampled_from([(0.5, 0.5), (0.9, 0.1), (0.7, 0.3)]),
+)
+@settings(**SETTINGS)
+def test_hash_split_is_a_pure_function_of_id(spark, ids, w):
+    from datas_spark.operators import corpus as C
+
+    weights = {"train": w[0], "test": w[1]}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = {r.doc_id: r.split for r in C.hash_split(df, "doc_id", weights).collect()}
+    # splitting any subset assigns identical labels (pure per-row function)
+    half = spark.createDataFrame([(i,) for i in ids[::2]], "doc_id long")
+    b = {r.doc_id: r.split for r in C.hash_split(half, "doc_id", weights).collect()}
+    assert all(a[i] == b[i] for i in b)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12
+    ),
+    budget=st.sampled_from([2, 5, 10]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_bins_monotone_and_start_bounded(spark, texts, budget):
+    from datas_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(C.pack_sequences(df, "doc_id", "text", budget).collect(),
+                 key=lambda r: r.doc_id)
+    bins = [r.bin for r in got]
+    assert bins == sorted(bins)  # bins never decrease along the walk
+    # each doc's START offset lies inside its assigned bin
+    cum = 0
+    for r in got:
+        assert r.bin == cum // budget
+        cum += r.n_tokens
