@@ -159,3 +159,58 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    state_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint_path: str,
+):
+    """Cross-batch EXACT dedup with durable state: a ``foreachBatch``
+    sink that anti-joins each micro-batch's normalized-text fingerprints
+    against a persistent parquet fingerprint store, appends only
+    first-seen rows, and extends the store — the incremental-ingestion
+    pattern for a corpus that arrives over days, where
+    ``dropDuplicatesWithinWatermark`` can't help because duplicates are
+    NOT time-bounded.
+
+    State is (fingerprint, id) parquet: 16 bytes/doc, partition-prunable
+    and shared with batch jobs. Within a batch, the first row in
+    ``id_col`` order survives (same contract as ``exact_dedup``); across
+    batches, earlier batches win. The anti-join broadcasts or shuffles
+    per AQE's view of the store size.
+
+    Returns the started StreamingQuery (writes survivors to
+    ``state_path + '/rows'``, fingerprints to ``state_path + '/seen'``).
+    """
+    from datas_spark.functions.text import normalized_text
+    from datas_spark.operators.dedup import exact_dedup
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        firsts = exact_dedup(batch_df, text_col, id_col).withColumn(
+            "__fp", F.xxhash64(normalized_text(text_col))
+        )
+        seen_path = state_path + "/seen"
+        rows_path = state_path + "/rows"
+        try:
+            seen = spark.read.parquet(seen_path).select("__fp")
+        except Exception:
+            seen = None
+        fresh = firsts if seen is None else firsts.join(seen, "__fp", "left_anti")
+        # one deterministic materialization per batch: both appends must
+        # see the same survivor set
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.drop("__fp").write.mode("append").parquet(rows_path)
+        fresh.select("__fp", F.col(id_col).alias("first_id")).write.mode(
+            "append"
+        ).parquet(seen_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

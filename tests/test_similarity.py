@@ -190,3 +190,21 @@ def test_ivf_index_persists_and_partition_prunes(spark, tmp_path):
     # pruned scan returns exactly that cell's rows, index round-trips whole
     assert probe.count() == assigned.where("__cell = 1").count()
     assert back.count() == 40
+
+
+def test_cosine_topk_vectorized_wide_4096_dim(spark):
+    # the module's claimed wide-embedding path: 4096-dim vectors through
+    # the Arrow matmul agree with the Column-expression plan exactly
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4096)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    queries = df.where("id < 2")
+    key = lambda r: (r[0], r.rank)
+    hof = sorted(SIM.cosine_topk(df, queries, "id", "id", "v", k=4).collect(), key=key)
+    vec = sorted(
+        SIM.cosine_topk_vectorized(df, queries, "id", "id", "v", k=4).collect(), key=key
+    )
+    assert [tuple(r) for r in hof] == [tuple(r) for r in vec]
+    assert hof[0][1] == 0  # self-hit at rank 1

@@ -155,3 +155,46 @@ def test_enrich_stream_static_join_matches_batch(spark, event_dir):
     batch = enrich_stream(batch_src, dim, "user_id").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     assert all(r.tier in ("gold", "silver") for r in got)
+
+
+def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import incremental_dedup_sink
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # batch 1: two docs; batch 2: one duplicate of doc 0 + one new doc
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 0, "text": "hello world"}) + "\n")
+        f.write(_json.dumps({"doc_id": 1, "text": "unique first"}) + "\n")
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 2, "text": "Hello,   WORLD!"}) + "\n")  # dup of 0
+        f.write(_json.dumps({"doc_id": 3, "text": "brand new"}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .load(str(src))
+    )
+    q = incremental_dedup_sink(
+        stream, str(tmp_path / "state"), "text", "doc_id", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "state" / "rows"))
+    kept = sorted(r.doc_id for r in rows.collect())
+    # docs 0,1 from batch 1; batch 2's normalized duplicate dropped, 3 kept
+    assert kept == [0, 1, 3]
+    seen = spark.read.parquet(str(tmp_path / "state" / "seen"))
+    assert seen.count() == 3
+
+    # a SECOND streaming run over the same checkpoint re-processes
+    # nothing and the state is unchanged (restart safety)
+    q2 = incremental_dedup_sink(
+        stream, str(tmp_path / "state"), "text", "doc_id", str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "state" / "rows")).collect()
+    ) == [0, 1, 3]
