@@ -471,3 +471,62 @@ def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dedup_keep_best(
         docs.select("doc_id", "n_chars"), "doc_id", "n_chars", pairs
     ).select("doc_id", "component", "is_representative")
+
+
+@register(
+    "expect_documents",
+    oracle="""
+    WITH t AS (SELECT count(*) AS total FROM documents)
+    SELECT 'text_not_null' AS rule,
+           (SELECT count(*) FROM documents
+            WHERE NOT coalesce(text IS NOT NULL, false)) AS violations,
+           t.total, CASE WHEN (SELECT count(*) FROM documents
+            WHERE NOT coalesce(text IS NOT NULL, false)) = 0
+            THEN 1 ELSE 0 END AS pass FROM t
+    UNION ALL
+    SELECT 'n_chars_positive',
+           (SELECT count(*) FROM documents
+            WHERE NOT coalesce(n_chars > 0, false)), t.total,
+           CASE WHEN (SELECT count(*) FROM documents
+            WHERE NOT coalesce(n_chars > 0, false)) = 0
+            THEN 1 ELSE 0 END FROM t
+    UNION ALL
+    SELECT 'n_chars_matches_text',
+           (SELECT count(*) FROM documents
+            WHERE NOT coalesce(length(text) = n_chars, false)), t.total,
+           CASE WHEN (SELECT count(*) FROM documents
+            WHERE NOT coalesce(length(text) = n_chars, false)) = 0
+            THEN 1 ELSE 0 END FROM t
+    UNION ALL
+    SELECT 'doc_id_unique',
+           t.total - (SELECT count(DISTINCT doc_id) FROM documents), t.total,
+           CASE WHEN t.total = (SELECT count(DISTINCT doc_id) FROM documents)
+            THEN 1 ELSE 0 END FROM t
+    """,
+)
+def q_expect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative content-quality gate over documents: 4 named rules
+    evaluated in ONE aggregate over one scan (plus a distinct-count
+    for the uniqueness rule) — the validation stage a pipeline runs
+    before anything expensive."""
+    from datas_spark.operators.validate import expect
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = expect(
+        docs,
+        {
+            "text_not_null": F.col("text").isNotNull(),
+            "n_chars_positive": F.col("n_chars") > 0,
+            "n_chars_matches_text": F.length("text") == F.col("n_chars"),
+        },
+    )
+    uniq = docs.agg(
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("violations"),
+        F.count(F.lit(1)).alias("total"),
+    ).select(
+        F.lit("doc_id_unique").alias("rule"),
+        "violations",
+        "total",
+        (F.col("violations") == 0).cast("int").alias("pass"),
+    )
+    return base.unionByName(uniq)
