@@ -530,3 +530,63 @@ def q_expect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("violations") == 0).cast("int").alias("pass"),
     )
     return base.unionByName(uniq)
+
+
+@register(
+    "vocab_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS t
+      FROM documents
+    ), c AS (
+      SELECT t, count(*) AS n FROM toks WHERE t != '' GROUP BY t
+    )
+    SELECT t AS term, n FROM c ORDER BY n DESC, t ASC LIMIT 50
+    """,
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary head: top-50 tokens by corpus frequency — one
+    explode, one count aggregate, TakeOrdered for the limit (no full
+    sort of the vocabulary)."""
+    from datas_spark.functions.text import word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode_outer(word_tokens("text")).alias("__t"))
+        .where(F.col("__t").isNotNull() & (F.col("__t") != ""))
+        .select(F.lower("__t").alias("term"))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_profile",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (the table-stats pass a pipeline runs
+    first): counts, char totals/extremes, source cardinality — one
+    aggregate, integer sums exact, avg rounded at the oracle boundary."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
