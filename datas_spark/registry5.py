@@ -590,3 +590,25 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+@register("curate_corpus")  # rows-only: full-recipe composition (pieces oracle-checked)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation recipe in one lazy plan: repetition + quality
+    filters -> exact dedup -> decontamination vs the doc_id<20 slice ->
+    temperature rebalancing by lang -> deterministic split. Every stage
+    is individually oracle-checked; the composition is a rows-only
+    driver check with invariants pytest'd."""
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs,
+        benchmark=docs.where("doc_id < 20"),
+        domain_col="lang",
+        max_dup_token_frac=0.9,
+        max_top_bigram_frac=0.9,
+        temperature=2.0,
+        split_weights={"train": 0.9, "test": 0.1},
+    )
+    return out.select("doc_id", "lang", "split")
