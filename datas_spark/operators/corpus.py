@@ -48,6 +48,8 @@ __all__ = [
     "repetition_stats",
     "temperature_sample",
     "ngram_lm_score",
+    "weighted_sample",
+    "chunk_documents",
 ]
 
 
@@ -497,4 +499,84 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             dup_frac.alias("dup_token_frac"),
             top_frac.alias("top_bigram_frac"),
         )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    every row draws key = u^(1/w) from its deterministic md5 uniform u
+    and the global top-k keys win — each row's inclusion probability is
+    proportional to its weight, with no replacement and no sequential
+    pass. The standard corpus-mixing primitive the reference lacks
+    (its sampling is uniform stride only, ``main.py:437-441``).
+
+    Seed-free determinism: u comes from ``md5(id)``, so the SAME rows
+    win on any cluster size, any partition layout, any engine — and
+    the DuckDB oracle reproduces the draw bit-for-bit.
+
+    Scale shape: map-only key computation; the only movement is the
+    global top-k, which Spark executes as TakeOrderedAndProject —
+    each task ships its local k candidates, no full sort, no shuffle
+    of the loser rows. Rows with weight <= 0 are excluded (their
+    inclusion probability is 0).
+    """
+    key = F.pow(_md5_unit(F.col(id_col)), F.lit(1.0) / F.col(weight_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking pass that prepares a corpus for training or
+    embedding (the reference truncates to max_length instead, silently
+    discarding tails: ``score_pipeline_ifd.py:148-152``).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span
+    ``chunk_tokens`` tokens (the last chunk of a document may be
+    shorter; every token lands in at least one chunk). Output:
+    ``(id, chunk_id, n_tokens, chunk_text)``, ``chunk_id`` counting
+    from 0 within each document.
+
+    Map-only: tokenize once, generate start offsets with ``sequence``,
+    slice per offset, posexplode — no shuffle anywhere, amplification
+    bounded by chunk/(chunk-overlap). At 100 TB this is the shape you
+    want: chunking rides the same scan as the rest of the per-doc
+    pipeline and parallelism is per-document.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    # empty docs (0 tokens) still emit one empty chunk: sequence(0, -1)
+    # is invalid, so clamp the upper bound to 0
+    starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(step))
+    chunks = toks.select(
+        "__id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("__toks", s + 1, chunk_tokens))
+        ).alias("chunk_id", "__chunk"),
+    )
+    return chunks.select(
+        F.col("__id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
     )

@@ -61,6 +61,7 @@ __all__ = [
     "connected_components",
     "near_dedup_keep_first",
     "near_dedup_keep_best",
+    "paragraph_dedup",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -771,4 +772,74 @@ def near_dedup_keep_best(
             "is_representative", (F.col(id_col) == F.col("__keep_id")).cast("int")
         )
         .drop("__keep_id")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = r"\n+",
+    min_chars: int = 1,
+    join_delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph (line) dedup — the boilerplate-removal
+    pass of C4/RefinedWeb-style web curation, absent from the reference
+    (which scores whole rows only): split every document into segments,
+    keep each distinct segment ONLY at its globally-first occurrence
+    (smallest ``(id, position)``), drop later repeats, and reassemble
+    the documents. Segments shorter than ``min_chars`` bypass the
+    election and are always kept (dedup targets boilerplate, not
+    punctuation scraps).
+
+    Returns one row per input document: ``(id, text_dedup, n_kept,
+    n_dropped)``. A document whose every segment is a repeat survives
+    with ``text_dedup = ''``.
+
+    Scale shape (the reason this is NOT a window over the segment
+    text): electing first occurrences uses a ``min(struct(id, pos))``
+    groupBy on ``md5(segment)`` — map-side combinable, so the
+    "Subscribe to our newsletter" segment that appears in 10^9
+    documents costs one combiner cell per task, never a 10^9-row
+    window sort on one reducer. Three narrow shuffles total: the
+    election (16-byte key + 12-byte struct), the keep-join on the same
+    key, and the per-document reassembly.
+    """
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("__pos", "__para"),
+    ).withColumn("__para", F.trim("__para"))
+    elig = paras.where(F.length("__para") >= min_chars)
+    winners = elig.groupBy(F.md5("__para").alias("__h")).agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
+    )
+    kept = (
+        paras.join(winners, F.md5(F.col("__para")) == F.col("__h"), "left")
+        .where(
+            (F.length("__para") < min_chars)
+            | ((F.col("__w.__id") == F.col("__id")) & (F.col("__w.__pos") == F.col("__pos")))
+        )
+        .select("__id", "__pos", "__para")
+    )
+    agg = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            join_delim,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        totals.join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
     )

@@ -1,0 +1,112 @@
+r"""Query registry, batch 6 (round 2): paragraph-level exact dedup,
+weighted sampling without replacement, and sliding-window document
+chunking (``operators/dedup.paragraph_dedup``, ``operators/corpus``).
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators import corpus as C
+from datas_spark.operators import dedup as D
+from datas_spark.registry import register
+from datas_spark.registry5 import _MD5_UNIT_SQL
+
+# The driver corpus has no newlines, so the registered query splits on a
+# literal token delimiter to exercise the same plan a '\n+'-delimited web
+# corpus would run. Short segments repeat heavily in the synthetic
+# vocabulary, so the election genuinely fires.
+_PARA_DELIM = " table "
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(text, '{_PARA_DELIM}') AS parts
+      FROM documents
+    ), p0 AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(parts) + 1),
+          i -> {{'pos': i - 1, 'para': trim(parts[i])}})) AS u
+      FROM s
+    ), p AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para FROM p0
+    ), e AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM p WHERE length(para) >= 1
+    ), kept AS (
+      SELECT doc_id, pos, para FROM p WHERE length(para) < 1
+      UNION ALL
+      SELECT doc_id, pos, para FROM e WHERE rn = 1
+    ), agg AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, count(*) AS total FROM p GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.text_dedup, '') AS text_dedup,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           (t.total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide paragraph dedup: each distinct
+    segment survives only at its globally-first (doc_id, position)
+    occurrence; documents are reassembled from their surviving
+    segments. The election is a min(struct) groupBy on md5(segment) —
+    map-side combinable, no window over a hot segment's occurrences."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.paragraph_dedup(docs, "doc_id", "text", delimiter=_PARA_DELIM)
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > 0
+    ORDER BY pow({_MD5_UNIT_SQL.format(key="doc_id::VARCHAR")},
+                 1.0 / n_chars) DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, k=50
+    weighted by document length: key = u^(1/w) with the deterministic
+    md5 uniform, global top-k via TakeOrderedAndProject (each task
+    ships only its local k candidates — no full sort)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return C.weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+@register(
+    "chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           (start / 24)::BIGINT AS chunk_id,
+           len(toks[start + 1 : start + 32])::BIGINT AS n_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token chunks, 8-token overlap →
+    starts every 24): map-only, no shuffle; every token lands in at
+    least one chunk, tail chunks may be short."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)

@@ -171,3 +171,42 @@ def test_ngram_lm_score_matches_hand_computed_probs(spark):
     assert got[1] == (3, exp1)
     assert got[2] == (1, round(-math.log(1 / 3), 6))
     assert got[3] == (0, None)  # single token: no bigrams
+
+
+def test_weighted_sample_is_deterministic_and_excludes_nonpositive(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(1, 41)],
+        "doc_id long, w double",
+    )
+    a = sorted(r.doc_id for r in C.weighted_sample(docs, "doc_id", "w", k=10).collect())
+    b = sorted(r.doc_id for r in C.weighted_sample(docs, "doc_id", "w", k=10).collect())
+    assert a == b and len(a) == 10
+    # rows with w == 0 (doc_id % 5 == 0) can never be drawn
+    assert all(d % 5 != 0 for d in a)
+    # k >= eligible rows -> every positive-weight row survives
+    full = C.weighted_sample(docs, "doc_id", "w", k=100).collect()
+    assert len(full) == 32
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        C.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # step 3: starts 0,3,6,9 -> 4 chunks, last one short
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"
+    assert rows[3].chunk_text == "t9" and rows[3].n_tokens == 1
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert rows[0].chunk_text.split()[-1] == rows[1].chunk_text.split()[0]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)

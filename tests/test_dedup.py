@@ -231,3 +231,39 @@ def test_near_dedup_keep_best_elects_highest_score(spark):
     assert kept == {2, 7, 9}
     comp = {r.doc_id: r.component for r in rows}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe now\nreal content one"),
+            (2, "subscribe now\nreal content two"),
+            (3, "subscribe now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.paragraph_dedup(docs, "doc_id", "text").collect()
+    }
+    # doc 1 owns the first "subscribe now"; docs 2 and 3 lose it
+    assert out[1].text_dedup == "subscribe now\nreal content one"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 0
+    assert out[2].text_dedup == "real content two"
+    assert out[2].n_kept == 1 and out[2].n_dropped == 1
+    # doc 3 loses its only paragraph but still appears, empty
+    assert out[3].text_dedup == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+
+
+def test_paragraph_dedup_short_segments_bypass_election(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa\nx\nbb"), (2, "x\ncc")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text_dedup
+        for r in D.paragraph_dedup(docs, "doc_id", "text", min_chars=2).collect()
+    }
+    # "x" is under min_chars: kept in BOTH docs, never elected
+    assert out[1] == "aa\nx\nbb"
+    assert out[2] == "x\ncc"
