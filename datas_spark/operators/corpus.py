@@ -50,6 +50,10 @@ __all__ = [
     "ngram_lm_score",
     "weighted_sample",
     "chunk_documents",
+    "PII_PATTERNS",
+    "pii_stats",
+    "pii_redact",
+    "bow_classifier_score",
 ]
 
 
@@ -579,4 +583,89 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size("__chunk").cast("long").alias("n_tokens"),
         F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+# RE2-safe PII patterns (no lookarounds), shared verbatim with the
+# DuckDB oracle so detection counts reproduce across engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts (emails, phone numbers, IPv4
+    addresses) — the detection half of the PII pass every public-web
+    training corpus runs before release. Appends ``n_email``,
+    ``n_phone``, ``n_ip`` and ``has_pii``.
+
+    Pure ``regexp_count`` column expressions: map-only, codegen'd, no
+    Python. Patterns are RE2-compatible (no lookarounds) so the same
+    literals run in Spark (Java regex), DuckDB, and the Go/Rust
+    scanners a security team might cross-check with.
+    """
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    flags = [F.col(f"n_{name}") > 0 for name in PII_PATTERNS]
+    has = flags[0]
+    for fl in flags[1:]:
+        has = has | fl
+    return out.withColumn("has_pii", has.cast("int"))
+
+
+def pii_redact(df: DataFrame, text_col: str, out_col: str = "text_redacted") -> DataFrame:
+    """Replace every PII hit with a typed placeholder (``<EMAIL>``,
+    ``<PHONE>``, ``<IP>``) — the redaction half of the PII pass.
+    Map-only chained ``regexp_replace``; order matters (emails first,
+    so the IP pattern cannot match the digits of an already-redacted
+    placeholder's neighborhood).
+    """
+    expr = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        expr = F.regexp_replace(expr, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    return df.withColumn(out_col, expr)
+
+
+def bow_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Linear bag-of-words quality classifier (the fastText-style
+    quality filter of CCNet/RedPajama pipelines, model-free): score =
+    sigmoid(bias + mean over tokens of weight(token)), unknown tokens
+    weighing 0. Returns ``(id, n_tokens, quality_prob)``.
+
+    The weight table is the MODEL — thousands to a few million rows,
+    broadcast once; the corpus explodes to (doc, token) pairs that
+    broadcast-hash-join the weights map-side, then one combinable
+    aggregation per document. The 100 TB shape: no shuffle of document
+    text, one narrow (id, weight-sum) aggregation; swap the broadcast
+    for a shuffle join only if the vocabulary outgrows executor memory.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(text_col)).alias("__tok"),
+    )
+    w = weights.select(
+        F.col(term_col).alias("__tok"), F.col(weight_col).alias("__w")
+    )
+    scored = toks.join(broadcast(w), "__tok", "left").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce("__w", F.lit(0.0))).alias("__wsum"),
+    )
+    logit = F.lit(bias) + F.col("__wsum") / F.col("n_tokens")
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
     )

@@ -8,6 +8,7 @@ Imported by datas_spark.registry for its side effects (registrations).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import corpus as C
@@ -110,3 +111,133 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one chunk, tail chunks may be short."""
     docs = read_table(spark, sf_dir, "documents")
     return C.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+# Deterministic fake PII appended to the synthetic corpus (which contains
+# none) so the detection/redaction patterns genuinely fire — the SAME
+# expression runs on both engines.
+_AUG_SQL = """
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' call 555-123-4567 or ping 10.0.' || (doc_id % 256) || '.1'
+             ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _augment_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-123-4567 or ping 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_EMAIL, _PHONE, _IP = (
+    C.PII_PATTERNS["email"],
+    C.PII_PATTERNS["phone"],
+    C.PII_PATTERNS["ip"],
+)
+
+
+@register(
+    "pii_stats",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text, '{_PHONE}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text, '{_IP}'))::BIGINT AS n_ip,
+           CASE WHEN len(regexp_extract_all(text, '{_EMAIL}')) > 0
+                  OR len(regexp_extract_all(text, '{_PHONE}')) > 0
+                  OR len(regexp_extract_all(text, '{_IP}')) > 0
+                THEN 1 ELSE 0 END AS has_pii
+    FROM aug
+    """,
+)
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts over the corpus (with deterministic fake
+    PII mixed in, since the synthetic corpus contains none): map-only
+    regexp_count expressions, RE2-safe patterns shared with the
+    oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.pii_stats(_augment_pii(docs), "doc_id", "text").select(
+        "doc_id", "n_email", "n_phone", "n_ip", "has_pii"
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+               '{_PHONE}', '<PHONE>', 'g'),
+             '{_IP}', '<IP>', 'g') AS text_redacted
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: chained global regexp_replace to typed
+    placeholders, email → phone → ip order on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.pii_redact(_augment_pii(docs), "text").select("doc_id", "text_redacted")
+
+
+_BOW_WEIGHTS = [
+    ("spark", 2.0),
+    ("fast", 1.5),
+    ("merge", 0.7),
+    ("value", 0.3),
+    ("table", -0.2),
+    ("slow", -1.5),
+]
+
+
+@register(
+    "bow_quality_score",
+    oracle=r"""
+    WITH w(term, weight) AS (VALUES """
+    + ", ".join(f"('{t}', {v})" for t, v in _BOW_WEIGHTS)
+    + r"""),
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(coalesce(w.weight, 0)) AS wsum
+      FROM t LEFT JOIN w ON t.tok = w.term
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           round(1.0 / (1.0 + exp(-(wsum / n_tokens))), 6) AS quality_prob
+    FROM s
+    """,
+)
+def q_bow_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear BoW quality classifier: tiny broadcast
+    weight table (the model), map-side join against exploded tokens,
+    one combinable per-doc aggregation, sigmoid of the mean token
+    weight."""
+    docs = read_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(_BOW_WEIGHTS, "term string, weight double")
+    return C.bow_classifier_score(docs, "doc_id", "text", weights)

@@ -210,3 +210,47 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         C.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_pii_stats_and_redact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@mail.example.org or 555-123-4567"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "no sensitive content here"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in C.pii_stats(docs, "doc_id", "text").collect()}
+    assert (stats[1].n_email, stats[1].n_phone, stats[1].n_ip) == (1, 1, 0)
+    assert stats[1].has_pii == 1
+    assert (stats[2].n_email, stats[2].n_phone, stats[2].n_ip) == (0, 0, 1)
+    assert stats[3].has_pii == 0
+    red = {r.doc_id: r.text_redacted for r in C.pii_redact(docs, "text").collect()}
+    assert red[1] == "reach me at <EMAIL> or <PHONE>"
+    assert red[2] == "server at <IP> responded"
+    assert red[3] == "no sensitive content here"
+
+
+def test_bow_classifier_score_known_logit(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words only")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 1.0), ("bad", -2.0)], "term string, weight double"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.quality_prob)
+        for r in C.bow_classifier_score(docs, "doc_id", "text", weights).collect()
+    }
+    # doc 1: mean weight (1 + 1 - 2)/3 = 0 -> sigmoid 0.5
+    assert got[1] == (3, 0.5)
+    # doc 2: all tokens unknown -> logit 0 -> 0.5
+    assert got[2] == (3, 0.5)
+    # bias shifts the logit
+    b = C.bow_classifier_score(docs, "doc_id", "text", weights, bias=1.0).collect()
+    exp = round(1 / (1 + math.exp(-1.0)), 6)
+    assert all(abs(r.quality_prob - exp) < 1e-9 for r in b)
