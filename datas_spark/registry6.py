@@ -7,7 +7,7 @@ Imported by datas_spark.registry for its side effects (registrations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
@@ -241,3 +241,132 @@ def q_bow_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     weights = spark.createDataFrame(_BOW_WEIGHTS, "term string, weight double")
     return C.bow_classifier_score(docs, "doc_id", "text", weights)
+
+
+@register(
+    "events_asof_click",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS r_ts, c.value AS r_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (an operator Spark lacks natively): every purchase is
+    enriched with the user's most recent prior-or-equal click. One
+    union + one per-user ordered window — the same movement as a
+    sort-merge join, no range scan. DuckDB's native ASOF JOIN is the
+    oracle."""
+    from datas_spark.operators import joins as J
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return J.asof_join(purchases, clicks, "user_id", "ts", "ts")
+
+
+@register(
+    "events_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT band_id, band_id * 50.0 AS lo, band_id * 50.0 + 49.999 AS hi
+      FROM (SELECT unnest(range(0, 10)) AS band_id)
+    )
+    SELECT e.event_id, e.event_type, e.value, b.band_id
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    """,
+)
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (point-in-range) join via the bucketed equi-join plan —
+    the big-big range-join strategy: intervals replicate into
+    fixed-width buckets, points probe one bucket, BETWEEN filters
+    within. The oracle is the plain theta join. The 10-row band table
+    WOULD broadcast here; the query deliberately exercises the
+    bucketed path, which is what survives when both sides are large."""
+    from datas_spark.operators import joins as J
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    spark_bands = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 49.999).alias("hi"),
+    )
+    out = J.interval_join(ev, spark_bands, "value", "lo", "hi", bucket_width=50.0)
+    return out.select("event_id", "event_type", "value", "band_id")
+
+
+@register(
+    "events_user_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w3, 4) AS rolling_avg3,
+           round(value - lag(value) OVER wl, 4) AS delta_prev,
+           row_number() OVER wl AS event_seq
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_events_user_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered analytics (rolling mean over the last 3 events,
+    delta vs previous, sequence number) — the window-function surface
+    of a time-series feature pipeline. One shuffle on user_id, one
+    in-partition sort shared by BOTH window frames (same partition ∧
+    order ⇒ Spark reuses the sort)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w3), 4).alias("rolling_avg3"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+@register(
+    "order_totals_rollup",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           sum(o.o_totalprice::DECIMAL(18,2)) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (nation, order_year)
+    """,
+)
+def q_order_totals_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP over (nation, order year): subtotals per nation and
+    the grand total in one pass — Spark expands grouping sets inside a
+    single aggregate, one shuffle. Sums in DECIMAL(18,2) so subtotal
+    and grand-total rows are exact (double summation order would
+    wobble the last bits across engines)."""
+    from pyspark.sql.functions import broadcast
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+            "o_totalprice",
+        )
+        .rollup("nation", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
