@@ -45,6 +45,10 @@ HEADLINE = [
     "multi_scorer_wide",
     "ngram_contamination",
     "tfidf_top_terms",
+    "paragraph_dedup",
+    "chunk_documents",
+    "events_asof_click",
+    "pii_redact",
 ]
 
 
