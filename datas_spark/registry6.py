@@ -370,3 +370,29 @@ def q_order_totals_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           p.value AS purchase_value, c.ts AS click_ts, c.value AS click_value
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (``streaming.join_streams``): every purchase paired with each
+    same-user click at-or-before it within 1 hour. In streaming mode
+    the same predicate's explicit time bound is what lets the state
+    store evict buffered rows (watermark + gap); verified against the
+    plain interval join here."""
+    from datas_spark.streaming.scoring import join_streams
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return join_streams(clicks, purchases)

@@ -214,3 +214,56 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream inner join: pair every purchase with each click by
+    the same user that happened at-or-before it within ``max_gap`` —
+    the attribution join (which click led to this purchase).
+
+    Both sides are watermarked and the join predicate carries an
+    EXPLICIT time bound; that bound is what lets Spark evict state:
+    buffered click rows older than (watermark + gap) can never match a
+    future purchase and are dropped from the state store. Without the
+    time-range predicate a stream-stream join must buffer both sides
+    forever — the classic unbounded-state bug this operator exists to
+    avoid.
+
+    Works identically on batch frames (the range predicate becomes a
+    plain interval join condition) — that twin is the oracle-checked
+    registry query ``events_attribution``.
+    """
+    c = clicks.select(
+        F.col(key).alias("__k"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    p = purchases.select(
+        F.col(key).alias("__k"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["__k"] == p["__k"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond).select(
+        p["purchase_id"],
+        p["__k"].alias(key),
+        p["purchase_ts"],
+        p["purchase_value"],
+        c["click_ts"],
+        c["click_value"],
+    )

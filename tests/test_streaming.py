@@ -198,3 +198,50 @@ def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(str(tmp_path / "state" / "rows")).collect()
     ) == [0, 1, 3]
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import join_streams
+
+    src_dir = tmp_path / "attrib_events"
+    src_dir.mkdir()
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i:02d}:00",
+                "user_id": i % 3,
+                "event_type": ["click", "view"][(i // 3) % 2],
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+    with open(src_dir / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    s = read_event_stream(spark, str(src_dir))
+    got = _run_append_stream(
+        spark,
+        join_streams(
+            s.where(F.col("event_type") == "click"),
+            s.where(F.col("event_type") == "view"),
+            max_gap="10 minutes",
+        ),
+        "attributed",
+    ).collect()
+    batch_src = spark.read.schema(schema).json(str(src_dir))
+    batch = join_streams(
+        batch_src.where(F.col("event_type") == "click"),
+        batch_src.where(F.col("event_type") == "view"),
+        max_gap="10 minutes",
+    ).collect()
+    assert len(batch) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
