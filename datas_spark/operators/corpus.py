@@ -553,9 +553,12 @@ def chunk_documents(
 
     Chunks start every ``chunk_tokens - overlap`` tokens and span
     ``chunk_tokens`` tokens (the last chunk of a document may be
-    shorter; every token lands in at least one chunk). Output:
-    ``(id, chunk_id, n_tokens, chunk_text)``, ``chunk_id`` counting
-    from 0 within each document.
+    shorter; every token lands in at least one chunk). A start whose
+    chunk would be fully contained in the previous chunk's span is NOT
+    emitted — start offsets cap at ``n_tokens - overlap - 1`` — so no
+    tail chunk ever duplicates text the previous chunk already covers.
+    Output: ``(id, chunk_id, n_tokens, chunk_text)``, ``chunk_id``
+    counting from 0 within each document.
 
     Map-only: tokenize once, generate start offsets with ``sequence``,
     slice per offset, posexplode — no shuffle anywhere, amplification
@@ -569,9 +572,15 @@ def chunk_documents(
     toks = df.select(
         F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
-    # empty docs (0 tokens) still emit one empty chunk: sequence(0, -1)
-    # is invalid, so clamp the upper bound to 0
-    starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(step))
+    # upper bound n - overlap - 1: a start past it yields a chunk fully
+    # inside the previous chunk's span (pure duplicated text); empty
+    # docs (0 tokens) still emit one empty chunk — sequence(0, -1) is
+    # invalid, so clamp the upper bound to 0
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
     chunks = toks.select(
         "__id",
         F.posexplode(
@@ -588,6 +597,15 @@ def chunk_documents(
 
 # RE2-safe PII patterns (no lookarounds), shared verbatim with the
 # DuckDB oracle so detection counts reproduce across engines.
+#
+# Precision envelope (know before trusting as a release gate): the IP
+# pattern accepts any 1-3 digit dotted quad, so out-of-range quads
+# (999.999.999.999) and version strings (1.2.3.4) count as hits
+# (false positives); the phone pattern matches only the NNN-NNN-NNNN /
+# NNN NNN NNNN shapes, so +1 (555) 123-4567 and international formats
+# pass through (false negatives). Production PII gates layer validated
+# parsers on top — these patterns are the cheap map-side first pass and
+# the cross-engine-reproducible oracle contract.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",

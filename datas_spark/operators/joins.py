@@ -13,7 +13,11 @@ already good at.
   join), the window's running ``last(payload, ignorenulls)`` carries
   the newest right payload forward to each left row. No range scan,
   no per-row lookup, no cross product. DuckDB's native ASOF JOIN is
-  the oracle.
+  the oracle. ``salt_buckets`` activates the hot-key upgrade: rows
+  salt into timestamp-range buckets so one dominant key spreads over
+  ``salt_buckets`` tasks; a tiny per-(key, bucket) carry-in frame
+  (the latest right row from earlier buckets) preserves exact as-of
+  semantics.
 
 - ``interval_join``: point-in-interval join (value BETWEEN lo AND hi)
   for when BOTH sides are too big to broadcast. Right intervals are
@@ -29,10 +33,15 @@ already good at.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 __all__ = ["asof_join", "interval_join"]
+
+_ASOF_RESERVED = ("__k", "__ts", "__src", "__p", "__l", "__m", "__bkt")
 
 
 def asof_join(
@@ -42,6 +51,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "r_",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the same ``key``
     and the greatest ``right_ts <= left_ts`` (backward as-of, inclusive
@@ -54,15 +64,40 @@ def asof_join(
 
     Plan shape: union the two sides as (key, ts, tag, payload) rows,
     ONE hash shuffle on ``key``, ONE in-partition sort on
-    ``(ts, tag)`` (right tag 0 sorts before left tag 1 at equal ts —
-    that is what makes the match inclusive), then a running
+    ``(ts, tag, payload)`` (right tag 0 sorts before left tag 1 at
+    equal ts — that is what makes the match inclusive), then a running
     ``last(payload, ignorenulls=True)`` window. Identical movement to
-    a sort-merge join of the same two frames. A pathologically hot key
-    sorts one big partition — the standard salt-by-ts-range upgrade
-    applies if one key dominates.
+    a sort-merge join of the same two frames.
+
+    Ties among right rows sharing the same (key, ts) resolve
+    deterministically: the payload struct itself is the final sort
+    key, so the GREATEST payload (field-by-field struct comparison)
+    wins on every run and engine. (DuckDB's ASOF leaves the duplicate
+    choice unspecified; a stable rule on our side at least guarantees
+    run-to-run reproducibility — requires the right payload columns to
+    be orderable types.)
+
+    ``salt_buckets=N`` enables hot-key salting: both sides bucket into
+    N equal timestamp ranges (bounds from one lazy broadcast min/max
+    aggregate — no eager action), the union shuffles on
+    (key, bucket) so a pathological key spreads over N tasks, and
+    exact semantics are preserved by injecting into every left bucket
+    a carry-in row — the latest right row from all earlier buckets,
+    computed on a tiny (keys × buckets) frame. Cost: two extra small
+    aggregates; the data itself still shuffles once.
     """
     rcols = [c for c in right.columns if c != key]
     lcols = left.columns
+    if not rcols:
+        raise ValueError("right frame must have at least one non-key column")
+    for c in (*lcols, key, *rcols):
+        if c in _ASOF_RESERVED:
+            raise ValueError(f"column name {c!r} collides with asof_join internals")
+    clash = set(lcols) & {right_prefix + c for c in rcols}
+    if clash:
+        raise ValueError(
+            f"prefixed right columns collide with left columns: {sorted(clash)}"
+        )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
@@ -75,20 +110,97 @@ def asof_join(
         F.lit(1).alias("__src"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
     )
-    u = l.withColumn("__p", F.lit(None).cast(r.schema["__p"].dataType)).unionByName(
-        r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
-    )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).where(
-        F.col("__src") == 1
-    )
+    lf = l.withColumn("__p", F.lit(None).cast(r.schema["__p"].dataType))
+    rf = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+    u = lf.unionByName(rf)
+    order = [
+        F.col("__ts").asc(),
+        F.col("__src").asc(),
+        F.col("__p").asc_nulls_first(),
+    ]
+    if salt_buckets is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).where(
+            F.col("__src") == 1
+        )
+    else:
+        matched = _asof_salted(lf, rf, u, int(salt_buckets), order)
     return matched.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__m.{c}").alias(right_prefix + c) for c in rcols],
+    )
+
+
+def _asof_salted(l: DataFrame, r: DataFrame, u: DataFrame, nb: int, order) -> DataFrame:
+    """Salted window pass: bucket by timestamp range, carry the latest
+    earlier-bucket right row into each left bucket, window per
+    (key, bucket). All bounds and carries stay in ONE lazy plan."""
+    if nb < 2:
+        raise ValueError(f"salt_buckets must be >= 2, got {nb}")
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def ts_num() -> F.Column:
+        # numeric view of the timestamp for range bucketing; timestamp
+        # types go through an epoch-seconds cast (NTZ can't cast to
+        # double directly)
+        c = F.col("__ts")
+        if isinstance(u.schema["__ts"].dataType, (TimestampType, TimestampNTZType)):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
+    # lazy global ts bounds: 1-row aggregate broadcast-crossJoined in
+    bounds = u.agg(F.min(ts_num()).alias("__mn"), F.max(ts_num()).alias("__mx"))
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        span = F.greatest(F.col("__mx") - F.col("__mn"), F.lit(1e-12))
+        b = F.floor((ts_num() - F.col("__mn")) / span * F.lit(nb)).cast("long")
+        return (
+            df.crossJoin(broadcast(bounds))
+            .withColumn("__bkt", F.least(b, F.lit(nb - 1)))
+            .drop("__mn", "__mx")
+        )
+    lb, rb = bucketed(l), bucketed(r)
+    # latest right row per (key, bucket): max(struct(ts, payload)) — the
+    # same (ts, payload) total order as the window tie-break; map-side
+    # combinable, no window over the hot key's raw rows
+    r_latest = rb.groupBy("__k", "__bkt").agg(
+        F.max(F.struct(F.col("__ts"), F.col("__p"))).alias("__lat")
+    )
+    # carry for every (key, bucket) PRESENT on the left: latest __lat
+    # among strictly earlier buckets. The grid frame is <= keys × nb
+    # rows — the per-key window here sorts <= nb rows, never the data.
+    l_buckets = lb.select("__k", "__bkt").distinct()
+    grid = l_buckets.join(r_latest, ["__k", "__bkt"], "full_outer")
+    wc = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        grid.withColumn("__carry", F.last("__lat", ignorenulls=True).over(wc))
+        .join(l_buckets, ["__k", "__bkt"], "left_semi")
+        .where(F.col("__carry").isNotNull())
+        .select(
+            "__k",
+            F.col("__carry.__ts").alias("__ts"),
+            F.lit(0).alias("__src"),
+            F.col("__carry.__p").alias("__p"),
+            F.lit(None).cast(lb.schema["__l"].dataType).alias("__l"),
+            "__bkt",
+        )
+    )
+    ub = lb.unionByName(rb).unionByName(carries)
+    w = (
+        Window.partitionBy("__k", "__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ub.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).where(
+        F.col("__src") == 1
     )
 
 
@@ -99,6 +211,7 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     bucket_width: float,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner join of left points to right intervals with
     ``lo_col <= left_val <= hi_col``, as a bucketed equi-join (the
@@ -110,20 +223,39 @@ def interval_join(
     The equi-join on the bucket id goes through the normal shuffle
     hash/sort-merge path (AQE handles skewed buckets); the BETWEEN
     predicate evaluates only within co-bucketed candidates.
+
+    Guards: ``bucket_width`` must be a positive finite number (NaN
+    would silently bucket nothing), and any single interval expanding
+    to more than ``max_buckets_per_interval`` buckets raises at run
+    time — a badly chosen ``bucket_width`` against one huge interval
+    would otherwise explode into millions of replica rows (and Spark's
+    ``sequence`` hard-errors past the max array length anyway, with a
+    far less actionable message).
     """
     bw = float(bucket_width)
-    if bw <= 0:
-        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    if math.isnan(bw) or math.isinf(bw) or bw <= 0:
+        raise ValueError(f"bucket_width must be positive and finite, got {bucket_width}")
+    cap = int(max_buckets_per_interval)
+    if cap < 1:
+        raise ValueError(f"max_buckets_per_interval must be >= 1, got {cap}")
     lb = left.withColumn("__b", F.floor(F.col(left_val) / F.lit(bw)).cast("long"))
-    rb = right.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bw)).cast("long"),
-                F.floor(F.col(hi_col) / F.lit(bw)).cast("long"),
+    blo = F.floor(F.col(lo_col) / F.lit(bw)).cast("long")
+    bhi = F.floor(F.col(hi_col) / F.lit(bw)).cast("long")
+    seq = F.when(
+        bhi - blo < F.lit(cap),
+        F.sequence(blo, bhi),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_join: interval [%s, %s] spans more than "
+                f"{cap} buckets of width {bw!r}; raise bucket_width or "
+                "max_buckets_per_interval",
+                F.col(lo_col).cast("string"),
+                F.col(hi_col).cast("string"),
             )
-        ),
+        ).cast("array<long>")
     )
+    rb = right.withColumn("__b", F.explode(seq))
     return (
         lb.join(rb, "__b")
         .where((F.col(left_val) >= F.col(lo_col)) & (F.col(left_val) <= F.col(hi_col)))

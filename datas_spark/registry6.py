@@ -94,8 +94,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       FROM documents
     ), s AS (
+      -- starts cap at n - overlap - 1 (= len - 9): a later start's chunk
+      -- would be fully contained in the previous chunk's span
       SELECT doc_id, toks,
-             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+             unnest(range(0, greatest(len(toks) - 9, 0) + 1, 24)) AS start
       FROM t
     )
     SELECT doc_id,
@@ -108,7 +110,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (32-token chunks, 8-token overlap →
     starts every 24): map-only, no shuffle; every token lands in at
-    least one chunk, tail chunks may be short."""
+    least one chunk, tail chunks may be short but never fully
+    duplicate the previous chunk's span."""
     docs = read_table(spark, sf_dir, "documents")
     return C.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
 
@@ -270,6 +273,34 @@ def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
     return J.asof_join(purchases, clicks, "user_id", "ts", "ts")
+
+
+@register(
+    "events_asof_click_salted",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS r_ts, c.value AS r_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_events_asof_click_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-salted AS-OF path against the identical oracle: rows
+    salt into 8 timestamp-range buckets (the dominant user spreads over
+    8 tasks), a tiny carry-in frame preserves exact as-of semantics —
+    same answer, skew-proof plan."""
+    from datas_spark.operators import joins as J
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return J.asof_join(purchases, clicks, "user_id", "ts", "ts", salt_buckets=8)
 
 
 @register(

@@ -195,13 +195,17 @@ def test_chunk_documents_covers_all_tokens_with_overlap(spark):
         C.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1).collect(),
         key=lambda r: r.chunk_id,
     )
-    # step 3: starts 0,3,6,9 -> 4 chunks, last one short
-    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    # step 3, starts capped at n - overlap - 1 = 8: starts 0,3,6 only —
+    # a chunk starting at 9 ([t9]) would duplicate the tail of [t6..t9]
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
     assert rows[0].chunk_text == "t0 t1 t2 t3"
     assert rows[1].chunk_text == "t3 t4 t5 t6"
-    assert rows[3].chunk_text == "t9" and rows[3].n_tokens == 1
+    assert rows[2].chunk_text == "t6 t7 t8 t9"
     # consecutive chunks overlap by exactly `overlap` tokens
     assert rows[0].chunk_text.split()[-1] == rows[1].chunk_text.split()[0]
+    # every token still covered
+    covered = {t for r in rows for t in r.chunk_text.split()}
+    assert covered == {f"t{i}" for i in range(10)}
 
 
 def test_chunk_documents_rejects_bad_overlap(spark):

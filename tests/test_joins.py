@@ -67,3 +67,104 @@ def test_interval_join_rejects_bad_bucket_width(spark):
     df = spark.createDataFrame([(1, 1.0)], "a long, v double")
     with pytest.raises(ValueError):
         J.interval_join(df, df.selectExpr("a", "v lo", "v hi"), "v", "lo", "hi", 0)
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame([(1, 10)], "id long, ts long")
+    # three right rows share (key, ts=5): greatest payload struct wins
+    right = spark.createDataFrame(
+        [(1, 5, "b"), (1, 5, "c"), (1, 5, "a")], "id long, ts long, tag string"
+    )
+    for _ in range(3):
+        rows = J.asof_join(left, right, "id", "ts", "ts").collect()
+        assert len(rows) == 1 and rows[0].r_tag == "c"
+
+
+def test_asof_join_validates_structure(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 1.0)], "id long, ts long, v double")
+    right = spark.createDataFrame([(1, 5, "a")], "id long, ts long, tag string")
+    # right frame with only the key column
+    with pytest.raises(ValueError, match="non-key"):
+        J.asof_join(left, right.select("id"), "id", "ts", "ts")
+    # reserved internal names
+    bad = right.withColumnRenamed("tag", "__p")
+    with pytest.raises(ValueError, match="internals"):
+        J.asof_join(left, bad, "id", "ts", "ts")
+    # prefixed right column colliding with a left column
+    lclash = left.withColumnRenamed("v", "r_tag")
+    with pytest.raises(ValueError, match="collide"):
+        J.asof_join(lclash, right, "id", "ts", "ts")
+
+
+def _asof_skewed_frames(spark):
+    from pyspark.sql import functions as F
+
+    # one hot key (0) holding ~90% of rows, plus a handful of cold keys
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 == 9, F.col("id") % 7 + 1)
+        .otherwise(F.lit(0))
+        .alias("k"),
+        (F.col("id") * 3 + 1).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(500).select(
+        F.when(F.col("id") % 10 == 9, F.col("id") % 7 + 1)
+        .otherwise(F.lit(0))
+        .alias("k"),
+        (F.col("id") * 11).alias("ts"),
+        (F.col("id") * 2).alias("rv"),
+    )
+    return left, right
+
+
+def test_asof_join_salted_matches_unsalted(spark):
+    left, right = _asof_skewed_frames(spark)
+    plain = J.asof_join(left, right, "k", "ts", "ts")
+    salted = J.asof_join(left, right, "k", "ts", "ts", salt_buckets=8)
+    key = lambda r: (r.k, r.ts, r.lid)
+    a = sorted(((key(r), r.r_ts, r.r_rv) for r in plain.collect()))
+    b = sorted(((key(r), r.r_ts, r.r_rv) for r in salted.collect()))
+    assert a == b and len(a) == 2000
+
+
+def test_asof_join_salted_spreads_hot_key(spark):
+    left, right = _asof_skewed_frames(spark)
+    salted = J.asof_join(left, right, "k", "ts", "ts", salt_buckets=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # the main window pass partitions by (key, salt bucket), so the hot
+    # key's rows land in up to 8 separate tasks instead of one
+    assert "__bkt" in plan
+
+
+def test_asof_join_salted_rejects_tiny_bucket_count(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 1.0)], "id long, ts long, v double")
+    right = spark.createDataFrame([(1, 5, "a")], "id long, ts long, tag string")
+    with pytest.raises(ValueError, match="salt_buckets"):
+        J.asof_join(left, right, "id", "ts", "ts", salt_buckets=1).collect()
+
+
+def test_interval_join_rejects_nan_and_inf_bucket_width(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "a long, v double")
+    ivals = df.selectExpr("a", "v lo", "v hi")
+    for bad in (float("nan"), float("inf"), -1.0):
+        with pytest.raises(ValueError, match="bucket_width"):
+            J.interval_join(df, ivals, "v", "lo", "hi", bad)
+
+
+def test_interval_join_caps_bucket_explosion(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    wide = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, lo double, hi double")
+    with pytest.raises(SparkRuntimeException, match="interval_join"):
+        J.interval_join(points, wide, "v", "lo", "hi", 1.0, max_buckets_per_interval=100).collect()
+    # raising the cap (or the width) lets the same data through
+    ok = J.interval_join(points, wide, "v", "lo", "hi", 1e9, max_buckets_per_interval=100)
+    assert ok.count() == 1
