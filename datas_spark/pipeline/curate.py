@@ -1,11 +1,12 @@
 """End-to-end corpus curation recipe — the standard LLM pre-training
-data pipeline (dedup → quality filters → decontamination → mixture
-rebalancing → split) composed from the individually oracle-checked
-operators into ONE lazy DataFrame plan.
+data pipeline (PII redaction → dedup at three granularities → quality
+filters → decontamination → mixture rebalancing → split) composed from
+the individually oracle-checked operators into ONE lazy DataFrame plan.
 
-Stage order follows the usual cost gradient: cheap map-side filters
-first (repetition, quality), the exact-dedup aggregate next, the
-benchmark broadcast probe after that, and the mixture/ split hashing
+Stage order follows the usual cost gradient: cheap map-side transforms
+first (repetition, quality, redaction), the exact-dedup aggregate next,
+then the heavier shuffling stages (paragraph dedup, near-dup chain),
+the benchmark broadcast probe after that, and the mixture/split hashing
 last over the surviving minority. Catalyst fuses the map-side stages;
 nothing materializes between steps.
 """
@@ -19,10 +20,16 @@ from datas_spark.functions.text import quality_score
 from datas_spark.operators.corpus import (
     hash_split,
     ngram_contamination,
+    pii_redact,
     repetition_stats,
     temperature_sample,
 )
-from datas_spark.operators.dedup import exact_dedup
+from datas_spark.operators.dedup import (
+    exact_dedup,
+    near_dedup_keep_best,
+    ngram_jaccard_pairs,
+    paragraph_dedup,
+)
 
 __all__ = ["curate_corpus"]
 
@@ -37,33 +44,71 @@ def curate_corpus(
     min_quality: float = 0.0,
     max_dup_token_frac: float = 0.95,
     max_top_bigram_frac: float = 0.95,
+    redact_pii: bool = False,
+    paragraph_dedup_delimiter: str | None = None,
+    near_dup_threshold: float | None = None,
+    near_dup_ngram: int = 3,
     contamination_min_shared: int = 5,
     temperature: float | None = None,
     split_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Run the full curation recipe; returns the surviving rows of
-    ``docs`` plus a ``split`` column when ``split_weights`` is given.
+    ``docs`` (text possibly rewritten by redaction / paragraph dedup,
+    plus a ``component`` column when near-dup runs and a ``split``
+    column when ``split_weights`` is given).
 
     Steps (each optional knob defaults to pass-through):
     1. repetition filter  — drop docs above the dup-token / top-bigram
-       fractions (map-side, no shuffle)
+       fractions (map-side, no shuffle); skipped entirely when both
+       thresholds are >= 1
     2. quality filter     — drop docs under ``min_quality`` (map-side)
-    3. exact dedup        — normalized-text fingerprint, first id wins
-    4. decontamination    — drop docs sharing ≥ ``contamination_min_shared``
+    3. PII redaction      — rewrite ``text_col`` with typed placeholders
+       (map-only) if ``redact_pii``; BEFORE any dedup so documents that
+       differ only in a phone number dedup together
+    4. exact dedup        — normalized-text fingerprint, first id wins
+    5. paragraph dedup    — corpus-wide first-occurrence segment
+       election on ``paragraph_dedup_delimiter``, text rebuilt from
+       surviving segments, if a delimiter is given
+    6. near-dup chain     — n-gram Jaccard pairs ≥ ``near_dup_threshold``
+       → connected components → keep the LONGEST doc per component
+       (ties to smallest id), if a threshold is given
+    7. decontamination    — drop docs sharing ≥ ``contamination_min_shared``
        n-grams with ``benchmark`` (broadcast probe), if given
-    5. temperature sample — rebalance ``domain_col`` mixture, if given
-    6. hash split         — deterministic train/test labels, if given
+    8. temperature sample — rebalance ``domain_col`` mixture, if given
+    9. hash split         — deterministic train/test labels, if given
     """
     out = docs
-    rep = repetition_stats(out, id_col, text_col)
-    keep = rep.where(
-        (F.col("dup_token_frac") <= max_dup_token_frac)
-        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
-    ).select(id_col)
-    out = out.join(keep, id_col, "left_semi")
+    if max_dup_token_frac < 1.0 or max_top_bigram_frac < 1.0:
+        rep = repetition_stats(out, id_col, text_col)
+        keep = rep.where(
+            (F.col("dup_token_frac") <= max_dup_token_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        ).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
     if min_quality > 0.0:
         out = out.where(quality_score(text_col) >= min_quality)
+    if redact_pii:
+        other = [c for c in out.columns if c != text_col]
+        out = pii_redact(out, text_col, out_col="__red").select(
+            *other, F.col("__red").alias(text_col)
+        )
     out = exact_dedup(out, text_col, id_col)
+    if paragraph_dedup_delimiter is not None:
+        rebuilt = paragraph_dedup(
+            out, id_col, text_col, delimiter=paragraph_dedup_delimiter
+        ).select(id_col, F.col("text_dedup").alias(text_col))
+        out = out.drop(text_col).join(rebuilt, id_col)
+    if near_dup_threshold is not None:
+        pairs = ngram_jaccard_pairs(
+            out, id_col, text_col, n=near_dup_ngram, threshold=near_dup_threshold
+        )
+        out = (
+            near_dedup_keep_best(
+                out.withColumn("__len", F.length(text_col)), id_col, "__len", pairs
+            )
+            .where(F.col("is_representative") == 1)
+            .drop("__len", "is_representative")
+        )
     if benchmark is not None:
         clean = (
             ngram_contamination(

@@ -592,13 +592,86 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("curate_corpus")  # rows-only: full-recipe composition (pieces oracle-checked)
+# The composed curation-recipe oracle: every stage's already-proven CTE
+# chained in the SAME order the Spark plan runs them — repetition filter
+# (rounded fractions), exact dedup among repetition survivors,
+# decontamination of dedup survivors vs the RAW doc_id<20 slice,
+# temperature rates computed over the POST-contamination counts, split
+# hash last. A wiring bug between stages (wrong input frame, stage
+# order, filter polarity) now hash-mismatches instead of hiding.
+_NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower({t}), '[^\w\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+_CURATE_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS ndt,
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1]) AS bg
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(bg) AS g FROM b
+    ), c AS (
+      SELECT doc_id, max(cnt) AS mx FROM (
+        SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), rep AS (
+      SELECT b.doc_id,
+        round(CASE WHEN nt > 0 THEN 1 - ndt::DOUBLE / nt ELSE 0 END, 6)
+          AS dup_token_frac,
+        round(CASE WHEN len(bg) > 0 THEN coalesce(mx, 0)::DOUBLE / len(bg)
+                   ELSE 0 END, 6) AS top_bigram_frac
+      FROM b LEFT JOIN c USING (doc_id)
+    ), rep_keep AS (
+      SELECT doc_id FROM rep
+      WHERE dup_token_frac <= 0.9 AND top_bigram_frac <= 0.9
+    ), ded AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id, row_number() OVER (
+          PARTITION BY md5({_NORM_SQL.format(t='d.text')})
+          ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN rep_keep USING (doc_id)
+      ) WHERE rn = 1
+    ), {_SHINGLES_CTE.strip()}, bench AS (
+      SELECT DISTINCT g FROM ex WHERE doc_id < 20
+    ), cont AS (
+      SELECT e.doc_id, count(DISTINCT e.g) AS shared
+      FROM ex e JOIN ded USING (doc_id) JOIN bench bn ON e.g = bn.g
+      GROUP BY e.doc_id
+    ), clean AS (
+      SELECT d.doc_id FROM ded d LEFT JOIN cont USING (doc_id)
+      WHERE coalesce(shared, 0) < 5
+    ), sv AS (
+      SELECT c.doc_id, d.lang FROM clean c JOIN documents d USING (doc_id)
+    ), cnt AS (
+      SELECT lang, count(*) AS nd FROM sv GROUP BY lang
+    ), tt AS (
+      SELECT *, sum(nd) OVER () AS total FROM cnt
+    ), w AS (
+      SELECT *, pow(nd::DOUBLE / total, 1.0 / 2.0) AS wgt FROM tt
+    ), r AS (
+      SELECT lang, least(1.0, (total * (wgt / sum(wgt) OVER ())) / nd) AS rate
+      FROM w
+    )
+    SELECT s.doc_id, s.lang,
+           CASE WHEN {_MD5_UNIT_SQL.format(key="s.doc_id::VARCHAR")} < 0.9
+                THEN 'train' ELSE 'test' END AS split
+    FROM sv s JOIN r USING (lang)
+    WHERE {_MD5_UNIT_SQL.format(key="s.doc_id::VARCHAR")} < r.rate
+"""
+
+
+@register("curate_corpus", oracle=_CURATE_ORACLE)
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation recipe in one lazy plan: repetition + quality
-    filters -> exact dedup -> decontamination vs the doc_id<20 slice ->
-    temperature rebalancing by lang -> deterministic split. Every stage
-    is individually oracle-checked; the composition is a rows-only
-    driver check with invariants pytest'd."""
+    """The full curation recipe in one lazy plan: repetition filter ->
+    exact dedup -> decontamination vs the doc_id<20 slice ->
+    temperature rebalancing by lang -> deterministic split. The oracle
+    is the stage CTEs composed in the identical order, so the
+    COMPOSITION (stage wiring, input frames, filter polarity) is
+    hash-checked, not just the pieces."""
     from datas_spark.pipeline.curate import curate_corpus
 
     docs = read_table(spark, sf_dir, "documents")
