@@ -451,20 +451,99 @@ def q_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_topk")  # approximate — rows-only check (no SQL oracle)
+# The LSH hyperplanes are deterministic Python literals
+# (similarity.random_hyperplanes, fixed seed) — embedding them verbatim
+# in the SQL makes the WHOLE approximate query exactly reproducible:
+# the oracle computes the same sign-bit buckets, probe sets, and
+# bucket-restricted cosine rank. "Approximate" means approximate w.r.t.
+# the exact top-k, not nondeterministic.
+_LSH_DIM = 64  # driver embeddings are 64-dim at every sf
+
+
+def _planes_values_sql(n_planes: int, seed: int = 42) -> str:
+    planes = SIM.random_hyperplanes(_LSH_DIM, n_planes, seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    return f"(VALUES {rows}) AS t(pid, pv)"
+
+
+_LSH_DOT_SQL = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+    " i -> e.embedding[i]::DOUBLE * p.pv[i]))"
+)
+
+_LSH_COS_SQL = """
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6)
+"""
+
+
+def _lsh_topk_oracle(n_planes: int, n_probe: int) -> str:
+    probes = (
+        "[own]"
+        if n_probe == 1
+        else (
+            f"list_concat([own], list_transform(flips[1:{n_probe - 1}],"
+            " s -> xor(own, s.bit)))"
+        )
+    )
+    return f"""
+    WITH pl AS (SELECT * FROM {_planes_values_sql(n_planes)}),
+    dots AS (
+      SELECT e.vec_id, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM embeddings e CROSS JOIN pl p
+    ), db AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM dots GROUP BY vec_id
+    ), qb AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS own,
+        list_sort(list({{'m': abs(dt), 'bit': (1::BIGINT << pid)}})) AS flips
+      FROM dots WHERE vec_id < 3 GROUP BY vec_id
+    ), probes AS (
+      SELECT vec_id AS q_vec_id, unnest({probes}) AS pb FROM qb
+    ), scored AS (
+      SELECT pr.q_vec_id, d.vec_id AS d_vec_id, {_LSH_COS_SQL} AS cos
+      FROM probes pr
+      JOIN db ON db.bucket = pr.pb
+      JOIN embeddings d ON d.vec_id = db.vec_id
+      JOIN embeddings q ON q.vec_id = pr.q_vec_id
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("lsh_topk", oracle=_lsh_topk_oracle(n_planes=6, n_probe=1))
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucketed cosine top-10 (recall vs
-    cosine_topk is data-dependent → rows-only driver check)."""
+    """Random-hyperplane LSH ANN: bucketed cosine top-10. The seed-
+    pinned hyperplanes are embedded in the DuckDB twin, so even the
+    approximate path is hash-checked end-to-end (buckets, candidate
+    sets, rank)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10, n_planes=6)
 
 
-@register("lsh_topk_multiprobe")  # approximate — rows-only check (no SQL oracle)
+@register("lsh_topk_multiprobe", oracle=_lsh_topk_oracle(n_planes=6, n_probe=4))
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: same plan as lsh_topk plus 3 extra flip-one-
     bit probes per query (smallest projection margin first) — higher
-    recall at ~4x candidate cost, no extra hash tables. Rows-only
-    driver check; the recall-vs-single-probe invariant is pytest'd."""
+    recall at ~4x candidate cost, no extra hash tables. The probe-set
+    derivation (margin sort, bit flips) is reproduced in the oracle;
+    the recall-vs-single-probe invariant is additionally pytest'd."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(
         emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",
@@ -537,13 +616,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cos") >= 0.3)
 
 
-@register("lsh_blocked_near_dup")  # rows-only: LSH bucket recall is data-dependent
+def _lsh_blocked_oracle(n_planes: int) -> str:
+    return f"""
+    WITH pl AS (SELECT * FROM {_planes_values_sql(n_planes)}),
+    dots AS (
+      SELECT e.vec_id, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM embeddings e CROSS JOIN pl p
+    ), db AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    SELECT * FROM (
+      SELECT d.vec_id AS id_a, q.vec_id AS id_b, {_LSH_COS_SQL} AS cos
+      FROM db a JOIN db b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN embeddings d ON d.vec_id = a.vec_id
+      JOIN embeddings q ON q.vec_id = b.vec_id
+    ) WHERE cos >= 0.3
+    """
+
+
+@register("lsh_blocked_near_dup", oracle=_lsh_blocked_oracle(n_planes=4))
 def q_lsh_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The no-natural-blocking-key scale default: hyperplane sign
     buckets (map-only) bound the pairwise matmul — no cross join
-    anywhere. Pytest plants near-identical twins and proves recall;
-    the blocked/vectorized cosine itself is oracle-checked via
-    embedding_near_dup_vec."""
+    anywhere. The seed-pinned planes are embedded in the oracle, so
+    the bucket partition AND the in-bucket cosine pairs hash-check;
+    pytest additionally plants near-identical twins and proves
+    recall."""
     emb = read_table(spark, sf_dir, "embeddings")
     return D.lsh_blocked_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=4
