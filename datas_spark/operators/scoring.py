@@ -44,6 +44,9 @@ __all__ = [
     "make_token_loss_scorer",
     "fake_causal_lm_factory",
     "ifd_model_scorer",
+    "make_grad_capture",
+    "grad_capture_long",
+    "less_influence",
 ]
 
 
@@ -264,3 +267,105 @@ def ifd_model_scorer(
         "__la", scorer(F.lit(""), F.col(output_col))
     )
     return ifd_from_losses(staged, "__lc", "__la", max_ratio).drop("__la", "__lc")
+
+
+# ---------------------------------------------------------------------------
+# T12 + P9 end-to-end: gradient capture -> long param table -> LESS
+# influence (the one reference dataflow previously pattern-only here)
+# ---------------------------------------------------------------------------
+
+def make_grad_capture(
+    params: list[str],
+    dim: int,
+    grad_fn_factory: Callable[[], Callable[[str], list[float]]] | None = None,
+):
+    """T12 (``/root/reference/src/utils/get_info.py:43-68``): per-example
+    gradient capture as an iterator pandas_udf. The model loads once per
+    executor python worker; each text maps to a flat
+    ``len(params) * dim`` gradient vector (the LoRA-projected gradient
+    of LESS — real trainers project the full gradient down before
+    shipping it anywhere, so ``dim`` is small by construction).
+
+    Default factory is the deterministic fake
+    ``grad[p][j] = 2 * md5_unit(text + '#' + param + '#' + j) - 1``,
+    bit-reproducible in DuckDB SQL so the downstream relational math is
+    oracle-checkable; a real factory closes over torch and returns
+    per-example projected grads with the identical signature.
+    """
+    from pyspark.sql.types import ArrayType
+
+    def default_factory() -> Callable[[str], list[float]]:
+        def grads(text: str) -> list[float]:
+            return [
+                2.0 * _md5_unit(f"{text}#{p}#{j}") - 1.0
+                for p in params
+                for j in range(dim)
+            ]
+
+        return grads
+
+    factory = grad_fn_factory or default_factory
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def capture(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        grad_fn = factory()  # once per worker, not per batch
+        for batch in batches:
+            yield pd.Series([grad_fn(t if t is not None else "") for t in batch])
+
+    return capture
+
+
+def grad_capture_long(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    params: list[str],
+    dim: int,
+    grad_fn_factory: Callable[[], Callable[[str], list[float]]] | None = None,
+) -> DataFrame:
+    """Capture per-example gradients into the LONG parameter layout
+    ``(id, param, idx, value)`` — the same relational model the
+    task-vector algebra uses (SURVEY §2.7), so influence scoring,
+    merging, and per-parameter analytics are all joins/aggregates.
+
+    One pandas_udf call per example (batched via Arrow), one
+    ``posexplode`` — the flat position maps back to (param, idx)
+    arithmetically, no shuffle until the caller aggregates.
+    """
+    capture = make_grad_capture(params, dim, grad_fn_factory)
+    flat = df.select(F.col(id_col), capture(F.col(text_col)).alias("__g"))
+    param_arr = F.array(*[F.lit(p) for p in params])
+    pe = flat.select(id_col, F.posexplode("__g").alias("__pos", "value"))
+    return pe.select(
+        F.col(id_col),
+        F.get(param_arr, (F.col("__pos") / dim).cast("int")).alias("param"),
+        (F.col("__pos") % dim).cast("long").alias("idx"),
+        "value",
+    )
+
+
+def less_influence(
+    train_grads: DataFrame,
+    target_grads: DataFrame,
+    id_col: str,
+    out_col: str = "less_influence",
+) -> DataFrame:
+    """P9, the real dataflow the reference stubs
+    (``score_pipeline_less.py:1-9`` docstring vs ``len(output)`` body):
+    LESS influence = <example_grad, mean target-task grad>. Inputs are
+    long ``(id, param, idx, value)`` tables from ``grad_capture_long``.
+
+    Plan: the target side aggregates to ONE vector (|params| * dim rows
+    — tiny, broadcast); the train side joins it map-side and reduces
+    per example with a combinable sum. The 100 TB shape: no shuffle of
+    the big gradient table beyond the per-example aggregation, and that
+    carries one double per (example, partition).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tg = target_grads.groupBy("param", "idx").agg(F.avg("value").alias("__tv"))
+    return (
+        train_grads.join(broadcast(tg), ["param", "idx"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("value") * F.col("__tv")), 6).alias(out_col))
+    )

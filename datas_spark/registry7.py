@@ -108,6 +108,54 @@ _CURATE_FULL_ORACLE = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# less_influence — T12 gradient capture feeding P9 LESS influence, the
+# one reference dataflow (get_info.py:43-68 -> score_pipeline_less.py)
+# that was pattern-only until now. Gradients flow through the REAL
+# iterator-pandas_udf boundary (deterministic md5 fake values), land in
+# the long (id, param, idx, value) layout, and the influence is a
+# broadcast dot-product join — all reproduced in the oracle.
+# ---------------------------------------------------------------------------
+
+_GRAD_PARAMS = ["layer0.proj", "layer1.proj"]
+_GRAD_DIM = 4
+
+_LESS_ORACLE = f"""
+    WITH p AS (
+      SELECT unnest([{', '.join(repr(p) for p in _GRAD_PARAMS)}]) AS param
+    ), ix AS (
+      SELECT unnest(range(0, {_GRAD_DIM})) AS idx
+    ), g AS (
+      SELECT d.doc_id, p.param, ix.idx,
+        2.0 * {_MD5_UNIT_SQL.format(key="d.text || '#' || p.param || '#' || ix.idx")}
+          - 1.0 AS value
+      FROM documents d CROSS JOIN p CROSS JOIN ix
+    ), tg AS (
+      SELECT param, idx, avg(value) AS tv
+      FROM g WHERE doc_id < 5 GROUP BY param, idx
+    )
+    SELECT g.doc_id, round(sum(g.value * tg.tv), 6) AS less_influence
+    FROM g JOIN tg USING (param, idx)
+    GROUP BY g.doc_id
+"""
+
+
+@register("less_influence", oracle=_LESS_ORACLE)
+def q_less_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 + P9 end-to-end: per-example gradients captured through the
+    iterator pandas_udf (deterministic fake, real Arrow path) into the
+    long param table, target-task gradient averaged from the doc_id<5
+    slice, influence = broadcast dot-product join per example. The
+    reference stubs this whole flow (score_pipeline_less.py body is
+    len(output)); here the relational half is hash-checked."""
+    from datas_spark.operators.scoring import grad_capture_long, less_influence
+
+    docs = read_table(spark, sf_dir, "documents")
+    grads = grad_capture_long(docs, "doc_id", "text", _GRAD_PARAMS, _GRAD_DIM)
+    target = grads.where(F.col("doc_id") < 5)
+    return less_influence(grads, target, "doc_id")
+
+
 @register("curate_corpus_full", oracle=_CURATE_FULL_ORACLE)
 def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation stages the basic ``curate_corpus`` query leaves

@@ -125,3 +125,57 @@ def test_ifd_model_scorer_e2e(spark, alpaca):
             assert got[row.instruction] == pytest.approx(ratio)
         else:
             assert row.instruction not in got
+
+
+def test_grad_capture_long_layout_and_determinism(spark):
+    from datas_spark.operators.scoring import grad_capture_long
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    params = ["l0", "l1", "l2"]
+    out = grad_capture_long(docs, "doc_id", "text", params, dim=2)
+    rows = out.collect()
+    # every (id, param, idx) cell exactly once
+    assert len(rows) == 2 * 3 * 2
+    cells = {(r.doc_id, r.param, r.idx) for r in rows}
+    assert len(cells) == len(rows)
+    assert {r.param for r in rows} == set(params)
+    assert {r.idx for r in rows} == {0, 1}
+    # values are in (-1, 1) and bit-stable across runs
+    assert all(-1.0 <= r.value <= 1.0 for r in rows)
+    again = {(r.doc_id, r.param, r.idx): r.value for r in out.collect()}
+    assert all(again[(r.doc_id, r.param, r.idx)] == r.value for r in rows)
+
+
+def test_less_influence_matches_manual_dot_product(spark):
+    import hashlib
+
+    from datas_spark.operators.scoring import grad_capture_long, less_influence
+
+    def unit(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    texts = {1: "alpha beta", 2: "gamma delta", 3: "epsilon"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    params, dim = ["l0", "l1"], 3
+    grads = grad_capture_long(docs, "doc_id", "text", params, dim)
+    target = grads.where("doc_id = 1")
+    got = {
+        r.doc_id: r.less_influence
+        for r in less_influence(grads, target, "doc_id").collect()
+    }
+
+    def gvec(text):
+        return [
+            2.0 * unit(f"{text}#{p}#{j}") - 1.0 for p in params for j in range(dim)
+        ]
+
+    tv = gvec(texts[1])  # single target example -> avg == itself
+    for did, text in texts.items():
+        want = round(sum(a * b for a, b in zip(gvec(text), tv)), 6)
+        assert abs(got[did] - want) < 1e-9
+    # the target example is maximally aligned with its own gradient
+    assert got[1] == max(got.values())
