@@ -124,6 +124,7 @@ def stratified_sample(
     strata_col: str,
     id_col: str,
     fraction: float,
+    skew_resistant: bool = False,
 ) -> DataFrame:
     """Deterministic proportional sample: within each stratum, order by
     ``md5(id)`` (a seed-free uniform shuffle that reproduces bit-for-bit
@@ -132,9 +133,30 @@ def stratified_sample(
     row — the property plain ``df.sample`` loses for rare strata, which
     is the whole point of stratifying (keep the tail languages/sources).
 
-    One window per stratum; for a pathologically dominant stratum the
-    ``stride_sample_skew_resistant`` rank construction applies verbatim.
+    ``skew_resistant=True`` (identical output) routes the rank through
+    ``selection.skew_resistant_rank`` — no window partitioned by the
+    stratum key, so a pathologically dominant stratum (one language at
+    90% of a multilingual corpus) spreads over the full range exchange
+    instead of serializing onto one task.
     """
+    if skew_resistant:
+        from datas_spark.operators.selection import skew_resistant_rank
+
+        # unique order key reproducing orderBy(md5(id), id): fixed-width
+        # md5 hex, then the id rendering (md5 collisions aside, the hex
+        # prefix alone decides — same survivor set as the window path)
+        tmp = df.withColumn(
+            "__ord",
+            F.concat(
+                F.md5(F.col(id_col).cast("string")),
+                F.lit("#"),
+                F.col(id_col).cast("string"),
+            ),
+        )
+        ranked = skew_resistant_rank(tmp, strata_col, "__ord")
+        return ranked.where(
+            F.col("__rn") <= F.ceil(F.col("__m") * F.lit(fraction))
+        ).drop("__rn", "__m", "__ord")
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -152,17 +174,24 @@ def source_quota_cap(
     source_col: str,
     order_col: str,
     max_per_source: int,
+    skew_resistant: bool = False,
 ) -> DataFrame:
     """Cap every source at ``max_per_source`` rows, keeping the first in
     ``order_col`` order — domain balancing so no single crawl/source
     dominates the mixture (the per-domain cap every web-scale corpus
     recipe applies).
 
-    rank-window per source; the filter is a top-k per key, so at scale
-    the two-stage bucketed-rank construction (see
-    ``similarity.cosine_topk``) drops in if a source is hot enough to
-    matter.
+    ``skew_resistant=True`` (identical output; ``order_col`` must be
+    unique per row) uses ``selection.skew_resistant_rank`` so the ONE
+    source that needed capping — by definition the dominant one — never
+    sorts on a single task. The default rank-window path is right when
+    no source exceeds a partition's worth of rows.
     """
+    if skew_resistant:
+        from datas_spark.operators.selection import skew_resistant_rank
+
+        ranked = skew_resistant_rank(df, source_col, order_col)
+        return ranked.where(F.col("__rn") <= max_per_source).drop("__rn", "__m")
     w = Window.partitionBy(source_col).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -198,16 +227,20 @@ def tfidf_top_terms(
     # N as a broadcast 1-row frame keeps the whole plan lazy (no count()
     # job at plan-construction time)
     nd = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
-    # document frequency as a WINDOW over the compact (doc, term, tf)
-    # frame, not a second aggregation branch: a groupBy-then-join
-    # formulation makes Catalyst re-derive the branch from the scan
-    # (column pruning strips tf, the subtrees stop being identical, and
-    # exchange reuse is lost) — the corpus would be scanned and
-    # tokenized TWICE. The window costs one narrow shuffle of the tf
-    # frame on the term key instead.
-    wdf = Window.partitionBy("__t")
+    # document frequency as an ALGEBRAIC aggregate + term-key join, NOT
+    # a Window.partitionBy(term): a window materializes every row of a
+    # term on one reducer, so at 100× the partition for a stopword term
+    # holds one row per containing document — a near-corpus-sized
+    # single-task sort. The groupBy combines map-side (each task ships
+    # ONE partial count per term, never the posting list) and the join
+    # back is a per-key-1-row build side AQE handles even when the
+    # probe side is stopword-skewed. Cost: the (doc, term) aggregate
+    # subtree evaluates twice when the optimizer cannot reuse the
+    # exchange across differently-pruned branches — two parallel
+    # skew-free passes beat one pass with a fatal hot partition.
+    dfc = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     scored = (
-        tf.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        tf.join(dfc, "__t")
         .crossJoin(broadcast(nd))
         .withColumn(
             "tfidf",

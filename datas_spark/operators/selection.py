@@ -40,6 +40,7 @@ from datas_spark.functions.arrays import entropy as _entropy
 __all__ = [
     "percentile_band_filter",
     "stride_sample",
+    "skew_resistant_rank",
     "stride_sample_skew_resistant",
     "middle_confidence_sample",
     "gather_rows",
@@ -114,29 +115,31 @@ def stride_sample(
     )
 
 
-def stride_sample_skew_resistant(
+def skew_resistant_rank(
     df: DataFrame,
     cluster_col: str,
     order_col: str,
-    n: int,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """A2 for EXTREME skew: same semantics as ``stride_sample``, but no
-    window is ever partitioned by the cluster key, so one giant cluster
-    cannot serialize onto a single task.
+    """The shared skew-proof rank construction: appends ``__rn`` (rank
+    of the row within its ``cluster_col`` group, ordered by
+    ``order_col``) and ``__m`` (group size) WITHOUT ever partitioning a
+    window by the cluster key — so one giant group cannot serialize
+    onto a single task. Any per-key top-k / quota / fraction filter
+    composes on top (stride sampling, stratified sampling, source
+    quotas all do).
 
     Mechanism: ONE balanced range-repartition by (cluster, order), a
     LOCAL sort, and monotonic ids for local ranks; a single tiny
     per-(partition, cluster) partial aggregate feeds partition offsets,
     cluster starts, and cluster sizes; global position = offset + local
-    rank, per-cluster rank = position − cluster start + 1. Full data is
-    touched twice (stats pass + final projection), each through the one
-    range exchange; everything else is broadcast-tiny.
+    rank, per-cluster rank = position − cluster start + 1. The ranged
+    frame is lazily checkpointed, so the range exchange + sort runs
+    ONCE and both consumers (stats pass, final projection) read the
+    same materialization; everything else is broadcast-tiny.
 
-    ``order_col`` must be unique per row (the same contract
-    ``stride_sample`` needs for a deterministic survivor set): the local
-    sort's total order is what makes the monotonic ids — and therefore
-    the two passes — agree.
+    ``order_col`` must be unique per row: the local sort's total order
+    is what makes the ranks deterministic.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     # ONE exchange total: range-partition by (cluster, order), then sort
@@ -154,19 +157,25 @@ def stride_sample_skew_resistant(
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.spark_partition_id())
     )
+    # LAZY localCheckpoint of the ranged frame — CORRECTNESS, not just
+    # cost: repartitionByRange derives its boundaries by SAMPLING the
+    # child, and two independent executions of the exchange can pick
+    # different boundaries (the sampling seed varies per materialized
+    # RDD). The stats pass and the final projection must see the SAME
+    # partitioning or offsets go stale (observed: ranks off by a few at
+    # partition borders under small partition counts). Checkpointing
+    # pins one materialization; it is the same data volume a shuffle
+    # write already spills, paid once.
+    ranged = ranged.localCheckpoint(eager=False)
     # ONE partial aggregate per (partition, cluster) — |pids|·|clusters
     # touching them| rows, map-side combined — feeds EVERYTHING tiny
     # downstream: per-partition offsets, per-cluster starts and sizes.
-    # The full data is touched exactly twice (this aggregate + the final
-    # projection), each through the single range exchange.
     partials = ranged.groupBy("__pid", cluster_col).agg(
         F.count(F.lit(1)).alias("__pc"), F.min("__mid").alias("__pmin")
     )
-    # LAZY localCheckpoint: materialized once on first action, then every
-    # downstream derivation (offsets, cluster stats) reads the tiny
-    # checkpointed frame instead of re-expanding — and re-running — the
-    # full-data range-exchange subtree (each lazy reference otherwise
-    # re-scans: nondeterministic monotonic ids defeat exchange reuse)
+    # tiny frame, checkpointed so each downstream derivation (offsets,
+    # cluster stats) reads |partitions|·|clusters| rows instead of
+    # re-aggregating the full checkpointed data
     partials = partials.localCheckpoint(eager=False)
     pstats = partials.groupBy("__pid").agg(
         F.sum("__pc").alias("__cnt"), F.min("__pmin").alias("__base")
@@ -199,11 +208,27 @@ def stride_sample_skew_resistant(
         )
         .withColumn("__rn", F.col("__pos") - F.col("__start") + 1)
     )
+    return ranked.drop("__pid", "__mid", "__base", "__offset", "__pos", "__start")
+
+
+def stride_sample_skew_resistant(
+    df: DataFrame,
+    cluster_col: str,
+    order_col: str,
+    n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """A2 for EXTREME skew: same semantics as ``stride_sample``, built
+    on ``skew_resistant_rank`` — no window is ever partitioned by the
+    cluster key, so one giant cluster cannot serialize onto a single
+    task. ``order_col`` must be unique per row (the same contract
+    ``stride_sample`` needs for a deterministic survivor set)."""
+    ranked = skew_resistant_rank(df, cluster_col, order_col, num_partitions)
     step = F.greatest(F.floor(F.col("__m") / n), F.lit(1))
     strided = ranked.where((F.col("__rn") - 1) % step == 0).where(
         ((F.col("__rn") - 1) / step) < n
     )
-    return strided.drop("__pid", "__mid", "__base", "__offset", "__pos", "__start", "__m", "__rn")
+    return strided.drop("__m", "__rn")
 
 
 def middle_confidence_sample(

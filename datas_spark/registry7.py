@@ -179,3 +179,55 @@ def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_weights={"train": 0.8, "test": 0.2},
     )
     return out.select("doc_id", "component", "split")
+
+
+# ---------------------------------------------------------------------------
+# Skew-hardened sampling variants — IDENTICAL oracles to the window-path
+# queries in registry5, so the driver proves the skew-resistant rank
+# construction is a pure physical-plan change.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stratified_sample_skew",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS m
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= ceil(m * 0.1)
+    """,
+)
+def q_stratified_sample_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified_sample(skew_resistant=True): same 10% per-language
+    sample as the window path (identical oracle), but ranked via the
+    range-exchange construction — no window partitioned by the stratum
+    key, so the dominant language (~44% of docs) spreads over many
+    tasks."""
+    from datas_spark.operators import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return C.stratified_sample(docs, "lang", "doc_id", 0.1, skew_resistant=True)
+
+
+@register(
+    "source_quota_cap_skew",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def q_source_quota_cap_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_quota_cap(skew_resistant=True): same first-15-per-source
+    cap (identical oracle), skew-proof rank — the source big enough to
+    need capping is exactly the one that would have serialized onto a
+    single window task."""
+    from datas_spark.operators import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return C.source_quota_cap(docs, "source", "doc_id", 15, skew_resistant=True)

@@ -258,3 +258,64 @@ def test_bow_classifier_score_known_logit(spark):
     b = C.bow_classifier_score(docs, "doc_id", "text", weights, bias=1.0).collect()
     exp = round(1 / (1 + math.exp(-1.0)), 6)
     assert all(abs(r.quality_prob - exp) < 1e-9 for r in b)
+
+
+def _skewed_docs(spark):
+    # one stratum holds ~95% of rows
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 == 19, F.concat(F.lit("s"), F.col("id") % 5))
+        .otherwise(F.lit("dominant"))
+        .alias("lang"),
+    )
+
+
+def test_stratified_sample_skew_resistant_matches_window_path(spark):
+    docs = _skewed_docs(spark)
+    a = sorted(
+        r.doc_id for r in C.stratified_sample(docs, "lang", "doc_id", 0.1).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in C.stratified_sample(
+            docs, "lang", "doc_id", 0.1, skew_resistant=True
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # no window spec partitioned by the stratum key in the skew plan
+    # (the window path shows windowspecdefinition(lang, ...); the skew
+    # path's only window runs over the tiny per-partition stats frame)
+    plan = (
+        C.stratified_sample(docs, "lang", "doc_id", 0.1, skew_resistant=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "windowspecdefinition(lang" not in plan
+    ref_plan = (
+        C.stratified_sample(docs, "lang", "doc_id", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "windowspecdefinition(lang" in ref_plan
+
+
+def test_source_quota_cap_skew_resistant_matches_window_path(spark):
+    docs = _skewed_docs(spark).withColumnRenamed("lang", "source")
+    a = sorted(
+        r.doc_id for r in C.source_quota_cap(docs, "source", "doc_id", 7).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in C.source_quota_cap(
+            docs, "source", "doc_id", 7, skew_resistant=True
+        ).collect()
+    )
+    assert a == b
+    # exactly max_per_source survivors for the dominant source
+    out = C.source_quota_cap(docs, "source", "doc_id", 7, skew_resistant=True)
+    per = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert per["dominant"] == 7
