@@ -267,3 +267,141 @@ def join_streams(
         c["click_ts"],
         c["click_value"],
     )
+
+
+def incremental_near_dedup_sink(
+    stream: DataFrame,
+    state_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+):
+    """Cross-batch NEAR-dup with durable state — what an incremental
+    corpus ingest actually needs: a slightly-edited repost of last
+    week's document must be dropped even though its exact fingerprint
+    differs and no watermark bounds the gap.
+
+    Per micro-batch:
+    1. in-batch near-dedup (banded MinHash LSH pairs → keep-first);
+    2. probe the persistent LSH band store — a new doc sharing ANY band
+       bucket with a stored survivor is a candidate, verified by
+       estimated Jaccard (fraction of equal minhash components) against
+       the stored signature; verified near-dups are dropped;
+    3. append survivors' rows, signatures, and band buckets to the
+       store.
+
+    State layout (parquet, shared with batch jobs): ``rows/`` the
+    surviving documents; ``sigs/`` (id, minhash) for verification;
+    ``bands/`` (band, bucket, id) for probing. Per-doc state is
+    ``num_hashes``·8 bytes + ``bands`` bucket keys — bounded and
+    partition-prunable; the probe is an equi-join on (band, bucket),
+    never a scan of stored text. Docs with an empty shingle set
+    (shorter than ``shingle_n`` words) can't be banded — MinHash says
+    nothing about empty sets — and pass through as always-fresh; run
+    ``incremental_dedup_sink`` alongside for exact short-doc dedup.
+
+    Returns the started StreamingQuery.
+    """
+    from datas_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_lsh_pairs,
+        minhash_signature,
+        near_dedup_keep_first,
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def _bands_of(sigd: DataFrame) -> DataFrame:
+        # same (band, md5-of-slice) bucket construction as
+        # minhash_lsh_pairs; empty-shingle docs (all-sentinel signature)
+        # are excluded from banding
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return (
+            sigd.select(
+                F.col(id_col),
+                "minhash",
+                F.explode_outer(
+                    F.when(F.col("minhash")[0] < MINHASH_P, band_structs)
+                ).alias("bb"),
+            )
+            .where(F.col("bb").isNotNull())
+            .select(id_col, "minhash", "bb.band", "bb.bucket")
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # 1. in-batch near-dedup: keep the smallest id per component
+        pairs = minhash_lsh_pairs(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n,
+            min_est_jaccard=min_est_jaccard,
+        )
+        resolved = near_dedup_keep_first(batch_df, id_col, pairs)
+        kept = resolved.where(F.col(id_col) == F.col("component")).drop("component")
+        sigs = minhash_signature(kept, text_col, num_hashes, shingle_n)
+        banded = _bands_of(sigs)
+        # 2. probe the persistent store
+        bands_path = state_path + "/bands"
+        sigs_path = state_path + "/sigs"
+        rows_path = state_path + "/rows"
+        try:
+            store_bands = spark.read.parquet(bands_path).select(
+                "band", "bucket", F.col(id_col).alias("__old_id")
+            )
+            store_sigs = spark.read.parquet(sigs_path).select(
+                F.col(id_col).alias("__old_id"), F.col("minhash").alias("__old_mh")
+            )
+        except Exception:
+            store_bands = None
+            store_sigs = None
+        if store_bands is not None:
+            cand = (
+                banded.join(store_bands, ["band", "bucket"])
+                .select(id_col, "minhash", "__old_id")
+                .dropDuplicates([id_col, "__old_id"])
+                .join(store_sigs, "__old_id")
+            )
+            est = F.size(
+                F.filter(
+                    F.zip_with("minhash", "__old_mh", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            ) / F.lit(num_hashes)
+            dup_ids = cand.where(est >= min_est_jaccard).select(id_col).distinct()
+            fresh_sigs = sigs.join(dup_ids, id_col, "left_anti")
+        else:
+            fresh_sigs = sigs
+        # one deterministic materialization per batch: all three appends
+        # must see the same survivor set
+        fresh_sigs = fresh_sigs.localCheckpoint(eager=True)
+        fresh_sigs.drop("minhash").write.mode("append").parquet(rows_path)
+        fresh_sigs.select(id_col, "minhash").write.mode("append").parquet(sigs_path)
+        _bands_of(fresh_sigs.select(id_col, "minhash")).select(
+            "band", "bucket", id_col
+        ).write.mode("append").parquet(bands_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -245,3 +245,85 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     ).collect()
     assert len(batch) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_incremental_near_dedup_sink_catches_cross_batch_near_dups(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import incremental_near_dedup_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long familiar tune about distributed systems and data quality"
+    )
+    near = base.replace("lazy", "sleepy")  # one-word edit: near-dup, not exact
+    src = tmp_path / "neardup_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 0, "text": base}) + "\n")
+        f.write(_json.dumps({"doc_id": 1, "text": "completely different content here about spark adaptive query execution and shuffle partitions"}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .load(str(src))
+    )
+    q = incremental_near_dedup_sink(
+        stream, str(tmp_path / "nstate"), "text", "doc_id", str(tmp_path / "nckpt")
+    )
+    q.awaitTermination(120)
+    kept1 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "nstate" / "rows")).collect()
+    )
+    assert kept1 == [0, 1]
+
+    # RESTART: a second file arrives with a near-dup of doc 0 (edited,
+    # different exact fingerprint) plus a genuinely new doc
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 2, "text": near}) + "\n")
+        f.write(_json.dumps({"doc_id": 3, "text": "yet another unrelated document about benchmark medians and oracle checks for engines"}) + "\n")
+    q2 = incremental_near_dedup_sink(
+        stream, str(tmp_path / "nstate"), "text", "doc_id", str(tmp_path / "nckpt")
+    )
+    q2.awaitTermination(120)
+    kept2 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "nstate" / "rows")).collect()
+    )
+    # the cross-batch near-dup (2) was caught ACROSS THE RESTART; 3 kept
+    assert kept2 == [0, 1, 3]
+    # band store holds only survivors
+    bands = spark.read.parquet(str(tmp_path / "nstate" / "bands"))
+    assert set(r.doc_id for r in bands.select("doc_id").distinct().collect()) == {0, 1, 3}
+
+
+def test_incremental_near_dedup_sink_in_batch_election(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import incremental_near_dedup_sink
+
+    text = (
+        "one shared boilerplate paragraph that repeats across mirror sites "
+        "with only trivial word substitutions in the long body text"
+    )
+    src = tmp_path / "inbatch_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        # two near-dups in the SAME batch: smallest id wins
+        f.write(_json.dumps({"doc_id": 10, "text": text}) + "\n")
+        f.write(_json.dumps({"doc_id": 11, "text": text.replace("trivial", "minor")}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .load(str(src))
+    )
+    q = incremental_near_dedup_sink(
+        stream, str(tmp_path / "istate"), "text", "doc_id", str(tmp_path / "ickpt")
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "istate" / "rows")).collect()
+    )
+    assert kept == [10]
