@@ -5,14 +5,18 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed with a count()-style action (results consumed,
-not collected to the driver) and timed individually after a warmup of
-the session.
+not collected to the driver). Per-query time is the MEDIAN of 3 timed
+runs after a warmup pass — round 2 showed a uniform ~1.3x inflation on
+untouched map-only queries from single-shot timing in a shared JVM
+(GC, JIT recompilation, box noise), which made real plan regressions
+invisible; medians isolate them.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,7 +53,18 @@ HEADLINE = [
     "chunk_documents",
     "events_asof_click",
     "pii_redact",
+    # round 3: salted as-of (skew-proof twin), the composed curation
+    # recipe, LESS influence through the pandas_udf boundary, LSH ANN,
+    # and the skew-resistant stratified sample (en is the dominant
+    # stratum at ~44% — the planted-skew bench the de-skew work asks for)
+    "events_asof_click_salted",
+    "curate_corpus",
+    "less_influence",
+    "lsh_topk",
+    "stratified_sample_skew",
 ]
+
+RUNS_PER_QUERY = 3
 
 
 def main() -> None:
@@ -73,10 +88,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        # count() consumes the full result distributed-side
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            # count() consumes the full result distributed-side
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
