@@ -63,20 +63,36 @@ def percentile_band_filter(
     n: int,
     low_th: float = 0.25,
     up_th: float = 0.75,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """A1: keep rows whose confidence lies in the per-cluster
     [low_th, up_th] percentile band; clusters with fewer than ``n`` rows
     bypass the filter entirely (main.py:417-429).
 
-    Exact percentiles with linear interpolation (matches numpy default
-    and DuckDB ``quantile_cont``). Stats table is broadcast-joined.
+    ``exact=True`` (default): exact percentiles with linear
+    interpolation (matches numpy default and DuckDB ``quantile_cont``)
+    — the oracle-checkable contract, but the aggregate buffers EVERY
+    group value, so per-group state is O(group size). ``exact=False``
+    switches to ``approx_percentile`` (SURVEY §4's documented 100 TB
+    stance): a fixed-size t-digest-style sketch per group — rank error
+    bounded by 1/``accuracy`` of the group, constant memory, fully
+    map-side combinable. The sketch returns actual member values (no
+    linear interpolation), so band EDGES shift by up to one member
+    value plus the rank tolerance — a row near a boundary can flip;
+    everything deeper in or out of the band is unaffected (tests bound
+    the symmetric difference). Stats table is broadcast-joined either
+    way.
     """
     # ONE percentile aggregate for both bounds: each exact-percentile
     # buffers every group value, so two separate calls double the agg
     # state and merge cost
+    pct = F.percentile if exact else (
+        lambda c, ps: F.percentile_approx(c, ps, F.lit(accuracy))
+    )
     stats = df.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("__cnt"),
-        F.percentile(conf_col, F.array(F.lit(low_th), F.lit(up_th))).alias("__band"),
+        pct(conf_col, F.array(F.lit(low_th), F.lit(up_th))).alias("__band"),
     ).select(
         cluster_col,
         "__cnt",

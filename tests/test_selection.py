@@ -157,3 +157,42 @@ def test_kcenter_sampling_k_exceeds_rows(spark):
     )
     got = sorted(r.id for r in kcenter_sampling(df, "v", "id", k=10).collect())
     assert got == [1, 2, 3]
+
+
+def test_percentile_band_filter_approx_tolerance(spark, sf_dir):
+    """exact=False (approx_percentile sketch) vs the exact band on real
+    data: at high accuracy the survivor sets agree exactly (rank error
+    < 1 row per group); at deliberately low accuracy the symmetric
+    difference stays a small edge-band fraction."""
+    from datas_spark.io.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("conf")
+    )
+    exact = {
+        r.doc_id
+        for r in percentile_band_filter(docs, "lang", "conf", 5).collect()
+    }
+    hi = {
+        r.doc_id
+        for r in percentile_band_filter(
+            docs, "lang", "conf", 5, exact=False, accuracy=10_000
+        ).collect()
+    }
+    # the sketch returns actual member values (no linear interpolation),
+    # so band EDGES differ from the exact interpolated bounds by at most
+    # one member value even at high accuracy — only edge rows may flip
+    sym_hi = len(hi ^ exact)
+    assert sym_hi / max(len(exact), 1) < 0.05
+    lo = {
+        r.doc_id
+        for r in percentile_band_filter(
+            docs, "lang", "conf", 5, exact=False, accuracy=50
+        ).collect()
+    }
+    # coarse sketch: disagreement bounded to an edge band
+    sym = len(lo ^ exact)
+    assert sym / max(len(exact), 1) < 0.15
+    # and the band CORE is never lost: rows strictly inside the exact
+    # band by a wide margin survive both paths
+    assert len(lo & exact) / max(len(exact), 1) > 0.85
