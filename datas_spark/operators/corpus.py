@@ -27,6 +27,9 @@ lazy DataFrame plans:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -43,6 +46,8 @@ __all__ = [
     "source_quota_cap",
     "tfidf_top_terms",
     "pack_sequences",
+    "make_subword_counter",
+    "pack_sequences_tokenized",
     "hash_split",
     "group_split",
     "repetition_stats",
@@ -293,6 +298,84 @@ def pack_sequences(
         *shard,
         F.col(id_col),
         token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    return toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+
+
+def make_subword_counter(counter_factory=None):
+    """Pluggable tokenizer boundary for token-budget accounting: an
+    iterator pandas_udf mapping text → subword count, with the
+    tokenizer loaded ONCE per executor python worker (the same
+    lifecycle as ``scoring.make_model_scorer`` — a real BPE/SentencePiece
+    tokenizer closes over its vocab file with the identical factory
+    signature).
+
+    The default factory is a deterministic fake BPE, chosen to be
+    bit-reproducible in SQL so the whole packing plan stays
+    oracle-checkable: split on word/punct boundaries exactly like
+    ``functions.text.tokenize`` (ASCII classes — matching Java/RE2
+    semantics), then each token costs ``ceil(len/4)`` subwords (the
+    ~4-chars-per-token rate real BPE vocabularies average on English).
+    """
+    import re
+
+    from pyspark.sql.types import LongType
+
+    def default_factory():
+        spaced_re = re.compile(r"([^\w\s])", re.ASCII)
+        split_re = re.compile(r"\s+", re.ASCII)
+
+        def count(text: str) -> int:
+            spaced = spaced_re.sub(r" \1 ", text.lower())
+            return sum(
+                (len(t) + 3) // 4 for t in split_re.split(spaced.strip()) if t
+            )
+
+        return count
+
+    factory = counter_factory or default_factory
+
+    @F.pandas_udf(LongType())
+    def counter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        count = factory()  # once per worker, not per batch
+        for batch in batches:
+            yield batch.map(lambda t: count(t if t is not None else ""))
+
+    return counter
+
+
+def pack_sequences_tokenized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    counter_factory=None,
+) -> DataFrame:
+    """``pack_sequences`` with budgets in REAL tokenizer subwords
+    instead of the whitespace/punct approximation: token counts come
+    from the ``make_subword_counter`` pandas_udf boundary (Arrow
+    batches, tokenizer loaded once per worker), then the identical
+    per-shard running-cumsum bin plan. The reference truncates by HF
+    tokenizer length (score_pipeline_ifd.py:148-152); this is the
+    packing-side twin of that accounting.
+
+    Returns (shard?, id, n_tokens, bin).
+    """
+    counter = make_subword_counter(counter_factory)
+    shard = [F.col(shard_col)] if shard_col else []
+    w = Window.partitionBy(*shard).orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = df.select(
+        *shard,
+        F.col(id_col),
+        counter(F.col(text_col)).alias("n_tokens"),
     )
     return toks.withColumn(
         "bin",

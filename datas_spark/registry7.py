@@ -231,3 +231,47 @@ def q_source_quota_cap_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return C.source_quota_cap(docs, "source", "doc_id", 15, skew_resistant=True)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_bpe — packing budgeted in SUBWORD counts from the
+# pluggable tokenizer boundary (iterator pandas_udf, deterministic fake
+# BPE: tokenize on word/punct boundaries, ceil(len/4) subwords per
+# token). The oracle recomputes the same counts in SQL, so the whole
+# boundary-crossing plan hash-checks.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pack_sequences_bpe",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, doc_id,
+        coalesce(list_sum(list_transform(
+          list_filter(
+            string_split_regex(
+              trim(regexp_replace(lower(text), '([^\w\s])', ' \1 ', 'g')),
+              '\s+'),
+            t -> t != ''),
+          t -> ceil(length(t) / 4.0)::BIGINT)), 0)::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+      ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_tokens) // 500)::BIGINT AS bin
+    FROM t
+    """,
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with subword budgets: token counts cross the
+    real Arrow pandas_udf boundary (fake BPE, tokenizer loaded once per
+    worker — a SentencePiece factory plugs in unchanged), then the
+    per-source running-cumsum bin plan. Whitespace packing budgets
+    mis-size bins by the subword expansion factor; this is the
+    accounting a training-batch assembler actually needs."""
+    from datas_spark.operators import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    return C.pack_sequences_tokenized(
+        docs, "doc_id", "text", budget=500, shard_col="source"
+    )

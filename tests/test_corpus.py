@@ -319,3 +319,35 @@ def test_source_quota_cap_skew_resistant_matches_window_path(spark):
     out = C.source_quota_cap(docs, "source", "doc_id", 7, skew_resistant=True)
     per = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
     assert per["dominant"] == 7
+
+
+def test_pack_sequences_tokenized_subword_budgets(spark):
+    # fake BPE: "hello world!!" -> tokens [hello, world, !, !] -> 2+2+1+1 = 6
+    df = spark.createDataFrame(
+        [(1, "hello world!!"), (2, "abcdefgh"), (3, "")],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.n_tokens, r.bin)
+        for r in C.pack_sequences_tokenized(df, "id", "text", budget=7).collect()
+    }
+    # id1: ceil(5/4)+ceil(5/4)+1+1 = 6 ; id2: ceil(8/4) = 2 ; id3: 0
+    assert got[1] == (6, 0)
+    assert got[2] == (2, 0)  # cumsum 8 -> start offset 6 < 7 -> bin 0
+    assert got[3] == (0, 1)  # start offset 8 -> bin 1
+
+
+def test_pack_sequences_tokenized_custom_factory(spark):
+    # a real tokenizer plugs in via the same factory signature: here a
+    # stand-in that charges 1 token per character
+    def chars_factory():
+        return lambda text: len(text)
+
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], "id long, text string")
+    got = {
+        r.id: r.n_tokens
+        for r in C.pack_sequences_tokenized(
+            df, "id", "text", budget=10, counter_factory=chars_factory
+        ).collect()
+    }
+    assert got == {1: 3, 2: 4}
