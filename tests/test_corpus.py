@@ -351,3 +351,62 @@ def test_pack_sequences_tokenized_custom_factory(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 4}
+
+
+def test_weighted_sample_per_key_quota_and_determinism(spark):
+    rows = [(i, "a" if i < 30 else "b", float(1 + i % 7)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, k string, w double")
+    out = C.weighted_sample_per_key(df, "k", "doc_id", "w", k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append(r.doc_id)
+    assert len(got["a"]) == 5 and len(got["b"]) == 5
+    again = C.weighted_sample_per_key(df.repartition(7), "k", "doc_id", "w", k=5)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        i for ids in got.values() for i in ids
+    )
+    # zero-weight rows can never be drawn
+    zw = df.withColumn("w", F.when(F.col("doc_id") % 2 == 0, 0.0).otherwise(F.col("w")))
+    drawn = [r.doc_id for r in C.weighted_sample_per_key(zw, "k", "doc_id", "w", 50).collect()]
+    assert all(d % 2 == 1 for d in drawn)
+
+
+def test_zscore_outliers_flags_planted_anomaly(spark):
+    rows = [(i, "g", 100.0 + (i % 5)) for i in range(20)] + [(99, "g", 10_000.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: (r.zscore, r.is_outlier) for r in C.zscore_outliers(df, "g", "v", k=3.0).collect()}
+    assert out[99][1] == 1
+    assert all(flag == 0 for i, (_, flag) in out.items() if i != 99)
+    # singleton group: no sample stddev -> NULL z, flag 0
+    single = spark.createDataFrame([(1, "s", 5.0)], "id long, g string, v double")
+    r = C.zscore_outliers(single, "g", "v").collect()[0]
+    assert r.zscore is None and r.is_outlier == 0
+
+
+def test_value_deciles_ties_share_buckets(spark):
+    df = spark.createDataFrame([(i, i % 4) for i in range(100)], "id long, v long")
+    out = C.value_deciles(df, "v", buckets=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.v, set()).add(r.bucket)
+    # equal values always share a bucket; buckets increase with value
+    assert all(len(b) == 1 for b in got.values())
+    buckets = [next(iter(got[v])) for v in sorted(got)]
+    assert buckets == sorted(buckets)
+    assert buckets[0] >= 1 and buckets[-1] <= 4
+
+
+def test_standardize_embeddings_unit_stats(spark):
+    import numpy as np
+
+    from datas_spark.operators.clustering import standardize_embeddings
+
+    rows = [(i, [float(i), 10.0 * i, 7.0]) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = standardize_embeddings(df, "vec_id", "embedding")
+    z = np.array([r.z[:2] for r in out.collect()], dtype=float)
+    # standardized dims: mean ~0, sample std ~1
+    assert np.allclose(z.mean(axis=0), 0.0, atol=1e-4)
+    assert np.allclose(z.std(axis=0, ddof=1), 1.0, atol=1e-4)
+    # constant dim -> NULL (explicit, not div-by-zero)
+    assert all(r.z[2] is None for r in out.collect())
