@@ -45,6 +45,7 @@ __all__ = [
     "lsh_topk",
     "ivf_build_index",
     "ivf_topk",
+    "ivf_topk_fixed",
 ]
 
 
@@ -377,6 +378,67 @@ def ivf_topk(
     )
     qname, dname = _out_names(query_id, data_id)
     scored = assigned.join(broadcast(probed), "__cell").select(
+        F.col("__qid").alias(qname),
+        F.col("__did").alias(dname),
+        F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk_fixed(
+    data: DataFrame,
+    queries: DataFrame,
+    cells: DataFrame,
+    data_id: str,
+    query_id: str,
+    cell_id: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF ANN with a FIXED quantizer: the coarse cells are given as a
+    small (cell_id, vector) frame instead of being KMeans-fit — the
+    random-sample quantizer variant (cells = a deterministic sample of
+    the data, or centroids loaded from a prior index build). Unlike
+    ``ivf_topk``'s MLlib quantizer this makes the WHOLE query
+    SQL-expressible, so the driver hash-checks it; recall behaves like
+    IVF with one Lloyd iteration skipped.
+
+    Plan: cell assignment is a broadcast crossJoin (|cells| rows per
+    data row) reduced by a map-side-combinable ``min_by`` — NO window
+    over the data, so assignment never sorts a big partition. Queries
+    rank cells in a tiny window (queries are small by contract), and
+    candidates meet in a broadcast equi-join on the cell id. Assignment
+    and probe ordering use cosine rounded to 6 (ties to the smaller
+    cell id) so every engine agrees on the cell boundaries.
+    """
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
+    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    assign = (
+        d.crossJoin(broadcast(c))
+        .withColumn("__cs", cs)
+        .groupBy("__did")
+        .agg(
+            F.min_by(
+                "__cell", F.struct((-F.col("__cs")).alias("n"), F.col("__cell"))
+            ).alias("__cell")
+        )
+        .join(d, "__did")
+    )
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+    qs = F.round(cosine_similarity("__qv", "__cv"), 6) + F.lit(0.0)
+    wp = Window.partitionBy("__qid").orderBy(F.col("__qs").desc(), F.col("__cell").asc())
+    probes = (
+        q.crossJoin(broadcast(c))
+        .withColumn("__qs", qs)
+        .withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= n_probe)
+        .select("__qid", "__qv", "__cell")
+    )
+    qname, dname = _out_names(query_id, data_id)
+    scored = assign.join(broadcast(probes), "__cell").select(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
         F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),

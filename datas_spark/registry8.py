@@ -124,3 +124,108 @@ def q_standardize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb, "vec_id", "embedding").select("vec_id", "z")
+
+
+_IVF_COS_SQL = """
+        round(
+          list_sum(list_transform(range(1, len({a}.embedding) + 1),
+                   i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len({a}.embedding) + 1),
+                   i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len({b}.embedding) + 1),
+                   i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)))), 6)
+          + 0.0
+"""
+
+
+@register(
+    "ivf_topk_fixed",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+    ), ac AS (
+      SELECT e.vec_id AS did, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='e', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN cells c
+    ), assign AS (
+      SELECT did, cell FROM ac WHERE rn = 1
+    ), qp AS (
+      SELECT q.vec_id AS qid, c.cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='q', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings q CROSS JOIN cells c
+      WHERE q.vec_id < 3
+    ), probes AS (
+      SELECT qid, cell FROM qp WHERE rn <= 3
+    ), scored AS (
+      SELECT p.qid AS q_vec_id, a.did AS d_vec_id,
+             {_IVF_COS_SQL.format(a='d', b='q')} AS cos
+      FROM probes p
+      JOIN assign a USING (cell)
+      JOIN embeddings d ON d.vec_id = a.did
+      JOIN embeddings q ON q.vec_id = p.qid
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a fixed sample quantizer (cells = embeddings of
+    vec_id < 8): assignment by map-side min_by (no window over the
+    data), 3-cell probes, exact cosine inside — and because the
+    quantizer is deterministic data, the WHOLE approximate query
+    hash-checks (unlike the MLlib-KMeans ivf_topk, which stays
+    rows-only)."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    return SIM.ivf_topk_fixed(
+        emb, emb.where("vec_id < 3"), cells,
+        "vec_id", "vec_id", "cell", "embedding", k=10, n_probe=3,
+    )
+
+
+@register(
+    "user_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT date_trunc('week', f.first_ts)::DATE AS cohort_week,
+           (date_diff('day', date_trunc('week', f.first_ts),
+                      date_trunc('week', e.ts)) // 7)::INT AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-event week,
+    distinct actives counted per week offset — the standard
+    product-analytics rollup. Two keyed aggregations and one join on
+    user_id; the first-event frame is per-user (small side, AQE
+    broadcasts when it fits)."""
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(first, "user_id")
+    cw = F.date_trunc("week", F.col("first_ts"))
+    return (
+        j.select(
+            "user_id",
+            cw.cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), cw) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

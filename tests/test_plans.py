@@ -1,0 +1,84 @@
+"""Physical-plan shape audits: the properties that make queries survive
+a 100x scale-up, asserted mechanically so a plan regression fails CI
+like a wrong answer would.
+
+Checks: predicate pushdown reaches the parquet scan, column pruning
+shrinks ReadSchema, dimension joins broadcast (never nested-loop over
+big sides), the bucketed interval join stays an equi-join, and top-k
+rank windows get the WindowGroupLimit pushdown."""
+
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    plan = _plan(ev.select("event_id"))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_column_pruning_shrinks_read_schema(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = _plan(docs)
+    # only the projected columns reach the scan — never the text column
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+    assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    from datas_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["order_totals_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    from datas_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["events_value_bands"](spark, sf_dir))
+    # the whole point of the bucketed encoding: the range predicate
+    # becomes an equi-join on the bucket id
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_no_cross_product(spark, sf_dir):
+    from datas_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["events_asof_click"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the salted variant crossJoins ONE broadcast row (the lazy ts
+    # bounds) — a 1-row BroadcastNestedLoopJoin is the correct plan;
+    # what must never appear is an unbroadcast cartesian product
+    salted = _plan(QUERIES["events_asof_click_salted"](spark, sf_dir))
+    assert "CartesianProduct" not in salted
+
+
+def test_topk_rank_windows_get_group_limit_pushdown(spark, sf_dir):
+    from datas_spark.registry import QUERIES
+
+    # rank<=k filters over row_number windows should push into the sort
+    # (WindowGroupLimit, Spark 3.5+) — each partition keeps only k rows
+    # before the final window pass
+    for name in ("tfidf_top_terms", "cosine_topk"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "WindowGroupLimit" in plan
+
+
+def test_exact_dedup_aggregates_map_side(spark, sf_dir):
+    from datas_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["exact_dedup"](spark, sf_dir))
+    # min_by survivor election must PARTIAL-aggregate map-side (the
+    # shuffle then carries one candidate per (fingerprint, task)), and
+    # never be a window over every row
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
