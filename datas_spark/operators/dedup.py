@@ -36,6 +36,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from datas_spark.functions.text import (
     hashed_shingles_of_hashes,
@@ -62,6 +63,7 @@ __all__ = [
     "near_dedup_keep_first",
     "near_dedup_keep_best",
     "paragraph_dedup",
+    "pagerank",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -842,4 +844,70 @@ def paragraph_dedup(
             .cast("long")
             .alias("n_dropped"),
         )
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+    intermediate_round: int = 9,
+) -> DataFrame:
+    """PageRank over the (undirected) near-dup pair graph — centrality
+    of each document inside its duplication neighborhood. High-rank
+    nodes are the canonical/boilerplate hubs many near-copies point at;
+    a useful survivor-election signal beyond length/score, and the
+    engine's template for fixed-iteration iterative graph algorithms
+    (the same loop shape as ``connected_components``, but with weighted
+    mass instead of min-labels).
+
+    Power iteration with a FIXED iteration count:
+    ``pr' = (1-d)/N + d * Σ_in pr(u)/deg(u)``. Nodes are the endpoints
+    of ``pairs``; edges are symmetrized, so every node has degree >= 1
+    (no dangling mass). Intermediate ranks round to
+    ``intermediate_round`` decimals each step — that pins the
+    float-summation order across engines so the DuckDB twin (the same
+    iterations unrolled as chained CTEs) reproduces results exactly.
+
+    Scale shape: edges and degrees are computed once and lazily
+    checkpointed (each iteration re-references them — without the cut,
+    k iterations re-expand the candidate-pair subtree k times); one
+    shuffle per iteration (contribution groupBy on the node key), the
+    per-node state is one double. Returns (node, pagerank) with the
+    final rank rounded to 6.
+    """
+    e = pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).unionAll(
+        pairs.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+    )
+    edges = e.localCheckpoint(eager=False)
+    deg = edges.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = deg.localCheckpoint(eager=False)
+    # lazy N: 1-row aggregate broadcast-crossJoined in (no eager count)
+    n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
+    pr = deg.crossJoin(broadcast(n1)).select(
+        F.col("__s").alias("__node"),
+        F.round(F.lit(1.0) / F.col("__n"), intermediate_round).alias("__pr"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr, edges["__s"] == pr["__node"])
+            .join(deg, "__s")
+            .select(
+                F.col("__d").alias("__node"),
+                (F.col("__pr") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("__node")
+            .agg(F.sum("__c").alias("__mass"))
+        )
+        pr = contrib.crossJoin(broadcast(n1)).select(
+            "__node",
+            F.round(
+                (1.0 - damping) / F.col("__n") + damping * F.col("__mass"),
+                intermediate_round,
+            ).alias("__pr"),
+        )
+    return pr.select(
+        F.col("__node").alias("node"), F.round("__pr", 6).alias("pagerank")
     )

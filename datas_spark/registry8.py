@@ -229,3 +229,67 @@ def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    head = r"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING shared / (na + nb - shared) >= 0.2
+    ), e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), deg AS (
+      SELECT s, count(*) AS dg FROM e GROUP BY s
+    ), nn AS (
+      SELECT count(*) AS n FROM deg
+    ), pr0 AS (
+      SELECT s AS node, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM deg
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    , pr{i} AS (
+      SELECT node,
+             round((1 - {damping}) / (SELECT n FROM nn) + {damping} * mass, 9)
+               AS pr
+      FROM (
+        SELECT e.d AS node, sum(p.pr / deg.dg) AS mass
+        FROM e JOIN pr{i - 1} p ON e.s = p.node JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+      )
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, round(pr, 6) AS pagerank FROM pr{iterations}
+    """
+    )
+
+
+@register("near_dup_pagerank", oracle=_pagerank_oracle())
+def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the 3-gram-Jaccard
+    near-dup graph: centrality flags the canonical/boilerplate hubs
+    many near-copies orbit — a survivor-election signal beyond
+    length/score, and the fixed-iteration iterative-algorithm template
+    (per-step rounding pins cross-engine float agreement; the oracle is
+    the same iterations unrolled as chained CTEs)."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return D.pagerank(pairs, iterations=3, damping=0.85)

@@ -267,3 +267,27 @@ def test_paragraph_dedup_short_segments_bypass_election(spark):
     # "x" is under min_chars: kept in BOTH docs, never elected
     assert out[1] == "aa\nx\nbb"
     assert out[2] == "x\ncc"
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    from datas_spark.operators.dedup import pagerank
+
+    # star: node 0 connected to 1..6 — the hub must outrank every leaf
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    got = {r.node: r.pagerank for r in pagerank(pairs, iterations=3).collect()}
+    assert set(got) == set(range(7))
+    assert got[0] == max(got.values())
+    leaves = {got[i] for i in range(1, 7)}
+    assert len(leaves) == 1  # symmetry: all leaves equal
+    # probability mass approximately conserved (no dangling nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    # deterministic across layouts
+    again = pagerank(
+        spark.createDataFrame(
+            [(0, i) for i in range(1, 7)], "id_a long, id_b long"
+        ).repartition(5),
+        iterations=3,
+    )
+    assert {r.node: r.pagerank for r in again.collect()} == got
