@@ -62,6 +62,10 @@ HEADLINE = [
     "less_influence",
     "lsh_topk",
     "stratified_sample_skew",
+    # classic OLAP shapes over lineitem (the biggest table): scan-agg
+    # throughput and the 6-table join-order test
+    "pricing_summary",
+    "regional_revenue",
 ]
 
 RUNS_PER_QUERY = 3

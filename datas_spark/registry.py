@@ -596,3 +596,4 @@ from datas_spark import registry6  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry7  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry8  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry9  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry10  # noqa: E402,F401  (isort: skip)

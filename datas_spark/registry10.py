@@ -1,0 +1,156 @@
+r"""Query registry, batch 10 (round 3): classic OLAP analytics over the
+TPC-H-shaped tables — the scan-aggregate, join-order, and top-k shapes
+a general engine must plan well at 100 TB (SURVEY §2.9: joins and
+aggregations are absent from the reference; this is the north-star OLAP
+surface exercising lineitem, the biggest table, with broadcast dims and
+AQE-planned fact joins).
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry import register
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+           sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS sum_disc_price,
+           sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan-heavy pricing summary over
+    the biggest table: ONE pass, map-side partial aggregation into a
+    handful of (returnflag, linestatus) groups, shipdate predicate
+    pushed to the parquet scan. Money sums in DECIMAL so engines agree
+    exactly; averages rounded at the boundary. At 100 TB this query IS
+    the scan throughput benchmark."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+        F.sum(disc.cast("decimal(18,6)")).alias("sum_disc_price"),
+        F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(18,6)")).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table join-order test: local-supplier
+    revenue per nation for one region and a two-year window. Dimension
+    chain (region → nation) broadcasts; customer/supplier are
+    AQE-sized; the lineitem ⋈ orders fact join shuffles on the order
+    key with both date filters pushed below it. DECIMAL revenue keeps
+    engines exact."""
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    joined = (
+        customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(
+            broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(rev.cast("decimal(18,6)")).alias("revenue")
+    )
+
+
+@register(
+    "top_unshipped_orders",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — shipping-priority top-k: orders taken before
+    the date whose items shipped after it, ranked by outstanding
+    revenue. Both date predicates push into their scans BEFORE the fact
+    join; the limit runs as TakeOrderedAndProject (each task ships its
+    local 10, no global sort). Deterministic tie-break on the order
+    key."""
+    customer = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev.cast("decimal(18,6)")).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

@@ -82,3 +82,21 @@ def test_exact_dedup_aggregates_map_side(spark, sf_dir):
     # never be a window over every row
     assert "partial_min_by" in plan
     assert "Window" not in plan
+
+
+def test_tpch_shapes_broadcast_dims_and_push_dates(spark, sf_dir):
+    from datas_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["regional_revenue"](spark, sf_dir))
+    # region/nation dimension chain broadcasts; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the order-date window is pushed into the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    q1 = _plan(QUERIES["pricing_summary"](spark, sf_dir))
+    # shipdate predicate reaches the lineitem scan; partial agg map-side
+    assert "LessThanOrEqual(l_shipdate" in q1
+    assert "partial_sum" in q1 or "HashAggregate" in q1
+    q3 = _plan(QUERIES["top_unshipped_orders"](spark, sf_dir))
+    # top-k runs as TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in q3
