@@ -154,3 +154,97 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# datas_full_pipeline_deterministic — the flagship §3.1 flow with the
+# one non-SQL stage (MLlib KMeans) swapped for hyperplane sign-bucket
+# clustering, making the ENTIRE reference dataflow hash-checkable:
+# pseudo-alpaca projection → proxy embedding → bucket "cluster" →
+# proxy perplexity confidence → per-cluster percentile band → stride
+# sample. The KMeans flagship (datas_full_pipeline / entry()) keeps the
+# adaptive quantizer; this twin proves the COMPOSITION.
+# ---------------------------------------------------------------------------
+
+def _flagship_oracle() -> str:
+    from datas_spark.functions import text as T
+    from datas_spark.operators.similarity import random_hyperplanes
+
+    unit = "(('0x' || substr(md5({key}), 1, 8))::BIGINT / 4294967296.0)"
+    comps = ", ".join(
+        f"({unit.format(key=f'''instruction || '#emb{i}' ''')} - 0.5)::FLOAT"
+        for i in range(8)
+    )
+    planes = random_hyperplanes(8, 3, 42)
+    bits = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"e[{j + 1}]::DOUBLE * {x!r}" for j, x in enumerate(plane))
+        + f") >= 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i, plane in enumerate(planes)
+    )
+    prefix = T.PROMPT_NO_INPUT.split("{instruction}")[0]
+    prompt = f"'{prefix}' || instruction || '\n\n### Response:'"
+    return f"""
+    WITH pseudo AS (
+      SELECT doc_id, substr(text, 1, 80) AS instruction FROM documents
+    ), emb AS (
+      SELECT doc_id, instruction, [{comps}] AS e FROM pseudo
+    ), clustered AS (
+      SELECT doc_id, instruction, ({bits}) AS cluster FROM emb
+    ), conf AS (
+      SELECT doc_id, cluster,
+             1.0 + 99.0 * {unit.format(key=prompt)} AS conf
+      FROM clustered
+    ), stats AS (
+      SELECT cluster, count(*) AS cnt,
+             quantile_cont(conf, 0.25) AS lo, quantile_cont(conf, 0.75) AS hi
+      FROM conf GROUP BY cluster
+    ), band AS (
+      SELECT c.* FROM conf c JOIN stats s USING (cluster)
+      WHERE s.cnt < 5 OR (c.conf >= s.lo AND c.conf <= s.hi)
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS m
+      FROM band
+    ), strided AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY rn) AS k
+      FROM ranked WHERE (rn - 1) % greatest(m // 5, 1) = 0
+    )
+    SELECT doc_id, cluster, round(conf, 6) AS conf FROM strided WHERE k <= 5
+    """
+
+
+@register("datas_full_pipeline_deterministic", oracle=_flagship_oracle())
+def q_datas_full_pipeline_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE main.py flow (SURVEY §3.1), hash-checked:
+    pseudo-alpaca projection → proxy embedding (F1) → hyperplane
+    sign-bucket clustering standing in for KMeans (F2 — deterministic,
+    SQL-expressible; the adaptive-quantizer flagship stays rows-only as
+    entry()) → proxy prompt-perplexity confidence (P5) → per-cluster
+    percentile-band filter + stride sample (A1+A2). One lazy plan,
+    every stage reproduced in the composed oracle."""
+    from datas_spark.operators import clustering as C
+    from datas_spark.operators import scoring as SC
+    from datas_spark.operators import selection as S
+    from datas_spark.operators.similarity import (
+        hyperplane_signature,
+        random_hyperplanes,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pseudo = docs.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("instruction"),
+        F.lit("").alias("input"),
+    )
+    emb = C.embedding_proxy(pseudo, "instruction", dim=8)
+    clustered = hyperplane_signature(
+        emb, "emb_ins_alone", random_hyperplanes(8, 3, 42)
+    ).withColumnRenamed("bucket", "cluster")
+    scored = SC.perplexity_scorer_proxy(clustered)
+    selected = S.middle_confidence_sample(
+        scored, "cluster", "ppl_ins_alone", "doc_id", n=5
+    )
+    return selected.select(
+        "doc_id", "cluster", F.round("ppl_ins_alone", 6).alias("conf")
+    )
