@@ -248,3 +248,56 @@ def q_datas_full_pipeline_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "doc_id", "cluster", F.round("ppl_ins_alone", 6).alias("conf")
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+             sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, order_year, revenue,
+           round((revenue / sum(revenue) OVER (PARTITION BY order_year))::DOUBLE, 6)
+             AS market_share
+    FROM rev
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — window over an aggregate: each nation's share
+    of yearly revenue. The expensive part (fact join + DECIMAL revenue
+    rollup) reduces to |nations|x|years| rows FIRST; the share window
+    then runs over that tiny frame — windows belong above aggregates,
+    never on raw fact rows."""
+    from pyspark.sql import Window
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("order_year")
+    return rev.withColumn(
+        "market_share",
+        F.round((F.col("revenue") / F.sum("revenue").over(w)).cast("double"), 6),
+    )
