@@ -59,3 +59,33 @@ def test_selection_family_empty(spark):
     df = spark.createDataFrame([], "row_id long, cluster string, conf double")
     assert S.middle_confidence_sample(df, "cluster", "conf", "row_id").count() == 0
     assert S.stride_sample_skew_resistant(df, "cluster", "row_id", 5, num_partitions=4).count() == 0
+
+
+def test_round3_operators_empty_inputs(spark):
+    from datas_spark.operators import corpus as C
+    from datas_spark.operators import joins as J
+    from datas_spark.operators.clustering import standardize_embeddings
+    from datas_spark.operators.dedup import pagerank
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert C.weighted_sample_per_key(docs.withColumn("w", F.lit(1.0)), "lang", "doc_id", "w", 5).count() == 0
+    assert C.zscore_outliers(docs.withColumn("v", F.lit(1.0)), "lang", "v").count() == 0
+    assert C.value_deciles(docs.withColumn("v", F.lit(1)), "v").count() == 0
+    assert C.pack_sequences_tokenized(docs, "doc_id", "text", 100).count() == 0
+    assert (
+        curate_corpus(docs, near_dup_threshold=0.2, redact_pii=True,
+                      paragraph_dedup_delimiter=" ", split_weights={"train": 1.0}).count()
+        == 0
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(pairs).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert standardize_embeddings(emb, "vec_id", "embedding").count() == 0
+    # asof: empty right side (rows, not columns) keeps left-outer NULLs
+    left = spark.createDataFrame([(1, 10)], "id long, ts long")
+    right = spark.createDataFrame([], "id long, ts long, tag string")
+    rows = J.asof_join(left, right, "id", "ts", "ts").collect()
+    assert len(rows) == 1 and rows[0].r_tag is None
+    salted = J.asof_join(left, right, "id", "ts", "ts", salt_buckets=4).collect()
+    assert len(salted) == 1 and salted[0].r_tag is None
