@@ -301,3 +301,38 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "market_share",
         F.round((F.col("revenue") / F.sum("revenue").over(w)).cast("double"), 6),
     )
+
+
+def _simhash_near_dup_oracle() -> str:
+    from datas_spark.registry2 import _simhash_oracle
+
+    return f"""
+    WITH s AS ({_simhash_oracle(32)}),
+    bb AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bval
+      FROM s, unnest(range(0, 4)) AS u(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+@register("simhash_near_dup", oracle=_simhash_near_dup_oracle())
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over the 32-bit signature),
+    banded 4x8 bits: by pigeonhole a pair within distance 3 always
+    shares an intact band, so the equi-join banding has COMPLETE recall
+    — exact near-dup detection at n*bands shuffle keys, no cross join.
+    Completes the SimHash family (signature was already oracle-checked;
+    now the detection half is too)."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )

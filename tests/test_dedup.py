@@ -291,3 +291,41 @@ def test_pagerank_star_graph_center_dominates(spark):
         iterations=3,
     )
     assert {r.node: r.pagerank for r in again.collect()} == got
+
+
+def test_simhash_near_dup_banding_complete_recall(spark):
+    from datas_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    texts = [
+        (i, f"shared boilerplate body text segment number {'common' if i % 3 else 'rare'} "
+            f"with tail variation {i % 5}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    # brute force over all pairs: banding must find EVERY pair within
+    # the hamming budget (pigeonhole: max_hamming < bands)
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "text").collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0
+
+
+def test_simhash_near_dup_rejects_inexact_config(spark):
+    import pytest
+
+    from datas_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exact"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, bands=5, max_hamming=3)
