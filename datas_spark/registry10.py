@@ -336,3 +336,46 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(
         docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
     )
+
+
+@register(
+    "top_returned_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue: the 20 customers who
+    returned the most value in one year. The returnflag predicate
+    pushes into the lineitem scan (dictionary-encoded column — cheap
+    skip at the parquet level), the nation dim broadcasts, the limit
+    runs as TakeOrderedAndProject."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev.cast("decimal(18,6)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
