@@ -34,6 +34,8 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
+    "media_exact_dedup",
+    "media_payload_dedup",
     "decode_features",
     "resize_media",
     "frame_sample",
@@ -190,3 +192,48 @@ def frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+def media_exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
+    """Exact dedup of media payloads by full byte content — the
+    content-addressed pass a multimodal corpus runs before any decode
+    (identical blobs are common: re-uploads, mirrored crawls). Keeps
+    the first row per payload in ``order_col`` order via the same
+    map-side ``min_by`` election as text ``exact_dedup``; the group key
+    is a 64-bit hash of the bytes, so blobs never shuffle.
+    """
+    cols = df.columns
+    surv = (
+        df.withColumn("__fp", F.xxhash64(F.col(content_col)))
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("__row"))
+    )
+    return surv.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
+def media_payload_dedup(
+    df: DataFrame, content_col: str, order_col: str
+) -> DataFrame:
+    """Container-insensitive media dedup: strip the container header
+    (magic bytes) by sniffing, then dedup on the remaining PAYLOAD —
+    catches the same underlying content re-encapsulated in different
+    containers (the multimodal twin of normalized-text dedup; full
+    transcode-invariance needs a decode pass, this is the cheap
+    byte-level tier above it). Header sniff and payload slice are
+    string ops over the hex view — map-only, codegen'd, and
+    reproducible in SQL; blobs still never shuffle (64-bit payload
+    hash key).
+    """
+    cols = df.columns
+    h = F.hex(F.col(content_col))
+    payload = (
+        F.when(h.startswith("89504E47"), F.substring(h, 9, 2_000_000_000))
+        .when(h.startswith("FFD8"), F.substring(h, 5, 2_000_000_000))
+        .otherwise(h)
+    )
+    surv = (
+        df.withColumn("__fp", F.xxhash64(payload))
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("__row"))
+    )
+    return surv.select(*[F.col(f"__row.{c}").alias(c) for c in cols])

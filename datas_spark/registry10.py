@@ -379,3 +379,83 @@ def q_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+# Synthetic media with PLANTED cross-container duplicates: consecutive
+# doc pairs share the payload text (doc 2k and 2k+1 carry doc 2k's
+# text) while the container magic differs by doc_id % 3 — so payload
+# dedup must merge across containers and exact dedup must not.
+_MEDIA_DUP_SQL = """
+      SELECT d.doc_id AS media_id,
+        unhex(CASE WHEN d.doc_id % 3 = 0 THEN '89504E47'
+                   WHEN d.doc_id % 3 = 1 THEN 'FFD8' ELSE '' END
+              || hex(encode(b.text))) AS content
+      FROM documents d
+      JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 2)
+"""
+
+
+def _synth_media_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        (F.col("doc_id")).alias("__bid"), F.col("text").alias("__btext")
+    )
+    paired = docs.join(
+        base, (F.col("doc_id") - F.col("doc_id") % 2) == F.col("__bid")
+    )
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("89504E47"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("FFD8"))
+        .otherwise(F.lit(""))
+    )
+    content = F.unhex(F.concat(magic, F.hex(F.encode(F.col("__btext"), "utf-8"))))
+    return paired.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+
+
+@register(
+    "media_exact_dedup",
+    oracle=f"""
+    WITH m AS ({_MEDIA_DUP_SQL})
+    SELECT media_id FROM (
+      SELECT media_id, row_number() OVER (
+        PARTITION BY hex(content) ORDER BY media_id) AS rn
+      FROM m
+    ) WHERE rn = 1
+    """,
+)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup (full-byte identity): the planted
+    same-payload pairs survive when their containers differ — exact
+    dedup must NOT merge across containers."""
+    from datas_spark.operators import multimodal as MM
+
+    media = _synth_media_dups(spark, sf_dir)
+    return MM.media_exact_dedup(media, "content", "media_id").select("media_id")
+
+
+@register(
+    "media_payload_dedup",
+    oracle=f"""
+    WITH m AS ({_MEDIA_DUP_SQL}), p AS (
+      SELECT media_id,
+        CASE WHEN hex(content) LIKE '89504E47%' THEN substr(hex(content), 9)
+             WHEN hex(content) LIKE 'FFD8%' THEN substr(hex(content), 5)
+             ELSE hex(content) END AS payload
+      FROM m
+    )
+    SELECT media_id FROM (
+      SELECT media_id, row_number() OVER (
+        PARTITION BY payload ORDER BY media_id) AS rn
+      FROM p
+    ) WHERE rn = 1
+    """,
+)
+def q_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-insensitive media dedup: magic bytes stripped before
+    hashing, so the planted same-payload/different-container pairs
+    merge (first media_id wins) — roughly half the rows of
+    media_exact_dedup survive."""
+    from datas_spark.operators import multimodal as MM
+
+    media = _synth_media_dups(spark, sf_dir)
+    return MM.media_payload_dedup(media, "content", "media_id").select("media_id")
