@@ -256,6 +256,7 @@ def middle_confidence_sample(
     low_th: float = 0.25,
     up_th: float = 0.75,
     skew_resistant: bool = False,
+    exact_percentiles: bool = True,
 ) -> DataFrame:
     """A1+A2 composed — the full ``sample_middle_confidence_data``
     semantics (main.py:402-450) as one lazy plan.
@@ -266,8 +267,14 @@ def middle_confidence_sample(
     single dominant language — and the per-cluster window would
     serialize that cluster onto one task. The heuristic worth
     automating upstream: max cluster count ≳ rows/partitions × 10.
+    ``exact_percentiles=False`` switches the band bounds to the
+    constant-memory ``approx_percentile`` sketch (edge rows may flip —
+    see ``percentile_band_filter``); flip BOTH flags for the full
+    100 TB configuration.
     """
-    band = percentile_band_filter(df, cluster_col, conf_col, n, low_th, up_th)
+    band = percentile_band_filter(
+        df, cluster_col, conf_col, n, low_th, up_th, exact=exact_percentiles
+    )
     if skew_resistant:
         return stride_sample_skew_resistant(band, cluster_col, order_col, n)
     return stride_sample(band, cluster_col, order_col, n)

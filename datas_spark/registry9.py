@@ -125,3 +125,34 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(band, 2), 6).alias("p90"),
         F.round(F.element_at(band, 3), 6).alias("p99"),
     )
+
+
+@register(
+    "events_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id, ts, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest sanity: drop replayed events on the natural
+    key (user, ts, type), keeping the smallest event_id — min_by
+    map-side election, the batch twin of the streaming
+    dropDuplicatesWithinWatermark path (stream_dedup)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    surv = ev.groupBy("user_id", "ts", "event_type").agg(
+        F.min_by(F.struct("event_id", "value"), F.col("event_id")).alias("__r")
+    )
+    return surv.select(
+        F.col("__r.event_id").alias("event_id"),
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("__r.value").alias("value"),
+    )

@@ -100,3 +100,19 @@ def test_tpch_shapes_broadcast_dims_and_push_dates(spark, sf_dir):
     q3 = _plan(QUERIES["top_unshipped_orders"](spark, sf_dir))
     # top-k runs as TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in q3
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """The 100 TB layout contract: artifacts written partitioned by a
+    filter key are read with PartitionFilters — pruned at the file
+    listing, rows of other partitions never scanned."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = _plan(back.select("doc_id"))
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in pf
+    # the lang predicate prunes partitions; it must NOT appear as a
+    # post-scan data filter over row contents
+    assert back.count() == docs.where("lang = 'en'").count()
