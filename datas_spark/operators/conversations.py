@@ -25,10 +25,17 @@ small rows. The inverse (grouping turns back) is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["flatten_conversations", "turns_to_alpaca", "regroup_turns"]
+__all__ = [
+    "flatten_conversations",
+    "turns_to_alpaca",
+    "regroup_turns",
+    "conversation_text",
+    "conversation_dedup",
+    "conversation_stats",
+]
 
 
 def flatten_conversations(
@@ -92,4 +99,57 @@ def regroup_turns(
                 ),
             ),
         )
+    )
+
+
+def conversation_text(conv_col: str | Column) -> Column:
+    """Flatten a conversation's turns to one text blob (human and
+    assistant sides joined in turn order) — the canonical text for
+    conversation-level dedup/fingerprinting."""
+    c = F.col(conv_col) if isinstance(conv_col, str) else conv_col
+    return F.array_join(
+        F.transform(c, lambda t: F.concat_ws(" ", t["human"], t["assistant"])), " "
+    )
+
+
+def conversation_dedup(df: DataFrame, conv_col: str, order_col: str) -> DataFrame:
+    """Exact dedup of whole conversations on the NORMALIZED flattened
+    text (reposted chats differ in whitespace/punctuation, not words) —
+    the multi-turn twin of document ``exact_dedup``, same map-side
+    ``min_by`` election on a 64-bit key; turn arrays never shuffle.
+    """
+    from datas_spark.functions.text import normalized_text
+
+    cols = df.columns
+    fp = F.xxhash64(normalized_text(conversation_text(conv_col)))
+    surv = (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("__row"))
+    )
+    return surv.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
+def conversation_stats(df: DataFrame, conv_col: str, id_col: str) -> DataFrame:
+    """Per-conversation shape stats (turn count, per-side character
+    mass, mean human-turn length) — the filter inputs of multi-turn SFT
+    curation (drop monologues, truncated chats, assistant-only spam).
+    Pure array expressions, map-only.
+    """
+    c = F.col(conv_col)
+    h_chars = F.aggregate(
+        c, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(F.coalesce(t["human"], F.lit(""))),
+    )
+    a_chars = F.aggregate(
+        c, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(F.coalesce(t["assistant"], F.lit(""))),
+    )
+    n = F.size(c)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_turns"),
+        h_chars.alias("human_chars"),
+        a_chars.alias("assistant_chars"),
+        F.when(n > 0, F.round(h_chars / n, 4)).alias("avg_human_chars"),
     )

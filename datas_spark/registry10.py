@@ -459,3 +459,108 @@ def q_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _synth_media_dups(spark, sf_dir)
     return MM.media_payload_dedup(media, "content", "media_id").select("media_id")
+
+
+# Conversations with PLANTED repost duplicates: even conversation ids
+# carry the previous even id's turns with punctuation/casing noise, so
+# normalized conversation dedup must merge them.
+def _synth_conv_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = docs.select(
+        F.col("doc_id").alias("__bid"),
+        F.col("text").alias("__btext"),
+        F.col("lang").alias("__blang"),
+    )
+    paired = docs.join(
+        base, (F.col("doc_id") - F.col("doc_id") % 2) == F.col("__bid")
+    )
+    # the "repost" (odd ids) uppercases and appends punctuation — gone
+    # under normalization
+    h1 = F.when(
+        F.col("doc_id") % 2 == 1, F.upper(F.substring("__btext", 1, 40))
+    ).otherwise(F.substring("__btext", 1, 40))
+    a1 = F.when(
+        F.col("doc_id") % 2 == 1, F.concat(F.col("__blang"), F.lit("!!"))
+    ).otherwise(F.col("__blang"))
+    return paired.select(
+        F.col("doc_id").alias("conversation_id"),
+        F.array(
+            F.struct(h1.alias("human"), a1.alias("assistant")),
+            F.struct(
+                F.substring("__btext", 41, 40).alias("human"),
+                F.lit("ok").alias("assistant"),
+            ),
+        ).alias("conversation"),
+    )
+
+
+_CONV_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower({t}), '[^\w\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+_CONV_TEXT_SQL = """
+      (CASE WHEN d.doc_id % 2 = 1 THEN upper(substr(b.text, 1, 40))
+            ELSE substr(b.text, 1, 40) END)
+      || ' ' ||
+      (CASE WHEN d.doc_id % 2 = 1 THEN b.lang || '!!' ELSE b.lang END)
+      || ' ' || substr(b.text, 41, 40) || ' ok'
+"""
+
+
+@register(
+    "conversation_dedup",
+    oracle=f"""
+    WITH m AS (
+      SELECT d.doc_id AS doc_id, {_CONV_TEXT_SQL} AS flat
+      FROM documents d
+      JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 2)
+    )
+    SELECT doc_id AS conversation_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY {_CONV_NORM.format(t='flat')} ORDER BY doc_id) AS rn
+      FROM m
+    ) WHERE rn = 1
+    """,
+)
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation dedup on normalized flattened turns: the
+    planted reposts (odd ids — uppercased, punctuation appended) merge
+    with their originals, first conversation_id wins — half the corpus
+    survives."""
+    from datas_spark.operators import conversations as CV
+
+    conv = _synth_conv_dups(spark, sf_dir)
+    return CV.conversation_dedup(conv, "conversation", "conversation_id").select(
+        "conversation_id"
+    )
+
+
+@register(
+    "conversation_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id % 2 = 1 THEN upper(substr(b.text, 1, 40))
+             ELSE substr(b.text, 1, 40) END AS h1,
+        CASE WHEN d.doc_id % 2 = 1 THEN b.lang || '!!' ELSE b.lang END AS a1,
+        substr(b.text, 41, 40) AS h2
+      FROM documents d
+      JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 2)
+    )
+    SELECT doc_id AS conversation_id,
+           2::BIGINT AS n_turns,
+           (length(h1) + length(h2))::BIGINT AS human_chars,
+           (length(a1) + 2)::BIGINT AS assistant_chars,
+           round((length(h1) + length(h2)) / 2.0, 4) AS avg_human_chars
+    FROM m
+    """,
+)
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation shape stats (turn count, per-side char mass,
+    mean human-turn length) — the multi-turn curation filter inputs,
+    pure map-only array folds."""
+    from datas_spark.operators import conversations as CV
+
+    conv = _synth_conv_dups(spark, sf_dir)
+    return CV.conversation_stats(conv, "conversation", "conversation_id")

@@ -53,3 +53,33 @@ def test_regroup_round_trip(spark):
         {"human": "hi", "assistant": "hello"},
         {"human": "how?", "assistant": "fine"},
     ]
+
+
+def test_conversation_dedup_merges_normalized_reposts(spark):
+    from datas_spark.operators.conversations import conversation_dedup
+
+    conv_type = "conversation_id long, conversation array<struct<human:string,assistant:string>>"
+    rows = [
+        (1, [("Hello there", "hi"), ("how are you", "fine")]),
+        (2, [("HELLO, there!!", "hi."), ("How are you?", "fine")]),  # repost
+        (3, [("different dialog", "yes")]),
+    ]
+    out = conversation_dedup(
+        spark.createDataFrame(rows, conv_type), "conversation", "conversation_id"
+    )
+    assert sorted(r.conversation_id for r in out.collect()) == [1, 3]
+
+
+def test_conversation_stats_values(spark):
+    from datas_spark.operators.conversations import conversation_stats
+
+    conv_type = "conversation_id long, conversation array<struct<human:string,assistant:string>>"
+    rows = [(1, [("abcd", "xy"), ("ef", None)]), (2, [])]
+    got = {
+        r.conversation_id: (r.n_turns, r.human_chars, r.assistant_chars, r.avg_human_chars)
+        for r in conversation_stats(
+            spark.createDataFrame(rows, conv_type), "conversation", "conversation_id"
+        ).collect()
+    }
+    assert got[1] == (2, 6, 2, 3.0)
+    assert got[2] == (0, 0, 0, None)
