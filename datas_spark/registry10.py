@@ -564,3 +564,79 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     conv = _synth_conv_dups(spark, sf_dir)
     return CV.conversation_stats(conv, "conversation", "conversation_id")
+
+
+@register(
+    "orders_priority_pivot",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS n_urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+             AS n_high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+             AS n_medium,
+           sum(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END)
+             AS n_other
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot of order counts by priority per year — the
+    cross-tab report shape. An EXPLICIT pivot value list (Spark's
+    ``pivot(col, values)``), never the value-discovery form: at 100 TB
+    the two-pass distinct scan pivot(col) needs is a full extra read,
+    and an unbounded value set is a schema hazard anyway. Unlisted
+    priorities fold into n_other."""
+    orders = read_table(spark, sf_dir, "orders")
+    known = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    tagged = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.when(F.col("o_orderpriority").isin(known), F.col("o_orderpriority"))
+        .otherwise(F.lit("OTHER"))
+        .alias("prio"),
+    )
+    wide = (
+        tagged.groupBy("order_year")
+        .pivot("prio", known + ["OTHER"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "order_year",
+        F.coalesce("1-URGENT", F.lit(0)).alias("n_urgent"),
+        F.coalesce("2-HIGH", F.lit(0)).alias("n_high"),
+        F.coalesce("3-MEDIUM", F.lit(0)).alias("n_medium"),
+        F.coalesce("OTHER", F.lit(0)).alias("n_other"),
+    )
+
+
+@register(
+    "churned_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    WHERE c.c_custkey IN (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ) AND c.c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    """,
+)
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference churn: customers active in 1996 with no 1997
+    order — semi-join minus anti-join on the pre-aggregated distinct
+    key sets (the EXCEPT shape without materializing wide rows; both
+    probe sides reduce to bare keys before any join)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y97 = orders.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        customer.join(y96, "c_custkey", "left_semi")
+        .join(y97, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
