@@ -640,3 +640,35 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y97, "c_custkey", "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
+
+
+@register(
+    "sql_interface_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, count(DISTINCT o.o_custkey) AS n_customers,
+           sum(o.o_totalprice::DECIMAL(18,2)) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine through the SQL door: tables registered as temp views
+    and the query written in ANSI SQL via spark.sql — Catalyst compiles
+    it to the identical plan the DataFrame API builds (broadcast dim,
+    partial aggregates), proving a SQL-only user gets the same engine.
+    """
+    for t in ("orders", "customer", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(DISTINCT o.o_custkey) AS n_customers,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spend
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -47,6 +47,13 @@ def get_spark(
         # Broadcast threshold: small dims (region/nation/cluster stats)
         # must broadcast, never shuffle-join.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input split sizing: with wide text/binary rows (documents,
+        # media blobs) a 128 MiB parquet split decompresses to far more
+        # heap. Keep the default locally; at the 100 TB deployment size
+        # this DOWN (e.g. 64m) if executors OOM on the scan, or UP for
+        # fewer tasks on narrow numeric tables — one knob per table
+        # family via read-time option, not a global.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
         # Deterministic timestamp semantics for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
         # Quieter driver-side logs for bench runs.
