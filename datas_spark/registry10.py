@@ -672,3 +672,43 @@ def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "priority_counts_long",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                THEN o_orderpriority ELSE 'OTHER' END AS priority,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_priority_counts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot roundtrip in one plan: the wide cross-tab from
+    orders_priority_pivot melts back to long (year, priority, n) via
+    df.unpivot — proving both reshaping APIs against the plain
+    GROUP BY oracle. Zero-count cells introduced by the pivot are
+    dropped on the way back (the long form never had them)."""
+    orders = read_table(spark, sf_dir, "orders")
+    known = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    tagged = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.when(F.col("o_orderpriority").isin(known), F.col("o_orderpriority"))
+        .otherwise(F.lit("OTHER"))
+        .alias("prio"),
+    )
+    wide = (
+        tagged.groupBy("order_year")
+        .pivot("prio", known + ["OTHER"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["order_year"],
+        values=known + ["OTHER"],
+        variableColumnName="priority",
+        valueColumnName="n",
+    )
+    return long.where(F.col("n").isNotNull()).select(
+        "order_year", "priority", F.col("n").cast("long").alias("n")
+    )
