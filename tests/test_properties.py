@@ -6,7 +6,7 @@ max_examples kept small: every example runs Spark jobs.
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from datas_spark.operators import selection as S
@@ -179,3 +179,75 @@ def test_pack_sequences_bins_monotone_and_start_bounded(spark, texts, budget):
     for r in got:
         assert r.bin == cum // budget
         cum += r.n_tokens
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_pagerank_mass_positive_and_conserved(spark, edges):
+    from datas_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    ).distinct()
+    got = {r.node: r.pagerank for r in pagerank(pairs, iterations=3).collect()}
+    nodes = {n for e in edges for n in e}
+    assert set(got) == nodes
+    assert all(v > 0 for v in got.values())
+    # undirected symmetrized graph has no dangling mass: total ~ 1
+    assert abs(sum(got.values()) - 1.0) < 1e-2
+
+
+@given(
+    n_tokens=st.integers(0, 40),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_cover_and_no_contained_chunk(spark, n_tokens, chunk, overlap):
+    from datas_spark.operators import corpus as C
+
+    assume(overlap < chunk)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        C.chunk_documents(df, "doc_id", "text", chunk, overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    step = chunk - overlap
+    spans = [(r.chunk_id * step, r.chunk_id * step + r.n_tokens) for r in rows]
+    if n_tokens == 0:
+        assert len(rows) == 1 and rows[0].n_tokens == 1  # one empty token
+        return
+    # full coverage of every token position
+    covered = set()
+    for lo, hi in spans:
+        covered.update(range(lo, hi))
+    assert covered == set(range(n_tokens))
+    # the ADVICE invariant: no chunk fully contained in the previous one
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert bhi > ahi
+
+
+@given(values=st.lists(st.integers(0, 30), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_value_deciles_monotone_complete_partition(spark, values):
+    from datas_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    rows = C.value_deciles(df, "v", buckets=10).collect()
+    assert len(rows) == len(values)  # every row assigned exactly once
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r.v, set()).add(r.bucket)
+    assert all(len(s) == 1 for s in by_v.values())  # ties share buckets
+    ordered = [next(iter(by_v[v])) for v in sorted(by_v)]
+    assert ordered == sorted(ordered)  # monotone in the value
+    assert 1 <= ordered[0] and ordered[-1] <= 10
