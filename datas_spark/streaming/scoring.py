@@ -405,3 +405,100 @@ def incremental_near_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_streams_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every purchase emits —
+    paired with each qualifying click, or once with NULL click columns
+    if none arrived. The outer semantics are what funnel metrics need
+    (conversion WITHOUT attribution is still a conversion).
+
+    The mechanics Spark imposes: an outer result for an unmatched
+    purchase can only emit once the watermark has passed the point
+    where a matching click could still arrive (purchase_ts is final
+    only then) — so unmatched rows surface with watermark-delay
+    latency, and a query that never advances its watermark never emits
+    them. Same state-eviction bound as the inner join.
+    """
+    c = clicks.select(
+        F.col(key).alias("__ck"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    p = purchases.select(
+        F.col(key).alias("__pk"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["__ck"] == p["__pk"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond, "right_outer").select(
+        p["purchase_id"],
+        p["__pk"].alias(key),
+        p["purchase_ts"],
+        p["purchase_value"],
+        c["click_ts"],
+        c["click_value"],
+    )
+
+
+def materialize_window_counts(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+):
+    """Incremental materialized view: keep a parquet table of windowed
+    per-type aggregates continuously up to date — the streaming twin of
+    re-running ``events_window_agg`` from scratch, at per-batch cost.
+
+    Mechanics: the windowed aggregation runs in UPDATE mode, so each
+    micro-batch delivers only the (window, event_type) rows whose
+    totals CHANGED (late data within the watermark updates its window);
+    ``foreachBatch`` writes them with DYNAMIC partition overwrite on
+    the window-start partition — only touched windows rewrite, and a
+    replayed batch rewrites the identical partitions with identical
+    totals (idempotent, the exactly-once story for file sinks).
+    Readers see a plain partitioned parquet table, partition-prunable
+    by window.
+    """
+    agg = windowed_event_agg(stream, window=window, watermark=watermark)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn(
+                    "window_date", F.date_format("window_start", "yyyyMMddHH")
+                )
+                .write.mode("overwrite")
+                .partitionBy("window_date")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

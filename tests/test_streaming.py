@@ -327,3 +327,143 @@ def test_incremental_near_dedup_sink_in_batch_election(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "istate" / "rows")).collect()
     )
     assert kept == [10]
+
+
+def test_outer_attribution_join_emits_unmatched_after_watermark(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import join_streams_outer, read_event_stream
+
+    src = tmp_path / "outer_src"
+    src.mkdir()
+    # batch 1: one purchase WITH a prior click, one purchase WITHOUT
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 1,
+         "event_type": "purchase", "value": 10.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:30:00", "user_id": 2,
+         "event_type": "purchase", "value": 20.0, "props": "{}"},
+    ]
+    # batch 2: far-future events advance the watermark past batch 1 —
+    # BOTH types, because the global watermark is the min across both
+    # join inputs and each filtered branch only advances on its own rows
+    rows2 = [
+        {"event_id": 8, "ts": "2024-01-02T12:00:00", "user_id": 3,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 9, "ts": "2024-01-02T12:00:00", "user_id": 3,
+         "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows1:
+            f.write(_json.dumps(r) + "\n")
+    with open(src / "b.json", "w") as f:
+        for r in rows2:
+            f.write(_json.dumps(r) + "\n")
+    # a third file/batch: the watermark a batch USES comes from the
+    # previous batch's max event time, so flushing batch 1's unmatched
+    # row needs one more batch after the watermark-advancing one
+    with open(src / "c.json", "w") as f:
+        for r in (
+            {"event_id": 10, "ts": "2024-01-02T13:00:00", "user_id": 3,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 11, "ts": "2024-01-02T13:00:00", "user_id": 3,
+             "event_type": "purchase", "value": 0.0, "props": "{}"},
+        ):
+            f.write(_json.dumps(r) + "\n")
+
+    s = read_event_stream(spark, str(src))
+    # maxFilesPerTrigger forces two micro-batches under availableNow
+    s = (
+        spark.readStream.format("json")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    joined = join_streams_outer(
+        s.where(F.col("event_type") == "click"),
+        s.where(F.col("event_type") == "purchase"),
+        max_gap="30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "outer_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.purchase_id: r.click_ts for r in spark.table("outer_attr").collect()}
+    # matched purchases carry their clicks; the unmatched purchase (3)
+    # EMITTED with NULL click once the watermark passed its join bound
+    assert {2, 3} <= set(got)
+    assert got[2] is not None and got[3] is None
+    # the watermark-advancing purchases match their same-time clicks
+    assert got.get(9) is not None and got.get(11) is not None
+
+
+def test_materialize_window_counts_idempotent_and_matches_batch(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import materialize_window_counts, windowed_event_agg
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    rows = []
+    for i in range(30):
+        rows.append(
+            {"event_id": i, "ts": f"2024-01-01T{i % 4:02d}:{i % 50:02d}:00",
+             "user_id": i % 3, "event_type": ["click", "view"][i % 2],
+             "value": float(i), "props": "{}"}
+        )
+    # two files -> two micro-batches; the second updates windows the
+    # first already wrote (late-but-in-watermark data)
+    with open(src / "a.json", "w") as f:
+        for r in rows[:20]:
+            f.write(_json.dumps(r) + "\n")
+    with open(src / "b.json", "w") as f:
+        for r in rows[20:]:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    out = str(tmp_path / "mv_out")
+    q = materialize_window_counts(
+        stream, out, str(tmp_path / "mv_ckpt"), watermark="12 hours"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_agg(batch, watermark="12 hours").collect()
+    }
+    assert got == want and len(want) > 0
+    # replaying the whole stream into the same store is idempotent
+    q2 = materialize_window_counts(
+        stream, out, str(tmp_path / "mv_ckpt2"), watermark="12 hours"
+    )
+    q2.awaitTermination(120)
+    again = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    assert again == want
