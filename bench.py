@@ -66,6 +66,10 @@ HEADLINE = [
     # throughput and the 6-table join-order test
     "pricing_summary",
     "regional_revenue",
+    # round-3 families: banded SimHash pair detection and the
+    # window-over-aggregate share rollup
+    "simhash_near_dup",
+    "nation_market_share",
 ]
 
 RUNS_PER_QUERY = 3
