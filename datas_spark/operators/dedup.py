@@ -921,6 +921,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale —
     the detection half the ``simhash`` signature was waiting for.
@@ -932,8 +933,17 @@ def simhash_near_dup_pairs(
     ``max_hamming < bands``: a pair within distance max_hamming cannot
     have a flipped bit in every band, so it always shares at least one
     intact band. Shuffle volume is n·bands 8-byte band keys — never a
-    cross join; a degenerate bucket (e.g. many empty docs hashing to
-    signature 0) is the same skew trade as MinHash banding.
+    cross join.
+
+    Candidate density grows QUADRATICALLY with bucket occupancy, and a
+    ``bands``-band split of a ``bits``-bit signature has only
+    ``bands · 2^(bits/bands)`` buckets — at corpus scale either widen
+    the signature (64-bit, 8 bands keeps hamming < 8 complete) or set
+    ``max_bucket_size``: buckets holding more rows are dropped (the
+    same skew cap as MinHash banding; each dropped bucket can only
+    suppress pairs whose OTHER bands are all hot too — the usual
+    recall trade, and it bounds per-bucket work to cap² regardless of
+    n).
 
     Returns (id_a, id_b, hamming) with id_a < id_b, deduped across
     bands.
@@ -962,6 +972,14 @@ def simhash_near_dup_pairs(
     banded = sig.select(
         "__id", "simhash", F.explode(band_structs).alias("bb")
     ).select("__id", "simhash", "bb.band", "bb.bval")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .where(F.col("__bc") <= max_bucket_size)
+            .select("band", "bval")
+        )
+        banded = banded.join(ok, ["band", "bval"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -329,3 +329,24 @@ def test_simhash_near_dup_rejects_inexact_config(spark):
         simhash_near_dup_pairs(docs, "doc_id", "text", bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divide"):
         simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, bands=5, max_hamming=3)
+
+
+def test_simhash_near_dup_bucket_cap_suppresses_hot_buckets(spark):
+    from datas_spark.operators.dedup import simhash_near_dup_pairs
+
+    # many near-identical docs -> hot buckets; the cap bounds candidates
+    docs = spark.createDataFrame(
+        [(i, f"identical boilerplate body {'x' if i % 10 == 0 else 'x'} tail")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    uncapped = simhash_near_dup_pairs(docs, "doc_id", "text").count()
+    capped = simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=5).count()
+    assert uncapped > 0
+    # every bucket exceeds the cap here, so all candidates are suppressed
+    assert capped == 0
+    # a generous cap changes nothing
+    assert (
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=1000).count()
+        == uncapped
+    )
