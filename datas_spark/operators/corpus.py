@@ -887,12 +887,19 @@ def value_deciles(
     exact integer math, so ties (equal values) always share a bucket
     and the result reproduces bit-for-bit on any engine.
 
+    NULL values carry a NULL bucket and are excluded from the
+    histogram (they have no rank among real values — counting them
+    would shift every real value's bucket upward); the rows themselves
+    pass through via the left join.
+
     The scale contrast: ``ntile()`` needs one global sort (single
     reducer at 100 TB); this plan's only ordered structure is the
     |distinct values|-row histogram.
     """
-    hist = df.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
@@ -904,4 +911,6 @@ def value_deciles(
             / F.sum("__c").over(wall)
         ).cast("int").alias("bucket"),
     )
-    return df.join(broadcast(cuts), F.col(value_col) == F.col("__v")).drop("__v")
+    return df.join(
+        broadcast(cuts), F.col(value_col) == F.col("__v"), "left"
+    ).drop("__v")

@@ -158,9 +158,17 @@ def _asof_salted(l: DataFrame, r: DataFrame, u: DataFrame, nb: int, order) -> Da
     def bucketed(df: DataFrame) -> DataFrame:
         span = F.greatest(F.col("__mx") - F.col("__mn"), F.lit(1e-12))
         b = F.floor((ts_num() - F.col("__mn")) / span * F.lit(nb)).cast("long")
+        # NULL timestamps go to bucket 0 explicitly: they sort first in
+        # the lowest bucket's window, matching the unsalted path's
+        # asc_nulls_first order. (Without this, least(NULL, nb-1) skips
+        # the NULL and lands them in the LAST bucket, where the carry-in
+        # would hand them the latest right payload instead of NULL.)
+        bkt = F.when(F.col("__ts").isNull(), F.lit(0)).otherwise(
+            F.least(b, F.lit(nb - 1))
+        )
         return (
             df.crossJoin(broadcast(bounds))
-            .withColumn("__bkt", F.least(b, F.lit(nb - 1)))
+            .withColumn("__bkt", bkt)
             .drop("__mn", "__mx")
         )
     lb, rb = bucketed(l), bucketed(r)
@@ -242,6 +250,12 @@ def interval_join(
     blo = F.floor(F.col(lo_col) / F.lit(bw)).cast("long")
     bhi = F.floor(F.col(hi_col) / F.lit(bw)).cast("long")
     seq = F.when(
+        # NULL-bounded intervals can't match any point: yield a NULL
+        # array so explode drops them, instead of letting the NULL span
+        # fall through to the raise_error branch and kill the job
+        blo.isNull() | bhi.isNull(),
+        F.lit(None).cast("array<long>"),
+    ).when(
         bhi - blo < F.lit(cap),
         F.sequence(blo, bhi),
     ).otherwise(

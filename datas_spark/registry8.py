@@ -70,7 +70,8 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_deciles",
     oracle="""
     WITH h AS (
-      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+      SELECT n_chars AS v, count(*) AS c FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY n_chars
     ), cuts AS (
       SELECT v,
              ceil(10.0 * sum(c) OVER (ORDER BY v
@@ -79,7 +80,7 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT d.doc_id, d.n_chars, cuts.bucket
-    FROM documents d JOIN cuts ON d.n_chars = cuts.v
+    FROM documents d LEFT JOIN cuts ON d.n_chars = cuts.v
     """,
 )
 def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,6 +161,72 @@ def sessionize(
     )
 
 
+def _read_store(spark, path: str) -> DataFrame | None:
+    """Read a parquet state store; ``None`` ONLY when the path does not
+    exist yet (first batch). Any other failure — corrupted footers,
+    permissions — raises: swallowing it would silently treat a broken
+    store as empty and admit every duplicate."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+"""NOTE on the batch-commit scheme shared by the incremental dedup
+sinks: the checkpoint dir and the state dir are a UNIT — micro-batch
+ids come from the checkpoint, and the ``_commits/`` markers in the
+state dir record which of those ids fully wrote their stores. Pointing
+a FRESH checkpoint at an existing state dir restarts ids at 0 and the
+guard would skip live batches; wipe (or version) both together."""
+
+
+def _batch_marker(spark, state_path: str, batch_id: int):
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        state_path + "/_commits", f"batch-{batch_id}"
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, marker
+
+
+def _batch_committed(spark, state_path: str, batch_id: int) -> bool:
+    fs, marker = _batch_marker(spark, state_path, batch_id)
+    return bool(fs.exists(marker))
+
+
+def _commit_batch(spark, state_path: str, batch_id: int) -> None:
+    """Write the commit marker LAST, after every store write of the
+    batch — the marker is the unit of atomicity for multi-store sinks
+    (all three parquet writes happened, or the batch replays)."""
+    fs, marker = _batch_marker(spark, state_path, batch_id)
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent per-batch store write: stamp rows with ``__batch`` and
+    dynamically overwrite ONLY that partition, so a replayed (crashed or
+    redelivered) batch replaces its own partial output instead of
+    appending duplicates."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def incremental_dedup_sink(
     stream: DataFrame,
     state_path: str,
@@ -182,6 +248,14 @@ def incremental_dedup_sink(
     batches, earlier batches win. The anti-join broadcasts or shuffles
     per AQE's view of the store size.
 
+    Exactly-once across crashes: every store write is stamped with the
+    micro-batch id and dynamically overwrites only its own ``__batch``
+    partition; a commit marker under ``_commits/`` is written last, and
+    a redelivered batch whose marker exists is skipped outright. A
+    batch that crashed mid-write replays, excludes its own partial
+    partition from the store probe (a doc must not anti-join against
+    its own half-written fingerprints), and overwrites it.
+
     Returns the started StreamingQuery (writes survivors to
     ``state_path + '/rows'``, fingerprints to ``state_path + '/seen'``).
     """
@@ -190,23 +264,27 @@ def incremental_dedup_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _batch_committed(spark, state_path, batch_id):
+            return
         firsts = exact_dedup(batch_df, text_col, id_col).withColumn(
             "__fp", F.xxhash64(normalized_text(text_col))
         )
         seen_path = state_path + "/seen"
         rows_path = state_path + "/rows"
-        try:
-            seen = spark.read.parquet(seen_path).select("__fp")
-        except Exception:
-            seen = None
+        seen = _read_store(spark, seen_path)
+        if seen is not None:
+            seen = seen.where(F.col("__batch") != batch_id).select("__fp")
         fresh = firsts if seen is None else firsts.join(seen, "__fp", "left_anti")
-        # one deterministic materialization per batch: both appends must
+        # one deterministic materialization per batch: both writes must
         # see the same survivor set
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.drop("__fp").write.mode("append").parquet(rows_path)
-        fresh.select("__fp", F.col(id_col).alias("first_id")).write.mode(
-            "append"
-        ).parquet(seen_path)
+        _write_batch_partition(fresh.drop("__fp"), batch_id, rows_path)
+        _write_batch_partition(
+            fresh.select("__fp", F.col(id_col).alias("first_id")),
+            batch_id,
+            seen_path,
+        )
+        _commit_batch(spark, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -304,6 +382,15 @@ def incremental_near_dedup_sink(
     nothing about empty sets — and pass through as always-fresh; run
     ``incremental_dedup_sink`` alongside for exact short-doc dedup.
 
+    Exactly-once across crashes (same scheme as
+    ``incremental_dedup_sink``): all three store writes are stamped
+    with the micro-batch id and dynamically overwrite only their own
+    ``__batch`` partition, a ``_commits/`` marker is written after the
+    third, a redelivered committed batch is skipped, and a replayed
+    crashed batch excludes its own partial partitions from the band
+    probe (otherwise its docs would match their half-written bands and
+    be dropped as near-dups of themselves) before overwriting them.
+
     Returns the started StreamingQuery.
     """
     from datas_spark.operators.dedup import (
@@ -350,6 +437,8 @@ def incremental_near_dedup_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _batch_committed(spark, state_path, batch_id):
+            return
         # 1. in-batch near-dedup: keep the smallest id per component
         pairs = minhash_lsh_pairs(
             batch_df, id_col, text_col, num_hashes, bands, shingle_n,
@@ -359,20 +448,20 @@ def incremental_near_dedup_sink(
         kept = resolved.where(F.col(id_col) == F.col("component")).drop("component")
         sigs = minhash_signature(kept, text_col, num_hashes, shingle_n)
         banded = _bands_of(sigs)
-        # 2. probe the persistent store
+        # 2. probe the persistent store (excluding this batch's own
+        # partition — present only when replaying a crashed batch)
         bands_path = state_path + "/bands"
         sigs_path = state_path + "/sigs"
         rows_path = state_path + "/rows"
-        try:
-            store_bands = spark.read.parquet(bands_path).select(
+        store_bands = _read_store(spark, bands_path)
+        store_sigs = _read_store(spark, sigs_path)
+        if store_bands is not None:
+            store_bands = store_bands.where(F.col("__batch") != batch_id).select(
                 "band", "bucket", F.col(id_col).alias("__old_id")
             )
-            store_sigs = spark.read.parquet(sigs_path).select(
+            store_sigs = store_sigs.where(F.col("__batch") != batch_id).select(
                 F.col(id_col).alias("__old_id"), F.col("minhash").alias("__old_mh")
             )
-        except Exception:
-            store_bands = None
-            store_sigs = None
         if store_bands is not None:
             cand = (
                 banded.join(store_bands, ["band", "bucket"])
@@ -390,14 +479,21 @@ def incremental_near_dedup_sink(
             fresh_sigs = sigs.join(dup_ids, id_col, "left_anti")
         else:
             fresh_sigs = sigs
-        # one deterministic materialization per batch: all three appends
+        # one deterministic materialization per batch: all three writes
         # must see the same survivor set
         fresh_sigs = fresh_sigs.localCheckpoint(eager=True)
-        fresh_sigs.drop("minhash").write.mode("append").parquet(rows_path)
-        fresh_sigs.select(id_col, "minhash").write.mode("append").parquet(sigs_path)
-        _bands_of(fresh_sigs.select(id_col, "minhash")).select(
-            "band", "bucket", id_col
-        ).write.mode("append").parquet(bands_path)
+        _write_batch_partition(fresh_sigs.drop("minhash"), batch_id, rows_path)
+        _write_batch_partition(
+            fresh_sigs.select(id_col, "minhash"), batch_id, sigs_path
+        )
+        _write_batch_partition(
+            _bands_of(fresh_sigs.select(id_col, "minhash")).select(
+                "band", "bucket", id_col
+            ),
+            batch_id,
+            bands_path,
+        )
+        _commit_batch(spark, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -470,12 +566,17 @@ def materialize_window_counts(
     Mechanics: the windowed aggregation runs in UPDATE mode, so each
     micro-batch delivers only the (window, event_type) rows whose
     totals CHANGED (late data within the watermark updates its window);
-    ``foreachBatch`` writes them with DYNAMIC partition overwrite on
-    the window-start partition — only touched windows rewrite, and a
-    replayed batch rewrites the identical partitions with identical
-    totals (idempotent, the exactly-once story for file sinks).
-    Readers see a plain partitioned parquet table, partition-prunable
-    by window.
+    ``foreachBatch`` writes them with DYNAMIC partition overwrite
+    partitioned by (exact window start, event_type) — the partition key
+    is exactly the aggregation group key, so an overwrite replaces ONLY
+    the groups the batch actually emitted. A coarser key (e.g. the
+    window's hour alone) would silently delete the untouched groups
+    sharing a partition: UPDATE mode emits changed groups, not whole
+    partitions. Second-precision window_date also keeps sub-hour
+    windows from sharing a partition. A replayed batch rewrites
+    identical partitions with identical totals (idempotent, the
+    exactly-once story for file sinks). Readers see a plain partitioned
+    parquet table, partition-prunable by window and type.
     """
     agg = windowed_event_agg(stream, window=window, watermark=watermark)
 
@@ -486,10 +587,10 @@ def materialize_window_counts(
         try:
             (
                 batch_df.withColumn(
-                    "window_date", F.date_format("window_start", "yyyyMMddHH")
+                    "window_date", F.date_format("window_start", "yyyyMMddHHmmss")
                 )
                 .write.mode("overwrite")
-                .partitionBy("window_date")
+                .partitionBy("window_date", "event_type")
                 .parquet(out_path)
             )
         finally:

@@ -396,6 +396,19 @@ def test_value_deciles_ties_share_buckets(spark):
     assert buckets[0] >= 1 and buckets[-1] <= 4
 
 
+def test_value_deciles_nulls_pass_through_without_shifting(spark):
+    # 20 real values 0..19 plus 80 NULLs: NULLs must neither join away
+    # nor inflate the cumulative counts that place real values
+    rows = [(i, i) for i in range(20)] + [(100 + j, None) for j in range(80)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = C.value_deciles(df, "v", buckets=10).collect()
+    assert len(out) == 100  # every row assigned (NULLs kept)
+    by_v = {r.v: r.bucket for r in out if r.v is not None}
+    # exactly 2 of 20 real values per decile: v=0,1 -> 1 ... v=18,19 -> 10
+    assert all(by_v[v] == v // 2 + 1 for v in range(20))
+    assert all(r.bucket is None for r in out if r.v is None)
+
+
 def test_standardize_embeddings_unit_stats(spark):
     import numpy as np
 

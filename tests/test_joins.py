@@ -157,6 +157,36 @@ def test_interval_join_rejects_nan_and_inf_bucket_width(spark):
             J.interval_join(df, ivals, "v", "lo", "hi", bad)
 
 
+def test_interval_join_drops_null_bounded_intervals(spark):
+    points = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    ivals = spark.createDataFrame(
+        [(1, 4.0, 6.0), (2, None, 6.0), (3, 4.0, None), (4, None, None)],
+        "iid long, lo double, hi double",
+    )
+    # NULL-bounded intervals drop silently (can't match any point) —
+    # they must not trip the oversized-interval raise_error
+    got = J.interval_join(points, ivals, "v", "lo", "hi", 1.0).collect()
+    assert [r.iid for r in got] == [1]
+
+
+def test_asof_join_salted_matches_unsalted_on_null_ts(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, None, 101), (1, 30, 102)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 7.0), (1, 25, 8.0)], "k long, ts long, rv double"
+    )
+    plain = {r.lid: (r.r_ts, r.r_rv) for r in
+             J.asof_join(left, right, "k", "ts", "ts").collect()}
+    salted = {r.lid: (r.r_ts, r.r_rv) for r in
+              J.asof_join(left, right, "k", "ts", "ts", salt_buckets=4).collect()}
+    assert plain == salted
+    # the NULL-ts left row matches nothing (sorts before every right row)
+    assert plain[101] == (None, None)
+    assert plain[100] == (5, 7.0) and plain[102] == (25, 8.0)
+
+
 def test_interval_join_caps_bucket_explosion(spark):
     import pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException

@@ -329,6 +329,81 @@ def test_incremental_near_dedup_sink_in_batch_election(spark, tmp_path):
     assert kept == [10]
 
 
+def test_near_dedup_sink_skips_redelivered_batch(spark, tmp_path):
+    """foreachBatch can redeliver a batch after a crash; the _commits
+    marker must make the replay a no-op instead of duplicating rows."""
+    import json as _json
+    import shutil
+
+    from datas_spark.streaming.scoring import incremental_near_dedup_sink
+
+    src = tmp_path / "redeliver_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 0, "text": "a long unique document about watermark ttl compaction and streaming state stores"}) + "\n")
+        f.write(_json.dumps({"doc_id": 1, "text": "another long unique document about partition overwrite modes and commit markers"}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .load(str(src))
+    )
+    state = str(tmp_path / "rstate")
+    q = incremental_near_dedup_sink(
+        stream, state, "text", "doc_id", str(tmp_path / "rckpt")
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(state + "/rows").collect()
+    assert sorted(r.doc_id for r in first) == [0, 1]
+    # redelivery: a FRESH checkpoint re-reads the same file as batch 0
+    # again; the committed marker must skip it
+    shutil.rmtree(str(tmp_path / "rckpt"))
+    q2 = incremental_near_dedup_sink(
+        stream, state, "text", "doc_id", str(tmp_path / "rckpt")
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(state + "/rows").collect()
+    assert sorted(r.doc_id for r in again) == [0, 1]
+    assert len(again) == len(first)  # no duplicated appends
+
+
+def test_near_dedup_sink_replays_uncommitted_batch_without_self_match(spark, tmp_path):
+    """Crash-before-commit emulation: stores hold the batch's own
+    partition but no marker. The replay must exclude its own partial
+    bands from the probe (no doc drops as a near-dup of itself) and
+    overwrite — not append to — its partition."""
+    import json as _json
+    import shutil
+
+    from datas_spark.streaming.scoring import incremental_near_dedup_sink
+
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 5, "text": "a sufficiently long body of text about adversarial verification and oracle checked engines"}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .load(str(src))
+    )
+    state = str(tmp_path / "cstate")
+    q = incremental_near_dedup_sink(
+        stream, state, "text", "doc_id", str(tmp_path / "cckpt")
+    )
+    q.awaitTermination(120)
+    # emulate the crash: full batch-0 store writes exist, marker doesn't
+    shutil.rmtree(state + "/_commits")
+    shutil.rmtree(str(tmp_path / "cckpt"))
+    q2 = incremental_near_dedup_sink(
+        stream, state, "text", "doc_id", str(tmp_path / "cckpt")
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(state + "/rows").collect()
+    # survived its own stale bands, and exactly once
+    assert [r.doc_id for r in rows] == [5]
+    sigs = spark.read.parquet(state + "/sigs").collect()
+    assert len(sigs) == 1
+
+
 def test_outer_attribution_join_emits_unmatched_after_watermark(spark, tmp_path):
     import json as _json
 
@@ -415,19 +490,27 @@ def test_materialize_window_counts_idempotent_and_matches_batch(spark, tmp_path)
     src = tmp_path / "mv_src"
     src.mkdir()
     rows = []
-    for i in range(30):
+    for i in range(24):
+        # (i // 4) % 2 decorrelates type from hour (i % 4): every hour
+        # window holds BOTH click and view rows
         rows.append(
-            {"event_id": i, "ts": f"2024-01-01T{i % 4:02d}:{i % 50:02d}:00",
-             "user_id": i % 3, "event_type": ["click", "view"][i % 2],
+            {"event_id": i, "ts": f"2024-01-01T{i % 4:02d}:{(i * 7) % 50:02d}:00",
+             "user_id": i % 3, "event_type": ["click", "view"][(i // 4) % 2],
              "value": float(i), "props": "{}"}
         )
-    # two files -> two micro-batches; the second updates windows the
-    # first already wrote (late-but-in-watermark data)
+    # second micro-batch: late-but-in-watermark rows touching hour 00
+    # with ONLY click events — the overwrite of that window must not
+    # delete hour 00's view rows
+    late = [
+        {"event_id": 100 + j, "ts": f"2024-01-01T00:{j:02d}:30",
+         "user_id": j, "event_type": "click", "value": 1.0, "props": "{}"}
+        for j in range(5)
+    ]
     with open(src / "a.json", "w") as f:
-        for r in rows[:20]:
+        for r in rows:
             f.write(_json.dumps(r) + "\n")
     with open(src / "b.json", "w") as f:
-        for r in rows[20:]:
+        for r in late:
             f.write(_json.dumps(r) + "\n")
 
     schema = (
@@ -455,6 +538,13 @@ def test_materialize_window_counts_idempotent_and_matches_batch(spark, tmp_path)
         for r in windowed_event_agg(batch, watermark="12 hours").collect()
     }
     assert got == want and len(want) > 0
+    # the click-only late batch rewrote hour 00 without deleting that
+    # window's view group
+    import datetime as _dt
+
+    h0 = _dt.datetime(2024, 1, 1, 0, 0)
+    assert (h0, "view") in got and (h0, "click") in got
+    assert got[(h0, "click")][0] == 3 + 5  # base clicks + late clicks
     # replaying the whole stream into the same store is idempotent
     q2 = materialize_window_counts(
         stream, out, str(tmp_path / "mv_ckpt2"), watermark="12 hours"
