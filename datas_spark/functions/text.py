@@ -33,6 +33,7 @@ __all__ = [
     "fingerprint",
     "shingles",
     "hash32",
+    "hash60",
     "hash56",
 ]
 
@@ -208,6 +209,15 @@ def hash32(col: Column | str) -> Column:
     """First 8 hex chars of md5 as a bigint (32 bits) — small enough that
     ``a*h + b`` stays in int64 for MinHash permutations."""
     return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+def hash60(col: Column | str) -> Column:
+    """First 15 hex chars of md5 as a bigint (60 bits) — the widest
+    md5-prefix hash that round-trips exactly through signed-int64 string
+    conversion on every engine (16 hex chars can exceed 2^63, where
+    ``conv``'s decimal string no longer casts to long). Token hash for
+    wide SimHash signatures."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:

@@ -41,6 +41,7 @@ from pyspark.sql.functions import broadcast
 from datas_spark.functions.text import (
     hashed_shingles_of_hashes,
     hash32,
+    hash60,
     normalized_text,
     shingles,
     shingles_of_tokens,
@@ -254,12 +255,22 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
-    """Append ``simhash``: bit-majority signature over token hash32s.
+    """Append ``simhash``: bit-majority signature over token hashes.
 
     bit b of the signature is 1 iff, across tokens, bit b is set in more
     token-hashes than not. Single map-side pass (token hashes computed
     once, folded per bit position).
+
+    ``bits`` up to 60 — wider signatures (the scale config for banded
+    near-dup: more bits per band = exponentially more buckets) switch
+    to a 60-bit token hash; a 32-bit token hash would leave every bit
+    past 31 permanently unset and the extra bands degenerate.
+    (60, not 64: the md5-prefix hash must round-trip through signed
+    int64 on every engine the oracle runs on.)
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    token_hash = hash32 if bits <= 32 else hash60
     # one fold over the token hashes with a `bits`-wide vote accumulator
     # (the per-bit-aggregate formulation walks the array `bits` times —
     # 32 traversals/row; this walks it once). `masks` is all-literal, so
@@ -294,7 +305,7 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     )
     return (
         df.withColumn(
-            "__st_hashes", F.transform(word_tokens(text_col), lambda t: hash32(t))
+            "__st_hashes", F.transform(word_tokens(text_col), lambda t: token_hash(t))
         )
         .withColumn("__votes", votes)
         .withColumn("simhash", sig)
@@ -938,7 +949,8 @@ def simhash_near_dup_pairs(
     Candidate density grows QUADRATICALLY with bucket occupancy, and a
     ``bands``-band split of a ``bits``-bit signature has only
     ``bands · 2^(bits/bands)`` buckets — at corpus scale either widen
-    the signature (64-bit, 8 bands keeps hamming < 8 complete) or set
+    the signature (bits=60 with 4 bands gives 15-bit bands: 32,768
+    values each, still pigeonhole-complete for hamming <= 3) or set
     ``max_bucket_size``: buckets holding more rows are dropped (the
     same skew cap as MinHash banding; each dropped bucket can only
     suppress pairs whose OTHER bands are all hot too — the usual
@@ -972,34 +984,40 @@ def simhash_near_dup_pairs(
     banded = sig.select(
         "__id", "simhash", F.explode(band_structs).alias("bb")
     ).select("__id", "simhash", "bb.band", "bb.bval")
-    if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "bval")
-            .agg(F.count(F.lit(1)).alias("__bc"))
-            .where(F.col("__bc") <= max_bucket_size)
-            .select("band", "bval")
-        )
-        banded = banded.join(ok, ["band", "bval"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.simhash").alias("__sa"),
-            F.col("r.simhash").alias("__sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # ONE shuffle: gather each bucket's (id, signature) members with a
+    # groupBy — the signature subtree evaluates exactly once. (The
+    # alias/self-join formulation computes the signature on BOTH join
+    # inputs: Catalyst does not reuse the exchange across the l/r
+    # aliases, and at corpus scale the signature pass over the raw text
+    # is the expensive stage.) Bucket member lists are bounded by
+    # occupancy — the wide-signature config and/or ``max_bucket_size``
+    # keep them small; candidate pairs are generated and
+    # hamming-filtered per bucket behind the explode barrier, so only
+    # genuine near-dup pairs reach the cross-band dedup shuffle.
+    buckets = banded.groupBy("band", "bval").agg(
+        F.sort_array(F.collect_list(F.struct("__id", "simhash"))).alias("__ms")
     )
-    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("__ms") <= max_bucket_size)
+    ms = F.col("__ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
+        buckets.select(F.explode(pair_arr).alias("__pp"))
+        .select("__pp.id_a", "__pp.id_b", "__pp.hamming")
         .where(F.col("hamming") <= max_hamming)
-        .drop("__sa", "__sb")
+        .dropDuplicates(["id_a", "id_b"])
     )

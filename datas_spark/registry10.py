@@ -303,13 +303,16 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_near_dup_oracle() -> str:
+def _simhash_near_dup_oracle(bits: int = 60) -> str:
     from datas_spark.registry2 import _simhash_oracle
 
+    width = bits // 4
+    mask = (1 << width) - 1
     return f"""
-    WITH s AS ({_simhash_oracle(32)}),
+    WITH s AS ({_simhash_oracle(bits)}),
     bb AS (
-      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bval
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * {width})) & {mask} AS bval
       FROM s, unnest(range(0, 4)) AS u(band)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -324,12 +327,30 @@ def _simhash_near_dup_oracle() -> str:
 
 @register("simhash_near_dup", oracle=_simhash_near_dup_oracle())
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 over the 32-bit signature),
-    banded 4x8 bits: by pigeonhole a pair within distance 3 always
+    """SimHash near-dup pairs (hamming <= 3), banded 4x15 bits over a
+    60-BIT signature: by pigeonhole a pair within distance 3 always
     shares an intact band, so the equi-join banding has COMPLETE recall
     — exact near-dup detection at n*bands shuffle keys, no cross join.
-    Completes the SimHash family (signature was already oracle-checked;
-    now the detection half is too)."""
+
+    The 15-bit bands are the scale config: 32,768 values per band
+    (vs 256 for the 4x8 split of a 32-bit signature), so expected
+    bucket occupancy — and the quadratic in-bucket candidate count —
+    drops ~128x at the same corpus size. 60 bits, not 64, because the
+    md5-prefix token hash must round-trip through signed int64 on both
+    engines."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
+    )
+
+
+@register("simhash_near_dup32", oracle=_simhash_near_dup_oracle(32))
+def q_simhash_near_dup32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The narrow-signature variant (32-bit, 4x8-bit bands) — higher
+    recall on short texts at quadratically higher bucket occupancy;
+    kept as the oracle-checked twin of the pre-scale-fix flagship."""
     from datas_spark.operators import dedup as D
 
     docs = read_table(spark, sf_dir, "documents")

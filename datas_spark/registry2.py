@@ -564,6 +564,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(bits: int = 32) -> str:
+    # mirrors dedup.simhash: 32-bit signatures vote over an 8-hex-char
+    # md5 prefix hash, wider ones over a 15-hex-char (60-bit) prefix
+    nhex = 8 if bits <= 32 else 15
     votes = "\n        + ".join(
         f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // {1 << b}) % 2 = 1 "
         f"THEN 1 ELSE -1 END)) >= 0 THEN {1 << b} ELSE 0 END"
@@ -573,7 +576,7 @@ def _simhash_oracle(bits: int = 32) -> str:
     WITH t AS (
       SELECT doc_id,
         list_transform(string_split_regex(trim(text), '\s+'),
-                       w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS th
+                       w -> ('0x' || substr(md5(w), 1, {nhex}))::BIGINT) AS th
       FROM documents
     )
     SELECT doc_id, ({votes})::BIGINT AS simhash FROM t

@@ -331,6 +331,58 @@ def test_simhash_near_dup_rejects_inexact_config(spark):
         simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, bands=5, max_hamming=3)
 
 
+def test_simhash_wide_signature_bounds_bucket_occupancy(spark):
+    """The flagship near-dup config (60-bit, 4x15-bit bands) must keep
+    band-bucket occupancy small on real corpus data — occupancy is what
+    the quadratic candidate count grows with. The 32-bit 4x8 split of
+    the same corpus concentrates the same rows into 256-value bands."""
+    from pyspark.sql import functions as F
+
+    from datas_spark.operators.dedup import simhash
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+    def bucket_stats(bits: int, bands: int):
+        width = bits // bands
+        mask = (1 << width) - 1
+        sig = simhash(docs, "text", bits=bits)
+        return (
+            sig.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("simhash", b * width)
+                            .bitwiseAND(F.lit(mask)).alias("bval"),
+                        )
+                        for b in range(bands)
+                    ])
+                ).alias("bb")
+            )
+            .groupBy("bb.band", "bb.bval")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("candidates"),
+                F.expr("percentile(c, 0.99)").alias("p99"),
+            )
+            .collect()[0]
+        )
+
+    wide = bucket_stats(60, 4)
+    narrow = bucket_stats(32, 4)
+    n = docs.count()
+    # quadratic work metric: total in-bucket candidate pairs. The wide
+    # config must stay near-linear in n (hot buckets only from genuine
+    # near-dup clusters), and far below the narrow config's
+    assert wide.candidates <= 8 * n  # testdata holds real dup clusters
+    assert wide.candidates * 5 <= narrow.candidates
+    # typical (p99) bucket occupancy stays single-digit-ish
+    assert wide.p99 <= max(4, n // 50)
+
+
 def test_simhash_near_dup_bucket_cap_suppresses_hot_buckets(spark):
     from datas_spark.operators.dedup import simhash_near_dup_pairs
 
