@@ -7,12 +7,17 @@ Reference behavior being re-expressed (SURVEY §2.1):
   ``end=-1`` → all rows).
 
 Scale notes:
-- ``with_row_id`` mints a deterministic, dense ``row_id`` via a window
-  over an explicit total order. We deliberately do NOT use
+- ``with_row_id`` mints a deterministic, dense ``row_id`` over an
+  explicit total order. We deliberately do NOT use a bare
   ``monotonically_increasing_id`` (partition-dependent, not stable
-  across reruns → breaks stride sampling determinism and the oracle).
-  The global window is a one-time cost at ingest; at 100 TB you mint
-  once, persist to Parquet, and every downstream read is free.
+  across reruns → breaks stride sampling determinism and the oracle),
+  and we do NOT use ``row_number()`` over a partition-less window — a
+  global window funnels the entire table through ONE reducer. Instead
+  the mint reuses ``selection.skew_resistant_rank``'s construction:
+  one balanced range exchange on the order key, local sorts, and a
+  broadcast-tiny per-partition offset table — identical output, every
+  partition ranks in parallel. Mint once at ingest, persist to
+  Parquet, and every downstream read is free.
 """
 
 from __future__ import annotations
@@ -65,11 +70,28 @@ def with_row_id(df: DataFrame, order_by: str | Column | list, name: str = "row_i
     order (SURVEY §4 'physical-design choices').
 
     ``order_by`` must be a total order (e.g. a natural key) for results
-    to be reproducible. Returns a new DataFrame with ``name`` prepended.
+    to be reproducible. Returns a new DataFrame with ``name`` appended
+    (as long — int32 overflows before 100 TB of rows does).
+
+    Scale shape: no global window. The rank comes from
+    ``skew_resistant_rank`` with a constant cluster key — a balanced
+    range exchange on the order key, per-partition local sorts, and
+    cumulative partition offsets from a broadcast-tiny aggregate. The
+    only ordered single-task structure in the plan is the
+    |partitions|-row offset frame.
     """
+    from datas_spark.operators.selection import skew_resistant_rank
+
     cols = order_by if isinstance(order_by, list) else [order_by]
-    w = Window.orderBy(*cols)
-    return df.withColumn(name, F.row_number().over(w) - 1)
+    key = [c if isinstance(c, Column) else F.col(c) for c in cols]
+    prepared = df.withColumn("__rid_c", F.lit(0)).withColumn(
+        "__rid_o", F.struct(*key)
+    )
+    ranked = skew_resistant_rank(prepared, "__rid_c", "__rid_o")
+    return (
+        ranked.withColumn(name, (F.col("__rn") - 1).cast("long"))
+        .drop("__rn", "__m", "__rid_c", "__rid_o")
+    )
 
 
 def row_range(
@@ -93,11 +115,11 @@ def row_range(
     if start == 0 and end >= 0:
         # TakeOrderedAndProject — no full shuffle/sort materialization.
         return df.orderBy(*cols).limit(end)
-    w = Window.orderBy(*cols)
-    rn = F.row_number().over(w) - 1
+    # general [start, end): scale-safe row-id mint (range exchange +
+    # partition offsets — see with_row_id), then a plain range filter
     upper = F.lit(end) if end >= 0 else F.lit(2**62)
     return (
-        df.withColumn("__rn", rn)
+        with_row_id(df, cols, name="__rn")
         .where((F.col("__rn") >= start) & (F.col("__rn") < upper))
         .drop("__rn")
     )

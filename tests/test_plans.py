@@ -16,6 +16,41 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _walk(node):
+    """Yield every physical node, descending through AQE wrappers."""
+    yield node
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk(node.initialPlan())
+        return
+    for i in range(node.children().length()):
+        yield from _walk(node.children().apply(i))
+
+
+def _has_aggregate_below(node) -> bool:
+    first = True
+    for nd in _walk(node):
+        if first:
+            first = False
+            continue
+        if "Aggregate" in nd.getClass().getSimpleName():
+            return True
+    return False
+
+
+def global_window_violations(df) -> list:
+    """Partition-less WindowExec nodes ranking RAW rows — the
+    single-reducer scale killer. A partition-less window is acceptable
+    only above an aggregate (it then orders |groups| metadata rows —
+    e.g. skew_resistant_rank's per-partition offset frame — not data)."""
+    bad = []
+    root = df._jdf.queryExecution().executedPlan()
+    for nd in _walk(root):
+        if nd.getClass().getSimpleName() in ("WindowExec", "WindowGroupLimitExec"):
+            if nd.partitionSpec().isEmpty() and not _has_aggregate_below(nd):
+                bad.append(nd.getClass().getSimpleName())
+    return bad
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     plan = _plan(ev.select("event_id"))
@@ -100,6 +135,76 @@ def test_tpch_shapes_broadcast_dims_and_push_dates(spark, sf_dir):
     q3 = _plan(QUERIES["top_unshipped_orders"](spark, sf_dir))
     # top-k runs as TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in q3
+
+
+def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan for the three
+    single-node scale killers: an unbroadcast cartesian product, a
+    nested-loop join that isn't the documented 1-row-bounds crossJoin
+    pattern, and a partition-less window ranking raw rows. This is the
+    regression gate that keeps new queries honest."""
+    import __spark_entry__ as E
+
+    # BroadcastNestedLoopJoin is legitimate ONLY against a broadcast
+    # literal-sized frame (1-row min/max bounds, tiny query sets,
+    # centroid tables). Each entry documents which tiny frame crosses.
+    bnlj_ok = {
+        "events_asof_click_salted",   # 1-row lazy ts bounds
+        "stride_skew_sample",         # 1-row bounds (skew_resistant_rank)
+        "stratified_sample_skew",     # 1-row bounds
+        "row_range_select",           # 1-row bounds via with_row_id
+        "middle_band_select",         # per-cluster percentile cuts (tiny)
+        "band_gather",                # same cuts frame
+        "cosine_topk", "cosine_topk_vec",  # broadcast query set
+        "lsh_topk", "lsh_topk_multiprobe", "lsh_topk_fixed",  # query set
+        "ivf_topk", "ivf_topk_fixed",      # centroids + query set
+        "knn_label_vote",                  # broadcast query set
+        "embedding_centroid_shift",        # centroid frame
+        "ngram_contamination",             # broadcast n-gram blocklist
+        "curate_corpus", "curate_corpus_minhash",  # stage bounds frames
+        "datas_full_pipeline", "datas_full_pipeline_deterministic",
+        "kcenter_sample",                  # per-round argmax row
+        "labeled_unlabeled_split",
+        "near_dup_pagerank",               # 1-row node count (dangling mass)
+        "standardize_embeddings",          # 1-row packed per-dim mu/sd
+        "tfidf_top_terms",                 # 1-row corpus doc count (idf)
+        "ties_merge", "ties_merge_global", "ties_merge_minority",  # 1-row vote totals
+    }
+    failures = []
+    for name, fn in sorted(E.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # a query that can't even plan is a bug
+            failures.append(f"{name}: planning raised {e!r}")
+            continue
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        bad = global_window_violations(df)
+        if bad:
+            failures.append(f"{name}: partition-less {bad} over raw rows")
+    assert not failures, "\n".join(failures)
+
+
+def test_row_id_mint_has_no_single_reducer_window(spark, sf_dir):
+    """with_row_id / row_range must never rank raw rows through a
+    partition-less window (one reducer sorts the whole table). The
+    range-exchange construction's only ordered single-task structure is
+    the |partitions|-row offset aggregate."""
+    from datas_spark.io.sources import row_range, with_row_id
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    minted = with_row_id(docs, "doc_id")
+    assert global_window_violations(minted) == []
+    assert "row_number" not in _plan(minted)
+    ranged = row_range(docs, 100, 200, order_by="doc_id")
+    assert global_window_violations(ranged) == []
+    assert "row_number" not in _plan(ranged)
+    # output contract unchanged: dense 0-based ids in order
+    got = [r.row_id for r in minted.orderBy("doc_id").limit(5).collect()]
+    assert got == [0, 1, 2, 3, 4]
 
 
 def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
