@@ -347,6 +347,26 @@ def join_streams(
     )
 
 
+def _compact_batch_partitions(spark, path: str, keep_from: int) -> None:
+    """Drop ``__batch=k`` partition dirs with k < keep_from — the TTL
+    compaction for batch-stamped state stores. Driver-side metadata
+    operation: |expired batches| directory deletes, never a data scan."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("__batch="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < keep_from:
+                fs.delete(st.getPath(), True)
+
+
 def incremental_near_dedup_sink(
     stream: DataFrame,
     state_path: str,
@@ -357,6 +377,7 @@ def incremental_near_dedup_sink(
     bands: int = 4,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    retain_batches: int | None = None,
 ):
     """Cross-batch NEAR-dup with durable state — what an incremental
     corpus ingest actually needs: a slightly-edited repost of last
@@ -390,6 +411,15 @@ def incremental_near_dedup_sink(
     crashed batch excludes its own partial partitions from the band
     probe (otherwise its docs would match their half-written bands and
     be dropped as near-dups of themselves) before overwriting them.
+
+    ``retain_batches=N`` bounds the probe state: after each commit,
+    band/signature partitions older than the last N batches are
+    deleted (a driver-side directory drop — the stores are partitioned
+    by ``__batch``). The dedup horizon becomes N batches: a near-dup
+    of a doc first seen earlier than that is admitted, the same
+    rolling-window contract as ``stream_dedup``'s watermark. ``rows/``
+    (the surviving corpus, the sink's OUTPUT) is never compacted.
+    Default ``None`` keeps state forever.
 
     Returns the started StreamingQuery.
     """
@@ -494,6 +524,10 @@ def incremental_near_dedup_sink(
             bands_path,
         )
         _commit_batch(spark, state_path, batch_id)
+        if retain_batches is not None:
+            keep_from = batch_id - int(retain_batches) + 1
+            _compact_batch_partitions(spark, bands_path, keep_from)
+            _compact_batch_partitions(spark, sigs_path, keep_from)
 
     return (
         stream.writeStream.foreachBatch(_sink)

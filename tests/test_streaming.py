@@ -404,6 +404,69 @@ def test_near_dedup_sink_replays_uncommitted_batch_without_self_match(spark, tmp
     assert len(sigs) == 1
 
 
+def test_near_dedup_sink_ttl_compaction_plateaus_store(spark, tmp_path):
+    """retain_batches must bound the probe state under a rolling
+    workload (and survive a restart), while rows/ keeps every
+    survivor. Docs past the horizon stop suppressing their near-dups —
+    the documented rolling-window trade."""
+    import json as _json
+
+    from datas_spark.streaming.scoring import incremental_near_dedup_sink
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    # genuinely distinct bodies (a shared template would near-dup away)
+    bodies = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu amber bronze copper dusk",
+        "ember forest granite harbor iris jade kestrel lagoon meadow night",
+        "onyx prairie quartz ridge summit timber umber valley willow zenith",
+    ]
+
+    def write_file(i):
+        with open(src / f"f{i:02d}.json", "w") as f:
+            f.write(_json.dumps({"doc_id": i, "text": bodies[i]}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    state = str(tmp_path / "tstate")
+
+    def run():
+        q = incremental_near_dedup_sink(
+            stream, state, "text", "doc_id", str(tmp_path / "tckpt"),
+            retain_batches=2,
+        )
+        q.awaitTermination(180)
+
+    for i in range(3):
+        write_file(i)
+    run()
+
+    def batches_in(sub):
+        import os
+        root = f"{state}/{sub}"
+        return sorted(
+            int(d.split("=")[1]) for d in os.listdir(root)
+            if d.startswith("__batch=")
+        )
+
+    # 3 batches ran; only the last 2 band/sig partitions remain
+    assert batches_in("bands") == [1, 2]
+    assert batches_in("sigs") == [1, 2]
+    # restart with 2 more files: store plateaus at 2 batches again
+    write_file(3)
+    write_file(4)
+    run()
+    assert batches_in("bands") == [3, 4]
+    # rows/ (the output) keeps every survivor across the whole run
+    rows = spark.read.parquet(state + "/rows")
+    assert sorted(r.doc_id for r in rows.collect()) == [0, 1, 2, 3, 4]
+
+
 def test_outer_attribution_join_emits_unmatched_after_watermark(spark, tmp_path):
     import json as _json
 
