@@ -26,9 +26,11 @@ from datas_spark.operators.corpus import (
 )
 from datas_spark.operators.dedup import (
     exact_dedup,
+    minhash_lsh_pairs,
     near_dedup_keep_best,
     ngram_jaccard_pairs,
     paragraph_dedup,
+    simhash_near_dup_pairs,
 )
 
 __all__ = ["curate_corpus"]
@@ -47,7 +49,9 @@ def curate_corpus(
     redact_pii: bool = False,
     paragraph_dedup_delimiter: str | None = None,
     near_dup_threshold: float | None = None,
+    near_dup_method: str = "jaccard",
     near_dup_ngram: int = 3,
+    near_dup_max_hamming: int = 3,
     contamination_min_shared: int = 5,
     temperature: float | None = None,
     split_weights: dict[str, float] | None = None,
@@ -70,9 +74,14 @@ def curate_corpus(
     5. paragraph dedup    — corpus-wide first-occurrence segment
        election on ``paragraph_dedup_delimiter``, text rebuilt from
        surviving segments, if a delimiter is given
-    6. near-dup chain     — n-gram Jaccard pairs ≥ ``near_dup_threshold``
-       → connected components → keep the LONGEST doc per component
-       (ties to smallest id), if a threshold is given
+    6. near-dup chain     — candidate pairs → connected components →
+       keep the LONGEST doc per component (ties to smallest id), if a
+       threshold is given. ``near_dup_method`` picks the pair backend:
+       ``"jaccard"`` (exact n-gram Jaccard ≥ threshold — the precise,
+       priciest option), ``"minhash"`` (banded LSH, estimated Jaccard ≥
+       threshold — the cheap scale path), or ``"simhash"`` (60-bit
+       banded signatures, hamming ≤ ``near_dup_max_hamming``;
+       ``near_dup_threshold`` just gates the stage on)
     7. decontamination    — drop docs sharing ≥ ``contamination_min_shared``
        n-grams with ``benchmark`` (broadcast probe), if given
     8. temperature sample — rebalance ``domain_col`` mixture, if given
@@ -130,9 +139,25 @@ def curate_corpus(
         ).select(id_col, F.col("text_dedup").alias(text_col))
         out = cut(out.drop(text_col).join(rebuilt, id_col))
     if near_dup_threshold is not None:
-        pairs = ngram_jaccard_pairs(
-            out, id_col, text_col, n=near_dup_ngram, threshold=near_dup_threshold
-        )
+        if near_dup_method == "jaccard":
+            pairs = ngram_jaccard_pairs(
+                out, id_col, text_col, n=near_dup_ngram, threshold=near_dup_threshold
+            )
+        elif near_dup_method == "minhash":
+            pairs = minhash_lsh_pairs(
+                out, id_col, text_col, shingle_n=near_dup_ngram,
+                min_est_jaccard=near_dup_threshold,
+            )
+        elif near_dup_method == "simhash":
+            pairs = simhash_near_dup_pairs(
+                out, id_col, text_col, bits=60, bands=4,
+                max_hamming=near_dup_max_hamming,
+            )
+        else:
+            raise ValueError(
+                f"near_dup_method must be jaccard|minhash|simhash, "
+                f"got {near_dup_method!r}"
+            )
         out = cut(
             near_dedup_keep_best(
                 out.withColumn("__len", F.length(text_col)), id_col, "__len", pairs

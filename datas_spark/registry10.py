@@ -733,3 +733,97 @@ def q_priority_counts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.where(F.col("n").isNotNull()).select(
         "order_year", "priority", F.col("n").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation recipe with the banded MinHash near-dup backend (VERDICT r3 #6):
+# the cheap LSH pair generator composed INTO the flagship pipeline, the
+# whole chain (exact dedup -> LSH pairs -> connected components -> longest-
+# doc election -> split) hash-checked as one composition.
+# ---------------------------------------------------------------------------
+
+def _curate_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, thr: float = 0.5
+) -> str:
+    from datas_spark.operators import dedup as D
+    from datas_spark.registry import _minhash_oracle
+    from datas_spark.registry5 import _MD5_UNIT_SQL, _NORM_SQL
+
+    rows = num_hashes // bands
+    sig_cte = _minhash_oracle(num_hashes, shingle_n).strip()
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT s.doc_id, s.minhash, {b} AS band, "
+        f"md5(array_to_string(s.minhash[{b * rows + 1}:{b * rows + rows}], ',')) AS bucket "
+        f"FROM sig s JOIN ded USING (doc_id) WHERE s.minhash[1] < {D.MINHASH_P}"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH RECURSIVE ded AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id, row_number() OVER (
+          PARTITION BY md5({_NORM_SQL.format(t='d.text')})
+          ORDER BY d.doc_id) AS rn
+        FROM documents d
+      ) WHERE rn = 1
+    ), sig AS ({sig_cte}),
+    banded AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.minhash AS ma, r.minhash AS mb
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE list_sum(list_transform(range(1, {num_hashes} + 1),
+            i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END))::DOUBLE
+            / {num_hashes} >= {thr}
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, length(d.text) AS ln,
+             coalesce(comp.component, d.doc_id) AS component
+      FROM documents d JOIN ded USING (doc_id)
+      LEFT JOIN comp ON d.doc_id = comp.node
+    ), best AS (
+      SELECT component, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY ln DESC, doc_id ASC) AS rn
+      FROM labeled
+    )
+    SELECT l.doc_id, l.component,
+           CASE WHEN {_MD5_UNIT_SQL.format(key="l.doc_id::VARCHAR")} < 0.9
+                THEN 'train' ELSE 'test' END AS split
+    FROM labeled l
+    JOIN best b ON l.component = b.component AND b.rn = 1
+               AND b.keep_id = l.doc_id
+    """
+
+
+@register("curate_corpus_minhash", oracle=_curate_minhash_oracle())
+def q_curate_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation recipe with ``near_dup_method="minhash"`` — banded
+    LSH candidate pairs (estimated Jaccard >= 0.5) instead of exact
+    n-gram Jaccard feeding the same connected-components + longest-doc
+    election, then the deterministic split. The oracle chains every
+    stage's proven CTE in recipe order, so the backend swap is
+    hash-checked as a composition, not just as pieces."""
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs.select("doc_id", "text"),
+        max_dup_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+        near_dup_threshold=0.5,
+        near_dup_method="minhash",
+        split_weights={"train": 0.9, "test": 0.1},
+    )
+    return out.select("doc_id", "component", "split")

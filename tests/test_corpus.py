@@ -353,6 +353,66 @@ def test_pack_sequences_tokenized_custom_factory(spark):
     assert got == {1: 3, 2: 4}
 
 
+def test_pack_sequences_tokenized_with_real_bpe(spark):
+    """Plug a REAL byte-pair encoder (the GPT-2 greedy ranked-merge
+    loop, pure Python, hardcoded merge table) into the
+    make_subword_counter boundary — proving it takes an actual BPE,
+    not just fake-shaped counters. Defined inside the test so
+    cloudpickle ships it by value to the workers."""
+
+    def _tiny_bpe_factory():
+        merges = [
+            ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+            ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"), ("l", "o"),
+            ("lo", "w"), ("h", "e"), ("he", "l"), ("hel", "l"), ("hell", "o"),
+        ]
+        ranks = {m: i for i, m in enumerate(merges)}
+
+        def encode(word):
+            parts = list(word)
+            while len(parts) > 1:
+                best, best_i = None, None
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+            return parts
+
+        def count(text):
+            return sum(len(encode(w)) for w in text.lower().split())
+
+        return count
+
+    # sanity of the encoder itself: merges actually fire
+    count = _tiny_bpe_factory()
+    assert count("the") == 1          # t+h -> th, th+e -> the
+    assert count("hello") == 2        # (l,o) outranks (h,e): hel + lo
+    assert count("xyz") == 3          # no merges apply
+    assert count("the hello xyz") == 6
+
+    rows = [
+        (1, "the quick hello"), (2, "and another thing"),
+        (3, "xyz pqr"), (4, "low lower lowest"), (5, "in the ring"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        (r.id, r.n_tokens, r.bin)
+        for r in C.pack_sequences_tokenized(
+            df, "id", "text", budget=8, counter_factory=_tiny_bpe_factory
+        ).collect()
+    )
+    # oracle: identical counts + running-cumsum bins computed driver-side
+    want, cum = [], 0
+    for i, text in sorted(rows):
+        n = count(text)
+        want.append((i, n, (cum) // 8))
+        cum += n
+    assert got == [(i, n, b) for (i, n, b) in want]
+
+
 def test_weighted_sample_per_key_quota_and_determinism(spark):
     rows = [(i, "a" if i < 30 else "b", float(1 + i % 7)) for i in range(1, 41)]
     df = spark.createDataFrame(rows, "doc_id long, k string, w double")
