@@ -45,6 +45,7 @@ __all__ = [
     "lsh_topk",
     "ivf_build_index",
     "ivf_topk",
+    "ivf_topk_on_index",
     "ivf_topk_fixed",
 ]
 
@@ -363,7 +364,31 @@ def ivf_topk(
     adapt to the data distribution.
     """
     assigned, centers = ivf_build_index(data, data_id, vec_col, n_cells=n_cells, seed=seed)
-    spark = data.sparkSession
+    return ivf_topk_on_index(
+        assigned, centers, queries, data_id, query_id, vec_col, k=k, n_probe=n_probe
+    )
+
+
+def ivf_topk_on_index(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """The query half of IVF, decoupled from the build: ``assigned`` is
+    the inverted-lists frame (``__did``, ``__dv``, ``__cell``) —
+    typically ``spark.read.parquet`` of an index persisted with
+    ``partitionBy("__cell")`` — and ``centers`` the quantizer loaded
+    alongside it. Build once, persist, query forever: the probe list is
+    broadcast, and against a cell-partitioned store the candidate scan
+    prunes to the probed cells' partitions instead of re-clustering (or
+    even re-reading) the corpus per query batch.
+    """
+    spark = assigned.sparkSession
     centers_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "__cell int, __cv array<double>"
     )

@@ -190,6 +190,17 @@ def test_ivf_index_persists_and_partition_prunes(spark, tmp_path):
     # pruned scan returns exactly that cell's rows, index round-trips whole
     assert probe.count() == assigned.where("__cell = 1").count()
     assert back.count() == 40
+    # the query half runs against the PERSISTED index (no re-cluster,
+    # no rebuild) and matches querying the live build exactly
+    queries = df.where("id < 3")
+    live = SIM.ivf_topk(df, queries, "id", "id", "v", k=5, n_cells=4, n_probe=2)
+    stored = SIM.ivf_topk_on_index(
+        back, centers, queries, "id", "id", "v", k=5, n_probe=2
+    )
+    key = lambda r: (r[0], r.rank)
+    assert [tuple(r) for r in sorted(stored.collect(), key=key)] == [
+        tuple(r) for r in sorted(live.collect(), key=key)
+    ]
 
 
 def test_cosine_topk_vectorized_wide_4096_dim(spark):
