@@ -70,6 +70,15 @@ HEADLINE = [
     # window-over-aggregate share rollup
     "simhash_near_dup",
     "nation_market_share",
+    # round-4 families: the sketch suite (HLL distinct, count-min
+    # probes, Bloom shingle decontamination), Z-order cell layout, the
+    # skew profiler, and the Q18 pre-aggregated join shape
+    "hll_user_count",
+    "cms_user_heavy",
+    "bloom_decontaminate",
+    "events_zorder_cells",
+    "events_key_skew",
+    "large_volume_orders",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1,0 +1,287 @@
+"""Distributed sketch operators — the approximate-analytics family a
+100 TB corpus engine needs where an exact answer would shuffle the full
+key space:
+
+- **HyperLogLog** register tables + cardinality estimate (approximate
+  COUNT DISTINCT in one map-side-combinable pass with 2^p ints of
+  state, vs a full shuffle of every distinct key).
+- **Count-min sketch** register tables + point-frequency estimates
+  (approximate per-key counts with ``depth * width`` cells of state —
+  heavy-hitter queries over keys too numerous to groupBy exactly).
+- **Bloom filter** build + membership probe (decontamination: test
+  100 TB of training docs against a benchmark set with a bitset that
+  fits in a broadcast variable; no join against the benchmark table).
+
+Scale design: every builder is a ``groupBy`` over a FIXED-SIZE register
+address space (2^p buckets / depth*width cells / m_bits//60 words), so
+partial aggregation does almost all the work map-side and the shuffle
+moves at most the register table, never the data. Probes are pure
+map-side expressions against a driver-materialized bitset (the sketch
+is contractually tiny — that is the point of a sketch).
+
+Determinism: all hashes are md5-prefix derived (`functions.text.hash60`)
+so every register/bit is reproducible bit-for-bit in ANSI SQL — the
+DuckDB oracles in registry11 compute identical sketches. A production
+deployment would swap in ``xxhash64`` one function away; the register
+algebra is unchanged.
+
+Reference parity: muyu42/DataS has no sketch module (its dedup/select
+pipeline is exact-only, `main.py` operates in-memory); this family is
+part of the SURVEY §2.9 north-star additions for corpus-scale
+dedup/contamination work.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datas_spark.functions.text import hash60
+
+__all__ = [
+    "hll_registers",
+    "hll_cardinality",
+    "cms_registers",
+    "cms_point_estimates",
+    "bloom_bitset",
+    "bloom_contains",
+]
+
+_HASH_BITS = 60  # hash60 width (md5 prefix that round-trips signed int64)
+_WORD_BITS = 60  # bits per bloom word (bit 59 max keeps the long positive)
+
+
+def _seeded_hash60(col: Column, seed: int) -> Column:
+    """Independent hash function #seed: md5 over a seed-prefixed value.
+
+    Mirrored in SQL as ``md5(seed || ':' || x)``.
+    """
+    return hash60(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """HLL register table for ``value_col``: one row per non-empty
+    bucket, ``(bucket int, max_rho int)``.
+
+    ``bucket`` is the low ``p`` bits of the 60-bit md5 hash; ``rho`` is
+    the 1-based position of the leftmost set bit in the remaining
+    ``60 - p`` bits (``w + 1`` when they are all zero, per Flajolet et
+    al. 2007). NULL values are excluded (COUNT DISTINCT semantics).
+
+    Scale: ``groupBy(bucket).agg(max(rho))`` over at most ``2^p`` keys —
+    partial-max folds map-side, the shuffle carries <= 2^p rows per
+    partition regardless of input size.
+    """
+    if not 8 <= p <= 18:
+        raise ValueError(f"p must be in [8, 18], got {p}")
+    w = _HASH_BITS - p
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        hash60(F.col(value_col).cast("string")).alias("__h")
+    )
+    bucket = (F.col("__h") % F.lit(1 << p)).cast("int")
+    rest = F.shiftright(F.col("__h"), p)
+    # leftmost-1 position via the binary rendering: lpad(bin(rest), w)
+    # puts bit w-1 first, so instr(.., '1') == leading zeros + 1 == rho.
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.instr(F.lpad(F.bin(rest), w, "0"), "1"))
+        .cast("int")
+    )
+    return (
+        hashed.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_cardinality(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """Single-row approximate COUNT(DISTINCT value_col):
+    ``(estimate double, buckets_used bigint)``.
+
+    The harmonic sum is computed in EXACT integer arithmetic —
+    ``sum(2^(R - rho))`` with ``R = w + 1`` the max rho — so the result
+    is order-independent and reproducible across engines (a float sum
+    over buckets would depend on reduction order). ``p >= 8`` keeps
+    every scaled term <= 2^52 (exact in the double conversions) and the
+    total <= 2^60 (no bigint overflow). Includes the standard
+    linear-counting small-range correction.
+    """
+    if not 8 <= p <= 18:
+        raise ValueError(f"p must be in [8, 18], got {p}")
+    m = 1 << p
+    w = _HASH_BITS - p
+    big_r = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128 constant
+    regs = hll_registers(df, value_col, p)
+    agg = regs.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {big_r} - max_rho)")).alias("__s"),
+        F.count(F.lit(1)).alias("buckets_used"),
+    )
+    # empty buckets contribute 2^-0 = 1, i.e. 2^R scaled
+    z_scaled = F.coalesce(F.col("__s"), F.lit(0)) + (
+        (F.lit(m) - F.col("buckets_used")) * F.lit(1 << big_r)
+    )
+    raw = F.lit(alpha * m * m * float(1 << big_r)) / z_scaled.cast("double")
+    zeros = (F.lit(m) - F.col("buckets_used")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.round(est, 4).alias("estimate"),
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def cms_registers(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min register table: ``(row int, pos int, cnt bigint)`` with
+    one row per non-empty cell (<= depth * width rows total).
+
+    Each input value increments cell ``(i, h_i(v) % width)`` for the
+    ``depth`` independent seeded hashes. The groupBy key space is the
+    fixed cell grid, so partial counts combine map-side and the shuffle
+    is bounded by the sketch size, not the data size.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    v = F.col(value_col)
+    positions = F.array(
+        *[(_seeded_hash60(v, i) % F.lit(width)).cast("int") for i in range(depth)]
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(F.posexplode(positions).alias("row", "pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    registers: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated frequency for each probe value: ``(value_col,
+    est_count bigint)`` — the count-min upper bound ``min_i cnt[i,
+    h_i(v)]`` (over-counts only, never under-counts).
+
+    ``registers`` is broadcast (it is at most depth*width rows); the
+    probe side streams map-side through the hash join, so estimating
+    frequencies for a large probe set is shuffle-free up to the final
+    per-value min (grouped on the probe key).
+    """
+    v = F.col(value_col)
+    positions = F.array(
+        *[(_seeded_hash60(v, i) % F.lit(width)).cast("int") for i in range(depth)]
+    )
+    exploded = probes.where(v.isNotNull()).select(
+        v.alias(value_col), F.posexplode(positions).alias("row", "pos")
+    )
+    joined = exploded.join(F.broadcast(registers), ["row", "pos"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _bloom_cells(v: Column, m_bits: int, k: int) -> Column:
+    """Array of k (word, bit) cell addresses packed as ``word * 60 +
+    bit`` — i.e. the raw bit positions — for value ``v``."""
+    return F.array(*[(_seeded_hash60(v, i) % F.lit(m_bits)).cast("int") for i in range(k)])
+
+
+def bloom_bitset(
+    df: DataFrame, value_col: str, m_bits: int = 65536, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over ``value_col`` as a word table
+    ``(word int, bits bigint)`` — 60 bits per word (bit 59 max keeps
+    every word positive through signed-int64 engines).
+
+    ``groupBy(word).agg(bit_or(...))`` over at most ``ceil(m_bits/60)``
+    keys: the OR folds map-side; the shuffle carries the bitset, not
+    the data. For a 1 % FPR over 10^9 distinct keys, m_bits ~= 10^10 /
+    60 words ~= 1.2 GiB — still a broadcastable side at cluster scale;
+    size m_bits to the expected distinct count (m/n ~= 9.6 bits/key at
+    k=4 for ~1 % FPR).
+    """
+    if m_bits < _WORD_BITS or k < 1:
+        raise ValueError(f"need m_bits >= {_WORD_BITS} and k >= 1, got {m_bits}, {k}")
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .select(F.explode(_bloom_cells(v, m_bits, k)).alias("bitpos"))
+        .select(
+            (F.col("bitpos") / _WORD_BITS).cast("int").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), bitpos % {_WORD_BITS})").alias("__m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_contains(
+    df: DataFrame,
+    value_col: str,
+    bitset: DataFrame,
+    m_bits: int = 65536,
+    k: int = 4,
+    keep: str = "hits",
+) -> DataFrame:
+    """Filter ``df`` by Bloom membership of ``value_col``.
+
+    ``keep='hits'`` keeps possible members (contamination candidates —
+    includes false positives at the configured rate, never false
+    negatives); ``keep='misses'`` keeps definite non-members (safe
+    rows).
+
+    The bitset is materialized on the driver into a dense literal array
+    (it is a sketch — contractually tiny, same contract as the LSH
+    hyperplane literals in `similarity`), so the probe is a PURE
+    MAP-SIDE expression: no join, no shuffle, whole-stage codegen over
+    the scan. This is the shape that lets a 100 TB scan test membership
+    against a benchmark set at full scan speed. NULL values are kept
+    only under ``keep='misses'`` (a NULL is definitely not a member).
+    """
+    if keep not in ("hits", "misses"):
+        raise ValueError(f"keep must be 'hits' or 'misses', got {keep!r}")
+    n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
+    dense = [0] * n_words
+    for r in bitset.select("word", "bits").collect():
+        dense[r["word"]] = r["bits"]
+    words_lit = F.array(*[F.lit(int(b)).cast("long") for b in dense])
+    masks_lit = F.array(*[F.lit(1 << b).cast("long") for b in range(_WORD_BITS)])
+    v = F.col(value_col)
+    conds = []
+    for i in range(k):
+        pos = (_seeded_hash60(v, i) % F.lit(m_bits)).cast("int")
+        word_val = F.element_at(words_lit, (pos / _WORD_BITS).cast("int") + 1)
+        mask = F.element_at(masks_lit, (pos % _WORD_BITS) + 1)
+        conds.append(word_val.bitwiseAND(mask) != 0)
+    hit = reduce(lambda a, b: a & b, conds)
+    if keep == "hits":
+        return df.where(v.isNotNull() & hit)
+    return df.where(v.isNull() | ~hit)
+
+
+def bloom_fpr(m_bits: int, k: int, n_keys: int) -> float:
+    """Analytic false-positive rate ``(1 - e^{-kn/m})^k`` — sizing
+    helper for choosing m_bits/k against an expected distinct count."""
+    return (1.0 - math.exp(-k * n_keys / float(m_bits))) ** k

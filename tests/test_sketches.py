@@ -1,0 +1,192 @@
+"""Sketch family: HLL accuracy/determinism, CMS upper-bound contract,
+Bloom no-false-negative contract + FPR sanity, and the map-side plan
+shape of the Bloom probe."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datas_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_bounded(events):
+    regs = SK.hll_registers(events, "user_id", p=10).collect()
+    assert 0 < len(regs) <= 1024
+    for r in regs:
+        assert 0 <= r["bucket"] < 1024
+        assert 1 <= r["max_rho"] <= 51  # w + 1 = (60 - 10) + 1
+
+
+def test_hll_estimate_close_to_exact(events):
+    exact = events.select("user_id").distinct().count()
+    est = SK.hll_cardinality(events, "user_id", p=12).collect()[0]["estimate"]
+    # p=12 gives ~1.6% standard error in the HLL regime; in the
+    # linear-counting regime (small n) it is tighter still
+    assert est == pytest.approx(exact, rel=0.15)
+
+
+def test_hll_estimate_deterministic_and_union_invariant(events):
+    """Same data -> identical estimate; splitting the input and
+    unioning register tables (max per bucket) = sketching the union —
+    the mergeability property that makes HLL work across partitions."""
+    a = SK.hll_cardinality(events, "user_id", p=12).collect()[0]["estimate"]
+    b = SK.hll_cardinality(events, "user_id", p=12).collect()[0]["estimate"]
+    assert a == b
+
+    left = SK.hll_registers(events.where("event_id % 2 = 0"), "user_id", p=12)
+    right = SK.hll_registers(events.where("event_id % 2 = 1"), "user_id", p=12)
+    merged = (
+        left.unionByName(right)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = SK.hll_registers(events, "user_id", p=12)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)] * 50, "v: int"
+    )
+    est = SK.hll_cardinality(df, "v", p=12).collect()[0]["estimate"]
+    assert est == pytest.approx(100, rel=0.1)
+
+
+def test_hll_p_validation(events):
+    with pytest.raises(ValueError):
+        SK.hll_registers(events, "user_id", p=4)
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts(events):
+    regs = SK.cms_registers(events, "event_type", depth=3, width=64)
+    probes = events.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in SK.cms_point_estimates(
+            regs, probes, "event_type", depth=3, width=64
+        ).collect()
+    }
+    truth = {
+        r["event_type"]: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert est[k] >= t
+
+
+def test_cms_wide_sketch_is_exact_for_small_domains(events):
+    """With width >> #distinct, collisions are (md5-)unlikely and the
+    min over depth rows recovers the exact counts."""
+    regs = SK.cms_registers(events, "event_type", depth=4, width=4096)
+    probes = events.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in SK.cms_point_estimates(
+            regs, probes, "event_type", depth=4, width=4096
+        ).collect()
+    }
+    truth = {
+        r["event_type"]: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert est == truth
+
+
+def test_cms_absent_probe_estimates_small(spark, events):
+    regs = SK.cms_registers(events, "event_type", depth=4, width=4096)
+    probes = spark.createDataFrame([("no-such-type-xyz",)], "event_type: string")
+    est = SK.cms_point_estimates(
+        regs, probes, "event_type", depth=4, width=4096
+    ).collect()[0]["est_count"]
+    assert est == 0  # all 4 cells empty at this width
+
+
+def test_cms_register_table_bounded(events):
+    regs = SK.cms_registers(events, "user_id", depth=4, width=32)
+    assert regs.count() <= 4 * 32
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(docs):
+    bench = docs.where("doc_id % 7 = 0")
+    bs = SK.bloom_bitset(bench, "text", m_bits=6000, k=4)
+    hits = SK.bloom_contains(bench, "text", bs, m_bits=6000, k=4, keep="hits")
+    assert hits.count() == bench.count()
+
+
+def test_bloom_hits_misses_partition_probe(docs):
+    bench = docs.where("doc_id % 7 = 0")
+    probe = docs.where("doc_id % 7 != 0")
+    bs = SK.bloom_bitset(bench, "text", m_bits=6000, k=4)
+    n_h = SK.bloom_contains(probe, "text", bs, m_bits=6000, k=4, keep="hits").count()
+    n_m = SK.bloom_contains(probe, "text", bs, m_bits=6000, k=4, keep="misses").count()
+    assert n_h + n_m == probe.count()
+
+
+def test_bloom_fpr_within_analytic_bound(spark):
+    """Disjoint probe keys: observed FPR should not wildly exceed the
+    analytic (1 - e^{-kn/m})^k rate."""
+    m_bits, k, n = 4096, 4, 300
+    members = spark.createDataFrame([(f"m{i}",) for i in range(n)], "v: string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "v: string")
+    bs = SK.bloom_bitset(members, "v", m_bits=m_bits, k=k)
+    fp = SK.bloom_contains(others, "v", bs, m_bits=m_bits, k=k).count()
+    pred = SK.bloom_fpr(m_bits, k, n)
+    assert fp / 2000.0 <= max(3 * pred, 0.02)
+
+
+def test_bloom_null_semantics(spark):
+    members = spark.createDataFrame([("a",), ("b",)], "v: string")
+    probe = spark.createDataFrame([("a",), (None,)], "v: string")
+    bs = SK.bloom_bitset(members, "v", m_bits=600, k=3)
+    hits = SK.bloom_contains(probe, "v", bs, m_bits=600, k=3, keep="hits")
+    misses = SK.bloom_contains(probe, "v", bs, m_bits=600, k=3, keep="misses")
+    assert [r["v"] for r in hits.collect()] == ["a"]
+    assert [r["v"] for r in misses.collect()] == [None]
+
+
+def test_bloom_probe_is_map_side(docs):
+    """The membership probe must compile to a pure filter over the scan
+    — no join, no shuffle (the 100 TB contract)."""
+    bench = docs.where("doc_id % 7 = 0")
+    bs = SK.bloom_bitset(bench, "text", m_bits=6000, k=4)
+    probed = SK.bloom_contains(docs, "text", bs, m_bits=6000, k=4)
+    s = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s and "Exchange" not in s
+
+
+def test_bloom_word_table_bounded(docs):
+    bs = SK.bloom_bitset(docs, "text", m_bits=6000, k=4)
+    rows = bs.collect()
+    assert len(rows) <= (6000 + 59) // 60
+    for r in rows:
+        assert r["bits"] > 0  # bit 59 cap keeps words positive
+
+
+def test_bloom_validation():
+    assert SK.bloom_fpr(9600, 4, 1000) < 0.02
+    with pytest.raises(ValueError):
+        SK.bloom_contains(None, "v", None, keep="nope")
