@@ -79,6 +79,10 @@ HEADLINE = [
     "events_zorder_cells",
     "events_key_skew",
     "large_volume_orders",
+    # BPE vocabulary training (12 driver-coordinated rounds over the
+    # word-frequency table) and the ordered conversion funnel
+    "bpe_learn_merges",
+    "events_funnel",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1,0 +1,74 @@
+"""Ordered event-sequence analytics: N-step conversion funnels.
+
+A funnel stage counts a user only if the stage's event occurs STRICTLY
+AFTER the user's previous stage time — the semantics product analytics
+tools call an "ordered funnel" (a purchase before the first view does
+not convert).
+
+Scale shape: one combinable min-aggregate per stage, each joined on
+the natural shuffle key (the user column). The event scan is filtered
+to a single event type per stage, so the type predicate pushes into
+the parquet scan; no windows over raw events, no driver collects.
+Stages chain left-to-right, so k stages cost k filtered scans + k
+keyed aggregations — at 100 TB each pass is a pushdown-pruned scan of
+one event type's row groups, not the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_stage_times", "funnel_counts"]
+
+
+def funnel_stage_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> list[DataFrame]:
+    """Per-stage first-qualifying-event times: returns one DataFrame
+    per step, ``(user_col, t{i})`` — users present in frame i completed
+    the first i+1 stages in order."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    frames: list[DataFrame] = []
+    prev = None
+    for i, step in enumerate(steps):
+        stage = df.where(F.col(type_col) == step)
+        if prev is not None:
+            stage = stage.join(prev, user_col).where(
+                F.col(ts_col) > F.col(f"t{i - 1}")
+            )
+        cur = stage.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
+        frames.append(cur)
+        prev = cur
+    return frames
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One-row ordered-funnel summary: ``n_step_0..k`` user counts plus
+    ``pct_1..k`` per-stage conversion (vs the previous stage, 0-safe)."""
+    frames = funnel_stage_times(df, steps, user_col, ts_col, type_col)
+    out = frames[0].agg(F.count(F.lit(1)).alias("n_step_0"))
+    for i, fr in enumerate(frames[1:], start=1):
+        out = out.crossJoin(fr.agg(F.count(F.lit(1)).alias(f"n_step_{i}")))
+    cols = [F.col(f"n_step_{i}").cast("long").alias(f"n_step_{i}") for i in range(len(frames))]
+    for i in range(1, len(frames)):
+        cols.append(
+            F.round(
+                F.lit(100.0)
+                * F.col(f"n_step_{i}")
+                / F.greatest(F.col(f"n_step_{i - 1}"), F.lit(1)),
+                4,
+            ).alias(f"pct_{i}")
+        )
+    return out.select(*cols)

@@ -598,3 +598,4 @@ from datas_spark import registry8  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry9  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry10  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry11  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry12  # noqa: E402,F401  (isort: skip)

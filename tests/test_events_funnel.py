@@ -1,0 +1,60 @@
+"""Ordered-funnel semantics: strict after-ordering, stage chaining,
+0-safe percentages."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datas_spark.operators import events as EV
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2: clicks BEFORE viewing -> click must not count
+        (2, _ts(2), "click"), (2, _ts(3), "view"),
+        # u3: view+click, purchase before click -> no purchase credit
+        (3, _ts(1), "view"), (3, _ts(4), "click"), (3, _ts(2), "purchase"),
+        # u4: same-timestamp click (NOT strictly after) -> no credit
+        (4, _ts(1), "view"), (4, _ts(1), "click"),
+        # u5: never views
+        (5, _ts(1), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_type: string")
+
+
+def test_funnel_counts_strict_ordering(ev):
+    r = EV.funnel_counts(ev, ["view", "click", "purchase"]).collect()[0]
+    assert (r["n_step_0"], r["n_step_1"], r["n_step_2"]) == (4, 2, 1)
+    assert r["pct_1"] == 50.0
+    assert r["pct_2"] == 50.0
+
+
+def test_funnel_stage_times_pick_first_qualifying(ev, spark):
+    extra = spark.createDataFrame(
+        [(1, _ts(5), "click")], "user_id: long, ts: timestamp, event_type: string"
+    )
+    frames = EV.funnel_stage_times(ev.unionByName(extra), ["view", "click"])
+    t1 = {r["user_id"]: r["t1"] for r in frames[1].collect()}
+    assert t1[1] == _ts(2)  # first qualifying click, not the later one
+
+
+def test_funnel_zero_safe(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(1), "view")], "user_id: long, ts: timestamp, event_type: string"
+    )
+    r = EV.funnel_counts(ev, ["view", "click", "purchase"]).collect()[0]
+    assert (r["n_step_0"], r["n_step_1"], r["n_step_2"]) == (1, 0, 0)
+    assert r["pct_1"] == 0.0 and r["pct_2"] == 0.0
+
+
+def test_funnel_validation(ev):
+    with pytest.raises(ValueError):
+        EV.funnel_stage_times(ev, [])

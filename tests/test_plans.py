@@ -170,6 +170,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "tfidf_top_terms",                 # 1-row corpus doc count (idf)
         "ties_merge", "ties_merge_global", "ties_merge_minority",  # 1-row vote totals
         "events_key_skew",                 # 1-row count total (share_pct)
+        "events_funnel",                   # 1-row per-stage count frames
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
