@@ -44,6 +44,7 @@ from datas_spark.functions.text import hash60
 __all__ = [
     "hll_registers",
     "hll_cardinality",
+    "hll_estimate_from_registers",
     "cms_registers",
     "cms_point_estimates",
     "bloom_bitset",
@@ -113,13 +114,22 @@ def hll_cardinality(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     total <= 2^60 (no bigint overflow). Includes the standard
     linear-counting small-range correction.
     """
+    regs = hll_registers(df, value_col, p)
+    return hll_estimate_from_registers(regs, p)
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int) -> DataFrame:
+    """Cardinality estimate from an (already merged) register table —
+    the read path for persisted / streamed sketches. Register tables
+    merge by ``groupBy(bucket).max(max_rho)``, which is idempotent and
+    commutative, so unions of per-batch/per-partition sketches estimate
+    the union of their inputs."""
     if not 8 <= p <= 18:
         raise ValueError(f"p must be in [8, 18], got {p}")
     m = 1 << p
     w = _HASH_BITS - p
     big_r = w + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128 constant
-    regs = hll_registers(df, value_col, p)
     agg = regs.agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {big_r} - max_rho)")).alias("__s"),
         F.count(F.lit(1)).alias("buckets_used"),

@@ -637,3 +637,96 @@ def materialize_window_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming HyperLogLog: incremental distinct count with durable registers
+# ---------------------------------------------------------------------------
+
+def _count_batch_partitions(spark, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1 for st in fs.listStatus(p) if st.getPath().getName().startswith("__batch=")
+    )
+
+
+def incremental_hll_sink(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    checkpoint_path: str,
+    p: int = 12,
+    compact_every: int = 8,
+):
+    """Streaming approximate COUNT DISTINCT with durable state: each
+    micro-batch's HLL register table (<= 2^p rows) lands in its own
+    ``__batch`` partition under ``state_path + '/regs'``; the running
+    estimate at any time is `hll_state_estimate` over the store.
+
+    Why this shape is crash-proof with almost no machinery: HLL merge
+    is ``max`` per bucket — idempotent AND commutative — so a replayed
+    or half-written batch can never corrupt the estimate; re-merging
+    the same registers is a no-op. The commit marker + per-partition
+    dynamic overwrite (shared with the dedup sinks) only exist to keep
+    the STORE tidy, not to protect correctness.
+
+    State stays bounded by TTL-free compaction: once ``compact_every``
+    batch partitions accumulate, the batch folds the whole store into
+    its own partition (a <= 2^p-row merge) and the older partitions are
+    dropped after commit — so the store never exceeds
+    ``compact_every * 2^p`` rows regardless of stream lifetime, and a
+    crash between commit and cleanup merely defers cleanup to the next
+    compaction (max-merge makes the overlap harmless).
+    """
+    from datas_spark.operators.sketches import hll_registers
+
+    regs_path = state_path + "/regs"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, state_path, batch_id):
+            return
+        regs = hll_registers(batch_df, value_col, p)
+        compact = _count_batch_partitions(spark, regs_path) >= compact_every
+        if compact:
+            store = _read_store(spark, regs_path)
+            if store is not None:
+                prior = store.where(F.col("__batch") != batch_id).select(
+                    "bucket", "max_rho"
+                )
+                regs = (
+                    regs.unionByName(prior)
+                    .groupBy("bucket")
+                    .agg(F.max("max_rho").alias("max_rho"))
+                )
+        _write_batch_partition(regs, batch_id, regs_path)
+        _commit_batch(spark, state_path, batch_id)
+        if compact:
+            _compact_batch_partitions(spark, regs_path, keep_from=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_state_estimate(spark, state_path: str, p: int = 12) -> DataFrame:
+    """Current distinct-count estimate from a `incremental_hll_sink`
+    store: merge all batch partitions (max per bucket) and evaluate the
+    estimator. Returns the usual ``(estimate, buckets_used)`` row;
+    estimate 0.0 with 0 buckets when no state exists yet."""
+    from datas_spark.operators.sketches import hll_estimate_from_registers
+
+    store = _read_store(spark, state_path + "/regs")
+    if store is None:
+        return spark.createDataFrame(
+            [(0.0, 0)], "estimate: double, buckets_used: long"
+        )
+    merged = store.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    return hll_estimate_from_registers(merged, p)

@@ -620,3 +620,69 @@ def test_materialize_window_counts_idempotent_and_matches_batch(spark, tmp_path)
         .collect()
     }
     assert again == want
+
+
+def test_incremental_hll_sink_counts_and_compacts(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import (
+        hll_state_estimate,
+        incremental_hll_sink,
+    )
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    # 3 files -> 3 micro-batches; overlapping user ids across batches
+    for f, ids in (("a", range(0, 40)), ("b", range(20, 70)), ("c", range(50, 100))):
+        with open(src / f"{f}.json", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"user_id": i}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = incremental_hll_sink(
+            stream,
+            str(tmp_path / "hll_state"),
+            "user_id",
+            str(tmp_path / "hll_ckpt"),
+            p=12,
+            compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    est = hll_state_estimate(spark, str(tmp_path / "hll_state"), p=12).collect()[0]
+    # 100 true distincts; p=12 linear-counting regime is tight
+    assert est["estimate"] == pytest.approx(100, rel=0.05)
+
+    # compaction: the store folds into <= compact_every partitions
+    import glob as _glob
+
+    parts = _glob.glob(str(tmp_path / "hll_state" / "regs" / "__batch=*"))
+    assert 1 <= len(parts) <= 2
+
+    # restart with a fourth file: state continues, no double counting
+    with open(src / "d.json", "w") as fh:
+        for i in range(90, 120):
+            fh.write(_json.dumps({"user_id": i}) + "\n")
+    run()
+    est2 = hll_state_estimate(spark, str(tmp_path / "hll_state"), p=12).collect()[0]
+    assert est2["estimate"] == pytest.approx(120, rel=0.05)
+
+    # replay idempotence: re-running with NO new data changes nothing
+    before = est2["estimate"]
+    run()
+    after = hll_state_estimate(spark, str(tmp_path / "hll_state"), p=12).collect()[0]
+    assert after["estimate"] == before
+
+
+def test_hll_state_estimate_empty(spark, tmp_path):
+    from datas_spark.streaming.scoring import hll_state_estimate
+
+    r = hll_state_estimate(spark, str(tmp_path / "nope"), p=12).collect()[0]
+    assert r["estimate"] == 0.0 and r["buckets_used"] == 0
