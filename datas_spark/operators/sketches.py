@@ -34,7 +34,6 @@ dedup/contamination work.
 from __future__ import annotations
 
 import math
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -276,16 +275,30 @@ def bloom_contains(
     dense = [0] * n_words
     for r in bitset.select("word", "bits").collect():
         dense[r["word"]] = r["bits"]
-    words_lit = F.array(*[F.lit(int(b)).cast("long") for b in dense])
-    masks_lit = F.array(*[F.lit(1 << b).cast("long") for b in range(_WORD_BITS)])
+    # ONE parsed literal for the whole bitset: building it element-wise
+    # (F.array of n F.lit columns) costs one py4j round-trip per word —
+    # ~2 s of pure driver time at 64 Ki bits. A single expr string is
+    # one parse, and constant folding makes it a single ArrayData.
+    words_lit = F.expr(
+        "array(" + ",".join(f"{int(b)}L" for b in dense) + ")"
+    )
     v = F.col(value_col)
-    conds = []
-    for i in range(k):
-        pos = (_seeded_hash60(v, i) % F.lit(m_bits)).cast("int")
-        word_val = F.element_at(words_lit, (pos / _WORD_BITS).cast("int") + 1)
-        mask = F.element_at(masks_lit, (pos % _WORD_BITS) + 1)
-        conds.append(word_val.bitwiseAND(mask) != 0)
-    hit = reduce(lambda a, b: a & b, conds)
+    # all k probe positions as one array; the bitset literal appears
+    # exactly ONCE in the expression tree (inside the forall lambda)
+    positions = F.array(
+        *[(_seeded_hash60(v, i) % F.lit(m_bits)).cast("int") for i in range(k)]
+    )
+    masks_lit = F.expr(
+        "array(" + ",".join(f"{1 << b}L" for b in range(_WORD_BITS)) + ")"
+    )
+    hit = F.forall(
+        positions,
+        lambda pos: (
+            F.element_at(words_lit, (pos / _WORD_BITS).cast("int") + 1)
+            .bitwiseAND(F.element_at(masks_lit, (pos % _WORD_BITS) + 1))
+            != 0
+        ),
+    )
     if keep == "hits":
         return df.where(v.isNotNull() & hit)
     return df.where(v.isNull() | ~hit)
