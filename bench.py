@@ -83,6 +83,11 @@ HEADLINE = [
     # word-frequency table) and the ordered conversion funnel
     "bpe_learn_merges",
     "events_funnel",
+    # curation fate audit, event-sourced SCD2 history, embedding-space
+    # decontamination
+    "curate_audit",
+    "user_event_history",
+    "embedding_decontaminate",
 ]
 
 RUNS_PER_QUERY = 3

@@ -47,6 +47,7 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_on_index",
     "ivf_topk_fixed",
+    "cross_contamination",
 ]
 
 
@@ -470,3 +471,58 @@ def ivf_topk_fixed(
     )
     w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cross_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic decontamination across TWO tables: training vectors
+    whose cosine similarity to ANY benchmark vector reaches
+    ``threshold``. Returns ``(id_col, n_matches bigint, max_cos
+    double)`` per contaminated training row.
+
+    The embedding twin of n-gram benchmark decontamination: both sides
+    get the same seed-pinned hyperplane sign signature (map-only), the
+    candidate space is the bucket equi-join (never a cross join), and
+    the cosine is an exact JVM-side fold inside each bucket. Standard
+    LSH recall trade: near-identical vectors almost surely share all
+    sign bits; lower ``n_planes`` for higher recall at more candidates.
+
+    Scale: the benchmark side is the small one — Catalyst/AQE
+    broadcasts it under the join threshold, so the training scan stays
+    map-side; the only wide shuffle is the per-training-id aggregate of
+    its (few) above-threshold matches.
+    """
+    from datas_spark.functions.arrays import cosine_similarity
+
+    if dim is None:
+        dim = len(bench.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    tb = hyperplane_signature(
+        train.select(F.col(id_col), F.col(vec_col)), vec_col, planes
+    )
+    bb = hyperplane_signature(
+        bench.select(
+            F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
+        ),
+        "__bvec",
+        planes,
+    )
+    cand = tb.join(bb, "bucket")
+    cos = cosine_similarity(F.col(vec_col), F.col("__bvec"))
+    return (
+        cand.select(F.col(id_col), cos.alias("__cos"))
+        .where(F.col("__cos") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.round(F.max("__cos"), 6).alias("max_cos"),
+        )
+    )

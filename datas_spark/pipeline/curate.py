@@ -33,7 +33,7 @@ from datas_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_audit"]
 
 
 def curate_corpus(
@@ -56,6 +56,7 @@ def curate_corpus(
     temperature: float | None = None,
     split_weights: dict[str, float] | None = None,
     materialize_stages: bool = True,
+    stage_ids: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full curation recipe; returns the surviving rows of
     ``docs`` (text possibly rewritten by redaction / paragraph dedup,
@@ -98,10 +99,20 @@ def curate_corpus(
     (checkpoint locally, or swap for an intermediate parquet write
     between jobs); set False to keep one pure lazy plan for plan-level
     inspection.
+
+    ``stage_ids`` (optional, for `curate_audit`): a dict the recipe
+    fills with each DROPPING stage's survivor-id frame, keyed
+    "repetition" / "quality" / "exact_dedup" / "near_dup" /
+    "decontamination" — the final frame (post rebalance/split) is the
+    return value itself. Plan-only side channel; nothing executes.
     """
 
     def cut(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if materialize_stages else frame
+
+    def snap(name: str, frame: DataFrame) -> None:
+        if stage_ids is not None:
+            stage_ids[name] = frame.select(id_col)
 
     out = docs
     if max_dup_token_frac < 1.0 or max_top_bigram_frac < 1.0:
@@ -125,14 +136,17 @@ def curate_corpus(
             .select(id_col)
         )
         out = out.join(keep, id_col, "left_semi")
+        snap("repetition", out)
     if min_quality > 0.0:
         out = out.where(quality_score(text_col) >= min_quality)
+        snap("quality", out)
     if redact_pii:
         other = [c for c in out.columns if c != text_col]
         out = pii_redact(out, text_col, out_col="__red").select(
             *other, F.col("__red").alias(text_col)
         )
     out = cut(exact_dedup(out, text_col, id_col))
+    snap("exact_dedup", out)
     if paragraph_dedup_delimiter is not None:
         rebuilt = paragraph_dedup(
             out, id_col, text_col, delimiter=paragraph_dedup_delimiter
@@ -165,6 +179,7 @@ def curate_corpus(
             .where(F.col("is_representative") == 1)
             .drop("__len", "is_representative")
         )
+        snap("near_dup", out)
     if benchmark is not None:
         clean = (
             ngram_contamination(
@@ -174,8 +189,69 @@ def curate_corpus(
             .select(id_col)
         )
         out = cut(out.join(clean, id_col, "left_semi"))
+        snap("decontamination", out)
     if temperature is not None and domain_col is not None:
         out = temperature_sample(out, domain_col, id_col, temperature)
     if split_weights:
         out = hash_split(out, id_col, split_weights)
     return out
+
+
+def curate_audit(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    **knobs,
+) -> DataFrame:
+    """Per-document fate audit of the curation recipe: ``(id_col,
+    status)`` where status names the FIRST stage that dropped the doc
+    ('repetition_filtered', 'low_quality', 'exact_duplicate',
+    'near_duplicate', 'contaminated', 'rebalanced_out') or the kept
+    outcome ('kept' / 'kept_<split>' when splitting).
+
+    This is the quality-control view every production pipeline needs —
+    "what did curation do to my corpus, and why" — computed from the
+    SAME lazy stage frames the recipe itself builds (no re-derivation
+    that could drift from the real pipeline). Cost: one extra left
+    join per dropping stage against that stage's id set, each on the id
+    key the stages already shuffle on.
+    """
+    stage_ids: dict[str, DataFrame] = {}
+    final = curate_corpus(
+        docs, benchmark, id_col=id_col, stage_ids=stage_ids, **knobs
+    )
+    status_of = {
+        "repetition": "repetition_filtered",
+        "quality": "low_quality",
+        "exact_dedup": "exact_duplicate",
+        "near_dup": "near_duplicate",
+        "decontamination": "contaminated",
+    }
+    out = docs.select(id_col)
+    order: list[str] = []
+    for name in status_of:
+        if name in stage_ids:
+            marker = f"__s_{name}"
+            out = out.join(
+                stage_ids[name].withColumn(marker, F.lit(1)), id_col, "left"
+            )
+            order.append(name)
+    has_split = "split" in final.columns
+    kept_cols = [id_col, "split"] if has_split else [id_col]
+    out = out.join(
+        final.select(*kept_cols).withColumn("__kept", F.lit(1)), id_col, "left"
+    )
+    status = None
+    for name in order:
+        cond = F.col(f"__s_{name}").isNull()
+        lbl = F.lit(status_of[name])
+        status = F.when(cond, lbl) if status is None else status.when(cond, lbl)
+    kept_lbl = (
+        F.concat(F.lit("kept_"), F.col("split")) if has_split else F.lit("kept")
+    )
+    tail = F.when(F.col("__kept").isNull(), F.lit("rebalanced_out")).otherwise(
+        kept_lbl
+    )
+    status = tail if status is None else status.otherwise(tail)
+    return out.select(F.col(id_col), status.alias("status"))

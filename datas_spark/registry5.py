@@ -604,7 +604,7 @@ _NORM_SQL = (
     r" '\s+', ' ', 'g'))"
 )
 
-_CURATE_ORACLE = rf"""
+_CURATE_CTES = rf"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
     ), b AS (
@@ -655,13 +655,19 @@ _CURATE_ORACLE = rf"""
     ), r AS (
       SELECT lang, least(1.0, (total * (wgt / sum(wgt) OVER ())) / nd) AS rate
       FROM w
-    )
+    )"""
+
+# the final stage as a standalone SELECT so other oracles (the audit
+# query in registry13) can re-wrap it as a CTE
+_CURATE_FINAL_SQL = f"""
     SELECT s.doc_id, s.lang,
            CASE WHEN {_MD5_UNIT_SQL.format(key="s.doc_id::VARCHAR")} < 0.9
                 THEN 'train' ELSE 'test' END AS split
     FROM sv s JOIN r USING (lang)
     WHERE {_MD5_UNIT_SQL.format(key="s.doc_id::VARCHAR")} < r.rate
 """
+
+_CURATE_ORACLE = _CURATE_CTES + _CURATE_FINAL_SQL
 
 
 @register("curate_corpus", oracle=_CURATE_ORACLE)

@@ -120,3 +120,53 @@ def test_curate_corpus_full_stage_invariants(spark, sf_dir):
     # 4. component + split present; every component entirely in one split
     assert {"component", "split"} <= set(out.columns)
     out.unpersist()
+
+
+def test_curate_audit_partitions_every_doc(spark, sf_dir):
+    from datas_spark.pipeline.curate import curate_audit, curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(
+        benchmark=docs.where("doc_id < 20"),
+        domain_col="lang",
+        max_dup_token_frac=0.9,
+        max_top_bigram_frac=0.9,
+        temperature=2.0,
+        split_weights={"train": 0.9, "test": 0.1},
+    )
+    audit = curate_audit(docs, **kw)
+    rows = audit.collect()
+    # exactly one status per source doc
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    statuses = {r["status"] for r in rows}
+    assert statuses <= {
+        "repetition_filtered", "exact_duplicate", "contaminated",
+        "rebalanced_out", "kept_train", "kept_test",
+    }
+    # the kept set must be exactly the recipe's survivors, same splits
+    final = curate_corpus(docs, **kw)
+    want = {(r["doc_id"], "kept_" + r["split"]) for r in final.select("doc_id", "split").collect()}
+    got = {(r["doc_id"], r["status"]) for r in rows if r["status"].startswith("kept_")}
+    assert got == want
+
+
+def test_curate_audit_first_drop_attribution(spark):
+    from datas_spark.pipeline.curate import curate_audit
+
+    # doc 2 duplicates doc 1 (exact); doc 3 is pure repetition
+    docs = spark.createDataFrame(
+        [
+            (1, "a sensible unique document body here", "en"),
+            (2, "a sensible unique document body here", "en"),
+            (3, "spam spam spam spam spam spam spam spam", "en"),
+            (4, "another perfectly fine unique text row", "en"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    audit = {r["doc_id"]: r["status"] for r in curate_audit(
+        docs, max_dup_token_frac=0.5, max_top_bigram_frac=1.0
+    ).collect()}
+    assert audit[3] == "repetition_filtered"
+    assert audit[2] == "exact_duplicate"
+    assert audit[1] == "kept" and audit[4] == "kept"

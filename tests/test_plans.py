@@ -162,6 +162,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "embedding_centroid_shift",        # centroid frame
         "ngram_contamination",             # broadcast n-gram blocklist
         "curate_corpus", "curate_corpus_minhash",  # stage bounds frames
+        "curate_audit",                    # same stage frames + fate joins
         "datas_full_pipeline", "datas_full_pipeline_deterministic",
         "kcenter_sample",                  # per-round argmax row
         "labeled_unlabeled_split",

@@ -219,3 +219,35 @@ def test_cosine_topk_vectorized_wide_4096_dim(spark):
     )
     assert [tuple(r) for r in hof] == [tuple(r) for r in vec]
     assert hof[0][1] == 0  # self-hit at rank 1
+
+
+def test_cross_contamination_flags_planted_twin(spark):
+    from datas_spark.operators.similarity import cross_contamination
+
+    base = [0.0] * 8
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.9])],
+        "vec_id: long, embedding: array<double>",
+    )
+    twin = [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.90001]  # cos ~ 1
+    ortho = [0.9, -0.5, 0.25, -0.75, 0.0, 0.6, -0.3, 0.0]
+    train = spark.createDataFrame(
+        [(1, twin), (2, ortho)], "vec_id: long, embedding: array<double>"
+    )
+    got = cross_contamination(
+        train, bench, "vec_id", "embedding", threshold=0.95, n_planes=4, dim=8
+    ).collect()
+    assert [(r["vec_id"], r["n_matches"]) for r in got] == [(1, 1)]
+    assert got[0]["max_cos"] > 0.999
+
+
+def test_cross_contamination_no_cross_join(spark, sf_dir):
+    from datas_spark.operators.similarity import cross_contamination
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cross_contamination(
+        emb.where("vec_id % 13 != 0"), emb.where("vec_id % 13 = 0"),
+        "vec_id", "embedding", threshold=0.3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
