@@ -88,6 +88,10 @@ HEADLINE = [
     "curate_audit",
     "user_event_history",
     "embedding_decontaminate",
+    # CUBE expand pass, fuzzy verify join, incremental rollup merge
+    "events_cube",
+    "simhash_fuzzy_verified",
+    "incremental_daily_rollup",
 ]
 
 RUNS_PER_QUERY = 3
