@@ -1021,3 +1021,34 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def triangle_list(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """All triangles ``(a, b, c)`` with ``a < b < c`` in the undirected
+    near-dup pair graph (edges canonical: ``src < dst``, as every pair
+    generator here emits).
+
+    The classic two-join enumeration: wedges ``a-b-c`` from edges
+    joined on the middle node, closed by probing the ``(a, c)`` edge.
+    Canonical orientation means each triangle is produced exactly once
+    and both joins run on edge keys — no cross join. At 100 TB graph
+    scale the refinement is degree-ordering the orientation (point the
+    edge at the higher-degree node) to bound the join fan-out at
+    O(m^1.5); id ordering is the right default for near-dup graphs,
+    whose components are small cliques. Triangle density is the
+    standard cluster-quality signal for dedup graphs: a component rich
+    in triangles is a genuine duplicate cluster, a chain of
+    triangle-free edges is usually LSH noise.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    ebc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    eac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    wedges = e.join(ebc, "b")
+    return (
+        wedges.join(
+            eac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
