@@ -92,6 +92,8 @@ HEADLINE = [
     "events_cube",
     "simhash_fuzzy_verified",
     "incremental_daily_rollup",
+    # lexical retrieval baseline
+    "bm25_topk",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1,0 +1,110 @@
+"""Full-text ranked retrieval: BM25 scoring over the corpus — the
+lexical-search counterpart of the embedding ANN family (`similarity`),
+and the retrieval baseline every RAG/data-curation stack starts from.
+
+Scale shape: the score needs only the QUERY terms' postings, so the
+per-doc term-frequency aggregate filters to the query vocabulary
+BEFORE the explode-groupBy (the predicate reaches the token generator;
+the shuffle carries |matching docs x query terms| rows, not the whole
+inverted index). Document length and the corpus constants (N, avgdl)
+are one exact integer aggregate broadcast back. Top-k is
+TakeOrderedAndProject.
+
+Determinism: tf/df/dl are exact integers; avgdl is an exact
+bigint-sum / bigint-count; idf is a per-row ln of those scalars — no
+cross-row float accumulation anywhere, so scores reproduce bit-for-bit
+in the DuckDB oracle (rounded at the output boundary only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from datas_spark.functions.text import word_tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` documents by BM25 against ``query_terms``
+    (lowercased whitespace tokens): ``(id_col, score double)``,
+    deterministic tie-break on the id.
+
+    Robertson/Sparck-Jones idf with the +1 floor (Lucene's variant):
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — never negative, so
+    stop-word-ish query terms cannot flip rankings.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    toks = docs.select(
+        F.col(id_col),
+        F.transform(word_tokens(text_col), lambda w: F.lower(w)).alias("__w"),
+    )
+    # exact integer doc lengths + corpus constants (one tiny aggregate)
+    lens = toks.select(F.col(id_col), F.size("__w").cast("long").alias("dl"))
+    consts = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    # postings restricted to the query vocabulary BEFORE the explode
+    tf = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.col("__w"), lambda w: w.isin(terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    scored = (
+        tf.join(broadcast(df_), "term")
+        .join(lens, id_col)
+        .crossJoin(broadcast(consts))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / denom
+    # fold per-doc contributions in TERM order: a bare sum() over
+    # doubles depends on row arrival order; sorting the (term, contrib)
+    # pairs first makes the score bit-reproducible across engines
+    return (
+        scored.select(
+            F.col(id_col), F.struct(F.col("term"), contrib.alias("c")).alias("tc")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("tc")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ),
+                4,
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )

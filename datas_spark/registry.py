@@ -602,3 +602,4 @@ from datas_spark import registry12  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry13  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry14  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry15  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry16  # noqa: E402,F401  (isort: skip)

@@ -1,0 +1,64 @@
+"""Registry batch 16 — BM25 ranked retrieval."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators.search import bm25_topk
+from datas_spark.registry import register
+
+_BM25_TERMS = ["data", "join", "skew"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), contribs AS (
+      SELECT tf.doc_id, tf.term,
+        ln(1.0 + (c.n_docs::DOUBLE - d.df + 0.5) / (d.df::DOUBLE + 0.5))
+        * tf.tf::DOUBLE * {_BM25_K1 + 1.0}
+        / (tf.tf::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+             * l.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE)))
+          AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN consts c
+    )
+    SELECT doc_id,
+           round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 4)
+             AS score
+    FROM contribs GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOP}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed query — the
+    lexical-search baseline (Lucene idf variant). Postings filter to
+    the query vocabulary BEFORE the explode, corpus constants are one
+    exact integer aggregate, and the per-doc score folds contributions
+    in term order so it is bit-reproducible (see `operators.search`)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=_BM25_TOP
+    )
