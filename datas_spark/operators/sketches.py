@@ -46,6 +46,7 @@ __all__ = [
     "hll_estimate_from_registers",
     "cms_registers",
     "cms_point_estimates",
+    "cms_join_size_estimate",
     "bloom_bitset",
     "bloom_contains",
 ]
@@ -308,3 +309,36 @@ def bloom_fpr(m_bits: int, k: int, n_keys: int) -> float:
     """Analytic false-positive rate ``(1 - e^{-kn/m})^k`` — sizing
     helper for choosing m_bits/k against an expected distinct count."""
     return (1.0 - math.exp(-k * n_keys / float(m_bits))) ** k
+
+
+def cms_join_size_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min register
+    tables built with the SAME (depth, width, seeds): the classic
+    inner-product estimator ``min_i sum_pos a[i,pos] * b[i,pos]``
+    (Cormode & Muthukrishnan 2005). Never under-estimates the true
+    ``sum_k cnt_a(k) * cnt_b(k)``; collisions only add.
+
+    This is the optimizer-style pre-check for a 100 TB join: both
+    sketches are <= depth*width rows (built in one combinable pass per
+    side), so asking "how big would this join be?" costs two tiny
+    register scans instead of running the join. Returns one row:
+    ``(est_join_rows bigint)``.
+    """
+    joined = regs_a.alias("a").join(
+        regs_b.alias("b"),
+        (F.col("a.row") == F.col("b.row")) & (F.col("a.pos") == F.col("b.pos")),
+    )
+    per_row = joined.groupBy(F.col("a.row").alias("row")).agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip")
+    )
+    # rows with NO colliding cells at all would drop out of the join;
+    # such a row's inner product is 0 and min() must see it
+    all_rows = regs_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        all_rows.join(per_row, "row", "left")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).cast("long").alias("est_join_rows"))
+    )

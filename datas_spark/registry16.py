@@ -62,3 +62,55 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=_BM25_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation
+# ---------------------------------------------------------------------------
+
+_JS_DEPTH = 4
+_JS_WIDTH = 2048
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+    WITH ra AS (
+      SELECT i AS row, pos, count(*) AS cnt FROM (
+        SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || ':' || o_custkey::VARCHAR), 1, 15))::BIGINT
+            % {_JS_WIDTH} AS pos
+        FROM orders CROSS JOIN (SELECT unnest(range({_JS_DEPTH})) AS i)
+        WHERE o_custkey IS NOT NULL
+      ) GROUP BY i, pos
+    ), rb AS (
+      SELECT i AS row, pos, count(*) AS cnt FROM (
+        SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT
+            % {_JS_WIDTH} AS pos
+        FROM customer CROSS JOIN (SELECT unnest(range({_JS_DEPTH})) AS i)
+        WHERE c_custkey IS NOT NULL
+      ) GROUP BY i, pos
+    ), ip AS (
+      SELECT a.row, sum(a.cnt * b.cnt) AS ip
+      FROM ra a JOIN rb b ON a.row = b.row AND a.pos = b.pos
+      GROUP BY a.row
+    )
+    SELECT min(coalesce(ip.ip, 0))::BIGINT AS est_join_rows
+    FROM (SELECT unnest(range({_JS_DEPTH})) AS row) r
+    LEFT JOIN ip ON ip.row = r.row
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality: estimate |orders ⋈ customer| from
+    two count-min sketches via the inner-product estimator — an upper
+    bound on the true join size at two register-table scans' cost
+    (`sketches.cms_join_size_estimate`). The optimizer-style answer to
+    "can I afford this join?" before shuffling 100 TB."""
+    from datas_spark.operators import sketches as SK
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    ra = SK.cms_registers(orders, "o_custkey", depth=_JS_DEPTH, width=_JS_WIDTH)
+    rb = SK.cms_registers(cust, "c_custkey", depth=_JS_DEPTH, width=_JS_WIDTH)
+    return SK.cms_join_size_estimate(ra, rb, depth=_JS_DEPTH)

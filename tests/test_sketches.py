@@ -190,3 +190,24 @@ def test_bloom_validation():
     assert SK.bloom_fpr(9600, 4, 1000) < 0.02
     with pytest.raises(ValueError):
         SK.bloom_contains(None, "v", None, keep="nope")
+
+
+def test_cms_join_size_upper_bounds_exact(spark, events):
+    """Inner-product estimate >= true join size; tight at wide width."""
+    a = events.select(F.col("user_id").alias("k"))
+    b = events.where("event_id % 3 = 0").select(F.col("user_id").alias("k"))
+    exact = a.join(b, "k").count()
+    ra = SK.cms_registers(a, "k", depth=4, width=4096)
+    rb = SK.cms_registers(b, "k", depth=4, width=4096)
+    est = SK.cms_join_size_estimate(ra, rb, depth=4).collect()[0]["est_join_rows"]
+    assert est >= exact
+    assert est <= exact * 1.5 + 100  # wide sketch stays near-exact
+
+
+def test_cms_join_size_disjoint_is_small(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "k: string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "k: string")
+    ra = SK.cms_registers(a, "k", depth=4, width=4096)
+    rb = SK.cms_registers(b, "k", depth=4, width=4096)
+    est = SK.cms_join_size_estimate(ra, rb, depth=4).collect()[0]["est_join_rows"]
+    assert est <= 200  # only hash-collision noise, no real overlap
