@@ -730,3 +730,153 @@ def hll_state_estimate(spark, state_path: str, p: int = 12) -> DataFrame:
         )
     merged = store.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
     return hll_estimate_from_registers(merged, p)
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min: incremental frequency sketch with durable state
+# ---------------------------------------------------------------------------
+#
+# Unlike HLL (max-merge, idempotent — replays are harmless by algebra),
+# CMS merges by cellwise SUM, so double-reading a partition DOUBLE
+# COUNTS. Correctness therefore hangs on two invariants, both enforced
+# by a single atomic marker create per batch:
+#
+#   1. the read path only sees COMMITTED batch partitions (a crashed
+#      half-written partition is invisible until its replay commits);
+#   2. a compaction batch's commit marker (`batch-<B>-fold`) IS the
+#      compaction watermark: partitions older than the newest fold
+#      marker are dead (their contents live inside partition B) and are
+#      ignored by every reader and later deleted as GC. Marker write is
+#      one FS create — there is no window where the fold is visible
+#      without its watermark or vice versa.
+
+
+def _committed_state(spark, state_path: str) -> tuple[set, int]:
+    """(committed batch ids, fold watermark) from the _commits dir.
+    Watermark is the newest batch that folded the whole store into its
+    own partition; -1 when no fold has happened yet."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(state_path + "/_commits")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed: set = set()
+    watermark = -1
+    if not fs.exists(p):
+        return committed, watermark
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith("batch-"):
+            continue
+        body = name[len("batch-"):]
+        fold = body.endswith("-fold")
+        if fold:
+            body = body[: -len("-fold")]
+        try:
+            bid = int(body)
+        except ValueError:
+            continue
+        committed.add(bid)
+        if fold:
+            watermark = max(watermark, bid)
+    return committed, watermark
+
+
+def _commit_batch_fold(spark, state_path: str, batch_id: int) -> None:
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        state_path + "/_commits", f"batch-{batch_id}-fold"
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+
+
+def _live_store(spark, path: str, state_path: str, exclude_batch: int):
+    """Committed, non-superseded register partitions — the only rows a
+    CMS reader may sum. ``exclude_batch`` drops the (possibly
+    half-written) partition of a replaying batch."""
+    committed, watermark = _committed_state(spark, state_path)
+    store = _read_store(spark, path)
+    if store is None or not committed:
+        return None
+    live = sorted(b for b in committed if b >= watermark and b != exclude_batch)
+    if not live:
+        return None
+    return store.where(F.col("__batch").isin(live))
+
+
+def incremental_cms_sink(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 1024,
+    compact_every: int = 8,
+):
+    """Streaming frequency sketch: each micro-batch's count-min
+    register table lands in its own committed ``__batch`` partition;
+    `cms_state_estimates` sums the live partitions cellwise. Every
+    ``compact_every`` batches the whole store folds into the current
+    batch's partition, whose `-fold` commit marker atomically
+    supersedes the older partitions (see module comment). State is
+    bounded by ``compact_every * depth * width`` rows; superseded
+    partitions are GC'd after commit and harmless if a crash leaves
+    them behind.
+    """
+    from datas_spark.operators.sketches import cms_registers
+
+    regs_path = state_path + "/regs"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed, watermark = _committed_state(spark, state_path)
+        if batch_id in committed:
+            return
+        regs = cms_registers(batch_df, value_col, depth=depth, width=width)
+        live_count = len([b for b in committed if b >= watermark])
+        fold = live_count >= compact_every
+        if fold:
+            prior = _live_store(spark, regs_path, state_path, exclude_batch=batch_id)
+            if prior is not None:
+                regs = (
+                    regs.unionByName(prior.select("row", "pos", "cnt"))
+                    .groupBy("row", "pos")
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                )
+        _write_batch_partition(regs, batch_id, regs_path)
+        if fold:
+            _commit_batch_fold(spark, state_path, batch_id)
+            _compact_batch_partitions(spark, regs_path, keep_from=batch_id)
+        else:
+            _commit_batch(spark, state_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_state_estimates(
+    spark,
+    state_path: str,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` against the live
+    streamed sketch (committed partitions at or above the fold
+    watermark, summed cellwise)."""
+    from datas_spark.operators.sketches import cms_point_estimates
+
+    store = _live_store(spark, state_path + "/regs", state_path, exclude_batch=-2)
+    if store is None:
+        return probes.select(
+            F.col(value_col), F.lit(0).cast("long").alias("est_count")
+        ).where(F.col(value_col).isNotNull())
+    merged = store.groupBy("row", "pos").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    return cms_point_estimates(merged, probes, value_col, depth=depth, width=width)

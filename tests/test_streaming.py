@@ -686,3 +686,87 @@ def test_hll_state_estimate_empty(spark, tmp_path):
 
     r = hll_state_estimate(spark, str(tmp_path / "nope"), p=12).collect()[0]
     assert r["estimate"] == 0.0 and r["buckets_used"] == 0
+
+
+def test_incremental_cms_sink_counts_exactly_and_folds(spark, tmp_path):
+    import glob as _glob
+    import json as _json
+
+    from datas_spark.streaming.scoring import (
+        cms_state_estimates,
+        incremental_cms_sink,
+    )
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    # 3 batches; key frequencies known exactly
+    freqs = {"a": 30, "b": 12, "c": 5}
+    for i, f in enumerate(("x", "y", "z")):
+        with open(src / f"{f}.json", "w") as fh:
+            for k, n in freqs.items():
+                for _ in range(n // 3 + (i < n % 3)):
+                    fh.write(_json.dumps({"k": k}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = incremental_cms_sink(
+            stream, str(tmp_path / "cms_state"), "k",
+            str(tmp_path / "cms_ckpt"), depth=4, width=2048, compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    probes = spark.createDataFrame([(k,) for k in freqs], "k: string")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_state_estimates(
+            spark, str(tmp_path / "cms_state"), probes, "k", depth=4, width=2048
+        ).collect()
+    }
+    # wide sketch + tiny domain -> exact
+    assert est == freqs
+
+    # fold-compaction bounded the live partitions
+    parts = _glob.glob(str(tmp_path / "cms_state" / "regs" / "__batch=*"))
+    assert len(parts) <= 2
+
+    # replay idempotence: re-run with no new data -> unchanged (sum
+    # merge is NOT idempotent, so this exercises the commit guard)
+    run()
+    est2 = {
+        r["k"]: r["est_count"]
+        for r in cms_state_estimates(
+            spark, str(tmp_path / "cms_state"), probes, "k", depth=4, width=2048
+        ).collect()
+    }
+    assert est2 == freqs
+
+    # an uncommitted (crashed, half-written) partition is invisible
+    from datas_spark.operators.sketches import cms_registers
+
+    junk = cms_registers(
+        spark.createDataFrame([("a",)] * 1000, "k: string"), "k", depth=4, width=2048
+    )
+    junk.withColumn("__batch", F.lit(999)).write.mode("append").partitionBy(
+        "__batch"
+    ).parquet(str(tmp_path / "cms_state" / "regs"))
+    est3 = {
+        r["k"]: r["est_count"]
+        for r in cms_state_estimates(
+            spark, str(tmp_path / "cms_state"), probes, "k", depth=4, width=2048
+        ).collect()
+    }
+    assert est3 == freqs
+
+
+def test_cms_state_estimates_empty(spark, tmp_path):
+    from datas_spark.streaming.scoring import cms_state_estimates
+
+    probes = spark.createDataFrame([("q",)], "k: string")
+    got = cms_state_estimates(spark, str(tmp_path / "none"), probes, "k").collect()
+    assert got[0]["est_count"] == 0
