@@ -94,6 +94,9 @@ HEADLINE = [
     "incremental_daily_rollup",
     # lexical retrieval baseline
     "bm25_topk",
+    # sketch applications: join pre-flight and rolling distinct reuse
+    "join_size_estimate",
+    "hll_rolling_users",
 ]
 
 RUNS_PER_QUERY = 3

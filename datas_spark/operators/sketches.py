@@ -44,6 +44,9 @@ __all__ = [
     "hll_registers",
     "hll_cardinality",
     "hll_estimate_from_registers",
+    "hll_grouped_registers",
+    "hll_grouped_cardinality",
+    "hll_rolling_cardinality",
     "cms_registers",
     "cms_point_estimates",
     "cms_join_size_estimate",
@@ -342,3 +345,114 @@ def cms_join_size_estimate(
         all_rows.join(per_row, "row", "left")
         .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).cast("long").alias("est_join_rows"))
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HLL register tables: ``(group_cols..., bucket,
+    max_rho)`` — approximate COUNT(DISTINCT value) BY group with
+    ``<= 2^p`` ints of state per group instead of a shuffle of every
+    (group, value) pair. Same md5 hash as `hll_registers`, so grouped
+    and global sketches merge with each other."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not 8 <= p <= 18:
+        raise ValueError(f"p must be in [8, 18], got {p}")
+    w = _HASH_BITS - p
+    h = hash60(F.col(value_col).cast("string"))
+    bucket = (h % F.lit(1 << p)).cast("int")
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.instr(F.lpad(F.bin(rest), w, "0"), "1"))
+        .cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_grouped_cardinality(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 12
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col) per group:
+    ``(group_cols..., estimate, buckets_used)``. The estimator is the
+    same exact-integer harmonic sum as `hll_cardinality`, evaluated per
+    group over the grouped register table."""
+    regs = hll_grouped_registers(df, group_cols, value_col, p)
+    return _finalize_grouped_hll(regs, group_cols, p)
+
+
+def _finalize_grouped_hll(
+    regs: DataFrame, group_cols: list[str], p: int
+) -> DataFrame:
+    """Estimate per group from (possibly merged) grouped registers."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    big_r = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {big_r} - max_rho)")).alias("__s"),
+        F.count(F.lit(1)).alias("buckets_used"),
+    )
+    z_scaled = F.coalesce(F.col("__s"), F.lit(0)) + (
+        (F.lit(m) - F.col("buckets_used")) * F.lit(1 << big_r)
+    )
+    raw = F.lit(alpha * m * m * float(1 << big_r)) / z_scaled.cast("double")
+    zeros = (F.lit(m) - F.col("buckets_used")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 4).alias("estimate"),
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+    )
+
+
+def hll_rolling_cardinality(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_units: int,
+    p: int = 12,
+) -> DataFrame:
+    """Rolling distinct counts by register REUSE: sketch each time
+    unit once (`hll_grouped_registers` keyed on ``time_col``), then
+    estimate every trailing window of ``window_units`` units by MERGING
+    the per-unit registers — never re-scanning the data per window.
+
+    This is the pattern that makes "distinct users per rolling 7 days
+    over 100 TB of events" a |days| x 2^p problem instead of a 7x
+    re-scan: the expansion join fans each unit's registers into the
+    (at most ``window_units``) windows it participates in, and the
+    merge is the usual idempotent per-bucket max.
+
+    Returns ``(time_col, estimate, buckets_used)`` — one row per unit
+    present in the data, estimating distincts over [unit -
+    window_units + 1, unit].
+    """
+    if window_units < 1:
+        raise ValueError("window_units must be >= 1")
+    unit_regs = hll_grouped_registers(df, [time_col], value_col, p)
+    units = unit_regs.select(F.col(time_col).alias("__w")).distinct()
+    # fan registers into the trailing windows they serve — unit u
+    # belongs to windows u .. u + window_units - 1 — as a map-side
+    # sequence explode + an equi-join against the REAL units (drops
+    # phantom windows past the last unit; broadcastable tiny side)
+    fanned = unit_regs.select(
+        F.explode(
+            F.sequence(F.col(time_col), F.col(time_col) + (window_units - 1))
+        ).alias("__w"),
+        "bucket",
+        "max_rho",
+    ).join(F.broadcast(units), "__w")
+    merged = fanned.groupBy(F.col("__w").alias(time_col), F.col("bucket")).agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    return _finalize_grouped_hll(merged, [time_col], p)

@@ -211,3 +211,43 @@ def test_cms_join_size_disjoint_is_small(spark):
     rb = SK.cms_registers(b, "k", depth=4, width=4096)
     est = SK.cms_join_size_estimate(ra, rb, depth=4).collect()[0]["est_join_rows"]
     assert est <= 200  # only hash-collision noise, no real overlap
+
+
+def test_hll_grouped_close_to_exact(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["estimate"]
+        for r in SK.hll_grouped_cardinality(
+            events, ["event_type"], "user_id", p=12
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] == pytest.approx(exact[k], rel=0.15)
+
+
+def test_hll_rolling_merges_windows(spark):
+    # day 0: users 0-9; day 1: users 5-14; day 2: users 100-104
+    rows = (
+        [(0, u) for u in range(10)]
+        + [(1, u) for u in range(5, 15)]
+        + [(2, u) for u in range(100, 105)]
+    )
+    df = spark.createDataFrame(rows, "day_num: long, user_id: long")
+    est = {
+        r["day_num"]: r["estimate"]
+        for r in SK.hll_rolling_cardinality(
+            df, "day_num", "user_id", window_units=2, p=12
+        ).collect()
+    }
+    # window(day d) = days [d-1, d]
+    assert est[0] == pytest.approx(10, rel=0.1)     # just day 0
+    assert est[1] == pytest.approx(15, rel=0.1)     # 0 u 1 = 15 users
+    assert est[2] == pytest.approx(15, rel=0.1)     # 1 u 2 = 15 users
+    with pytest.raises(ValueError):
+        SK.hll_rolling_cardinality(df, "day_num", "user_id", window_units=0)
