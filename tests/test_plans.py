@@ -172,6 +172,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "ties_merge", "ties_merge_global", "ties_merge_minority",  # 1-row vote totals
         "events_key_skew",                 # 1-row count total (share_pct)
         "events_funnel",                   # 1-row per-stage count frames
+        "bm25_topk",                       # 1-row corpus constants (N, avgdl)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
