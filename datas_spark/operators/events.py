@@ -72,3 +72,57 @@ def funnel_counts(
             ).alias(f"pct_{i}")
         )
     return out.select(*cols)
+
+
+def event_pattern_matches(
+    df: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count occurrences of a CONSECUTIVE event-
+    type regex per user — e.g. ``view,click,purchase`` finds users who
+    purchased immediately after a view->click, with no event between.
+
+    The per-user event sequence materializes as one comma-joined string
+    (deterministic (ts, tiebreak) order), and the pattern is a plain
+    regex over it — the poor man's MATCH_RECOGNIZE that covers the
+    common "did this exact sequence happen" cases with zero special
+    machinery. Matches are counted non-overlapping left-to-right (the
+    regex engine's scan order, identical across engines).
+
+    Scale: one groupBy per user (collect_list of a small struct — per-
+    user sequences must fit in memory, the same contract as
+    sessionization path mining), then a map-side regex. Returns
+    ``(user_col, n_events bigint, n_matches bigint)`` for users with at
+    least one match.
+    """
+    seq = (
+        df.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tiebreak_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("__seq"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            F.concat_ws(
+                ",", F.transform(F.col("__seq"), lambda s: s["e"])
+            ).alias("__s"),
+        )
+    )
+    n = F.regexp_count(F.col("__s"), F.lit(pattern)).cast("long")
+    return (
+        seq.select(user_col, "n_events", n.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )

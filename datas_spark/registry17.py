@@ -108,3 +108,36 @@ def q_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_rolling_cardinality(
         ev, "day_num", "user_id", window_units=_ROLL_W, p=_GP
     )
+
+
+# ---------------------------------------------------------------------------
+# event pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+_PATTERN = "view,click,purchase"
+
+
+@register(
+    "event_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           len(regexp_extract_all(s, '{_PATTERN}'))::BIGINT AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(s, '{_PATTERN}')) > 0
+    """,
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose event stream contains the CONSECUTIVE sequence
+    view -> click -> purchase (no events in between), with the
+    non-overlapping match count — MATCH_RECOGNIZE-lite over a
+    deterministic per-user sequence string
+    (`operators.events.event_pattern_matches`)."""
+    from datas_spark.operators.events import event_pattern_matches
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_pattern_matches(ev, _PATTERN)

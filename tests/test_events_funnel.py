@@ -58,3 +58,26 @@ def test_funnel_zero_safe(spark):
 def test_funnel_validation(ev):
     with pytest.raises(ValueError):
         EV.funnel_stage_times(ev, [])
+
+
+def test_event_pattern_matches_consecutive_only(spark):
+    from datas_spark.operators.events import event_pattern_matches
+
+    rows = [
+        # u1: exact consecutive sequence
+        (1, _ts(1), 1, "view"), (1, _ts(2), 2, "click"), (1, _ts(3), 3, "purchase"),
+        # u2: interrupted by an error event -> no match
+        (2, _ts(1), 4, "view"), (2, _ts(2), 5, "click"),
+        (2, _ts(3), 6, "error"), (2, _ts(4), 7, "purchase"),
+        # u3: two full consecutive runs
+        (3, _ts(1), 8, "view"), (3, _ts(2), 9, "click"), (3, _ts(3), 10, "purchase"),
+        (3, _ts(4), 11, "view"), (3, _ts(5), 12, "click"), (3, _ts(6), 13, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_id: long, event_type: string"
+    )
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in event_pattern_matches(ev, "view,click,purchase").collect()
+    }
+    assert got == {1: 1, 3: 2}
