@@ -141,3 +141,64 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return event_pattern_matches(ev, _PATTERN)
+
+
+# ---------------------------------------------------------------------------
+# corpus drift (Jensen-Shannon term divergence)
+# ---------------------------------------------------------------------------
+
+_DRIFT_S = 0.5
+_DRIFT_TOP = 20
+
+
+@register(
+    "corpus_term_drift",
+    oracle=rf"""
+    WITH ta AS (
+      SELECT term, count(*)::BIGINT AS ca FROM (
+        SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+                                     w -> lower(w))) AS term
+        FROM documents WHERE lang = 'en'
+      ) WHERE len(term) > 0 GROUP BY term
+    ), tb AS (
+      SELECT term, count(*)::BIGINT AS cb FROM (
+        SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+                                     w -> lower(w))) AS term
+        FROM documents WHERE lang = 'de'
+      ) WHERE len(term) > 0 GROUP BY term
+    ), j AS (
+      SELECT coalesce(ta.term, tb.term) AS term, ca, cb
+      FROM ta FULL OUTER JOIN tb ON ta.term = tb.term
+    ), c AS (
+      SELECT coalesce(sum(ca), 0)::BIGINT AS tta,
+             coalesce(sum(cb), 0)::BIGINT AS ttb,
+             count(*)::BIGINT AS v
+      FROM j
+    ), probs AS (
+      SELECT term,
+        (coalesce(ca, 0)::DOUBLE + {_DRIFT_S}) / (c.tta::DOUBLE + {_DRIFT_S} * c.v) AS pa,
+        (coalesce(cb, 0)::DOUBLE + {_DRIFT_S}) / (c.ttb::DOUBLE + {_DRIFT_S} * c.v) AS pb
+      FROM j CROSS JOIN c
+    )
+    SELECT term, round(pa, 8) AS p_a, round(pb, 8) AS p_b,
+           round((pa * ln(pa / ((pa + pb) / 2.0))
+                + pb * ln(pb / ((pa + pb) / 2.0))) / 2.0, 10) AS js_contrib
+    FROM probs
+    ORDER BY js_contrib DESC, term ASC LIMIT {_DRIFT_TOP}
+    """,
+)
+def q_corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do the English and German slices of the corpus diverge:
+    top terms by Jensen-Shannon contribution over smoothed unigram
+    distributions — the drift audit you run between train/eval splits
+    or pipeline versions (`operators.drift.term_drift`)."""
+    from datas_spark.operators.drift import term_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    return term_drift(
+        docs.where("lang = 'en'"),
+        docs.where("lang = 'de'"),
+        "text",
+        top_n=_DRIFT_TOP,
+        smoothing=_DRIFT_S,
+    )
