@@ -138,9 +138,9 @@ def q_cms_user_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.9 north star — Bloom-filter benchmark decontamination
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 65536
-_BLOOM_K = 4
-_SHINGLE_N = 5
+_BLOOM_M = 1 << 20  # ~9.6 bits/shingle at sf1 benchmark size: FPR stays
+_BLOOM_K = 4        # negligible as the corpus scales (65 Ki bits was ~32%
+_SHINGLE_N = 5      # FPR at sf0.1 — noise drowning the true overlaps)
 
 # shared shingle CTE bodies (DuckDB): distinct word-5-grams per doc
 _BENCH_SH_SQL = rf"""
