@@ -136,3 +136,70 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resampling with linear interpolation
+# ---------------------------------------------------------------------------
+
+_RS_START = "2024-01-02 00:00:00"
+_RS_END = "2024-01-03 00:00:00"
+_RS_STEP = 3600
+_RS_EPOCH = "2024-01-01 00:00:00"
+
+
+@register(
+    "events_resample_hourly",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 6
+    ), grid AS (
+      SELECT k.user_id, g.pos, NULL::DOUBLE AS v, 1 AS gr
+      FROM keys k CROSS JOIN (
+        SELECT unnest(range(
+          date_diff('microseconds', TIMESTAMP '{_RS_EPOCH}', TIMESTAMP '{_RS_START}'),
+          date_diff('microseconds', TIMESTAMP '{_RS_EPOCH}', TIMESTAMP '{_RS_END}'),
+          {_RS_STEP}::BIGINT * 1000000)) AS pos
+      ) g
+    ), obs AS (
+      SELECT user_id,
+             date_diff('microseconds', TIMESTAMP '{_RS_EPOCH}', ts)::BIGINT AS pos,
+             value::DOUBLE AS v, 0 AS gr
+      FROM events
+      WHERE user_id < 6
+        AND ts >= TIMESTAMP '{_RS_START}' AND ts < TIMESTAMP '{_RS_END}'
+    ), u AS (
+      SELECT * FROM grid UNION ALL BY NAME SELECT * FROM obs
+    ), w AS (
+      SELECT user_id, pos, gr,
+        last_value(v IGNORE NULLS) OVER bk AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER bk AS pp,
+        first_value(v IGNORE NULLS) OVER fw AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER fw AS np
+      FROM u
+      WINDOW bk AS (PARTITION BY user_id ORDER BY pos ASC, gr ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY user_id ORDER BY pos ASC, gr ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, pos AS grid_us,
+      round(CASE WHEN pp = np THEN pv
+                 WHEN pp IS NOT NULL AND np IS NOT NULL
+                   THEN pv + (nv - pv) * (pos - pp)::DOUBLE / (np - pp)::DOUBLE
+                 WHEN pp IS NOT NULL THEN pv
+                 WHEN np IS NOT NULL THEN nv END, 6) AS value
+    FROM w WHERE gr = 1
+    """,
+)
+def q_events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize six users' irregular event values onto an hourly
+    grid with linear interpolation (edge fill) — the native resampler
+    Spark lacks, built from a map-side sequence explode and two
+    per-key frame-bounded windows (`operators.timeseries`)."""
+    from datas_spark.operators.timeseries import resample_interpolate
+
+    ev = read_table(spark, sf_dir, "events").where("user_id < 6")
+    return resample_interpolate(
+        ev, "user_id", "ts", "value",
+        start=_RS_START, end=_RS_END, step_seconds=_RS_STEP, epoch=_RS_EPOCH,
+    )
