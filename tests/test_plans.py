@@ -173,6 +173,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "events_key_skew",                 # 1-row count total (share_pct)
         "events_funnel",                   # 1-row per-stage count frames
         "bm25_topk",                       # 1-row corpus constants (N, avgdl)
+        "corpus_term_drift",               # 1-row totals/vocab constants
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
