@@ -97,6 +97,10 @@ HEADLINE = [
     # sketch applications: join pre-flight and rolling distinct reuse
     "join_size_estimate",
     "hll_rolling_users",
+    # Q21 semi/anti choreography, JS drift, gap-fill resampling
+    "late_supplier_blame",
+    "corpus_term_drift",
+    "events_resample_hourly",
 ]
 
 RUNS_PER_QUERY = 3
