@@ -203,3 +203,141 @@ def q_events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "value",
         start=_RS_START, end=_RS_END, step_seconds=_RS_STEP, epoch=_RS_EPOCH,
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules over user event baskets
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUPPORT = 5
+
+
+@register(
+    "event_association_rules",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM baskets
+    ), item AS (
+      SELECT event_type, count(*)::BIGINT AS cnt FROM baskets GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs, count(*)::BIGINT AS both
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs, p.both AS support_cnt,
+           round(p.both::DOUBLE / ia.cnt, 6) AS confidence,
+           round((p.both::DOUBLE / n.n_users)
+                 / ((ia.cnt::DOUBLE / n.n_users) * (ib.cnt::DOUBLE / n.n_users)),
+                 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.lhs
+    JOIN item ib ON ib.event_type = p.rhs
+    CROSS JOIN n
+    WHERE p.both >= {_AR_MIN_SUPPORT}
+    """,
+)
+def q_event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type
+    baskets: support, confidence and lift for every co-occurring pair —
+    the pairwise core of FP-growth-style mining. Baskets reduce to
+    DISTINCT (user, type) first, so the self-join fans out only over
+    the tiny per-user type set; all stats come from exact integer
+    counts (the floats are per-row ratios)."""
+    ev = read_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    b2 = baskets.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("rhs")
+    )
+    pair = (
+        baskets.join(
+            b2,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("event_type") < F.col("rhs")),
+        )
+        .groupBy(F.col("event_type").alias("lhs"), "rhs")
+        .agg(F.count(F.lit(1)).cast("long").alias("both"))
+        .where(F.col("both") >= _AR_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("event_type").alias("lhs"), F.col("cnt").alias("ca"))
+    ib = item.select(F.col("event_type").alias("rhs"), F.col("cnt").alias("cb"))
+    nu = float(n_users)
+    return (
+        pair.join(F.broadcast(ia), "lhs")
+        .join(F.broadcast(ib), "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            F.col("both").alias("support_cnt"),
+            F.round(F.col("both").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("both").cast("double") / F.lit(nu))
+                / (
+                    (F.col("ca").cast("double") / F.lit(nu))
+                    * (F.col("cb").cast("double") / F.lit(nu))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-integer Pearson correlation between two event types' hourly volumes
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_type_correlation",
+    oracle="""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h,
+             count(*) FILTER (WHERE event_type = 'view')::BIGINT AS x,
+             count(*) FILTER (WHERE event_type = 'click')::BIGINT AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+             sum(x * y)::BIGINT AS sxy
+      FROM hours
+    )
+    SELECT n, round(
+      (n * sxy - sx * sy)::DOUBLE
+      / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)),
+      6) AS pearson_r
+    FROM s
+    """,
+)
+def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between view and click hourly volumes,
+    computed from EXACT integer sums (n, Σx, Σy, Σx², Σy², Σxy over
+    hourly counts) so the statistic is order-independent and
+    bit-reproducible — the way to do distributed corr when the inputs
+    are counts. One conditional-aggregate pass over events, one
+    single-row reduction."""
+    ev = read_table(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("y"),
+    )
+    s = hours.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("n", F.round(num / den, 6).alias("pearson_r"))

