@@ -174,6 +174,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "events_funnel",                   # 1-row per-stage count frames
         "bm25_topk",                       # 1-row corpus constants (N, avgdl)
         "corpus_term_drift",               # 1-row totals/vocab constants
+        "idle_customer_balance",           # 1-row (tot, cnt) balance scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
