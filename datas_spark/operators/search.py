@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast
 
 from datas_spark.functions.text import word_tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -106,5 +106,58 @@ def bm25_topk(
             ).alias("score")
         )
         .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists into one: ``score = Σ_lists 1/(k0 + rank)``, summing only the
+    lists where the id appears. Returns ``(id_col, rrf_score, n_lists)``
+    ordered by score desc with an id tie-break — the standard way to
+    combine lexical (BM25) and semantic (embedding) retrieval without
+    score calibration, since ranks are scale-free.
+
+    Scale shape: each input is already a tiny top-k frame (≤ a few
+    hundred rows — the output of a retrieval query, never a corpus), so
+    the outer joins and the final sort are on k-sized data; the
+    reciprocal sum folds the per-list terms in list order, making the
+    float score order-independent and bit-reproducible.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                f"__rr{i}"
+            ),
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    terms = [F.coalesce(F.col(f"__rr{i}"), F.lit(0.0)) for i in range(len(rankings))]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    present = [
+        F.when(F.col(f"__rr{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(rankings))
+    ]
+    n_lists = present[0]
+    for p in present[1:]:
+        n_lists = n_lists + p
+    return (
+        fused.select(
+            F.col(id_col),
+            F.round(score, 6).alias("rrf_score"),
+            n_lists.cast("int").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(top_n)
     )

@@ -607,3 +607,4 @@ from datas_spark import registry17  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry18  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry19  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry20  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry21  # noqa: E402,F401  (isort: skip)

@@ -1,0 +1,248 @@
+"""Registry batch 21 — retrieval fusion and corpus keyness:
+reciprocal-rank fusion of lexical (BM25) and semantic (embedding)
+retrieval, and per-source distinctive terms by Dunning's G²
+log-likelihood.
+
+Both stay bit-reproducible: ranks are integers, the RRF reciprocal sum
+and the G² statistic are single per-row float expressions over exact
+integer inputs, rounded to 6 places before any ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.functions.text import word_tokens
+from datas_spark.io.sources import read_table
+from datas_spark.operators import similarity as SIM
+from datas_spark.operators.search import bm25_topk, rrf_fuse
+from datas_spark.registry import register
+from datas_spark.registry16 import _BM25_B, _BM25_K1, _BM25_TERMS, _TERMS_SQL
+
+_RRF_K0 = 60
+_RRF_DEPTH = 50  # per-list candidate depth
+_RRF_TOP = 20
+_RRF_QUERY_VEC = 0  # semantic query: embedding of vec_id 0
+
+# lexical candidate list: BM25 top-_RRF_DEPTH, ranked (registry16's
+# oracle chain, parameterized depth, rank added above the aggregate)
+_LEX_CTE = f"""
+    toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), contribs AS (
+      SELECT tf.doc_id, tf.term,
+        ln(1.0 + (c.n_docs::DOUBLE - d.df + 0.5) / (d.df::DOUBLE + 0.5))
+        * tf.tf::DOUBLE * {_BM25_K1 + 1.0}
+        / (tf.tf::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+             * l.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE)))
+          AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN consts c
+    ), lex AS (
+      SELECT doc_id,
+             round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 4)
+               AS score
+      FROM contribs GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    ), lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM lex
+    )
+"""
+
+_SEM_CTE = f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+    sem AS (
+      SELECT d.vec_id AS doc_id,
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))), 6) AS cos
+      FROM embeddings d CROSS JOIN q
+    ), semr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+        FROM sem
+      ) WHERE r <= {_RRF_DEPTH}
+    )
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_LEX_CTE}, {_SEM_CTE}
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K0} + l.r), 0.0)
+                 + coalesce(1.0 / ({_RRF_K0} + s.r), 0.0), 6) AS rrf_score,
+           ((l.doc_id IS NOT NULL)::INT + (s.doc_id IS NOT NULL)::INT)::INT
+             AS n_lists
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOP}
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and embedding-cosine
+    semantic top-50 (query = vec_id 0's embedding; doc ids and vec ids
+    share one id space) fused by reciprocal-rank fusion
+    ``Σ 1/(60 + rank)`` — rank-based, so no score calibration between
+    the two retrievers is needed.
+
+    Scale shape: each retriever already reduces the corpus to a k-row
+    candidate list with its own scale-safe plan (query-vocab-filtered
+    postings; bucketed cosine rank with a broadcast 1-row query), so
+    the fusion join, reciprocal sum, and final sort all run on ≤ 50-row
+    frames. The only global windows rank k-row aggregates, never raw
+    rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+        top_n=_RRF_DEPTH,
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = SIM.cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") == _RRF_QUERY_VEC),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=_RRF_DEPTH,
+    )
+    semr = sem.select(F.col("d_vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lexr, semr], "doc_id", k0=_RRF_K0, top_n=_RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# per-source distinctive terms (Dunning G² log-likelihood keyness)
+# ---------------------------------------------------------------------------
+
+_KEY_MIN_COUNT = 3
+_KEY_TOP = 5
+
+
+@register(
+    "source_keyness_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(list_transform(
+               string_split_regex(trim(text), '\\s+'), w -> lower(w))) AS term
+      FROM documents
+    ), tk AS (
+      SELECT source, term FROM toks WHERE term <> ''
+    ), a AS (
+      SELECT source, term, count(*)::BIGINT AS a FROM tk GROUP BY source, term
+    ), termtot AS (
+      SELECT term, sum(a)::BIGINT AS tot_t FROM a GROUP BY term
+    ), srctot AS (
+      SELECT source, sum(a)::BIGINT AS n1 FROM a GROUP BY source
+    ), grand AS (
+      SELECT sum(a)::BIGINT AS n FROM a
+    ), g2 AS (
+      SELECT a.source, a.term, a.a,
+        round(2.0 * (
+          a.a::DOUBLE * ln((a.a * g.n)::DOUBLE / (s.n1 * t.tot_t)::DOUBLE)
+          + CASE WHEN t.tot_t - a.a > 0 THEN
+              (t.tot_t - a.a)::DOUBLE
+              * ln(((t.tot_t - a.a) * g.n)::DOUBLE
+                   / ((g.n - s.n1) * t.tot_t)::DOUBLE)
+            ELSE 0.0 END), 6) AS g2
+      FROM a JOIN termtot t USING (term) JOIN srctot s USING (source)
+      CROSS JOIN grand g
+      WHERE a.a >= {_KEY_MIN_COUNT} AND a.a * g.n > s.n1 * t.tot_t
+    )
+    SELECT source, term, a AS cnt, g2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY g2 DESC, term ASC) AS rk
+      FROM g2
+    ) WHERE rk <= {_KEY_TOP}
+    ORDER BY source, g2 DESC, term
+    """,
+)
+def q_source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: Dunning's G² log-likelihood
+    keyness of each term in a source vs the rest of the corpus, top 5
+    overrepresented terms per source — the corpus-linguistics standard
+    for "what makes this slice different" (domain tagging, contamination
+    triage, mixture auditing).
+
+    All four count frames (term-in-source, term total, source total,
+    grand total) are exact BIGINT aggregates of ONE tokenization pass;
+    G² is a single per-row float expression over those integers
+    (b = tot_t − a and n2 = N − n1 are derived, not re-counted), so the
+    statistic is order-independent. The grand total broadcasts as one
+    row; the top-5 window is partitioned by source."""
+    docs = read_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "source",
+            F.explode(F.transform(word_tokens("text"), lambda w: F.lower(w))).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+    )
+    a = tk.groupBy("source", "term").agg(F.count("*").cast("long").alias("a"))
+    termtot = a.groupBy("term").agg(F.sum("a").cast("long").alias("tot_t"))
+    srctot = a.groupBy("source").agg(F.sum("a").cast("long").alias("n1"))
+    grand = a.agg(F.sum("a").cast("long").alias("n"))
+    j = (
+        a.join(termtot, "term")
+        .join(F.broadcast(srctot), "source")
+        .crossJoin(F.broadcast(grand))
+        .where(
+            (F.col("a") >= _KEY_MIN_COUNT)
+            & (F.col("a") * F.col("n") > F.col("n1") * F.col("tot_t"))
+        )
+    )
+    b = F.col("tot_t") - F.col("a")
+    term1 = F.col("a").cast("double") * F.log(
+        (F.col("a") * F.col("n")).cast("double")
+        / (F.col("n1") * F.col("tot_t")).cast("double")
+    )
+    term2 = F.when(
+        b > 0,
+        b.cast("double")
+        * F.log(
+            (b * F.col("n")).cast("double")
+            / ((F.col("n") - F.col("n1")) * F.col("tot_t")).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    g2 = j.select(
+        "source",
+        "term",
+        F.col("a").alias("cnt"),
+        F.round(2.0 * (term1 + term2), 6).alias("g2"),
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("term"))
+    return (
+        g2.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _KEY_TOP)
+        .drop("rk")
+        .orderBy("source", F.desc("g2"), "term")
+    )

@@ -175,6 +175,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "bm25_topk",                       # 1-row corpus constants (N, avgdl)
         "corpus_term_drift",               # 1-row totals/vocab constants
         "idle_customer_balance",           # 1-row (tot, cnt) balance scalar
+        "hybrid_search_rrf",               # BM25 constants + 1-row query vec
+        "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
