@@ -55,6 +55,7 @@ __all__ = [
     "ngram_lm_score",
     "weighted_sample",
     "weighted_sample_per_key",
+    "rebalance_labels",
     "zscore_outliers",
     "value_deciles",
     "chunk_documents",
@@ -914,3 +915,58 @@ def value_deciles(
     return df.join(
         broadcast(cuts), F.col(value_col) == F.col("__v"), "left"
     ).drop("__v")
+
+
+def rebalance_labels(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    target: int | None = None,
+) -> DataFrame:
+    """Exact class rebalancing by deterministic replication: every
+    label class is brought to exactly ``target`` rows (default: the
+    majority class count) by replicating each row ``target div c``
+    times plus one extra copy for the ``target mod c`` rows with the
+    smallest md5 draw — the oversampling primitive for skewed label
+    distributions ahead of training, with none of ``sampleBy``'s
+    partition-layout dependence.
+
+    Output = input columns + ``copy_idx`` (1-based per source row);
+    every class sums to exactly ``target`` (classes larger than
+    ``target`` are deterministically downsampled to it: base factor 0,
+    and only the ``target`` smallest-draw rows keep one copy).
+
+    Scale shape: the per-label counts are a tiny broadcast frame; the
+    only per-row ordered structure is a row_number PARTITIONED BY
+    label (per-class local sorts); replication is a map-side
+    ``explode(sequence(...))`` — rows never shuffle for copying.
+    """
+    if target is not None and target < 0:
+        raise ValueError("target must be >= 0")
+    counts = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    if target is None:
+        tgt = counts.agg(F.max("__c").alias("t"))
+        counts = counts.crossJoin(broadcast(tgt)).select(
+            "__lbl", "__c", F.col("t").cast("long").alias("__t")
+        )
+    else:
+        counts = counts.withColumn("__t", F.lit(int(target)).cast("long"))
+    rk = Window.partitionBy(label_col).orderBy(
+        _md5_unit(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    reps = (
+        df.join(broadcast(counts), F.col(label_col) == F.col("__lbl"))
+        .withColumn("__rk", F.row_number().over(rk))
+        .withColumn(
+            "__rep",
+            (F.col("__t") / F.col("__c")).cast("long")
+            + F.when(F.col("__rk") <= F.col("__t") % F.col("__c"), 1).otherwise(0),
+        )
+    )
+    return (
+        reps.where(F.col("__rep") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+        .drop("__lbl", "__c", "__t", "__rk", "__rep")
+    )

@@ -66,6 +66,7 @@ def cosine_topk(
     vec_col: str,
     k: int = 10,
     prune_buckets: int = 64,
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query with pure Column-expression scoring
     (the oracle ground-truth path — prefer ``cosine_topk_vectorized``
@@ -86,11 +87,24 @@ def cosine_topk(
     Zero-norm vectors have undefined cosine: their NULL cos is
     filtered between the stages, so such rows never rank —
     ``cosine_topk_vectorized`` drops them identically.
+
+    ``exclude_match_col`` drops candidate pairs whose data row shares
+    that column's value with the query row BEFORE any scoring ranks —
+    the hard-negative-mining restriction (rank only different-label
+    neighbors). NULL values never match, mirroring SQL ``!=``.
     """
     qname, dname = _out_names(query_id, data_id)
-    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
-    scored = d.crossJoin(broadcast(q)).select(
+    d_cols = [F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")]
+    q_cols = [F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")]
+    if exclude_match_col is not None:
+        d_cols.append(F.col(exclude_match_col).alias("__dx"))
+        q_cols.append(F.col(exclude_match_col).alias("__qx"))
+    d = data.select(*d_cols)
+    q = queries.select(*q_cols)
+    pairs = d.crossJoin(broadcast(q))
+    if exclude_match_col is not None:
+        pairs = pairs.where(F.col("__dx") != F.col("__qx"))
+    scored = pairs.select(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
         F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),

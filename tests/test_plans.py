@@ -176,6 +176,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "corpus_term_drift",               # 1-row totals/vocab constants
         "idle_customer_balance",           # 1-row (tot, cnt) balance scalar
         "hybrid_search_rrf",               # BM25 constants + 1-row query vec
+        "hard_negative_mining",            # broadcast anchor set
+        "label_rebalance",                 # 1-row majority-count target
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
