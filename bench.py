@@ -101,6 +101,14 @@ HEADLINE = [
     "late_supplier_blame",
     "corpus_term_drift",
     "events_resample_hourly",
+    # late round-4 families: Q13 outer-join distribution, hybrid RRF
+    # retrieval (BM25 + cosine fused), G² keyness, CUSUM change-point,
+    # and the exact label rebalancer
+    "customer_order_distribution",
+    "hybrid_search_rrf",
+    "source_keyness_terms",
+    "events_type_changepoint",
+    "label_rebalance",
 ]
 
 RUNS_PER_QUERY = 3

@@ -56,6 +56,7 @@ __all__ = [
     "weighted_sample",
     "weighted_sample_per_key",
     "rebalance_labels",
+    "token_budget_mixture",
     "zscore_outliers",
     "value_deciles",
     "chunk_documents",
@@ -969,4 +970,49 @@ def rebalance_labels(
         reps.where(F.col("__rep") > 0)
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
         .drop("__lbl", "__c", "__t", "__rk", "__rep")
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budgeted mixture sampling: for each key (source/domain), admit
+    rows in deterministic md5-draw order until that key's token budget
+    is filled — the data-mixing primitive behind recipe-weighted
+    pretraining corpora ("40% web, 30% code, ...": budgets in TOKENS,
+    not documents, because document lengths differ wildly per source).
+
+    A row is admitted iff the budget was not yet exhausted BEFORE it
+    (``cum − w < budget``), so the last admitted row may overflow its
+    budget but the selection is a deterministic prefix — the greedy
+    rule every engine reproduces exactly. Keys absent from ``budgets``
+    are excluded.
+
+    Scale shape: the budget table is a broadcast literal; the only
+    per-row ordered structure is the per-key cumulative-sum window
+    (local sorts within each source); admission is a map-side
+    comparison, no second pass.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be >= 0")
+    btab = df.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in sorted(budgets.items())], [key_col, "__budget"]
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        _md5_unit(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    cum = F.sum(F.col(weight_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.join(broadcast(btab), key_col)
+        .withColumn("__cum", cum.cast("long"))
+        .where(F.col("__cum") - F.col(weight_col) < F.col("__budget"))
+        .drop("__budget", "__cum")
     )

@@ -609,3 +609,4 @@ from datas_spark import registry19  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry20  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry21  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry22  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry23  # noqa: E402,F401  (isort: skip)
