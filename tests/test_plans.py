@@ -178,6 +178,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "hybrid_search_rrf",               # BM25 constants + 1-row query vec
         "hard_negative_mining",            # broadcast anchor set
         "label_rebalance",                 # 1-row majority-count target
+        "top_revenue_supplier",            # 1-row max-revenue scalar
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
