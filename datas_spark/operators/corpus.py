@@ -923,6 +923,7 @@ def rebalance_labels(
     id_col: str,
     label_col: str,
     target: int | None = None,
+    skew_resistant: bool = False,
 ) -> DataFrame:
     """Exact class rebalancing by deterministic replication: every
     label class is brought to exactly ``target`` rows (default: the
@@ -941,6 +942,11 @@ def rebalance_labels(
     only per-row ordered structure is a row_number PARTITIONED BY
     label (per-class local sorts); replication is a map-side
     ``explode(sequence(...))`` — rows never shuffle for copying.
+    ``skew_resistant=True`` (identical output) replaces that window
+    with ``selection.skew_resistant_rank`` on a (md5-draw, id) struct
+    key, so a label class holding most of the table — exactly the case
+    rebalancing exists for — spreads over the full range exchange
+    instead of serializing onto one task.
     """
     if target is not None and target < 0:
         raise ValueError("target must be >= 0")
@@ -954,12 +960,26 @@ def rebalance_labels(
         )
     else:
         counts = counts.withColumn("__t", F.lit(int(target)).cast("long"))
-    rk = Window.partitionBy(label_col).orderBy(
-        _md5_unit(F.col(id_col)).asc(), F.col(id_col).asc()
-    )
+    if skew_resistant:
+        from datas_spark.operators.selection import skew_resistant_rank
+
+        # struct ordering is lexicographic, so this reproduces the
+        # window path's (md5_unit asc, id asc) order exactly
+        tmp = df.withColumn(
+            "__ord", F.struct(_md5_unit(F.col(id_col)).alias("u"), F.col(id_col))
+        )
+        ranked = (
+            skew_resistant_rank(tmp, label_col, "__ord")
+            .withColumnRenamed("__rn", "__rk")
+            .drop("__m", "__ord")
+        )
+    else:
+        rk = Window.partitionBy(label_col).orderBy(
+            _md5_unit(F.col(id_col)).asc(), F.col(id_col).asc()
+        )
+        ranked = df.withColumn("__rk", F.row_number().over(rk))
     reps = (
-        df.join(broadcast(counts), F.col(label_col) == F.col("__lbl"))
-        .withColumn("__rk", F.row_number().over(rk))
+        ranked.join(broadcast(counts), F.col(label_col) == F.col("__lbl"))
         .withColumn(
             "__rep",
             (F.col("__t") / F.col("__c")).cast("long")
@@ -979,6 +999,7 @@ def token_budget_mixture(
     weight_col: str,
     budgets: dict[str, int],
     id_col: str = "doc_id",
+    skew_resistant: bool = False,
 ) -> DataFrame:
     """Budgeted mixture sampling: for each key (source/domain), admit
     rows in deterministic md5-draw order until that key's token budget
@@ -995,7 +1016,13 @@ def token_budget_mixture(
     Scale shape: the budget table is a broadcast literal; the only
     per-row ordered structure is the per-key cumulative-sum window
     (local sorts within each source); admission is a map-side
-    comparison, no second pass.
+    comparison, no second pass. ``skew_resistant=True`` (identical
+    output; requires every weight ≥ 1, enforced) first ranks rows with
+    ``selection.skew_resistant_rank`` — no window partitioned by the
+    key — and keeps only ``rank ≤ budget`` candidates (a row of rank r
+    sits behind ≥ r−1 admitted weight-≥1 rows, so rank > budget can
+    never be admitted); the per-key cumsum window then runs on at most
+    ``budget`` rows per key instead of the key's full corpus.
     """
     if not budgets:
         raise ValueError("budgets must be non-empty")
@@ -1004,15 +1031,28 @@ def token_budget_mixture(
     btab = df.sparkSession.createDataFrame(
         [(k, int(v)) for k, v in sorted(budgets.items())], [key_col, "__budget"]
     )
+    cand = df.join(broadcast(btab), key_col)
+    if skew_resistant:
+        from datas_spark.operators.selection import skew_resistant_rank
+
+        cand = cand.where(F.col(weight_col) >= 1)
+        tmp = cand.withColumn(
+            "__ord", F.struct(_md5_unit(F.col(id_col)).alias("u"), F.col(id_col))
+        )
+        cand = (
+            skew_resistant_rank(tmp, key_col, "__ord")
+            .where(F.col("__rn") <= F.col("__budget"))
+            .drop("__m", "__ord")
+        )
     w = Window.partitionBy(key_col).orderBy(
         _md5_unit(F.col(id_col)).asc(), F.col(id_col).asc()
     )
     cum = F.sum(F.col(weight_col)).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        df.join(broadcast(btab), key_col)
-        .withColumn("__cum", cum.cast("long"))
+    out = (
+        cand.withColumn("__cum", cum.cast("long"))
         .where(F.col("__cum") - F.col(weight_col) < F.col("__budget"))
         .drop("__budget", "__cum")
     )
+    return out.drop("__rn") if skew_resistant else out

@@ -82,3 +82,45 @@ def test_mixture_excludes_unbudgeted_keys_and_validates(spark):
         token_budget_mixture(df, "src", "w", {})
     with pytest.raises(ValueError):
         token_budget_mixture(df, "src", "w", {"a": -1})
+
+
+def test_rebalance_skew_resistant_twin_is_identical(spark, sf_dir):
+    from datas_spark.io.sources import read_table
+    from datas_spark.operators.corpus import rebalance_labels
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    base = sorted(
+        (r.vec_id, r.label, r.copy_idx)
+        for r in rebalance_labels(emb, "vec_id", "label").collect()
+    )
+    skew = sorted(
+        (r.vec_id, r.label, r.copy_idx)
+        for r in rebalance_labels(
+            emb, "vec_id", "label", skew_resistant=True
+        ).collect()
+    )
+    assert base == skew
+
+
+def test_mixture_skew_resistant_twin_is_identical(spark, sf_dir):
+    from datas_spark.io.sources import read_table
+    from datas_spark.operators.corpus import token_budget_mixture
+    from datas_spark.registry23 import _MIX_BUDGETS
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = sorted(
+        (r.doc_id, r.source)
+        for r in token_budget_mixture(
+            docs, "source", "n_chars", _MIX_BUDGETS, id_col="doc_id"
+        ).collect()
+    )
+    skew = sorted(
+        (r.doc_id, r.source)
+        for r in token_budget_mixture(
+            docs, "source", "n_chars", _MIX_BUDGETS, id_col="doc_id",
+            skew_resistant=True,
+        ).collect()
+    )
+    assert base == skew
