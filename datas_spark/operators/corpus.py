@@ -1017,7 +1017,9 @@ def token_budget_mixture(
     per-row ordered structure is the per-key cumulative-sum window
     (local sorts within each source); admission is a map-side
     comparison, no second pass. ``skew_resistant=True`` (identical
-    output; requires every weight ≥ 1, enforced) first ranks rows with
+    output for weights ≥ 1; rows with weight < 1 are EXCLUDED in this
+    mode — the rank-≤-budget prune is only sound when every admitted
+    row consumes at least one unit) first ranks rows with
     ``selection.skew_resistant_rank`` — no window partitioned by the
     key — and keeps only ``rank ≤ budget`` candidates (a row of rank r
     sits behind ≥ r−1 admitted weight-≥1 rows, so rank > budget can
