@@ -611,3 +611,4 @@ from datas_spark import registry21  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry22  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry23  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry24  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry25  # noqa: E402,F401  (isort: skip)
