@@ -109,6 +109,10 @@ HEADLINE = [
     "source_keyness_terms",
     "events_type_changepoint",
     "label_rebalance",
+    # final round-4 shapes: gaps-and-islands streaks and the Q16
+    # distinct-supplier bracket counts
+    "user_activity_streaks",
+    "supplier_count_by_part_bracket",
 ]
 
 RUNS_PER_QUERY = 3
