@@ -164,17 +164,22 @@ _KEY_TOP = 5
     ), grand AS (
       SELECT sum(a)::BIGINT AS n FROM a
     ), g2 AS (
+      -- ratios of DOUBLEs, not BIGINT products: a*N overflows int64 at
+      -- corpus scale (N ~ 1e13, a ~ 1e6 for a stopword); the double
+      -- conversion + one division + ln is deterministic on both engines
       SELECT a.source, a.term, a.a,
         round(2.0 * (
-          a.a::DOUBLE * ln((a.a * g.n)::DOUBLE / (s.n1 * t.tot_t)::DOUBLE)
+          a.a::DOUBLE * ln((a.a::DOUBLE * g.n::DOUBLE)
+                           / (s.n1::DOUBLE * t.tot_t::DOUBLE))
           + CASE WHEN t.tot_t - a.a > 0 THEN
               (t.tot_t - a.a)::DOUBLE
-              * ln(((t.tot_t - a.a) * g.n)::DOUBLE
-                   / ((g.n - s.n1) * t.tot_t)::DOUBLE)
+              * ln(((t.tot_t - a.a)::DOUBLE * g.n::DOUBLE)
+                   / ((g.n - s.n1)::DOUBLE * t.tot_t::DOUBLE))
             ELSE 0.0 END), 6) AS g2
       FROM a JOIN termtot t USING (term) JOIN srctot s USING (source)
       CROSS JOIN grand g
-      WHERE a.a >= {_KEY_MIN_COUNT} AND a.a * g.n > s.n1 * t.tot_t
+      WHERE a.a >= {_KEY_MIN_COUNT}
+        AND a.a::DOUBLE * g.n::DOUBLE > s.n1::DOUBLE * t.tot_t::DOUBLE
     )
     SELECT source, term, a AS cnt, g2 FROM (
       SELECT *, row_number() OVER (PARTITION BY source
@@ -217,20 +222,29 @@ def q_source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(grand))
         .where(
             (F.col("a") >= _KEY_MIN_COUNT)
-            & (F.col("a") * F.col("n") > F.col("n1") * F.col("tot_t"))
+            & (
+                F.col("a").cast("double") * F.col("n").cast("double")
+                > F.col("n1").cast("double") * F.col("tot_t").cast("double")
+            )
         )
     )
+    # ratios of doubles, never BIGINT products — a*N overflows int64 at
+    # 100 TB corpus scale; per-value double conversion stays exact for
+    # counts < 2^53 and deterministic beyond
     b = F.col("tot_t") - F.col("a")
     term1 = F.col("a").cast("double") * F.log(
-        (F.col("a") * F.col("n")).cast("double")
-        / (F.col("n1") * F.col("tot_t")).cast("double")
+        (F.col("a").cast("double") * F.col("n").cast("double"))
+        / (F.col("n1").cast("double") * F.col("tot_t").cast("double"))
     )
     term2 = F.when(
         b > 0,
         b.cast("double")
         * F.log(
-            (b * F.col("n")).cast("double")
-            / ((F.col("n") - F.col("n1")) * F.col("tot_t")).cast("double")
+            (b.cast("double") * F.col("n").cast("double"))
+            / (
+                (F.col("n") - F.col("n1")).cast("double")
+                * F.col("tot_t").cast("double")
+            )
         ),
     ).otherwise(F.lit(0.0))
     g2 = j.select(
