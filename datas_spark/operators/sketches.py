@@ -52,6 +52,8 @@ __all__ = [
     "cms_join_size_estimate",
     "bloom_bitset",
     "bloom_contains",
+    "histogram_registers",
+    "histogram_quantiles",
 ]
 
 _HASH_BITS = 60  # hash60 width (md5 prefix that round-trips signed int64)
@@ -456,3 +458,93 @@ def hll_rolling_cardinality(
         F.max("max_rho").alias("max_rho")
     )
     return _finalize_grouped_hll(merged, [time_col], p)
+
+
+def histogram_registers(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-bin histogram sketch of ``value_col`` over ``[lo, hi)``:
+    ``(bin int, cnt bigint)`` — the mergeable quantile/distribution
+    state (merge = sum counts per bin; the associativity the exact
+    percentile buffer lacks). Out-of-range values clamp into the edge
+    bins, NULLs are excluded. ``bins`` cells of state regardless of
+    row count, so partial aggregation does the work map-side and the
+    shuffle moves at most ``bins`` rows — the same fixed-address-space
+    contract as the HLL/CMS builders above.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (float(hi) - float(lo)) / bins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    regs: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram register table: for each
+    ``q``, locate the first bin whose cumulative count reaches
+    ``q * total`` and interpolate linearly inside it —
+    ``(q double, est double)``, error bounded by one bin width.
+
+    The cumulative walk is a partition-less window ABOVE the
+    ``bins``-row aggregate (metadata-sized, the allowed case); the
+    quantile targets are a broadcast literal frame.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    width = (float(hi) - float(lo)) / bins
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    walk = regs.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    qtab = regs.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], ["q"]
+    )
+    hit = (
+        walk.join(F.broadcast(qtab), F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "cum", "total"), F.col("bin")
+            ).alias("s")
+        )
+    )
+    frac = (
+        F.col("s.cum").cast("double")
+        - F.col("s.cnt").cast("double")
+    )
+    est = (
+        F.lit(float(lo))
+        + F.lit(width)
+        * (
+            F.col("s.bin").cast("double")
+            + (F.col("q") * F.col("s.total").cast("double") - frac)
+            / F.col("s.cnt").cast("double")
+        )
+    )
+    return hit.select(
+        "q", F.round(F.least(est, F.lit(float(hi))), 6).alias("est")
+    ).orderBy("q")

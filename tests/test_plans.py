@@ -179,6 +179,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "hard_negative_mining",            # broadcast anchor set
         "label_rebalance",                 # 1-row majority-count target
         "top_revenue_supplier",            # 1-row max-revenue scalar
+        "events_value_hist_quantiles",     # 3-row quantile-target literals
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
