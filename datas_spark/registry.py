@@ -614,3 +614,4 @@ from datas_spark import registry24  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry25  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry26  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry27  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry28  # noqa: E402,F401  (isort: skip)

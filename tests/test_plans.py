@@ -180,6 +180,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "label_rebalance",                 # 1-row majority-count target
         "top_revenue_supplier",            # 1-row max-revenue scalar
         "events_value_hist_quantiles",     # 3-row quantile-target literals
+        "events_type_hour_chi2",           # 1-row grand-total scalar
+        "revenue_concentration",           # 1-row percentile threshold
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
