@@ -113,6 +113,9 @@ HEADLINE = [
     # distinct-supplier bracket counts
     "user_activity_streaks",
     "supplier_count_by_part_bracket",
+    # sketch-quantile estimate and the Pareto concentration share
+    "events_value_hist_quantiles",
+    "revenue_concentration",
 ]
 
 RUNS_PER_QUERY = 3
