@@ -182,6 +182,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "events_value_hist_quantiles",     # 3-row quantile-target literals
         "events_type_hour_chi2",           # 1-row grand-total scalar
         "revenue_concentration",           # 1-row percentile threshold
+        "important_part_value",            # 1-row scoped-total scalar (Q11)
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
