@@ -409,6 +409,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: C = |A∩B| / min(|A|, |B|) —
+    the asymmetric dup detector Jaccard misses. A short doc quoted
+    wholesale inside a long one has tiny Jaccard (the union is huge)
+    but containment ≈ 1; this is how excerpt/expansion duplication and
+    quote-level contamination are caught in corpus curation.
+
+    Same scale machinery as `ngram_jaccard_pairs` (hashed shingles,
+    inverted index, map-side upper-triangle pair generation, hot-
+    shingle cap) MINUS its length filter: Jaccard's
+    ``t·max <= min`` prune exists to discard skewed-size pairs, and
+    skewed-size pairs are exactly what containment exists to find, so
+    no size-based prune is sound here. ``max_shingle_freq`` remains
+    the skew bound.
+
+    Returns (id_a, id_b, containment) with id_a < id_b,
+    containment >= threshold.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select(
+            "__id",
+            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+        )
+        .select("__id", hashed_shingles_of_hashes(F.col("__th"), n).alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+    )
+    exploded = (
+        sh.select("__id", "__n", F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    grouped = exploded.groupBy("__s").agg(
+        F.array_sort(F.collect_list(F.struct("__id", "__n"))).alias("__docs")
+    )
+    grouped = grouped.where(F.size("__docs") >= 2)
+    if max_shingle_freq is not None:
+        grouped = grouped.where(F.size("__docs") <= max_shingle_freq)
+    docs = F.col("__docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode_outer(pair_structs).alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .groupBy(F.xxhash64("__p.a.__id", "__p.b.__id").alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.any_value("__p.a.__id").alias("id_a"),
+            F.any_value("__p.b.__id").alias("id_b"),
+            F.any_value("__p.a.__n").alias("__na"),
+            F.any_value("__p.b.__n").alias("__nb"),
+        )
+    )
+    cont = F.col("__shared") / F.least("__na", "__nb")
+    return (
+        shared.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

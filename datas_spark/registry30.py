@@ -1,0 +1,265 @@
+"""Registry batch 30 — training-set assembly operators: leakage-safe
+group splits (+ the audit that proves them), asymmetric n-gram
+containment dup detection, and vocabulary-growth profiling.
+
+These are north-star LLM-pipeline ops (SURVEY §2.9): a per-row random
+split leaks near-dup pairs across train/test; containment catches the
+excerpt/expansion duplication Jaccard's union denominator hides; the
+vocab growth curve (Heaps-law profile) is the standard corpus-health
+screen for dedup quality and domain saturation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.functions.text import word_tokens
+from datas_spark.io.sources import read_table
+from datas_spark.operators import dedup as D
+from datas_spark.operators.splits import (
+    group_safe_split,
+    group_split_assign,
+    split_leakage_counts,
+)
+from datas_spark.registry import register
+
+# the near-dup pair CTE chain shared by the split oracles — identical
+# to _NEAR_DEDUP_RESOLVE_ORACLE's components (n=3-token grams,
+# Jaccard >= 0.2, min-label components)
+_COMPONENT_CTES = r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING shared / (na + nb - shared) >= 0.2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    )
+"""
+
+_SPLIT_CASE = (
+    "CASE WHEN ('0x' || substr(md5('split' || component::VARCHAR), 1, 8))::BIGINT"
+    " % 100 < 80 THEN 'train'"
+    " WHEN ('0x' || substr(md5('split' || component::VARCHAR), 1, 8))::BIGINT"
+    " % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "group_safe_split",
+    oracle=_COMPONENT_CTES
+    + f"""
+    SELECT doc_id, component, {_SPLIT_CASE} AS split
+    FROM assigned
+    """,
+)
+def q_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup components (n-gram
+    Jaccard >= 0.2 edges, min-label CC) each hash whole into one split
+    via an md5 bucket on the component label — no near-dup pair can
+    cross a split boundary, by construction.
+
+    Scale: pair generation is the banded inverted-index path, CC is
+    iterative min-label (both already proven at `near_dedup_resolve`);
+    the split itself adds ZERO shuffles — one map-side md5 on the
+    resolved frame. 80/10/10 targets; fractions converge over
+    components, never re-deal on resize (hash, not modulo-rank)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return group_safe_split(docs, "doc_id", pairs).select(
+        "doc_id", "component", "split"
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_COMPONENT_CTES
+    + f"""
+    , labeled AS (
+      SELECT a.doc_id, {_SPLIT_CASE} AS gsplit,
+             CASE WHEN ('0x' || substr(md5('split' || a.doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || a.doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 100 < 90 THEN 'val' ELSE 'test' END AS nsplit
+      FROM assigned a
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           count(CASE WHEN la.gsplit != lb.gsplit THEN 1 END)::BIGINT
+             AS group_cross_pairs,
+           count(CASE WHEN la.nsplit != lb.nsplit THEN 1 END)::BIGINT
+             AS naive_cross_pairs
+    FROM pairs p
+    JOIN labeled la ON p.id_a = la.doc_id
+    JOIN labeled lb ON p.id_b = lb.doc_id
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that justifies group splitting: over the near-dup
+    pairs, count endpoints landing in different splits under (a) the
+    group-safe assignment — structurally 0 — and (b) the naive per-row
+    hash split a careless pipeline would ship. The naive count is the
+    contamination that would have leaked into eval.
+
+    Two id-key equi-joins of the (tiny) pair frame against the labeled
+    corpus, one 1-row aggregate; the expensive parts (pairs, CC) are
+    shared subplans with `group_safe_split`."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    split = group_safe_split(docs, "doc_id", pairs)
+    naive = split.withColumn(
+        "nsplit", group_split_assign(F.col("doc_id"))
+    )
+    a = naive.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("__ga"),
+        F.col("nsplit").alias("__na"),
+    )
+    b = naive.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("__gb"),
+        F.col("nsplit").alias("__nb"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(F.when(F.col("__ga") != F.col("__gb"), 1))
+            .cast("long")
+            .alias("group_cross_pairs"),
+            F.count(F.when(F.col("__na") != F.col("__nb"), 1))
+            .cast("long")
+            .alias("naive_cross_pairs"),
+        )
+    )
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(shared / least(na, nb), 6) AS containment
+    FROM pairs WHERE shared / least(na, nb) >= 0.6
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment |A∩B| / min(|A|,|B|)
+    over 3-token shingles — catches a short doc quoted wholesale
+    inside a long one (Jaccard ≈ 0 there; containment ≈ 1). The size
+    prune that makes Jaccard cheap is deliberately ABSENT (skewed-size
+    pairs are the quarry); the hot-shingle cap still bounds skew."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    ).select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+_VG_BUCKET = 50  # docs per growth-curve bucket (doc_id order)
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id // {_VG_BUCKET} AS bucket, text FROM documents
+    ), per_bucket AS (
+      SELECT bucket,
+             sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+               AS bucket_tokens
+      FROM b GROUP BY 1
+    ), terms AS (
+      SELECT bucket, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+      FROM b
+    ), first_seen AS (
+      SELECT term, min(bucket) AS bucket FROM terms GROUP BY 1
+    ), news AS (
+      SELECT bucket, count(*)::BIGINT AS new_terms FROM first_seen GROUP BY 1
+    )
+    SELECT p.bucket, p.bucket_tokens,
+           coalesce(n.new_terms, 0)::BIGINT AS new_terms,
+           sum(coalesce(n.new_terms, 0))
+             OVER (ORDER BY p.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)::BIGINT AS cum_vocab,
+           sum(p.bucket_tokens)
+             OVER (ORDER BY p.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)::BIGINT AS cum_tokens
+    FROM per_bucket p LEFT JOIN news n ON p.bucket = n.bucket
+    """,
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) profile: cumulative distinct
+    lowercased tokens vs cumulative token count over doc_id-ordered
+    buckets of {_VG_BUCKET} docs. A curve that keeps climbing linearly
+    flags unsaturated/noisy vocab; one that flattens early flags
+    duplication — the standard corpus-health screen.
+
+    Scale shape: cumulative distinct is NOT computed per prefix (that
+    is quadratic); each term contributes once at its FIRST-seen bucket
+    (a min-aggregate), new-term counts roll up per bucket, and the
+    running sums are a window over ≤ |buckets| aggregate rows — never
+    over data. One tokenize pass feeds both the token totals and the
+    first-seen frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.floor(F.col("doc_id") / _VG_BUCKET).cast("long").alias("bucket"),
+        "text",
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.sum(F.size(word_tokens("text"))).cast("long").alias("bucket_tokens")
+    )
+    terms = b.select(
+        "bucket", F.explode(word_tokens("text")).alias("__t")
+    ).select("bucket", F.lower("__t").alias("term"))
+    news = (
+        terms.groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(news, "bucket", "left")
+        .withColumn("new_terms", F.coalesce("new_terms", F.lit(0)).cast("long"))
+        .select(
+            "bucket",
+            "bucket_tokens",
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+            F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+    )
