@@ -116,6 +116,17 @@ HEADLINE = [
     # sketch-quantile estimate and the Pareto concentration share
     "events_value_hist_quantiles",
     "revenue_concentration",
+    # TPC-H completion: Q6 scan-agg and the Q7 bidirectional trade join
+    "forecast_revenue_delta",
+    "nation_trade_volume",
+    # training-set assembly: leakage-safe component split (pairs + CC +
+    # hash assignment in one plan) and the int8-quantized ANN path
+    "group_safe_split",
+    "sq8_topk",
+    # asymmetric containment dedup (no size prune — the worst case for
+    # the inverted index) and the RFM segmentation aggregate
+    "ngram_containment_pairs",
+    "customer_rfm_segments",
 ]
 
 RUNS_PER_QUERY = 3

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["table_stats", "compact_parquet"]
+__all__ = ["table_stats", "compact_parquet", "upsert_partitioned"]
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:
@@ -75,3 +75,66 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst_path)
     return table_stats(spark, dst_path)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE-lite for a hive-partitioned parquet table: latest-wins
+    upsert of ``updates`` by ``key_cols``, rewriting ONLY the
+    partitions the batch touches (dynamic partition overwrite) — the
+    vanilla-parquet answer to Delta/Iceberg ``MERGE INTO`` for the
+    overwhelmingly common keyed-refresh case.
+
+    Semantics: within a touched partition, an existing row whose key
+    appears in ``updates`` is replaced; other existing rows carry over
+    unchanged; new keys append. Duplicate keys INSIDE one batch are an
+    error upstream — this function assumes ``updates`` is key-unique
+    (dedupe with ``exact_dedup``/``max_by`` first). A key may move
+    partitions only if the caller guarantees the old partition is also
+    present in the batch's touched set (standard dynamic-overwrite
+    caveat; same rule as Hive).
+
+    Scale shape: the touched-partition filter is a broadcast IN-list
+    semi-join pushed to the existing table's PartitionFilters — only
+    touched partitions' files are ever read or rewritten; the
+    carry-over anti-join shuffles just those partitions against the
+    (typically much smaller) update batch. First write (no table yet)
+    degrades to a plain partitioned write.
+    """
+    from pyspark.errors import AnalysisException
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        existing = None
+    if existing is not None:
+        touched = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        carry = existing.where(F.col(partition_col).isin(touched)).join(
+            updates.select(*key_cols), key_cols, "left_anti"
+        )
+        merged = carry.unionByName(updates.select(*existing.columns))
+        # materialize before the overwrite: the plan reads the same
+        # files the write replaces (Spark rejects the self-overwrite,
+        # and lazily it would be a read-your-own-delete race anyway)
+        merged = merged.localCheckpoint(eager=True)
+    else:
+        merged = updates
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

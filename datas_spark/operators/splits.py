@@ -14,6 +14,12 @@ Scale shape: component resolution is the engine's existing
 min-label CC — no all-pairs work); the split decision itself is one
 map-side md5 expression on the component label. Nothing here adds a
 shuffle beyond the CC itself.
+
+Relationship to ``corpus.hash_split`` / ``corpus.group_split``: those
+are the bare map-only assignment expressions (caller supplies the
+group key). This module owns the end-to-end leakage-safe composition —
+pair graph → components → salted integer-percent assignment — plus the
+`split_leakage_counts` audit that proves the zero-cross property.
 """
 
 from __future__ import annotations

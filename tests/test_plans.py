@@ -187,6 +187,9 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "customer_rfm_segments",           # 1-row quartile thresholds
         "region_share_rollup",             # 1-row global-total scalar
         "events_timed_funnel",             # 1-row per-stage count frames
+        "corpus_mixture_stats",            # 1-row token-total scalar
+        "corpus_mixture_entropy",          # 1-row token-total scalar
+        "winsorized_doc_lengths",          # 1-row percentile thresholds
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
