@@ -27,6 +27,8 @@ __all__ = [
     "cluster_indices",
     "tsne_viz",
     "standardize_embeddings",
+    "cluster_cohesion",
+    "nearest_centroid_accuracy",
 ]
 
 
@@ -161,4 +163,214 @@ def standardize_embeddings(
         df.crossJoin(broadcast(packed))
         .withColumn(out_col, z)
         .drop("__mus", "__sds")
+    )
+
+
+def _quantized(vec_col: str, scale: int) -> F.Column:
+    # exact-integer view of the embedding: float32 -> double is exact,
+    # round(x*scale) is the same integer on every engine, and integer
+    # sums are order-independent — the float-accumulation
+    # nondeterminism that plagues cross-row vector sums never appears
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def cluster_cohesion(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster quality WITHOUT pairwise joins: the algebraic
+    identity  Σ_{i≠j} v_i·v_j = ||Σv||² − Σ||v||²  turns the O(n²)
+    mean pairwise dot product into three combinable integer aggregates
+    — the only way intra-cluster similarity is computable at 10⁹
+    vectors per cluster.
+
+    Vectors are quantized to exact ``1/scale`` units first (see
+    `_quantized`), so every sum is an order-independent integer and
+    the result is bit-identical on any engine/partitioning; analysis
+    resolution is 1e-6 of a component, far below float32 noise.
+
+    Returns per label: ``n_points``, ``mean_pair_dot`` (average dot
+    product between distinct same-label vectors; NULL for singleton
+    clusters), ``centroid_norm``, and ``centroid_dot_global`` (this
+    centroid · global centroid — a separation screen: cohesive,
+    well-separated labels have mean_pair_dot >> centroid_dot_global).
+
+    Plan: one explode to (label, dim, x) long rows — 64 bigints per
+    vector, map-side combined to ≤ |labels|·|dims| rows per task —
+    then every downstream frame is metadata-sized.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_quantized(vec_col, scale)).alias("d", "x"),
+    )
+    sums = e.groupBy("label", "d").agg(F.sum("x").alias("s"))
+    ssq = (
+        e.groupBy("label")
+        .agg(F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("ssq"))
+    )
+    norm2 = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("n2")
+    )
+    g = sums.groupBy("d").agg(F.sum("s").alias("gd"))
+    cross = (
+        sums.join(F.broadcast(g), "d")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.col("s").cast("decimal(38,0)") * F.col("gd").cast("decimal(38,0)")
+            ).alias("sg")
+        )
+    )
+    cnt = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__ntot"))
+    sc2 = float(scale) * float(scale)
+    n = F.col("n_points").cast("double")
+    return (
+        cnt.join(ssq, "label")
+        .join(norm2, "label")
+        .join(cross, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n_points",
+            F.when(
+                F.col("n_points") > 1,
+                F.round(
+                    (F.col("n2").cast("double") - F.col("ssq").cast("double"))
+                    / (n * (n - 1))
+                    / sc2,
+                    6,
+                ),
+            ).alias("mean_pair_dot"),
+            F.round(F.sqrt(F.col("n2").cast("double")) / n / scale, 6).alias(
+                "centroid_norm"
+            ),
+            F.round(
+                F.col("sg").cast("double")
+                / (n * F.col("__ntot").cast("double"))
+                / sc2,
+                6,
+            ).alias("centroid_dot_global"),
+        )
+    )
+
+
+def nearest_centroid_accuracy(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Label-noise / cluster-quality screen: per label, the fraction of
+    points whose NEAREST label centroid (by dot product with the
+    unit-count-normalized centroid) is their own label.
+
+    Centroids come from the same exact-integer sums as
+    `cluster_cohesion` (deterministic on any engine); the assignment
+    pass is map-side — each point scores against the ≤|labels|
+    broadcast centroid frame, argmax ties break on the smaller label.
+    One data shuffle total (the centroid aggregate); the scoring scan
+    never shuffles.
+
+    Returns per label: ``n_points``, ``n_own`` (points keeping their
+    own label), ``own_centroid_pct``.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_quantized(vec_col, scale)).alias("d", "x"),
+    )
+    sums = e.groupBy("label", "d").agg(F.sum("x").alias("s"))
+    cnt = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cent = (
+        sums.join(F.broadcast(cnt), "label")
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "d",
+                        (
+                            F.col("s").cast("double")
+                            / F.col("__n").cast("double")
+                        ).alias("c"),
+                    )
+                )
+            ).alias("__cs")
+        )
+        .select(
+            F.col("label").alias("__clabel"),
+            F.transform("__cs", lambda s: s["c"]).alias("__cvec"),
+        )
+    )
+    pts = df.select(
+        F.col(label_col).alias("label"), _quantized(vec_col, scale).alias("__q")
+    )
+    # score map-side against an ARRAY of all centroids packed into one
+    # broadcast row (a per-point groupBy over a joined centroid frame
+    # would shuffle n·|labels| rows; the fold keeps the argmax inside
+    # the scan). Ties keep the first (smallest) label — __all is sorted.
+    cents_packed = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__clabel").alias("l"), F.col("__cvec").alias("v")))
+        ).alias("__all")
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(cents_packed))
+        .select(
+            "label",
+            F.aggregate(
+                "__all",
+                F.struct(
+                    F.lit(float("-inf")).alias("best"),
+                    F.lit(None).cast("integer").alias("who"),
+                ),
+                lambda acc, c: F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__q"), c["v"], lambda a, b: a.cast("double") * b
+                        ),
+                        F.lit(0.0),
+                        lambda s, v: s + v,
+                    )
+                    > acc["best"],
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__q"), c["v"], lambda a, b: a.cast("double") * b
+                            ),
+                            F.lit(0.0),
+                            lambda s, v: s + v,
+                        ).alias("best"),
+                        c["l"].cast("integer").alias("who"),
+                    ),
+                ).otherwise(acc),
+            ).alias("__win"),
+        )
+        .select("label", F.col("__win.who").alias("__who"))
+    )
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.count(F.when(F.col("label") == F.col("__who"), 1))
+            .cast("long")
+            .alias("n_own"),
+        )
+        .select(
+            "label",
+            "n_points",
+            "n_own",
+            F.round(
+                F.col("n_own").cast("double") / F.col("n_points").cast("double") * 100,
+                6,
+            ).alias("own_centroid_pct"),
+        )
     )

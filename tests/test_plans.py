@@ -190,6 +190,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "corpus_mixture_stats",            # 1-row token-total scalar
         "corpus_mixture_entropy",          # 1-row token-total scalar
         "winsorized_doc_lengths",          # 1-row percentile thresholds
+        "cluster_cohesion",                # 1-row global-total scalar
+        "nearest_centroid_labels",         # packed broadcast centroid row
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
