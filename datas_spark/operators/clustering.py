@@ -29,6 +29,7 @@ __all__ = [
     "standardize_embeddings",
     "cluster_cohesion",
     "nearest_centroid_accuracy",
+    "random_projection",
 ]
 
 
@@ -374,3 +375,51 @@ def nearest_centroid_accuracy(
             ).alias("own_centroid_pct"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    seed: int = 42,
+    out_col: str = "z",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with fixed seeded
+    pseudo-gaussian planes — `pca_reduce`'s SCALE twin: PCA needs an
+    eigendecomposition over a driver-collected covariance (fine at 4096
+    dims, but a fit step); random projection is map-only, zero fit,
+    zero shuffle, and preserves pairwise distances within the JL bound
+    regardless of data size. The standard pre-step before LSH/KMeans on
+    very wide embeddings.
+
+    Deterministic: planes come from `similarity.random_hyperplanes`
+    (seeded, plain-Python literals), so the same matrix can be embedded
+    in an oracle or shipped to another engine; each output component is
+    one in-row dot product rounded to 6 dp — no cross-row float sums
+    anywhere.
+    """
+    from datas_spark.operators.similarity import random_hyperplanes
+
+    # array columns carry no static width; probe one row for it (the
+    # only eager action — 1 row, plan-construction time only)
+    first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if not first:
+        raise ValueError("empty frame: cannot infer vector width")
+    width = int(first[0].n)
+    planes = random_hyperplanes(width, k, seed)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        for plane in planes
+    ]
+    return df.withColumn(out_col, F.array(*comps))
