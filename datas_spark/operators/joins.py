@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "salted_equi_join"]
 
 _ASOF_RESERVED = ("__k", "__ts", "__src", "__p", "__l", "__m", "__bkt")
 
@@ -275,3 +275,53 @@ def interval_join(
         .where((F.col(left_val) >= F.col(lo_col)) & (F.col(left_val) <= F.col(hi_col)))
         .drop("__b")
     )
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof shuffle equi-join for the big-big case where one key
+    dominates the left side (the right side being too big to
+    broadcast): left rows salt into ``salt_buckets`` sub-keys, the
+    right side replicates once per bucket, and the join key becomes
+    (key, salt) — a hot key's probe rows spread over ``salt_buckets``
+    tasks instead of funneling into one straggler.
+
+    Output is IDENTICAL to the plain ``left.join(right, key, how)``
+    (every left row meets every matching right row exactly once —
+    its one salt bucket holds a full right replica), which is the
+    oracle contract: the operator buys distribution, never semantics.
+    Supported ``how``: 'inner' and 'left' (right/full would need the
+    unmatched-right bookkeeping a replica join can't express cheaply).
+
+    Cost model: right side shuffles ``salt_buckets``× its size — use
+    it when |right| · salt_buckets ≪ |left|'s hot-key mass, the same
+    trade as every salting recipe (AQE's skew-join split handles
+    sort-merge stragglers adaptively; this handles them structurally,
+    and composes with bucketed layouts AQE can't touch).
+
+    The salt is ``xxhash64(whole left row) mod salt_buckets`` —
+    deterministic (re-runs salt identically), no RNG whose draw
+    depends on partition layout. Identical duplicate left rows share a
+    bucket; skew relief applies across DISTINCT rows of a hot key,
+    which is the actual skew shape of fact tables.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    nb = int(salt_buckets)
+    if nb < 2:
+        raise ValueError(f"salt_buckets must be >= 2, got {salt_buckets}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("column name '__salt' collides with salted_equi_join")
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(nb))
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
+    )
+    return l.join(r, [*keys, "__salt"], how).drop("__salt")

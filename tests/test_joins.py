@@ -198,3 +198,50 @@ def test_interval_join_caps_bucket_explosion(spark):
     # raising the cap (or the width) lets the same data through
     ok = J.interval_join(points, wide, "v", "lo", "hi", 1e9, max_buckets_per_interval=100)
     assert ok.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# salted_equi_join
+# ---------------------------------------------------------------------------
+
+def test_salted_join_equals_plain_join_inner_and_left(spark):
+    import pytest
+    from datas_spark.operators.joins import salted_equi_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (1, "a")],  # dup row + hot key 1
+        "k bigint, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, val double"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in left.join(right, "k", how).collect()
+        )
+        salted = sorted(
+            tuple(r) for r in salted_equi_join(left, right, "k", 4, how).collect()
+        )
+        assert salted == plain, how
+    with pytest.raises(ValueError):
+        salted_equi_join(left, right, "k", 1)
+    with pytest.raises(ValueError):
+        salted_equi_join(left, right, "k", 4, how="right")
+
+
+def test_salted_join_spreads_hot_key_over_buckets(spark):
+    from pyspark.sql import functions as F
+    from datas_spark.operators.joins import salted_equi_join
+
+    # 100 distinct rows of one hot key must occupy >1 salt bucket
+    left = spark.range(100).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    )
+    n_buckets = l.select("__salt").distinct().count()
+    assert n_buckets > 4
+    # and the join still returns all 100 rows
+    right = spark.createDataFrame([(7, "x")], "k bigint, tag string")
+    assert salted_equi_join(left, right, "k", 8).count() == 100

@@ -12,43 +12,10 @@ from pyspark.sql import functions as F
 from datas_spark.io.sources import read_table
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _walk(node):
-    """Yield every physical node, descending through AQE wrappers."""
-    yield node
-    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        yield from _walk(node.initialPlan())
-        return
-    for i in range(node.children().length()):
-        yield from _walk(node.children().apply(i))
-
-
-def _has_aggregate_below(node) -> bool:
-    first = True
-    for nd in _walk(node):
-        if first:
-            first = False
-            continue
-        if "Aggregate" in nd.getClass().getSimpleName():
-            return True
-    return False
-
-
-def global_window_violations(df) -> list:
-    """Partition-less WindowExec nodes ranking RAW rows — the
-    single-reducer scale killer. A partition-less window is acceptable
-    only above an aggregate (it then orders |groups| metadata rows —
-    e.g. skew_resistant_rank's per-partition offset frame — not data)."""
-    bad = []
-    root = df._jdf.queryExecution().executedPlan()
-    for nd in _walk(root):
-        if nd.getClass().getSimpleName() in ("WindowExec", "WindowGroupLimitExec"):
-            if nd.partitionSpec().isEmpty() and not _has_aggregate_below(nd):
-                bad.append(nd.getClass().getSimpleName())
-    return bad
+# the audit machinery lives in the engine package (datas_spark.plans)
+# so pipelines can reuse the same gates; tests consume it from there
+from datas_spark.plans import global_window_violations  # noqa: E402,F401
+from datas_spark.plans import plan_text as _plan  # noqa: E402
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
@@ -245,3 +212,23 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     # the lang predicate prunes partitions; it must NOT appear as a
     # post-scan data filter over row contents
     assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_plans_package_utilities(spark, sf_dir):
+    """The engine-side plan audit API (datas_spark.plans) reports scan
+    pushdown, shuffle and broadcast counts on a real query."""
+    from datas_spark.plans import (
+        broadcast_join_count,
+        scan_info,
+        shuffle_count,
+    )
+    from datas_spark.registry import QUERIES
+
+    df = QUERIES["order_totals_by_nation"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) >= 1  # the groupBy
+    scans = scan_info(df)
+    assert any("read_schema" in s for s in scans)
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    info = scan_info(ev.select("event_id"))
+    assert any("EqualTo(event_type,view)" in s.get("pushed_filters", "") for s in info)
