@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect"]
+__all__ = ["expect", "quarantine", "k_anonymity"]
 
 
 def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -49,4 +49,76 @@ def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     )
     return stacked.withColumn(
         "pass", (F.col("violations") == 0).cast("int")
+    )
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows by the same named expectations `expect` counts:
+    returns ``(good, bad)`` where ``bad`` carries ``failed_rules`` (the
+    sorted array of rule names the row violated — a NULL predicate is a
+    violation, as in `expect`). The ingestion-time quality gate that
+    keeps the pipeline running while defective rows land in a
+    quarantine table with their reasons attached.
+
+    Both frames derive from ONE map-side expression (no join, no second
+    scan); callers typically write ``bad`` to a partitioned quarantine
+    path and continue with ``good``.
+    """
+    if not rules:
+        raise ValueError("quarantine() needs at least one rule")
+    failed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                    for name, cond in rules.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    good = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
+    bad = tagged.where(F.size("failed_rules") > 0)
+    return good, bad
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: how identifiable are rows by their
+    quasi-identifier combination? One row out:
+    ``(k_required, min_group_size, n_groups, n_rows, rows_at_risk,
+    at_risk_pct)`` where ``rows_at_risk`` counts rows whose
+    quasi-identifier group has fewer than ``k`` members — the rows a
+    k-anonymity release contract would require generalizing or
+    suppressing. The screen to run before shipping any
+    user-attributable slice into a training corpus.
+
+    One grouped count over the quasi columns (combinable), one tiny
+    re-aggregate over the ≤|groups| frame; NULLs group together
+    (SQL GROUP BY semantics), which is the conservative reading — an
+    all-NULL quasi tuple is still a (large) group.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity() needs at least one quasi column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return groups.agg(
+        F.lit(k).cast("long").alias("k_required"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).cast("double")
+            / F.sum("__n").cast("double")
+            * 100,
+            6,
+        ).alias("at_risk_pct"),
     )

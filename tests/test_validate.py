@@ -34,3 +34,56 @@ def test_expect_all_pass(spark):
     df = spark.createDataFrame([(1,), (2,)], "id long")
     got = expect(df, {"id_pos": F.col("id") > 0}).collect()[0]
     assert (got.violations, got.total, got["pass"]) == (0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# quarantine / k_anonymity
+# ---------------------------------------------------------------------------
+
+def test_quarantine_routes_and_reasons(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from datas_spark.operators.validate import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, -1, "x"), (3, None, "y"), (4, -2, None)],
+        "id bigint, v int, s string",
+    )
+    good, bad = quarantine(
+        df, {"v_pos": F.col("v") >= 0, "s_present": F.col("s").isNotNull()}
+    )
+    assert [r.id for r in good.orderBy("id").collect()] == [1]
+    got = {r.id: r.failed_rules for r in bad.collect()}
+    assert got == {
+        2: ["v_pos"],
+        3: ["v_pos"],            # NULL predicate = violation
+        4: ["s_present", "v_pos"],
+    }
+    # good + bad partition the input exactly
+    assert good.count() + bad.count() == df.count()
+    with pytest.raises(ValueError):
+        quarantine(df, {})
+
+
+def test_k_anonymity_counts_small_groups(spark):
+    import pytest
+    from datas_spark.operators.validate import k_anonymity
+
+    rows = (
+        [("a", "x")] * 10   # safe group
+        + [("a", "y")] * 2  # at risk (< 5)
+        + [("b", None)] * 3 # at risk; NULLs form a group
+    )
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id bigint, q1 string, q2 string"
+    )
+    out = k_anonymity(df, ["q1", "q2"], k=5).collect()[0]
+    assert out.n_rows == 15
+    assert out.n_groups == 3
+    assert out.min_group_size == 2
+    assert out.rows_at_risk == 5
+    assert abs(out.at_risk_pct - 5 / 15 * 100) < 1e-6
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["q1"], k=1)
