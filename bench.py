@@ -127,6 +127,11 @@ HEADLINE = [
     # the inverted index) and the RFM segmentation aggregate
     "ngram_containment_pairs",
     "customer_rfm_segments",
+    # skew-proof generic join (identity-checked), algebraic cluster
+    # cohesion, and the declared-vs-detected language audit
+    "events_salted_enrich",
+    "cluster_cohesion",
+    "lang_id_confusion",
 ]
 
 RUNS_PER_QUERY = 3

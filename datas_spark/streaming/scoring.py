@@ -880,3 +880,46 @@ def cms_state_estimates(
         F.sum("cnt").cast("long").alias("cnt")
     )
     return cms_point_estimates(merged, probes, value_col, depth=depth, width=width)
+
+
+def quarantine_sink(
+    stream: DataFrame,
+    rules: dict,
+    good_path: str,
+    bad_path: str,
+    checkpoint_path: str,
+):
+    """Streaming quality gate: route each micro-batch through
+    `validate.quarantine` — clean rows append to ``good_path``, rows
+    violating any rule land in ``bad_path`` with their
+    ``failed_rules`` attached. The streaming twin of the batch
+    ingestion gate, with the same exactly-once scheme as the dedup
+    sinks: both writes are stamped into per-batch partitions
+    (idempotent replay), the commit marker is written last, and a
+    redelivered committed batch is skipped.
+
+    ``rules`` maps rule name -> Column predicate (NULL = violation),
+    identical to the batch API — one set of rule semantics, two
+    execution modes.
+    """
+    from datas_spark.operators.validate import quarantine
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, good_path, batch_id):
+            return
+        good, bad = quarantine(batch_df, rules)
+        _write_batch_partition(good, batch_id, good_path + "/rows")
+        _write_batch_partition(
+            bad.withColumn("failed_rules", F.to_json("failed_rules")),
+            batch_id,
+            bad_path,
+        )
+        _commit_batch(spark, good_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -770,3 +770,47 @@ def test_cms_state_estimates_empty(spark, tmp_path):
     probes = spark.createDataFrame([("q",)], "k: string")
     got = cms_state_estimates(spark, str(tmp_path / "none"), probes, "k").collect()
     assert got[0]["est_count"] == 0
+
+
+def test_quarantine_sink_routes_and_is_replay_safe(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from datas_spark.streaming.scoring import quarantine_sink
+
+    src = tmp_path / "q_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"id": 1, "v": 5}) + "\n")
+        f.write(_json.dumps({"id": 2, "v": -1}) + "\n")
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"id": 3, "v": None}) + "\n")
+        f.write(_json.dumps({"id": 4, "v": 7}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("id bigint, v int")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    rules = {"v_pos": F.col("v") >= 0}
+    good_path, bad_path = str(tmp_path / "good"), str(tmp_path / "bad")
+    q = quarantine_sink(stream, rules, good_path, bad_path, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    good = sorted(r.id for r in spark.read.parquet(good_path + "/rows").collect())
+    bad = {
+        r.id: r.failed_rules for r in spark.read.parquet(bad_path).collect()
+    }
+    assert good == [1, 4]
+    assert set(bad) == {2, 3}               # NULL predicate quarantines
+    assert all('"v_pos"' in v for v in bad.values())
+
+    # restart over the same checkpoint: committed batches skip, output
+    # unchanged (idempotent replay)
+    q2 = quarantine_sink(stream, rules, good_path, bad_path, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    assert sorted(
+        r.id for r in spark.read.parquet(good_path + "/rows").collect()
+    ) == [1, 4]
+    assert spark.read.parquet(bad_path).count() == 2
