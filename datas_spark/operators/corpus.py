@@ -1058,3 +1058,88 @@ def token_budget_mixture(
         .drop("__budget", "__cum")
     )
     return out.drop("__rn") if skew_resistant else out
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its tokens are under
+    the TARGET distribution (rows where ``target_cond`` holds — e.g. a
+    trusted high-quality slice) than under the raw corpus:
+
+        weight(doc) = Σ_tokens log( p_target(w) / p_raw(w) )
+
+    with add-one smoothing over the union vocabulary. Sampling
+    proportionally to exp(weight) is the importance-resampling recipe
+    for tilting a 100 TB crawl toward a target domain; the weight
+    itself ranks "most target-like" docs directly.
+
+    Plan: one tokenize pass feeds both unigram count frames (hashed
+    8-byte token keys, combinable counts) and the scoring explode; the
+    two count frames full-outer-join on the token key into one
+    log-ratio table (absent side = 0 count, smoothing keeps it
+    finite); scoring joins each doc token to that table and sums per
+    doc. The three scalars (token totals, vocab size) ride a 1-row
+    broadcast. No collect, no driver state.
+
+    Returns (id, n_tokens, dsir_weight) — weight NULL for empty docs;
+    positive means more target-like than the corpus average.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            target_cond.alias("__tgt"),
+            word_tokens(text_col).alias("__w"),
+        )
+        .select(
+            "__id",
+            "__tgt",
+            F.explode_outer(
+                F.transform("__w", lambda t: F.xxhash64(F.lower(t)))
+            ).alias("__t"),
+        )
+        .where(F.col("__t").isNotNull())
+    )
+    c_t = toks.where("__tgt").groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
+    c_r = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__cr"))
+    vocab = (
+        c_r.join(c_t, "__t", "left")
+        .select("__t", F.coalesce("__ct", F.lit(0)).alias("__ct"), "__cr")
+    )
+    scalars = vocab.agg(
+        F.sum("__ct").alias("__nt"),
+        F.sum("__cr").alias("__nr"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(scalars)).select(
+        "__t",
+        (
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.col("__nt") + F.col("__v")).cast("double")
+            )
+            - F.log(
+                (F.col("__cr") + 1).cast("double")
+                / (F.col("__nr") + F.col("__v")).cast("double")
+            )
+        ).alias("__lr"),
+    )
+    scored = (
+        toks.join(ratio, "__t")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("__lr"), 6).alias("dsir_weight"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "dsir_weight",
+    )

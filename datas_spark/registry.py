@@ -624,3 +624,4 @@ from datas_spark import registry34  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry35  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry36  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry37  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry38  # noqa: E402,F401  (isort: skip)

@@ -483,3 +483,53 @@ def test_standardize_embeddings_unit_stats(spark):
     assert np.allclose(z.std(axis=0, ddof=1), 1.0, atol=1e-4)
     # constant dim -> NULL (explicit, not div-by-zero)
     assert all(r.z[2] is None for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from pyspark.sql import functions as F
+    from datas_spark.operators.corpus import dsir_importance
+
+    rows = [
+        (1, "alpha beta alpha beta", 1),      # target vocabulary
+        (2, "alpha beta gamma", 1),
+        (3, "alpha beta alpha", 0),           # raw doc made of target words
+        (4, "zeta eta theta iota", 0),        # raw doc, non-target words
+        (5, "", 0),                           # empty-ish doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt int")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(df, "doc_id", "text", F.col("tgt") == 1).collect()
+    }
+    # target-vocabulary doc must outrank the non-target-vocabulary doc
+    assert out[3].dsir_weight > out[4].dsir_weight
+    # words never in the target slice only appear via smoothing: negative
+    assert out[4].dsir_weight < 0
+    assert out[4].n_tokens == 4
+
+
+def test_dsir_weight_matches_hand_computation(spark):
+    import pytest
+    import math
+
+    from pyspark.sql import functions as F
+    from datas_spark.operators.corpus import dsir_importance
+
+    rows = [(1, "a a b", 1), (2, "a c", 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt int")
+    out = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_importance(df, "doc_id", "text", F.col("tgt") == 1).collect()
+    }
+    # counts: target a=2 b=1 (nt=3); raw a=3 b=1 c=1 (nr=5); vocab=3
+    def lr(ct, cr):
+        return math.log((ct + 1) / (3 + 3)) - math.log((cr + 1) / (5 + 3))
+
+    expect2 = lr(2, 3) + lr(0, 1)  # doc 2 = "a c"
+    assert out[2] == pytest.approx(expect2, abs=1e-6)
+    expect1 = 2 * lr(2, 3) + lr(1, 1)
+    assert out[1] == pytest.approx(expect1, abs=1e-6)

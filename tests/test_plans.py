@@ -159,6 +159,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "winsorized_doc_lengths",          # 1-row percentile thresholds
         "cluster_cohesion",                # 1-row global-total scalar
         "nearest_centroid_labels",         # packed broadcast centroid row
+        "dsir_importance_weights",         # 1-row smoothing scalars
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
