@@ -160,6 +160,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "cluster_cohesion",                # 1-row global-total scalar
         "nearest_centroid_labels",         # packed broadcast centroid row
         "dsir_importance_weights",         # 1-row smoothing scalars
+        "bigram_pmi_top",                  # 1-row bigram-total scalar
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
