@@ -161,6 +161,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "nearest_centroid_labels",         # packed broadcast centroid row
         "dsir_importance_weights",         # 1-row smoothing scalars
         "bigram_pmi_top",                  # 1-row bigram-total scalar
+        "value_band_woe",                  # 1-row quartile thresholds + totals
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
