@@ -627,3 +627,4 @@ from datas_spark import registry37  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry38  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry39  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry40  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry41  # noqa: E402,F401  (isort: skip)

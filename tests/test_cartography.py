@@ -117,3 +117,26 @@ def test_interarrival_matches_hand_computation(spark):
     vals = [10.0, 30.0]
     mu = sum(vals) / 2
     assert math.sqrt(sum((v - mu) ** 2 for v in vals) / 2) == pytest.approx(10.0)
+
+
+def test_prefix_templates_surface_planted_boilerplate(spark):
+    from pyspark.sql import functions as F
+    from datas_spark.functions.text import word_tokens
+
+    tpl = "sign up for our newsletter today"
+    rows = [(i, f"{tpl} unique tail {i}") for i in range(5)] + [
+        (100, "totally different document"),
+        (101, "short"),  # fewer than 6 tokens: excluded, not padded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = word_tokens(F.lower("text"))
+    p = df.select(
+        F.array_join(F.slice(toks, 1, 6), " ").alias("prefix"),
+        F.size(toks).alias("n"),
+    ).where(F.col("n") >= 6)
+    out = (
+        p.groupBy("prefix").count().where(F.col("count") >= 3).collect()
+    )
+    assert len(out) == 1
+    assert out[0].prefix == tpl
+    assert out[0]["count"] == 5
