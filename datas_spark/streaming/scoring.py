@@ -923,3 +923,78 @@ def quarantine_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_monitor_sink(
+    stream: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    metrics_path: str,
+    checkpoint_path: str,
+    smoothing: float = 0.5,
+):
+    """Streaming data-drift monitor: per micro-batch, the total
+    Jensen-Shannon divergence between the batch's unigram distribution
+    and a FIXED reference corpus, appended as one metrics row
+    ``(batch_id, n_docs, n_terms, js_total)`` under ``metrics_path``.
+    The alarm wire for an ingest pipeline — a feed that switches
+    language, template, or domain spikes ``js_total`` in the batch it
+    happens, long before any downstream quality score moves.
+
+    The reference side's term counts are computed ONCE (cached via
+    ``localCheckpoint`` at sink construction — the reference is fixed
+    by contract); each batch joins its own counts against that frame
+    with the same smoothed-JS expressions as the batch operator
+    `drift.term_drift`, reduced to one total. Batch stamping + commit
+    markers give the usual idempotent-replay story; the metrics table
+    is itself partition-per-batch, so re-delivered batches overwrite
+    their own row.
+    """
+    from datas_spark.operators.drift import term_counts
+
+    ref_counts = term_counts(reference, text_col).withColumnRenamed(
+        "cnt", "cb"
+    ).localCheckpoint(eager=True)
+    s = float(smoothing)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, metrics_path, batch_id):
+            return
+        ca = term_counts(batch_df, text_col).withColumnRenamed("cnt", "ca")
+        joined = ca.join(ref_counts, "term", "full_outer")
+        consts = joined.agg(
+            F.sum(F.coalesce("ca", F.lit(0))).cast("long").alias("ta"),
+            F.sum(F.coalesce("cb", F.lit(0))).cast("long").alias("tb"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        pa = (F.coalesce("ca", F.lit(0)).cast("double") + F.lit(s)) / (
+            F.col("ta").cast("double") + F.lit(s) * F.col("v").cast("double")
+        )
+        pb = (F.coalesce("cb", F.lit(0)).cast("double") + F.lit(s)) / (
+            F.col("tb").cast("double") + F.lit(s) * F.col("v").cast("double")
+        )
+        m = (pa + pb) / F.lit(2.0)
+        js = (pa * F.log(pa / m) + pb * F.log(pb / m)) / F.lit(2.0)
+        from pyspark.sql.functions import broadcast
+
+        row = (
+            joined.crossJoin(broadcast(consts))
+            .agg(
+                F.round(F.sum(js), 8).alias("js_total"),
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+            )
+            .crossJoin(
+                broadcast(batch_df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+            )
+            .select("n_docs", "n_terms", "js_total")
+        )
+        _write_batch_partition(row, batch_id, metrics_path + "/rows")
+        _commit_batch(spark, metrics_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -814,3 +814,48 @@ def test_quarantine_sink_routes_and_is_replay_safe(spark, tmp_path):
         r.id for r in spark.read.parquet(good_path + "/rows").collect()
     ) == [1, 4]
     assert spark.read.parquet(bad_path).count() == 2
+
+
+def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import drift_monitor_sink
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    # batch a: same vocabulary as the reference; batch b: shifted
+    with open(src / "a.json", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({"doc_id": i, "text": "alpha beta gamma delta"}) + "\n")
+    with open(src / "b.json", "w") as f:
+        for i in range(20, 40):
+            f.write(_json.dumps({"doc_id": i, "text": "zeta eta theta iota"}) + "\n")
+
+    reference = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    metrics = str(tmp_path / "metrics")
+    q = drift_monitor_sink(stream, reference, "text", metrics, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    rows = {
+        r["__batch"]: r
+        for r in spark.read.parquet(metrics + "/rows").collect()
+    }
+    assert len(rows) == 2
+    js = sorted(r.js_total for r in rows.values())
+    # in-distribution batch ~0; shifted batch clearly positive
+    assert js[0] < 0.05
+    assert js[1] > 0.2
+    assert all(r.n_docs == 20 for r in rows.values())
+
+    # replay over the same checkpoint adds nothing
+    q2 = drift_monitor_sink(stream, reference, "text", metrics, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(metrics + "/rows").count() == 2
