@@ -35,6 +35,7 @@ __all__ = [
     "conversation_text",
     "conversation_dedup",
     "conversation_stats",
+    "conversation_format_check",
 ]
 
 
@@ -152,4 +153,39 @@ def conversation_stats(df: DataFrame, conv_col: str, id_col: str) -> DataFrame:
         h_chars.alias("human_chars"),
         a_chars.alias("assistant_chars"),
         F.when(n > 0, F.round(h_chars / n, 4)).alias("avg_human_chars"),
+    )
+
+
+def conversation_format_check(
+    df: DataFrame,
+    conv_col: str = "conversation",
+    id_col: str = "conversation_id",
+) -> DataFrame:
+    """Structural format gate for dialog rows — the conversation-level
+    extension of the reference's format check (``src/pipeline/
+    base.py:28``): per conversation, the turn count, how many turns
+    have an empty/NULL human or assistant side, and a ``format_ok``
+    verdict (at least one turn, no empty side anywhere). Run it before
+    turn-level scoring; route failures with `validate.quarantine`.
+
+    Pure map-side higher-order functions over the conversation array —
+    no explode, no shuffle; the array is traversed once per predicate.
+    """
+    conv = F.col(conv_col)
+    empty = lambda side: F.size(  # noqa: E731
+        F.filter(conv, lambda t: t[side].isNull() | (F.trim(t[side]) == ""))
+    )
+    n_turns = F.size(conv)
+    return df.select(
+        F.col(id_col),
+        n_turns.cast("long").alias("n_turns"),
+        empty("human").cast("long").alias("n_empty_human"),
+        empty("assistant").cast("long").alias("n_empty_assistant"),
+        (
+            (n_turns > 0)
+            & (empty("human") == 0)
+            & (empty("assistant") == 0)
+        )
+        .cast("int")
+        .alias("format_ok"),
     )

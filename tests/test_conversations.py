@@ -83,3 +83,23 @@ def test_conversation_stats_values(spark):
     }
     assert got[1] == (2, 6, 2, 3.0)
     assert got[2] == (0, 0, 0, None)
+
+
+def test_format_check_flags_empty_and_null_sides(spark):
+    from datas_spark.operators.conversations import conversation_format_check
+
+    rows = [
+        (1, [("hi", "hello"), ("more", "words")]),     # clean
+        (2, [("", "hello")]),                          # empty human
+        (3, [("hi", None)]),                           # NULL assistant
+        (4, []),                                       # zero turns
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conversation_id bigint, conversation array<struct<human:string,assistant:string>>",
+    )
+    out = {r.conversation_id: r for r in conversation_format_check(df).collect()}
+    assert out[1].format_ok == 1 and out[1].n_turns == 2
+    assert out[2].format_ok == 0 and out[2].n_empty_human == 1
+    assert out[3].format_ok == 0 and out[3].n_empty_assistant == 1
+    assert out[4].format_ok == 0 and out[4].n_turns == 0
