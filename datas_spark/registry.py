@@ -629,3 +629,4 @@ from datas_spark import registry39  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry40  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry41  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry42  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry43  # noqa: E402,F401  (isort: skip)
