@@ -162,6 +162,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "dsir_importance_weights",         # 1-row smoothing scalars
         "bigram_pmi_top",                  # 1-row bigram-total scalar
         "value_band_woe",                  # 1-row quartile thresholds + totals
+        "composite_quality_index",         # 1-row decile cut points
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
