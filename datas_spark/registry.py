@@ -631,3 +631,4 @@ from datas_spark import registry41  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry42  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry43  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry44  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry45  # noqa: E402,F401  (isort: skip)
