@@ -163,6 +163,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "bigram_pmi_top",                  # 1-row bigram-total scalar
         "value_band_woe",                  # 1-row quartile thresholds + totals
         "composite_quality_index",         # 1-row decile cut points
+        "benford_first_digit",             # 1-row digit-total scalar
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
