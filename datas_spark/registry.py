@@ -635,3 +635,4 @@ from datas_spark import registry45  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry46  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry47  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry48  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry49  # noqa: E402,F401  (isort: skip)
