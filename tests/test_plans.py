@@ -164,6 +164,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "value_band_woe",                  # 1-row quartile thresholds + totals
         "composite_quality_index",         # 1-row decile cut points
         "benford_first_digit",             # 1-row digit-total scalar
+        "bootstrap_mean_ci",               # 1-row point-estimate scalar
         "source_keyness_terms",            # 1-row grand-total token count
     }
     failures = []
