@@ -23,20 +23,10 @@ from datas_spark.operators import selection as S
 from datas_spark.operators import similarity as SIM
 from datas_spark.operators import taskvector as TV
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+# the tables and decorator live in the LEAF module registry_core so
+# every batch can import them without re-entering this chain; this
+# module remains the aggregation point (import it to get ALL queries)
+from datas_spark.registry_core import ORACLES, QUERIES, QueryFn, register  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
@@ -403,27 +393,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs, "text", "doc_id").select("doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 16, shingle_n: int = 3) -> str:
-    perms = ", ".join(
-        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_P})), {D.MINHASH_P})"
-        for a, b in zip(D.MINHASH_A[:num_hashes], D.MINHASH_B[:num_hashes])
-    )
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-    ), sh AS (
-      SELECT doc_id,
-        list_distinct(list_transform(
-          range(1, greatest(len(w) - {shingle_n - 1}, 0) + 1),
-          i -> array_to_string(w[i:i+{shingle_n - 1}], ' '))) AS grams
-      FROM toks
-    ), hashed AS (
-      SELECT doc_id,
-        list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
-      FROM sh
-    )
-    SELECT doc_id, [{perms}] AS minhash FROM hashed
-    """
+# shared oracle builders live in the leaf module oracle_shared (so
+# other batches can import them without re-entering this chain); the
+# underscore aliases keep this module's internal naming stable
+from datas_spark.oracle_shared import minhash_oracle as _minhash_oracle  # noqa: E402
+from datas_spark.oracle_shared import (  # noqa: E402
+    NEAR_DEDUP_RESOLVE_ORACLE as _NEAR_DEDUP_RESOLVE_ORACLE,
+)
 
 
 @register(
@@ -479,38 +455,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_NEAR_DEDUP_RESOLVE_ORACLE = r"""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id,
-        list_distinct(list_transform(
-          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
-          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
-          AS grams
-      FROM documents
-    ), ex AS (
-      SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
-             count(*) AS shared
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-      HAVING shared / (na + nb - shared) >= 0.2
-    ), e AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ), reach(node, r) AS (
-      SELECT a, a FROM e
-      UNION
-      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
-    ), comp AS (
-      SELECT node, min(r) AS component FROM reach GROUP BY node
-    )
-    SELECT d.doc_id,
-           coalesce(comp.component, d.doc_id) AS component,
-           CASE WHEN comp.component IS NULL OR comp.component = d.doc_id
-                THEN 1 ELSE 0 END AS is_representative
-    FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
-    """
 
 
 @register("near_dedup_resolve", oracle=_NEAR_DEDUP_RESOLVE_ORACLE)

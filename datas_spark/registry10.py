@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 
 @register(
@@ -746,7 +746,7 @@ def _curate_minhash_oracle(
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, thr: float = 0.5
 ) -> str:
     from datas_spark.operators import dedup as D
-    from datas_spark.registry import _minhash_oracle
+    from datas_spark.oracle_shared import minhash_oracle as _minhash_oracle
     from datas_spark.registry5 import _MD5_UNIT_SQL, _NORM_SQL
 
     rows = num_hashes // bands

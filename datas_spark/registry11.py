@@ -19,7 +19,7 @@ from datas_spark.io.sources import read_table
 from datas_spark.operators import layout as LAY
 from datas_spark.operators import profile as PROF
 from datas_spark.operators import sketches as SK
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # ---------------------------------------------------------------------------
 # §2.9 north star — HyperLogLog approximate COUNT DISTINCT

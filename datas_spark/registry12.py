@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from datas_spark.io.sources import read_table
 from datas_spark.operators import bpe as BPE
 from datas_spark.operators import events as EV
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _BPE_N = 12
 

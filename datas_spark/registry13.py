@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import similarity as SIM
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry2 import _planes_values_sql
 from datas_spark.registry5 import _CURATE_CTES, _CURATE_FINAL_SQL
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import incremental as INC
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry10 import _simhash_near_dup_oracle
 
 # ---------------------------------------------------------------------------

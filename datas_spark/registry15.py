@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from datas_spark.io.sources import read_table
 from datas_spark.operators import dedup as D
 from datas_spark.operators.diff import snapshot_diff
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry2 import _lsh_blocked_oracle
 from datas_spark.registry6 import _AUG_SQL, _EMAIL, _IP, _PHONE, _augment_pii
 

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators.search import bm25_topk
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _BM25_TERMS = ["data", "join", "skew"]
 _BM25_K1 = 1.2

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import sketches as SK
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _GP = 12
 _GM = 1 << _GP

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # "late" = shipped more than 90 days after the order date (the testdata
 # lineitem has no commitdate; the shape — not the predicate — is Q21's)

@@ -18,7 +18,7 @@ from datas_spark.operators import scoring as SC
 from datas_spark.operators import selection as S
 from datas_spark.operators import similarity as SIM
 from datas_spark.operators import taskvector as TV
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.streaming.scoring import sessionize
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # events span 2024-01; hour indices are exact small ints from this epoch
 _EPOCH = "2024-01-01 00:00:00"

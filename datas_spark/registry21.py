@@ -17,7 +17,7 @@ from datas_spark.functions.text import word_tokens
 from datas_spark.io.sources import read_table
 from datas_spark.operators import similarity as SIM
 from datas_spark.operators.search import bm25_topk, rrf_fuse
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry16 import _BM25_B, _BM25_K1, _BM25_TERMS, _TERMS_SQL
 
 _RRF_K0 = 60

@@ -17,7 +17,7 @@ from datas_spark.functions import text as T
 from datas_spark.io.sources import read_table
 from datas_spark.operators import corpus as C
 from datas_spark.operators import similarity as SIM
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _HN_QUERIES = 3  # vec_id < 3 are the anchor set
 _HN_K = 5

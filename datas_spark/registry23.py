@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import corpus as C
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _MAD_K = 3.0  # flag |v - median| > 3 * MAD
 

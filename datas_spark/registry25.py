@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _Q4_START = "1996-01-01"
 _Q4_END = "1996-07-01"

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import sketches as SK
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _H_LO, _H_HI, _H_BINS = 0.0, 512.0, 256
 _H_W = (_H_HI - _H_LO) / _H_BINS  # 2.0 — exact in binary

@@ -19,7 +19,7 @@ from datas_spark.operators import multimodal as MM
 from datas_spark.operators import scoring as SC
 from datas_spark.operators import selection as S
 from datas_spark.operators import taskvector as TV
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry2 import _ckpt_f, _ckpt_p
 
 # ---------------------------------------------------------------------------
@@ -297,7 +297,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
-    from datas_spark.registry import _minhash_oracle
+    from datas_spark.oracle_shared import minhash_oracle as _minhash_oracle
 
     rows = num_hashes // bands
     sig_cte = _minhash_oracle(num_hashes, shingle_n).strip()

@@ -22,7 +22,7 @@ from datas_spark.operators.splits import (
     group_split_assign,
     split_leakage_counts,
 )
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # the near-dup pair CTE chain shared by the split oracles — identical
 # to _NEAR_DEDUP_RESOLVE_ORACLE's components (n=3-token grams,

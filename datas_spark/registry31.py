@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from datas_spark.io.sources import read_table
 from datas_spark.operators import similarity as SIM
 from datas_spark.operators.events import funnel_counts
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _SQ8_ORACLE = """
     WITH amax AS (

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.functions.text import token_count
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
 

@@ -15,7 +15,7 @@ from datas_spark.operators.clustering import (
     cluster_cohesion,
     nearest_centroid_accuracy,
 )
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _E_CTE = r"""
     WITH e AS (

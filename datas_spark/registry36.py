@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators.validate import k_anonymity, quarantine
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 
 @register(

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators.corpus import dsir_importance
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 
 @register(

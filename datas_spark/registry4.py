@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import scoring as SC
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # ---------------------------------------------------------------------------
 # P6+P8 through the REAL model boundary (iterator pandas_udf, per-worker

@@ -8,8 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from datas_spark.operators import conversations as CV
-from datas_spark.registry import register
-from datas_spark.registry3 import _synth_conversations
+from datas_spark.registry_core import register
 
 
 @register(
@@ -36,5 +35,9 @@ def q_conversation_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than 40 chars yield an empty second-turn human side and
     fail, exactly the planted defect class. Map-side array traversals,
     zero shuffles."""
+    # lazy: registry3 itself imports the registry package — a module-
+    # level import here would be circular when registry3 loads first
+    from datas_spark.registry3 import _synth_conversations
+
     conv = _synth_conversations(spark, sf_dir)
     return CV.conversation_format_check(conv)

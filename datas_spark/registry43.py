@@ -10,8 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datas_spark.operators import multimodal as MM
-from datas_spark.registry import register
-from datas_spark.registry3 import _synth_media
+from datas_spark.registry_core import register
 
 
 @register(
@@ -45,6 +44,8 @@ def q_media_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`attach_media_metadata`'s JVM-side magic-byte sniff + length) —
     the blob column prunes out of the plan entirely, so at 100 TB this
     is a scan of two narrow columns, not a shuffle of payloads."""
+    from datas_spark.registry3 import _synth_media  # lazy: avoid circular import
+
     media = _synth_media(spark, sf_dir)
     typed = MM.attach_media_metadata(media).select("mime", "n_bytes")
     return typed.groupBy("mime").agg(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from datas_spark.functions.text import word_tokens
 from datas_spark.io.sources import read_table
 from datas_spark.operators import dedup as D
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 _PAIRS_CTE = r"""
     WITH sh AS (

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # synthetic snapshot pair over customer: %13 keys dropped, %7 balances
 # bumped, %11 segments rewritten — three disjoint-ish planted changes

@@ -11,14 +11,14 @@ from pyspark.sql import functions as F
 from datas_spark.functions.text import token_count
 from datas_spark.io.sources import read_table
 from datas_spark.operators import corpus as C
-from datas_spark.registry import register
-from datas_spark.registry6 import _AUG_SQL, _EMAIL, _IP, _PHONE, _augment_pii
+from datas_spark.fixtures import AUG_PII_SQL, EMAIL_RE, IP_RE, PHONE_RE, augment_pii
+from datas_spark.registry_core import register
 
 
 @register(
     "pii_density_by_source",
     oracle=rf"""
-    WITH aug AS ({_AUG_SQL}),
+    WITH aug AS ({AUG_PII_SQL}),
     j AS (
       SELECT d.source, a.text
       FROM aug a JOIN documents d USING (doc_id)
@@ -28,12 +28,12 @@ from datas_spark.registry6 import _AUG_SQL, _EMAIL, _IP, _PHONE, _augment_pii
              string_split_regex(trim(regexp_replace(lower(text),
                '([^\w\s])', ' \1 ', 'g')), '\s+'), t -> t != '')))::BIGINT
              AS n_tokens,
-           sum(len(regexp_extract_all(text, '{_EMAIL}')))::BIGINT AS n_email,
-           sum(len(regexp_extract_all(text, '{_PHONE}')))::BIGINT AS n_phone,
-           sum(len(regexp_extract_all(text, '{_IP}')))::BIGINT AS n_ip,
-           round((sum(len(regexp_extract_all(text, '{_EMAIL}')))
-                + sum(len(regexp_extract_all(text, '{_PHONE}')))
-                + sum(len(regexp_extract_all(text, '{_IP}'))))::DOUBLE
+           sum(len(regexp_extract_all(text, '{EMAIL_RE}')))::BIGINT AS n_email,
+           sum(len(regexp_extract_all(text, '{PHONE_RE}')))::BIGINT AS n_phone,
+           sum(len(regexp_extract_all(text, '{IP_RE}')))::BIGINT AS n_ip,
+           round((sum(len(regexp_extract_all(text, '{EMAIL_RE}')))
+                + sum(len(regexp_extract_all(text, '{PHONE_RE}')))
+                + sum(len(regexp_extract_all(text, '{IP_RE}'))))::DOUBLE
                  / sum(len(list_filter(
                      string_split_regex(trim(regexp_replace(lower(text),
                        '([^\w\s])', ' \1 ', 'g')), '\s+'), t -> t != '')))
@@ -48,7 +48,7 @@ def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     review sorts feeds by. One map-side regex/token pass, one grouped
     aggregate; everything exact integers until the final density."""
     docs = read_table(spark, sf_dir, "documents")
-    aug = _augment_pii(docs)
+    aug = augment_pii(docs)
     stats = C.pii_stats(aug, "doc_id", "text").select(
         "doc_id", "n_email", "n_phone", "n_ip", token_count("text").alias("__tok")
     )

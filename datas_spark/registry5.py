@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import corpus as C
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 
 # DuckDB twin of the whitespace 3-gram shingling used across the dedup
 # family (tokens[i:i+2] is an INCLUSIVE DuckDB slice = 3 tokens)
@@ -309,7 +309,9 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_safe_split_oracle() -> str:
-    from datas_spark.registry import _NEAR_DEDUP_RESOLVE_ORACLE
+    from datas_spark.oracle_shared import (
+        NEAR_DEDUP_RESOLVE_ORACLE as _NEAR_DEDUP_RESOLVE_ORACLE,
+    )
 
     unit = _MD5_UNIT_SQL.format(key="component::VARCHAR")
     return f"""

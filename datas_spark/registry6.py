@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from datas_spark.io.sources import read_table
 from datas_spark.operators import corpus as C
 from datas_spark.operators import dedup as D
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry5 import _MD5_UNIT_SQL
 
 # The driver corpus has no newlines, so the registered query splits on a

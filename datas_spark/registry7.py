@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry import register
+from datas_spark.registry_core import register
 from datas_spark.registry5 import _MD5_UNIT_SQL, _NORM_SQL
 from datas_spark.registry6 import _AUG_SQL, _EMAIL, _IP, _PHONE, _augment_pii
 
