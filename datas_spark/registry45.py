@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from datas_spark.io.sources import read_table
 from datas_spark.registry_core import register
 
-_CUTOFF = "1997-01-01"
+_CUTOFF = "2024-01-20"
 _EMBARGO_H = 48
 
 
