@@ -132,6 +132,13 @@ HEADLINE = [
     "events_salted_enrich",
     "cluster_cohesion",
     "lang_id_confusion",
+    # late round-4 families: DSIR importance weights (token-key join),
+    # item-item CF (user-keyed co-occurrence), rank-free composite
+    # quality fusion, and the deterministic Poisson bootstrap
+    "dsir_importance_weights",
+    "item_covisitation_topk",
+    "composite_quality_index",
+    "bootstrap_mean_ci",
 ]
 
 RUNS_PER_QUERY = 3
