@@ -139,6 +139,13 @@ HEADLINE = [
     "item_covisitation_topk",
     "composite_quality_index",
     "bootstrap_mean_ci",
+    # batch 54: prefix-filtered exact Jaccard (the index-free scale
+    # path next to ngram_jaccard_pairs), linear-cost duplicated-gram
+    # coverage, and the two feature encodings
+    "jaccard_prefix_pairs",
+    "duplicate_ngram_coverage",
+    "segment_target_encoding",
+    "events_value_robust_scaled",
 ]
 
 RUNS_PER_QUERY = 3

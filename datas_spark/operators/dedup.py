@@ -57,6 +57,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "prefix_filter_jaccard_pairs",
+    "duplicate_ngram_coverage",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_vectorized",
     "lsh_blocked_near_dup_pairs",
@@ -1125,4 +1127,183 @@ def triangle_list(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Dat
             "left_semi",
         )
         .select("a", "b", "c")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin-style prefix
+    filtering — same output as ``ngram_jaccard_pairs`` (no frequency
+    cap needed), but only each document's PREFIX shingles are ever
+    indexed.
+
+    Order every document's shingle set by ascending global document
+    frequency (rarest first; ties broken by the shingle hash so the
+    order is total and deterministic). For Jaccard ≥ t, any qualifying
+    pair must share at least one shingle inside BOTH documents' first
+    ``|d| − ⌈t·|d|⌉ + 1`` shingles under any single global order — so
+    indexing only prefixes finds every true pair (Bayardo et al.
+    WWW'07; Vernica et al. SIGMOD'10 give the MapReduce shape this
+    plan follows). Hot shingles are frequent by definition, so they
+    sort LAST and fall out of most prefixes: the inverted index that
+    dominates `ngram_jaccard_pairs` at scale shrinks superlinearly,
+    and no recall-losing ``max_shingle_freq`` cap is required.
+
+    Plan shape: one shuffle for document frequencies (combinable
+    count on 8-byte keys), one join to re-attach df to exploded
+    shingles, one re-collect per doc, then the prefix-only inverted
+    index and a verification join of candidate pairs against the full
+    (hashed) shingle arrays — `array_intersect` on two already-loaded
+    arrays, map-side. Candidate volume after prefix + length filtering
+    is within a small factor of the true pair count.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+        .select("__id", hashed_shingles_of_hashes(F.col("__th"), n).alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+        .where(F.col("__n") >= 1)
+    )
+    # the exploded frame feeds BOTH the df count and the ordered
+    # re-collect; lazy-checkpoint so the tokenizer runs once
+    sh = sh.localCheckpoint(eager=False)
+    ex = sh.select("__id", "__n", F.explode_outer("__sh").alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc shingles ordered rarest-first; the (df, hash) struct sort
+    # gives a deterministic global total order shared by every doc
+    ordered = (
+        ex.join(dfreq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.any_value("__n").alias("__n"),
+            F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__os"),
+        )
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1, computed with floor so float
+    # jitter can only LENGTHEN the prefix (never a lost true pair):
+    # non-integer t·n → floor = ceil − 1 (one extra slot, sound);
+    # integer t·n → floor = ceil whichever way the product jitters
+    p = F.greatest(
+        F.lit(1), F.col("__n") - F.floor(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    )
+    prefix = ordered.select(
+        "__id",
+        "__n",
+        F.explode(
+            F.transform(F.slice("__os", 1, p), lambda s: s["__s"])
+        ).alias("__s"),
+    )
+    grouped = (
+        prefix.groupBy("__s")
+        .agg(F.array_sort(F.collect_list(F.struct("__id", "__n"))).alias("__docs"))
+        .where(F.size("__docs") >= 2)
+    )
+    docs = F.col("__docs")
+    # length filter with an epsilon so t·max float jitter cannot drop a
+    # boundary pair (e.g. |A|=9, |B|=45, t=0.2: 0.2*45 → 9.0000000002);
+    # this is only a prune — the exact jaccard filter below decides
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(docs, i + F.lit(2), F.size(docs) - i - F.lit(1)),
+                    lambda y: F.least(x["__n"], y["__n"])
+                    >= threshold * F.greatest(x["__n"], y["__n"]) - 1e-9,
+                ),
+                lambda y: F.struct(x["__id"].alias("id_a"), y["__id"].alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode_outer(pair_structs).alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
+    # verification: re-attach both full shingle arrays and intersect
+    # map-side; |union| = |A| + |B| − |A∩B|
+    a = sh.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), F.col("__n").alias("__na")
+    )
+    b = sh.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), F.col("__n").alias("__nb")
+    )
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__shared", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage: the fraction of each
+    document's distinct word n-grams that also occur in at least one
+    OTHER document — the scalable proxy for suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a doc whose 5-gram coverage is high is
+    mostly boilerplate already present elsewhere in the corpus, even
+    when no single whole-doc near-dup pair exists.
+
+    Plan shape: distinct hashed shingles per doc (map-side), one
+    combinable count per shingle for corpus-wide document frequency,
+    one join back on the 8-byte shingle key, one count-if per doc.
+    No pair generation at all — cost is linear in total shingle
+    volume, so this runs where pairwise near-dup would not.
+
+    Returns (id, n_grams, dup_grams, dup_coverage) for every input
+    row; documents too short for a single n-gram get coverage 0.0.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+        .select("__id", hashed_shingles_of_hashes(F.col("__th"), n).alias("__sh"))
+    )
+    sh = sh.localCheckpoint(eager=False)
+    ex = sh.select("__id", F.explode_outer("__sh").alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        ex.join(dfreq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("__df") >= 2).alias("dup_grams"),
+        )
+    )
+    return (
+        sh.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("dup_grams") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_coverage"),
+        )
     )

@@ -584,3 +584,4 @@ from datas_spark import registry50  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry51  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry52  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry53  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry54  # noqa: E402,F401  (isort: skip)

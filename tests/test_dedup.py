@@ -402,3 +402,57 @@ def test_simhash_near_dup_bucket_cap_suppresses_hot_buckets(spark):
         simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=1000).count()
         == uncapped
     )
+
+
+# --- prefix-filtered Jaccard + duplicated-n-gram coverage (batch 54) ---
+
+def test_prefix_filter_matches_inverted_index(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence with other words entirely"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "short text"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.2, 0.5, 0.9):
+        full = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in D.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t, max_shingle_freq=None
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in D.prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert pref == full
+    assert (1, 4) in pref and pref[(1, 4)] == 1.0
+
+
+def test_prefix_filter_boundary_length_pair_survives(spark):
+    # |A| = 1, |B| = 5 shingles, A ⊂ B ⇒ J = 1/5 = exactly the 0.2
+    # threshold: the float-jitter-prone case the epsilon guard covers
+    a = "w1 w2 w3"
+    b = "w1 w2 w3 x1 x2 x3 x4"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = D.prefix_filter_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2).collect()
+    assert len(got) == 1 and got[0].jaccard == 0.2
+
+
+def test_duplicate_ngram_coverage_hand_example(spark):
+    rows = [
+        (1, "a b c d e f"),        # 5-grams: "a b c d e", "b c d e f"
+        (2, "a b c d e zzz"),      # shares "a b c d e" only
+        (3, "q r s t u v"),        # unique grams
+        (4, "x"),                  # too short: zero grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in D.duplicate_ngram_coverage(df, "doc_id", "text", n=5).collect()}
+    assert got[1].n_grams == 2 and got[1].dup_grams == 1 and got[1].dup_coverage == 0.5
+    assert got[2].dup_grams == 1
+    assert got[3].dup_grams == 0 and got[3].dup_coverage == 0.0
+    assert got[4].n_grams == 0 and got[4].dup_coverage == 0.0
