@@ -146,6 +146,10 @@ HEADLINE = [
     "duplicate_ngram_coverage",
     "segment_target_encoding",
     "events_value_robust_scaled",
+    # batch 55: sequence-window dataset construction and hash-drawn
+    # negative sampling
+    "next_event_examples",
+    "negative_sample_views",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1,0 +1,129 @@
+"""Training-example constructors: sequence-window datasets (next-event
+prediction) and deterministic negative sampling.
+
+Reference parity: the reference builds SFT training subsets row-by-row
+(SURVEY §2.5/§2.6); these are the two example-construction shapes a
+recommendation / behavioral-sequence training pipeline adds — rows IN,
+(features, label) rows OUT, as pure lazy plans.
+
+Determinism: negative sampling draws with the engine-standard
+``hash60`` md5-prefix hash (``functions/text.py``), so every draw is
+reproducible bit-for-bit and mirror-able in the DuckDB oracle as
+``('0x' || substr(md5(...), 1, 15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datas_spark.functions.text import hash60
+
+__all__ = ["next_event_examples", "negative_sample"]
+
+
+def next_event_examples(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    item_col: str | Column,
+    seq_len: int = 8,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Sliding-window next-item training examples: for every event with
+    at least one predecessor, emit the user's previous ``seq_len``
+    items (in time order) as ``history`` and the current item as
+    ``label`` — the (sequence → next action) dataset every session-
+    based recommender / behavioral LM trains on.
+
+    Ordering must be total per user: pass ``tiebreak_col`` (e.g. an
+    event id) to break timestamp ties deterministically.
+
+    Scale shape: ONE per-user window; the frame is row-bounded
+    (``seq_len`` preceding), so state per row is O(seq_len) and the
+    shuffle is a single hash exchange on the user key. Per-user volume
+    is bounded by real activity; for pathological users compose with
+    ``profile.heavy_keys`` and cap upstream. No self-join — the naive
+    formulation (events × events on user within a row range) shuffles
+    the fact table twice and explodes; the window form shuffles once.
+    """
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(-seq_len, -1)
+    )
+    out = df.withColumn("history", F.collect_list(item).over(w)).withColumn(
+        "label", item
+    )
+    return out.where(F.size("history") >= 1)
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 4,
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic uniform negative sampling: for every user, up to
+    ``k`` items they did NOT interact with — the standard negatives
+    for implicit-feedback recommenders and contrastive training.
+
+    Draw protocol (fully deterministic, no RNG state): candidate slot
+    ``c`` of user ``u`` picks the item with dense index
+    ``hash60(u || ':' || c) mod n_items``; positives and duplicate
+    draws are discarded and the first ``k`` surviving slots (by slot
+    order) are kept. ``oversample`` controls how many slots are drawn
+    per kept negative (``k * oversample`` total) — with a big enough
+    factor the probability a heavy user exhausts its slots is
+    negligible; emit fewer rows (never wrong ones) otherwise.
+
+    Scale shape: the item catalog gets a dense index from the
+    skew-proof global rank (``with_row_id`` — range exchange, no
+    single-reducer window); ``n_items`` is a 1-row broadcast; slot
+    generation is a map-side ``explode(sequence)``; the catalog join
+    keys on the dense index (AQE broadcasts a small catalog) and the
+    positives check is ONE left-anti join on (user, item). Per-user
+    candidate count is fixed at ``k * oversample``, so the final
+    per-user rank window is O(k·oversample) rows per key — no skew.
+    """
+    from datas_spark.io.sources import with_row_id
+
+    pos = interactions.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    items = with_row_id(pos.select("__i").distinct(), order_by="__i", name="__idx")
+    n_items = items.agg(F.count(F.lit(1)).alias("__n"))
+    m = int(k) * int(oversample)
+    cand = (
+        pos.select("__u")
+        .distinct()
+        .join(F.broadcast(n_items))
+        .select(
+            "__u",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__c"),
+        )
+        .withColumn(
+            "__idx",
+            F.pmod(
+                hash60(F.concat(F.col("__u").cast("string"), F.lit(":"), F.col("__c"))),
+                F.col("__n"),
+            ),
+        )
+    )
+    drawn = cand.join(items, "__idx").select("__u", "__i", "__c")
+    # same item drawn in two slots → keep the earliest slot only
+    drawn = drawn.groupBy("__u", "__i").agg(F.min("__c").alias("__c"))
+    negatives = drawn.join(pos, ["__u", "__i"], "left_anti")
+    ranked = negatives.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("__u").orderBy("__c")),
+    )
+    return ranked.where(F.col("__r") <= k).select(
+        F.col("__u").alias(user_col),
+        F.col("__i").alias(item_col),
+        F.col("__c").alias("slot"),
+    )

@@ -1,0 +1,60 @@
+from datas_spark.operators import training as T
+
+
+def test_next_event_examples_windows_and_order(spark):
+    rows = [
+        ("u1", 1, "a"),
+        ("u1", 2, "b"),
+        ("u1", 3, "c"),
+        ("u1", 4, "d"),
+        ("u2", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "t", "item"])
+    out = T.next_event_examples(df, "user", "t", "item", seq_len=2, tiebreak_col="t")
+    got = {(r.user, r.t): (list(r.history), r.label) for r in out.collect()}
+    # first event per user has no history → dropped (u2 emits nothing)
+    assert ("u1", 1) not in got and ("u2", 1) not in got
+    assert got[("u1", 2)] == (["a"], "b")
+    assert got[("u1", 3)] == (["a", "b"], "c")
+    # frame is row-bounded at seq_len=2: "a" ages out
+    assert got[("u1", 4)] == (["b", "c"], "d")
+    assert len(got) == 3
+
+
+def test_next_event_examples_tiebreak_is_deterministic(spark):
+    rows = [("u", 1, 1, "a"), ("u", 1, 2, "b"), ("u", 1, 3, "c")]
+    df = spark.createDataFrame(rows, ["user", "t", "eid", "item"])
+    out = T.next_event_examples(df, "user", "t", "item", seq_len=3, tiebreak_col="eid")
+    got = {r.eid: list(r.history) for r in out.collect()}
+    assert got == {2: ["a"], 3: ["a", "b"]}
+
+
+def test_negative_sample_excludes_positives_and_is_deterministic(spark):
+    rows = [(u, i) for u in ("u1", "u2", "u3") for i in (1, 2, 3)] + [
+        ("u1", 4),
+        ("u2", 5),
+    ]
+    df = spark.createDataFrame(rows, ["user", "item"])
+    out1 = T.negative_sample(df, "user", "item", k=2, oversample=8).collect()
+    out2 = T.negative_sample(df, "user", "item", k=2, oversample=8).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    pos = set(map(tuple, rows))
+    items = {i for _, i in rows}
+    per_user = {}
+    for r in out1:
+        assert (r.user, r.item) not in pos          # never a positive
+        assert r.item in items                      # drawn from the catalog
+        per_user.setdefault(r.user, []).append(r.slot)
+    for u, slots in per_user.items():
+        assert len(slots) <= 2
+        assert slots == sorted(slots)
+
+
+def test_negative_sample_respects_k_cap(spark):
+    # one user interacted with 1 of 10 items: plenty of negatives exist
+    rows = [("u", 0)] + [("filler", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["user", "item"])
+    out = [r for r in T.negative_sample(df, "user", "item", k=3, oversample=8).collect()
+           if r.user == "u"]
+    assert len(out) == 3
+    assert all(r.item != 0 for r in out)
