@@ -61,6 +61,8 @@ __all__ = [
     "value_deciles",
     "chunk_documents",
     "PII_PATTERNS",
+    "CLEAN_PATTERNS",
+    "clean_text",
     "pii_stats",
     "pii_redact",
     "bow_classifier_score",
@@ -1143,3 +1145,40 @@ def dsir_importance(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         "dsir_weight",
     )
+
+
+# Cleaning patterns, RE2-compatible (no lookarounds, ASCII classes) so
+# the identical literals run in Spark (Java regex) and DuckDB (RE2).
+CLEAN_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s]+"),
+    ("email", PII_PATTERNS["email"]),
+    ("control", r"[\x00-\x08\x0B\x0C\x0E-\x1F]"),
+]
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "text_clean",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Corpus-normalization pass: strip URLs and emails (replaced by a
+    single space so token boundaries survive), drop C0 control
+    characters, collapse whitespace runs, trim, optionally lowercase —
+    the standard pre-tokenization cleanup every web corpus runs before
+    quality scoring and dedup (normalizing BEFORE near-dup makes
+    byte-trivial variants collapse into exact dups).
+
+    Map-only chained ``regexp_replace`` — whole-stage codegen, no
+    Python, no shuffle. Pattern order matters: URLs first (an email
+    inside a URL query string is already gone), controls before the
+    whitespace collapse (a control char between spaces must not leave
+    two spaces behind).
+    """
+    expr = F.col(text_col)
+    for _, pat in CLEAN_PATTERNS:
+        expr = F.regexp_replace(expr, F.lit(pat), F.lit(" "))
+    expr = F.trim(F.regexp_replace(expr, F.lit(r"\s+"), F.lit(" ")))
+    if lowercase:
+        expr = F.lower(expr)
+    return df.withColumn(out_col, expr)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.operators.dedup import near_dedup_keep_first
 
-__all__ = ["group_split_assign", "group_safe_split", "split_leakage_counts"]
+__all__ = ["group_split_assign", "group_safe_split", "split_leakage_counts", "kfold_assign"]
 
 
 def group_split_assign(
@@ -118,4 +118,32 @@ def split_leakage_counts(
             .cast("long")
             .alias("cross_split_pairs"),
         )
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    group_col: str | None = None,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: ``fold =
+    hash60(md5(key)) mod k`` — a pure map-side expression, no RNG
+    state, reproducible across runs and engines.
+
+    ``group_col`` switches the key from the row id to a group label
+    (e.g. the near-dup component from ``group_split_assign`` or a user
+    id), putting every member of a group in the SAME fold — the
+    leakage rule cross-validation needs for grouped data. NULL groups
+    fall back to the row id (a rowless group must not glue all
+    orphans together).
+    """
+    from datas_spark.functions.text import hash60
+
+    key = F.col(group_col) if group_col else F.col(id_col)
+    if group_col:
+        key = F.coalesce(key.cast("string"), F.col(id_col).cast("string"))
+    return df.withColumn(
+        out_col, F.pmod(hash60(key.cast("string")), F.lit(int(k))).cast("int")
     )

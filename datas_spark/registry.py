@@ -586,3 +586,4 @@ from datas_spark import registry52  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry53  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry54  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry55  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry56  # noqa: E402,F401  (isort: skip)

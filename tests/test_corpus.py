@@ -533,3 +533,22 @@ def test_dsir_weight_matches_hand_computation(spark):
     assert out[2] == pytest.approx(expect2, abs=1e-6)
     expect1 = 2 * lr(2, 3) + lr(1, 1)
     assert out[1] == pytest.approx(expect1, abs=1e-6)
+
+
+def test_clean_text_strips_and_collapses(spark):
+    rows = [
+        (1, "see https://ex.com/a?b=1 and mail me@x.org  now"),
+        (2, "tab\tand\x00control\x1fchars"),
+        (3, "  already clean  "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.text_clean for r in C.clean_text(df, "text").collect()}
+    assert got[1] == "see and mail now"
+    assert got[2] == "tab and control chars"
+    assert got[3] == "already clean"
+
+
+def test_clean_text_lowercase_flag(spark):
+    df = spark.createDataFrame([(1, "MiXeD Case")], ["id", "text"])
+    got = C.clean_text(df, "text", lowercase=True).collect()[0].text_clean
+    assert got == "mixed case"

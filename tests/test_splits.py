@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datas_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+from datas_spark.operators import splits as S
 from datas_spark.operators.splits import (
     group_safe_split,
     group_split_assign,
@@ -136,3 +137,29 @@ def test_vocab_growth_is_monotone_and_ends_at_totals(spark, sf_dir):
     ).collect()[0].n
     assert rows[-1].cum_vocab == total_vocab
     assert rows[-1].cum_tokens == total_tokens
+
+
+def test_kfold_assign_deterministic_and_in_range(spark):
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(60)], ["id", "g"])
+    a = {r.id: r.fold for r in S.kfold_assign(df, "id", k=5).collect()}
+    b = {r.id: r.fold for r in S.kfold_assign(df, "id", k=5).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(5))
+    # every fold populated at n=60 (md5 is uniform)
+    assert len(set(a.values())) == 5
+
+
+def test_kfold_assign_grouped_keeps_groups_together(spark):
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(30)], ["id", "g"])
+    out = S.kfold_assign(df, "id", k=4, group_col="g").collect()
+    folds = {}
+    for r in out:
+        folds.setdefault(r.g, set()).add(r.fold)
+    assert all(len(v) == 1 for v in folds.values())
+
+
+def test_kfold_assign_null_group_falls_back_to_id(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, g string")
+    out = {r.id: r.fold for r in S.kfold_assign(df, "id", k=97, group_col="g").collect()}
+    # distinct ids → (almost surely) distinct folds, NOT one glued group
+    assert out[1] != out[2]
