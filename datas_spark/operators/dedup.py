@@ -1154,6 +1154,13 @@ def prefix_filter_jaccard_pairs(
     dominates `ngram_jaccard_pairs` at scale shrinks superlinearly,
     and no recall-losing ``max_shingle_freq`` cap is required.
 
+    Regime: the prefix has ``(1−t)·|d| + 1`` slots, so the win is
+    superlinear at HIGH thresholds (t=0.8 → ~20% of shingles indexed,
+    rarest-first postings near-empty) and marginal at permissive ones
+    (t=0.2 → ~80% indexed, plus this plan's two extra shuffles for the
+    frequency ordering) — there, prefer the capped inverted index of
+    ``ngram_jaccard_pairs``.
+
     Plan shape: one shuffle for document frequencies (combinable
     count on 8-byte keys), one join to re-attach df to exploded
     shingles, one re-collect per doc, then the prefix-only inverted
