@@ -68,6 +68,7 @@ __all__ = [
     "paragraph_dedup",
     "pagerank",
     "simhash_near_dup_pairs",
+    "hamming_near_dup_pairs",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1036,6 +1037,35 @@ def simhash_near_dup_pairs(
     Returns (id_a, id_b, hamming) with id_a < id_b, deduped across
     bands.
     """
+    sig = simhash(df, text_col, bits).select(F.col(id_col).alias(id_col), "simhash")
+    return hamming_near_dup_pairs(
+        sig,
+        id_col,
+        "simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded hamming-distance pairs over a PRECOMPUTED 64-bit-or-less
+    signature column — the generic detection engine behind
+    ``simhash_near_dup_pairs``, reusable for any bit-signature source:
+    perceptual image hashes (``multimodal.media_phash``), audio
+    chromaprints, minhash-folded sketches. Same pigeonhole-exactness
+    contract (complete recall for hamming < bands) and the same
+    ``max_bucket_size`` skew cap.
+    """
     if not 1 <= max_hamming < bands:
         raise ValueError(
             f"banding is exact only for max_hamming < bands, got "
@@ -1045,7 +1075,7 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bands must divide bits, got {bits}/{bands}")
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash(df, text_col, bits).select(F.col(id_col).alias("__id"), "simhash")
+    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
     band_structs = F.array(
         *[
             F.struct(

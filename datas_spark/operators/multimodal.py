@@ -39,6 +39,7 @@ __all__ = [
     "decode_features",
     "resize_media",
     "frame_sample",
+    "media_phash",
 ]
 
 # media row: opaque payload + typed metadata (mime sniffed or declared)
@@ -237,3 +238,44 @@ def media_payload_dedup(
         .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("__row"))
     )
     return surv.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
+def media_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    phash_fn=None,
+    out_col: str = "phash",
+) -> DataFrame:
+    """Perceptual-hash stage: (id, 64-bit signature) per media row via
+    Arrow-batched ``mapInPandas`` — the multimodal analogue of
+    ``dedup.simhash``. Feed the result to
+    ``dedup.hamming_near_dup_pairs`` for banded near-dup detection
+    (perceptually-similar images differ in few signature bits, so the
+    pigeonhole banding contract applies unchanged).
+
+    ``phash_fn(payload: bytes) -> int`` runs executor-side per payload
+    (a real deployment plugs a DCT pHash / aHash over the decoded
+    image; this container has no image codec, so None raises the
+    documented NotImplementedError at execution while the plan still
+    analyzes). NULL payloads yield NULL signatures.
+    """
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField(out_col, LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if phash_fn is None:
+                raise NotImplementedError(
+                    "no perceptual-hash backend installed in this "
+                    "environment; pass phash_fn= (e.g. a PIL+DCT pHash) — "
+                    "the Spark plumbing around it is complete"
+                )
+            sigs = [
+                int(phash_fn(bytes(b))) if b is not None else None
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: sigs})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)

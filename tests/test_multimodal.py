@@ -4,6 +4,7 @@ batch shapes, and the documented NotImplementedError stubs."""
 import pytest
 from pyspark.sql import functions as F
 
+from datas_spark.operators import multimodal as MM
 from datas_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     attach_media_metadata,
@@ -90,3 +91,45 @@ def test_resize_media_without_codec_raises(spark):
     plan = resize_media(df, 4, 4)  # analyzes fine — stub fails at execution
     with pytest.raises(Exception, match="NotImplementedError|no image codec"):
         plan.collect()
+
+
+# --- perceptual-hash plumbing (batch 57) --------------------------------
+
+def test_media_phash_gated_without_backend(spark):
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "media_id long, content binary")
+    out = MM.media_phash(df, "content", "media_id")
+    with pytest.raises(Exception, match="NotImplementedError|perceptual-hash"):
+        out.collect()
+
+
+def test_media_phash_near_dup_pipeline_with_fake(spark):
+    # two payload-equal blobs in different containers + one distinct
+    rows = [
+        (1, bytearray(b"\x89PNG" + b"samebytes")),
+        (2, bytearray(b"\xff\xd8" + b"samebytes")),
+        (3, bytearray(b"\x89PNG" + b"otherbytes")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    from datas_spark.registry57 import _fake_phash
+    from datas_spark.operators import dedup as D
+
+    sig = MM.media_phash(df, "content", "media_id", phash_fn=_fake_phash)
+    got = {r.media_id: r.phash for r in sig.collect()}
+    assert got[1] == got[2] != got[3]
+    pairs = D.hamming_near_dup_pairs(
+        sig, "media_id", "phash", bits=60, bands=4, max_hamming=3
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_media_phash_null_payload_yields_null(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x")), (2, None)], "media_id long, content binary"
+    )
+    got = {
+        r.media_id: r.phash
+        for r in MM.media_phash(
+            df, "content", "media_id", phash_fn=lambda b: 7
+        ).collect()
+    }
+    assert got[1] == 7 and got[2] is None
