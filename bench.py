@@ -150,6 +150,12 @@ HEADLINE = [
     # negative sampling
     "next_event_examples",
     "negative_sample_views",
+    # batches 57-58: phash media near-dup, sketch overlap algebra, PSI
+    # drift, and multi-touch attribution
+    "media_phash_near_dup",
+    "hll_type_overlap",
+    "events_value_psi",
+    "view_linear_attribution",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1205,12 +1205,20 @@ def prefix_filter_jaccard_pairs(
         df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
         .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
         .select("__id", hashed_shingles_of_hashes(F.col("__th"), n).alias("__sh"))
+    )
+    # the exploded frame feeds BOTH the df count and the ordered
+    # re-collect; lazy-checkpoint so the tokenizer runs once. The
+    # size/non-empty filter goes AFTER the checkpoint barrier: a
+    # where() on size(__sh) above the projection gets alias-substituted
+    # below it, re-inlining the whole tokenize+shingle tree into a
+    # pushed-down filter that evaluates the hot path twice (measured
+    # 4x on this stage — the same landmine the explode paths dodge
+    # with explode_outer + isNotNull)
+    sh = (
+        sh.localCheckpoint(eager=False)
         .withColumn("__n", F.size("__sh"))
         .where(F.col("__n") >= 1)
     )
-    # the exploded frame feeds BOTH the df count and the ordered
-    # re-collect; lazy-checkpoint so the tokenizer runs once
-    sh = sh.localCheckpoint(eager=False)
     ex = sh.select("__id", "__n", F.explode_outer("__sh").alias("__s")).where(
         F.col("__s").isNotNull()
     )

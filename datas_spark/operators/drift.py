@@ -23,7 +23,7 @@ from pyspark.sql.functions import broadcast
 
 from datas_spark.functions.text import word_tokens
 
-__all__ = ["term_counts", "term_drift"]
+__all__ = ["term_counts", "term_drift", "feature_psi"]
 
 
 def term_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -85,4 +85,77 @@ def term_drift(
         )
         .orderBy(F.desc("js_contrib"), F.asc("term"))
         .limit(top_n)
+    )
+
+
+def feature_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per bin for a numeric feature: bin
+    edges are the REFERENCE distribution's quantiles (equal-population
+    bins), both populations are bucketed by those shared edges, and
+    each bin contributes ``(p_cur − p_ref) · ln(p_cur / p_ref)`` (with
+    ``eps`` guarding empty bins). The standard model-monitoring drift
+    score: PSI < 0.1 stable, > 0.25 action.
+
+    Scale shape: edges are ONE exact-percentile aggregate on the
+    reference (1 row, broadcast); bucketing is a map-side fold over
+    the ``bins−1`` edge literals; per-bin counts are combinable. Rows
+    are emitted per bin (sum client-side or over the sorted array) so
+    the output is order-deterministic — no cross-engine float-sum
+    ambiguity.
+
+    NULL values are excluded from both populations (a NULL-rate drift
+    check is a separate, simpler count).
+    """
+    v = F.col(value_col)
+    cuts = ref.where(v.isNotNull()).agg(
+        F.percentile(
+            v, F.array(*[F.lit(i / bins) for i in range(1, bins)])
+        ).alias("__cuts")
+    )
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(v > c, 1).otherwise(0),
+        )
+        return (
+            df.where(v.isNotNull())
+            .join(F.broadcast(cuts))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc = bucketed(ref, "n_ref")
+    cc = bucketed(cur, "n_cur")
+    # every bin 0..bins-1 present even when empty on one side
+    all_bins = (
+        ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    joined = (
+        all_bins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .join(
+            F.broadcast(
+                rc.agg(F.sum("n_ref").alias("__tr")).join(
+                    cc.agg(F.sum("n_cur").alias("__tc"))
+                )
+            )
+        )
+    )
+    p_ref = F.coalesce("n_ref", F.lit(0)) / F.col("__tr") + F.lit(eps)
+    p_cur = F.coalesce("n_cur", F.lit(0)) / F.col("__tc") + F.lit(eps)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return joined.select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        F.round(term, 8).alias("psi_term"),
     )

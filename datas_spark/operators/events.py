@@ -16,10 +16,10 @@ one event type's row groups, not the whole table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution"]
 
 
 def funnel_stage_times(
@@ -138,4 +138,63 @@ def event_pattern_matches(
     return (
         seq.select(user_col, "n_events", n.alias("n_matches"))
         .where(F.col("n_matches") > 0)
+    )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_type: str,
+    convert_type: str,
+    item_col: Column | str,
+    value_col: str,
+    conv_id_col: str,
+    horizon_minutes: int = 60,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value is split
+    equally across every ``touch_type`` event by the same user in the
+    ``horizon_minutes`` before it, and the shares are summed per touch
+    item — the equal-credit sibling of last-touch (`asof_join`) that
+    marketing/rec pipelines report next to it.
+
+    Exactness contract: conversion value goes to integer cents, each
+    touch's share is ``cents · 10⁶ div n_touches`` (integer division —
+    bit-identical across engines and immune to float-sum ordering),
+    and per-item totals are exact BIGINT sums of those shares. The
+    divisor remainder (< n·10⁻⁶ cents per conversion) is deliberately
+    dropped, not redistributed.
+
+    Scale shape: ONE user-keyed equi-join (per-user event volumes
+    bound the fan-out — the same contract as sessionization; salt hot
+    users upstream if needed), the range predicate applied inside the
+    join, then two combinable aggregates. No window, no cross join.
+    """
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    conv = df.where(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(conv_id_col).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__cents"),
+    )
+    touch = df.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        item.alias("__item"),
+    )
+    window_lo = F.col("__cts") - F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    matched = conv.join(touch, "__u").where(
+        (F.col("__tts") >= window_lo) & (F.col("__tts") < F.col("__cts"))
+    )
+    per_conv = matched.groupBy("__cid", "__cents").agg(
+        F.collect_list("__item").alias("__items")
+    )
+    share = F.expr("__cents * 1000000L div size(__items)")
+    exploded = per_conv.select(
+        F.explode("__items").alias("item"), share.alias("__share_e6")
+    )
+    return exploded.groupBy("item").agg(
+        F.sum("__share_e6").cast("long").alias("attributed_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
     )

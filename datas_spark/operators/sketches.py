@@ -54,6 +54,7 @@ __all__ = [
     "bloom_contains",
     "histogram_registers",
     "histogram_quantiles",
+    "hll_pairwise_overlap",
 ]
 
 _HASH_BITS = 60  # hash60 width (md5 prefix that round-trips signed int64)
@@ -548,3 +549,63 @@ def histogram_quantiles(
     return hit.select(
         "q", F.round(F.least(est, F.lit(float(hi))), 6).alias("est")
     ).orderBy("q")
+
+
+def hll_pairwise_overlap(
+    df: DataFrame, group_col: str, value_col: str, p: int = 12
+) -> DataFrame:
+    """Approximate distinct-value OVERLAP between every pair of groups
+    by HLL inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    where the union estimate comes from a per-bucket register MAX of
+    the two groups' sketches — no re-scan, no exact pair shuffle. The
+    audience-overlap / shared-users question answered with 2^p ints
+    per group.
+
+    Scale shape: registers are computed once per group (map-side
+    combinable max); the pair fan-out touches only register rows
+    (|groups|²/2 · 2^p at worst — sketch-sized, not data-sized).
+    Returns (g_a, g_b, est_a, est_b, est_union, est_overlap), overlap
+    clamped at 0 (inclusion–exclusion on estimates can go slightly
+    negative for disjoint sets).
+    """
+    regs = hll_grouped_registers(df, [group_col], value_col, p)
+    regs = regs.localCheckpoint(eager=False)
+    singles = _finalize_grouped_hll(regs, [group_col], p)
+    groups = regs.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("g_a"))
+        .join(groups.select(F.col("__g").alias("g_b")), F.col("g_a") < F.col("g_b"))
+    )
+    both = pairs.join(
+        regs,
+        (F.col(group_col) == F.col("g_a")) | (F.col(group_col) == F.col("g_b")),
+    )
+    union_regs = both.groupBy("g_a", "g_b", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    unions = _finalize_grouped_hll(union_regs, ["g_a", "g_b"], p).select(
+        "g_a", "g_b", F.col("estimate").alias("est_union")
+    )
+    ea = singles.select(
+        F.col(group_col).alias("g_a"), F.col("estimate").alias("est_a")
+    )
+    eb = singles.select(
+        F.col(group_col).alias("g_b"), F.col("estimate").alias("est_b")
+    )
+    return (
+        unions.join(ea, "g_a")
+        .join(eb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+                ),
+                4,
+            ).alias("est_overlap"),
+        )
+    )

@@ -588,3 +588,4 @@ from datas_spark import registry54  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry55  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry56  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry57  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry58  # noqa: E402,F401  (isort: skip)

@@ -18,6 +18,7 @@ from datas_spark.io.sources import read_table
 from datas_spark.registry_core import register
 
 _B = 32  # bootstrap replicas
+_G = _B // 4  # md5 digests per row (each 32-hex digest yields 4 units)
 
 # Poisson(1) inverse-CDF cutoffs, exact shared literals
 _POIS_CDF = []
@@ -26,9 +27,11 @@ for k in range(6):
     acc += math.exp(-1) / math.factorial(k)
     _POIS_CDF.append(acc)
 
+# unit draw for replica b: hex chars [1+8*(b%4), +8) of digest b//4.
+# One digest feeds four replicas — 8 md5s per row instead of 32.
 _U_SQL = (
-    "(('0x' || substr(md5(o_orderkey::VARCHAR || ':' || b::VARCHAR), 1, 8))"
-    "::BIGINT / 4294967296.0)"
+    "(('0x' || substr(md5(o_orderkey::VARCHAR || ':' || (b // 4)::VARCHAR),"
+    " 1 + 8 * (b % 4), 8))::BIGINT / 4294967296.0)"
 )
 _W_SQL = "CASE " + " ".join(
     f"WHEN {_U_SQL} < {c!r}::DOUBLE THEN {k}" for k, c in enumerate(_POIS_CDF)
@@ -62,46 +65,50 @@ _W_SQL = "CASE " + " ".join(
 )
 def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for the mean order total via {_B}
-    hash-deterministic Poisson(1) replicas: each (row, replica) pair
-    draws its resample count from the md5-unit interval through the
-    shared inverse-CDF cutoffs, per-replica weighted means reduce from
-    exact integer cents, and the interval is the 2.5/97.5 percentile
-    of the {_B} replica means.
+    hash-deterministic Poisson(1) replicas: replica b of a row draws
+    its resample count from hex window b%4 of md5(key:b//4) through
+    the shared inverse-CDF cutoffs, per-replica weighted means reduce
+    from exact integer cents, and the interval is the 2.5/97.5
+    percentile of the {_B} replica means.
 
-    Scale shape: the replica explode is map-side (×{_B} narrow rows of
-    three integers — never the full row width), each replica's moments
-    are ONE combinable aggregate, and the final percentile runs over
-    {_B} rows. No RNG state, no driver coordination, bit-identical on
-    any partitioning — the distributed-bootstrap recipe this engine
-    recommends."""
+    Scale shape: 8 md5 digests per ROW (not per replica), computed in
+    a projection BELOW the replica explode — the Generate is a barrier,
+    so CollapseProject cannot re-inline the digests into the
+    inverse-CDF when-chain (which would evaluate each md5 6×; measured
+    ~5× on this query before the barrier). Post-explode work per
+    replica row is a substring+conv on a carried digest. Each
+    replica's moments are ONE combinable aggregate and the final
+    percentile runs over {_B} rows. No RNG state, no driver
+    coordination, bit-identical on any partitioning."""
     orders = read_table(spark, sf_dir, "orders")
-    reps = orders.select(
-        "o_orderkey",
+    digests = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.array(*[F.lit(b) for b in range(_B)])).alias("b"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_G - 1)),
+            lambda g: F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    g.cast("string"),
+                )
+            ),
+        ).alias("__h"),
+    )
+    reps = digests.select(
+        "cents", "__h", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
     )
     u = (
         F.conv(
             F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
+                F.element_at(F.col("__h"), (F.col("b") / 4).cast("int") + 1),
+                F.lit(1) + 8 * (F.col("b") % 4),
+                F.lit(8),
             ),
             16,
             10,
         ).cast("double")
         / F.lit(4294967296.0)
     )
-    w = F.lit(6)
     expr = None
     for k, c in enumerate(_POIS_CDF):
         expr = (

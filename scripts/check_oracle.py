@@ -45,6 +45,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FATAL unknown query names: {sorted(unknown)}")
+        return 2
     failed = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -1,7 +1,9 @@
 """JS term drift: symmetry, one-sided term handling, known-shift detection."""
 
 import pytest
+from pyspark.sql import functions as F
 
+from datas_spark.operators import drift as DR
 from datas_spark.operators.drift import term_drift
 
 
@@ -39,3 +41,34 @@ def test_identical_corpora_have_zero_drift(spark):
     a = spark.createDataFrame([("same words here",)], "text: string")
     got = term_drift(a, a, "text", top_n=5).collect()
     assert all(abs(r["js_contrib"]) < 1e-12 for r in got)
+
+
+# --- PSI (batch 58) -----------------------------------------------------
+
+def test_feature_psi_identical_distributions_near_zero(spark):
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out = DR.feature_psi(ref, ref, "v", bins=10).collect()
+    assert len(out) == 10
+    total = sum(r.psi_term for r in out)
+    assert abs(total) < 1e-6
+    assert sum(r.n_ref for r in out) == 1000
+    assert sum(r.n_cur for r in out) == 1000
+
+
+def test_feature_psi_shifted_distribution_flags_drift(spark):
+    ref = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    cur = spark.range(2000).select((F.col("id") % 100 + 50).cast("double").alias("v"))
+    out = DR.feature_psi(ref, cur, "v", bins=10).collect()
+    total = sum(r.psi_term for r in out)
+    assert total > 0.25  # "action" threshold
+    # low reference bins are empty in cur
+    low = [r for r in out if r.bin == 0][0]
+    assert low.n_cur == 0 and low.n_ref > 0
+
+
+def test_feature_psi_excludes_nulls(spark):
+    ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], ["v"])
+    cur = spark.createDataFrame([(1.0,), (None,)], ["v"])
+    out = DR.feature_psi(ref, cur, "v", bins=2).collect()
+    assert sum(r.n_ref for r in out) == 2
+    assert sum(r.n_cur for r in out) == 1

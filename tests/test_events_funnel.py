@@ -110,3 +110,54 @@ def test_association_rules_lift(spark):
     supp_c = b.where("event_type = 'c'").count() / n
     lift_bc = (pair_bc / n) / (supp_b * supp_c)
     assert lift_bc == pytest.approx(2.0)  # perfectly correlated halves
+
+
+# --- linear attribution (batch 58) --------------------------------------
+
+def test_linear_attribution_splits_equally(spark):
+    from datetime import datetime as dt
+    rows = [
+        # user u1: 2 views (items 1, 2) then a $10 purchase → 5e8 e6-cents each
+        (1, "u1", dt(2024, 1, 1, 10, 0), "view", None, 1),
+        (2, "u1", dt(2024, 1, 1, 10, 30), "view", None, 2),
+        (3, "u1", dt(2024, 1, 1, 10, 45), "purchase", 10.0, None),
+        # view outside the horizon → unattributed
+        (4, "u2", dt(2024, 1, 1, 8, 0), "view", None, 3),
+        (5, "u2", dt(2024, 1, 1, 10, 0), "purchase", 7.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string, value double, item int"
+    )
+    out = {
+        r.item: r
+        for r in EV.linear_attribution(
+            df, "user_id", "ts", "event_type",
+            touch_type="view", convert_type="purchase",
+            item_col="item", value_col="value", conv_id_col="event_id",
+            horizon_minutes=60,
+        ).collect()
+    }
+    assert out[1].attributed_e6 == 500 * 1_000_000  # half of 1000 cents
+    assert out[2].attributed_e6 == 500 * 1_000_000
+    assert 3 not in out
+    assert out[1].n_touches == 1
+
+
+def test_linear_attribution_integer_share_truncates(spark):
+    from datetime import datetime as dt
+    rows = [
+        (1, "u", dt(2024, 1, 1, 10, 0), "view", None, 1),
+        (2, "u", dt(2024, 1, 1, 10, 1), "view", None, 2),
+        (3, "u", dt(2024, 1, 1, 10, 2), "view", None, 3),
+        (4, "u", dt(2024, 1, 1, 10, 30), "purchase", 0.01, None),  # 1 cent / 3
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string, value double, item int"
+    )
+    out = EV.linear_attribution(
+        df, "user_id", "ts", "event_type",
+        touch_type="view", convert_type="purchase",
+        item_col="item", value_col="value", conv_id_col="event_id",
+    ).collect()
+    shares = sorted(r.attributed_e6 for r in out)
+    assert shares == [333333, 333333, 333333]  # floor(1e6/3) each; remainder dropped

@@ -251,3 +251,36 @@ def test_hll_rolling_merges_windows(spark):
     assert est[2] == pytest.approx(15, rel=0.1)     # 1 u 2 = 15 users
     with pytest.raises(ValueError):
         SK.hll_rolling_cardinality(df, "day_num", "user_id", window_units=0)
+
+
+# --- HLL pairwise overlap (batch 58) ------------------------------------
+
+def test_hll_pairwise_overlap_inclusion_exclusion(spark):
+    # groups: a = {0..199}, b = {100..299} → overlap 100; c disjoint {1000..1049}
+    rows = (
+        [("a", i) for i in range(200)]
+        + [("b", i) for i in range(100, 300)]
+        + [("c", i) for i in range(1000, 1050)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r.g_a, r.g_b): r for r in SK.hll_pairwise_overlap(df, "g", "v", p=12).collect()}
+    ab = out[("a", "b")]
+    # p=12 on a few hundred values → estimates within a few % of truth
+    assert abs(ab.est_overlap - 100) < 10
+    assert abs(ab.est_union - 300) < 15
+    ac = out[("a", "c")]
+    assert ac.est_overlap < 10  # disjoint → near zero (clamped at 0)
+    assert ac.est_overlap >= 0.0
+    assert len(out) == 3  # all unordered pairs, each once
+
+
+def test_hll_pairwise_overlap_estimates_match_grouped_cardinality(spark):
+    rows = [("x", i) for i in range(500)] + [("y", i % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    single = {
+        r.g: r.estimate
+        for r in SK.hll_grouped_cardinality(df, ["g"], "v", p=12).collect()
+    }
+    pair = SK.hll_pairwise_overlap(df, "g", "v", p=12).collect()[0]
+    assert pair.est_a == single[pair.g_a]
+    assert pair.est_b == single[pair.g_b]
