@@ -156,6 +156,9 @@ HEADLINE = [
     "hll_type_overlap",
     "events_value_psi",
     "view_linear_attribution",
+    # batch 59: evaluation metrics
+    "repeat_view_eval",
+    "purchase_value_auc",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1,0 +1,183 @@
+"""Evaluation-metric operators: ranking metrics for recommenders
+(MRR, recall@k), binary-classifier AUC by rank-sum, and Cohen's kappa
+for annotator/label agreement.
+
+Reference parity: the reference selects training subsets but never
+measures the models trained on them; a data engine that builds
+training sets needs the matching eval plans. All three are exact
+integer/count computations with one final division — deterministic
+across engines, so every metric is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa"]
+
+
+def ranking_metrics(
+    preds: DataFrame,
+    truth: DataFrame,
+    user_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 5,
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """MRR and recall@k over per-user ranked predictions vs a truth
+    set: one row ``(n_users, mrr, recall_at_k)``.
+
+    ``preds`` holds (user, item, rank) with rank 1 = best; ``truth``
+    holds (user, item) relevant pairs. MRR uses each user's best-ranked
+    hit (users with no hit contribute 0); recall@k = hits within rank
+    ≤ k / min(|truth_u|, k), averaged over users with non-empty truth
+    (the standard 'recall@k is capped by k' convention).
+
+    Scale shape: one (user, item) equi-join, two combinable per-user
+    aggregates, one global aggregate.
+
+    ``exact_scale`` (e.g. lcm(1..k)) switches the averaging to exact
+    integer arithmetic: per-user terms become ``scale/best`` and
+    ``scale·hits/min(|truth|,k)`` — both exact because every possible
+    denominator divides the scale — summed as BIGINTs with ONE final
+    division, so the result is bit-identical on any row order/engine
+    (float averaging is order-sensitive in the last ulp). Requires
+    every prediction rank ≤ k; the float path has no such restriction.
+    """
+    p = preds.select(
+        F.col(user_col).alias("__u"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__r"),
+    )
+    t = truth.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    truth_sizes = t.groupBy("__u").agg(F.count(F.lit(1)).alias("__nt"))
+    hits = p.join(t, ["__u", "__i"]).groupBy("__u").agg(
+        F.min("__r").alias("__best"),
+        F.count_if(F.col("__r") <= k).alias("__hits_k"),
+    )
+    joined = truth_sizes.join(hits, "__u", "left")
+    if exact_scale is not None:
+        sc = int(exact_scale)
+        for d in range(1, k + 1):
+            if sc % d != 0:
+                raise ValueError(f"exact_scale must be divisible by 1..{k}")
+        per_user = joined.select(
+            "__u",
+            F.coalesce(
+                F.floor(F.lit(sc) / F.col("__best")).cast("long"), F.lit(0)
+            ).alias("__rr_s"),
+            F.floor(
+                (F.lit(sc) * F.coalesce("__hits_k", F.lit(0)))
+                / F.least(F.col("__nt"), F.lit(k))
+            )
+            .cast("long")
+            .alias("__rec_s"),
+        )
+        agg = per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("__rr_s").alias("__srr"),
+            F.sum("__rec_s").alias("__srec"),
+        )
+        return agg.select(
+            "n_users",
+            F.round(F.col("__srr") / (F.lit(sc) * F.col("n_users")), 6).alias("mrr"),
+            F.round(
+                F.col("__srec") / (F.lit(sc) * F.col("n_users")), 6
+            ).alias("recall_at_k"),
+        )
+    per_user = joined.select(
+        "__u",
+        F.coalesce(1.0 / F.col("__best"), F.lit(0.0)).alias("__rr"),
+        (
+            F.coalesce("__hits_k", F.lit(0))
+            / F.least(F.col("__nt"), F.lit(k)).cast("double")
+        ).alias("__rec"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("__rr"), 6).alias("mrr"),
+        F.round(F.avg("__rec"), 6).alias("recall_at_k"),
+    )
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC by the Mann–Whitney rank-sum with tie correction: one
+    row ``(n_pos, n_neg, auc)``.
+
+    AUC = (Σ_pairs [s_pos > s_neg] + ½·[s_pos = s_neg]) / (n_pos·n_neg),
+    computed without any pairwise join: group rows by DISTINCT score,
+    take a running count of negatives below each score (ascending),
+    and each score-group contributes ``pos_g · (neg_below + neg_g/2)``
+    — exact integers scaled ×2 until the single final division.
+
+    Scale shape: one combinable groupBy on score, then a cumulative
+    window over the |distinct scores| aggregate rows (tiny relative to
+    data; for a continuous score at extreme scale, pre-bucket scores
+    to fixed precision first). Label must be 0/1.
+    """
+    g = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count_if(F.col(label_col) == 1).alias("__pos"),
+            F.count_if(F.col(label_col) == 0).alias("__neg"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib2 = F.col("__pos") * (
+        2 * F.coalesce(F.sum("__neg").over(w), F.lit(0)) + F.col("__neg")
+    )
+    agg = g.select(
+        F.col("__pos"), F.col("__neg"), contrib2.alias("__c2")
+    ).agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum("__c2").cast("long").alias("__num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("__num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelings: one row
+    ``(n, po, pe, kappa)`` — chance-corrected agreement, the standard
+    annotator-consistency / declared-vs-detected score.
+
+    po = observed agreement rate; pe = Σ_c p_a(c)·p_b(c) from the
+    marginals. All counts are exact BIGINTs from TWO combinable
+    aggregates (one per-pair, one per-category after a union of the
+    two marginal projections); the divisions happen once at the end.
+    """
+    d = df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    totals = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_if(F.col(a_col) == F.col(b_col)).alias("__agree"),
+    )
+    marg = (
+        d.select(F.col(a_col).alias("__c"), F.lit(1).alias("__ia"))
+        .unionByName(d.select(F.col(b_col).alias("__c"), F.lit(0).alias("__ia")))
+        .groupBy("__c")
+        .agg(
+            F.count_if(F.col("__ia") == 1).alias("__na"),
+            F.count_if(F.col("__ia") == 0).alias("__nb"),
+        )
+    )
+    chance = marg.agg(F.sum(F.col("__na") * F.col("__nb")).alias("__chance2"))
+    out = totals.join(F.broadcast(chance))
+    po = F.col("__agree") / F.col("__n")
+    pe = F.col("__chance2") / (F.col("__n") * F.col("__n"))
+    return out.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -1,0 +1,70 @@
+import pytest
+
+from datas_spark.operators import evalmetrics as EM
+
+
+def _rank_frames(spark):
+    preds = spark.createDataFrame(
+        # u1: hit at rank 2; u2: hit at rank 1; u3: no hit
+        [("u1", "a", 1), ("u1", "b", 2), ("u2", "c", 1), ("u3", "x", 1)],
+        ["u", "i", "r"],
+    )
+    truth = spark.createDataFrame(
+        [("u1", "b"), ("u1", "z"), ("u2", "c"), ("u3", "q")], ["u", "i"]
+    )
+    return preds, truth
+
+
+def test_ranking_metrics_hand_example(spark):
+    preds, truth = _rank_frames(spark)
+    row = EM.ranking_metrics(preds, truth, "u", "i", "r", k=2).collect()[0]
+    assert row.n_users == 3
+    # MRR = (1/2 + 1 + 0) / 3
+    assert row.mrr == pytest.approx(0.5, abs=1e-6)
+    # recall@2: u1 1/min(2,2); u2 1/min(1,2); u3 0 → (0.5 + 1 + 0)/3
+    assert row.recall_at_k == pytest.approx(0.5, abs=1e-6)
+
+
+def test_ranking_metrics_exact_scale_matches_float_path(spark):
+    preds, truth = _rank_frames(spark)
+    a = EM.ranking_metrics(preds, truth, "u", "i", "r", k=2).collect()[0]
+    b = EM.ranking_metrics(
+        preds, truth, "u", "i", "r", k=2, exact_scale=60
+    ).collect()[0]
+    assert (a.n_users, a.mrr, a.recall_at_k) == (b.n_users, b.mrr, b.recall_at_k)
+
+
+def test_ranking_metrics_rejects_bad_scale(spark):
+    preds, truth = _rank_frames(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        EM.ranking_metrics(preds, truth, "u", "i", "r", k=4, exact_scale=6)
+
+
+def test_binary_auc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 5 else 0) for i in range(10)], ["s", "y"]
+    )
+    row = EM.binary_auc(perfect, "s", "y").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (5, 5, 1.0)
+    # all scores tied → AUC exactly 0.5 by the tie correction
+    tied = spark.createDataFrame([(1.0, i % 2) for i in range(10)], ["s", "y"])
+    assert EM.binary_auc(tied, "s", "y").collect()[0].auc == 0.5
+
+
+def test_binary_auc_hand_computed_with_ties(spark):
+    # scores: neg {1, 2}, pos {2, 3} → pairs: (1<2)=1, (1<3)=1, (2=2)=.5, (2<3)=1
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1)], ["s", "y"]
+    )
+    row = EM.binary_auc(df, "s", "y").collect()[0]
+    assert row.auc == pytest.approx(3.5 / 4)
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    same = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5, ["a", "b"])
+    assert EM.cohens_kappa(same, "a", "b").collect()[0].kappa == 1.0
+    # independent labels with identical marginals → kappa ≈ 0
+    rows = [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")]
+    row = EM.cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    assert row.kappa == pytest.approx(0.0, abs=1e-9)
+    assert row.po == 0.5 and row.pe == 0.5
