@@ -159,6 +159,9 @@ HEADLINE = [
     # batch 59: evaluation metrics
     "repeat_view_eval",
     "purchase_value_auc",
+    # batch 60: quality + privacy gates
+    "gopher_quality_flags",
+    "customer_l_diversity",
 ]
 
 RUNS_PER_QUERY = 3

@@ -63,6 +63,8 @@ __all__ = [
     "PII_PATTERNS",
     "CLEAN_PATTERNS",
     "clean_text",
+    "gopher_quality_flags",
+    "compression_ratio",
     "pii_stats",
     "pii_redact",
     "bow_classifier_score",
@@ -1182,3 +1184,193 @@ def clean_text(
     if lowercase:
         expr = F.lower(expr)
     return df.withColumn(out_col, expr)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher corpus-quality rules (Rae et al. 2021, table A1 —
+    the public heuristic set RedPajama/Dolma/FineWeb reuse) as one
+    map-side expression pass. Appends the individual rule flags (true
+    = rule VIOLATED) and ``gopher_pass``:
+
+    - word count outside [min_words, max_words]
+    - mean word length outside [3, 10]
+    - '#' or '…'/'...' symbols per word > 0.1
+    - > 90% of lines start with a bullet
+    - > 30% of lines end with an ellipsis
+    - < 80% of words contain an alphabetic character
+    - fewer than 2 distinct hits from a tiny stopword probe list
+
+    Every rule is a Column expression over one tokenization and one
+    line split — no shuffle, whole-stage codegen, trivially pushed
+    against the scan. Thresholds are parameters; defaults match the
+    paper.
+    """
+    toks = word_tokens(text_col)
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = F.size(F.filter(toks, lambda t: t != ""))
+    total_word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_wl = F.when(n_words > 0, total_word_chars / n_words)
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…")).cast("long")
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    probe = F.array(
+        *[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    low = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    stop_hits = F.aggregate(
+        probe,
+        F.lit(0),
+        lambda a, s: a
+        + F.when(low.contains(F.concat(F.lit(" "), s, F.lit(" "))), 1).otherwise(0),
+    )
+    out = (
+        df.withColumn("__toks_tmp", toks)
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "flag_word_count",
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+        )
+        .withColumn(
+            "flag_word_len",
+            F.coalesce(
+                (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "flag_symbol_ratio",
+            F.coalesce(
+                F.when(F.col("n_words") > 0, n_symbols / F.col("n_words"))
+                > max_symbol_word_ratio,
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "flag_bullet_lines",
+            F.coalesce(
+                F.when(n_lines > 0, bullet_lines / n_lines)
+                > max_bullet_line_frac,
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "flag_ellipsis_lines",
+            F.coalesce(
+                F.when(n_lines > 0, ellipsis_lines / n_lines)
+                > max_ellipsis_line_frac,
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "flag_alpha_words",
+            F.coalesce(
+                F.when(F.col("n_words") > 0, alpha_words / F.col("n_words"))
+                < min_alpha_word_frac,
+                F.lit(True),
+            ),
+        )
+        .withColumn("flag_stopwords", stop_hits < min_stopword_hits)
+        .drop("__toks_tmp")
+    )
+    flags = [
+        "flag_word_count",
+        "flag_word_len",
+        "flag_symbol_ratio",
+        "flag_bullet_lines",
+        "flag_ellipsis_lines",
+        "flag_alpha_words",
+        "flag_stopwords",
+    ]
+    passing = F.lit(True)
+    for fl in flags:
+        passing = passing & ~F.col(fl)
+    return out.withColumn("gopher_pass", passing)
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document: ``compressed_bytes /
+    utf8_bytes`` — the cheap redundancy signal corpus filters use
+    (machine-generated/repetitive text compresses far below prose;
+    Gopher-family pipelines cut the tails). Arrow-batched
+    ``mapInPandas`` over Python's stdlib zlib — the one corpus
+    operator here that is genuinely not SQL-expressible, so its
+    registered query is rows-only by design.
+
+    Returns (id, n_bytes, n_compressed, ratio); empty/NULL text →
+    ratio NULL. Deterministic for a fixed zlib level and library
+    version (pinned by the runtime image at deployment).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            nb, nc, ratio = [], [], []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    nb.append(0)
+                    nc.append(0)
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(round(len(comp) / len(raw), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": ratio,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

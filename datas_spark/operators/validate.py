@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "quarantine", "k_anonymity"]
+__all__ = ["expect", "quarantine", "k_anonymity", "l_diversity"]
 
 
 def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -118,6 +118,55 @@ def k_anonymity(
         F.round(
             F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).cast("double")
             / F.sum("__n").cast("double")
+            * 100,
+            6,
+        ).alias("at_risk_pct"),
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit one step past k-anonymity: a quasi-identifier
+    group is l-diverse when it contains at least ``l`` DISTINCT values
+    of the sensitive attribute — a group of 50 rows that all share one
+    diagnosis is 50-anonymous yet fully disclosing. One row out:
+    ``(l_required, min_distinct, n_groups, groups_below, n_rows,
+    rows_at_risk, at_risk_pct)``.
+
+    One grouped aggregate over the quasi columns carrying BOTH the
+    row count and the distinct-sensitive count (count_distinct is the
+    only non-map-side-combinable piece — swap approx_count_distinct at
+    extreme scale), then a tiny re-aggregate. NULL sensitive values
+    count as one shared value (conservative: NULL is itself a
+    disclosure class).
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity() needs at least one quasi column")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.count_distinct(F.col(sensitive_col))
+            + F.max(F.col(sensitive_col).isNull().cast("int"))
+        ).alias("__d"),
+    )
+    return groups.agg(
+        F.lit(l).cast("long").alias("l_required"),
+        F.min("__d").cast("long").alias("min_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(F.col("__d") < l).cast("long").alias("groups_below"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__d") < l, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("__d") < l, F.col("__n")).otherwise(0))
+            / F.sum("__n")
             * 100,
             6,
         ).alias("at_risk_pct"),

@@ -552,3 +552,46 @@ def test_clean_text_lowercase_flag(spark):
     df = spark.createDataFrame([(1, "MiXeD Case")], ["id", "text"])
     got = C.clean_text(df, "text", lowercase=True).collect()[0].text_clean
     assert got == "mixed case"
+
+
+def test_gopher_quality_flags_rules(spark):
+    good = " ".join(["the quick brown fox and that dog have fun with it"] * 6)
+    rows = [
+        (1, good),                                   # passes every rule
+        (2, "short text"),                           # word count
+        (3, "- a\n- b\n- c\n- d"),                   # bullets + word count
+        (4, ""),                                     # empty → all guarded flags
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r for r in C.gopher_quality_flags(df, "id", "text").collect()}
+    assert got[1].gopher_pass
+    assert got[2].flag_word_count and not got[2].gopher_pass
+    assert got[3].flag_bullet_lines
+    assert got[4].flag_word_len and got[4].flag_symbol_ratio and not got[4].gopher_pass
+
+
+def test_gopher_symbol_and_ellipsis_rules(spark):
+    hashy = " ".join(["w#rd"] * 60)  # 60 words, 60 '#' → ratio 1 > 0.1
+    dots = "\n".join(["line one..."] * 10)
+    df = spark.createDataFrame([(1, hashy), (2, dots)], ["id", "text"])
+    got = {r.id: r for r in C.gopher_quality_flags(df, "id", "text").collect()}
+    assert got[1].flag_symbol_ratio
+    assert got[2].flag_ellipsis_lines
+
+
+def test_compression_ratio_redundant_vs_random(spark):
+    import random
+    rnd = random.Random(7)
+    noisy = " ".join(
+        "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    redundant = "spam " * 400
+    df = spark.createDataFrame(
+        [(1, redundant), (2, noisy), (3, ""), (4, None)], "id long, text string"
+    )
+    got = {r.id: r for r in C.compression_ratio(df, "id", "text").collect()}
+    assert got[1].ratio < 0.05          # pure repetition collapses
+    assert got[2].ratio > 0.5           # random text barely compresses
+    assert got[1].n_bytes == 2000
+    assert got[3].ratio is None and got[4].ratio is None

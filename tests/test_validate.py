@@ -2,6 +2,9 @@
 
 from pyspark.sql import functions as F
 
+import pytest
+
+from datas_spark.operators import validate as V
 from datas_spark.operators.validate import expect
 
 
@@ -87,3 +90,33 @@ def test_k_anonymity_counts_small_groups(spark):
         k_anonymity(df, [], k=5)
     with pytest.raises(ValueError):
         k_anonymity(df, ["q1"], k=1)
+
+
+def test_l_diversity_flags_uniform_groups(spark):
+    rows = (
+        [("g1", "s", f"d{i}") for i in range(5)]      # diverse group
+        + [("g2", "s", "same")] * 4                   # uniform → at risk
+        + [("g3", "s", None), ("g3", "s", None)]      # all-NULL counts as 1 class
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "sens"])
+    row = V.l_diversity(df, ["q1", "q2"], "sens", l=2).collect()[0]
+    assert row.n_groups == 3
+    assert row.groups_below == 2
+    assert row.rows_at_risk == 6
+    assert row.min_distinct == 1
+
+
+def test_l_diversity_null_plus_value_is_two_classes(spark):
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None)], "q string, sens string"
+    )
+    row = V.l_diversity(df, ["q"], "sens", l=2).collect()[0]
+    assert row.min_distinct == 2 and row.groups_below == 0
+
+
+def test_l_diversity_validates_args(spark):
+    df = spark.createDataFrame([("a", "b")], ["q", "s"])
+    with pytest.raises(ValueError):
+        V.l_diversity(df, [], "s")
+    with pytest.raises(ValueError):
+        V.l_diversity(df, ["q"], "s", l=1)
