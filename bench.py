@@ -162,6 +162,9 @@ HEADLINE = [
     # batch 60: quality + privacy gates
     "gopher_quality_flags",
     "customer_l_diversity",
+    # batch 61: tokenizer-fit + structure observability
+    "oov_rate_by_source",
+    "sentence_stats",
 ]
 
 RUNS_PER_QUERY = 3
