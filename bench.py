@@ -165,6 +165,8 @@ HEADLINE = [
     # batch 61: tokenizer-fit + structure observability
     "oov_rate_by_source",
     "sentence_stats",
+    # batch 62: semantic dedup composition
+    "embedding_semantic_dedup",
 ]
 
 RUNS_PER_QUERY = 3

@@ -998,3 +998,73 @@ def drift_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_topk_sink(
+    stream: DataFrame,
+    state_path: str,
+    item_col: str,
+    checkpoint_path: str,
+    compact_every: int = 8,
+):
+    """Streaming trending counter: each micro-batch's exact per-item
+    counts land in their own committed ``__batch`` partition;
+    `trending_state_topk` sums the live partitions and ranks. Every
+    ``compact_every`` batches the store folds into the current batch's
+    partition under the atomic `-fold` watermark marker (same
+    exactly-once protocol as the CMS sink — replayed batches are
+    skipped, a half-written partition is never live).
+
+    State is O(|distinct items|) rows after every fold — the EXACT
+    counter for catalog-sized item spaces; for unbounded key domains
+    use `incremental_cms_sink` (fixed-width sketch) and accept
+    estimates.
+    """
+    counts_path = state_path + "/counts"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed, watermark = _committed_state(spark, state_path)
+        if batch_id in committed:
+            return
+        counts = (
+            batch_df.where(F.col(item_col).isNotNull())
+            .groupBy(F.col(item_col).alias("item"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        live_count = len([b for b in committed if b >= watermark])
+        fold = live_count >= compact_every
+        if fold:
+            prior = _live_store(spark, counts_path, state_path, exclude_batch=batch_id)
+            if prior is not None:
+                counts = (
+                    counts.unionByName(prior.select("item", "cnt"))
+                    .groupBy("item")
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                )
+        _write_batch_partition(counts, batch_id, counts_path)
+        if fold:
+            _commit_batch_fold(spark, state_path, batch_id)
+            _compact_batch_partitions(spark, counts_path, keep_from=batch_id)
+        else:
+            _commit_batch(spark, state_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def trending_state_topk(spark, state_path: str, k: int = 10) -> DataFrame:
+    """Top-``k`` items by total count from the live streamed counter
+    (committed partitions at or above the fold watermark, summed;
+    count desc, item asc tie-break — a TakeOrdered, never a full
+    sort)."""
+    store = _live_store(spark, state_path + "/counts", state_path, exclude_batch=-2)
+    if store is None:
+        schema = "item string, cnt long"
+        return spark.createDataFrame([], schema)
+    merged = store.groupBy("item").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return merged.orderBy(F.desc("cnt"), F.asc("item")).limit(k)

@@ -166,6 +166,11 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "benford_first_digit",             # 1-row digit-total scalar
         "bootstrap_mean_ci",               # 1-row point-estimate scalar
         "source_keyness_terms",            # 1-row grand-total token count
+        "events_value_psi",                # 1-row decile-cut + total scalars
+        "hll_type_overlap",                # <=|groups|^2-row pair fan vs registers
+        "lang_agreement_kappa",            # 1-row chance-agreement scalar
+        "negative_sample_views",           # 1-row item-count scalar
+        "segment_target_encoding",         # 1-row global-prior scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

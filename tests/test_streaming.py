@@ -859,3 +859,62 @@ def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
     q2 = drift_monitor_sink(stream, reference, "text", metrics, str(tmp_path / "ck"))
     q2.awaitTermination(120)
     assert spark.read.parquet(metrics + "/rows").count() == 2
+
+
+def test_trending_topk_sink_counts_and_folds(spark, tmp_path):
+    import glob as _glob
+    import json as _json
+
+    from datas_spark.streaming.scoring import (
+        trending_state_topk,
+        trending_topk_sink,
+    )
+
+    src = tmp_path / "tr_src"
+    src.mkdir()
+    freqs = {"a": 30, "b": 12, "c": 5, "d": 1}
+    for i, f in enumerate(("x", "y", "z")):
+        with open(src / f"{f}.json", "w") as fh:
+            for k, n in freqs.items():
+                for _ in range(n // 3 + (i < n % 3)):
+                    fh.write(_json.dumps({"k": k}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = trending_topk_sink(
+            stream, str(tmp_path / "tr_state"), "k",
+            str(tmp_path / "tr_ckpt"), compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    top = trending_state_topk(spark, str(tmp_path / "tr_state"), k=3).collect()
+    assert [(r.item, r.cnt) for r in top] == [("a", 30), ("b", 12), ("c", 5)]
+
+    # fold bounded the live partitions
+    parts = _glob.glob(str(tmp_path / "tr_state" / "counts" / "__batch=*"))
+    assert len(parts) <= 2
+
+    # replay idempotence (sum merge is not idempotent → commit guard)
+    run()
+    top2 = trending_state_topk(spark, str(tmp_path / "tr_state"), k=3).collect()
+    assert [(r.item, r.cnt) for r in top2] == [("a", 30), ("b", 12), ("c", 5)]
+
+    # half-written uncommitted partition is invisible
+    junk = spark.createDataFrame([("a", 999)], "item string, cnt long")
+    junk.withColumn("__batch", F.lit(999)).write.mode("append").partitionBy(
+        "__batch"
+    ).parquet(str(tmp_path / "tr_state" / "counts"))
+    top3 = trending_state_topk(spark, str(tmp_path / "tr_state"), k=3).collect()
+    assert [(r.item, r.cnt) for r in top3] == [("a", 30), ("b", 12), ("c", 5)]
+
+
+def test_trending_state_topk_empty(spark, tmp_path):
+    from datas_spark.streaming.scoring import trending_state_topk
+
+    assert trending_state_topk(spark, str(tmp_path / "none")).collect() == []
