@@ -167,6 +167,8 @@ HEADLINE = [
     "sentence_stats",
     # batch 62: semantic dedup composition
     "embedding_semantic_dedup",
+    # batch 63: two-stage retrieval
+    "bm25_rerank_proxy",
 ]
 
 RUNS_PER_QUERY = 3
