@@ -169,6 +169,9 @@ HEADLINE = [
     "embedding_semantic_dedup",
     # batch 63: two-stage retrieval
     "bm25_rerank_proxy",
+    # batch 64: composition + ordering analytics
+    "attribution_compare",
+    "curriculum_order",
 ]
 
 RUNS_PER_QUERY = 3
