@@ -172,6 +172,9 @@ HEADLINE = [
     # batch 64: composition + ordering analytics
     "attribution_compare",
     "curriculum_order",
+    # batch 65: model-eval completions
+    "value_lift_table",
+    "proxy_calibration_ece",
 ]
 
 RUNS_PER_QUERY = 3

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa"]
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece"]
 
 
 def ranking_metrics(
@@ -104,7 +104,12 @@ def ranking_metrics(
     )
 
 
-def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
     """ROC AUC by the Mann–Whitney rank-sum with tie correction: one
     row ``(n_pos, n_neg, auc)``.
 
@@ -118,32 +123,171 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     window over the |distinct scores| aggregate rows (tiny relative to
     data; for a continuous score at extreme scale, pre-bucket scores
     to fixed precision first). Label must be 0/1.
+
+    ``by`` computes a sliced AUC per group (the model-QA slicing
+    standard — an overall AUC can hide a slice where the score is
+    anti-predictive); the cumulative window then partitions on the
+    slice keys, so no partition-less window appears at any size.
     """
+    keys = list(by or [])
     g = (
         df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
-        .groupBy(F.col(score_col).alias("__s"))
+        .groupBy(*keys, F.col(score_col).alias("__s"))
         .agg(
             F.count_if(F.col(label_col) == 1).alias("__pos"),
             F.count_if(F.col(label_col) == 0).alias("__neg"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    if not keys:
+        w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     contrib2 = F.col("__pos") * (
         2 * F.coalesce(F.sum("__neg").over(w), F.lit(0)) + F.col("__neg")
     )
     agg = g.select(
-        F.col("__pos"), F.col("__neg"), contrib2.alias("__c2")
-    ).agg(
+        *keys, F.col("__pos"), F.col("__neg"), contrib2.alias("__c2")
+    ).groupBy(*keys).agg(
         F.sum("__pos").cast("long").alias("n_pos"),
         F.sum("__neg").cast("long").alias("n_neg"),
         F.sum("__c2").cast("long").alias("__num2"),
     )
     return agg.select(
+        *keys,
         "n_pos",
         "n_neg",
         F.round(
             F.col("__num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Decile lift & cumulative gains for a score against a binary
+    label: rank rows score-DESC, cut into ``bins`` equal-population
+    bands, and report each band's response rate, lift vs the base
+    rate, and cumulative gain (share of all positives captured so
+    far) — the model-eval table next to AUC.
+
+    Construction mirrors `binary_auc`: one combinable groupBy on the
+    distinct score, a cumulative count over those aggregate rows
+    assigns each score its rank interval, and the band of a score is
+    ``⌊cum_before · bins / N⌋`` (ties share the band of their first
+    row — deterministic, engine-identical). Exact integer counts; the
+    three rates divide once at the end.
+    """
+    g = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_if(F.col(label_col) == 1).alias("__pos"),
+        )
+    )
+    w = Window.orderBy(F.desc("__s")).rowsBetween(Window.unboundedPreceding, -1)
+    g = g.select(
+        "__s",
+        "__n",
+        "__pos",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__cum_before"),
+    )
+    tot = g.agg(
+        F.sum("__n").cast("long").alias("__tn"),
+        F.sum("__pos").cast("long").alias("__tp"),
+    )
+    binned = g.join(F.broadcast(tot)).select(
+        F.floor(F.col("__cum_before") * bins / F.col("__tn"))
+        .cast("int")
+        .alias("band"),
+        "__n",
+        "__pos",
+        "__tn",
+        "__tp",
+    )
+    per = binned.groupBy("band").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.any_value("__tn").alias("__tn"),
+        F.any_value("__tp").alias("__tp"),
+    )
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    out = per.select(
+        "band",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
+        F.round(
+            (F.col("n_pos") / F.col("n")) / (F.col("__tp") / F.col("__tn")), 6
+        ).alias("lift"),
+        (F.sum("n_pos").over(wc) / F.col("__tp")).alias("__cg"),
+    )
+    return out.select(
+        "band", "n", "n_pos", "response_rate", "lift",
+        F.round("__cg", 6).alias("cum_gain"),
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error: bucket predictions by predicted
+    probability (fixed-width bins on [0,1]), compare each bin's mean
+    prediction to its observed positive rate, and weight the absolute
+    gaps by bin mass. Returns the per-bin reliability rows PLUS the
+    ECE on every row (windowed total over ≤``bins`` aggregate rows) —
+    the calibration diagnostic next to AUC/lift.
+
+    Mean predicted probability per bin is a float average: summed in
+    ONE combinable aggregate after scaling to e9 integers (probs come
+    rounded to ≤9 dp from the proxy/model boundary), so the mean is
+    exact and engine-identical.
+    """
+    p = F.col(prob_col)
+    b = F.least(
+        F.floor(p * bins).cast("int"), F.lit(bins - 1)
+    )  # p = 1.0 folds into the top bin
+    g = (
+        df.where(p.isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            b.alias("bin"),
+            F.round(p * 1_000_000_000).cast("long").alias("__pe9"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__pe9").alias("__sum_pe9"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("__tn"))
+    out = g.join(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("__sum_pe9") / F.col("n") / 1e9).alias("__mean_p"),
+        (F.col("n_pos") / F.col("n")).alias("__rate"),
+        "__tn",
+    )
+    gap = F.abs(F.col("__mean_p") - F.col("__rate"))
+    wc = Window.partitionBy(F.lit(1))
+    ece = F.sum(gap * F.col("n") / F.col("__tn")).over(wc)
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("__mean_p", 6).alias("mean_pred"),
+        F.round("__rate", 6).alias("obs_rate"),
+        F.round(ece, 6).alias("ece"),
     )
 
 

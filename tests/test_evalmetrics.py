@@ -68,3 +68,49 @@ def test_cohens_kappa_perfect_and_chance(spark):
     row = EM.cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
     assert row.kappa == pytest.approx(0.0, abs=1e-9)
     assert row.po == 0.5 and row.pe == 0.5
+
+
+def test_binary_auc_sliced_matches_per_slice(spark):
+    rows = [("a", float(i), 1 if i >= 5 else 0) for i in range(10)] + [
+        ("b", float(i), 1 if i < 5 else 0) for i in range(10)  # anti-predictive
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    out = {r.g: r.auc for r in EM.binary_auc(df, "s", "y", by=["g"]).collect()}
+    assert out["a"] == 1.0 and out["b"] == 0.0
+    # global AUC hides it
+    assert EM.binary_auc(df, "s", "y").collect()[0].auc == 0.5
+
+
+def test_lift_table_top_band_captures_positives(spark):
+    # top 20 scores are the positives → bands 0-1 have lift 5, rest 0
+    df = spark.createDataFrame(
+        [(float(i), 1 if i >= 80 else 0) for i in range(100)], ["s", "y"]
+    )
+    rows = {r.band: r for r in EM.lift_table(df, "s", "y", bins=10).collect()}
+    assert len(rows) == 10
+    assert rows[0].response_rate == 1.0 and rows[0].lift == 5.0
+    assert rows[1].cum_gain == 1.0          # all positives captured by band 1
+    assert rows[9].response_rate == 0.0
+    assert sum(r.n for r in rows.values()) == 100
+
+
+def test_calibration_ece_perfectly_calibrated_is_low(spark):
+    # p = k/10 with observed rate exactly k/10 within each bin
+    rows = []
+    for k in range(10):
+        p = k / 10 + 0.05
+        n_pos = k  # of 10 rows per bin... rate k/10
+        for i in range(10):
+            rows.append((p, 1 if i < k else 0))
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = EM.calibration_ece(df, "p", "y", bins=10).collect()
+    ece = out[0].ece
+    # |mean_pred − rate| = 0.05 in every bin → ECE = 0.05 exactly
+    assert ece == pytest.approx(0.05, abs=1e-6)
+    assert all(r.ece == ece for r in out)
+
+
+def test_calibration_ece_top_edge_folds_into_last_bin(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.95, 1)], ["p", "y"])
+    out = EM.calibration_ece(df, "p", "y", bins=10).collect()
+    assert len(out) == 1 and out[0].bin == 9 and out[0].n == 2
