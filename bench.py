@@ -175,6 +175,9 @@ HEADLINE = [
     # batch 65: model-eval completions
     "value_lift_table",
     "proxy_calibration_ece",
+    # batch 66: merging diagnostics + DARE
+    "task_vector_cosine",
+    "dare_merge_apply",
 ]
 
 RUNS_PER_QUERY = 3

@@ -37,6 +37,8 @@ __all__ = [
     "ties_merge",
     "flatten_positions",
     "key_symmetric_difference",
+    "tv_cosine_by_key",
+    "dare_drop_rescale",
 ]
 
 _KEYS = ["key", "idx"]
@@ -378,4 +380,85 @@ def key_symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
             "key",
             F.when(F.col("__in_a").isNotNull(), F.lit("a")).otherwise(F.lit("b")).alias("side"),
         )
+    )
+
+
+def tv_cosine_by_key(
+    a: DataFrame,
+    b: DataFrame,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Per-key (per-layer) cosine similarity between two task vectors —
+    the interference diagnostic run before any merge: layers where two
+    task vectors point in opposite directions are exactly where naive
+    averaging destroys both skills (the observation TIES/DARE exist to
+    fix). Returns (key, n, cos); NULL cos for a zero-norm side.
+
+    Exactness: values quantize to ``cents_scale`` integers so the dot
+    product and both norms reduce as exact BIGINT sums (order-free,
+    engine-identical); the one cosine division happens at the end.
+    One inner join on (key, idx) + one combinable aggregate.
+    """
+    av = a.select(
+        "key", "idx", F.round(F.col("value") * cents_scale).cast("long").alias("__a")
+    )
+    bv = b.select(
+        "key", "idx", F.round(F.col("value") * cents_scale).cast("long").alias("__b")
+    )
+    j = av.join(bv, ["key", "idx"])
+    g = j.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__dot"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__na"),
+        F.sum(F.col("__b") * F.col("__b")).alias("__nb"),
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.col("__dot") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))),
+    )
+    return g.select("key", "n", F.round(cos, 6).alias("cos"))
+
+
+def dare_drop_rescale(
+    tv: DataFrame,
+    p: float = 0.9,
+    seed: str = "dare",
+) -> DataFrame:
+    """DARE (Yu et al. 2024, "Language Models are Super Mario"):
+    randomly DROP a fraction ``p`` of a task vector's entries and
+    RESCALE the survivors by ``1/(1−p)`` — an unbiased sparsification
+    that keeps the merged model's expected delta while killing most
+    interference terms.
+
+    OUR drop mask is the engine-standard md5 draw on (seed, key, idx)
+    — no RNG state, bit-identical on any partitioning and replayable
+    in the oracle as ``('0x' || substr(md5(...), 1, 8))::BIGINT /
+    4294967296.0 >= p``. Pure map-side expression; dropped entries are
+    removed (sparse representation — the long-table layout makes the
+    absent-row = zero convention free).
+    """
+    if not 0 <= p < 1:
+        raise ValueError(f"p must be in [0, 1), got {p}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.lit(":"),
+                        F.col("key").cast("string"),
+                        F.lit(":"),
+                        F.col("idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return tv.where(u >= p).withColumn(
+        "value", F.col("value") / F.lit(1.0 - p)
     )

@@ -120,3 +120,47 @@ def test_key_symmetric_difference(spark):
     b = _long(spark, {"w": [1.0], "only_b": [1.0]})
     got = {(r.key, r.side) for r in TV.key_symmetric_difference(a, b).collect()}
     assert got == {("only_a", "a"), ("only_b", "b")}
+
+
+# --- merging diagnostics + DARE (batch 66) ------------------------------
+
+def test_tv_cosine_by_key_aligned_and_opposed(spark):
+    a = spark.createDataFrame(
+        [("l1", 0, 1.0), ("l1", 1, 2.0), ("l2", 0, 1.0), ("l2", 1, 0.0)],
+        ["key", "idx", "value"],
+    )
+    b = spark.createDataFrame(
+        [("l1", 0, 2.0), ("l1", 1, 4.0), ("l2", 0, -1.0), ("l2", 1, 0.0)],
+        ["key", "idx", "value"],
+    )
+    got = {r.key: r.cos for r in TV.tv_cosine_by_key(a, b).collect()}
+    assert got["l1"] == 1.0      # parallel
+    assert got["l2"] == -1.0     # anti-aligned
+
+
+def test_tv_cosine_zero_norm_is_null(spark):
+    a = spark.createDataFrame([("l", 0, 0.0)], ["key", "idx", "value"])
+    b = spark.createDataFrame([("l", 0, 5.0)], ["key", "idx", "value"])
+    assert TV.tv_cosine_by_key(a, b).collect()[0].cos is None
+
+
+def test_dare_drop_rescale_unbiased_and_deterministic(spark):
+    tv = spark.createDataFrame(
+        [("k", i, 1.0) for i in range(2000)], ["key", "idx", "value"]
+    )
+    kept1 = TV.dare_drop_rescale(tv, p=0.9).collect()
+    kept2 = TV.dare_drop_rescale(tv, p=0.9).collect()
+    assert sorted(map(tuple, kept1)) == sorted(map(tuple, kept2))
+    # ~10% survive, each rescaled to 10.0 → expected total ≈ 2000
+    n = len(kept1)
+    assert 120 <= n <= 280
+    assert all(abs(r.value - 10.0) < 1e-9 for r in kept1)
+    total = sum(r.value for r in kept1)
+    assert abs(total - 2000) / 2000 < 0.45
+
+
+def test_dare_validates_p(spark):
+    tv = spark.createDataFrame([("k", 0, 1.0)], ["key", "idx", "value"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TV.dare_drop_rescale(tv, p=1.0)
