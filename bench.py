@@ -178,6 +178,8 @@ HEADLINE = [
     # batch 66: merging diagnostics + DARE
     "task_vector_cosine",
     "dare_merge_apply",
+    # batch 67: survival analysis
+    "churn_survival_curve",
 ]
 
 RUNS_PER_QUERY = 3

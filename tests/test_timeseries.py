@@ -64,3 +64,32 @@ def test_resample_key_without_obs_yields_nulls(spark):
 
     with pytest.raises(ValueError):
         resample_interpolate(df, "k", "ts", "v", start="a", end="b", step_seconds=0)
+
+
+# --- Kaplan–Meier churn curve (batch 67) --------------------------------
+
+def test_churn_survival_hand_computed(spark, tmp_path):
+    # synthesize an events parquet dir: 4 users, durations 0,1,1,2 days;
+    # the duration-2 user is censored (last event on/after Jan 28)
+    from datetime import datetime as dt
+    rows = [
+        (1, dt(2024, 1, 1), "u1"),                       # dur 0, churned
+        (2, dt(2024, 1, 1), "u2"), (3, dt(2024, 1, 2), "u2"),   # dur 1, churned
+        (4, dt(2024, 1, 3), "u3"), (5, dt(2024, 1, 4), "u3"),   # dur 1, churned
+        (6, dt(2024, 1, 26), "u4"), (7, dt(2024, 1, 28), "u4"), # dur 2, censored
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        pass  # only events is read by this query
+    from datas_spark.registry67 import q_churn_survival_curve
+
+    out = {r.t: r for r in q_churn_survival_curve(spark, str(tmp_path)).collect()}
+    # day 0: risk 4, d 1 → S = 3/4
+    assert out[0].n_risk == 4 and out[0].d == 1
+    assert out[0].survival == pytest.approx(0.75, abs=1e-6)
+    # day 1: risk 3, d 2 → S = 0.75 * 1/3 = 0.25
+    assert out[1].survival == pytest.approx(0.25, abs=1e-6)
+    # day 2: censored only, d 0 → survival carries at 0.25
+    assert out[2].d == 0 and out[2].survival == pytest.approx(0.25, abs=1e-6)
