@@ -180,6 +180,8 @@ HEADLINE = [
     "dare_merge_apply",
     # batch 67: survival analysis
     "churn_survival_curve",
+    # batch 68: featurizer
+    "user_daily_lag_features",
 ]
 
 RUNS_PER_QUERY = 3

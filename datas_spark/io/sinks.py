@@ -66,3 +66,28 @@ def parquet_cache(
     if recompute or not _cache_marker_exists(spark, path):
         df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Format-generic table writer: parquet (default), orc (native in
+    Spark core — the other columnar container a lake migration meets),
+    json (JSONL), or csv. Partitioning and codec pass through; the
+    parquet default inherits the session codec (zstd/snappy per
+    deployment)."""
+    if file_format not in ("parquet", "orc", "json", "csv"):
+        raise ValueError(f"unsupported format: {file_format}")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if file_format == "csv":
+        w = w.option("header", "true")
+    getattr(w, file_format)(path)

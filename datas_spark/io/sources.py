@@ -123,3 +123,26 @@ def row_range(
         .where((F.col("__rn") >= start) & (F.col("__rn") < upper))
         .drop("__rn")
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with an EXPLICIT schema by default — ``inferSchema``
+    triggers a full extra pass over the data (a second 100 TB scan to
+    guess types); pass the DDL string instead. ``schema=None`` falls
+    back to all-string columns (never the inference pass), which is
+    the safe default for untrusted feeds: cast + validate explicitly
+    downstream (`validate.quarantine`)."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)

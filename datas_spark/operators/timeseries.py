@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_interpolate"]
+__all__ = ["resample_interpolate", "lag_features"]
 
 
 def resample_interpolate(
@@ -113,3 +113,37 @@ def resample_interpolate(
             F.round(interp, 6).alias("value"),
         )
     )
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: list[int] | None = None,
+    rolling_windows: list[int] | None = None,
+) -> DataFrame:
+    """Generic supervised-learning featurizer over an ordered per-key
+    series: appends ``lag_<n>`` (value n steps back) and
+    ``roll<w>_sum`` / ``roll<w>_mean`` (trailing w rows EXCLUDING the
+    current one — the leakage-safe convention: a feature computed for
+    step t may only see strictly-prior steps).
+
+    One exchange on the key, all windows share the same (key, order)
+    sort — Catalyst reuses the exchange and sort across every feature
+    column. ``order_col`` must be unique per key for deterministic
+    output. Rolling means are NULL until the window has at least one
+    prior row.
+    """
+    lags = lags if lags is not None else [1]
+    rolling_windows = rolling_windows if rolling_windows is not None else []
+    base = Window.partitionBy(key_col).orderBy(order_col)
+    out = df
+    for n in lags:
+        out = out.withColumn(f"lag_{n}", F.lag(value_col, n).over(base))
+    for w in rolling_windows:
+        frame = base.rowsBetween(-w, -1)
+        out = out.withColumn(
+            f"roll{w}_sum", F.sum(value_col).over(frame)
+        ).withColumn(f"roll{w}_mean", F.avg(value_col).over(frame))
+    return out

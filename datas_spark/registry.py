@@ -598,3 +598,4 @@ from datas_spark import registry64  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry65  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry66  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry67  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry68  # noqa: E402,F401  (isort: skip)

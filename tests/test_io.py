@@ -84,3 +84,55 @@ def test_tsne_gated_on_sklearn(spark):
         pass
     with pytest.raises(NotImplementedError, match="scikit-learn"):
         tsne_viz(df, "v")
+
+
+# --- format completeness (batch 68) -------------------------------------
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    from datas_spark.io.sinks import write_table
+    from datas_spark.io.sources import read_csv
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -3.0)], "id long, s string, v double"
+    )
+    write_table(df, str(tmp_path / "t_csv"), file_format="csv")
+    back = read_csv(spark, str(tmp_path / "t_csv"), schema="id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # schema-less fallback: all strings, no inference pass
+    raw = read_csv(spark, str(tmp_path / "t_csv"))
+    assert all(t == "string" for _, t in raw.dtypes)
+
+
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    import glob
+
+    from datas_spark.io.sinks import write_table
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "x", 30.0)], "id long, k string, v double"
+    )
+    write_table(df, str(tmp_path / "t_orc"), file_format="orc", partition_by=["k"])
+    assert glob.glob(str(tmp_path / "t_orc" / "k=x"))
+    back = spark.read.orc(str(tmp_path / "t_orc"))
+    assert back.count() == 3
+    assert {r.v for r in back.where("k = 'x'").collect()} == {10.0, 30.0}
+
+
+def test_gzip_jsonl_roundtrip(spark, tmp_path):
+    from datas_spark.io.sinks import write_table
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "id long, s string")
+    write_table(df, str(tmp_path / "t_gz"), file_format="json", compression="gzip")
+    import glob
+    assert glob.glob(str(tmp_path / "t_gz" / "*.json.gz"))
+    # codec is transparent to the line-delimited reader
+    back = spark.read.json(str(tmp_path / "t_gz"))
+    assert back.count() == 10
+
+
+def test_write_table_rejects_unknown_format(spark, tmp_path):
+    from datas_spark.io.sinks import write_table
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unsupported"):
+        write_table(df, str(tmp_path / "x"), file_format="avro")

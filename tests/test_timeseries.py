@@ -4,7 +4,7 @@ import datetime as dt
 
 import pytest
 
-from datas_spark.operators.timeseries import resample_interpolate
+from datas_spark.operators.timeseries import lag_features, resample_interpolate
 
 
 def _row(k, minute, v):
@@ -93,3 +93,20 @@ def test_churn_survival_hand_computed(spark, tmp_path):
     assert out[1].survival == pytest.approx(0.25, abs=1e-6)
     # day 2: censored only, d 0 → survival carries at 0.25
     assert out[2].d == 0 and out[2].survival == pytest.approx(0.25, abs=1e-6)
+
+
+def test_lag_features_hand_example(spark):
+    rows = [("u", i, float(10 * i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r.t: r
+        for r in lag_features(
+            df, "k", "t", "v", lags=[1, 2], rolling_windows=[3]
+        ).collect()
+    }
+    assert out[1].lag_1 is None and out[1].roll3_sum is None
+    assert out[3].lag_1 == 20.0 and out[3].lag_2 == 10.0
+    # trailing 3 EXCLUDING current: t=5 sees {20,30,40}
+    assert out[5].roll3_sum == 90.0 and out[5].roll3_mean == 30.0
+    # leakage check: current value never in its own rolling window
+    assert out[2].roll3_sum == 10.0
