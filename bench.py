@@ -182,6 +182,8 @@ HEADLINE = [
     "churn_survival_curve",
     # batch 68: featurizer
     "user_daily_lag_features",
+    # batch 69: graph quality
+    "embedding_kcore",
 ]
 
 RUNS_PER_QUERY = 3

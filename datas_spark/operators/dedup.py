@@ -69,6 +69,7 @@ __all__ = [
     "pagerank",
     "simhash_near_dup_pairs",
     "hamming_near_dup_pairs",
+    "k_core",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1352,3 +1353,59 @@ def duplicate_ngram_coverage(
             .alias("dup_coverage"),
         )
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of the near-dup pair graph: iteratively peel nodes
+    with degree < k until every survivor has >= k neighbors among
+    survivors. The 2-core separates genuinely-clustered duplicates
+    from dangling single-edge matches (usually banding noise) — the
+    graph-quality cut one notch simpler than triangle counting.
+
+    Returns (node, degree) for the surviving core, degree measured in
+    the core. Each round is one combinable degree count + one semi
+    join per edge endpoint; frames ``localCheckpoint`` per round so
+    lineage stays flat (the same discipline as
+    ``connected_components``). Rounds are bounded by ``max_iter``
+    (peeling strictly shrinks the node set, so it terminates;
+    real dedup graphs settle in a handful of rounds).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        keep = deg.where(F.col("__d") >= k).select("n")
+        keep = keep.localCheckpoint(eager=False)
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        if e2.count() == e.count():
+            e = e2
+            break
+        e = e2
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.where(F.col("degree") >= k)

@@ -456,3 +456,28 @@ def test_duplicate_ngram_coverage_hand_example(spark):
     assert got[2].dup_grams == 1
     assert got[3].dup_grams == 0 and got[3].dup_coverage == 0.0
     assert got[4].n_grams == 0 and got[4].dup_coverage == 0.0
+
+
+def test_k_core_peels_dangles_and_keeps_cliques(spark):
+    # triangle {1,2,3} + a tail 3-4-5: 2-core = the triangle only
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.degree for r in D.k_core(pairs, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_cascading_peel(spark):
+    # chain 1-2-3-4: every node ends below degree 2 → empty 2-core
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    assert D.k_core(pairs, k=2).collect() == []
+    # k=1 keeps everything with at least one edge
+    got = {r.node for r in D.k_core(pairs, k=1).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_k_core_validates_k(spark):
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.k_core(pairs, k=0)
