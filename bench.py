@@ -184,6 +184,8 @@ HEADLINE = [
     "user_daily_lag_features",
     # batch 69: graph quality
     "embedding_kcore",
+    # batch 70: code-switch screen
+    "code_switch_stats",
 ]
 
 RUNS_PER_QUERY = 3

@@ -600,3 +600,4 @@ from datas_spark import registry66  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry67  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry68  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry69  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry70  # noqa: E402,F401  (isort: skip)
