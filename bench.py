@@ -186,6 +186,10 @@ HEADLINE = [
     "embedding_kcore",
     # batch 70: code-switch screen
     "code_switch_stats",
+    # batches 71-72: sketch accuracy, pooling, split backend choice
+    "minhash_accuracy_audit",
+    "label_mean_embedding",
+    "group_safe_split_simhash",
 ]
 
 RUNS_PER_QUERY = 3

@@ -601,3 +601,5 @@ from datas_spark import registry67  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry68  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry69  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry70  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry71  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry72  # noqa: E402,F401  (isort: skip)

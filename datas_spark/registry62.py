@@ -59,10 +59,8 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (swap the LSH bucket for `label` when no natural key exists — same
     downstream plan); components iterate on the pair graph only."""
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = (
-        D.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.0)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .where(F.col("cos") >= 0.5)
+    pairs = D.embedding_near_dup_pairs_vectorized(
+        emb, "vec_id", "embedding", "label", threshold=0.5
     )
     resolved = D.near_dedup_keep_first(emb.select("vec_id"), "vec_id", pairs)
     return resolved.select(

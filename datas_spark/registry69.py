@@ -58,14 +58,12 @@ def _k_core_oracle() -> str:
 @register("embedding_kcore", oracle=_k_core_oracle())
 def q_embedding_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_KC_K}-core of the embedding cosine near-dup graph (t=0.3,
-    label-blocked): iterative degree peeling with per-round
+    label-blocked, Arrow-matmul pair backend): iterative degree peeling with per-round
     localCheckpoints; the oracle unrolls {_KC_ROUNDS} peel rounds as
     chained CTEs (the graph settles earlier — extra rounds are
     fixpoints)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = (
-        D.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.0)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .where(F.col("cos") >= 0.3)
+    pairs = D.embedding_near_dup_pairs_vectorized(
+        emb, "vec_id", "embedding", "label", threshold=0.3
     )
     return D.k_core(pairs, k=_KC_K)
