@@ -171,6 +171,10 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "lang_agreement_kappa",            # 1-row chance-agreement scalar
         "negative_sample_views",           # 1-row item-count scalar
         "segment_target_encoding",         # 1-row global-prior scalar
+        "bm25_rerank_proxy",               # 1-row corpus-constant scalars (BM25)
+        "churn_survival_curve",            # 1-row collected day-array scalar
+        "proxy_calibration_ece",           # 1-row bin-total scalar
+        "value_lift_table",                # 1-row base-rate total scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
