@@ -190,6 +190,8 @@ HEADLINE = [
     "minhash_accuracy_audit",
     "label_mean_embedding",
     "group_safe_split_simhash",
+    # batch 73: dedup-tier agreement
+    "dedup_method_agreement",
 ]
 
 RUNS_PER_QUERY = 3
