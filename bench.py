@@ -192,6 +192,9 @@ HEADLINE = [
     "group_safe_split_simhash",
     # batch 73: dedup-tier agreement
     "dedup_method_agreement",
+    # batch 74: packing + distribution screens
+    "packing_efficiency",
+    "source_length_ks",
 ]
 
 RUNS_PER_QUERY = 3

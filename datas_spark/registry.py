@@ -604,3 +604,4 @@ from datas_spark import registry70  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry71  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry72  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry73  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry74  # noqa: E402,F401  (isort: skip)
