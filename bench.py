@@ -195,6 +195,10 @@ HEADLINE = [
     # batch 74: packing + distribution screens
     "packing_efficiency",
     "source_length_ks",
+    # batch 75: eval + AL round
+    "lang_prf1",
+    "repeat_view_ndcg",
+    "active_learning_round",
 ]
 
 RUNS_PER_QUERY = 3

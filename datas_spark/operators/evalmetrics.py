@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece"]
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k"]
 
 
 def ranking_metrics(
@@ -324,4 +324,104 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+def classification_prf1(df: DataFrame, true_col: str, pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a (true, pred) pair
+    frame — the table behind every confusion matrix. Exact BIGINT
+    tp/fp/fn from ONE grouped aggregate over the union of both label
+    projections; the three ratios divide at the end (NULL when a class
+    has no predictions / no truth — explicit, not 0-by-convention).
+    """
+    d = df.where(F.col(true_col).isNotNull() & F.col(pred_col).isNotNull())
+    per_true = d.groupBy(F.col(true_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__n_true"),
+        F.count_if(F.col(pred_col) == F.col(true_col)).alias("__tp_t"),
+    )
+    per_pred = d.groupBy(F.col(pred_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__n_pred"),
+        F.count_if(F.col(pred_col) == F.col(true_col)).alias("__tp_p"),
+    )
+    j = per_true.join(per_pred, "label", "full_outer").select(
+        "label",
+        F.coalesce("__tp_t", "__tp_p", F.lit(0)).cast("long").alias("tp"),
+        (F.coalesce("__n_pred", F.lit(0)) - F.coalesce("__tp_p", F.lit(0)))
+        .cast("long")
+        .alias("fp"),
+        (F.coalesce("__n_true", F.lit(0)) - F.coalesce("__tp_t", F.lit(0)))
+        .cast("long")
+        .alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    )
+    return j.select(
+        "label", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def ndcg_at_k(
+    preds: DataFrame,
+    truth: DataFrame,
+    user_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Binary-relevance nDCG@k averaged over users: per user, DCG =
+    Σ_hits 1/log2(1+rank), IDCG = the best possible arrangement of
+    min(|truth|, k) hits at ranks 1.., nDCG = DCG/IDCG.
+
+    Determinism: each user's DCG folds over the SORTED hit-rank array
+    (fixed accumulation order); per-user nDCG is then quantized to e9
+    integers before the global average, so the float mean is an exact
+    integer sum + one division — the same bit-stability contract as
+    `ranking_metrics(exact_scale=...)`, with the quantization part of
+    the metric definition. Returns one row (n_users, ndcg_at_k).
+    """
+    p = preds.where(F.col(rank_col) <= k).select(
+        F.col(user_col).alias("__u"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__r"),
+    )
+    t = truth.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    truth_sizes = t.groupBy("__u").agg(F.count(F.lit(1)).alias("__nt"))
+    hit_ranks = (
+        p.join(t, ["__u", "__i"])
+        .groupBy("__u")
+        .agg(F.sort_array(F.collect_list("__r")).alias("__ranks"))
+    )
+    dcg = F.aggregate(
+        F.coalesce("__ranks", F.array().cast("array<int>")),
+        F.lit(0.0),
+        lambda acc, r: acc + 1.0 / F.log2(r.cast("double") + 1.0),
+    )
+    ideal_n = F.least(F.col("__nt"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), ideal_n),
+        F.lit(0.0),
+        lambda acc, r: acc + 1.0 / F.log2(r.cast("double") + 1.0),
+    )
+    per_user = (
+        truth_sizes.join(hit_ranks, "__u", "left")
+        .select(
+            F.round((dcg / idcg) * 1_000_000_000)
+            .cast("long")
+            .alias("__ndcg_e9")
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("__ndcg_e9") / 1e9 / F.count(F.lit(1)), 6).alias(
+            f"ndcg_at_k"
+        ),
     )

@@ -605,3 +605,4 @@ from datas_spark import registry71  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry72  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry73  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry74  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry75  # noqa: E402,F401  (isort: skip)

@@ -114,3 +114,35 @@ def test_calibration_ece_top_edge_folds_into_last_bin(spark):
     df = spark.createDataFrame([(1.0, 1), (0.95, 1)], ["p", "y"])
     out = EM.calibration_ece(df, "p", "y", bins=10).collect()
     assert len(out) == 1 and out[0].bin == 9 and out[0].n == 2
+
+
+def test_classification_prf1_hand_example(spark):
+    pairs = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(pairs, ["t", "p"])
+    got = {r.label: r for r in EM.classification_prf1(df, "t", "p").collect()}
+    # class a: tp 2, fp 1 (c→a), fn 1 (a→b)
+    assert (got["a"].tp, got["a"].fp, got["a"].fn) == (2, 1, 1)
+    assert got["a"].precision == pytest.approx(2 / 3)
+    assert got["a"].recall == pytest.approx(2 / 3)
+    # class c: never predicted → precision NULL, recall 0
+    assert got["c"].precision is None and got["c"].recall == 0.0
+
+
+def test_ndcg_at_k_perfect_and_miss(spark):
+    preds = spark.createDataFrame(
+        [("u1", "a", 1), ("u1", "b", 2), ("u2", "x", 1)], ["u", "i", "r"]
+    )
+    truth = spark.createDataFrame([("u1", "a"), ("u1", "b"), ("u2", "q")], ["u", "i"])
+    row = EM.ndcg_at_k(preds, truth, "u", "i", "r", k=2).collect()[0]
+    # u1 perfect (ndcg 1), u2 zero hits (ndcg 0) → mean 0.5
+    assert row.n_users == 2
+    assert row.ndcg_at_k == pytest.approx(0.5, abs=1e-6)
+
+
+def test_ndcg_rank_position_matters(spark):
+    truth = spark.createDataFrame([("u", "a")], ["u", "i"])
+    hi = spark.createDataFrame([("u", "a", 1)], ["u", "i", "r"])
+    lo = spark.createDataFrame([("u", "a", 3), ("u", "z", 1)], ["u", "i", "r"])
+    v_hi = EM.ndcg_at_k(hi, truth, "u", "i", "r", k=3).collect()[0].ndcg_at_k
+    v_lo = EM.ndcg_at_k(lo, truth, "u", "i", "r", k=3).collect()[0].ndcg_at_k
+    assert v_hi == 1.0 and 0 < v_lo < 1.0
