@@ -199,6 +199,8 @@ HEADLINE = [
     "lang_prf1",
     "repeat_view_ndcg",
     "active_learning_round",
+    # batch 76: incremental CC maintenance
+    "incremental_components",
 ]
 
 RUNS_PER_QUERY = 3

@@ -70,6 +70,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "hamming_near_dup_pairs",
     "k_core",
+    "merge_components",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1409,3 +1410,46 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg.where(F.col("degree") >= k)
+
+
+def merge_components(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental connected-component maintenance: fold a batch of NEW
+    near-dup pairs into an EXISTING (node, component) assignment
+    without re-deriving pairs for the old corpus. Each stored
+    assignment is itself an edge (node ↔ its component label preserves
+    exactly the old connectivity), so the merged components are the CC
+    of (assignment edges ∪ new pairs) — provably identical to a full
+    recompute over the union pair set, at the cost of the NEW pairs
+    plus one edge per previously-assigned node.
+
+    Returns (node, component) with min-id labels, covering every node
+    seen in either input. The scale win: the old corpus contributes
+    O(nodes) label edges, never its O(pairs) history — and in a
+    steady-state pipeline those label edges are the already-persisted
+    dedup table.
+    """
+    old_edges = (
+        assignments.where(F.col(node_col) != F.col(comp_col))
+        .select(F.col(node_col).alias(src), F.col(comp_col).alias(dst))
+    )
+    edges = old_edges.unionByName(new_pairs.select(src, dst)).distinct()
+    comp = connected_components(edges, src, dst, max_iter=max_iter)
+    # nodes that never appear in any edge keep their own label
+    all_nodes = (
+        assignments.select(F.col(node_col).alias("node"))
+        .unionByName(new_pairs.select(F.col(src).alias("node")))
+        .unionByName(new_pairs.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )

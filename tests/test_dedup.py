@@ -1,5 +1,7 @@
 """Dedup operator tests on small in-memory frames."""
 
+from pyspark.sql import functions as F
+
 from datas_spark.operators import dedup as D
 
 
@@ -481,3 +483,21 @@ def test_k_core_validates_k(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         D.k_core(pairs, k=0)
+
+
+def test_merge_components_equals_full_recompute(spark):
+    # old graph: {1,2}, {3}; new pairs bridge 2-3 and add {10,11}
+    old_pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    old_nodes = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    stored = D.near_dedup_keep_first(old_nodes, "doc_id", old_pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    new_pairs = spark.createDataFrame([(2, 3), (10, 11)], ["id_a", "id_b"])
+    merged = {r.node: r.component for r in D.merge_components(stored, new_pairs).collect()}
+    # full recompute over all pairs
+    all_pairs = old_pairs.unionByName(new_pairs)
+    full = {r.node: r.component for r in D.connected_components(all_pairs).collect()}
+    full.setdefault(3, full.get(3, 3))
+    for n in (1, 2, 3, 10, 11):
+        assert merged[n] == full.get(n, n)
+    assert merged[3] == 1 and merged[11] == 10
