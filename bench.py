@@ -201,6 +201,8 @@ HEADLINE = [
     "active_learning_round",
     # batch 76: incremental CC maintenance
     "incremental_components",
+    # batch 77: readability
+    "readability_scores",
 ]
 
 RUNS_PER_QUERY = 3
