@@ -203,6 +203,8 @@ HEADLINE = [
     "incremental_components",
     # batch 77: readability
     "readability_scores",
+    # batch 78: chat-to-SFT flattening
+    "chat_training_pairs",
 ]
 
 RUNS_PER_QUERY = 3

@@ -25,7 +25,7 @@ small rows. The inverse (grouping turns back) is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "conversation_dedup",
     "conversation_stats",
     "conversation_format_check",
+    "chat_training_pairs",
 ]
 
 
@@ -189,3 +190,49 @@ def conversation_format_check(
         .cast("int")
         .alias("format_ok"),
     )
+
+
+def chat_training_pairs(
+    df: DataFrame,
+    conv_col: str = "conversation",
+    id_cols: list[str] | None = None,
+    human_prefix: str = "Human: ",
+    assistant_prefix: str = "Assistant: ",
+) -> DataFrame:
+    """Multi-turn SFT example construction: one training pair per
+    assistant turn, whose ``context`` is every PRIOR turn rendered in
+    order plus the current human message, and whose ``target`` is the
+    current assistant reply — the standard chat-to-SFT flattening
+    (each turn supervised with full dialog history).
+
+    One per-conversation window (row-bounded by dialog length); the
+    context renders via an ordered fold over the collected prior-turn
+    array, so the string assembly is deterministic. Turns then flow
+    through every §2.2 scorer via the (instruction, output) = (context,
+    target) projection.
+    """
+    id_cols = id_cols or ["conversation_id"]
+    turns = flatten_conversations(df, conv_col, id_cols)
+    w = (
+        Window.partitionBy(*id_cols)
+        .orderBy("turn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.collect_list(F.struct("turn", "human", "assistant")).over(w)
+    rendered_prior = F.aggregate(
+        F.sort_array(prior),
+        F.lit(""),
+        lambda acc, t: F.concat(
+            acc,
+            F.lit(human_prefix),
+            t["human"],
+            F.lit("\n"),
+            F.lit(assistant_prefix),
+            t["assistant"],
+            F.lit("\n"),
+        ),
+    )
+    return turns.withColumn(
+        "context",
+        F.concat(rendered_prior, F.lit(human_prefix), F.col("human")),
+    ).select(*id_cols, "turn", "context", F.col("assistant").alias("target"))

@@ -4,6 +4,7 @@ alpaca projection, regroup round-trip."""
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from datas_spark.operators import conversations as CV
 from datas_spark.operators.conversations import (
     flatten_conversations,
     regroup_turns,
@@ -103,3 +104,15 @@ def test_format_check_flags_empty_and_null_sides(spark):
     assert out[2].format_ok == 0 and out[2].n_empty_human == 1
     assert out[3].format_ok == 0 and out[3].n_empty_assistant == 1
     assert out[4].format_ok == 0 and out[4].n_turns == 0
+
+
+def test_chat_training_pairs_contexts_accumulate(spark):
+    df = spark.createDataFrame(
+        [(1, [("h0", "a0"), ("h1", "a1"), ("h2", "a2")])],
+        "conversation_id long, conversation array<struct<human:string,assistant:string>>",
+    )
+    out = {r.turn: r for r in CV.chat_training_pairs(df).collect()}
+    assert out[0].context == "Human: h0" and out[0].target == "a0"
+    assert out[1].context == "Human: h0\nAssistant: a0\nHuman: h1"
+    assert out[2].context.endswith("Human: h2") and "Assistant: a1" in out[2].context
+    assert len(out) == 3
