@@ -1068,3 +1068,83 @@ def trending_state_topk(spark, state_path: str, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], schema)
     merged = store.groupBy("item").agg(F.sum("cnt").cast("long").alias("cnt"))
     return merged.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+
+
+def ewma_anomaly_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    threshold_sigmas: float = 3.0,
+    min_baseline: int = 5,
+) -> DataFrame:
+    """Stateful streaming anomaly detector: per key, an exponentially
+    weighted moving average and variance of ``value_col`` persist in
+    the state store; a row whose deviation exceeds
+    ``threshold_sigmas·√ewm_var`` (after ``min_baseline`` warm-up
+    observations) is emitted as an anomaly with its z-score. The
+    classic online monitor — O(3 numbers) state per key, no window
+    re-aggregation, arbitrarily long streams.
+
+    Within a micro-batch the updates fold in (ts, value) order so a
+    replayed batch reproduces the same state; cross-batch order is the
+    stream's own arrival order (the EWMA definition is sequential —
+    that IS the semantics, not a race).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} bigint, {ts_col} timestamp, {value_col} double, "
+        "ewma double, zscore double"
+    )
+    state_schema = "n bigint, mean double, var double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mean, var = state.get if state.exists else (0, 0.0, 0.0)
+        rows = {key_col: [], ts_col: [], value_col: [], "ewma": [], "zscore": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col])
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                v = float(v)
+                if n >= min_baseline:
+                    sd = math.sqrt(var)
+                    if sd == 0.0:
+                        # a constant baseline makes ANY deviation an
+                        # anomaly (infinite z) — do not mute it
+                        z = math.inf if v != mean else 0.0
+                    else:
+                        z = (v - mean) / sd
+                    if abs(z) >= threshold_sigmas:
+                        rows[key_col].append(key[0])
+                        rows[ts_col].append(ts)
+                        rows[value_col].append(v)
+                        rows["ewma"].append(mean)
+                        rows["zscore"].append(z)
+                # standard EWMA/EWMVar recurrences (West 1979)
+                if n == 0:
+                    mean, var = v, 0.0
+                else:
+                    delta = v - mean
+                    incr = alpha * delta
+                    mean = mean + incr
+                    var = (1 - alpha) * (var + delta * incr)
+                n += 1
+        state.update((n, mean, var))
+        yield pd.DataFrame(rows)
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

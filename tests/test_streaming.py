@@ -918,3 +918,45 @@ def test_trending_state_topk_empty(spark, tmp_path):
     from datas_spark.streaming.scoring import trending_state_topk
 
     assert trending_state_topk(spark, str(tmp_path / "none")).collect() == []
+
+
+def test_ewma_anomaly_stream_flags_spike_after_warmup(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import ewma_anomaly_stream
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    # user 1: steady 10.0 baseline, then a 100.0 spike in a later batch;
+    # user 2: steady throughout → no anomalies
+    base = "2024-01-01T00:{m:02d}:00.000Z"
+    with open(src / "a.json", "w") as fh:
+        for i in range(8):
+            fh.write(_json.dumps({"user_id": 1, "ts": base.format(m=i), "value": 10.0}) + "\n")
+            fh.write(_json.dumps({"user_id": 2, "ts": base.format(m=i), "value": 5.0}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps({"user_id": 1, "ts": base.format(m=30), "value": 100.0}) + "\n")
+        fh.write(_json.dumps({"user_id": 2, "ts": base.format(m=30), "value": 5.0}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = ewma_anomaly_stream(stream, threshold_sigmas=3.0, min_baseline=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_anoms")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ewma_anoms").collect()
+    # constant series have ewm_var 0 → only the genuine spike fires
+    assert [(r.user_id, r.value) for r in rows] == [(1, 100.0)]
+    assert abs(rows[0].ewma - 10.0) < 1e-9
+    import math as _math
+    assert rows[0].zscore == _math.inf  # constant baseline → infinite z
