@@ -13,7 +13,7 @@ from datas_spark.operators import dedup as D
 from datas_spark.registry_core import register
 
 _KC_K = 2
-_KC_ROUNDS = 8  # unrolled peeling rounds in the oracle (converges in fewer)
+_KC_ROUNDS = 24  # unrolled peel rounds in the oracle: sf0.1's longest chain cascade is 15; margin above it
 
 
 def _k_core_oracle() -> str:
@@ -59,9 +59,7 @@ def _k_core_oracle() -> str:
 def q_embedding_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_KC_K}-core of the embedding cosine near-dup graph (t=0.3,
     label-blocked, Arrow-matmul pair backend): iterative degree peeling with per-round
-    localCheckpoints; the oracle unrolls {_KC_ROUNDS} peel rounds as
-    chained CTEs (the graph settles earlier — extra rounds are
-    fixpoints)."""
+    localCheckpoints; the oracle unrolls {_KC_ROUNDS} materialized peel rounds (sf0.1 converges in 15; extra rounds are fixpoints)."""
     emb = read_table(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_dup_pairs_vectorized(
         emb, "vec_id", "embedding", "label", threshold=0.3

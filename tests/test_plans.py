@@ -175,6 +175,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "churn_survival_curve",            # 1-row collected day-array scalar
         "proxy_calibration_ece",           # 1-row bin-total scalar
         "value_lift_table",                # 1-row base-rate total scalar
+        "source_length_ks",                # 1-row grand-total + grid fan scalars
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
