@@ -240,6 +240,11 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # stop the JVM BEFORE printing: async executor/GC log lines share
+    # stdout, and the driver parses the LAST line as JSON — nothing may
+    # print after it
+    spark.stop()
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -251,7 +256,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
