@@ -58,6 +58,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Quieter driver-side logs for bench runs.
         .config("spark.ui.enabled", "false")
+        # local[N] runs the whole engine in ONE JVM: the 1g default heap
+        # starves 32 executor threads + localCheckpoint blocks across a
+        # 100+-query bench session (observed: GCLocker allocation
+        # failures). 8g locally; a real cluster sizes executors instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        # reclaim aged localCheckpoint/broadcast blocks between queries
+        # in long sessions (default 30min lets them pile up)
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
