@@ -205,6 +205,10 @@ HEADLINE = [
     "readability_scores",
     # batch 78: chat-to-SFT flattening
     "chat_training_pairs",
+    # batch 79: closing analytics
+    "label_centroid_distances",
+    "component_density",
+    "corpus_datacard",
 ]
 
 RUNS_PER_QUERY = 3
