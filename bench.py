@@ -209,6 +209,8 @@ HEADLINE = [
     "label_centroid_distances",
     "component_density",
     "corpus_datacard",
+    # batch 80: dedup business case
+    "dedup_savings_estimate",
 ]
 
 RUNS_PER_QUERY = 3

@@ -610,3 +610,4 @@ from datas_spark import registry76  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry77  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry78  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry79  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry80  # noqa: E402,F401  (isort: skip)
