@@ -4,6 +4,10 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The printed line is kept compact (<1.5 KB: headline total + slowest-10
+map) because the driver stores only a ~2 KB stdout tail; the full
+per-query timing map is written to BENCH_DETAIL.json next to this file.
+
 Each query is executed with a count()-style action (results consumed,
 not collected to the driver). Per-query time is the MEDIAN of 3 timed
 runs after a warmup pass — round 2 showed a uniform ~1.3x inflation on
@@ -246,22 +250,46 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    # stop the JVM BEFORE printing: async executor/GC log lines share
-    # stdout, and the driver parses the LAST line as JSON — nothing may
-    # print after it
-    spark.stop()
-    sys.stdout.flush()
-    print(
-        json.dumps(
+    # Full per-query map goes to a FILE — with 120+ queries the inline
+    # map is ~4.6 KB, and the driver keeps only a ~2 KB stdout tail, so
+    # an oversized line loses its own head (round 4: "parsed": null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # stop the JVM BEFORE printing: async executor/GC log lines share
+    # stdout, and the driver parses the LAST line as JSON — nothing may
+    # print after it
+    spark.stop()
+    sys.stdout.flush()
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": slowest,
+        }
+    )
+    assert len(line) < 1500, f"bench line too long ({len(line)} B) for driver tail"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -706,20 +706,31 @@ def _cc_min_label(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFr
         prop = edges.join(labels, edges["b"] == labels["node"]).select(
             F.col("a").alias("node"), F.col("component")
         )
+        # The convergence check is folded INTO the label aggregate: old
+        # labels ride along tagged, min(component) elects the new label
+        # and min(old component) recovers the previous one (every node
+        # has exactly one old row), so one count() both materializes the
+        # lazy checkpoint and answers "did anything change" — one Spark
+        # action per round instead of checkpoint-job + comparison-join.
+        tagged = prop.withColumn("is_old", F.lit(False)).unionByName(
+            labels.withColumn("is_old", F.lit(True))
+        )
         new_labels = (
-            prop.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            tagged.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old"), F.col("component"))).alias(
+                    "old_component"
+                ),
+            )
+            .localCheckpoint(eager=False)
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
+        n_changed = new_labels.where(
+            F.col("component") != F.col("old_component")
+        ).count()
+        labels = new_labels.select("node", "component")
+        if n_changed == 0:
+            converged = True
             break
     if not converged:
         _warn_not_converged("min_label", max_iter)
@@ -1385,6 +1396,7 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    prev_n = e.count()
     for _ in range(max_iter):
         deg = (
             e.select(F.col("a").alias("n"))
@@ -1399,10 +1411,14 @@ def k_core(
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
-        if e2.count() == e.count():
-            e = e2
-            break
+        # carry the previous round's edge count instead of recounting e
+        # (which re-runs the lazily-checkpointed prior frame): one
+        # action per peel round, not two
+        n = e2.count()
         e = e2
+        if n == prev_n:
+            break
+        prev_n = n
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

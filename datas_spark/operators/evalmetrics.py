@@ -51,6 +51,28 @@ def ranking_metrics(
         F.col(item_col).alias("__i"),
         F.col(rank_col).alias("__r"),
     )
+    if exact_scale is not None:
+        # the bit-exactness contract requires every denominator to
+        # divide exact_scale, i.e. every prediction rank <= k — enforce
+        # it lazily (no extra action) so a rank > k fails loudly at
+        # execution time instead of silently floor-truncating the MRR
+        p = p.select(
+            "__u",
+            "__i",
+            F.when(F.col("__r") <= k, F.col("__r"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ranking_metrics(exact_scale=...) requires every "
+                            f"prediction rank <= k={k}; got rank "
+                        ),
+                        F.col("__r").cast("string"),
+                    )
+                )
+            )
+            .alias("__r"),
+        )
     t = truth.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
     ).distinct()
@@ -109,6 +131,7 @@ def binary_auc(
     score_col: str,
     label_col: str,
     by: list[str] | None = None,
+    precision: int | None = None,
 ) -> DataFrame:
     """ROC AUC by the Mann–Whitney rank-sum with tie correction: one
     row ``(n_pos, n_neg, auc)``.
@@ -121,8 +144,16 @@ def binary_auc(
 
     Scale shape: one combinable groupBy on score, then a cumulative
     window over the |distinct scores| aggregate rows (tiny relative to
-    data; for a continuous score at extreme scale, pre-bucket scores
-    to fixed precision first). Label must be 0/1.
+    data). Label must be 0/1.
+
+    ``precision`` ENFORCES the distinct-score bound: scores are rounded
+    to that many decimals before the groupBy, capping the window input
+    at ~10^precision · range rows regardless of data size. A continuous
+    float score otherwise makes |distinct| ≈ n and funnels it through
+    one reducer — set precision whenever the score isn't already
+    discrete. (Rounding is part of the metric definition then: ties
+    created by rounding count as ties, the standard binned-AUC
+    semantics.)
 
     ``by`` computes a sliced AUC per group (the model-QA slicing
     standard — an overall AUC can hide a slice where the score is
@@ -130,9 +161,12 @@ def binary_auc(
     slice keys, so no partition-less window appears at any size.
     """
     keys = list(by or [])
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
     g = (
         df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
-        .groupBy(*keys, F.col(score_col).alias("__s"))
+        .groupBy(*keys, s.alias("__s"))
         .agg(
             F.count_if(F.col(label_col) == 1).alias("__pos"),
             F.count_if(F.col(label_col) == 0).alias("__neg"),
@@ -168,6 +202,7 @@ def lift_table(
     score_col: str,
     label_col: str,
     bins: int = 10,
+    precision: int | None = None,
 ) -> DataFrame:
     """Decile lift & cumulative gains for a score against a binary
     label: rank rows score-DESC, cut into ``bins`` equal-population
@@ -181,10 +216,17 @@ def lift_table(
     ``⌊cum_before · bins / N⌋`` (ties share the band of their first
     row — deterministic, engine-identical). Exact integer counts; the
     three rates divide once at the end.
+
+    ``precision`` bounds the distinct-score set exactly as in
+    `binary_auc` — round before grouping so the cumulative window input
+    stays small for continuous scores.
     """
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
     g = (
         df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
-        .groupBy(F.col(score_col).alias("__s"))
+        .groupBy(s.alias("__s"))
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.count_if(F.col(label_col) == 1).alias("__pos"),

@@ -45,7 +45,8 @@ def q_clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5)::INT
              AS fold,
-           (('0x' || substr(md5(source::VARCHAR), 1, 15))::BIGINT % 5)::INT
+           (('0x' || substr(md5(coalesce(source::VARCHAR, doc_id::VARCHAR)),
+                            1, 15))::BIGINT % 5)::INT
              AS source_fold
     FROM documents
     """,
@@ -53,7 +54,9 @@ def q_clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold CV assignment, per row AND per group
     (grouped on source: every doc of a source shares a fold — the
-    grouped-CV leakage rule). Pure map-side md5 expressions."""
+    grouped-CV leakage rule). Pure map-side md5 expressions. The
+    oracle mirrors kfold_assign's NULL-group fallback to the row id,
+    so it encodes the operator's full contract, not the data shape."""
     docs = read_table(spark, sf_dir, "documents")
     out = SP.kfold_assign(docs, "doc_id", k=5)
     out = SP.kfold_assign(out, "doc_id", k=5, group_col="source", out_col="source_fold")

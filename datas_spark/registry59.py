@@ -86,7 +86,8 @@ def q_repeat_view_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase_value_auc",
     oracle="""
     WITH lab AS (
-      SELECT value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      SELECT round(value, 2) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
     ), g AS (
       SELECT s, count(*) FILTER (y = 1) AS pos, count(*) FILTER (y = 0) AS neg
@@ -107,12 +108,14 @@ def q_purchase_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does event value separate purchases from views? ROC AUC by the
     Mann–Whitney rank-sum with tie correction — exact ×2-scaled
     integer numerator, no pairwise join; the cumulative window runs
-    over the distinct-score aggregate, not raw rows."""
+    over the distinct-score aggregate, not raw rows. precision=2
+    ENFORCES the distinct-score bound (a continuous score would
+    otherwise make |distinct| ≈ n); the oracle rounds identically."""
     ev = read_table(spark, sf_dir, "events")
     lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
         "value", (F.col("event_type") == "purchase").cast("int").alias("y")
     )
-    return EM.binary_auc(lab, "value", "y")
+    return EM.binary_auc(lab, "value", "y", precision=2)
 
 
 @register(

@@ -13,7 +13,7 @@ from datas_spark.operators.scoring import hash_unit_interval
 from datas_spark.registry_core import register
 
 _LAB_SQL = """
-      SELECT value AS s, ts,
+      SELECT round(value, 2) AS s, ts,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
 """
@@ -51,7 +51,7 @@ def q_purchase_value_auc_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("ts") - 1).cast("int").alias("dow"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
-    return EM.binary_auc(lab, "value", "y", by=["dow"])
+    return EM.binary_auc(lab, "value", "y", by=["dow"], precision=2)
 
 
 @register(
@@ -89,12 +89,13 @@ def q_value_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift & cumulative gains of event value against the
     purchase label — the targeting-table companion to AUC. Band cuts
     come from a cumulative count over the distinct-score aggregate
-    (identical double math in both engines), never a raw-row ntile."""
+    (identical double math in both engines), never a raw-row ntile.
+    precision=2 enforces the distinct-score bound in both engines."""
     ev = read_table(spark, sf_dir, "events")
     lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
         "value", (F.col("event_type") == "purchase").cast("int").alias("y")
     )
-    return EM.lift_table(lab, "value", "y", bins=10)
+    return EM.lift_table(lab, "value", "y", bins=10, precision=2)
 
 
 @register(

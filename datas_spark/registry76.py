@@ -56,7 +56,13 @@ def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds label edges + new pairs — and must hash-match the oracle's
     full recompute over ALL pairs, proving the maintenance identity."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    # Two branches (old_pairs/new_pairs) consume this frame; without a
+    # checkpoint the shingle inverted index (tokenize → hash → explode →
+    # groupBy posting lists) — the most expensive stage here — executes
+    # twice. localCheckpoint truncates lineage so it runs once.
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2
+    ).localCheckpoint(eager=False)
     old_pairs = pairs.where(
         (F.col("id_a") < _INC_CUT) & (F.col("id_b") < _INC_CUT)
     )

@@ -1091,15 +1091,21 @@ def ewma_anomaly_stream(
     replayed batch reproduces the same state; cross-batch order is the
     stream's own arrival order (the EWMA definition is sequential —
     that IS the semantics, not a race).
+
+    The output schema derives the key/ts column types from the input
+    stream's schema (a string-keyed or date-stamped stream works
+    as-is); ``value_col`` is cast to double — the EWMA math is float by
+    definition.
     """
     import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    in_schema = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
     out_schema = (
-        f"{key_col} bigint, {ts_col} timestamp, {value_col} double, "
-        "ewma double, zscore double"
+        f"{key_col} {in_schema[key_col]}, {ts_col} {in_schema[ts_col]}, "
+        f"{value_col} double, ewma double, zscore double"
     )
     state_schema = "n bigint, mean double, var double"
 

@@ -40,6 +40,46 @@ def test_ranking_metrics_rejects_bad_scale(spark):
         EM.ranking_metrics(preds, truth, "u", "i", "r", k=4, exact_scale=6)
 
 
+def test_ranking_metrics_exact_scale_rejects_rank_beyond_k(spark):
+    # the exact path's bit-exactness contract requires rank <= k; a
+    # rank-3 prediction at k=2 must fail loudly, not floor-truncate MRR
+    preds = spark.createDataFrame(
+        [("u1", "a", 1), ("u1", "b", 3)], ["u", "i", "r"]
+    )
+    truth = spark.createDataFrame([("u1", "b")], ["u", "i"])
+    with pytest.raises(Exception, match="rank <= k"):
+        EM.ranking_metrics(
+            preds, truth, "u", "i", "r", k=2, exact_scale=2
+        ).collect()
+    # the float path has no such restriction: rank-3 hit → MRR = 1/3
+    row = EM.ranking_metrics(preds, truth, "u", "i", "r", k=2).collect()[0]
+    assert row.mrr == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_binary_auc_precision_bounds_distinct_scores(spark):
+    # continuous scores: precision=1 buckets them before the cumulative
+    # window; the AUC equals the exact AUC of the rounded scores
+    rows = [(i / 97.0, 1 if i % 3 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = EM.binary_auc(df, "s", "y", precision=1).collect()[0]
+    rounded = spark.createDataFrame(
+        [(round(s, 1), y) for s, y in rows], ["s", "y"]
+    )
+    want = EM.binary_auc(rounded, "s", "y").collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc) == (want.n_pos, want.n_neg, want.auc)
+
+
+def test_lift_table_precision_matches_prerounded(spark):
+    rows = [(i / 37.0, 1 if i % 4 == 0 else 0) for i in range(120)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = EM.lift_table(df, "s", "y", bins=5, precision=1).collect()
+    rounded = spark.createDataFrame(
+        [(round(s, 1), y) for s, y in rows], ["s", "y"]
+    )
+    want = EM.lift_table(rounded, "s", "y", bins=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_binary_auc_perfect_and_random(spark):
     perfect = spark.createDataFrame(
         [(float(i), 1 if i >= 5 else 0) for i in range(10)], ["s", "y"]

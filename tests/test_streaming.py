@@ -960,3 +960,50 @@ def test_ewma_anomaly_stream_flags_spike_after_warmup(spark, tmp_path):
     assert abs(rows[0].ewma - 10.0) < 1e-9
     import math as _math
     assert rows[0].zscore == _math.inf  # constant baseline → infinite z
+
+
+def test_ewma_anomaly_stream_generic_key_and_value_types(spark, tmp_path):
+    # the output schema derives key/ts types from the input stream: a
+    # string-keyed, bigint-valued stream must work without casts
+    import json as _json
+
+    from datas_spark.streaming.scoring import ewma_anomaly_stream
+
+    src = tmp_path / "ewma_src_str"
+    src.mkdir()
+    base = "2024-01-01T00:{m:02d}:00.000Z"
+    with open(src / "a.json", "w") as fh:
+        for i in range(8):
+            fh.write(_json.dumps({"k": "host-a", "ts": base.format(m=i), "v": 10}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps({"k": "host-a", "ts": base.format(m=30), "v": 100}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string, ts timestamp, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = ewma_anomaly_stream(
+        stream, key_col="k", value_col="v", threshold_sigmas=3.0, min_baseline=5
+    )
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in out.schema.fields
+    ) == {
+        "k": "string",
+        "ts": "timestamp",
+        "v": "double",
+        "ewma": "double",
+        "zscore": "double",
+    }
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_anoms_str")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ewma_anoms_str").collect()
+    assert [(r.k, r.v) for r in rows] == [("host-a", 100.0)]
