@@ -215,6 +215,10 @@ HEADLINE = [
     "corpus_datacard",
     # batch 80: dedup business case
     "dedup_savings_estimate",
+    # round 5: the materialize-once components artifact surfaced as a
+    # query (parquet read + one join; the build cost is paid once at
+    # ingest — here, the warmup pass)
+    "near_dup_components_store",
 ]
 
 RUNS_PER_QUERY = 3

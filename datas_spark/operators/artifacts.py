@@ -1,0 +1,171 @@
+"""Materialize-once near-dup artifact store (the 100 TB ingest shape).
+
+Reference intent: the reference caches expensive per-model features to
+disk and refuses to recompute them (``main.py:168-171,312-314``); this
+module applies the same skip-if-exists contract to the most expensive
+DERIVED tables in the engine — near-dup pair families and their
+connected components. At 100 TB these are computed ONCE per corpus
+ingest and then read by every consumer (splits, density audits,
+savings estimates, method-agreement Venn counts, incremental
+maintenance); re-deriving the shingle inverted index + iterative CC
+per downstream query is the anti-pattern this store removes.
+
+Design:
+
+- Artifacts live under ``$SPARK_GRAFT_ARTIFACTS`` (default
+  ``<repo>/.artifacts``), keyed by a DATASET fingerprint — md5 of the
+  source parquet's absolute path + file size + mtime — so a
+  regenerated corpus invalidates the cache, and sf0.01 / sf0.1 runs
+  never collide. Family parameters are part of the directory name:
+  changing the canonical thresholds changes the path, never silently
+  reuses stale pairs.
+- Write-once via :func:`datas_spark.io.sinks.parquet_cache` (Hadoop-FS
+  ``_SUCCESS`` marker, so hdfs:// / s3a:// roots honor the same
+  contract). Consumers always READ the parquet — pruned, pushdown-
+  capable — instead of re-running the producer plan.
+- Correctness: every consumer query keeps its full-recompute DuckDB
+  oracle, so the driver hash-check proves artifact == recompute on
+  every run (the cache can speed queries up but can never silently
+  change a result without the gate catching it).
+
+The canonical families (parameters shared by every registry consumer):
+
+=========  ==============================================================
+jaccard    ``ngram_jaccard_pairs(n=3, threshold=0.2)`` — exact tier
+simhash    ``simhash_near_dup_pairs(bits=60, bands=4, max_hamming=3)``
+minhash    ``minhash_lsh_pairs()`` defaults (est_jaccard kept, filter
+           downstream — one artifact serves every threshold)
+embcos     ``embedding_near_dup_pairs_vectorized(threshold=0.3,
+           block=label)`` over the embeddings table
+=========  ==============================================================
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datas_spark.io.sinks import parquet_cache
+from datas_spark.io.sources import read_table
+from datas_spark.operators import dedup as D
+
+__all__ = [
+    "artifact_root",
+    "dataset_key",
+    "pairs_artifact",
+    "components_artifact",
+]
+
+# canonical per-family parameters — single source of truth for every
+# registry consumer; the directory name embeds them so a param change
+# is a cache miss, never a stale read
+_FAMILIES = {
+    "jaccard": "jaccard_n3_t0.2",
+    "simhash": "simhash_b60_4x15_h3",
+    "minhash": "minhash_default",
+    "embcos": "embcos_t0.3_labelblock",
+}
+
+# which source table each family fingerprints (embcos derives from
+# embeddings, the text families from documents)
+_FAMILY_SOURCE = {
+    "jaccard": "documents",
+    "simhash": "documents",
+    "minhash": "documents",
+    "embcos": "embeddings",
+}
+
+
+def artifact_root() -> str:
+    """Artifact store root: ``$SPARK_GRAFT_ARTIFACTS`` or
+    ``<repo>/.artifacts``. On a cluster this is an hdfs:// or s3a://
+    URI; ``parquet_cache`` goes through the Hadoop FileSystem of the
+    path's scheme either way."""
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    )
+
+
+def dataset_key(sf_dir: str, table: str = "documents") -> str:
+    """Fingerprint of one source table: md5(abspath | size | mtime),
+    12 hex chars. A regenerated parquet (new mtime/size) gets a fresh
+    key; two sf dirs never share one."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        raw = f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        # non-local path (hdfs://, s3a://): fall back to the path string
+        # alone — remote stores version by path convention
+        raw = os.path.join(sf_dir, f"{table}.parquet")
+    return hashlib.md5(raw.encode()).hexdigest()[:12]
+
+
+def _family_path(sf_dir: str, family: str, kind: str) -> str:
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown family {family!r}: use one of {sorted(_FAMILIES)}")
+    key = dataset_key(sf_dir, _FAMILY_SOURCE[family])
+    return os.path.join(artifact_root(), key, f"{_FAMILIES[family]}_{kind}")
+
+
+def _compute_pairs(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
+    if family == "embcos":
+        emb = read_table(spark, sf_dir, "embeddings")
+        return D.embedding_near_dup_pairs_vectorized(
+            emb, "vec_id", "embedding", "label", threshold=0.3
+        )
+    docs = read_table(spark, sf_dir, "documents")
+    if family == "jaccard":
+        return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    if family == "simhash":
+        return D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
+        )
+    return D.minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+def pairs_artifact(
+    spark: SparkSession, sf_dir: str, family: str = "jaccard", recompute: bool = False
+) -> DataFrame:
+    """The persisted near-dup pair table for ``family`` (computed once
+    per corpus fingerprint, then always read from parquet). Full
+    operator schema is stored — e.g. minhash keeps ``est_jaccard`` so
+    one artifact serves every downstream threshold filter."""
+    path = _family_path(sf_dir, family, "pairs")
+    return parquet_cache(
+        spark, _compute_pairs(spark, sf_dir, family), path, recompute=recompute
+    )
+
+
+def components_artifact(
+    spark: SparkSession, sf_dir: str, family: str = "jaccard", recompute: bool = False
+) -> DataFrame:
+    """``(node, component)`` labels of the pair graph — min-label CC
+    over the PAIRS ARTIFACT (so a cold components build still reads
+    cached pairs when those exist). Labels are the min node id:
+    deterministic, so artifact == recompute is hash-provable."""
+    path = _family_path(sf_dir, family, "components")
+
+    # lazy producer: only built on cache miss; feeds from the pairs
+    # artifact so the expensive pair derivation is never repeated
+    def _producer() -> DataFrame:
+        pairs = pairs_artifact(spark, sf_dir, family)
+        if family == "minhash":
+            # canonical component graph for the minhash family uses the
+            # same 0.2 threshold as the jaccard tier
+            from pyspark.sql import functions as F
+
+            pairs = pairs.where(F.col("est_jaccard") >= 0.2)
+        return D.connected_components(pairs)
+
+    from datas_spark.io.sinks import _cache_marker_exists
+
+    if recompute or not _cache_marker_exists(spark, path):
+        return parquet_cache(spark, _producer(), path, recompute=recompute)
+    return spark.read.parquet(path)

@@ -812,6 +812,7 @@ def near_dedup_keep_first(
     src: str = "id_a",
     dst: str = "id_b",
     cc_algorithm: str = "min_label",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: group pairs into
     connected components and elect the smallest id as the survivor
@@ -821,9 +822,16 @@ def near_dedup_keep_first(
     Appends ``component`` (own id for docs with no duplicate) and
     ``is_representative`` (1 = keep, 0 = drop). Filter on it for the
     deduplicated corpus; keep the full table for dedup audit trails.
+
+    ``components`` injects precomputed ``(node, component)`` labels
+    (e.g. the persisted ``operators.artifacts.components_artifact``) —
+    the 100 TB shape where CC runs once per ingest and every consumer
+    reads the parquet instead of re-iterating.
     """
-    comp = connected_components(
-        pairs, src, dst, algorithm=cc_algorithm
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst, algorithm=cc_algorithm)
     ).withColumnRenamed("node", id_col)
     return (
         df.join(comp, id_col, "left")

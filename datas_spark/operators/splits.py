@@ -73,6 +73,7 @@ def group_safe_split(
     train_pct: int = 80,
     val_pct: int = 10,
     salt: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every row a train/val/test split such that no near-dup
     pair (an edge in ``pairs``) ever crosses a split boundary: rows
@@ -82,8 +83,11 @@ def group_safe_split(
 
     Appends ``component`` and ``split`` to ``df``. The guarantee is
     structural — both endpoints of any pair share a component, hence a
-    split — not statistical; `split_leakage_counts` audits it."""
-    resolved = near_dedup_keep_first(df, id_col, pairs)
+    split — not statistical; `split_leakage_counts` audits it.
+
+    ``components`` injects precomputed ``(node, component)`` labels
+    (the persisted artifact path); CC then never re-runs here."""
+    resolved = near_dedup_keep_first(df, id_col, pairs, components=components)
     return resolved.drop("is_representative").withColumn(
         "split", group_split_assign(F.col("component"), train_pct, val_pct, salt)
     )

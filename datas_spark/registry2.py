@@ -551,11 +551,14 @@ def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_topk")  # approximate — rows-only check (KMeans quantizer, no SQL oracle)
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seed-pinned KMeans coarse quantizer, each query probes
-    its 3 nearest of 8 cells, exact cosine inside (recall vs cosine_topk
-    is data-dependent → rows-only driver check)."""
+@register("ivf_topk_learned")  # rows-only check (KMeans quantizer, no SQL oracle)
+def q_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: seed-pinned MLlib
+    KMeans, each query probes its 3 nearest of 8 cells, exact cosine
+    inside (recall vs cosine_topk is data-dependent → rows-only driver
+    check). The driver-visible ``ivf_topk`` is the fixed-quantizer
+    twin in registry8 — the same plan shape with deterministic cells,
+    so the whole approximate query hash-checks."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
         emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.functions.text import word_tokens
 from datas_spark.io.sources import read_table
+from datas_spark.operators import artifacts as ART
 from datas_spark.operators import dedup as D
 from datas_spark.operators.splits import (
     group_safe_split,
@@ -84,10 +85,18 @@ def q_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label (both already proven at `near_dedup_resolve`);
     the split itself adds ZERO shuffles — one map-side md5 on the
     resolved frame. 80/10/10 targets; fractions converge over
-    components, never re-deal on resize (hash, not modulo-rank)."""
+    components, never re-deal on resize (hash, not modulo-rank).
+
+    Pairs + CC come from the materialize-once artifact store
+    (computed on first touch per corpus fingerprint, parquet-read
+    after): the 100 TB shape where the ingest derives components once
+    and every split/audit/savings consumer reads them. The oracle
+    stays the full recompute, so hash-green proves artifact ==
+    recompute every run."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    return group_safe_split(docs, "doc_id", pairs).select(
+    pairs = ART.pairs_artifact(spark, sf_dir, "jaccard")
+    comp = ART.components_artifact(spark, sf_dir, "jaccard")
+    return group_safe_split(docs, "doc_id", pairs, components=comp).select(
         "doc_id", "component", "split"
     )
 
@@ -123,10 +132,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two id-key equi-joins of the (tiny) pair frame against the labeled
     corpus, one 1-row aggregate; the expensive parts (pairs, CC) are
-    shared subplans with `group_safe_split`."""
+    parquet reads of the materialize-once artifacts shared with
+    `group_safe_split`."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    split = group_safe_split(docs, "doc_id", pairs)
+    pairs = ART.pairs_artifact(spark, sf_dir, "jaccard")
+    comp = ART.components_artifact(spark, sf_dir, "jaccard")
+    split = group_safe_split(docs, "doc_id", pairs, components=comp)
     naive = split.withColumn(
         "nsplit", group_split_assign(F.col("doc_id"))
     )

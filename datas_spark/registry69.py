@@ -6,9 +6,7 @@ peeled nodes are dangling single-edge matches).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from datas_spark.io.sources import read_table
 from datas_spark.operators import dedup as D
 from datas_spark.registry_core import register
 
@@ -60,8 +58,7 @@ def q_embedding_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_KC_K}-core of the embedding cosine near-dup graph (t=0.3,
     label-blocked, Arrow-matmul pair backend): iterative degree peeling with per-round
     localCheckpoints; the oracle unrolls {_KC_ROUNDS} materialized peel rounds (sf0.1 converges in 15; extra rounds are fixpoints)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = D.embedding_near_dup_pairs_vectorized(
-        emb, "vec_id", "embedding", "label", threshold=0.3
-    )
+    from datas_spark.operators import artifacts as ART
+
+    pairs = ART.pairs_artifact(spark, sf_dir, "embcos")
     return D.k_core(pairs, k=_KC_K)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.operators import dedup as D
+from datas_spark.operators import artifacts as ART
 from datas_spark.operators.splits import group_safe_split
 from datas_spark.registry10 import _simhash_near_dup_oracle
 from datas_spark.registry30 import _SPLIT_CASE
@@ -44,11 +44,12 @@ def q_group_safe_split_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the full shingle inverted index, the budget-tier choice
     when the corpus is too big for exact Jaccard edges. Same CC +
     md5-component split downstream; same zero-cross guarantee for the
-    edges this backend detects."""
+    edges this backend detects. Pairs + CC read the materialize-once
+    simhash-family artifacts (full-recompute oracle keeps the
+    hash-proof honest)."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(
-        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
-    )
-    return group_safe_split(docs, "doc_id", pairs).select(
+    pairs = ART.pairs_artifact(spark, sf_dir, "simhash")
+    comp = ART.components_artifact(spark, sf_dir, "simhash")
+    return group_safe_split(docs, "doc_id", pairs, components=comp).select(
         "doc_id", "component", "split"
     )

@@ -10,8 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datas_spark.io.sources import read_table
-from datas_spark.operators import dedup as D
+from datas_spark.operators import artifacts as ART
 from datas_spark.registry3 import _lsh_pairs_oracle
 from datas_spark.registry10 import _simhash_near_dup_oracle
 from datas_spark.registry_core import register
@@ -80,17 +79,14 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same corpus: exact n-gram Jaccard (t={_AGREE_JAC_T}), banded
     60-bit SimHash (hamming<=3), MinHash-LSH (est>={_AGREE_MH_T}) —
     'measure, don't guess' applied to the dedup-tier choice itself.
-    Each family's pairs compute on their own proven path; the audit
-    adds one union + one grouped-flags aggregate."""
-    docs = read_table(spark, sf_dir, "documents")
-    jac = D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_AGREE_JAC_T
-    ).select("id_a", "id_b")
-    sim = D.simhash_near_dup_pairs(
-        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
-    ).select("id_a", "id_b")
+    All three pair families read the materialize-once artifact store
+    (each derived once per corpus fingerprint on their own proven
+    path); the audit adds one union + one grouped-flags aggregate over
+    three parquet reads."""
+    jac = ART.pairs_artifact(spark, sf_dir, "jaccard").select("id_a", "id_b")
+    sim = ART.pairs_artifact(spark, sf_dir, "simhash").select("id_a", "id_b")
     mh = (
-        D.minhash_lsh_pairs(docs, "doc_id", "text")
+        ART.pairs_artifact(spark, sf_dir, "minhash")
         .where(F.col("est_jaccard") >= _AGREE_MH_T)
         .select("id_a", "id_b")
     )

@@ -55,14 +55,14 @@ def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     new batch contributes ONLY pairs touching a new doc. The merge
     folds label edges + new pairs — and must hash-match the oracle's
     full recompute over ALL pairs, proving the maintenance identity."""
+    from datas_spark.operators import artifacts as ART
+
     docs = read_table(spark, sf_dir, "documents")
-    # Two branches (old_pairs/new_pairs) consume this frame; without a
-    # checkpoint the shingle inverted index (tokenize → hash → explode →
-    # groupBy posting lists) — the most expensive stage here — executes
-    # twice. localCheckpoint truncates lineage so it runs once.
-    pairs = D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2
-    ).localCheckpoint(eager=False)
+    # Two branches (old_pairs/new_pairs) consume this frame; reading
+    # the materialize-once pairs artifact means the shingle inverted
+    # index (the most expensive stage) never recomputes here at all —
+    # both branches are pruned parquet scans.
+    pairs = ART.pairs_artifact(spark, sf_dir, "jaccard")
     old_pairs = pairs.where(
         (F.col("id_a") < _INC_CUT) & (F.col("id_b") < _INC_CUT)
     )

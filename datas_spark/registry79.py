@@ -127,12 +127,13 @@ def q_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     component (edges / C(n,2)). A clique (density 1) is a genuine
     duplicate cluster; a long low-density chain is transitive
     over-merging — exactly what `near_dedup_keep_first` would
-    wrongly collapse. One pair pass + CC + two combinable counts."""
-    from datas_spark.operators import dedup as D
+    wrongly collapse. Pairs + CC read the materialize-once artifacts
+    (full-recompute oracle keeps the hash-proof) + two combinable
+    counts."""
+    from datas_spark.operators import artifacts as ART
 
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    comp = D.connected_components(pairs)
+    pairs = ART.pairs_artifact(spark, sf_dir, "jaccard")
+    comp = ART.components_artifact(spark, sf_dir, "jaccard")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     edges_per = (
         pairs.join(

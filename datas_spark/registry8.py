@@ -140,7 +140,7 @@ _IVF_COS_SQL = """
 
 
 @register(
-    "ivf_topk_fixed",
+    "ivf_topk",
     oracle=f"""
     WITH cells AS (
       SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
@@ -176,13 +176,15 @@ _IVF_COS_SQL = """
     ) WHERE rank <= 10
     """,
 )
-def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a fixed sample quantizer (cells = embeddings of
     vec_id < 8): assignment by map-side min_by (no window over the
     data), 3-cell probes, exact cosine inside — and because the
     quantizer is deterministic data, the WHOLE approximate query
-    hash-checks (unlike the MLlib-KMeans ivf_topk, which stays
-    rows-only)."""
+    hash-checks. This carries the driver-visible ``ivf_topk`` name so
+    the driver's 50-row table verifies it by hash; the MLlib-KMeans
+    learned-quantizer twin is ``ivf_topk_learned`` (registry2,
+    rows-only by design)."""
     from datas_spark.operators import similarity as SIM
 
     emb = read_table(spark, sf_dir, "embeddings")

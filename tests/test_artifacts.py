@@ -1,0 +1,87 @@
+"""Materialize-once artifact store: keying, skip-if-exists, and
+recompute-equivalence (the invariant the oracle gate re-proves per
+run, here isolated at unit scale with a scratch root)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datas_spark.operators import artifacts as ART
+from datas_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def scratch_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", root)
+    return root
+
+
+def _parquet_mtime_set(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.startswith("."):
+                p = os.path.join(dirpath, f)
+                out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_pairs_artifact_matches_recompute(spark, scratch_root):
+    docs = ART.read_table(spark, SF, "documents")
+    live = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    cached = ART.pairs_artifact(spark, SF, "jaccard")
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_components_artifact_matches_recompute(spark, scratch_root):
+    pairs = ART.pairs_artifact(spark, SF, "jaccard")
+    live = D.connected_components(pairs)
+    cached = ART.components_artifact(spark, SF, "jaccard")
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_skip_if_exists_no_rewrite(spark, scratch_root):
+    ART.pairs_artifact(spark, SF, "jaccard").count()
+    before = _parquet_mtime_set(scratch_root)
+    assert before, "artifact was not written"
+    # second touch must be a pure read: no file rewritten
+    ART.pairs_artifact(spark, SF, "jaccard").count()
+    assert _parquet_mtime_set(scratch_root) == before
+    # recompute=True forces a rewrite
+    ART.pairs_artifact(spark, SF, "jaccard", recompute=True).count()
+    assert _parquet_mtime_set(scratch_root) != before
+
+
+def test_dataset_key_sensitivity(tmp_path):
+    # distinct sf dirs never collide; same dir is stable
+    k1 = ART.dataset_key("/root/testdata/sf0.001")
+    k2 = ART.dataset_key("/root/testdata/sf0.01")
+    assert k1 != k2
+    assert ART.dataset_key("/root/testdata/sf0.001") == k1
+    # a (re)generated parquet — different size/mtime — changes the key
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"x" * 10)
+    ka = ART.dataset_key(str(tmp_path))
+    os.utime(p, ns=(1, 1))
+    assert ART.dataset_key(str(tmp_path)) != ka
+
+
+def test_unknown_family_raises(spark, scratch_root):
+    with pytest.raises(ValueError, match="unknown family"):
+        ART.pairs_artifact(spark, SF, "nope")
+
+
+def test_minhash_components_use_canonical_threshold(spark, scratch_root):
+    # components over minhash pairs must filter est_jaccard >= 0.2
+    pairs = ART.pairs_artifact(spark, SF, "minhash").where(
+        F.col("est_jaccard") >= 0.2
+    )
+    live = D.connected_components(pairs)
+    cached = ART.components_artifact(spark, SF, "minhash")
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))

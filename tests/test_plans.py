@@ -124,7 +124,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "band_gather",                # same cuts frame
         "cosine_topk", "cosine_topk_vec",  # broadcast query set
         "lsh_topk", "lsh_topk_multiprobe", "lsh_topk_fixed",  # query set
-        "ivf_topk", "ivf_topk_fixed",      # centroids + query set
+        "ivf_topk", "ivf_topk_learned",    # centroids + query set
         "knn_label_vote",                  # broadcast query set
         "embedding_centroid_shift",        # centroid frame
         "ngram_contamination",             # broadcast n-gram blocklist
