@@ -1007,3 +1007,218 @@ def test_ewma_anomaly_stream_generic_key_and_value_types(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ewma_anoms_str").collect()
     assert [(r.k, r.v) for r in rows] == [("host-a", 100.0)]
+
+
+# ---------------------------------------------------------------------------
+# Uniform kill-and-resume drill: every stateful sink type is stopped
+# mid-stream (after a prefix of its micro-batches), resumed over the
+# same checkpoint + state, and the final state must equal a control run
+# that processed the whole stream uninterrupted (separate dirs). Batch
+# boundaries match across both runs (maxFilesPerTrigger=1), so this
+# isolates restart handling — commit markers, fold watermarks, replay
+# exclusion — from batching effects.
+# ---------------------------------------------------------------------------
+
+
+def _drill_neardup(spark, src, root):
+    from datas_spark.streaming.scoring import incremental_near_dedup_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = incremental_near_dedup_sink(
+        stream, root + "/state", "text", "doc_id", root + "/ckpt"
+    )
+    q.awaitTermination(120)
+
+
+def _state_neardup(spark, root):
+    rows = sorted(
+        r.doc_id for r in spark.read.parquet(root + "/state/rows").collect()
+    )
+    bands = sorted(
+        r.doc_id
+        for r in spark.read.parquet(root + "/state/bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    return (rows, bands)
+
+
+def _data_neardup(i):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long familiar tune about distributed systems and data quality"
+    )
+    docs = [
+        [(0, base), (1, "totally unrelated text about shuffle partitions and adaptive execution plans")],
+        [(2, base.replace("lazy", "sleepy")), (3, "another unrelated doc on oracle checks and bench medians for engines")],
+        [(4, base.replace("quick", "rapid")), (5, "fresh content concerning broadcast joins and skew salting strategies")],
+    ]
+    return [{"doc_id": d, "text": t} for d, t in docs[i]]
+
+
+def _drill_hll(spark, src, root):
+    from datas_spark.streaming.scoring import incremental_hll_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = incremental_hll_sink(
+        stream, root + "/state", "user_id", root + "/ckpt", p=12, compact_every=2
+    )
+    q.awaitTermination(120)
+
+
+def _state_hll(spark, root):
+    from datas_spark.streaming.scoring import hll_state_estimate
+
+    r = hll_state_estimate(spark, root + "/state", p=12).collect()[0]
+    return (r["estimate"], r["buckets_used"])
+
+
+def _data_hll(i):
+    return [{"user_id": v} for v in range(i * 30, i * 30 + 50)]
+
+
+def _drill_cms(spark, src, root):
+    from datas_spark.streaming.scoring import incremental_cms_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = incremental_cms_sink(
+        stream, root + "/state", "k", root + "/ckpt",
+        depth=4, width=256, compact_every=2,
+    )
+    q.awaitTermination(120)
+
+
+def _state_cms(spark, root):
+    from datas_spark.streaming.scoring import cms_state_estimates
+
+    probes = (
+        spark.range(1)
+        .sparkSession.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "k string")
+    )
+    rows = cms_state_estimates(
+        spark, root + "/state", probes, "k", depth=4, width=256
+    ).collect()
+    return sorted((r.k, r.est_count) for r in rows)
+
+
+def _data_cms(i):
+    out = []
+    for k, n in (("a", 10 + i), ("b", 5), ("c", 1 + 2 * i)):
+        out.extend({"k": k} for _ in range(n))
+    return out
+
+
+def _drill_trending(spark, src, root):
+    from datas_spark.streaming.scoring import trending_topk_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = trending_topk_sink(
+        stream, root + "/state", "k", root + "/ckpt", compact_every=2
+    )
+    q.awaitTermination(120)
+
+
+def _state_trending(spark, root):
+    from datas_spark.streaming.scoring import trending_state_topk
+
+    return [
+        (r.item, r.cnt)
+        for r in trending_state_topk(spark, root + "/state", k=5).collect()
+    ]
+
+
+def _drill_quarantine(spark, src, root):
+    from datas_spark.streaming.scoring import quarantine_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("id bigint, v int")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    rules = {"v_pos": F.col("v") >= 0}
+    q = quarantine_sink(
+        stream, rules, root + "/good", root + "/bad", root + "/ckpt"
+    )
+    q.awaitTermination(120)
+
+
+def _state_quarantine(spark, root):
+    good = sorted(
+        r.id for r in spark.read.parquet(root + "/good/rows").collect()
+    )
+    bad = sorted(
+        (r.id, r.failed_rules) for r in spark.read.parquet(root + "/bad").collect()
+    )
+    return (good, bad)
+
+
+def _data_quarantine(i):
+    return [
+        {"id": i * 10 + j, "v": (j - 1) if (i + j) % 3 else None}
+        for j in range(4)
+    ]
+
+
+_RESTART_DRILLS = [
+    ("neardup", _drill_neardup, _state_neardup, _data_neardup),
+    ("hll", _drill_hll, _state_hll, _data_hll),
+    ("cms", _drill_cms, _state_cms, _data_cms),
+    ("trending", _drill_trending, _state_trending, _data_trending := (
+        lambda i: [{"k": k} for k, n in (("a", 9 + i), ("b", 4), ("c", 2 * i + 1)) for _ in range(n)]
+    )),
+    ("quarantine", _drill_quarantine, _state_quarantine, _data_quarantine),
+]
+
+
+@pytest.mark.parametrize(
+    "name,drill,state,data", _RESTART_DRILLS, ids=[d[0] for d in _RESTART_DRILLS]
+)
+def test_sink_restart_equals_uninterrupted(spark, tmp_path, name, drill, state, data):
+    import json as _json
+
+    def write_file(src, i):
+        with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+            for row in data(i):
+                fh.write(_json.dumps(row) + "\n")
+
+    # interrupted: batch 0, STOP (the availableNow query terminates —
+    # the mid-stream kill point), then resume for batches 1-2 over the
+    # same checkpoint + state
+    src_a = str(tmp_path / "src_a"); os.makedirs(src_a)
+    root_a = str(tmp_path / "a")
+    write_file(src_a, 0)
+    drill(spark, src_a, root_a)
+    write_file(src_a, 1)
+    write_file(src_a, 2)
+    drill(spark, src_a, root_a)
+
+    # control: same three files upfront, one uninterrupted run
+    src_b = str(tmp_path / "src_b"); os.makedirs(src_b)
+    root_b = str(tmp_path / "b")
+    for i in range(3):
+        write_file(src_b, i)
+    drill(spark, src_b, root_b)
+
+    assert state(spark, root_a) == state(spark, root_b)
