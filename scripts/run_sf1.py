@@ -1,0 +1,116 @@
+"""Measured scale validation: run the most expensive headline queries
+at the synthesized sf1 (see ``gen_sf1.py``) and compare per-query
+wall-clock against the sf0.1 numbers in ``BENCH_DETAIL.json``.
+
+Pass criterion (VERDICT round-4 #4): at 10x the data, no query may
+exceed 10x its sf0.1 time — linear-or-better scaling. Superlinear
+queries are listed loudly. Results land in ``SF1_SCALING.md``.
+
+Usage::
+
+    python bench.py                       # refresh BENCH_DETAIL.json at sf0.1
+    python scripts/gen_sf1.py             # synthesize once
+    python scripts/run_sf1.py [--top 20] [--runs 3]
+
+Run on an otherwise-idle machine (concurrent Spark work inflates
+timings ~2x).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datas_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf1-dir", default=None)
+    args = ap.parse_args()
+    sf1_dir = args.sf1_dir
+    if sf1_dir is None:
+        from scripts.gen_sf1 import default_out_dir
+
+        sf1_dir = default_out_dir()
+    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        raise SystemExit(f"no sf1 data at {sf1_dir} — run scripts/gen_sf1.py first")
+
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    if detail.get("sf") != 0.1:
+        raise SystemExit(
+            f"BENCH_DETAIL.json is at sf={detail.get('sf')}, need 0.1 — "
+            "run `python bench.py` first"
+        )
+    base = detail["queries"]
+    names = [n for n, _ in sorted(base.items(), key=lambda kv: -kv[1])][: args.top]
+
+    import __spark_entry__ as E
+
+    queries = E.queries()
+    spark = get_spark("datas-spark-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for name in names:
+        fn = queries[name]
+        fn(spark, sf1_dir).count()  # warmup (also builds artifacts once)
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.time()
+            fn(spark, sf1_dir).count()
+            samples.append(time.time() - t0)
+        results[name] = round(statistics.median(samples), 3)
+        print(f"{name}: sf0.1={base[name]:.2f}s sf1={results[name]:.2f}s "
+              f"({results[name] / max(base[name], 1e-9):.1f}x)", flush=True)
+    spark.stop()
+
+    lines = [
+        "# SF1 scaling run",
+        "",
+        f"Synthesized sf1 (10x sf0.1, `scripts/gen_sf1.py`) at `{sf1_dir}`;",
+        f"top-{args.top} most expensive headline queries, median of "
+        f"{args.runs} timed runs after warmup, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].",
+        "",
+        "Pass criterion: at 10x data, no query exceeds 10x its sf0.1 time.",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    worst = []
+    for name in names:
+        r = results[name] / max(base[name], 1e-9)
+        flag = " **> 10x**" if r > 10 else ""
+        lines.append(f"| {name} | {base[name]:.2f} | {results[name]:.2f} | {r:.1f}x{flag} |")
+        if r > 10:
+            worst.append(name)
+    lines += [
+        "",
+        (
+            f"**{len(worst)} queries exceed 10x: {', '.join(worst)}**"
+            if worst
+            else "**All queries scale at or below 10x — linear-or-better.**"
+        ),
+        "",
+    ]
+    out = os.path.join(REPO, "SF1_SCALING.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    if worst:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,4 +12,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    # override to run data-parameterized suites (e.g. the plan sweep)
+    # against another scale, such as the synthesized sf1:
+    #   SPARK_GRAFT_TEST_SF_DIR=.testdata/sf1 pytest tests/test_plans.py
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
