@@ -532,82 +532,17 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch-2/3 registrations (scorer proxies, AL, clustering, task vectors,
 # similarity, sessionization, conversations, multimodal) — imported for
 # side effects.
-from datas_spark import registry2  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry3  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry4  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry5  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry6  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry7  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry8  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry9  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry10  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry11  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry12  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry13  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry14  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry15  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry16  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry17  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry18  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry19  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry20  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry21  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry22  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry23  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry24  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry25  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry26  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry27  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry28  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry29  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry30  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry31  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry32  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry33  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry34  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry35  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry36  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry37  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry38  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry39  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry40  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry41  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry42  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry43  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry44  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry45  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry46  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry47  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry48  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry49  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry50  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry51  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry52  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry53  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry54  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry55  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry56  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry57  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry58  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry59  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry60  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry61  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry62  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry63  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry64  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry65  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry66  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry67  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry68  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry69  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry70  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry71  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry72  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry73  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry74  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry75  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry76  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry77  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry78  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry79  # noqa: E402,F401  (isort: skip)
-from datas_spark import registry80  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_scoring  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_taskvector  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_curation  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_olap  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_tpch  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_similarity  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_search  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_sketches  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_corpus  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_events  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_eval  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_mlfeatures  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_multimodal  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_dedup  # noqa: E402,F401  (isort: skip)

@@ -1,0 +1,1097 @@
+"""Evaluation metrics: AUC/lift/ECE, PRF1, nDCG, WOE, Benford, bootstrap CIs, concentration.
+
+Consolidated from the former numeric registry batches 28, 40, 48, 51, 59, 65, 75 (round-5 cleanup; query
+names unchanged). Each section below keeps its original batch
+docstring for provenance."""
+from __future__ import annotations
+
+# ==================================================================
+# former registry28.py
+# ==================================================================
+
+"""Registry batch 28 — categorical association and concentration:
+chi-square independence between event type and hour-of-day, and the
+top-1% revenue concentration share.
+
+Exact-arithmetic discipline: contingency cells and marginals are
+BIGINT; the chi-square and share statistics are per-row float
+expressions over those integers (expected counts as ratios of doubles
+— products of three marginals overflow int64 at scale).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+
+@register(
+    "events_type_hour_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, (hour(ts) // 6)::INT AS hour_bucket,
+             count(*)::BIGINT AS obs
+      FROM events GROUP BY 1, 2
+    ), rowm AS (
+      SELECT event_type, sum(obs)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), colm AS (
+      SELECT hour_bucket, sum(obs)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), grand AS (
+      SELECT sum(obs)::BIGINT AS n FROM cells
+    )
+    SELECT round(sum(
+             pow(c.obs::DOUBLE
+                 - r.row_tot::DOUBLE * m.col_tot::DOUBLE / g.n::DOUBLE, 2)
+             / (r.row_tot::DOUBLE * m.col_tot::DOUBLE / g.n::DOUBLE)), 6)
+             AS chi2,
+           ((count(DISTINCT c.event_type) - 1)
+            * (count(DISTINCT c.hour_bucket) - 1))::BIGINT AS dof
+    FROM cells c
+    JOIN rowm r USING (event_type) JOIN colm m USING (hour_bucket)
+    CROSS JOIN grand g
+    """,
+)
+def q_events_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    6-hour time-of-day bucket: Σ (obs − exp)² / exp over the
+    |types|×4 contingency table, with the degrees of freedom — the
+    standard "is behavior time-dependent?" screen.
+
+    The table and all marginals are exact BIGINT from ONE grouped pass;
+    expected counts are computed as ratios of doubles (a row×col×grand
+    integer product would overflow int64 at corpus scale). The final
+    statistic sums ≤ |types|·4 per-cell terms in a single tiny
+    aggregate; marginals broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.hour("ts") / 6).cast("int").alias("hour_bucket")
+    ).agg(F.count("*").cast("long").alias("obs"))
+    rowm = cells.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    colm = cells.groupBy("hour_bucket").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    grand = cells.agg(F.sum("obs").cast("long").alias("n"))
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "hour_bucket")
+        .crossJoin(F.broadcast(grand))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("obs").cast("double") - exp, 2) / exp), 6
+            ).alias("chi2"),
+            (
+                (F.count_distinct("event_type") - 1)
+                * (F.count_distinct("hour_bucket") - 1)
+            )
+            .cast("long")
+            .alias("dof"),
+        )
+    )
+
+
+_CONC_Q = 0.99  # threshold quantile: "the top 1%"
+
+
+@register(
+    "revenue_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ), thr AS (
+      SELECT round(quantile_cont(rev::DOUBLE, {_CONC_Q}), 6) AS t FROM per_cust
+    )
+    SELECT t.t AS threshold,
+           count(*) FILTER (WHERE p.rev::DOUBLE >= t.t)::BIGINT AS top_customers,
+           count(*)::BIGINT AS all_customers,
+           round(sum(CASE WHEN p.rev::DOUBLE >= t.t THEN p.rev
+                     ELSE 0::DECIMAL(18,2) END)::DOUBLE
+                 / sum(p.rev)::DOUBLE * 100.0, 6) AS top_share_pct
+    FROM per_cust p CROSS JOIN thr t
+    GROUP BY t.t
+    """,
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: what share of total revenue comes from
+    customers at or above the p99 of per-customer revenue — the
+    Pareto/whale metric, computed WITHOUT ranking customers (a global
+    rank over per-customer rows funnels 10⁹ rows through one reducer
+    at scale; the percentile threshold + conditional sum is one
+    combinable aggregate each).
+
+    Per-customer revenue is DECIMAL-exact; the threshold is the exact
+    interpolated percentile rounded to 6 dp before the >= comparison,
+    so the top-set membership is identical on both engines; both share
+    sums stay DECIMAL (order-independent), divided once at the end."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    thr = per_cust.agg(
+        F.round(F.percentile(F.col("rev").cast("double"), F.lit(_CONC_Q)), 6).alias(
+            "t"
+        )
+    )
+    revd = F.col("rev").cast("double")
+    top = revd >= F.col("t")
+    return (
+        per_cust.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.count(F.when(top, 1)).cast("long").alias("top_customers"),
+            F.count("*").cast("long").alias("all_customers"),
+            F.round(
+                F.sum(
+                    F.when(top, F.col("rev")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum("rev").cast("double")
+                * 100.0,
+                6,
+            ).alias("top_share_pct"),
+        )
+    )
+
+# ==================================================================
+# former registry40.py
+# ==================================================================
+
+"""Registry batch 40 — statistical screens: weight-of-evidence (WOE)
+feature binning against a binary outcome, and the two-proportion
+z-test (A/B experiment readout). Exact-integer contingency counts;
+floats appear only in per-row final expressions.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+
+@register(
+    "value_band_woe",
+    oracle="""
+    WITH thr AS (
+      SELECT round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.50), 6) AS q2,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM events
+    ), banded AS (
+      SELECT CASE WHEN e.value <= t.q1 THEN 1
+                  WHEN e.value <= t.q2 THEN 2
+                  WHEN e.value <= t.q3 THEN 3
+                  ELSE 4 END AS band,
+             (e.event_type = 'error')::INT AS bad
+      FROM events e CROSS JOIN thr t
+    ), cells AS (
+      SELECT band,
+             count(*) FILTER (WHERE bad = 0)::BIGINT AS n_good,
+             count(*) FILTER (WHERE bad = 1)::BIGINT AS n_bad
+      FROM banded GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_good)::BIGINT AS tg, sum(n_bad)::BIGINT AS tb FROM cells
+    )
+    SELECT c.band, c.n_good, c.n_bad,
+           round(ln((c.n_good::DOUBLE / t.tg) / (c.n_bad::DOUBLE / t.tb)), 6)
+             AS woe,
+           round((c.n_good::DOUBLE / t.tg - c.n_bad::DOUBLE / t.tb)
+                 * ln((c.n_good::DOUBLE / t.tg) / (c.n_bad::DOUBLE / t.tb)), 6)
+             AS iv_term
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def q_value_band_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence of the event value against the 'error'
+    outcome, by value quartile: WOE = ln(%good/%bad) per band plus the
+    information-value term — the classic credit-scoring/feature-audit
+    screen (does this feature separate the bad outcome at all?).
+
+    Quartile thresholds come from ONE percentile buffer (rounded 6 dp
+    before comparison → identical band membership on both engines),
+    the contingency cells are exact BIGINT, and the two log
+    expressions evaluate per band row."""
+    ev = read_table(spark, sf_dir, "events")
+    thr = ev.agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"q{i}")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    band = (
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(thr))
+        .select(band.alias("band"), (F.col("event_type") == "error").alias("bad"))
+        .groupBy("band")
+        .agg(
+            F.count(F.when(~F.col("bad"), 1)).cast("long").alias("n_good"),
+            F.count(F.when(F.col("bad"), 1)).cast("long").alias("n_bad"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_good").cast("long").alias("tg"),
+        F.sum("n_bad").cast("long").alias("tb"),
+    )
+    pg = F.col("n_good").cast("double") / F.col("tg")
+    pb = F.col("n_bad").cast("double") / F.col("tb")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_good",
+        "n_bad",
+        F.round(F.log(pg / pb), 6).alias("woe"),
+        F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term"),
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, (user_id % 2)::INT AS grp,
+             max(CASE WHEN event_type = 'purchase' AND value >= 900
+                      THEN 1 ELSE 0 END)::INT AS converted
+      FROM events GROUP BY 1
+    ), arms AS (
+      SELECT grp, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+      FROM assign GROUP BY 1
+    ), wide AS (
+      SELECT max(CASE WHEN grp = 0 THEN n END)::BIGINT AS n_a,
+             max(CASE WHEN grp = 0 THEN conv END)::BIGINT AS conv_a,
+             max(CASE WHEN grp = 1 THEN n END)::BIGINT AS n_b,
+             max(CASE WHEN grp = 1 THEN conv END)::BIGINT AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+           round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+           round(CASE WHEN (conv_a + conv_b) > 0
+                      AND (conv_a + conv_b) < (n_a + n_b) THEN
+             (conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+             / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                    * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user conversion (did the user ever
+    make a high-value purchase, value >= 900) between the user_id-parity
+    arms — the A/B experiment readout, pooled-variance form. The z
+    score is NULL when pooled conversion is degenerate (0% or 100% —
+    zero pooled variance). Per-user conversion is ONE grouped
+    max (each user counted once regardless of event count); the two
+    arms reduce to a single wide row; everything after is per-row
+    float on exact integers."""
+    ev = read_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 900), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("grp"), "converted")
+    arms = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).cast("long").alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).cast("long").alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    tot_conv = F.col("conv_a") + F.col("conv_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (tot_conv > 0) & (tot_conv < tot_n),
+        (ra - rb)
+        / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+# ==================================================================
+# former registry48.py
+# ==================================================================
+
+"""Registry batch 48 — data forensics: Benford first-digit conformance
+of order totals (fabricated/synthesized financial data screams here)
+and the dispersion index of hourly event volume (Poisson-or-bursty).
+"""
+
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+# Benford expected first-digit probabilities log10(1 + 1/d), as exact
+# literals shared by both engines
+_BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN {p!r}::DOUBLE" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), cells AS (
+      SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY 1
+    ), tot AS (
+      SELECT sum(n)::BIGINT AS total FROM cells
+    )
+    SELECT c.digit, c.n,
+           round(c.n::DOUBLE / t.total, 6) AS observed_p,
+           round({_BENFORD_SQL}, 6) AS benford_p,
+           round(pow(c.n::DOUBLE / t.total - {_BENFORD_SQL}, 2)
+                 / {_BENFORD_SQL} * t.total, 6) AS chi2_term
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed vs expected
+    first-digit shares with per-digit chi-square terms — the
+    fabrication/forensics screen (organic financial magnitudes follow
+    log10(1+1/d); generated or tampered ones usually don't, and the
+    chi2 terms localize WHICH digits give it away).
+
+    First digits come from the integer part's string form (exact —
+    no float log10 of the value itself), cells and the total are
+    BIGINT, and the Benford expectations are shared literal constants;
+    one grouped count + a 9-row broadcast-total expression."""
+    orders = read_table(spark, sf_dir, "orders")
+    # explicit floor: DuckDB's ::BIGINT cast ROUNDS while Spark's
+    # truncates — floor first so both engines read the same digit
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    cells = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    expr = None
+    for d, p in _BENFORD.items():
+        expr = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if expr is None
+            else expr.when(F.col("digit") == d, F.lit(p))
+        )
+    bexp = expr
+    obs = F.col("n").cast("double") / F.col("total")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(bexp, 6).alias("benford_p"),
+        F.round(F.pow(obs - bexp, 2) / bexp * F.col("total"), 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*)::BIGINT AS n_hours,
+           round(sum(n)::DOUBLE / count(*), 6) AS mean_per_hour,
+           round((sum(n * n)::DOUBLE - sum(n)::DOUBLE * sum(n) / count(*))
+                 / (count(*) - 1)
+                 / (sum(n)::DOUBLE / count(*)), 6) AS dispersion_index
+    FROM hourly GROUP BY event_type HAVING count(*) >= 2
+    """,
+)
+def q_events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance/mean of hourly counts) per event
+    type: ≈1 means Poisson-like arrivals; ≫1 means bursty/clumped
+    traffic (bot storms, batch uploads) — the one-number companion to
+    the rolling anomaly detector. Exact integer moments over the
+    hourly aggregate; sample variance; one float division per type."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnt = F.count(F.lit(1))
+    sn = F.sum("n")
+    snn = F.sum(F.col("n") * F.col("n"))
+    mean = sn.cast("double") / cnt
+    var = (snn.cast("double") - sn.cast("double") * sn / cnt) / (cnt - 1)
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            cnt.cast("long").alias("n_hours"),
+            F.round(mean, 6).alias("mean_per_hour"),
+            F.round(var / mean, 6).alias("dispersion_index"),
+        )
+        .where(F.col("n_hours") >= 2)
+    )
+
+# ==================================================================
+# former registry51.py
+# ==================================================================
+
+"""Registry batch 51 — deterministic Poisson bootstrap: confidence
+intervals on a 100 TB mean without RNG state. Classic bootstrap
+resampling is awkward distributed (per-replica multinomial draws need
+coordinated randomness); the Poisson bootstrap replaces each row's
+replica count with an independent Poisson(1) draw — and OUR draw is a
+hash, so every engine, run, and partitioning produces the same
+replicas, which is what makes the whole thing oracle-checkable.
+"""
+
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+_B = 32  # bootstrap replicas
+_G = _B // 4  # md5 digests per row (each 32-hex digest yields 4 units)
+
+# Poisson(1) inverse-CDF cutoffs, exact shared literals
+_POIS_CDF = []
+acc = 0.0
+for k in range(6):
+    acc += math.exp(-1) / math.factorial(k)
+    _POIS_CDF.append(acc)
+
+# unit draw for replica b: hex chars [1+8*(b%4), +8) of digest b//4.
+# One digest feeds four replicas — 8 md5s per row instead of 32.
+_U_SQL = (
+    "(('0x' || substr(md5(o_orderkey::VARCHAR || ':' || (b // 4)::VARCHAR),"
+    " 1 + 8 * (b % 4), 8))::BIGINT / 4294967296.0)"
+)
+_W_SQL = "CASE " + " ".join(
+    f"WHEN {_U_SQL} < {c!r}::DOUBLE THEN {k}" for k, c in enumerate(_POIS_CDF)
+) + " ELSE 6 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o.o_orderkey, round(o.o_totalprice * 100)::BIGINT AS cents, t.b
+      FROM orders o CROSS JOIN (SELECT unnest(range({_B})) AS b) t
+    ), weighted AS (
+      SELECT b, ({_W_SQL})::BIGINT AS w, cents FROM reps
+    ), per_rep AS (
+      SELECT b, sum(w * cents)::BIGINT AS wsum, sum(w)::BIGINT AS n
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    ), means AS (
+      SELECT b, wsum::DOUBLE / n / 100.0 AS m FROM per_rep
+    ), point AS (
+      SELECT sum(round(o_totalprice * 100)::BIGINT)::DOUBLE
+               / count(*) / 100.0 AS pm
+      FROM orders
+    )
+    SELECT count(*)::BIGINT AS n_replicas,
+           round(max(p.pm), 6) AS point_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means CROSS JOIN point p
+    """,
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order total via {_B}
+    hash-deterministic Poisson(1) replicas: replica b of a row draws
+    its resample count from hex window b%4 of md5(key:b//4) through
+    the shared inverse-CDF cutoffs, per-replica weighted means reduce
+    from exact integer cents, and the interval is the 2.5/97.5
+    percentile of the {_B} replica means.
+
+    Scale shape: 8 md5 digests per ROW (not per replica), computed in
+    a projection BELOW the replica explode — the Generate is a barrier,
+    so CollapseProject cannot re-inline the digests into the
+    inverse-CDF when-chain (which would evaluate each md5 6×; measured
+    ~5× on this query before the barrier). Post-explode work per
+    replica row is a substring+conv on a carried digest. Each
+    replica's moments are ONE combinable aggregate and the final
+    percentile runs over {_B} rows. No RNG state, no driver
+    coordination, bit-identical on any partitioning."""
+    orders = read_table(spark, sf_dir, "orders")
+    digests = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_G - 1)),
+            lambda g: F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    g.cast("string"),
+                )
+            ),
+        ).alias("__h"),
+    )
+    reps = digests.select(
+        "cents", "__h", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.element_at(F.col("__h"), (F.col("b") / 4).cast("int") + 1),
+                F.lit(1) + 8 * (F.col("b") % 4),
+                F.lit(8),
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    expr = None
+    for k, c in enumerate(_POIS_CDF):
+        expr = (
+            F.when(u < F.lit(c), k) if expr is None else expr.when(u < F.lit(c), k)
+        )
+    w = expr.otherwise(6).cast("long")
+    per_rep = (
+        reps.select("b", w.alias("w"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    means = per_rep.select(
+        (F.col("wsum").cast("double") / F.col("n") / 100.0).alias("m")
+    )
+    point = orders.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("pm")
+    )
+    return means.crossJoin(F.broadcast(point)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.round(F.max("pm"), 6).alias("point_mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+
+# ==================================================================
+# former registry59.py
+# ==================================================================
+
+"""Registry batch 59 — evaluation metrics: temporal repeat-view
+recommendation eval (MRR / recall@k, exact-integer averaging), binary
+AUC by tie-corrected rank-sum, and Cohen's kappa for the declared-vs-
+detected language labels (`operators/evalmetrics.py`).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.functions import text as T
+from datas_spark.io.sources import read_table
+from datas_spark.operators import evalmetrics as EM
+from datas_spark.registry_core import register
+from datas_spark.registry_similarity import _LANG_ORACLE
+
+_EVAL_CUT = "2024-01-16"
+_EVAL_K = 5
+_EVAL_SCALE = 60  # lcm(1..5)
+
+
+@register(
+    "repeat_view_eval",
+    oracle=f"""
+    WITH views AS (
+      SELECT user_id AS u, json_extract(props, '$.k')::INT AS i, ts
+      FROM events WHERE event_type = 'view'
+    ), preds AS (
+      SELECT u, i, r FROM (
+        SELECT u, i, row_number() OVER (
+                 PARTITION BY u ORDER BY count(*) DESC, i ASC) AS r
+        FROM views WHERE ts < TIMESTAMP '{_EVAL_CUT}' GROUP BY u, i
+      ) WHERE r <= {_EVAL_K}
+    ), truth AS (
+      SELECT DISTINCT u, i FROM views WHERE ts >= TIMESTAMP '{_EVAL_CUT}'
+    ), nt AS (
+      SELECT u, count(*) AS n_truth FROM truth GROUP BY u
+    ), hits AS (
+      SELECT p.u, min(p.r) AS best, count(*) AS hits_k
+      FROM preds p JOIN truth t ON p.u = t.u AND p.i = t.i
+      GROUP BY p.u
+    ), per_user AS (
+      SELECT nt.u,
+             coalesce({_EVAL_SCALE} // best, 0) AS rr_s,
+             ({_EVAL_SCALE} * coalesce(hits_k, 0))
+               // least(n_truth, {_EVAL_K}) AS rec_s
+      FROM nt LEFT JOIN hits ON nt.u = hits.u
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           round(sum(rr_s) / ({_EVAL_SCALE}.0 * count(*)), 6) AS mrr,
+           round(sum(rec_s) / ({_EVAL_SCALE}.0 * count(*)), 6) AS recall_at_k
+    FROM per_user
+    """,
+)
+def q_repeat_view_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal recommendation eval: predict weeks-3+ views from each
+    user's weeks-1-2 top-{_EVAL_K} most-viewed items (count desc, item
+    asc tie-break); score with MRR and recall@{_EVAL_K} on the
+    exact-integer path (scale {_EVAL_SCALE} = lcm(1..{_EVAL_K}) — the
+    metric is bit-identical on any row order)."""
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("int").alias("i"),
+        "ts",
+    )
+    counts = (
+        views.where(F.col("ts") < _EVAL_CUT)
+        .groupBy("u", "i")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("__c"), F.asc("i"))
+    preds = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _EVAL_K)
+        .select("u", "i", "r")
+    )
+    truth = views.where(F.col("ts") >= _EVAL_CUT).select("u", "i")
+    return EM.ranking_metrics(
+        preds, truth, "u", "i", "r", k=_EVAL_K, exact_scale=_EVAL_SCALE
+    )
+
+
+@register(
+    "purchase_value_auc",
+    oracle="""
+    WITH lab AS (
+      SELECT round(value, 2) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ), g AS (
+      SELECT s, count(*) FILTER (y = 1) AS pos, count(*) FILTER (y = 0) AS neg
+      FROM lab GROUP BY s
+    ), c AS (
+      SELECT pos, neg,
+             pos * (2 * coalesce(sum(neg) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + neg) AS c2
+      FROM g
+    )
+    SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+           round(sum(c2) / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+    FROM c
+    """,
+)
+def q_purchase_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does event value separate purchases from views? ROC AUC by the
+    Mann–Whitney rank-sum with tie correction — exact ×2-scaled
+    integer numerator, no pairwise join; the cumulative window runs
+    over the distinct-score aggregate, not raw rows. precision=2
+    ENFORCES the distinct-score bound (a continuous score would
+    otherwise make |distinct| ≈ n); the oracle rounds identically."""
+    ev = read_table(spark, sf_dir, "events")
+    lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return EM.binary_auc(lab, "value", "y", precision=2)
+
+
+@register(
+    "lang_agreement_kappa",
+    oracle="WITH guesses AS (" + _LANG_ORACLE + """
+    ), pairs AS (
+      SELECT d.lang AS a, g.lang_guess AS b
+      FROM documents d JOIN guesses g USING (doc_id)
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n,
+             count(*) FILTER (a = b)::BIGINT AS agree
+      FROM pairs
+    ), marg AS (
+      SELECT c, count(*) FILTER (ia = 1)::BIGINT AS na,
+             count(*) FILTER (ia = 0)::BIGINT AS nb
+      FROM (
+        SELECT a AS c, 1 AS ia FROM pairs
+        UNION ALL SELECT b, 0 FROM pairs
+      ) GROUP BY c
+    ), ch AS (SELECT sum(na * nb)::BIGINT AS chance2 FROM marg)
+    SELECT n, round(agree / n::DOUBLE, 6) AS po,
+           round(chance2 / (n::DOUBLE * n), 6) AS pe,
+           round((agree / n::DOUBLE - chance2 / (n::DOUBLE * n))
+                 / (1 - chance2 / (n::DOUBLE * n)), 6) AS kappa
+    FROM tot CROSS JOIN ch
+    """,
+)
+def q_lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus's declared language tags and
+    the n-gram detector — the chance-corrected scalar on top of the
+    `lang_id_confusion` matrix. Exact BIGINT counts, divisions at the
+    end."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("a"), T.language_id("text").alias("b")
+    )
+    return EM.cohens_kappa(pairs, "a", "b")
+
+# ==================================================================
+# former registry65.py
+# ==================================================================
+
+"""Registry batch 65 — model-eval completions: sliced AUC, decile
+lift/cumulative gains, and expected calibration error.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators import evalmetrics as EM
+from datas_spark.operators.scoring import hash_unit_interval
+from datas_spark.registry_core import register
+
+_LAB_SQL = """
+      SELECT round(value, 2) AS s, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+"""
+
+
+@register(
+    "purchase_value_auc_by_dow",
+    oracle=f"""
+    WITH lab AS ({_LAB_SQL}
+    ), g AS (
+      SELECT date_part('dow', ts)::INT AS dow, s,
+             count(*) FILTER (y = 1) AS pos, count(*) FILTER (y = 0) AS neg
+      FROM lab GROUP BY 1, 2
+    ), c AS (
+      SELECT dow, pos, neg,
+             pos * (2 * coalesce(sum(neg) OVER (PARTITION BY dow
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + neg) AS c2
+      FROM g
+    )
+    SELECT dow, sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+           round(sum(c2) / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+    FROM c GROUP BY dow
+    """,
+)
+def q_purchase_value_auc_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced AUC: the purchase-vs-view value discrimination per
+    day-of-week — the QA slicing that catches a slice where an overall
+    AUC hides anti-predictive behavior. The cumulative window
+    partitions on the slice, so the distinct-score frames stay
+    per-slice sized."""
+    ev = read_table(spark, sf_dir, "events")
+    lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "value",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return EM.binary_auc(lab, "value", "y", by=["dow"], precision=2)
+
+
+@register(
+    "value_lift_table",
+    oracle=f"""
+    WITH lab AS ({_LAB_SQL}
+    ), g0 AS (
+      SELECT s, count(*)::BIGINT AS n, count(*) FILTER (y = 1)::BIGINT AS pos
+      FROM lab GROUP BY s
+    ), g AS (
+      SELECT s, n, pos,
+             coalesce(sum(n) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g0
+    ), tot AS (
+      SELECT sum(n)::BIGINT AS tn, sum(pos)::BIGINT AS tp FROM g
+    ), binned AS (
+      SELECT floor((cb * 10) / tn::DOUBLE)::INT AS band, n, pos, tn, tp
+      FROM g CROSS JOIN tot
+    ), per AS (
+      SELECT band, sum(n)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+             any_value(tn) AS tn, any_value(tp) AS tp
+      FROM binned GROUP BY band
+    )
+    SELECT band, n, n_pos,
+           round(n_pos / n::DOUBLE, 6) AS response_rate,
+           round((n_pos / n::DOUBLE) / (tp / tn::DOUBLE), 6) AS lift,
+           round(sum(n_pos) OVER (ORDER BY band
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tp::DOUBLE, 6)
+             AS cum_gain
+    FROM per
+    """,
+)
+def q_value_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative gains of event value against the
+    purchase label — the targeting-table companion to AUC. Band cuts
+    come from a cumulative count over the distinct-score aggregate
+    (identical double math in both engines), never a raw-row ntile.
+    precision=2 enforces the distinct-score bound in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return EM.lift_table(lab, "value", "y", bins=10, precision=2)
+
+
+@register(
+    "proxy_calibration_ece",
+    oracle="""
+    WITH lab AS (
+      SELECT ('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 8))::BIGINT
+               / 4294967296.0 AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), g AS (
+      SELECT least(floor(p * 10)::INT, 9) AS bin,
+             count(*)::BIGINT AS n,
+             sum(round(p * 1000000000)::BIGINT)::BIGINT AS sum_pe9,
+             sum(y)::BIGINT AS n_pos
+      FROM lab GROUP BY 1
+    ), tot AS (SELECT sum(n)::BIGINT AS tn FROM g
+    )
+    SELECT bin, n, n_pos,
+           round(sum_pe9 / n / 1e9, 6) AS mean_pred,
+           round(n_pos / n::DOUBLE, 6) AS obs_rate,
+           round(sum(abs(sum_pe9 / n / 1e9 - n_pos / n::DOUBLE) * n / tn)
+                 OVER (), 6) AS ece
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_proxy_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the md5-proxy score against the
+    purchase label (the model boundary's standard stand-in): per-bin
+    reliability rows + the mass-weighted ECE. Bin means reduce from
+    exact e9-scaled integers, so they are engine-identical."""
+    ev = read_table(spark, sf_dir, "events")
+    lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        hash_unit_interval(
+            F.concat(F.lit("cal:"), F.col("event_id").cast("string"))
+        ).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return EM.calibration_ece(lab, "p", "y", bins=10)
+
+# ==================================================================
+# former registry75.py
+# ==================================================================
+
+"""Registry batch 75 — per-class PRF1, nDCG@k, and the reference's
+active-learning round (select-from-unlabeled → promote) as one plan.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.functions import text as T
+from datas_spark.io.sources import read_table
+from datas_spark.operators import evalmetrics as EM
+from datas_spark.operators.scoring import hash_unit_interval
+from datas_spark.operators.selection import least_confidence_sampling
+from datas_spark.registry_similarity import _LANG_ORACLE
+from datas_spark.registry_core import register
+
+_AL_K = 25
+
+
+@register(
+    "lang_prf1",
+    oracle="WITH guesses AS (" + _LANG_ORACLE + """
+    ), pairs AS (
+      SELECT d.lang AS t, g.lang_guess AS p
+      FROM documents d JOIN guesses g USING (doc_id)
+    ), per_true AS (
+      SELECT t AS label, count(*)::BIGINT AS n_true,
+             count(*) FILTER (p = t)::BIGINT AS tp_t
+      FROM pairs GROUP BY 1
+    ), per_pred AS (
+      SELECT p AS label, count(*)::BIGINT AS n_pred,
+             count(*) FILTER (p = t)::BIGINT AS tp_p
+      FROM pairs GROUP BY 1
+    ), j AS (
+      SELECT coalesce(pt.label, pp.label) AS label,
+             coalesce(tp_t, tp_p, 0)::BIGINT AS tp,
+             (coalesce(n_pred, 0) - coalesce(tp_p, 0))::BIGINT AS fp,
+             (coalesce(n_true, 0) - coalesce(tp_t, 0))::BIGINT AS fn
+      FROM per_true pt FULL OUTER JOIN per_pred pp ON pt.label = pp.label
+    )
+    SELECT label, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE END, 6)
+             AS precision,
+           round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE END, 6)
+             AS recall,
+           round(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN 2 * tp / (2 * tp + fp + fn)::DOUBLE END, 6) AS f1
+    FROM j
+    """,
+)
+def q_lang_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the language detector against
+    the declared tags — the class-level table under the kappa scalar
+    and confusion matrix. Exact integer tp/fp/fn."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("t"), T.language_id("text").alias("p")
+    )
+    return EM.classification_prf1(pairs, "t", "p")
+
+
+@register(
+    "repeat_view_ndcg",
+    oracle=f"""
+    WITH views AS (
+      SELECT user_id AS u, json_extract(props, '$.k')::INT AS i, ts
+      FROM events WHERE event_type = 'view'
+    ), preds AS (
+      SELECT u, i, r FROM (
+        SELECT u, i, row_number() OVER (
+                 PARTITION BY u ORDER BY count(*) DESC, i ASC) AS r
+        FROM views WHERE ts < TIMESTAMP '{_EVAL_CUT}' GROUP BY u, i
+      ) WHERE r <= {_EVAL_K}
+    ), truth AS (
+      SELECT DISTINCT u, i FROM views WHERE ts >= TIMESTAMP '{_EVAL_CUT}'
+    ), nt AS (
+      SELECT u, count(*)::BIGINT AS n_truth FROM truth GROUP BY u
+    ), hits AS (
+      SELECT p.u, list_sort(list(p.r)) AS ranks
+      FROM preds p JOIN truth t ON p.u = t.u AND p.i = t.i
+      GROUP BY p.u
+    ), per AS (
+      SELECT nt.u,
+        round((
+          list_reduce(list_prepend(0.0, list_transform(
+            coalesce(hits.ranks, []), r -> 1.0 / log2(r + 1.0))), (a, b) -> a + b)
+          /
+          list_reduce(list_prepend(0.0, list_transform(
+            range(1, least(nt.n_truth, {_EVAL_K}) + 1),
+            r -> 1.0 / log2(r + 1.0))), (a, b) -> a + b)
+        ) * 1000000000)::BIGINT AS ndcg_e9
+      FROM nt LEFT JOIN hits ON nt.u = hits.u
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           round(sum(ndcg_e9) / 1e9 / count(*), 6) AS ndcg_at_k
+    FROM per
+    """,
+)
+def q_repeat_view_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_EVAL_K} for the temporal repeat-view recommender — the
+    position-weighted companion to MRR/recall, with per-user scores
+    folded in sorted-rank order and e9-quantized before the global
+    average (bit-stable on any row order)."""
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("int").alias("i"),
+        "ts",
+    )
+    counts = (
+        views.where(F.col("ts") < _EVAL_CUT)
+        .groupBy("u", "i")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc("__c"), F.asc("i"))
+    preds = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _EVAL_K)
+        .select("u", "i", "r")
+    )
+    truth = views.where(F.col("ts") >= _EVAL_CUT).select("u", "i")
+    return EM.ndcg_at_k(preds, truth, "u", "i", "r", k=_EVAL_K)
+
+
+@register(
+    "active_learning_round",
+    oracle=f"""
+    WITH pools AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0 THEN 'labeled' ELSE 'unlabeled' END AS pool,
+        ('0x' || substr(md5('al:' || doc_id::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0 AS conf
+      FROM documents
+    ), picked AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY conf DESC, doc_id ASC) AS rn
+        FROM pools WHERE pool = 'unlabeled'
+      ) WHERE rn <= {_AL_K}
+    )
+    SELECT p.doc_id, p.pool AS pool_before,
+           CASE WHEN pk.doc_id IS NOT NULL THEN 'labeled' ELSE p.pool END
+             AS pool_after
+    FROM pools p LEFT JOIN picked pk ON p.doc_id = pk.doc_id
+    """,
+)
+def q_active_learning_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One active-learning round, end-to-end (main.py:37-52 rd_N
+    semantics): from the unlabeled pool, the {_AL_K} most-uncertain
+    docs (proxy uncertainty at the model boundary; TakeOrdered top-k,
+    never a full sort) are promoted into the labeled pool — the
+    select→train loop's data half as one auditable plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    pools = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, "labeled")
+        .otherwise("unlabeled")
+        .alias("pool"),
+        hash_unit_interval(
+            F.concat(F.lit("al:"), F.col("doc_id").cast("string"))
+        ).alias("conf"),
+    )
+    unlabeled = pools.where(F.col("pool") == "unlabeled")
+    picked = least_confidence_sampling(
+        unlabeled, "conf", k=_AL_K, tiebreak="doc_id"
+    ).select("doc_id", F.lit(1).alias("__sel"))
+    return (
+        pools.join(F.broadcast(picked), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("pool").alias("pool_before"),
+            F.when(F.col("__sel").isNotNull(), "labeled")
+            .otherwise(F.col("pool"))
+            .alias("pool_after"),
+        )
+    )

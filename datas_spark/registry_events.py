@@ -1,0 +1,1331 @@
+"""Event time-series analytics: trends, CUSUM, seasonality, attribution, survival, co-visitation.
+
+Consolidated from the former numeric registry batches 9, 20, 23, 45, 46, 50, 53, 64, 67 (round-5 cleanup; query
+names unchanged). Each section below keeps its original batch
+docstring for provenance."""
+from __future__ import annotations
+
+# ==================================================================
+# former registry9.py
+# ==================================================================
+
+r"""Query registry, batch 9 (round 3): event-analytics depth — session
+path mining, value histograms, per-group percentile summaries.
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+
+@register(
+    "session_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '5 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 20 most common within-session event-type
+    sequences (5-min gap sessions) — the funnel-discovery rollup.
+    Session ids via the lag/cumsum construction (one shuffle on
+    user_id, both windows share the sort); paths assemble with a
+    sort-free collect_list + array_sort per session (deterministic
+    (ts, event_id) tie-break); TakeOrdered for the limit."""
+    ev = read_table(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (ts_s - prev.cast("timestamp").cast("double") >= 300.0),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "__sid",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           floor(value / 50.0)::BIGINT AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (the profiling pass
+    before choosing join/bucket boundaries): one combinable aggregate,
+    bucket count bounded by the value range — never a sort."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50.0).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-style percentile summary (p50/p90/p99) per event type:
+    ONE exact-percentile aggregate evaluating all three fractions from
+    a single buffer (linear interpolation — matches numpy and DuckDB
+    quantile_cont bit-for-bit after rounding). The approx_percentile
+    twin is the 100 TB switch, same as percentile_band_filter."""
+    ev = read_table(spark, sf_dir, "events")
+    band = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(band, 1), 6).alias("p50"),
+        F.round(F.element_at(band, 2), 6).alias("p90"),
+        F.round(F.element_at(band, 3), 6).alias("p99"),
+    )
+
+
+@register(
+    "events_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id, ts, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest sanity: drop replayed events on the natural
+    key (user, ts, type), keeping the smallest event_id — min_by
+    map-side election, the batch twin of the streaming
+    dropDuplicatesWithinWatermark path (stream_dedup)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    surv = ev.groupBy("user_id", "ts", "event_type").agg(
+        F.min_by(F.struct("event_id", "value"), F.col("event_id")).alias("__r")
+    )
+    return surv.select(
+        F.col("__r.event_id").alias("event_id"),
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("__r.value").alias("value"),
+    )
+
+# ==================================================================
+# former registry20.py
+# ==================================================================
+
+"""Registry batch 20 — time-series analytics over event volumes:
+per-key OLS trend slope, CUSUM change-point detection, and first-order
+Markov transition estimation between event types.
+
+All three follow the exact-integer discipline of registry_tpch's
+correlation query: per-hour counts are BIGINT, every cross-row moment
+(Σx, Σy, Σxy, cumulative sums, totals) is exact integer arithmetic,
+and the only float operation is a final single-expression division —
+bit-reproducible against the DuckDB twin with no summation-order
+hazard.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+# events span 2024-01; hour indices are exact small ints from this epoch
+_EPOCH = "2024-01-01 00:00:00"
+
+
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("long").alias("y"))
+
+
+@register(
+    "events_type_trend",
+    oracle=f"""
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ), pts AS (
+      SELECT event_type,
+             date_diff('hour', TIMESTAMP '{_EPOCH}', h)::BIGINT AS x, y
+      FROM hours
+    ), s AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS slope_per_hour
+    FROM s ORDER BY event_type
+    """,
+)
+def q_events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of hourly volume: slope (events/hour²)
+    of the least-squares line through (hour_index, hourly_count).
+
+    The closed form ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` runs on exact
+    BIGINT moments — the distributed-safe way to regress on counts
+    (same trick as `events_type_correlation`); one grouped pass over
+    events, one 5-group reduction. Hour indices are integer diffs from
+    a fixed epoch, so x is timezone-free and small."""
+    pts = _hourly_counts(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"timestampdiff(HOUR, TIMESTAMP '{_EPOCH}', h)")
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type", "n", F.round(num / den, 6).alias("slope_per_hour")
+    ).orderBy("event_type")
+
+
+@register(
+    "events_type_changepoint",
+    oracle="""
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ), walk AS (
+      SELECT event_type, h,
+             row_number() OVER w AS i,
+             sum(y) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+             sum(y) OVER (PARTITION BY event_type)::BIGINT AS tot,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM hours WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), dev AS (
+      SELECT event_type, h, n,
+             abs(n * cum - i * tot)::BIGINT AS deviation,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * cum - i * tot) DESC, h ASC)
+               AS rk
+      FROM walk
+    )
+    SELECT event_type, h AS changepoint_hour, deviation, n AS n_hours
+    FROM dev WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_events_type_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type: the hour where the cumulative
+    deviation of hourly volume from its own mean peaks — the classic
+    offline CUSUM argmax ``argmax_i |Σ_{j≤i}(y_j − ȳ)|``.
+
+    Scaled through by n (``|n·cum_i − i·tot|``) so the walk stays in
+    exact BIGINT — no float mean, no accumulation drift. Windows are
+    PARTITIONED BY event_type (per-key local sorts over ~720 hourly
+    rows per type; never a global sort), and the argmax is a rank-1
+    filter with a deterministic earliest-hour tie-break."""
+    w = Window.partitionBy("event_type").orderBy("h")
+    walk = _hourly_counts(spark, sf_dir).select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("i"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
+        F.sum("y").over(Window.partitionBy("event_type")).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).cast("long").alias("n"),
+    )
+    dev = walk.select(
+        "event_type",
+        "h",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("tot"))
+        .cast("long")
+        .alias("deviation"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.desc("deviation"), F.asc("h"))
+    return (
+        dev.withColumn("rk", F.row_number().over(rk))
+        .where("rk = 1")
+        .select(
+            "event_type",
+            F.col("h").alias("changepoint_hour"),
+            "deviation",
+            F.col("n").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), pairs AS (
+      SELECT src, dst, count(*)::BIGINT AS cnt
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, cnt,
+           round(cnt::DOUBLE
+                 / sum(cnt) OVER (PARTITION BY src)::DOUBLE, 6) AS prob
+    FROM pairs ORDER BY src, dst
+    """,
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types: for
+    each user's event sequence (ordered by ts with event_id as the
+    total-order tie-break), count src→dst adjacencies and normalize
+    per source row — the behavioral model behind next-action
+    prediction and anomaly scoring.
+
+    Scale shape: the lead() window is partitioned by user_id (per-user
+    local sorts); the pair count collapses to ≤ |types|² rows before
+    the per-src normalization window, which therefore runs on a tiny
+    frame. One shuffle on user_id, one on the 25-row pair table."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(tot).cast("double"), 6
+        ).alias("prob"),
+    ).orderBy("src", "dst")
+
+# ==================================================================
+# former registry23.py
+# ==================================================================
+
+"""Registry batch 23 — robust anomaly detection and recipe-weighted
+mixture sampling: median/MAD outlier flagging over event values, and a
+token-budget mixture that fills per-source budgets in deterministic
+hash order (the data-mixing step of a pretraining corpus recipe).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators import corpus as C
+from datas_spark.registry_core import register
+
+_MAD_K = 3.0  # flag |v - median| > 3 * MAD
+
+# per-source char budgets (n_chars is the documented token proxy — the
+# testdata has no tokenizer column; the operator is weight-agnostic)
+_MIX_BUDGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+_MIX_SQL = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_BUDGETS.items()))
+
+
+@register(
+    "events_value_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - s.med), 0.5), 6) AS mad
+      FROM events e JOIN stats s USING (event_type)
+      GROUP BY e.event_type, s.med
+    )
+    SELECT e.event_id, e.event_type, e.value, s.med, m.mad
+    FROM events e
+    JOIN stats s USING (event_type) JOIN mad m USING (event_type)
+    WHERE abs(e.value - s.med) > {_MAD_K} * m.mad
+    ORDER BY e.event_type, e.event_id
+    """,
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier events: |value − median| > 3·MAD (median
+    absolute deviation) — the robust twin of z-scoring, immune to the
+    outliers it hunts (mean/stddev get dragged by the tail; the two
+    medians don't).
+
+    Both statistics are exact interpolated percentiles rounded to 6 dp
+    BEFORE the comparison, so the flag decision is identical on both
+    engines; they live in a ≤|types|-row broadcast frame, and the flag
+    itself is a map-side comparison — one grouped pass per statistic,
+    no window over raw rows."""
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad")
+        )
+        .drop("med")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH budgets (source, budget) AS (VALUES {_MIX_SQL}),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars, b.budget,
+             sum(d.n_chars) OVER (
+               PARTITION BY d.source
+               ORDER BY (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0) ASC, d.doc_id ASC
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM documents d JOIN budgets b USING (source)
+    )
+    SELECT doc_id, source, n_chars FROM ranked
+    WHERE cum - n_chars < budget
+    ORDER BY source, doc_id
+    """,
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe-weighted corpus mixing: fill each source's token budget
+    (n_chars as the proxy weight) with documents in deterministic
+    md5-draw order — "40% src0, 30% src1, ..." expressed in TOKENS,
+    the unit pretraining recipes are written in, not documents
+    (see ``corpus.token_budget_mixture``). A document is admitted iff
+    its source's budget was not exhausted before it, so the selection
+    is a reproducible greedy prefix; sources outside the recipe are
+    excluded."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = C.token_budget_mixture(
+        docs, "source", "n_chars", _MIX_BUDGETS, id_col="doc_id"
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("source", "doc_id")
+
+# ==================================================================
+# former registry45.py
+# ==================================================================
+
+"""Registry batch 45 — temporal ML hygiene and rolling anomaly
+detection: embargo-gapped time splits (purged cross-validation),
+group-coherent session holdout sampling, and rolling z-score anomaly
+flags over the hourly aggregate.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+_CUTOFF = "2024-01-20"
+_EMBARGO_H = 48
+
+
+@register(
+    "temporal_embargo_split",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts < TIMESTAMP '{_CUTOFF}' THEN 'train'
+                WHEN ts < TIMESTAMP '{_CUTOFF}' + INTERVAL '{_EMBARGO_H} hours'
+                THEN 'embargo' ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def q_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split: rows before the cutoff train, rows
+    inside the {_EMBARGO_H}-hour embargo window after it are DROPPED
+    from both sides (a model with lagged/rolling features computed
+    over the boundary would otherwise leak train information into
+    test — the purged-CV rule from financial ML), and the rest test.
+    Map-only expression; the embargo rows are returned labeled so the
+    caller can audit how much data the purge costs."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    split = (
+        F.when(F.col("ts") < cutoff, "train")
+        .when(F.col("ts") < cutoff + F.expr(f"INTERVAL {_EMBARGO_H} HOURS"), "embargo")
+        .otherwise("test")
+    )
+    return ev.select("event_id", "user_id", "ts", split.alias("split"))
+
+
+@register(
+    "session_holdout_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ('0x' || substr(md5('holdout' || user_id::VARCHAR), 1, 8))::BIGINT
+          % 100 < 10
+    """,
+)
+def q_session_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-coherent holdout: sample ~10% of USERS (not events) by a
+    salted md5 bucket on the user key, keeping every event of a chosen
+    user — behavioral eval needs whole sessions, and a per-event
+    sample shreds them. Map-only, no shuffle, stable across reruns
+    and resizes (hash, never rand); the same discipline as
+    `group_safe_split` applied to sampling."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("holdout"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return ev.where(bucket < 10).select("event_id", "user_id", "event_type")
+
+
+_ROLL_W = 24  # trailing hours in the rolling baseline
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), rolled AS (
+      SELECT event_type, h, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sd,
+             count(*) OVER w AS w_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {_ROLL_W} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS hour, n AS n_events,
+           round((n - mu) / sd, 6) AS z
+    FROM rolled
+    WHERE w_n >= 12 AND sd > 0 AND abs((n - mu) / sd) >= 3
+    """,
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: hours whose event count sits ≥ 3
+    trailing-window standard deviations from the previous
+    {_ROLL_W}-hour baseline, per event type — the volume-spike alarm.
+
+    The window runs over the HOURLY AGGREGATE (≤ |types|·|hours| rows,
+    partitioned by type — metadata-scale regardless of event volume),
+    never over raw events; baselines need ≥ 12 trailing hours before
+    an hour is judged. The rolling frame excludes the current row, so
+    a spike cannot suppress its own alarm."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_ROLL_W, -1)
+    )
+    rolled = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.avg("n_events").over(w).alias("__mu"),
+        F.stddev_samp("n_events").over(w).alias("__sd"),
+        F.count(F.lit(1)).over(w).alias("__wn"),
+    )
+    z = (F.col("n_events") - F.col("__mu")) / F.col("__sd")
+    return (
+        rolled.where(
+            (F.col("__wn") >= 12) & (F.col("__sd") > 0) & (F.abs(z) >= 3)
+        )
+        .select("event_type", "hour", "n_events", F.round(z, 6).alias("z"))
+    )
+
+# ==================================================================
+# former registry46.py
+# ==================================================================
+
+"""Registry batch 46 — change-data observability and seasonality:
+per-column churn between table snapshots (which fields actually move
+between pipeline runs) and the lag-24h autocorrelation of hourly
+volume (how seasonal each event type is).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+# synthetic snapshot pair over customer: %13 keys dropped, %7 balances
+# bumped, %11 segments rewritten — three disjoint-ish planted changes
+_SNAP_SQL = """
+    old_snap AS (
+      SELECT c_custkey AS k, c_name, c_acctbal, c_mktsegment FROM customer
+    ), new_snap AS (
+      SELECT c_custkey AS k, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 11 = 0 THEN 'CHURNED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 13 != 0
+    )
+"""
+
+
+@register(
+    "snapshot_column_churn",
+    oracle=f"""
+    WITH {_SNAP_SQL}
+    SELECT count(CASE WHEN o.k IS NULL THEN 1 END)::BIGINT AS n_added,
+           count(CASE WHEN n.k IS NULL THEN 1 END)::BIGINT AS n_removed,
+           count(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND (o.c_name IS DISTINCT FROM n.c_name
+                         OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                         OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                      THEN 1 END)::BIGINT AS n_changed,
+           count(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND o.c_name IS DISTINCT FROM n.c_name
+                      THEN 1 END)::BIGINT AS chg_name,
+           count(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                      THEN 1 END)::BIGINT AS chg_acctbal,
+           count(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                      THEN 1 END)::BIGINT AS chg_mktsegment
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (k)
+    """,
+)
+def q_snapshot_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN churn between two snapshots of a keyed table: row
+    adds/removes/changes plus a changed-count per column — the report
+    that distinguishes "the balance feed re-stated history" from "the
+    segmentation model re-labeled everyone". One full-outer key join,
+    NULL-safe (`eqNullSafe`) column comparisons, one 1-row aggregate;
+    at scale the join is the only shuffle and every comparison is
+    map-side."""
+    cust = read_table(spark, sf_dir, "customer")
+    old = cust.select(
+        F.col("c_custkey").alias("k"), "c_name", "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        cust.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("CHURNED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    cols = ("c_name", "c_acctbal", "c_mktsegment")
+    # explicit presence markers: a row may legitimately hold NULLs, so
+    # side-presence must never be inferred from payload columns
+    o = old.select("k", F.lit(1).alias("__o"), *[F.col(c).alias(f"o_{c}") for c in cols])
+    n = new.select("k", F.lit(1).alias("__n"), *[F.col(c).alias(f"n_{c}") for c in cols])
+    j = o.join(n, "k", "full_outer")
+    present_old = F.col("__o").isNotNull()
+    present_new = F.col("__n").isNotNull()
+
+    def diff(c: str) -> F.Column:
+        return present_old & present_new & ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+
+    any_diff = diff("c_name") | diff("c_acctbal") | diff("c_mktsegment")
+    return j.agg(
+        F.count(F.when(~present_old, 1)).cast("long").alias("n_added"),
+        F.count(F.when(~present_new, 1)).cast("long").alias("n_removed"),
+        F.count(F.when(any_diff, 1)).cast("long").alias("n_changed"),
+        F.count(F.when(diff("c_name"), 1)).cast("long").alias("chg_name"),
+        F.count(F.when(diff("c_acctbal"), 1)).cast("long").alias("chg_acctbal"),
+        F.count(F.when(diff("c_mktsegment"), 1)).cast("long").alias("chg_mktsegment"),
+    )
+
+
+@register(
+    "events_seasonality_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND b.h = a.h + INTERVAL '24 hours'
+    )
+    SELECT event_type, count(*)::BIGINT AS n_pairs,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+                    * sqrt(count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+             AS lag24_corr
+    FROM lagged GROUP BY event_type
+    HAVING count(*) >= 48
+       AND (count(*) * sum(x * x) - sum(x) * sum(x)) > 0
+       AND (count(*) * sum(y * y) - sum(y) * sum(y)) > 0
+    """,
+)
+def q_events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality strength per event type: Pearson correlation
+    of hourly volume with itself 24 hours earlier. Near 1 = strong
+    daily rhythm; near 0 = arrival noise — the number that decides
+    whether the anomaly detector's baseline should be
+    time-of-day-matched or plain rolling.
+
+    The self-join aligns hour h with h+24 on the HOURLY aggregate
+    (metadata-scale); all five moments are exact integer sums, the
+    correlation is one per-type float expression, and degenerate
+    (zero-variance or short) series drop out via the exact-integer
+    HAVING guards."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = hourly.select("event_type", F.col("h").alias("ha"), F.col("n").alias("x"))
+    b = hourly.select(
+        "event_type", F.col("h").alias("hb"), F.col("n").alias("y")
+    )
+    lagged = a.join(
+        b,
+        (a["event_type"] == b["event_type"])
+        & (F.col("hb") == F.col("ha") + F.expr("INTERVAL 24 HOURS")),
+    ).select(a["event_type"], "x", "y")
+    nn = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    varx = nn * sxx - sx * sx
+    vary = nn * syy - sy * sy
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            nn.cast("long").alias("n_pairs"),
+            F.round(
+                (nn * sxy - sx * sy).cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            ).alias("lag24_corr"),
+            varx.alias("__vx"),
+            vary.alias("__vy"),
+        )
+        .where(
+            (F.col("n_pairs") >= 48) & (F.col("__vx") > 0) & (F.col("__vy") > 0)
+        )
+        .drop("__vx", "__vy")
+    )
+
+# ==================================================================
+# former registry50.py
+# ==================================================================
+
+"""Registry batch 50 — behavioral and operational distributions:
+per-user event-type entropy (habit vs exploration) and shipping-lag
+percentiles by order priority.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+
+@register(
+    "user_type_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_types
+      FROM c GROUP BY 1
+    )
+    SELECT c.user_id, max(t.tot)::BIGINT AS n_events,
+           max(t.n_types)::BIGINT AS n_types,
+           round(sum(-(c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 6)
+             AS type_entropy_nats
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types: 0 = the user does
+    one thing; ln(|types|) = uniform exploration — the habit feature
+    behavioral segmentation models start from. Two chained combinable
+    aggregates on the user key (one shuffle — the totals frame is a
+    re-agg of the counts); entropy sums ≤ |types| float terms per
+    user from exact integer counts."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("tot").cast("long").alias("n_events"),
+            F.max("n_types").cast("long").alias("n_types"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("type_entropy_nats"),
+        )
+    )
+
+
+@register(
+    "shipping_lag_by_priority",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate)::BIGINT AS lag_days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+           round(avg(lag_days::DOUBLE), 6) AS mean_days,
+           round(quantile_cont(lag_days::DOUBLE, 0.5), 6) AS p50_days,
+           round(quantile_cont(lag_days::DOUBLE, 0.9), 6) AS p90_days
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def q_shipping_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA distribution: order-to-ship lag in whole days
+    per order priority (count, mean, p50, p90) — does the 1-URGENT
+    queue actually ship faster? The join is the one orderkey shuffle;
+    lags are exact integer days; mean and percentiles are combinable
+    buffers per priority (5 groups)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    lags = orders.join(
+        li.select("l_orderkey", "l_shipdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    d = F.col("lag_days").cast("double")
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.avg(d), 6).alias("mean_days"),
+        F.round(F.percentile(d, F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile(d, F.lit(0.9)), 6).alias("p90_days"),
+    )
+
+# ==================================================================
+# former registry53.py
+# ==================================================================
+
+"""Registry batch 53 — item-item collaborative filtering: co-visitation
+similarity over the per-user item baskets (items = the ``props.k``
+payload of view events). The "users who engaged with X also engaged
+with Y" primitive behind every related-items shelf.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+_CF_TOPK = 5
+_CF_MIN_CO = 3
+
+
+@register(
+    "item_covisitation_topk",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, json_extract(props, '$.k')::INT AS item
+      FROM events WHERE event_type = 'view'
+    ), item_n AS (
+      SELECT item, count(*)::BIGINT AS n FROM baskets GROUP BY 1
+    ), co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_co
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_CO}
+    ), sym AS (
+      SELECT item_a AS item, item_b AS other, n_co FROM co
+      UNION ALL
+      SELECT item_b, item_a, n_co FROM co
+    ), scored AS (
+      SELECT s.item, s.other, s.n_co,
+             round(s.n_co::DOUBLE / sqrt(na.n::DOUBLE * nb.n::DOUBLE), 6)
+               AS cosine
+      FROM sym s
+      JOIN item_n na ON s.item = na.item
+      JOIN item_n nb ON s.other = nb.item
+    )
+    SELECT item, other, n_co, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY item
+                                   ORDER BY cosine DESC, other ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_CF_TOPK}
+    """,
+)
+def q_item_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CF_TOPK} related items per item by co-visitation cosine
+    (n_co / √(n_a·n_b)) over distinct per-user view baskets, minimum
+    {_CF_MIN_CO} co-occurrences — item-item CF, the related-items
+    primitive.
+
+    Scale shape: baskets dedupe to (user, item) pairs, the
+    co-occurrence self-join is keyed on user_id (per-user basket
+    widths bound the blowup — the same contract as association rules;
+    cap basket size upstream for power users), counts and marginals
+    are exact integers, and the per-item rank window orders that
+    item's ≤|items| candidates. Cosine rounds to 6 dp before the
+    (cosine, other) total order, so the top-k cut is
+    engine-identical."""
+    ev = read_table(spark, sf_dir, "events")
+    baskets = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = baskets.select("user_id", F.col("item").alias("item_a"))
+    b = baskets.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .where(F.col("n_co") >= _CF_MIN_CO)
+    )
+    sym = co.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("other"), "n_co"
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("other"), "n_co"
+        )
+    )
+    na = item_n.select(F.col("item"), F.col("n").alias("__na"))
+    nb = item_n.select(F.col("item").alias("other"), F.col("n").alias("__nb"))
+    scored = (
+        sym.join(F.broadcast(na), "item")
+        .join(F.broadcast(nb), "other")
+        .select(
+            "item",
+            "other",
+            "n_co",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("__na").cast("double") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("other").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CF_TOPK)
+    )
+
+# ==================================================================
+# former registry64.py
+# ==================================================================
+
+"""Registry batch 64 — markdown code-block stats, attribution-model
+comparison (first/last/linear on one match set), and deterministic
+curriculum ordering.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+# fenced code blocks, non-greedy, no lookarounds/backrefs (RE2-safe)
+_FENCE_RE = r"```[\s\S]*?```"
+
+
+@register(
+    "code_block_stats",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n_chars,
+             regexp_extract_all(text, '{_FENCE_RE}') AS blocks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(blocks)::BIGINT AS n_code_blocks,
+           coalesce(list_sum(list_transform(blocks, x -> length(x))), 0)::BIGINT
+             AS code_chars,
+           round(CASE WHEN n_chars > 0
+                 THEN coalesce(list_sum(list_transform(blocks, x -> length(x))), 0)
+                      / n_chars::DOUBLE END, 6) AS code_frac
+    FROM b
+    """,
+)
+def q_code_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown fenced-code-block extraction per doc (count, chars,
+    fraction) — the code-vs-prose composition signal corpus mixtures
+    balance on. Non-greedy RE2-safe fence regex, map-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    blocks = F.regexp_extract_all("text", F.lit(_FENCE_RE), F.lit(0))
+    out = docs.withColumn("__b", blocks)
+    code_chars = F.aggregate(
+        F.col("__b"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return out.select(
+        "doc_id",
+        F.size("__b").cast("long").alias("n_code_blocks"),
+        F.coalesce(code_chars, F.lit(0)).cast("long").alias("code_chars"),
+        F.round(
+            F.when(
+                F.length("text") > 0,
+                F.coalesce(code_chars, F.lit(0)) / F.length("text").cast("double"),
+            ),
+            6,
+        ).alias("code_frac"),
+    )
+
+
+@register(
+    "attribution_compare",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id AS u, ts AS cts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id AS u, ts AS tts, event_id AS tid,
+             json_extract(props, '$.k')::INT AS item
+      FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT c.cid, c.cents, t.item, t.tts, t.tid
+      FROM conv c JOIN touch t
+        ON c.u = t.u AND t.tts >= c.cts - INTERVAL 60 MINUTE AND t.tts < c.cts
+    ), ord AS (
+      SELECT cid, cents, item,
+             row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rf,
+             row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC)
+               AS rl,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM m
+    ), per AS (
+      SELECT cid, any_value(cents) AS cents, any_value(n) AS n,
+             max(CASE WHEN rf = 1 THEN item END) AS first_item,
+             max(CASE WHEN rl = 1 THEN item END) AS last_item
+      FROM ord GROUP BY cid
+    ), linear AS (
+      SELECT m.item, sum((m.cents * 1000000) // per.n)::BIGINT AS linear_e6
+      FROM m JOIN per USING (cid) GROUP BY m.item
+    ), firsts AS (
+      SELECT first_item AS item, sum(cents * 1000000)::BIGINT AS first_e6
+      FROM per GROUP BY 1
+    ), lasts AS (
+      SELECT last_item AS item, sum(cents * 1000000)::BIGINT AS last_e6
+      FROM per GROUP BY 1
+    )
+    SELECT item,
+           coalesce(first_e6, 0) AS first_e6,
+           coalesce(last_e6, 0) AS last_e6,
+           coalesce(linear_e6, 0) AS linear_e6
+    FROM linear
+    FULL OUTER JOIN firsts USING (item)
+    FULL OUTER JOIN lasts USING (item)
+    """,
+)
+def q_attribution_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch vs linear attribution from ONE
+    (conversion, touch) match set — the three standard models priced
+    side by side per item, all in exact integer micro-cents. The
+    first/last election is an arg_min/arg_max on (ts, event_id) — a
+    total order, so ties are deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    m = conv.join(touch, "u").where(
+        (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("tts") < F.col("cts"))
+    )
+    per = m.groupBy("cid", "cents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("item", F.struct("tts", "tid")).alias("first_item"),
+        F.max_by("item", F.struct("tts", "tid")).alias("last_item"),
+    )
+    linear = (
+        m.join(per.select("cid", "n"), "cid")
+        .select("item", F.expr("cents * 1000000L div n").alias("__s"))
+        .groupBy("item")
+        .agg(F.sum("__s").cast("long").alias("linear_e6"))
+    )
+    firsts = per.groupBy(F.col("first_item").alias("item")).agg(
+        F.sum(F.col("cents") * 1000000).cast("long").alias("first_e6")
+    )
+    lasts = per.groupBy(F.col("last_item").alias("item")).agg(
+        F.sum(F.col("cents") * 1000000).cast("long").alias("last_e6")
+    )
+    return (
+        linear.join(firsts, "item", "full_outer")
+        .join(lasts, "item", "full_outer")
+        .select(
+            "item",
+            F.coalesce("first_e6", F.lit(0)).alias("first_e6"),
+            F.coalesce("last_e6", F.lit(0)).alias("last_e6"),
+            F.coalesce("linear_e6", F.lit(0)).alias("linear_e6"),
+        )
+    )
+
+
+@register(
+    "curriculum_order",
+    oracle="""
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents
+    ), r1 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS r
+      FROM documents
+    ), staged AS (
+      SELECT doc_id, ((r * 10) // n_docs)::INT AS stage FROM r1 CROSS JOIN n
+    )
+    SELECT doc_id, stage,
+           row_number() OVER (
+             ORDER BY stage ASC, md5(doc_id::VARCHAR) ASC, doc_id ASC) - 1
+             AS position
+    FROM staged
+    QUALIFY doc_id % 11 = 0
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: difficulty staged easy→hard (length-rank
+    decile stand-in for the difficulty score, ``stage = ⌊rank·10/N⌋``),
+    rows shuffled WITHIN a stage by md5 — the deterministic epoch
+    order a curriculum trainer consumes. Both global ranks come from
+    the skew-proof range-exchange construction (`with_row_id`), never
+    a single-reducer window; the mod-11 slice bounds driver output
+    AFTER the full-corpus ranks are fixed."""
+    from datas_spark.io.sources import with_row_id
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = with_row_id(docs, order_by=[F.col("n_chars"), F.col("doc_id")], name="__r")
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    staged = ranked.join(F.broadcast(n)).select(
+        "doc_id",
+        ((F.col("__r") * 10) / F.col("__n")).cast("int").alias("stage"),
+    )
+    positioned = with_row_id(
+        staged,
+        order_by=[
+            F.col("stage"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.col("doc_id"),
+        ],
+        name="position",
+    )
+    return positioned.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "stage", "position"
+    )
+
+# ==================================================================
+# former registry67.py
+# ==================================================================
+
+"""Registry batch 67 — survival analysis: Kaplan–Meier churn curve
+with right-censoring.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.registry_core import register
+
+# users whose last event falls in the final days of the observation
+# window are CENSORED (still alive at cutoff), not churned
+_KM_CENSOR_FROM = "2024-01-28"
+
+
+@register(
+    "churn_survival_curve",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             date_diff('day', min(ts), max(ts))::BIGINT AS t,
+             CASE WHEN max(ts) >= TIMESTAMP '{_KM_CENSOR_FROM}'
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ), days AS (
+      SELECT t, count(*)::BIGINT AS n_exit,
+             count(*) FILTER (churned = 1)::BIGINT AS d
+      FROM per_user GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             sum(n_exit) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM days
+    ), terms AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d > 0 THEN ln((n_risk - d) / n_risk::DOUBLE)
+                  ELSE 0.0 END AS lnterm
+      FROM risk
+    ), arr AS (
+      SELECT list(struct_pack(t := t, lnterm := lnterm) ORDER BY t) AS a
+      FROM terms
+    )
+    SELECT r.t, r.d, r.n_risk::BIGINT AS n_risk,
+           round(exp(list_reduce(
+             list_prepend(0.0, list_transform(
+               list_filter(arr.a, x -> x.t <= r.t), x -> x.lnterm)),
+             (acc, v) -> acc + v)), 6) AS survival
+    FROM terms r CROSS JOIN arr
+    """,
+)
+def q_churn_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for user lifetime (days between
+    first and last event), right-censoring users still active in the
+    final window — survival analysis done relationally: S(t) =
+    Π_(t'≤t) (1 − d/n_risk), evaluated as an exp of an ORDERED ln-fold
+    over the collected day array, so the float accumulation order is
+    identical in both engines (the BM25 term-fold trick).
+
+    Scale shape: one per-user aggregate, one per-day aggregate (≤
+    observation-window days rows), windows and folds only ever touch
+    the tiny day frame."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("t"),
+        F.when(F.max("ts") >= _KM_CENSOR_FROM, 0).otherwise(1).alias("churned"),
+    )
+    days = per_user.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_exit"),
+        F.count_if(F.col("churned") == 1).alias("d"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = days.select("t", "d", F.sum("n_exit").over(w).alias("n_risk"))
+    lnterm = F.when(
+        F.col("d") > 0,
+        F.log((F.col("n_risk") - F.col("d")) / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    terms = risk.select("t", "d", "n_risk", lnterm.alias("lnterm"))
+    arr = terms.agg(
+        F.sort_array(F.collect_list(F.struct("t", "lnterm"))).alias("a")
+    )
+    folded = terms.join(F.broadcast(arr)).select(
+        "t",
+        "d",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round(
+            F.exp(
+                F.aggregate(
+                    F.filter(F.col("a"), lambda x: x["t"] <= F.col("t")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["lnterm"],
+                )
+            ),
+            6,
+        ).alias("survival"),
+    )
+    return folded

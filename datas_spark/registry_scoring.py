@@ -1,0 +1,843 @@
+"""Scorer queries: proxy/model-boundary scoring, IFD/LESS/LP, selection and active-learning rounds.
+
+Consolidated from the former numeric registry batches 2, 4 (round-5 cleanup; query
+names unchanged). Each section below keeps its original batch
+docstring for provenance."""
+from __future__ import annotations
+
+# ==================================================================
+# former registry2.py
+# ==================================================================
+
+"""Query registry, batch 2: scorer proxies (pandas_udf path), AL
+strategies over probability arrays, cluster analytics, task-vector
+algebra, sessionization, simhash, similarity search.
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.functions import arrays as A
+from datas_spark.io.sources import read_table
+from datas_spark.operators import clustering as C
+from datas_spark.operators import dedup as D
+from datas_spark.operators import scoring as SC
+from datas_spark.operators import selection as S
+from datas_spark.operators import similarity as SIM
+from datas_spark.operators import taskvector as TV
+from datas_spark.registry_core import register
+from datas_spark.streaming.scoring import sessionize
+
+# ---------------------------------------------------------------------------
+# §2.2 P4/P5 — model-scorer proxies (REAL pandas_udf execution path;
+# deterministic md5 proxy so DuckDB can still verify the plumbing)
+# ---------------------------------------------------------------------------
+
+_PROXY_SQL = "(('0x' || substr(md5({expr}), 1, 8))::BIGINT / 4294967296.0)"
+
+
+def _pseudo_alpaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as pseudo-alpaca rows (shared by the scorer queries)."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("instruction"),
+        F.lit("").alias("input"),
+        F.col("lang").alias("output"),
+    )
+
+
+_PSEUDO_PROMPT_SQL = """
+    'Below is an instruction that describes a task. Write a response that appropriately completes the request.
+
+### Instruction:
+' || substr(text, 1, 80) || '
+
+### Response:'
+"""
+
+
+@register(
+    "reward_score_proxy",
+    oracle=f"""
+    SELECT doc_id, {_PROXY_SQL.format(expr=_PSEUDO_PROMPT_SQL + " || lang")} AS score_rw
+    FROM documents
+    """,
+)
+def q_reward_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (score_pipeline_rw.py:39-52) through the Arrow pandas_udf
+    boundary — the execution path of a real reward model, verified
+    end-to-end with a deterministic proxy."""
+    return SC.reward_scorer_proxy(_pseudo_alpaca(spark, sf_dir)).select(
+        "doc_id", "score_rw"
+    )
+
+
+@register(
+    "ppl_score_proxy",
+    oracle=f"""
+    SELECT doc_id,
+      1.0 + 99.0 * {_PROXY_SQL.format(expr=_PSEUDO_PROMPT_SQL)} AS ppl_ins_alone
+    FROM documents
+    """,
+)
+def q_ppl_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (get_info.py:69-83; 'pre' mode main.py:229-231)."""
+    return SC.perplexity_scorer_proxy(_pseudo_alpaca(spark, sf_dir)).select(
+        "doc_id", "ppl_ins_alone"
+    )
+
+
+@register(
+    "lp_score",
+    oracle="""
+    SELECT doc_id,
+      ((n_chars * 7) % 13 - n_chars)::DOUBLE / (n_chars - (n_chars * 3) % 7) AS score_lp
+    FROM documents
+    WHERE n_chars - (n_chars * 3) % 7 != 0
+    """,
+)
+def q_lp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 (paper_list.md:44-46): LP = (P1−P0)/(P0−Pn) over per-epoch
+    perplexities (synthesized deterministically here)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("p0"),
+        ((F.col("n_chars") * 7) % 13).cast("double").alias("p1"),
+        ((F.col("n_chars") * 3) % 7).cast("double").alias("pn"),
+    )
+    return (
+        SC.lp_score(docs, ["p0", "p1", "pn"])
+        .where(F.col("score_lp").isNotNull())
+        .select("doc_id", "score_lp")
+    )
+
+
+@register(
+    "token_span_mean_loss",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+        list_transform(string_split_regex(trim(text), '\s+'),
+                       w -> ((length(w)*7+3) % 11) / 10.0 + 0.1) AS losses
+      FROM documents
+    )
+    SELECT doc_id,
+      round(list_sum(losses[3:7])::DOUBLE / len(losses[3:7]), 6) AS span_mean_loss
+    FROM t WHERE len(losses) >= 7
+    """,
+)
+def q_token_span_mean_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (score_pipeline_ifd.py:105-116): answer-span slicing of the
+    per-token loss list (slice [3, 5] → tokens 3..7), then mean."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # filter on the TOKEN array's size before projecting losses
+    # (size(transform(x)) == size(x)): the pushed-down predicate then
+    # inlines only the split, not the whole loss transform
+    toks = docs.select("doc_id", words.alias("__w")).where(F.size("__w") >= 7)
+    losses = toks.select(
+        "doc_id",
+        F.transform(
+            "__w", lambda w: ((F.length(w) * 7 + 3) % 11) / F.lit(10.0) + 0.1
+        ).alias("__l"),
+    )
+    span = SC.token_span_slice(F.col("__l"), 3, 5)
+    return losses.select(
+        "doc_id", F.round(A.arr_mean(span), 6).alias("span_mean_loss")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 L3/L4 — margin & entropy sampling over probability arrays
+# ---------------------------------------------------------------------------
+
+_PROBS_SQL = """
+      list_transform(embedding[1:4], x -> abs(x)::DOUBLE /
+        list_sum(list_transform(embedding[1:4], y -> abs(y)::DOUBLE)))
+"""
+
+
+@register(
+    "margin_sampling",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id, {_PROBS_SQL} AS probs FROM embeddings
+    ), m AS (
+      SELECT vec_id,
+        list_reverse(list_sort(probs))[1] - list_reverse(list_sort(probs))[2] AS margin
+      FROM p
+    )
+    SELECT vec_id, margin FROM m ORDER BY margin ASC, vec_id ASC LIMIT 20
+    """,
+)
+def q_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: smallest top1−top2 margin; probability vector derived from
+    the first 4 embedding components (abs-normalized)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 4)
+    total = A.arr_sum(F.transform(head, lambda x: F.abs(x.cast("double"))))
+    probs = F.transform(head, lambda x: F.abs(x.cast("double")) / total)
+    df = emb.select("vec_id", probs.alias("probs"))
+    return S.margin_sampling(df, "probs", 20, tiebreak="vec_id", keep_score=True).select(
+        "vec_id", "margin"
+    )
+
+
+@register(
+    "entropy_sampling",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id, {_PROBS_SQL} AS probs FROM embeddings
+    ), e AS (
+      SELECT vec_id,
+        -list_sum(list_transform(probs, x -> x * ln(x + 1e-12)))::DOUBLE AS entropy
+      FROM p
+    )
+    SELECT vec_id, entropy FROM e ORDER BY entropy DESC, vec_id ASC LIMIT 20
+    """,
+)
+def q_entropy_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: highest predictive entropy."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 4)
+    total = A.arr_sum(F.transform(head, lambda x: F.abs(x.cast("double"))))
+    probs = F.transform(head, lambda x: F.abs(x.cast("double")) / total)
+    df = emb.select("vec_id", probs.alias("probs"))
+    return S.entropy_sampling(df, "probs", 20, tiebreak="vec_id", keep_score=True).select(
+        "vec_id", "entropy"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 F5/F6 — cluster analytics (on the given label column)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cluster_sizes",
+    oracle="SELECT label AS cluster, count(*) AS n_rows FROM embeddings GROUP BY 1",
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (main.py:381-383)."""
+    emb = read_table(spark, sf_dir, "embeddings").withColumnRenamed("label", "cluster")
+    return C.cluster_sizes(emb)
+
+
+@register(
+    "cluster_indices",
+    oracle="""
+    SELECT label AS cluster,
+           array_to_string(list(vec_id ORDER BY vec_id), ',') AS row_ids_csv
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_cluster_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (main.py:386-389): cluster → member row-id list. The sorted id
+    list is projected to a CSV scalar for the driver's pandas
+    canonicalizer (list cells are unhashable there)."""
+    emb = read_table(spark, sf_dir, "embeddings").withColumnRenamed("label", "cluster")
+    idx = C.cluster_indices(emb, "cluster", "vec_id")
+    return idx.select(
+        "cluster",
+        F.concat_ws(
+            ",", F.transform("row_ids", lambda x: x.cast("string"))
+        ).alias("row_ids_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 task-vector algebra (checkpoints synthesized from part/lineitem)
+# ---------------------------------------------------------------------------
+
+def _ckpt_f(spark, sf_dir):
+    return read_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("key"),
+        F.col("p_partkey").alias("idx"),
+        F.col("p_retailprice").alias("value"),
+    )
+
+
+def _ckpt_p(spark, sf_dir):
+    return read_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("key"),
+        F.col("p_partkey").alias("idx"),
+        F.col("p_size").cast("double").alias("value"),
+    )
+
+
+@register(
+    "task_vector_diff",
+    oracle="""
+    SELECT p_brand AS key, p_partkey AS idx,
+           p_retailprice - p_size AS value
+    FROM part
+    """,
+)
+def q_task_vector_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (merging.py:44-50): finetuned − pretrained as an equi-join on
+    (key, idx)."""
+    return TV.task_vector(_ckpt_f(spark, sf_dir), _ckpt_p(spark, sf_dir))
+
+
+@register(
+    "task_vector_weighted_merge",
+    oracle="""
+    SELECT p_brand AS key, p_partkey AS idx,
+           0.7 * p_retailprice + 0.3 * p_size AS value
+    FROM part
+    """,
+)
+def q_task_vector_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (merging.py:76-81): Σ coef·tv via union + grouped sum."""
+    return TV.tv_weighted_merge(
+        [_ckpt_f(spark, sf_dir), _ckpt_p(spark, sf_dir)], [0.7, 0.3]
+    )
+
+
+@register(
+    "task_vector_apply",
+    oracle="""
+    SELECT p_brand AS key, p_partkey AS idx,
+           p_size + 0.5 * (p_retailprice - p_size) AS value
+    FROM part
+    """,
+)
+def q_task_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (merging.py:83-95): pretrained + scale·tv."""
+    tv = TV.task_vector(_ckpt_f(spark, sf_dir), _ckpt_p(spark, sf_dir))
+    return TV.tv_apply(_ckpt_p(spark, sf_dir), tv, scaling=0.5)
+
+
+_TIES_K = 0.2
+
+
+def _ties_oracle(
+    mask_partition: str = "vector_id, key, idx // 1024",
+    zero_fallback: str = "coalesce((SELECT g FROM gmaj), 1)",
+) -> str:
+    """DuckDB twin of the fused ties_merge, parametrized over the top-k
+    mask partition (per-matrix-row vs whole-vector global_topk) and the
+    zero-sign fallback (mass vs minority)."""
+    return f"""
+    WITH tv1 AS (
+      SELECT l_returnflag || l_linestatus AS key,
+             l_orderkey * 8 + l_linenumber AS idx,
+             l_discount - 0.05 AS value
+      FROM lineitem
+    ), tv2 AS (
+      SELECT l_returnflag || l_linestatus AS key,
+             l_orderkey * 8 + l_linenumber AS idx,
+             l_tax - 0.04 AS value
+      FROM lineitem
+    ), unioned AS (
+      SELECT 0 AS vector_id, * FROM tv1 UNION ALL SELECT 1, * FROM tv2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY {mask_partition}
+                                   ORDER BY abs(value) DESC) AS rk,
+             count(*) OVER (PARTITION BY {mask_partition}) AS n
+      FROM unioned
+    ), kth AS (
+      SELECT *, max(CASE WHEN rk = greatest(floor(n * {_TIES_K})::BIGINT, 1)
+                         THEN abs(value) END)
+                  OVER (PARTITION BY {mask_partition}) AS kth_abs
+      FROM ranked
+    ), masked AS (
+      SELECT vector_id, key, idx,
+             CASE WHEN abs(value) >= kth_abs THEN value ELSE 0.0 END AS value
+      FROM kth
+    ), signs AS (
+      SELECT key, idx, sign(sum(value)) AS s FROM masked GROUP BY key, idx
+    ), gmaj AS (
+      SELECT sign(sum(s)) AS g FROM signs WHERE s != 0
+    ), elected AS (
+      SELECT key, idx, CASE WHEN s != 0 THEN s ELSE {zero_fallback} END AS s
+      FROM signs
+    )
+    SELECT m.key, m.idx,
+      coalesce(sum(CASE WHEN m.value * e.s > 0 THEN m.value END), 0.0)
+        / greatest(count(CASE WHEN m.value * e.s > 0 THEN 1 END), 1) AS value
+    FROM masked m JOIN elected e ON m.key = e.key AND m.idx = e.idx
+    GROUP BY m.key, m.idx
+"""
+
+
+_TIES_ORACLE = _ties_oracle()
+
+
+def _ties_tvs(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Two lineitem-derived task vectors shared by the TIES queries."""
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat("l_returnflag", "l_linestatus").alias("key")
+    idx = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("idx")
+    tv1 = li.select(key, idx, (F.col("l_discount") - 0.05).alias("value"))
+    tv2 = li.select(key, idx, (F.col("l_tax") - 0.04).alias("value"))
+    return [tv1, tv2]
+
+
+@register("ties_merge", oracle=_TIES_ORACLE)
+def q_ties_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6-T9 (merging.py:154-267): full TIES — per-matrix-row top-20%
+    magnitude mask (row_size=1024, mirroring the reference's per-row
+    ``kthvalue`` along dim=1 at merging.py:204), mass sign election with
+    global-majority zero replacement, disjoint mean merge — one lazy
+    plan over two lineitem-derived task vectors. Row-granular windows
+    keep partitions ~1k entries regardless of checkpoint size."""
+    return TV.ties_merge(_ties_tvs(spark, sf_dir), k_pct=_TIES_K, mode="mean", row_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 C6 — labeled/unlabeled pool bookkeeping (anti-join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "labeled_unlabeled_split",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 10 = 0 THEN 'labeled' ELSE 'unlabeled' END AS pool
+    FROM documents
+    """,
+)
+def q_labeled_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (main.py:37-52 rd_N pools): selected-id set vs remainder via
+    semi/anti join, unioned with a pool tag."""
+    docs = read_table(spark, sf_dir, "documents")
+    selected = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    labeled = docs.join(selected, "doc_id", "left_semi").select(
+        "doc_id", F.lit("labeled").alias("pool")
+    )
+    unlabeled = docs.join(selected, "doc_id", "left_anti").select(
+        "doc_id", F.lit("unlabeled").alias("pool")
+    )
+    return labeled.unionByName(unlabeled)
+
+
+# ---------------------------------------------------------------------------
+# similarity search + simhash
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_vec_id, d.vec_id AS d_vec_id,
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))), 6) AS cos
+      FROM embeddings d CROSS JOIN q
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors — the Column-
+    expression ORACLE BASELINE. Use cosine_topk_vec as the default
+    exact path (same semantics, Arrow matmul, faster — especially at
+    4096-dim); lsh_topk/ivf_topk are the approximate scale paths. Even
+    this baseline prunes via per-bucket maxima thresholds, so no
+    O(n·|q|) rows reach the rank window."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10)
+
+
+@register("cosine_topk_vec", oracle=_COSINE_TOPK_ORACLE)
+def q_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-10, Arrow/numpy physical path: per-batch matmul +
+    local top-k, global rank over O(k·batches·queries) candidates — the
+    plan shape for the reference's 4096-dim embeddings (main.py:349).
+    Checked against the identical DuckDB oracle as cosine_topk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_vectorized(
+        emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10
+    )
+
+
+# The LSH hyperplanes are deterministic Python literals
+# (similarity.random_hyperplanes, fixed seed) — embedding them verbatim
+# in the SQL makes the WHOLE approximate query exactly reproducible:
+# the oracle computes the same sign-bit buckets, probe sets, and
+# bucket-restricted cosine rank. "Approximate" means approximate w.r.t.
+# the exact top-k, not nondeterministic.
+_LSH_DIM = 64  # driver embeddings are 64-dim at every sf
+
+
+def _planes_values_sql(n_planes: int, seed: int = 42) -> str:
+    planes = SIM.random_hyperplanes(_LSH_DIM, n_planes, seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    return f"(VALUES {rows}) AS t(pid, pv)"
+
+
+_LSH_DOT_SQL = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+    " i -> e.embedding[i]::DOUBLE * p.pv[i]))"
+)
+
+_LSH_COS_SQL = """
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6)
+"""
+
+
+def _lsh_topk_oracle(n_planes: int, n_probe: int) -> str:
+    probes = (
+        "[own]"
+        if n_probe == 1
+        else (
+            f"list_concat([own], list_transform(flips[1:{n_probe - 1}],"
+            " s -> xor(own, s.bit)))"
+        )
+    )
+    return f"""
+    WITH pl AS (SELECT * FROM {_planes_values_sql(n_planes)}),
+    dots AS (
+      SELECT e.vec_id, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM embeddings e CROSS JOIN pl p
+    ), db AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM dots GROUP BY vec_id
+    ), qb AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS own,
+        list_sort(list({{'m': abs(dt), 'bit': (1::BIGINT << pid)}})) AS flips
+      FROM dots WHERE vec_id < 3 GROUP BY vec_id
+    ), probes AS (
+      SELECT vec_id AS q_vec_id, unnest({probes}) AS pb FROM qb
+    ), scored AS (
+      SELECT pr.q_vec_id, d.vec_id AS d_vec_id, {_LSH_COS_SQL} AS cos
+      FROM probes pr
+      JOIN db ON db.bucket = pr.pb
+      JOIN embeddings d ON d.vec_id = db.vec_id
+      JOIN embeddings q ON q.vec_id = pr.q_vec_id
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("lsh_topk", oracle=_lsh_topk_oracle(n_planes=6, n_probe=1))
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucketed cosine top-10. The seed-
+    pinned hyperplanes are embedded in the DuckDB twin, so even the
+    approximate path is hash-checked end-to-end (buckets, candidate
+    sets, rank)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding", k=10, n_planes=6)
+
+
+@register("lsh_topk_multiprobe", oracle=_lsh_topk_oracle(n_planes=6, n_probe=4))
+def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: same plan as lsh_topk plus 3 extra flip-one-
+    bit probes per query (smallest projection margin first) — higher
+    recall at ~4x candidate cost, no extra hash tables. The probe-set
+    derivation (margin sort, bit flips) is reproduced in the oracle;
+    the recall-vs-single-probe invariant is additionally pytest'd."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(
+        emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",
+        k=10, n_planes=6, n_probe=4,
+    )
+
+
+@register("ivf_topk_learned")  # rows-only check (KMeans quantizer, no SQL oracle)
+def q_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: seed-pinned MLlib
+    KMeans, each query probes its 3 nearest of 8 cells, exact cosine
+    inside (recall vs cosine_topk is data-dependent → rows-only driver
+    check). The driver-visible ``ivf_topk`` is the fixed-quantizer
+    twin in registry_similarity — the same plan shape with deterministic cells,
+    so the whole approximate query hash-checks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=3,
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    # mirrors dedup.simhash: 32-bit signatures vote over an 8-hex-char
+    # md5 prefix hash, wider ones over a 15-hex-char (60-bit) prefix
+    nhex = 8 if bits <= 32 else 15
+    votes = "\n        + ".join(
+        f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // {1 << b}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+        list_transform(string_split_regex(trim(text), '\s+'),
+                       w -> ('0x' || substr(md5(w), 1, {nhex}))::BIGINT) AS th
+      FROM documents
+    )
+    SELECT doc_id, ({votes})::BIGINT AS simhash FROM t
+    """
+
+
+@register("simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit bit-majority signature (near-dup family)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text").select("doc_id", "simhash")
+
+
+_EMB_NEAR_DUP_ORACLE = """
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                   i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.3
+    """
+
+
+@register("embedding_near_dup", oracle=_EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (the blocking
+    key bounds the self-join — at scale an LSH bucket plays this role).
+    Expression-path oracle baseline; embedding_near_dup_vec is the
+    wide-embedding default."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.0)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    ).where(F.col("cos") >= 0.3)
+
+
+def _lsh_blocked_oracle(n_planes: int) -> str:
+    return f"""
+    WITH pl AS (SELECT * FROM {_planes_values_sql(n_planes)}),
+    dots AS (
+      SELECT e.vec_id, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM embeddings e CROSS JOIN pl p
+    ), db AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    SELECT * FROM (
+      SELECT d.vec_id AS id_a, q.vec_id AS id_b, {_LSH_COS_SQL} AS cos
+      FROM db a JOIN db b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN embeddings d ON d.vec_id = a.vec_id
+      JOIN embeddings q ON q.vec_id = b.vec_id
+    ) WHERE cos >= 0.3
+    """
+
+
+@register("lsh_blocked_near_dup", oracle=_lsh_blocked_oracle(n_planes=4))
+def q_lsh_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-natural-blocking-key scale default: hyperplane sign
+    buckets (map-only) bound the pairwise matmul — no cross join
+    anywhere. The seed-pinned planes are embedded in the oracle, so
+    the bucket partition AND the in-bucket cosine pairs hash-check;
+    pytest additionally plants near-identical twins and proves
+    recall."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register("embedding_near_dup_vec", oracle=_EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-matmul twin of embedding_near_dup — one numpy matmul per
+    block via applyInPandas instead of a per-pair zip_with fold; the
+    default for wide embeddings. Same oracle row as the expression
+    path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs_vectorized(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# events sessionization (batch twin of streaming session_window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '5 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (5-min gap) — batch execution
+    of the streaming ``sessionize`` plan (session_window end = last
+    event + gap, exclusive)."""
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(ev.drop("__is_stream_marker", *[]), gap="5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# MLlib + iterative (rows-only checks: seeded but not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register("kmeans_clusters")  # rows-only
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (main.py:316-322): KMeans(k=3, seed=0) labels on the embedding
+    column via MLlib (deterministic w/ seed; invariants unit-tested)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return C.kmeans_cluster(emb, "embedding", k=3, seed=0).select("vec_id", "cluster")
+
+
+@register("kcenter_sample")  # rows-only (iterative greedy, driver-coordinated)
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: greedy k-center (k=8) over a bounded pool."""
+    emb = read_table(spark, sf_dir, "embeddings").where("vec_id < 200")
+    return S.kcenter_sampling(emb, "embedding", "vec_id", k=8).select("vec_id")
+
+# ==================================================================
+# former registry4.py
+# ==================================================================
+
+"""Query registry, batch 4 (round 2): model-boundary e2e scoring, TIES
+fidelity variants, vectorized near-dup, multi-probe LSH, skew-resistant
+stride sampling.
+
+Imported by datas_spark.registry for its side effects (registrations).
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators import scoring as SC
+from datas_spark.registry_core import register
+
+# ---------------------------------------------------------------------------
+# P6+P8 through the REAL model boundary (iterator pandas_udf, per-worker
+# model load) — deterministic fake causal LM, oracle-checkable
+# ---------------------------------------------------------------------------
+
+_MD5_UNIT = "('0x' || substr(md5({s}), 1, 8))::BIGINT / 4294967296.0"
+
+_PROMPT_SQL = """'Below is an instruction that describes a task. Write a response that appropriately completes the request.
+
+### Instruction:
+' || substr(text, 1, 80) || '
+
+### Response:'"""
+
+_IFD_MODEL_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, {_PROMPT_SQL} AS prompt,
+             substr(text, 81, 60) AS output
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+        list_transform(string_split_regex(trim(output), '\s+'),
+                       w -> {_MD5_UNIT.format(s="prompt || '#' || w")}) AS lc,
+        list_transform(string_split_regex(trim(output), '\s+'),
+                       w -> {_MD5_UNIT.format(s="'#' || w")}) AS la
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+        list_sum(lc)::DOUBLE / len(lc) AS mc,
+        list_sum(la)::DOUBLE / len(la) AS ma
+      FROM l
+    )
+    SELECT doc_id, round(mc / ma, 6) AS score_ifd_model
+    FROM m WHERE mc / ma <= 1.0
+"""
+
+
+@register("ifd_model_scorer", oracle=_IFD_MODEL_ORACLE)
+def q_ifd_model_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P8 end-to-end through make_token_loss_scorer — the production
+    execution path of score_pipeline_ifd.py:78-219 (iterator pandas_udf,
+    model factory run once per worker, TWO conditional-NLL passes, IFD
+    ratio + drop filter) with the deterministic fake causal LM standing
+    in for the HF model."""
+    docs = read_table(spark, sf_dir, "documents")
+    pseudo = docs.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("instruction"),
+        F.lit("").alias("input"),
+        F.substring("text", 81, 60).alias("output"),
+    )
+    scored = SC.ifd_model_scorer(pseudo)
+    return scored.select("doc_id", F.round("score_ifd", 6).alias("score_ifd_model"))
+
+
+# ---------------------------------------------------------------------------
+# TIES fidelity variants: whole-vector global top-k mask (the reference
+# driver's actual flow) and minority zero-sign resolution
+# ---------------------------------------------------------------------------
+
+from datas_spark.operators import taskvector as TV  # noqa: E402
+
+
+@register("ties_merge_global", oracle=_ties_oracle(mask_partition="vector_id"))
+def q_ties_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIES with the top-20% mask over each WHOLE flattened checkpoint
+    (merging.py:155-163 driver flow over get_taskV.py:20-36 flat
+    vectors) instead of per matrix row."""
+    return TV.ties_merge(
+        _ties_tvs(spark, sf_dir), k_pct=_TIES_K, mode="mean", global_topk=True
+    )
+
+
+@register(
+    "ties_merge_minority",
+    oracle=_ties_oracle(
+        zero_fallback="coalesce(-(SELECT g FROM gmaj), -1)"
+    ),
+)
+def q_ties_merge_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIES with minority zero-sign resolution (merging.py:231-232):
+    zero-sum entries inherit the NEGATED global majority sign."""
+    return TV.ties_merge(
+        _ties_tvs(spark, sf_dir),
+        k_pct=_TIES_K,
+        mode="mean",
+        row_size=1024,
+        sign_method="minority",
+    )

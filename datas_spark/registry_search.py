@@ -1,0 +1,462 @@
+"""Ranked retrieval: BM25, fusion (RRF), keyness, retrieve-then-rerank.
+
+Consolidated from the former numeric registry batches 16, 21, 63 (round-5 cleanup; query
+names unchanged). Each section below keeps its original batch
+docstring for provenance."""
+from __future__ import annotations
+
+# ==================================================================
+# former registry16.py
+# ==================================================================
+
+"""Registry batch 16 — BM25 ranked retrieval."""
+
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators.search import bm25_topk
+from datas_spark.registry_core import register
+
+_BM25_TERMS = ["data", "join", "skew"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), contribs AS (
+      SELECT tf.doc_id, tf.term,
+        ln(1.0 + (c.n_docs::DOUBLE - d.df + 0.5) / (d.df::DOUBLE + 0.5))
+        * tf.tf::DOUBLE * {_BM25_K1 + 1.0}
+        / (tf.tf::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+             * l.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE)))
+          AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN consts c
+    )
+    SELECT doc_id,
+           round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 4)
+             AS score
+    FROM contribs GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOP}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed query — the
+    lexical-search baseline (Lucene idf variant). Postings filter to
+    the query vocabulary BEFORE the explode, corpus constants are one
+    exact integer aggregate, and the per-doc score folds contributions
+    in term order so it is bit-reproducible (see `operators.search`)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=_BM25_TOP
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation
+# ---------------------------------------------------------------------------
+
+_JS_DEPTH = 4
+_JS_WIDTH = 2048
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+    WITH ra AS (
+      SELECT i AS row, pos, count(*) AS cnt FROM (
+        SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || ':' || o_custkey::VARCHAR), 1, 15))::BIGINT
+            % {_JS_WIDTH} AS pos
+        FROM orders CROSS JOIN (SELECT unnest(range({_JS_DEPTH})) AS i)
+        WHERE o_custkey IS NOT NULL
+      ) GROUP BY i, pos
+    ), rb AS (
+      SELECT i AS row, pos, count(*) AS cnt FROM (
+        SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT
+            % {_JS_WIDTH} AS pos
+        FROM customer CROSS JOIN (SELECT unnest(range({_JS_DEPTH})) AS i)
+        WHERE c_custkey IS NOT NULL
+      ) GROUP BY i, pos
+    ), ip AS (
+      SELECT a.row, sum(a.cnt * b.cnt) AS ip
+      FROM ra a JOIN rb b ON a.row = b.row AND a.pos = b.pos
+      GROUP BY a.row
+    )
+    SELECT min(coalesce(ip.ip, 0))::BIGINT AS est_join_rows
+    FROM (SELECT unnest(range({_JS_DEPTH})) AS row) r
+    LEFT JOIN ip ON ip.row = r.row
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality: estimate |orders ⋈ customer| from
+    two count-min sketches via the inner-product estimator — an upper
+    bound on the true join size at two register-table scans' cost
+    (`sketches.cms_join_size_estimate`). The optimizer-style answer to
+    "can I afford this join?" before shuffling 100 TB."""
+    from datas_spark.operators import sketches as SK
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    ra = SK.cms_registers(orders, "o_custkey", depth=_JS_DEPTH, width=_JS_WIDTH)
+    rb = SK.cms_registers(cust, "c_custkey", depth=_JS_DEPTH, width=_JS_WIDTH)
+    return SK.cms_join_size_estimate(ra, rb, depth=_JS_DEPTH)
+
+# ==================================================================
+# former registry21.py
+# ==================================================================
+
+"""Registry batch 21 — retrieval fusion and corpus keyness:
+reciprocal-rank fusion of lexical (BM25) and semantic (embedding)
+retrieval, and per-source distinctive terms by Dunning's G²
+log-likelihood.
+
+Both stay bit-reproducible: ranks are integers, the RRF reciprocal sum
+and the G² statistic are single per-row float expressions over exact
+integer inputs, rounded to 6 places before any ordering.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.functions.text import word_tokens
+from datas_spark.io.sources import read_table
+from datas_spark.operators import similarity as SIM
+from datas_spark.operators.search import bm25_topk, rrf_fuse
+from datas_spark.registry_core import register
+
+_RRF_K0 = 60
+_RRF_DEPTH = 50  # per-list candidate depth
+_RRF_TOP = 20
+_RRF_QUERY_VEC = 0  # semantic query: embedding of vec_id 0
+
+# lexical candidate list: BM25 top-_RRF_DEPTH, ranked (registry_search's
+# oracle chain, parameterized depth, rank added above the aggregate)
+_LEX_CTE = f"""
+    toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), contribs AS (
+      SELECT tf.doc_id, tf.term,
+        ln(1.0 + (c.n_docs::DOUBLE - d.df + 0.5) / (d.df::DOUBLE + 0.5))
+        * tf.tf::DOUBLE * {_BM25_K1 + 1.0}
+        / (tf.tf::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+             * l.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE)))
+          AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN consts c
+    ), lex AS (
+      SELECT doc_id,
+             round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 4)
+               AS score
+      FROM contribs GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    ), lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM lex
+    )
+"""
+
+_SEM_CTE = f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+    sem AS (
+      SELECT d.vec_id AS doc_id,
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))), 6) AS cos
+      FROM embeddings d CROSS JOIN q
+    ), semr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+        FROM sem
+      ) WHERE r <= {_RRF_DEPTH}
+    )
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_LEX_CTE}, {_SEM_CTE}
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K0} + l.r), 0.0)
+                 + coalesce(1.0 / ({_RRF_K0} + s.r), 0.0), 6) AS rrf_score,
+           ((l.doc_id IS NOT NULL)::INT + (s.doc_id IS NOT NULL)::INT)::INT
+             AS n_lists
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOP}
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and embedding-cosine
+    semantic top-50 (query = vec_id 0's embedding; doc ids and vec ids
+    share one id space) fused by reciprocal-rank fusion
+    ``Σ 1/(60 + rank)`` — rank-based, so no score calibration between
+    the two retrievers is needed.
+
+    Scale shape: each retriever already reduces the corpus to a k-row
+    candidate list with its own scale-safe plan (query-vocab-filtered
+    postings; bucketed cosine rank with a broadcast 1-row query), so
+    the fusion join, reciprocal sum, and final sort all run on ≤ 50-row
+    frames. The only global windows rank k-row aggregates, never raw
+    rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+        top_n=_RRF_DEPTH,
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = SIM.cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") == _RRF_QUERY_VEC),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=_RRF_DEPTH,
+    )
+    semr = sem.select(F.col("d_vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lexr, semr], "doc_id", k0=_RRF_K0, top_n=_RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# per-source distinctive terms (Dunning G² log-likelihood keyness)
+# ---------------------------------------------------------------------------
+
+_KEY_MIN_COUNT = 3
+_KEY_TOP = 5
+
+
+@register(
+    "source_keyness_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(list_transform(
+               string_split_regex(trim(text), '\\s+'), w -> lower(w))) AS term
+      FROM documents
+    ), tk AS (
+      SELECT source, term FROM toks WHERE term <> ''
+    ), a AS (
+      SELECT source, term, count(*)::BIGINT AS a FROM tk GROUP BY source, term
+    ), termtot AS (
+      SELECT term, sum(a)::BIGINT AS tot_t FROM a GROUP BY term
+    ), srctot AS (
+      SELECT source, sum(a)::BIGINT AS n1 FROM a GROUP BY source
+    ), grand AS (
+      SELECT sum(a)::BIGINT AS n FROM a
+    ), g2 AS (
+      -- ratios of DOUBLEs, not BIGINT products: a*N overflows int64 at
+      -- corpus scale (N ~ 1e13, a ~ 1e6 for a stopword); the double
+      -- conversion + one division + ln is deterministic on both engines
+      SELECT a.source, a.term, a.a,
+        round(2.0 * (
+          a.a::DOUBLE * ln((a.a::DOUBLE * g.n::DOUBLE)
+                           / (s.n1::DOUBLE * t.tot_t::DOUBLE))
+          + CASE WHEN t.tot_t - a.a > 0 THEN
+              (t.tot_t - a.a)::DOUBLE
+              * ln(((t.tot_t - a.a)::DOUBLE * g.n::DOUBLE)
+                   / ((g.n - s.n1)::DOUBLE * t.tot_t::DOUBLE))
+            ELSE 0.0 END), 6) AS g2
+      FROM a JOIN termtot t USING (term) JOIN srctot s USING (source)
+      CROSS JOIN grand g
+      WHERE a.a >= {_KEY_MIN_COUNT}
+        AND a.a::DOUBLE * g.n::DOUBLE > s.n1::DOUBLE * t.tot_t::DOUBLE
+    )
+    SELECT source, term, a AS cnt, g2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY g2 DESC, term ASC) AS rk
+      FROM g2
+    ) WHERE rk <= {_KEY_TOP}
+    ORDER BY source, g2 DESC, term
+    """,
+)
+def q_source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: Dunning's G² log-likelihood
+    keyness of each term in a source vs the rest of the corpus, top 5
+    overrepresented terms per source — the corpus-linguistics standard
+    for "what makes this slice different" (domain tagging, contamination
+    triage, mixture auditing).
+
+    All four count frames (term-in-source, term total, source total,
+    grand total) are exact BIGINT aggregates of ONE tokenization pass;
+    G² is a single per-row float expression over those integers
+    (b = tot_t − a and n2 = N − n1 are derived, not re-counted), so the
+    statistic is order-independent. The grand total broadcasts as one
+    row; the top-5 window is partitioned by source."""
+    docs = read_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "source",
+            F.explode(F.transform(word_tokens("text"), lambda w: F.lower(w))).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+    )
+    a = tk.groupBy("source", "term").agg(F.count("*").cast("long").alias("a"))
+    termtot = a.groupBy("term").agg(F.sum("a").cast("long").alias("tot_t"))
+    srctot = a.groupBy("source").agg(F.sum("a").cast("long").alias("n1"))
+    grand = a.agg(F.sum("a").cast("long").alias("n"))
+    j = (
+        a.join(termtot, "term")
+        .join(F.broadcast(srctot), "source")
+        .crossJoin(F.broadcast(grand))
+        .where(
+            (F.col("a") >= _KEY_MIN_COUNT)
+            & (
+                F.col("a").cast("double") * F.col("n").cast("double")
+                > F.col("n1").cast("double") * F.col("tot_t").cast("double")
+            )
+        )
+    )
+    # ratios of doubles, never BIGINT products — a*N overflows int64 at
+    # 100 TB corpus scale; per-value double conversion stays exact for
+    # counts < 2^53 and deterministic beyond
+    b = F.col("tot_t") - F.col("a")
+    term1 = F.col("a").cast("double") * F.log(
+        (F.col("a").cast("double") * F.col("n").cast("double"))
+        / (F.col("n1").cast("double") * F.col("tot_t").cast("double"))
+    )
+    term2 = F.when(
+        b > 0,
+        b.cast("double")
+        * F.log(
+            (b.cast("double") * F.col("n").cast("double"))
+            / (
+                (F.col("n") - F.col("n1")).cast("double")
+                * F.col("tot_t").cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    g2 = j.select(
+        "source",
+        "term",
+        F.col("a").alias("cnt"),
+        F.round(2.0 * (term1 + term2), 6).alias("g2"),
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("term"))
+    return (
+        g2.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _KEY_TOP)
+        .drop("rk")
+        .orderBy("source", F.desc("g2"), "term")
+    )
+
+# ==================================================================
+# former registry63.py
+# ==================================================================
+
+"""Registry batch 63 — retrieve-then-rerank composition: BM25
+candidate generation → cross-encoder rerank at the pandas_udf boundary
+(deterministic md5 proxy, as for every model scorer) → final top-k.
+The two-stage retrieval shape every RAG/search pipeline runs.
+"""
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datas_spark.io.sources import read_table
+from datas_spark.operators.scoring import hash_unit_interval
+from datas_spark.operators.search import bm25_topk
+from datas_spark.registry_core import ORACLES, register
+
+_QUERY_TEXT = " ".join(_BM25_TERMS)
+_RERANK_TOP = 10
+
+
+@register(
+    "bm25_rerank_proxy",
+    oracle=f"""
+    WITH cand AS (
+      {ORACLES["bm25_topk"]}
+    ), scored AS (
+      SELECT c.doc_id, c.score AS bm25_score,
+             round(('0x' || substr(md5('{_QUERY_TEXT}' || ':' || d.text), 1, 8))
+                   ::BIGINT / 4294967296.0, 6) AS ce_score
+      FROM cand c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, bm25_score, ce_score,
+           row_number() OVER (ORDER BY ce_score DESC, doc_id ASC) AS rank
+    FROM scored
+    ORDER BY rank LIMIT {_RERANK_TOP}
+    """,
+)
+def q_bm25_rerank_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 recalls {_BM25_TOP} candidates, a
+    cross-encoder scores (query, doc) pairs and the top {_RERANK_TOP}
+    re-rank by that score. The cross-encoder is the engine's standard
+    deterministic md5 proxy at the same column boundary a real model
+    plugs into (`operators/scoring.py`) — so the WHOLE composition,
+    retrieval scores included, hash-checks against the oracle.
+
+    Scale shape: rerank cost is O(candidates), not O(corpus) — the
+    expensive model touches {_BM25_TOP} rows; the final window ranks
+    {_BM25_TOP} rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    cand = bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=_BM25_TOP
+    ).select("doc_id", F.col("score").alias("bm25_score"))
+    scored = cand.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "bm25_score",
+        F.round(
+            hash_unit_interval(F.concat(F.lit(_QUERY_TEXT), F.lit(":"), F.col("text"))),
+            6,
+        ).alias("ce_score"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("ce_score"), F.asc("doc_id"))),
+    )
+    return ranked.where(F.col("rank") <= _RERANK_TOP).select(
+        "doc_id", "bm25_score", "ce_score", "rank"
+    )

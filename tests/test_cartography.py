@@ -1,4 +1,4 @@
-"""Semantics tests for registry39 (diversity, vocab overlap, PMI,
+"""Semantics tests for registry_corpus (diversity, vocab overlap, PMI,
 inter-arrival stats)."""
 
 from __future__ import annotations
@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 
 def test_ttr_detects_templated_source(spark):
-    from datas_spark.registry39 import q_ngram_diversity_by_source  # noqa: F401
+    from datas_spark.registry_corpus import q_ngram_diversity_by_source  # noqa: F401
 
     rows = (
         [(i, "the same boilerplate sentence repeated always", "templated") for i in range(10)]
@@ -49,7 +49,7 @@ def test_ttr_detects_templated_source(spark):
 
 
 def test_vocab_overlap_symmetric_pairs_and_bounds(spark, sf_dir):
-    from datas_spark.registry39 import q_source_vocab_overlap
+    from datas_spark.registry_corpus import q_source_vocab_overlap
 
     rows = q_source_vocab_overlap(spark, sf_dir).collect()
     assert rows
@@ -88,7 +88,7 @@ def test_bigram_pmi_hand_example(spark):
 
 
 def test_interarrival_matches_hand_computation(spark):
-    from datas_spark.registry39 import q_user_interarrival_stats  # noqa: F401
+    from datas_spark.registry_corpus import q_user_interarrival_stats  # noqa: F401
     from pyspark.sql import Window
 
     rows = [

@@ -1,4 +1,4 @@
-"""Semantics tests for registry28: chi-square independence and revenue
+"""Semantics tests for registry_eval: chi-square independence and revenue
 concentration — recomputed driver-side from raw counts."""
 
 from __future__ import annotations
@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry28 import (
+from datas_spark.registry_eval import (
     _CONC_Q,
     q_events_type_hour_chi2,
     q_revenue_concentration,

@@ -1,5 +1,5 @@
 """Semantics tests for clustering.cluster_cohesion /
-nearest_centroid_accuracy (registry33)."""
+nearest_centroid_accuracy (registry_similarity)."""
 
 from __future__ import annotations
 

@@ -1,11 +1,11 @@
-"""Semantics tests for registry24 (growth curve / Q15 shape)."""
+"""Semantics tests for registry_tpch (growth curve / Q15 shape)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry24 import q_top_revenue_supplier, q_user_growth_curve
+from datas_spark.registry_tpch import q_top_revenue_supplier, q_user_growth_curve
 
 
 def test_growth_curve_covers_every_active_day_and_sums_to_user_count(
@@ -27,7 +27,7 @@ def test_growth_curve_covers_every_active_day_and_sums_to_user_count(
 
 
 def test_top_revenue_supplier_is_the_argmax_with_ties(spark, sf_dir):
-    from datas_spark.registry24 import _Q15_END, _Q15_START
+    from datas_spark.registry_tpch import _Q15_END, _Q15_START
 
     li = read_table(spark, sf_dir, "lineitem")
     rev = (

@@ -1,4 +1,4 @@
-"""Tests for the histogram sketch (registry27): mergeability, error
+"""Tests for the histogram sketch (registry_sketches): mergeability, error
 bound vs exact percentiles, and the rank-delta trending query."""
 
 from __future__ import annotations
@@ -12,7 +12,7 @@ from datas_spark.operators.sketches import (
     histogram_quantiles,
     histogram_registers,
 )
-from datas_spark.registry27 import (
+from datas_spark.registry_sketches import (
     _H_BINS,
     _H_HI,
     _H_LO,

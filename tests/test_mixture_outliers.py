@@ -1,4 +1,4 @@
-"""Semantics tests for registry23: MAD outliers and the token-budget
+"""Semantics tests for registry_events: MAD outliers and the token-budget
 mixture sampler."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ from collections import defaultdict
 import pytest
 
 from datas_spark.operators.corpus import token_budget_mixture
-from datas_spark.registry23 import (
+from datas_spark.registry_events import (
     _MIX_BUDGETS,
     q_events_value_outliers,
     q_token_budget_mixture,
@@ -105,7 +105,7 @@ def test_rebalance_skew_resistant_twin_is_identical(spark, sf_dir):
 def test_mixture_skew_resistant_twin_is_identical(spark, sf_dir):
     from datas_spark.io.sources import read_table
     from datas_spark.operators.corpus import token_budget_mixture
-    from datas_spark.registry23 import _MIX_BUDGETS
+    from datas_spark.registry_events import _MIX_BUDGETS
 
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"

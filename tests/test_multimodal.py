@@ -110,7 +110,7 @@ def test_media_phash_near_dup_pipeline_with_fake(spark):
         (3, bytearray(b"\x89PNG" + b"otherbytes")),
     ]
     df = spark.createDataFrame(rows, "media_id long, content binary")
-    from datas_spark.registry57 import _fake_phash
+    from datas_spark.registry_dedup import _fake_phash
     from datas_spark.operators import dedup as D
 
     sig = MM.media_phash(df, "content", "media_id", phash_fn=_fake_phash)

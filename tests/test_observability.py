@@ -1,4 +1,4 @@
-"""Semantics tests for registry34 (random projection, dedup-rate
+"""Semantics tests for registry_similarity (random projection, dedup-rate
 report, language confusion matrix)."""
 
 from __future__ import annotations
@@ -79,7 +79,7 @@ def test_dedup_rate_counts_planted_duplicates(spark):
 
 
 def test_lang_confusion_rows_sum_to_100_per_declared(spark, sf_dir):
-    from datas_spark.registry34 import q_lang_id_confusion
+    from datas_spark.registry_similarity import q_lang_id_confusion
 
     rows = q_lang_id_confusion(spark, sf_dir).collect()
     assert rows

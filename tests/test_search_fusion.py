@@ -1,4 +1,4 @@
-"""Semantics tests for registry21: reciprocal-rank fusion and G²
+"""Semantics tests for registry_search: reciprocal-rank fusion and G²
 keyness — checked against driver-side recomputation from the component
 rankings / raw counts, independent of the SQL oracles.
 """
@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators.search import rrf_fuse
-from datas_spark.registry21 import (
+from datas_spark.registry_search import (
     _RRF_K0,
     q_hybrid_search_rrf,
     q_source_keyness_terms,

@@ -1,4 +1,4 @@
-"""Semantics tests for splits.py + registry30 (leakage-safe splits,
+"""Semantics tests for splits.py + registry_dedup (leakage-safe splits,
 containment pairs, vocab growth)."""
 
 from __future__ import annotations
@@ -115,7 +115,7 @@ def test_containment_matches_brute_force(spark, sf_dir):
 
 
 def test_vocab_growth_is_monotone_and_ends_at_totals(spark, sf_dir):
-    from datas_spark.registry30 import q_vocab_growth_curve
+    from datas_spark.registry_dedup import q_vocab_growth_curve
     from datas_spark.io.sources import read_table
     from datas_spark.functions.text import word_tokens
 

@@ -1,4 +1,4 @@
-"""Semantics tests for registry31 (int8 ANN, RFM, percent-of-parent
+"""Semantics tests for registry_similarity (int8 ANN, RFM, percent-of-parent
 rollup, timed funnel)."""
 
 from __future__ import annotations
@@ -53,7 +53,7 @@ def test_sq8_high_oversample_equals_exact(spark, sf_dir):
 
 
 def test_rfm_scores_partition_customers_into_quartile_bands(spark, sf_dir):
-    from datas_spark.registry31 import q_customer_rfm_segments
+    from datas_spark.registry_similarity import q_customer_rfm_segments
 
     rows = q_customer_rfm_segments(spark, sf_dir).collect()
     assert rows
@@ -73,7 +73,7 @@ def test_rfm_scores_partition_customers_into_quartile_bands(spark, sf_dir):
 
 
 def test_region_rollup_shares_sum_to_100(spark, sf_dir):
-    from datas_spark.registry31 import q_region_share_rollup
+    from datas_spark.registry_similarity import q_region_share_rollup
 
     rows = q_region_share_rollup(spark, sf_dir).collect()
     assert rows

@@ -1,4 +1,4 @@
-"""Semantics tests for registry26 (Q12 / Q16 shapes, activity streaks)."""
+"""Semantics tests for registry_tpch (Q12 / Q16 shapes, activity streaks)."""
 
 from __future__ import annotations
 
@@ -8,7 +8,7 @@ from datetime import timedelta
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry26 import (
+from datas_spark.registry_tpch import (
     q_shipping_delay_priority_counts,
     q_supplier_count_by_part_bracket,
     q_user_activity_streaks,

@@ -83,7 +83,7 @@ def test_churn_survival_hand_computed(spark, tmp_path):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents", "embeddings"):
         pass  # only events is read by this query
-    from datas_spark.registry67 import q_churn_survival_curve
+    from datas_spark.registry_events import q_churn_survival_curve
 
     out = {r.t: r for r in q_churn_survival_curve(spark, str(tmp_path)).collect()}
     # day 0: risk 4, d 1 → S = 3/4

@@ -1,4 +1,4 @@
-"""Semantics tests for the registry19 TPC-H shapes (Q13/Q17/Q22).
+"""Semantics tests for the registry_tpch TPC-H shapes (Q13/Q17/Q22).
 
 The oracle gate proves Spark == DuckDB on the same SQL; these tests
 prove the SQL itself means what the docstrings claim — zero-order
@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry19 import (
+from datas_spark.registry_tpch import (
     q_customer_order_distribution,
     q_idle_customer_balance,
     q_small_quantity_revenue,

@@ -1,12 +1,12 @@
-"""Semantics tests for registry25 (Q4 / Q14 / Q19 shapes, WoW growth)."""
+"""Semantics tests for registry_tpch (Q4 / Q14 / Q19 shapes, WoW growth)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry25 import (
-    _LATE_DAYS,
+from datas_spark.registry_tpch import (
+    _Q4_LATE_DAYS,
     _Q4_END,
     _Q4_START,
     q_disjunctive_bracket_revenue,
@@ -28,7 +28,7 @@ def test_q4_counts_each_order_once(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     distinct_late = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _LATE_DAYS))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q4_LATE_DAYS))
         .select("o_orderkey")
         .distinct()
         .count()

@@ -1,4 +1,4 @@
-"""Semantics tests for registry29 — the last five TPC-H shapes
+"""Semantics tests for registry_tpch — the last five TPC-H shapes
 (Q6, Q7, Q9-adapted, Q11-adapted, Q20-adapted)."""
 
 from __future__ import annotations
@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry29 import (
+from datas_spark.registry_tpch import (
     q_dominant_supplier_parts,
     q_forecast_revenue_delta,
     q_important_part_value,

@@ -1,4 +1,4 @@
-"""Semantics tests for registry22: hard-negative mining, exact label
+"""Semantics tests for registry_mlfeatures: hard-negative mining, exact label
 rebalancing, per-source calibration."""
 
 from __future__ import annotations
@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators.corpus import rebalance_labels
-from datas_spark.registry22 import (
+from datas_spark.registry_mlfeatures import (
     q_hard_negative_mining,
     q_label_rebalance,
     q_source_calibrated_quality,

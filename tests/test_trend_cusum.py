@@ -1,4 +1,4 @@
-"""Semantics tests for registry20 (trend / CUSUM / Markov transitions):
+"""Semantics tests for registry_events (trend / CUSUM / Markov transitions):
 recompute each statistic driver-side from the raw hourly counts and
 check the distributed query agrees — independence from the SQL oracle,
 which shares the queries' own formulation.
@@ -11,7 +11,7 @@ from collections import defaultdict
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.registry20 import (
+from datas_spark.registry_events import (
     q_event_type_transitions,
     q_events_type_changepoint,
     q_events_type_trend,
