@@ -219,6 +219,9 @@ HEADLINE = [
     # query (parquet read + one join; the build cost is paid once at
     # ingest — here, the warmup pass)
     "near_dup_components_store",
+    # round 5: C4 line cleaning + UniMax allocation
+    "c4_line_clean",
+    "unimax_source_allocation",
 ]
 
 RUNS_PER_QUERY = 3

@@ -68,6 +68,8 @@ __all__ = [
     "pii_stats",
     "pii_redact",
     "bow_classifier_score",
+    "c4_line_filters",
+    "unimax_allocation",
 ]
 
 
@@ -1374,3 +1376,143 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 3,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 of the
+    T5 paper — the public web-corpus recipe): split the document into
+    lines, KEEP only lines that (a) end in terminal punctuation
+    (. ! ? or a closing quote after one), (b) have at least
+    ``min_line_words`` words, (c) do not contain the word "javascript"
+    (case-insensitive), (d) do not contain "lorem ipsum", and (e) do
+    not contain a curly brace (code/templating residue); reassemble
+    the survivors with newlines.
+
+    Appends ``out_col`` (the cleaned text — empty string when no line
+    survives), ``n_lines`` (original), ``n_lines_kept``. Doc-level
+    drop decisions (e.g. require >= 3 kept sentences) belong to the
+    caller; this operator is the line-level pass only.
+
+    Scale shape: pure map-side higher-order functions (split →
+    filter → array_join) in whole-stage codegen — no Python, no
+    shuffle, no state. The per-line predicate mirrors the published
+    C4 rules; reproduced verbatim in the DuckDB oracle, so the whole
+    pass is hash-checkable.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(
+        lines,
+        lambda ln: (
+            F.trim(ln).rlike(r'[.!?]["’”]?$')
+            & (F.size(F.split(F.trim(ln), r"\s+")) >= F.lit(min_line_words))
+            & ~F.lower(ln).contains("javascript")
+            & ~F.lower(ln).contains("lorem ipsum")
+            & ~ln.contains("{")
+            & ~ln.contains("}")
+        ),
+    )
+    return (
+        df.withColumn("__lines", lines)
+        .withColumn("__kept", keep)
+        .withColumn("n_lines", F.size("__lines").cast("long"))
+        .withColumn("n_lines_kept", F.size("__kept").cast("long"))
+        .withColumn(out_col, F.array_join(F.col("__kept"), "\n"))
+        .drop("__lines", "__kept")
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    total_budget: int,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023: uniform-as-possible
+    over sources, capped at ``max_epochs`` repeats of any source):
+    given per-row token weights, compute each source's token
+    allocation for a ``total_budget``-token corpus. Small sources get
+    everything they have (up to the epoch cap); the budget left over
+    is spread uniformly over the larger sources — the water-filling
+    solution, computed in closed form.
+
+    Returns one row per source: ``(key, avail_tokens, cap_tokens,
+    alloc_tokens, epochs)``. Feed ``alloc_tokens`` straight into
+    :func:`token_budget_mixture` as the per-source budget.
+
+    Closed form instead of the paper's per-source loop: sort sources
+    by capped availability ascending; source i (0-based, among n) is
+    "small" iff ``cap_i * (n - i) <= budget - cum_before_i``; the
+    first non-small source starts the uniform region, whose level is
+    ``(budget - sum(small caps)) / n_large``. One groupBy to per-source
+    totals (map-side combinable), then windows over the SOURCES frame
+    only (tiny — thousands of rows at 100 TB, never per-document), so
+    the whole computation is a broadcast-scale postscript on one scan.
+
+    Allocations use integer floor; the uniform level rounds down, so
+    ``sum(alloc) <= total_budget`` always (the shortfall is < n
+    tokens — irrelevant at token scale and exactly reproducible).
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    src = df.groupBy(key_col).agg(
+        F.sum(weight_col).cast("long").alias("avail_tokens")
+    )
+    src = src.withColumn(
+        "cap_tokens",
+        F.floor(F.col("avail_tokens") * F.lit(float(max_epochs))).cast("long"),
+    )
+    # windows over the per-source frame only (tiny by contract)
+    w_ord = Window.orderBy(F.col("cap_tokens").asc(), F.col(key_col).asc())
+    src = (
+        src.withColumn("__i", F.row_number().over(w_ord) - 1)
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    is_small = (
+        F.col("cap_tokens") * (F.col("__n") - F.col("__i"))
+        <= F.lit(int(total_budget)) - F.col("__cum_before")
+    )
+    src = src.withColumn("__small", is_small)
+    agg = src.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__small"), F.col("cap_tokens"))), F.lit(0)
+        ).alias("__small_sum"),
+        F.count_if(~F.col("__small")).alias("__n_large"),
+    )
+    src = src.crossJoin(F.broadcast(agg))
+    level = F.floor(
+        (F.lit(int(total_budget)) - F.col("__small_sum"))
+        / F.greatest(F.col("__n_large"), F.lit(1))
+    ).cast("long")
+    alloc = F.when(F.col("__small"), F.col("cap_tokens")).otherwise(
+        F.least(F.col("cap_tokens"), F.greatest(level, F.lit(0)))
+    )
+    return (
+        src.withColumn("alloc_tokens", alloc.cast("long"))
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("alloc_tokens")
+                / F.when(F.col("avail_tokens") > 0, F.col("avail_tokens")),
+                6,
+            ),
+        )
+        .select(key_col, "avail_tokens", "cap_tokens", "alloc_tokens", "epochs")
+    )

@@ -2074,3 +2074,46 @@ def q_customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a uniform group is anonymous but fully disclosing)."""
     cust = read_table(spark, sf_dir, "customer")
     return V.l_diversity(cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", l=2)
+
+
+# ==================================================================
+# round 5: C4-style line-level cleaning
+# ==================================================================
+
+
+@register(
+    "c4_line_clean",
+    oracle=r"""
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_lines_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+    FROM (
+      SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               regexp_matches(trim(ln), '[.!?]["’”]?$')
+               AND len(string_split_regex(trim(ln), '\s+')) >= 3
+               AND NOT contains(lower(ln), 'javascript')
+               AND NOT contains(lower(ln), 'lorem ipsum')
+               AND NOT contains(ln, '{')
+               AND NOT contains(ln, '}')) AS kept
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM documents)
+    )
+    """,
+)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (the published T5/C4 web-corpus rules:
+    keep lines ending in terminal punctuation with >= 3 words, drop
+    javascript / lorem-ipsum / curly-brace lines) over the documents
+    table — per-doc kept-line counts plus the reassembled clean text.
+    Pure map-side higher-order functions (split → filter →
+    array_join), whole-stage codegen, zero shuffles; the per-line
+    predicate is reproduced verbatim in the oracle so the entire pass
+    hash-checks."""
+    from datas_spark.operators.corpus import c4_line_filters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return c4_line_filters(docs, "doc_id", "text").select(
+        "doc_id", "n_lines", "n_lines_kept", "text_clean"
+    )

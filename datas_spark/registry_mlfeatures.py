@@ -443,3 +443,71 @@ def q_user_daily_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roll7_sum",
         F.round("roll7_mean", 6).alias("roll7_mean"),
     )
+
+
+# ==================================================================
+# round 5: UniMax budget allocation
+# ==================================================================
+
+_UNIMAX_BUDGET = 300_000
+_UNIMAX_EPOCHS = 1.5
+
+
+@register(
+    "unimax_source_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, sum(n_chars)::BIGINT AS avail_tokens
+      FROM documents GROUP BY 1
+    ), c AS (
+      SELECT source, avail_tokens,
+             floor(avail_tokens * {_UNIMAX_EPOCHS})::BIGINT AS cap_tokens
+      FROM per
+    ), o AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens ASC, source ASC) - 1 AS i,
+             count(*) OVER () AS n,
+             coalesce(sum(cap_tokens) OVER (
+               ORDER BY cap_tokens ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM c
+    ), s AS (
+      SELECT *,
+             cap_tokens * (n - i) <= {_UNIMAX_BUDGET} - cum_before AS small
+      FROM o
+    ), a AS (
+      SELECT coalesce(sum(CASE WHEN small THEN cap_tokens END), 0)::BIGINT
+               AS small_sum,
+             count(*) FILTER (NOT small)::BIGINT AS n_large
+      FROM s
+    )
+    SELECT source, avail_tokens, cap_tokens,
+           CASE WHEN small THEN cap_tokens
+                ELSE least(cap_tokens,
+                           greatest(floor(({_UNIMAX_BUDGET} - small_sum)
+                                          / greatest(n_large, 1))::BIGINT, 0))
+           END AS alloc_tokens,
+           round((CASE WHEN small THEN cap_tokens
+                ELSE least(cap_tokens,
+                           greatest(floor(({_UNIMAX_BUDGET} - small_sum)
+                                          / greatest(n_large, 1))::BIGINT, 0))
+           END) / (CASE WHEN avail_tokens > 0 THEN avail_tokens END), 6)
+             AS epochs
+    FROM s CROSS JOIN a
+    """,
+)
+def q_unimax_source_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) per-source budget allocation over
+    document char mass: small sources contribute everything up to the
+    {_UNIMAX_EPOCHS}-epoch cap, the remaining budget water-fills
+    uniformly over the large sources — computed in closed form with
+    windows over the per-source aggregate only (sources are
+    broadcast-tiny at any corpus size). Feeds token_budget_mixture as
+    its per-source budget table."""
+    from datas_spark.operators.corpus import unimax_allocation
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unimax_allocation(
+        docs, "source", "n_chars", _UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS
+    )

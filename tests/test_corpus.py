@@ -595,3 +595,84 @@ def test_compression_ratio_redundant_vs_random(spark):
     assert got[2].ratio > 0.5           # random text barely compresses
     assert got[1].n_bytes == 2000
     assert got[3].ratio is None and got[4].ratio is None
+
+
+def test_c4_line_filters_rules(spark):
+    from datas_spark.operators.corpus import c4_line_filters
+
+    doc = "\n".join(
+        [
+            "This line is a keeper because it ends properly.",  # keep
+            "Short line.",                                       # < 3 words
+            "No terminal punctuation here at all",               # no ./!/?
+            "Enable javascript to view this page.",              # javascript
+            "Lorem ipsum dolor sit amet, consectetur elit.",     # lorem ipsum
+            "A brace { ruins an otherwise fine sentence.",       # brace
+            "Is this a question with enough words?",             # keep
+            'He said "stop right there!"',                       # keep: ! + quote
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = c4_line_filters(df, "doc_id", "text").collect()[0]
+    assert row.n_lines == 8
+    assert row.n_lines_kept == 3
+    kept = row.text_clean.split("\n")
+    assert kept[0].startswith("This line") and kept[1].startswith("Is this")
+    assert kept[2] == 'He said "stop right there!"'
+
+
+def test_c4_line_filters_empty_survivors(spark):
+    from datas_spark.operators.corpus import c4_line_filters
+
+    df = spark.createDataFrame([(1, "nope\nstill nope")], "doc_id long, text string")
+    row = c4_line_filters(df, "doc_id", "text").collect()[0]
+    assert row.n_lines_kept == 0 and row.text_clean == ""
+
+
+def test_unimax_allocation_water_filling(spark):
+    from datas_spark.operators.corpus import unimax_allocation
+
+    rows = (
+        [("tiny", 100)] * 1
+        + [("mid", 500)] * 2
+        + [("big", 1000)] * 5
+    )
+    df = spark.createDataFrame(rows, "source string, w long")
+    # avail: tiny=100, mid=1000, big=5000; budget 2100, cap 1 epoch
+    out = {
+        r.source: r
+        for r in unimax_allocation(df, "source", "w", 2100, max_epochs=1.0).collect()
+    }
+    # tiny and mid are fully allocated; big gets the leftover 1000
+    assert out["tiny"].alloc_tokens == 100
+    assert out["mid"].alloc_tokens == 1000
+    assert out["big"].alloc_tokens == 1000
+    assert sum(r.alloc_tokens for r in out.values()) <= 2100
+    assert out["tiny"].epochs == 1.0 and out["big"].epochs == 0.2
+
+
+def test_unimax_allocation_epoch_cap_and_surplus_budget(spark):
+    from datas_spark.operators.corpus import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 300)], "source string, w long"
+    )
+    # budget far above availability: every source capped at 2 epochs
+    out = {
+        r.source: r
+        for r in unimax_allocation(df, "source", "w", 10_000, max_epochs=2.0).collect()
+    }
+    assert out["a"].alloc_tokens == 200 and out["a"].epochs == 2.0
+    assert out["b"].alloc_tokens == 600 and out["b"].epochs == 2.0
+
+
+def test_unimax_allocation_validation(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.corpus import unimax_allocation
+
+    df = spark.createDataFrame([("a", 1)], "source string, w long")
+    with _pytest.raises(ValueError):
+        unimax_allocation(df, "source", "w", -1)
+    with _pytest.raises(ValueError):
+        unimax_allocation(df, "source", "w", 10, max_epochs=0)
