@@ -219,9 +219,10 @@ HEADLINE = [
     # query (parquet read + one join; the build cost is paid once at
     # ingest — here, the warmup pass)
     "near_dup_components_store",
-    # round 5: C4 line cleaning + UniMax allocation
+    # round 5: C4 line cleaning + UniMax allocation + substring spans
     "c4_line_clean",
     "unimax_source_allocation",
+    "substring_overlap_spans",
 ]
 
 RUNS_PER_QUERY = 3

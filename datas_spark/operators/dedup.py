@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -71,6 +71,7 @@ __all__ = [
     "hamming_near_dup_pairs",
     "k_core",
     "merge_components",
+    "long_gram_overlap_spans",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1476,4 +1477,104 @@ def merge_components(
     return (
         all_nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
+def long_gram_overlap_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_gram_doc_freq: int = 50,
+) -> DataFrame:
+    """Span-level exact-substring overlap between document pairs — the
+    distributed approximation of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal run of shared word ``n``-grams between two
+    docs is reported as one span.
+
+    Returns ``(id_a, id_b, start_a, start_b, len_tokens)`` with
+    ``id_a < id_b``: the shared substring starts at word offset
+    ``start_a`` in doc a / ``start_b`` in doc b and runs
+    ``len_tokens`` words (>= n). Unlike the set-based Jaccard family
+    this preserves WHERE the overlap sits and how long it is — the
+    signal needed to cut duplicated spans out of otherwise-distinct
+    documents instead of dropping whole docs.
+
+    Plan (all equi-joins + bounded windows — no suffix array needed):
+
+    1. positioned gram hashes: one xxhash64 per token, gram hash =
+       xxhash64 over the n token hashes at each offset (map-side,
+       no string concat per gram);
+    2. doc-frequency cap: grams present in > ``max_gram_doc_freq``
+       docs are dropped (boilerplate skew cap — the hot-shingle rule
+       every pair family here uses), grams in < 2 docs can't pair;
+    3. pair candidates: self-equi-join on the gram hash
+       (``id_a < id_b``) — at most ``cap²`` rows per gram;
+    4. maximal runs: matches on one diagonal (``pos_a − pos_b``)
+       with consecutive offsets merge via the islands trick
+       (``pos_a − row_number`` per (pair, diagonal) group — windows
+       partitioned by (id_a, id_b, diag), never global).
+
+    64-bit gram hashing stands in for gram equality (the standing
+    contract of every hash-keyed family here); the oracle joins on
+    gram STRINGS, so a collision would be caught as a hash mismatch.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(word_tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    cnt = F.size("__th") - (n - 1)
+    grams = (
+        toks.select(
+            "__id",
+            F.when(
+                cnt >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), cnt - 1),
+                    lambda i: F.xxhash64(*[F.get("__th", i + j) for j in range(n)]),
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("__gs"),
+        )
+        .select("__id", F.posexplode("__gs").alias("pos", "h"))
+    )
+    ok = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_gram_doc_freq))
+        .select("h")
+    )
+    g2 = grams.join(ok, "h", "left_semi")
+    a = g2.select(
+        F.col("h"), F.col("__id").alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = g2.select(
+        F.col("h"), F.col("__id").alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = a.join(b, "h").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b"
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    runs = (
+        m.withColumn("__diag", diag)
+        .withColumn("__grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__diag", "__grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(n)).cast("long").alias(
+                "len_tokens"
+            ),
+        )
+    )
+    return runs.select(
+        "id_a", "id_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        "len_tokens",
     )

@@ -1687,3 +1687,58 @@ def q_near_dup_components_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
     )
+
+
+# ==================================================================
+# round 5: span-level exact-substring overlap (suffix-array intent)
+# ==================================================================
+
+_SPAN_N = 8
+_SPAN_CAP = 50
+
+
+@register(
+    "substring_overlap_spans",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i:i+{_SPAN_N - 1}], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(w) - {_SPAN_N} + 1, 0) + 1)) AS t(i)
+    ), ok AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_CAP}
+    ), g2 AS (
+      SELECT grams.* FROM grams JOIN ok USING (g)
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    )
+    SELECT id_a, id_b,
+           min(pos_a)::BIGINT AS start_a,
+           min(pos_b)::BIGINT AS start_b,
+           (max(pos_a) - min(pos_a) + {_SPAN_N})::BIGINT AS len_tokens
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    """,
+)
+def q_substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared-substring spans between document pairs (word
+    {_SPAN_N}-gram resolution) — the suffix-array substring-dedup
+    signal (Lee et al. 2022) as equi-joins + diagonal islands: gram
+    doc-frequency cap {_SPAN_CAP} kills boilerplate skew, matches on
+    one (pair, diagonal) merge into maximal runs with a bounded
+    window. Reports where the overlap sits and how long it runs —
+    the cut-the-span signal doc-level Jaccard can't give. The oracle
+    joins on gram strings (Spark joins on 64-bit gram hashes), so the
+    hash-equality contract itself is oracle-checked."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
+    )

@@ -501,3 +501,62 @@ def test_merge_components_equals_full_recompute(spark):
     for n in (1, 2, 3, 10, 11):
         assert merged[n] == full.get(n, n)
     assert merged[3] == 1 and merged[11] == 10
+
+
+def test_long_gram_overlap_spans_finds_maximal_run(spark):
+    from datas_spark.operators.dedup import long_gram_overlap_spans
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} zeta eta theta iota kappa lambda"),
+        (3, "totally different words with no overlap at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = long_gram_overlap_spans(df, "doc_id", "text", n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared run is 12 words: starts after 2 words in doc 1, at 0 in doc 2
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.start_a == 2 and r.start_b == 0 and r.len_tokens == 12
+
+
+def test_long_gram_overlap_spans_two_disjoint_spans(spark):
+    from datas_spark.operators.dedup import long_gram_overlap_spans
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    df = spark.createDataFrame(
+        [
+            (1, f"{s1} xx yy {s2}"),
+            (2, f"{s2} qq ww ee rr {s1}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        long_gram_overlap_spans(df, "doc_id", "text", n=8).collect(),
+        key=lambda r: r.start_a,
+    )
+    assert [(r.start_a, r.start_b, r.len_tokens) for r in out] == [
+        (0, 13, 8),   # s1: doc1 offset 0, doc2 offset 13
+        (10, 0, 9),   # s2: doc1 offset 10, doc2 offset 0
+    ]
+
+
+def test_long_gram_overlap_spans_doc_freq_cap(spark):
+    from datas_spark.operators.dedup import long_gram_overlap_spans
+
+    boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string"
+    )
+    # cap of 3 excludes the gram (present in 5 docs)
+    assert (
+        long_gram_overlap_spans(df, "doc_id", "text", n=8, max_gram_doc_freq=3).count()
+        == 0
+    )
+    # cap of 5 keeps it: C(5,2) pairs
+    assert (
+        long_gram_overlap_spans(df, "doc_id", "text", n=8, max_gram_doc_freq=5).count()
+        == 10
+    )
