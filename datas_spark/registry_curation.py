@@ -1558,6 +1558,13 @@ def q_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _XC_PLANES = 4
 _XC_THRESHOLD = 0.3
+# the benchmark is a FIXED set (id < cap), not a corpus-proportional
+# slice: a real eval benchmark does not grow with the training corpus,
+# and a bench side that scales with the data turns the 2^planes-bucket
+# candidate join quadratic (measured 52.8x at the 10x sf1 run before
+# this cap; linear after). The cap covers every driver sf (max vec_id
+# 1999 at sf0.1), so results there are unchanged.
+_XC_BENCH_MAX = 2600
 
 _XC_COS_SQL = """
           list_sum(list_transform(range(1, len(t.embedding) + 1),
@@ -1585,7 +1592,8 @@ _XC_COS_SQL = """
       JOIN buckets bb ON tb.bucket = bb.bucket
       JOIN embeddings t ON t.vec_id = tb.vec_id
       JOIN embeddings b ON b.vec_id = bb.vec_id
-      WHERE tb.vec_id % 13 != 0 AND bb.vec_id % 13 = 0
+      WHERE tb.vec_id % 13 != 0
+        AND bb.vec_id % 13 = 0 AND bb.vec_id < {_XC_BENCH_MAX}
     )
     SELECT vec_id, count(*)::BIGINT AS n_matches,
            round(max(cos), 6) AS max_cos
@@ -1596,11 +1604,14 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) benchmark decontamination: training
     vectors too close to any benchmark vector, found through the
     hyperplane-bucket equi-join — the embedding twin of the n-gram
-    `bloom_decontaminate` probe. Benchmark slice = vec_id % 13 = 0."""
+    `bloom_decontaminate` probe. Benchmark slice = vec_id % 13 = 0
+    capped at a FIXED id range (a real benchmark doesn't grow with
+    the corpus; an uncapped slice made the bucket join quadratic —
+    caught by the sf1 scaling gate at 52.8x, linear after the cap)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.cross_contamination(
         emb.where("vec_id % 13 != 0"),
-        emb.where("vec_id % 13 = 0"),
+        emb.where(f"vec_id % 13 = 0 AND vec_id < {_XC_BENCH_MAX}"),
         "vec_id",
         "embedding",
         threshold=_XC_THRESHOLD,
