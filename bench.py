@@ -223,6 +223,9 @@ HEADLINE = [
     "c4_line_clean",
     "unimax_source_allocation",
     "substring_overlap_spans",
+    # round 5: artifact-backed election + histogram
+    "dedup_keep_best_quality",
+    "component_size_histogram",
 ]
 
 RUNS_PER_QUERY = 3

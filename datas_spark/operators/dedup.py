@@ -851,6 +851,7 @@ def near_dedup_keep_best(
     src: str = "id_a",
     dst: str = "id_b",
     cc_algorithm: str = "min_label",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Score-priority survivor election (the DEITA-style selection
     intent: among near-duplicates, keep the HIGHEST-scored example, not
@@ -862,9 +863,14 @@ def near_dedup_keep_best(
     map-side combinable, no per-component sort window, so a giant
     near-dup cluster is just a big aggregation group. ``score_col``
     must be numeric (negated for the lexicographic tie-break).
+
+    ``components`` injects precomputed ``(node, component)`` labels
+    (the persisted artifact path); CC then never re-runs here.
     """
-    comp = connected_components(
-        pairs, src, dst, algorithm=cc_algorithm
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst, algorithm=cc_algorithm)
     ).withColumnRenamed("node", id_col)
     labeled = (
         df.join(comp, id_col, "left")

@@ -1742,3 +1742,123 @@ def q_substring_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.long_gram_overlap_spans(
         docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
     )
+
+
+# ==================================================================
+# round 5: artifact-backed keep-best election + size histogram
+# ==================================================================
+
+_COMP_CTES_R5 = r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING shared / (na + nb - shared) >= 0.2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    )
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_COMP_CTES_R5
+    + r"""
+    , q AS (
+      SELECT doc_id,
+        round((least(length(text) / 500.0, 1.0)
+          + least((CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                 THEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> lower(t) IN
+                          ('the','and','of','to','a','in','is','it')))::DOUBLE
+                      / len(string_split_regex(trim(text), '\s+'))
+                 ELSE 0.0 END) * 4.0, 1.0)
+          + 1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                      / length(text)
+                 ELSE 0.0 END) * 5.0, 1.0)) / 3.0, 6) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT a.doc_id, a.component, q.quality,
+             row_number() OVER (PARTITION BY a.component
+                                ORDER BY q.quality DESC, a.doc_id ASC) AS rn
+      FROM assigned a JOIN q USING (doc_id)
+    )
+    SELECT doc_id, component, quality,
+           CASE WHEN rn = 1 THEN 1 ELSE 0 END::INT AS is_representative
+    FROM ranked
+    """,
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEITA-style survivor election over the persisted component
+    artifact: among near-duplicates keep the HIGHEST-quality document
+    (heuristic quality score; ties to smallest id) instead of the
+    first. One min_by aggregate per component over the parquet-read
+    labels — no CC re-run, no per-component sort window. The oracle
+    recomputes components AND the election from scratch."""
+    from datas_spark.functions.text import quality_score
+    from datas_spark.operators import artifacts as ART
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    comp = ART.components_artifact(spark, sf_dir, "jaccard")
+    out = D.near_dedup_keep_best(
+        docs, "doc_id", "quality", pairs=None, components=comp
+    )
+    return out.select("doc_id", "component", "quality", "is_representative")
+
+
+@register(
+    "component_size_histogram",
+    oracle=_COMP_CTES_R5
+    + r"""
+    , sizes AS (
+      SELECT component, count(*)::BIGINT AS size FROM assigned GROUP BY 1
+    )
+    SELECT size, count(*)::BIGINT AS n_components
+    FROM sizes GROUP BY size
+    """,
+)
+def q_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the persisted
+    component artifact (singletons included — every unpaired doc is
+    its own size-1 component): the shape of the histogram is the
+    corpus-health signal (a long tail of giant components means
+    transitive over-merging; mass at size 1 means a clean corpus).
+    Two combinable aggregates over a parquet read."""
+    from datas_spark.operators import artifacts as ART
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = ART.components_artifact(spark, sf_dir, "jaccard").withColumnRenamed(
+        "node", "doc_id"
+    )
+    assigned = docs.join(comp, "doc_id", "left").select(
+        F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
