@@ -223,9 +223,10 @@ HEADLINE = [
     "c4_line_clean",
     "unimax_source_allocation",
     "substring_overlap_spans",
-    # round 5: artifact-backed election + histogram
+    # round 5: artifact-backed election + histogram + span cut
     "dedup_keep_best_quality",
     "component_size_histogram",
+    "substring_dedup_cut",
 ]
 
 RUNS_PER_QUERY = 3

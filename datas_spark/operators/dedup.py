@@ -72,6 +72,7 @@ __all__ = [
     "k_core",
     "merge_components",
     "long_gram_overlap_spans",
+    "cut_overlap_spans",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1528,25 +1529,37 @@ def long_gram_overlap_spans(
     """
     if n < 2:
         raise ValueError("n must be >= 2")
+    # each array is projected before the next HOF consumes it, and the
+    # generate is explode_outer + isNotNull — plain (pos)explode triggers
+    # InferFiltersFromGenerate, which clones the whole positioned-gram
+    # expression (tokenizer inlined, re-evaluated per element) into a
+    # pushed-down per-row filter. Measured: 115s → ~3s at sf0.1.
     toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(word_tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+        F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks")
+    ).select(
+        "__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
     )
     cnt = F.size("__th") - (n - 1)
-    grams = (
-        toks.select(
-            "__id",
-            F.when(
-                cnt >= 1,
-                F.transform(
-                    F.sequence(F.lit(0), cnt - 1),
-                    lambda i: F.xxhash64(*[F.get("__th", i + j) for j in range(n)]),
+    th = F.col("__th")
+    positioned = toks.select(
+        "__id",
+        F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.xxhash64(*[F.get(th, i + j) for j in range(n)]).alias("h"),
                 ),
-            )
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("__gs"),
+            ),
         )
-        .select("__id", F.posexplode("__gs").alias("pos", "h"))
+        .otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+        .alias("__gs"),
+    )
+    grams = (
+        positioned.select("__id", F.explode_outer("__gs").alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .select("__id", F.col("__g.pos").alias("pos"), F.col("__g.h").alias("h"))
     )
     ok = (
         grams.groupBy("h")
@@ -1583,4 +1596,60 @@ def long_gram_overlap_spans(
         F.col("start_a").cast("long").alias("start_a"),
         F.col("start_b").cast("long").alias("start_b"),
         "len_tokens",
+    )
+
+
+def cut_overlap_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """Apply substring dedup: remove the duplicated spans found by
+    :func:`long_gram_overlap_spans` from the LATER document of each
+    pair (keep-first-occurrence — ``id_a < id_b``, so doc ``id_b``
+    loses its ``[start_b, start_b + len_tokens)`` word range; doc
+    ``id_a`` keeps the canonical copy). The Lee et al. 2022 remedy:
+    cut the repeated span, keep the rest of the document.
+
+    Appends ``out_col`` (tokens outside every cut interval, space-
+    joined), ``n_tokens`` and ``n_tokens_cut``. Docs that appear in no
+    span pass through with ``n_tokens_cut = 0``.
+
+    Plan: one groupBy collects each doc's cut intervals (bounded — a
+    doc has few overlap spans by construction of the gram-frequency
+    cap), a left join attaches them, and the cut itself is a map-side
+    indexed ``filter`` lambda over the token array (token kept iff no
+    interval covers its offset). No window, no second shuffle.
+    """
+    iv = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.struct(
+                F.col("start_b").alias("s"), F.col("len_tokens").alias("l")
+            ).alias("__iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__iv").alias("__ivs"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ivs = F.coalesce(
+        F.col("__ivs"),
+        F.array().cast("array<struct<s:long,l:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ivs, lambda v: (i >= v["s"]) & (i < v["s"] + v["l"])
+        ),
+    )
+    return (
+        df.join(iv, id_col, "left")
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn(
+            "n_tokens_cut", (F.col("n_tokens") - F.size(kept)).cast("long")
+        )
+        .drop("__ivs")
     )

@@ -1862,3 +1862,66 @@ def q_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(
         F.count(F.lit(1)).cast("long").alias("n_components")
     )
+
+
+@register(
+    "substring_dedup_cut",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i:i+{_SPAN_N - 1}], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(w) - {_SPAN_N} + 1, 0) + 1)) AS t(i)
+    ), ok AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_CAP}
+    ), g2 AS (
+      SELECT grams.* FROM grams JOIN ok USING (g)
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT id_b AS doc_id, min(pos_b)::BIGINT AS s,
+             (max(pos_a) - min(pos_a) + {_SPAN_N})::BIGINT AS l
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    ), iv AS (
+      SELECT doc_id, list({{'s': s, 'l': l}}) AS ivs FROM spans GROUP BY doc_id
+    ), base AS (
+      SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS w,
+             coalesce(iv.ivs, []) AS ivs
+      FROM documents d LEFT JOIN iv USING (doc_id)
+    ), cutted AS (
+      SELECT doc_id, w,
+        list_filter(list_transform(range(1, len(w) + 1),
+          i -> CASE WHEN len(list_filter(ivs,
+                 v -> i - 1 >= v.s AND i - 1 < v.s + v.l)) = 0
+               THEN w[i] END), x -> x IS NOT NULL) AS kept
+      FROM base
+    )
+    SELECT doc_id, len(w)::BIGINT AS n_tokens,
+           (len(w) - len(kept))::BIGINT AS n_tokens_cut,
+           coalesce(array_to_string(kept, ' '), '') AS text_cut
+    FROM cutted
+    """,
+)
+def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED: the spans found by
+    `substring_overlap_spans` are cut from the later document of each
+    pair (keep-first-occurrence), leaving the rest of the document
+    intact — the Lee et al. 2022 remedy, versus dropping whole docs.
+    One bounded interval-collect per doc + a map-side indexed filter
+    over the token array; every doc passes through (cut or not). The
+    oracle recomputes detection AND application from scratch."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
+    )
+    out = D.cut_overlap_spans(docs, spans, "doc_id", "text")
+    return out.select("doc_id", "n_tokens", "n_tokens_cut", "text_cut")

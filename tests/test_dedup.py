@@ -560,3 +560,42 @@ def test_long_gram_overlap_spans_doc_freq_cap(spark):
         long_gram_overlap_spans(df, "doc_id", "text", n=8, max_gram_doc_freq=5).count()
         == 10
     )
+
+
+def test_cut_overlap_spans_removes_later_copy_only(spark):
+    from datas_spark.operators.dedup import (
+        cut_overlap_spans,
+        long_gram_overlap_spans,
+    )
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} zeta eta theta"),
+            (3, "nothing in common with anybody else at all right here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = long_gram_overlap_spans(df, "doc_id", "text", n=8)
+    out = {r.doc_id: r for r in cut_overlap_spans(df, spans, "doc_id", "text").collect()}
+    # doc 1 (first occurrence) untouched; doc 2 loses the 12-token span
+    assert out[1].n_tokens_cut == 0 and "one two three" in out[1].text_cut
+    assert out[2].n_tokens_cut == 12 and out[2].text_cut == "zeta eta theta"
+    assert out[3].n_tokens_cut == 0
+
+
+def test_cut_overlap_spans_overlapping_intervals(spark):
+    from datas_spark.operators.dedup import cut_overlap_spans
+
+    df = spark.createDataFrame(
+        [(5, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 5, 0, 2, 4), (2, 5, 0, 4, 3)],
+        "id_a long, id_b long, start_a long, start_b long, len_tokens long",
+    )
+    r = cut_overlap_spans(df, spans, "doc_id", "text").collect()[0]
+    # intervals [2,6) and [4,7) union to [2,7): 5 tokens cut
+    assert r.n_tokens_cut == 5
+    assert r.text_cut == "t0 t1 t7 t8 t9"
