@@ -56,6 +56,8 @@ __all__ = [
     "dataset_key",
     "pairs_artifact",
     "components_artifact",
+    "merge_into_components_artifact",
+    "artifact_status",
 ]
 
 # canonical per-family parameters — single source of truth for every
@@ -169,3 +171,48 @@ def components_artifact(
     if recompute or not _cache_marker_exists(spark, path):
         return parquet_cache(spark, _producer(), path, recompute=recompute)
     return spark.read.parquet(path)
+
+
+def merge_into_components_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    new_pairs: DataFrame,
+    family: str = "jaccard",
+) -> DataFrame:
+    """Incremental artifact maintenance — the steady-state 100 TB
+    ingest: fold a NEW batch's near-dup pairs into the persisted
+    component labels via :func:`dedup.merge_components` (stored
+    assignments act as label edges, so the merge is provably identical
+    to a full recompute over the union pair set at O(new pairs +
+    nodes) cost) and REWRITE the artifact in place. The pair artifact
+    history is never replayed.
+
+    The merged frame is eagerly localCheckpointed before the
+    overwrite: Spark cannot write a parquet path that the plan being
+    executed is still reading, so the read side is cut loose first.
+    Returns the post-merge ``(node, component)`` frame (reading the
+    rewritten store).
+    """
+    path = _family_path(sf_dir, family, "components")
+    current = components_artifact(spark, sf_dir, family)
+    merged = D.merge_components(current, new_pairs).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def artifact_status(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Inventory of the artifact store for one dataset: family, kind,
+    built?, rows (when built). Driver-side helper for the CLI."""
+    out = []
+    from datas_spark.io.sinks import _cache_marker_exists
+
+    for family in sorted(_FAMILIES):
+        for kind in ("pairs", "components"):
+            path = _family_path(sf_dir, family, kind)
+            built = _cache_marker_exists(spark, path)
+            rows = spark.read.parquet(path).count() if built else None
+            out.append(
+                {"family": family, "kind": kind, "built": built, "rows": rows,
+                 "path": path}
+            )
+    return out

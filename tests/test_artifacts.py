@@ -85,3 +85,35 @@ def test_minhash_components_use_canonical_threshold(spark, scratch_root):
     live = D.connected_components(pairs)
     cached = ART.components_artifact(spark, SF, "minhash")
     assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_merge_into_components_artifact_equals_recompute(spark, scratch_root):
+    from pyspark.sql import functions as F
+
+    # seed the store with components over the OLD half of the pairs,
+    # then merge the new half through the artifact API — result must
+    # equal CC over ALL pairs
+    all_pairs = ART.pairs_artifact(spark, SF, "jaccard")
+    cut = 250
+    old_pairs = all_pairs.where((F.col("id_a") < cut) & (F.col("id_b") < cut))
+    new_pairs = all_pairs.where((F.col("id_a") >= cut) | (F.col("id_b") >= cut))
+    # overwrite the components artifact with the old-only labels
+    path = ART._family_path(SF, "jaccard", "components")
+    D.connected_components(old_pairs).write.mode("overwrite").parquet(path)
+
+    merged = ART.merge_into_components_artifact(spark, SF, new_pairs)
+    full = D.connected_components(all_pairs)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # and the artifact on disk now holds the merged labels
+    again = ART.components_artifact(spark, SF, "jaccard")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_artifact_status_reports_build_state(spark, scratch_root):
+    rows = {(r["family"], r["kind"]): r for r in ART.artifact_status(spark, SF)}
+    assert not rows[("simhash", "pairs")]["built"]
+    ART.pairs_artifact(spark, SF, "simhash").count()
+    rows = {(r["family"], r["kind"]): r for r in ART.artifact_status(spark, SF)}
+    assert rows[("simhash", "pairs")]["built"]
+    assert rows[("simhash", "pairs")]["rows"] > 0
+    assert not rows[("simhash", "components")]["built"]
