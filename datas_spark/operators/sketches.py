@@ -52,6 +52,7 @@ __all__ = [
     "cms_join_size_estimate",
     "bloom_bitset",
     "bloom_contains",
+    "bloom_membership_expr",
     "histogram_registers",
     "histogram_quantiles",
     "hll_pairwise_overlap",
@@ -278,37 +279,55 @@ def bloom_contains(
     """
     if keep not in ("hits", "misses"):
         raise ValueError(f"keep must be 'hits' or 'misses', got {keep!r}")
+    hit_of = bloom_membership_expr(bitset, m_bits=m_bits, k=k)
+    v = F.col(value_col)
+    hit = hit_of(v)
+    if keep == "hits":
+        return df.where(v.isNotNull() & hit)
+    return df.where(v.isNull() | ~hit)
+
+
+def bloom_membership_expr(bitset: DataFrame, m_bits: int = 65536, k: int = 4):
+    """Compile a Bloom bitset into a reusable MAP-SIDE membership
+    predicate: returns ``hit_of(value: Column) -> Column`` (boolean).
+
+    The bitset is materialized on the driver into ONE parsed dense
+    literal (it is a sketch — contractually tiny, the LSH-hyperplane-
+    literal contract), so the returned predicate is a pure expression:
+    no join, no shuffle, usable inside HOF lambdas (per-shingle probes
+    over an array column) and on STREAMING frames (a stream-static
+    membership test with zero stream-side state). Building the literal
+    element-wise (F.array of n F.lit) costs a py4j round-trip per word
+    — ~2 s at 64 Ki bits; one expr string is one parse and constant
+    folding makes it a single ArrayData.
+    """
     n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
     dense = [0] * n_words
     for r in bitset.select("word", "bits").collect():
         dense[r["word"]] = r["bits"]
-    # ONE parsed literal for the whole bitset: building it element-wise
-    # (F.array of n F.lit columns) costs one py4j round-trip per word —
-    # ~2 s of pure driver time at 64 Ki bits. A single expr string is
-    # one parse, and constant folding makes it a single ArrayData.
     words_lit = F.expr(
         "array(" + ",".join(f"{int(b)}L" for b in dense) + ")"
-    )
-    v = F.col(value_col)
-    # all k probe positions as one array; the bitset literal appears
-    # exactly ONCE in the expression tree (inside the forall lambda)
-    positions = F.array(
-        *[(_seeded_hash60(v, i) % F.lit(m_bits)).cast("int") for i in range(k)]
     )
     masks_lit = F.expr(
         "array(" + ",".join(f"{1 << b}L" for b in range(_WORD_BITS)) + ")"
     )
-    hit = F.forall(
-        positions,
-        lambda pos: (
-            F.element_at(words_lit, (pos / _WORD_BITS).cast("int") + 1)
-            .bitwiseAND(F.element_at(masks_lit, (pos % _WORD_BITS) + 1))
-            != 0
-        ),
-    )
-    if keep == "hits":
-        return df.where(v.isNotNull() & hit)
-    return df.where(v.isNull() | ~hit)
+
+    def hit_of(v: Column) -> Column:
+        # all k probe positions as one array; the bitset literal appears
+        # exactly ONCE in the expression tree (inside the forall lambda)
+        positions = F.array(
+            *[(_seeded_hash60(v, i) % F.lit(m_bits)).cast("int") for i in range(k)]
+        )
+        return F.forall(
+            positions,
+            lambda pos: (
+                F.element_at(words_lit, (pos / _WORD_BITS).cast("int") + 1)
+                .bitwiseAND(F.element_at(masks_lit, (pos % _WORD_BITS) + 1))
+                != 0
+            ),
+        )
+
+    return hit_of
 
 
 def bloom_fpr(m_bits: int, k: int, n_keys: int) -> float:

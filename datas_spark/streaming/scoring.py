@@ -1154,3 +1154,84 @@ def ewma_anomaly_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decontamination_sink(
+    stream: DataFrame,
+    bench_docs: DataFrame,
+    clean_path: str,
+    flagged_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    max_hits: int = 0,
+):
+    """Streaming benchmark decontamination: every arriving document's
+    word ``shingle_n``-gram shingles are probed MAP-SIDE against a
+    Bloom bitset built ONCE (at sink construction) over the FIXED
+    benchmark corpus. Docs with more than ``max_hits`` (possibly-)
+    overlapping shingles route to ``flagged_path`` with their
+    ``n_shingles`` / ``n_hits`` counts attached; the rest append to
+    ``clean_path``. The streaming twin of the batch
+    `bloom_decontaminate` probe — the ingest-time gate that keeps eval
+    overlap out of a training feed before it ever lands.
+
+    Scale shape: the benchmark is compiled into one dense literal
+    (`sketches.bloom_membership_expr` — the broadcast-sketch
+    contract), so the per-batch work is a full-speed scan: shingle
+    array + a per-shingle ``filter`` lambda, ZERO joins, zero stream
+    state. Bloom false positives can over-flag at the configured rate;
+    never under-flag (no false negatives — the safe direction for
+    decontamination). Exactly-once via the standard per-batch
+    partition stamp + commit marker (redelivered committed batches
+    skip; half-written uncommitted partitions are invisible).
+    """
+    from datas_spark.functions.text import shingles_of_tokens, word_tokens
+    from datas_spark.operators.sketches import bloom_bitset, bloom_membership_expr
+
+    bench_sh = (
+        bench_docs.select(word_tokens(text_col).alias("__w"))
+        .select(F.explode_outer(shingles_of_tokens(F.col("__w"), shingle_n)).alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    hit_of = bloom_membership_expr(
+        bloom_bitset(bench_sh, "g", m_bits=m_bits, k=k), m_bits=m_bits, k=k
+    )
+
+    def _probe(df: DataFrame) -> DataFrame:
+        toks = df.withColumn("__w", word_tokens(text_col))
+        sh = toks.withColumn("__sh", shingles_of_tokens(F.col("__w"), shingle_n))
+        return (
+            sh.withColumn("n_shingles", F.size("__sh").cast("long"))
+            .withColumn(
+                "n_hits",
+                F.size(F.filter(F.col("__sh"), hit_of)).cast("long"),
+            )
+            .drop("__w", "__sh")
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, clean_path, batch_id):
+            return
+        probed = _probe(batch_df)
+        _write_batch_partition(
+            probed.where(F.col("n_hits") <= max_hits).drop("n_shingles", "n_hits"),
+            batch_id,
+            clean_path + "/rows",
+        )
+        _write_batch_partition(
+            probed.where(F.col("n_hits") > max_hits), batch_id, flagged_path
+        )
+        _commit_batch(spark, clean_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1222,3 +1222,58 @@ def test_sink_restart_equals_uninterrupted(spark, tmp_path, name, drill, state, 
     drill(spark, src_b, root_b)
 
     assert state(spark, root_a) == state(spark, root_b)
+
+
+def test_decontamination_sink_routes_and_restart_safe(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import decontamination_sink
+
+    bench_text = (
+        "the forbidden benchmark passage about spark adaptive execution "
+        "that must never leak into any training corpus at all"
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+
+    src = tmp_path / "dc_src"
+    src.mkdir()
+    clean_doc = "completely original writing with zero overlap whatsoever against anything"
+    leaky_doc = f"prefix words then {bench_text} and a suffix"
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": clean_doc}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "text": leaky_doc}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = decontamination_sink(
+            stream, bench,
+            str(tmp_path / "clean"), str(tmp_path / "flagged"),
+            str(tmp_path / "dc_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    clean = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "clean/rows")).collect()
+    )
+    flagged = {
+        r.doc_id: r for r in spark.read.parquet(str(tmp_path / "flagged")).collect()
+    }
+    assert clean == [1]
+    assert set(flagged) == {2}
+    assert flagged[2].n_hits > 0 and flagged[2].n_shingles > flagged[2].n_hits
+
+    # restart with a second file: committed batch skips, new doc routes
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 3, "text": "more fresh prose nothing shared here either truly"}) + "\n")
+    run()
+    clean2 = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "clean/rows")).collect()
+    )
+    assert clean2 == [1, 3]
+    assert spark.read.parquet(str(tmp_path / "flagged")).count() == 1
