@@ -223,10 +223,11 @@ HEADLINE = [
     "c4_line_clean",
     "unimax_source_allocation",
     "substring_overlap_spans",
-    # round 5: artifact-backed election + histogram + span cut
+    # round 5: artifact-backed election + histogram + span cut/matrix
     "dedup_keep_best_quality",
     "component_size_histogram",
     "substring_dedup_cut",
+    "source_copy_matrix",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1925,3 +1925,66 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = D.cut_overlap_spans(docs, spans, "doc_id", "text")
     return out.select("doc_id", "n_tokens", "n_tokens_cut", "text_cut")
+
+
+@register(
+    "source_copy_matrix",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i:i+{_SPAN_N - 1}], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(w) - {_SPAN_N} + 1, 0) + 1)) AS t(i)
+    ), ok AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_CAP}
+    ), g2 AS (
+      SELECT grams.* FROM grams JOIN ok USING (g)
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT id_a, id_b,
+             (max(pos_a) - min(pos_a) + {_SPAN_N})::BIGINT AS len_tokens
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT da.source AS source_a, db.source AS source_b,
+           count(*)::BIGINT AS n_spans,
+           sum(s.len_tokens)::BIGINT AS tokens_shared,
+           max(s.len_tokens)::BIGINT AS longest_span
+    FROM spans s
+    JOIN documents da ON s.id_a = da.doc_id
+    JOIN documents db ON s.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who copies from whom, at SPAN granularity: shared-substring
+    spans rolled up to (source_a, source_b) with span counts, total
+    shared tokens, and the longest single span — the provenance matrix
+    that tells a curation team which feed pairs duplicate content
+    (doc-level plagiarism matrices miss partial copies; this one is
+    built from the exact overlapping runs). Two broadcast-friendly id
+    joins on the tiny span frame + one grouped aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        spans.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "source_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "source_b"), "id_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("len_tokens").cast("long").alias("tokens_shared"),
+            F.max("len_tokens").cast("long").alias("longest_span"),
+        )
+    )
