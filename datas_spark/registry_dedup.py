@@ -1988,3 +1988,74 @@ def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("len_tokens").cast("long").alias("longest_span"),
         )
     )
+
+
+@register(
+    "span_cut_savings",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i:i+{_SPAN_N - 1}], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(w) - {_SPAN_N} + 1, 0) + 1)) AS t(i)
+    ), ok AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_CAP}
+    ), g2 AS (
+      SELECT grams.* FROM grams JOIN ok USING (g)
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT id_b AS doc_id, min(pos_b)::BIGINT AS s,
+             (max(pos_a) - min(pos_a) + {_SPAN_N})::BIGINT AS l
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    ), iv AS (
+      SELECT doc_id, list({{'s': s, 'l': l}}) AS ivs FROM spans GROUP BY doc_id
+    ), base AS (
+      SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS w,
+             coalesce(iv.ivs, []) AS ivs
+      FROM documents d LEFT JOIN iv USING (doc_id)
+    ), cutted AS (
+      SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        (len(w) - len(list_filter(list_transform(range(1, len(w) + 1),
+          i -> CASE WHEN len(list_filter(ivs,
+                 v -> i - 1 >= v.s AND i - 1 < v.s + v.l)) = 0
+               THEN w[i] END), x -> x IS NOT NULL)))::BIGINT AS n_cut
+      FROM base
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           count(*) FILTER (n_cut > 0)::BIGINT AS n_docs_cut,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_cut)::BIGINT AS tokens_cut,
+           round(sum(n_cut) / sum(n_tokens)::DOUBLE * 100, 4) AS cut_pct
+    FROM cutted
+    """,
+)
+def q_span_cut_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-dedup business case in one row: if substring cutting
+    ran corpus-wide, how many documents lose a span and what fraction
+    of total tokens goes — the partial-duplication companion to
+    `dedup_savings_estimate` (which prices whole-doc drops). One
+    conditional aggregate over the proven cut chain."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
+    )
+    cut = D.cut_overlap_spans(docs, spans, "doc_id", "text")
+    return cut.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("n_tokens_cut") > 0).cast("long").alias("n_docs_cut"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_tokens_cut").cast("long").alias("tokens_cut"),
+        F.round(
+            F.sum("n_tokens_cut") / F.sum("n_tokens").cast("double") * 100, 4
+        ).alias("cut_pct"),
+    )
