@@ -228,6 +228,8 @@ HEADLINE = [
     "component_size_histogram",
     "substring_dedup_cut",
     "source_copy_matrix",
+    # round 5: exact concat-and-chunk pack plan
+    "pack_chunk_manifest",
 ]
 
 RUNS_PER_QUERY = 3

@@ -70,6 +70,7 @@ __all__ = [
     "bow_classifier_score",
     "c4_line_filters",
     "unimax_allocation",
+    "pack_concat_chunks",
 ]
 
 
@@ -1515,4 +1516,78 @@ def unimax_allocation(
             ),
         )
         .select(key_col, "avail_tokens", "cap_tokens", "alloc_tokens", "epochs")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """EXACT concat-and-chunk packing (the GPT-style pretraining
+    loader: concatenate all docs in order, emit fixed ``budget``-token
+    windows, docs split across window boundaries): returns the CHUNK
+    MANIFEST — one row per (chunk, doc slice) telling the loader which
+    token range of which doc lands where.
+
+    Columns: ``(shard?, chunk, id, doc_from, doc_to, chunk_off)`` —
+    tokens ``[doc_from, doc_to)`` of doc ``id`` occupy chunk ``chunk``
+    starting at offset ``chunk_off``. Every chunk except the last is
+    exactly full (the packing-efficiency contrast to
+    :func:`pack_sequences`, whose bin-by-start greedy overflows);
+    zero-token docs are dropped (they occupy no tokens).
+
+    The derivation is pure expressions over ONE per-shard cumulative
+    sum: a doc spanning global token offsets ``[start, end)`` touches
+    chunks ``floor(start/b) .. floor((end-1)/b)``, and each touched
+    chunk's slice bounds are min/max arithmetic — the span explodes
+    map-side via ``sequence`` (a doc touches at most
+    ``n_tokens/budget + 1`` chunks). Same sharding contract as
+    `pack_sequences`: one shard's token mass per task; global packing
+    (``shard_col=None``) is a single-task ordering for small corpora.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    shard = [F.col(shard_col)] if shard_col else []
+    w = Window.partitionBy(*shard).orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = df.select(
+        *shard,
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("__n"),
+    ).where(F.col("__n") > 0)
+    b = F.lit(int(budget))
+    spanned = (
+        toks.withColumn("__end", F.sum("__n").over(w))
+        .withColumn("__start", F.col("__end") - F.col("__n"))
+        .withColumn("__c0", F.floor(F.col("__start") / b))
+        .withColumn("__c1", F.floor((F.col("__end") - 1) / b))
+    )
+    start, end = F.col("__start"), F.col("__end")
+    slices = spanned.withColumn(
+        "__slices",
+        F.transform(
+            F.sequence("__c0", "__c1"),
+            lambda c: F.struct(
+                c.cast("long").alias("chunk"),
+                (F.greatest(c * b, start) - start).cast("long").alias("doc_from"),
+                (F.least((c + 1) * b, end) - start).cast("long").alias("doc_to"),
+                (F.greatest(c * b, start) - c * b).cast("long").alias("chunk_off"),
+            ),
+        ),
+    )
+    exploded = (
+        slices.select(*shard, F.col(id_col), F.explode_outer("__slices").alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    return exploded.select(
+        *shard,
+        F.col("__s.chunk").alias("chunk"),
+        F.col(id_col),
+        F.col("__s.doc_from").alias("doc_from"),
+        F.col("__s.doc_to").alias("doc_to"),
+        F.col("__s.chunk_off").alias("chunk_off"),
     )

@@ -1285,3 +1285,56 @@ def q_chat_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "conversation_id", F.col("turn").cast("int").alias("turn"), "context", "target"
     )
+
+
+# ==================================================================
+# round 5: exact concat-and-chunk packing manifest
+# ==================================================================
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_chunk_manifest",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, doc_id,
+        len(list_filter(
+          string_split_regex(trim(regexp_replace(lower(text), '([^\w\s])', ' \1 ', 'g')), '\s+'),
+          t -> t != ''))::BIGINT AS n
+      FROM documents
+    ), nz AS (
+      SELECT * FROM toks WHERE n > 0
+    ), cum AS (
+      SELECT source, doc_id, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS e
+      FROM nz
+    ), sp AS (
+      SELECT source, doc_id, e - n AS s, e FROM cum
+    )
+    SELECT source, c AS chunk, doc_id,
+           (greatest(c * {_PACK_BUDGET}, s) - s)::BIGINT AS doc_from,
+           (least((c + 1) * {_PACK_BUDGET}, e) - s)::BIGINT AS doc_to,
+           (greatest(c * {_PACK_BUDGET}, s) - c * {_PACK_BUDGET})::BIGINT
+             AS chunk_off
+    FROM sp, unnest(range((s // {_PACK_BUDGET})::BIGINT,
+                          ((e - 1) // {_PACK_BUDGET} + 1)::BIGINT)) AS t(c)
+    """,
+)
+def q_pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-style pretraining pack plan, exactly: concatenate each
+    source's documents in id order and emit {_PACK_BUDGET}-token fixed
+    windows, docs SPLIT across window boundaries — the manifest row
+    (chunk, doc, doc_from, doc_to, chunk_off) is everything a loader
+    needs to materialize chunks. Pure expressions over one per-source
+    cumulative sum; the boundary-splitting contrast to the bin-by-start
+    `pack_sequences` greedy (every chunk except the last is exactly
+    full). Shards pack in parallel (one source's token mass per task)."""
+    from datas_spark.operators.corpus import pack_concat_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_concat_chunks(
+        docs, "doc_id", "text", budget=_PACK_BUDGET, shard_col="source"
+    )

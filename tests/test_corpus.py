@@ -676,3 +676,55 @@ def test_unimax_allocation_validation(spark):
         unimax_allocation(df, "source", "w", -1)
     with _pytest.raises(ValueError):
         unimax_allocation(df, "source", "w", 10, max_epochs=0)
+
+
+def test_pack_concat_chunks_exact_windows(spark):
+    from datas_spark.operators.corpus import pack_concat_chunks
+
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_concat_chunks(df, "doc_id", "text", budget=4).collect(),
+        key=lambda r: (r.chunk, r.doc_id),
+    )
+    got = [(r.chunk, r.doc_id, r.doc_from, r.doc_to, r.chunk_off) for r in out]
+    # stream: doc1 tokens 0-2, doc2 tokens 3-6, doc3 tokens 7-8; doc4 empty
+    assert got == [
+        (0, 1, 0, 3, 0),   # doc1 fully in chunk 0 at offset 0
+        (0, 2, 0, 1, 3),   # doc2's first token completes chunk 0
+        (1, 2, 1, 4, 0),   # doc2's remaining 3 tokens open chunk 1
+        (1, 3, 0, 1, 3),   # doc3's first token completes chunk 1
+        (2, 3, 1, 2, 0),   # doc3's last token opens chunk 2
+    ]
+    # every chunk except the last is exactly full
+    from collections import defaultdict
+    fill = defaultdict(int)
+    for c, _d, f, t, _o in got:
+        fill[c] += t - f
+    assert fill[0] == 4 and fill[1] == 4 and fill[2] == 1
+
+
+def test_pack_concat_chunks_sharded_independent(spark):
+    from datas_spark.operators.corpus import pack_concat_chunks
+
+    df = spark.createDataFrame(
+        [("s1", 1, "a b c d e"), ("s2", 2, "x y z")],
+        "source string, doc_id long, text string",
+    )
+    out = pack_concat_chunks(df, "doc_id", "text", budget=4, shard_col="source")
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r.source, []).append((r.chunk, r.doc_from, r.doc_to))
+    # each shard starts its own chunk numbering at 0
+    assert min(c for c, _f, _t in by_shard["s1"]) == 0
+    assert by_shard["s2"] == [(0, 0, 3)]
+
+
+def test_pack_concat_chunks_validation(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.corpus import pack_concat_chunks
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_concat_chunks(df, "doc_id", "text", budget=0)
