@@ -228,8 +228,9 @@ HEADLINE = [
     "component_size_histogram",
     "substring_dedup_cut",
     "source_copy_matrix",
-    # round 5: exact concat-and-chunk pack plan
+    # round 5: exact concat-and-chunk pack plan + one-plan mixing
     "pack_chunk_manifest",
+    "unimax_mixture_sample",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1004,7 +1004,7 @@ def token_budget_mixture(
     df: DataFrame,
     key_col: str,
     weight_col: str,
-    budgets: dict[str, int],
+    budgets: dict[str, int] | DataFrame,
     id_col: str = "doc_id",
     skew_resistant: bool = False,
 ) -> DataFrame:
@@ -1033,13 +1033,21 @@ def token_budget_mixture(
     never be admitted); the per-key cumsum window then runs on at most
     ``budget`` rows per key instead of the key's full corpus.
     """
-    if not budgets:
-        raise ValueError("budgets must be non-empty")
-    if any(b < 0 for b in budgets.values()):
-        raise ValueError("budgets must be >= 0")
-    btab = df.sparkSession.createDataFrame(
-        [(k, int(v)) for k, v in sorted(budgets.items())], [key_col, "__budget"]
-    )
+    if isinstance(budgets, DataFrame):
+        # computed budget table (e.g. unimax_allocation output): columns
+        # (key_col, budget) — the whole mixture then plans as ONE job,
+        # no driver round-trip between allocation and admission
+        btab = budgets.select(
+            F.col(key_col), F.col("budget").cast("long").alias("__budget")
+        )
+    else:
+        if not budgets:
+            raise ValueError("budgets must be non-empty")
+        if any(b < 0 for b in budgets.values()):
+            raise ValueError("budgets must be >= 0")
+        btab = df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in sorted(budgets.items())], [key_col, "__budget"]
+        )
     cand = df.join(broadcast(btab), key_col)
     if skew_resistant:
         from datas_spark.operators.selection import skew_resistant_rank

@@ -511,3 +511,78 @@ def q_unimax_source_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(
         docs, "source", "n_chars", _UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS
     )
+
+
+@register(
+    "unimax_mixture_sample",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, sum(n_chars)::BIGINT AS avail_tokens
+      FROM documents GROUP BY 1
+    ), c AS (
+      SELECT source, avail_tokens,
+             floor(avail_tokens * {_UNIMAX_EPOCHS})::BIGINT AS cap_tokens
+      FROM per
+    ), o AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens ASC, source ASC) - 1 AS i,
+             count(*) OVER () AS n,
+             coalesce(sum(cap_tokens) OVER (
+               ORDER BY cap_tokens ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM c
+    ), s AS (
+      SELECT *,
+             cap_tokens * (n - i) <= {_UNIMAX_BUDGET} - cum_before AS small
+      FROM o
+    ), a AS (
+      SELECT coalesce(sum(CASE WHEN small THEN cap_tokens END), 0)::BIGINT
+               AS small_sum,
+             count(*) FILTER (NOT small)::BIGINT AS n_large
+      FROM s
+    ), alloc AS (
+      SELECT source,
+             CASE WHEN small THEN cap_tokens
+                  ELSE least(cap_tokens,
+                             greatest(floor(({_UNIMAX_BUDGET} - small_sum)
+                                            / greatest(n_large, 1))::BIGINT, 0))
+             END AS alloc_tokens
+      FROM s CROSS JOIN a
+    ), draws AS (
+      SELECT d.doc_id, d.source, d.n_chars, al.alloc_tokens,
+             sum(d.n_chars) OVER (
+               PARTITION BY d.source
+               ORDER BY (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                          / 4294967296.0) ASC,
+                        d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents d JOIN alloc al USING (source)
+    )
+    SELECT doc_id, source, n_chars::BIGINT AS n_chars
+    FROM draws WHERE cum - n_chars < alloc_tokens
+    """,
+)
+def q_unimax_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full mixing pipeline as ONE plan: UniMax water-filling
+    computes each source's token allocation, and the allocation table
+    flows straight into `token_budget_mixture`'s deterministic
+    md5-draw admission — no driver round-trip between deciding the
+    recipe and sampling it. The {_UNIMAX_BUDGET}-char corpus this
+    admits is the uniform-as-possible mixture capped at
+    {_UNIMAX_EPOCHS} epochs per source; the oracle replays allocation
+    AND admission end-to-end."""
+    from datas_spark.operators.corpus import token_budget_mixture, unimax_allocation
+
+    docs = read_table(spark, sf_dir, "documents")
+    alloc = unimax_allocation(
+        docs, "source", "n_chars", _UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS
+    )
+    budgets = alloc.select("source", F.col("alloc_tokens").alias("budget"))
+    out = token_budget_mixture(
+        docs.select("doc_id", "source", "n_chars"),
+        "source",
+        "n_chars",
+        budgets,
+    )
+    return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))

@@ -728,3 +728,27 @@ def test_pack_concat_chunks_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         pack_concat_chunks(df, "doc_id", "text", budget=0)
+
+
+def test_token_budget_mixture_accepts_budget_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from datas_spark.operators.corpus import token_budget_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", 10) for i in range(10)],
+        "doc_id long, source string, w long",
+    )
+    as_dict = token_budget_mixture(df, "source", "w", {"a": 30, "b": 15})
+    budgets = spark.createDataFrame(
+        [("a", 30), ("b", 15)], "source string, budget long"
+    )
+    as_df = token_budget_mixture(df, "source", "w", budgets)
+    assert sorted(r.doc_id for r in as_dict.collect()) == sorted(
+        r.doc_id for r in as_df.collect()
+    )
+    # a source absent from the budget table is excluded either way
+    short = token_budget_mixture(
+        df, "source", "w", spark.createDataFrame([("a", 30)], "source string, budget long")
+    )
+    assert {r.source for r in short.collect()} == {"a"}
