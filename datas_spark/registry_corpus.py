@@ -1291,7 +1291,7 @@ def q_chat_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 5: exact concat-and-chunk packing manifest
 # ==================================================================
 
-_PACK_BUDGET = 512
+_CHUNK_BUDGET = 512
 
 
 @register(
@@ -1315,17 +1315,17 @@ _PACK_BUDGET = 512
       SELECT source, doc_id, e - n AS s, e FROM cum
     )
     SELECT source, c AS chunk, doc_id,
-           (greatest(c * {_PACK_BUDGET}, s) - s)::BIGINT AS doc_from,
-           (least((c + 1) * {_PACK_BUDGET}, e) - s)::BIGINT AS doc_to,
-           (greatest(c * {_PACK_BUDGET}, s) - c * {_PACK_BUDGET})::BIGINT
+           (greatest(c * {_CHUNK_BUDGET}, s) - s)::BIGINT AS doc_from,
+           (least((c + 1) * {_CHUNK_BUDGET}, e) - s)::BIGINT AS doc_to,
+           (greatest(c * {_CHUNK_BUDGET}, s) - c * {_CHUNK_BUDGET})::BIGINT
              AS chunk_off
-    FROM sp, unnest(range((s // {_PACK_BUDGET})::BIGINT,
-                          ((e - 1) // {_PACK_BUDGET} + 1)::BIGINT)) AS t(c)
+    FROM sp, unnest(range((s // {_CHUNK_BUDGET})::BIGINT,
+                          ((e - 1) // {_CHUNK_BUDGET} + 1)::BIGINT)) AS t(c)
     """,
 )
 def q_pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GPT-style pretraining pack plan, exactly: concatenate each
-    source's documents in id order and emit {_PACK_BUDGET}-token fixed
+    source's documents in id order and emit {_CHUNK_BUDGET}-token fixed
     windows, docs SPLIT across window boundaries — the manifest row
     (chunk, doc, doc_from, doc_to, chunk_off) is everything a loader
     needs to materialize chunks. Pure expressions over one per-source
@@ -1336,5 +1336,5 @@ def q_pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return pack_concat_chunks(
-        docs, "doc_id", "text", budget=_PACK_BUDGET, shard_col="source"
+        docs, "doc_id", "text", budget=_CHUNK_BUDGET, shard_col="source"
     )
