@@ -231,6 +231,7 @@ HEADLINE = [
     # round 5: exact concat-and-chunk pack plan + one-plan mixing
     "pack_chunk_manifest",
     "unimax_mixture_sample",
+    "span_cut_savings",
 ]
 
 RUNS_PER_QUERY = 3

@@ -177,6 +177,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "value_lift_table",                # 1-row base-rate total scalar
         "source_length_ks",                # 1-row grand-total + grid fan scalars
         "unimax_source_allocation",        # 1-row (small_sum, n_large) scalar
+        "unimax_mixture_sample",           # same scalar via the allocation subplan
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
