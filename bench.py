@@ -232,6 +232,7 @@ HEADLINE = [
     "pack_chunk_manifest",
     "unimax_mixture_sample",
     "span_cut_savings",
+    "chunk_mixing_report",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1338,3 +1338,60 @@ def q_pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat_chunks(
         docs, "doc_id", "text", budget=_CHUNK_BUDGET, shard_col="source"
     )
+
+
+@register(
+    "chunk_mixing_report",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, doc_id,
+        len(list_filter(
+          string_split_regex(trim(regexp_replace(lower(text), '([^\w\s])', ' \1 ', 'g')), '\s+'),
+          t -> t != ''))::BIGINT AS n
+      FROM documents
+    ), nz AS (
+      SELECT * FROM toks WHERE n > 0
+    ), cum AS (
+      SELECT source, doc_id, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS e
+      FROM nz
+    ), sp AS (
+      SELECT source, doc_id, e - n AS s, e FROM cum
+    ), manifest AS (
+      SELECT source, c AS chunk, doc_id,
+             (least((c + 1) * {_CHUNK_BUDGET}, e)
+              - greatest(c * {_CHUNK_BUDGET}, s))::BIGINT AS n_toks
+      FROM sp, unnest(range((s // {_CHUNK_BUDGET})::BIGINT,
+                            ((e - 1) // {_CHUNK_BUDGET} + 1)::BIGINT)) AS t(c)
+    )
+    SELECT source, chunk,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           max(n_toks)::BIGINT AS max_doc_tokens,
+           round(max(n_toks) / sum(n_toks)::DOUBLE, 6) AS dominant_share
+    FROM manifest GROUP BY 1, 2
+    """,
+)
+def q_chunk_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window composition health over the exact pack plan:
+    per {_CHUNK_BUDGET}-token chunk, how many documents compose it and
+    what share the largest slice holds — chunks dominated by one doc
+    behave like long-context examples, many-tiny-slice chunks are
+    attention-boundary-heavy; the report is the input to choosing a
+    boundary policy. One grouped aggregate over the manifest rows."""
+    from datas_spark.operators.corpus import pack_concat_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    man = pack_concat_chunks(
+        docs, "doc_id", "text", budget=_CHUNK_BUDGET, shard_col="source"
+    ).withColumn("n_toks", F.col("doc_to") - F.col("doc_from"))
+    return man.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.max("n_toks").cast("long").alias("max_doc_tokens"),
+        F.round(F.max("n_toks") / F.sum("n_toks").cast("double"), 6).alias(
+            "dominant_share"
+        ),
+    )

@@ -1277,3 +1277,34 @@ def test_decontamination_sink_routes_and_restart_safe(spark, tmp_path):
     )
     assert clean2 == [1, 3]
     assert spark.read.parquet(str(tmp_path / "flagged")).count() == 1
+
+
+def test_enrich_stream_with_components_artifact(spark, tmp_path, monkeypatch):
+    """The round-5 artifact store works as a streaming dimension: a doc
+    stream joins the persisted (node, component) parquet map-side and
+    every micro-batch row carries its near-dup component label."""
+    import json as _json
+
+    from datas_spark.operators import artifacts as ART
+    from datas_spark.streaming.scoring import enrich_stream
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "art"))
+    comp = ART.components_artifact(
+        spark, "/root/testdata/sf0.001", "jaccard"
+    ).withColumnRenamed("node", "doc_id")
+
+    src = tmp_path / "es_src"
+    src.mkdir()
+    some_node = comp.first()
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": int(some_node["doc_id"])}) + "\n")
+        f.write(_json.dumps({"doc_id": 10**9}) + "\n")  # unknown doc
+    stream = (
+        spark.readStream.format("json").schema("doc_id bigint").load(str(src))
+    )
+    out = _run_append_stream(
+        spark, enrich_stream(stream, comp, "doc_id"), "artifact_enriched"
+    ).collect()
+    by_id = {r.doc_id: r.component for r in out}
+    assert by_id[some_node["doc_id"]] == some_node["component"]
+    assert by_id[10**9] is None  # left join: unknown docs pass through
