@@ -233,6 +233,7 @@ HEADLINE = [
     "unimax_mixture_sample",
     "span_cut_savings",
     "chunk_mixing_report",
+    "duplicate_mass_by_source",
 ]
 
 RUNS_PER_QUERY = 3

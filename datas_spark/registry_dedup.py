@@ -2059,3 +2059,51 @@ def q_span_cut_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens_cut") / F.sum("n_tokens").cast("double") * 100, 4
         ).alias("cut_pct"),
     )
+
+
+@register(
+    "duplicate_mass_by_source",
+    oracle=_COMP_CTES_R5
+    + r"""
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (a.doc_id != a.component)::BIGINT AS n_dup_docs,
+           sum(d.n_chars)::BIGINT AS total_chars,
+           sum(CASE WHEN a.doc_id != a.component THEN d.n_chars ELSE 0 END)
+             ::BIGINT AS dup_chars,
+           round(count(*) FILTER (a.doc_id != a.component)
+                 / count(*)::DOUBLE * 100, 4) AS dup_doc_pct
+    FROM assigned a JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_duplicate_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which feeds carry the duplication: per source, the docs and
+    chars that keep-first dedup would drop (doc != component label) —
+    the per-feed slice of `dedup_savings_estimate` that prices each
+    upstream source's redundancy before renewal decisions. One join of
+    the corpus against the persisted component artifact + one grouped
+    conditional aggregate."""
+    from datas_spark.operators import artifacts as ART
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    comp = ART.components_artifact(spark, sf_dir, "jaccard").withColumnRenamed(
+        "node", "doc_id"
+    )
+    assigned = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    dup = F.col("doc_id") != F.col("component")
+    return assigned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(dup).cast("long").alias("n_dup_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(dup, F.col("n_chars")).otherwise(0)).cast("long").alias(
+            "dup_chars"
+        ),
+        F.round(F.count_if(dup) / F.count(F.lit(1)).cast("double") * 100, 4).alias(
+            "dup_doc_pct"
+        ),
+    )
