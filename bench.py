@@ -80,6 +80,9 @@ HEADLINE = [
     "hll_user_count",
     "cms_user_heavy",
     "bloom_decontaminate",
+    # round-6: the past-literal-ceiling join backend (m=2^24 broadcast
+    # equi-join probe — VERDICT r5 "What's wrong" #1)
+    "bloom_decontaminate_join",
     "events_zorder_cells",
     "events_key_skew",
     "large_volume_orders",

@@ -53,6 +53,8 @@ __all__ = [
     "bloom_bitset",
     "bloom_contains",
     "bloom_membership_expr",
+    "bloom_hit_join",
+    "BLOOM_LITERAL_MAX_BITS",
     "histogram_registers",
     "histogram_quantiles",
     "hll_pairwise_overlap",
@@ -254,6 +256,16 @@ def bloom_bitset(
     )
 
 
+# Above this many bits the driver-side dense-literal compile (collect +
+# one expression parse) stops being "a sketch" and starts being a
+# driver materialization bottleneck: 2^22 bits = 70 Ki longs ~ 0.5 MiB
+# of expression text. Past it, the probe switches to map-side broadcast
+# equi-joins against the (word, bits) table, which never touches the
+# driver and scales to the multi-GiB bitsets a real 10^8-shingle
+# benchmark union needs.
+BLOOM_LITERAL_MAX_BITS = 1 << 22
+
+
 def bloom_contains(
     df: DataFrame,
     value_col: str,
@@ -261,30 +273,111 @@ def bloom_contains(
     m_bits: int = 65536,
     k: int = 4,
     keep: str = "hits",
+    backend: str = "auto",
 ) -> DataFrame:
     """Filter ``df`` by Bloom membership of ``value_col``.
 
     ``keep='hits'`` keeps possible members (contamination candidates —
     includes false positives at the configured rate, never false
     negatives); ``keep='misses'`` keeps definite non-members (safe
-    rows).
+    rows). NULL values are kept only under ``keep='misses'`` (a NULL is
+    definitely not a member).
 
-    The bitset is materialized on the driver into a dense literal array
-    (it is a sketch — contractually tiny, same contract as the LSH
-    hyperplane literals in `similarity`), so the probe is a PURE
-    MAP-SIDE expression: no join, no shuffle, whole-stage codegen over
-    the scan. This is the shape that lets a 100 TB scan test membership
-    against a benchmark set at full scan speed. NULL values are kept
-    only under ``keep='misses'`` (a NULL is definitely not a member).
+    Two physical backends, same result:
+
+    - ``'literal'``: the bitset is materialized on the driver into a
+      dense literal array (it is a sketch — contractually tiny, same
+      contract as the LSH hyperplane literals in `similarity`), so the
+      probe is a PURE MAP-SIDE expression: no join, no shuffle,
+      whole-stage codegen over the scan. The shape that lets a 100 TB
+      scan test membership at full scan speed — as long as m is small.
+    - ``'join'``: k map-side BROADCAST hash joins against the sparse
+      ``(word, bits)`` table (`bloom_hit_join`). No driver
+      materialization, no expression-parse ceiling: the bitset stays a
+      distributed frame until Spark broadcasts it, so m can be the
+      10 bits/key a 10^8-shingle benchmark needs. Still zero shuffles
+      on the probe side.
+    - ``'auto'`` (default): ``'join'`` when ``m_bits >
+      BLOOM_LITERAL_MAX_BITS``, else ``'literal'``.
     """
     if keep not in ("hits", "misses"):
         raise ValueError(f"keep must be 'hits' or 'misses', got {keep!r}")
-    hit_of = bloom_membership_expr(bitset, m_bits=m_bits, k=k)
+    if backend not in ("auto", "literal", "join"):
+        raise ValueError(f"backend must be auto|literal|join, got {backend!r}")
+    if backend == "auto":
+        backend = "join" if m_bits > BLOOM_LITERAL_MAX_BITS else "literal"
     v = F.col(value_col)
+    if backend == "join":
+        hit_col = "__bloom_hit"
+        probed = bloom_hit_join(df, value_col, bitset, m_bits=m_bits, k=k, hit_col=hit_col)
+        if keep == "hits":
+            return probed.where(v.isNotNull() & F.col(hit_col)).drop(hit_col)
+        return probed.where(v.isNull() | ~F.col(hit_col)).drop(hit_col)
+    hit_of = bloom_membership_expr(bitset, m_bits=m_bits, k=k)
     hit = hit_of(v)
     if keep == "hits":
         return df.where(v.isNotNull() & hit)
     return df.where(v.isNull() | ~hit)
+
+
+def bloom_hit_join(
+    df: DataFrame,
+    value_col: str,
+    bitset: DataFrame,
+    m_bits: int = 65536,
+    k: int = 4,
+    hit_col: str = "__bloom_hit",
+) -> DataFrame:
+    """Append boolean ``hit_col`` — Bloom membership of ``value_col`` —
+    via k map-side broadcast hash joins against the sparse ``(word,
+    bits)`` bitset table. The scale-safe backend past the driver-
+    literal ceiling (`BLOOM_LITERAL_MAX_BITS`).
+
+    Each hash function i contributes one LEFT broadcast equi-join on
+    its word index (the bitset stores only occupied words, so an
+    unmatched word is a definite miss); the row is a hit iff all k
+    probed bits are set. Broadcast joins stream the probe side — no
+    shuffle, no driver collect, and the SAME bitset aggregate sits
+    under every broadcast exchange so Spark reuses one build. NULL
+    values get ``hit_col = false`` (a NULL is definitely not a member —
+    callers that need NULL-keeps-on-misses test ``isNull`` themselves,
+    as `bloom_contains` does).
+    """
+    v = F.col(value_col)
+    out = df
+    hit_terms = []
+    bits_src = bitset.select("word", "bits")
+    for i in range(k):
+        pos = (_seeded_hash60(v, i) % F.lit(m_bits)).cast("int")
+        p, w, b = f"__bp{i}", f"__bw{i}", f"__bb{i}"
+        # alias ABOVE the select so the plan under each BroadcastExchange
+        # is byte-identical across the k joins — ReuseExchange then
+        # builds the hash relation once and shares it
+        side = bits_src.alias(f"__bloom{i}")
+        out = (
+            out.withColumn(p, pos)
+            .withColumn(w, (F.col(p) / _WORD_BITS).cast("int"))
+            .withColumn(
+                f"__bm{i}",
+                F.expr(f"shiftleft(cast(1 as bigint), {p} % {_WORD_BITS})"),
+            )
+            .join(
+                F.broadcast(side),
+                F.col(w) == F.col(f"__bloom{i}.word"),
+                "left",
+            )
+            .withColumn(b, F.col(f"__bloom{i}.bits"))
+            .drop(F.col(f"__bloom{i}.word"))
+            .drop(F.col(f"__bloom{i}.bits"))
+        )
+        hit_terms.append(
+            F.coalesce(F.col(b).bitwiseAND(F.col(f"__bm{i}")) != 0, F.lit(False))
+        )
+    hit = hit_terms[0]
+    for t in hit_terms[1:]:
+        hit = hit & t
+    drop = [c for i in range(k) for c in (f"__bp{i}", f"__bw{i}", f"__bb{i}", f"__bm{i}")]
+    return out.withColumn(hit_col, hit).drop(*drop)
 
 
 def bloom_membership_expr(bitset: DataFrame, m_bits: int = 65536, k: int = 4):

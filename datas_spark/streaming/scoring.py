@@ -1168,29 +1168,50 @@ def decontamination_sink(
     m_bits: int = 1 << 16,
     k: int = 3,
     max_hits: int = 0,
+    backend: str = "auto",
 ):
     """Streaming benchmark decontamination: every arriving document's
-    word ``shingle_n``-gram shingles are probed MAP-SIDE against a
-    Bloom bitset built ONCE (at sink construction) over the FIXED
-    benchmark corpus. Docs with more than ``max_hits`` (possibly-)
-    overlapping shingles route to ``flagged_path`` with their
-    ``n_shingles`` / ``n_hits`` counts attached; the rest append to
-    ``clean_path``. The streaming twin of the batch
-    `bloom_decontaminate` probe — the ingest-time gate that keeps eval
-    overlap out of a training feed before it ever lands.
+    word ``shingle_n``-gram shingles are probed against a Bloom bitset
+    built ONCE (at sink construction) over the FIXED benchmark corpus.
+    Docs with more than ``max_hits`` (possibly-)overlapping shingles
+    route to ``flagged_path`` with their ``n_shingles`` / ``n_hits``
+    counts attached; the rest append to ``clean_path``. The streaming
+    twin of the batch `bloom_decontaminate` probe — the ingest-time
+    gate that keeps eval overlap out of a training feed before it ever
+    lands.
 
-    Scale shape: the benchmark is compiled into one dense literal
-    (`sketches.bloom_membership_expr` — the broadcast-sketch
-    contract), so the per-batch work is a full-speed scan: shingle
-    array + a per-shingle ``filter`` lambda, ZERO joins, zero stream
-    state. Bloom false positives can over-flag at the configured rate;
-    never under-flag (no false negatives — the safe direction for
+    Scale shape, per backend (`sketches.bloom_contains` semantics):
+
+    - ``'literal'`` — the benchmark compiles into one dense literal
+      (`sketches.bloom_membership_expr`), so the per-batch work is a
+      full-speed scan: shingle array + a per-shingle ``filter``
+      lambda, ZERO joins, zero stream state.
+    - ``'join'`` — past the literal ceiling
+      (`sketches.BLOOM_LITERAL_MAX_BITS`), shingles explode inside the
+      batch and probe the persisted sparse ``(word, bits)`` table via
+      map-side broadcast joins (`sketches.bloom_hit_join`), then
+      regroup per ``id_col`` (which must be row-unique). The bitset is
+      built once and `persist()`-ed across batches.
+    - ``'auto'`` — join above the literal ceiling, literal below.
+
+    Bloom false positives can over-flag at the configured rate; never
+    under-flag (no false negatives — the safe direction for
     decontamination). Exactly-once via the standard per-batch
     partition stamp + commit marker (redelivered committed batches
     skip; half-written uncommitted partitions are invisible).
     """
     from datas_spark.functions.text import shingles_of_tokens, word_tokens
-    from datas_spark.operators.sketches import bloom_bitset, bloom_membership_expr
+    from datas_spark.operators.sketches import (
+        BLOOM_LITERAL_MAX_BITS,
+        bloom_bitset,
+        bloom_hit_join,
+        bloom_membership_expr,
+    )
+
+    if backend not in ("auto", "literal", "join"):
+        raise ValueError(f"backend must be auto|literal|join, got {backend!r}")
+    if backend == "auto":
+        backend = "join" if m_bits > BLOOM_LITERAL_MAX_BITS else "literal"
 
     bench_sh = (
         bench_docs.select(word_tokens(text_col).alias("__w"))
@@ -1198,21 +1219,41 @@ def decontamination_sink(
         .where(F.col("g").isNotNull())
         .distinct()
     )
-    hit_of = bloom_membership_expr(
-        bloom_bitset(bench_sh, "g", m_bits=m_bits, k=k), m_bits=m_bits, k=k
-    )
+    bitset = bloom_bitset(bench_sh, "g", m_bits=m_bits, k=k)
 
-    def _probe(df: DataFrame) -> DataFrame:
-        toks = df.withColumn("__w", word_tokens(text_col))
-        sh = toks.withColumn("__sh", shingles_of_tokens(F.col("__w"), shingle_n))
-        return (
-            sh.withColumn("n_shingles", F.size("__sh").cast("long"))
-            .withColumn(
-                "n_hits",
-                F.size(F.filter(F.col("__sh"), hit_of)).cast("long"),
+    if backend == "literal":
+        hit_of = bloom_membership_expr(bitset, m_bits=m_bits, k=k)
+
+        def _probe(df: DataFrame) -> DataFrame:
+            toks = df.withColumn("__w", word_tokens(text_col))
+            sh = toks.withColumn("__sh", shingles_of_tokens(F.col("__w"), shingle_n))
+            return (
+                sh.withColumn("n_shingles", F.size("__sh").cast("long"))
+                .withColumn(
+                    "n_hits",
+                    F.size(F.filter(F.col("__sh"), hit_of)).cast("long"),
+                )
+                .drop("__w", "__sh")
             )
-            .drop("__w", "__sh")
-        )
+    else:
+        bitset = bitset.persist()  # built once, probed by every micro-batch
+
+        def _probe(df: DataFrame) -> DataFrame:
+            sh = df.withColumn("__w", word_tokens(text_col)).withColumn(
+                "__sh", shingles_of_tokens(F.col("__w"), shingle_n)
+            )
+            ex = sh.select(id_col, F.explode("__sh").alias("g"))
+            hits = (
+                bloom_hit_join(ex, "g", bitset, m_bits=m_bits, k=k, hit_col="__hit")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("__hit").cast("long")).alias("__nh"))
+            )
+            return (
+                sh.withColumn("n_shingles", F.size("__sh").cast("long"))
+                .join(hits, id_col, "left")
+                .withColumn("n_hits", F.coalesce(F.col("__nh"), F.lit(0)).cast("long"))
+                .drop("__w", "__sh", "__nh")
+            )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

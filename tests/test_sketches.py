@@ -190,6 +190,75 @@ def test_bloom_validation():
     assert SK.bloom_fpr(9600, 4, 1000) < 0.02
     with pytest.raises(ValueError):
         SK.bloom_contains(None, "v", None, keep="nope")
+    with pytest.raises(ValueError):
+        SK.bloom_contains(None, "v", None, backend="nope")
+
+
+def test_bloom_join_backend_matches_literal(docs):
+    """The past-the-literal-ceiling backend (broadcast equi-joins on
+    the sparse word table) must return exactly the literal path's rows
+    — hits AND misses — at the same (m, k)."""
+    bench = docs.where("doc_id % 7 = 0")
+    probe = docs  # includes bench rows, so true hits are exercised
+    bs = SK.bloom_bitset(bench, "text", m_bits=6000, k=4)
+    for keep in ("hits", "misses"):
+        lit = sorted(
+            r["doc_id"]
+            for r in SK.bloom_contains(
+                probe, "text", bs, m_bits=6000, k=4, keep=keep, backend="literal"
+            ).collect()
+        )
+        jn = sorted(
+            r["doc_id"]
+            for r in SK.bloom_contains(
+                probe, "text", bs, m_bits=6000, k=4, keep=keep, backend="join"
+            ).collect()
+        )
+        assert lit == jn and lit
+
+
+def test_bloom_join_backend_null_semantics(spark):
+    members = spark.createDataFrame([("a",), ("b",)], "v: string")
+    probe = spark.createDataFrame([("a",), (None,)], "v: string")
+    bs = SK.bloom_bitset(members, "v", m_bits=600, k=3)
+    hits = SK.bloom_contains(probe, "v", bs, m_bits=600, k=3, keep="hits", backend="join")
+    misses = SK.bloom_contains(probe, "v", bs, m_bits=600, k=3, keep="misses", backend="join")
+    assert [r["v"] for r in hits.collect()] == ["a"]
+    assert [r["v"] for r in misses.collect()] == [None]
+
+
+def test_bloom_join_backend_probe_shuffle_free(docs):
+    """The join backend's probe side must stream through BROADCAST hash
+    joins only — no sort-merge join, no shuffle exchange anywhere in
+    the probe plan (the bitset build side aggregates, but that frame is
+    bounded by m/60 words regardless of corpus size)."""
+    bench = docs.where("doc_id % 7 = 0")
+    bs = SK.bloom_bitset(bench, "text", m_bits=1 << 23, k=4)
+    probed = SK.bloom_contains(docs, "text", bs, m_bits=1 << 23, k=4, backend="join")
+    s = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_bloom_auto_backend_switches_on_m(spark, monkeypatch):
+    """auto must take the join path (no driver collect of the bitset)
+    past BLOOM_LITERAL_MAX_BITS, and the literal path below it."""
+    members = spark.createDataFrame([("a",)], "v: string")
+    probe = spark.createDataFrame([("a",), ("z",)], "v: string")
+
+    def _boom(*_a, **_k):  # pragma: no cover - the assertion target
+        raise AssertionError("auto backend compiled a past-ceiling literal")
+
+    big_m = SK.BLOOM_LITERAL_MAX_BITS + 60
+    bs_big = SK.bloom_bitset(members, "v", m_bits=big_m, k=2)
+    monkeypatch.setattr(SK, "bloom_membership_expr", _boom)
+    got = SK.bloom_contains(probe, "v", bs_big, m_bits=big_m, k=2, backend="auto")
+    assert [r["v"] for r in got.collect()] == ["a"]
+
+    # below the ceiling auto uses the literal path (hits _boom)
+    bs_small = SK.bloom_bitset(members, "v", m_bits=600, k=2)
+    with pytest.raises(AssertionError, match="past-ceiling literal"):
+        SK.bloom_contains(probe, "v", bs_small, m_bits=600, k=2, backend="auto")
 
 
 def test_cms_join_size_upper_bounds_exact(spark, events):

@@ -1224,7 +1224,8 @@ def test_sink_restart_equals_uninterrupted(spark, tmp_path, name, drill, state, 
     assert state(spark, root_a) == state(spark, root_b)
 
 
-def test_decontamination_sink_routes_and_restart_safe(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["literal", "join"])
+def test_decontamination_sink_routes_and_restart_safe(spark, tmp_path, backend):
     import json as _json
 
     from datas_spark.streaming.scoring import decontamination_sink
@@ -1253,7 +1254,7 @@ def test_decontamination_sink_routes_and_restart_safe(spark, tmp_path):
         q = decontamination_sink(
             stream, bench,
             str(tmp_path / "clean"), str(tmp_path / "flagged"),
-            str(tmp_path / "dc_ckpt"),
+            str(tmp_path / "dc_ckpt"), backend=backend,
         )
         q.awaitTermination(120)
 
