@@ -93,6 +93,9 @@ HEADLINE = [
     # curation fate audit, event-sourced SCD2 history, embedding-space
     # decontamination
     "curate_audit",
+    # round-6: the recipe consuming the materialize-once near-dup
+    # artifacts instead of deriving pairs inline (VERDICT r5 #2)
+    "curate_corpus_artifact",
     "user_event_history",
     "embedding_decontaminate",
     # CUBE expand pass, fuzzy verify join, incremental rollup merge

@@ -52,6 +52,8 @@ def curate_corpus(
     near_dup_method: str = "jaccard",
     near_dup_ngram: int = 3,
     near_dup_max_hamming: int = 3,
+    near_dup_pairs: DataFrame | None = None,
+    near_dup_components: DataFrame | None = None,
     contamination_min_shared: int = 5,
     temperature: float | None = None,
     split_weights: dict[str, float] | None = None,
@@ -82,7 +84,21 @@ def curate_corpus(
        priciest option), ``"minhash"`` (banded LSH, estimated Jaccard ≥
        threshold — the cheap scale path), or ``"simhash"`` (60-bit
        banded signatures, hamming ≤ ``near_dup_max_hamming``;
-       ``near_dup_threshold`` just gates the stage on)
+       ``near_dup_threshold`` just gates the stage on).
+
+       ``near_dup_pairs`` / ``near_dup_components`` inject the
+       MATERIALIZE-ONCE artifacts (`operators.artifacts.pairs_artifact`
+       / `components_artifact`) instead of deriving pairs inline — the
+       100 TB shape, where ingest computed the pair graph once and no
+       downstream recipe re-runs the inverted index or iterative CC.
+       Injection semantics are corpus-level: the artifact covers the
+       WHOLE corpus, so connectivity through docs that earlier stages
+       dropped is preserved (exact duplicates mirror each other's
+       edges, so survivor components are identical), and the election
+       runs over the current survivors only. Injection is rejected
+       when an upstream stage MUTATES text (``redact_pii`` /
+       ``paragraph_dedup_delimiter``) — ingest-time pairs don't
+       describe rewritten documents.
     7. decontamination    — drop docs sharing ≥ ``contamination_min_shared``
        n-grams with ``benchmark`` (broadcast probe), if given
     8. temperature sample — rebalance ``domain_col`` mixture, if given
@@ -152,8 +168,18 @@ def curate_corpus(
             out, id_col, text_col, delimiter=paragraph_dedup_delimiter
         ).select(id_col, F.col("text_dedup").alias(text_col))
         out = cut(out.drop(text_col).join(rebuilt, id_col))
-    if near_dup_threshold is not None:
-        if near_dup_method == "jaccard":
+    injected = near_dup_pairs is not None or near_dup_components is not None
+    if near_dup_threshold is not None or injected:
+        if injected:
+            if redact_pii or paragraph_dedup_delimiter is not None:
+                raise ValueError(
+                    "near_dup_pairs/near_dup_components were computed over the "
+                    "ingested corpus; they cannot be combined with stages that "
+                    "REWRITE text (redact_pii, paragraph_dedup_delimiter) — "
+                    "derive pairs inline instead"
+                )
+            pairs = near_dup_pairs
+        elif near_dup_method == "jaccard":
             pairs = ngram_jaccard_pairs(
                 out, id_col, text_col, n=near_dup_ngram, threshold=near_dup_threshold
             )
@@ -174,7 +200,8 @@ def curate_corpus(
             )
         out = cut(
             near_dedup_keep_best(
-                out.withColumn("__len", F.length(text_col)), id_col, "__len", pairs
+                out.withColumn("__len", F.length(text_col)), id_col, "__len",
+                pairs, components=near_dup_components,
             )
             .where(F.col("is_representative") == 1)
             .drop("__len", "is_representative")

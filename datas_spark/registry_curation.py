@@ -1321,6 +1321,94 @@ def q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curate_corpus_artifact — the recipe consuming the materialize-once
+# near-dup artifacts instead of deriving pairs inline (VERDICT r5 #2).
+# Corpus-level semantics: the components artifact covers the WHOLE
+# corpus (ingest computed it once), the election runs over the exact-
+# dedup survivors. The oracle is the full recompute of that exact
+# contract, so hash-green proves artifact-backed == inline-derived.
+# ---------------------------------------------------------------------------
+
+_CURATE_ARTIFACT_ORACLE = rf"""
+    WITH RECURSIVE ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (
+          PARTITION BY md5({_NORM_SQL.format(t='text')})
+          ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+          i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')))
+          AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING shared / (na + nb - shared) >= 0.2
+    ), ee AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT a, a FROM ee
+      UNION
+      SELECT ee.a, reach.r FROM ee JOIN reach ON reach.node = ee.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, length(d.text) AS sc,
+             coalesce(comp.component, d.doc_id) AS component
+      FROM ded d LEFT JOIN comp ON d.doc_id = comp.node
+    ), best AS (
+      SELECT component, doc_id AS keep_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY sc DESC, doc_id ASC) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    )
+    SELECT l.doc_id, l.component,
+           CASE WHEN {_MD5_UNIT_SQL.format(key="l.doc_id::VARCHAR")} < 0.8
+                THEN 'train' ELSE 'test' END AS split
+    FROM labeled l JOIN best b
+      ON l.component = b.component AND b.keep_id = l.doc_id
+    """
+
+
+@register("curate_corpus_artifact", oracle=_CURATE_ARTIFACT_ORACLE)
+def q_curate_corpus_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation recipe consuming the MATERIALIZE-ONCE artifact
+    store: exact dedup -> near-dup election fed by the persisted
+    corpus-wide ``(node, component)`` labels
+    (`operators.artifacts.components_artifact`, jaccard family — the
+    same n=3 / 0.2 canonical params) -> deterministic 80/20 split. No
+    inverted index, no iterative CC in this plan: the expensive graph
+    work is a parquet read of what ingest already materialized, which
+    is exactly how a 100 TB recipe must run. The oracle recomputes the
+    pair graph from scratch, so hash-green proves the artifact path
+    returns the inline result."""
+    from datas_spark.operators import artifacts as ART
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    comp = ART.components_artifact(spark, sf_dir, "jaccard")
+    out = curate_corpus(
+        docs,
+        max_dup_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+        near_dup_components=comp,
+        split_weights={"train": 0.8, "test": 0.2},
+    )
+    return out.select("doc_id", "component", "split")
+
+
+# ---------------------------------------------------------------------------
 # Skew-hardened sampling variants — IDENTICAL oracles to the window-path
 # queries in registry_curation, so the driver proves the skew-resistant rank
 # construction is a pure physical-plan change.

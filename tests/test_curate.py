@@ -1,5 +1,6 @@
 """End-to-end curation recipe invariants."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from datas_spark.pipeline.curate import curate_corpus
@@ -170,3 +171,41 @@ def test_curate_audit_first_drop_attribution(spark):
     assert audit[3] == "repetition_filtered"
     assert audit[2] == "exact_duplicate"
     assert audit[1] == "kept" and audit[4] == "kept"
+
+
+def test_curate_corpus_injected_components_match_inline(spark, sf_dir):
+    """Feeding precomputed corpus-wide pairs/components (the artifact
+    path) must return the inline-derived survivors: exact duplicates
+    mirror each other's edges, so corpus-level CC and survivor-level CC
+    agree on the post-exact-dedup frame."""
+    from datas_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    inline = curate_corpus(
+        docs, max_dup_token_frac=1.0, max_top_bigram_frac=1.0,
+        near_dup_threshold=0.2,
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = connected_components(pairs)
+    via_pairs = curate_corpus(
+        docs, max_dup_token_frac=1.0, max_top_bigram_frac=1.0,
+        near_dup_pairs=pairs,
+    )
+    via_comp = curate_corpus(
+        docs, max_dup_token_frac=1.0, max_top_bigram_frac=1.0,
+        near_dup_components=comp,
+    )
+    want = sorted((r["doc_id"], r["component"]) for r in inline.select("doc_id", "component").collect())
+    assert sorted((r["doc_id"], r["component"]) for r in via_pairs.select("doc_id", "component").collect()) == want
+    assert sorted((r["doc_id"], r["component"]) for r in via_comp.select("doc_id", "component").collect()) == want
+
+
+def test_curate_corpus_injection_rejects_text_mutation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    fake_pairs = spark.createDataFrame([], "id_a: long, id_b: long")
+    with pytest.raises(ValueError, match="REWRITE text"):
+        curate_corpus(docs, near_dup_pairs=fake_pairs, redact_pii=True)
+    with pytest.raises(ValueError, match="REWRITE text"):
+        curate_corpus(
+            docs, near_dup_pairs=fake_pairs, paragraph_dedup_delimiter="\n"
+        )
