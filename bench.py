@@ -233,6 +233,9 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "component_size_histogram",
     "substring_dedup_cut",
+    # round-6: corpus-wide span-family election (never double-keeps
+    # chained copies — VERDICT r5 #5)
+    "substring_dedup_elected",
     "source_copy_matrix",
     # round 5: exact concat-and-chunk pack plan + one-plan mixing
     "pack_chunk_manifest",

@@ -73,6 +73,8 @@ __all__ = [
     "merge_components",
     "long_gram_overlap_spans",
     "cut_overlap_spans",
+    "elect_span_owners",
+    "cut_overlap_spans_elected",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1623,11 +1625,31 @@ def cut_overlap_spans(
     indexed ``filter`` lambda over the token array (token kept iff no
     interval covers its offset). No window, no second shuffle.
     """
+    cut_rows = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        F.col("len_tokens").alias("l"),
+    )
+    return _apply_cut_intervals(df, cut_rows, id_col, text_col, out_col)
+
+
+def _apply_cut_intervals(
+    df: DataFrame,
+    cut_rows: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared cut applier: remove every ``(id, s, l)`` word interval of
+    ``cut_rows`` from the matching document. One bounded per-doc
+    interval collect + a left join + a map-side indexed ``filter``
+    lambda over the token array — no window, no second shuffle."""
     iv = (
-        spans.select(
-            F.col("id_b").alias(id_col),
+        cut_rows.select(
+            F.col(id_col),
             F.struct(
-                F.col("start_b").alias("s"), F.col("len_tokens").alias("l")
+                F.col("s").cast("long").alias("s"),
+                F.col("l").cast("long").alias("l"),
             ).alias("__iv"),
         )
         .groupBy(id_col)
@@ -1653,3 +1675,137 @@ def cut_overlap_spans(
         )
         .drop("__ivs")
     )
+
+
+def elect_span_owners(spans: DataFrame, cc_algorithm: str = "min_label") -> DataFrame:
+    """Corpus-wide canonical-owner election over the span-occurrence
+    graph — the fix for pairwise keep-first's chained-copy hole: when
+    A copies B and C copies A, the pairwise rule cuts A against B and
+    C against A independently, which can keep the SAME content in both
+    B and C (each "won" a different pair) while A loses all of it. The
+    election instead groups every overlapping span occurrence into one
+    FAMILY and keeps exactly one canonical occurrence per family.
+
+    Construction (all on the tiny span frame — the expensive gram work
+    already happened in `long_gram_overlap_spans`):
+
+    1. occurrences: both sides of every span row as ``(doc, s, e)``
+       word intervals;
+    2. per-doc interval union: overlapping occurrences within one doc
+       merge (bounded window per doc — a doc has few spans by the
+       gram-df cap), so each doc contributes maximal duplicated
+       regions;
+    3. family graph: each span row is an edge between its two merged
+       regions; connected components over region nodes (the existing
+       CC machinery — string node keys ``doc:grp``);
+    4. owner per family: the region with the LONGEST extent (it holds
+       the union content in hub-shaped copy chains — the common case),
+       ties to smallest (doc, start).
+
+    Returns ``(doc, s, e, component, is_owner)`` — one row per merged
+    duplicated region. Contract: at most ONE surviving copy per family
+    (never the pairwise double-keep); in hub-less drifted chains the
+    owner's extent may not cover the whole family union, so content
+    can be over-cut — the conservative direction for training-data
+    dedup (never two copies; possibly fewer than one for drifted
+    tails).
+    """
+    # the election branches over spans 3+ times (both occurrence sides,
+    # the edge mapping) and CC iterates — cut the expensive gram-join
+    # lineage loose once instead of re-deriving it per branch/round
+    spans = spans.localCheckpoint(eager=False)
+    occ = (
+        spans.select(
+            F.col("id_a").alias("doc"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("len_tokens")).alias("e"),
+        )
+        .union(
+            spans.select(
+                F.col("id_b").alias("doc"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("len_tokens")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    og = occ.withColumn(
+        "__new", F.when(prev_max_e.isNull() | (F.col("s") >= prev_max_e), 1).otherwise(0)
+    ).withColumn(
+        "grp", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    node = F.concat_ws(":", F.col("doc").cast("string"), F.col("grp").cast("string"))
+    og_n = og.select("doc", "s", "e", node.alias("node"))
+    sp = spans.select(
+        "id_a", "id_b", "start_a", "start_b",
+        (F.col("start_a") + F.col("len_tokens")).alias("__ea"),
+        (F.col("start_b") + F.col("len_tokens")).alias("__eb"),
+    )
+    na = og_n.select(
+        F.col("doc").alias("id_a"), F.col("s").alias("start_a"),
+        F.col("e").alias("__ea"), F.col("node").alias("node_a"),
+    )
+    nb = og_n.select(
+        F.col("doc").alias("id_b"), F.col("s").alias("start_b"),
+        F.col("e").alias("__eb"), F.col("node").alias("node_b"),
+    )
+    edges = (
+        sp.join(na, ["id_a", "start_a", "__ea"])
+        .join(nb, ["id_b", "start_b", "__eb"])
+        .select("node_a", "node_b")
+        .distinct()
+    )
+    cc = connected_components(edges, "node_a", "node_b", algorithm=cc_algorithm)
+    merged = (
+        og.groupBy("doc", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .withColumn("node", node)
+    )
+    labeled = merged.join(cc, "node", "left").withColumn(
+        "component", F.coalesce("component", F.col("node"))
+    )
+    best = labeled.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (F.col("s") - F.col("e")).alias("negext"),
+                F.col("doc").alias("odoc"),
+                F.col("s").alias("os"),
+            )
+        ).alias("__b")
+    )
+    return (
+        labeled.join(best, "component")
+        .withColumn(
+            "is_owner",
+            (F.col("doc") == F.col("__b.odoc")) & (F.col("s") == F.col("__b.os")),
+        )
+        .select("doc", "s", "e", "component", "is_owner")
+    )
+
+
+def cut_overlap_spans_elected(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """Apply corpus-wide substring dedup under the span-family election
+    (`elect_span_owners`): every merged duplicated region that is NOT
+    its family's canonical owner is cut from its document; the owner
+    keeps its copy whole. Unlike the pairwise `cut_overlap_spans`,
+    chained copies can never double-keep content (and the canonical
+    first/longest occurrence is never cut by a different pair).
+
+    Appends ``out_col``, ``n_tokens``, ``n_tokens_cut``; docs in no
+    span pass through with ``n_tokens_cut = 0``.
+    """
+    fams = elect_span_owners(spans)
+    cut_rows = fams.where(~F.col("is_owner")).select(
+        F.col("doc").alias(id_col),
+        F.col("s"),
+        (F.col("e") - F.col("s")).alias("l"),
+    )
+    return _apply_cut_intervals(df, cut_rows, id_col, text_col, out_col)

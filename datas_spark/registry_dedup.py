@@ -1990,10 +1990,11 @@ def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "span_cut_savings",
-    oracle=rf"""
-    WITH toks AS (
+# shared span CTE chain: maximal pair spans `sp`, then the round-6
+# span-FAMILY election (per-doc interval union -> region graph ->
+# recursive CC -> longest-extent owner) producing `ecut` cut intervals
+_SPAN_SP_CTES = rf"""
+    WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       FROM documents
     ), grams AS (
@@ -2013,44 +2014,155 @@ def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              pos_a - row_number() OVER (
                PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
       FROM m
-    ), spans AS (
-      SELECT id_b AS doc_id, min(pos_b)::BIGINT AS s,
+    ), sp AS (
+      SELECT id_a, id_b, min(pos_a)::BIGINT AS sa, min(pos_b)::BIGINT AS sb,
              (max(pos_a) - min(pos_a) + {_SPAN_N})::BIGINT AS l
       FROM runs GROUP BY id_a, id_b, diag, grp
-    ), iv AS (
-      SELECT doc_id, list({{'s': s, 'l': l}}) AS ivs FROM spans GROUP BY doc_id
+    )"""
+
+_SPAN_ELECT_CTES = r"""
+    , occ0 AS (
+      SELECT id_a AS doc, sa AS s, sa + l AS e FROM sp
+      UNION
+      SELECT id_b, sb, sb + l FROM sp
+    ), og AS (
+      SELECT doc, s, e,
+        sum(CASE WHEN pm IS NULL OR s >= pm THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+      FROM (
+        SELECT doc, s, e,
+          max(e) OVER (PARTITION BY doc ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM occ0)
+    ), mg AS (
+      SELECT doc, grp, min(s) AS ms, max(e) AS me FROM og GROUP BY doc, grp
+    ), ed0 AS (
+      SELECT oa.doc::VARCHAR || ':' || oa.grp::VARCHAR AS na,
+             ob.doc::VARCHAR || ':' || ob.grp::VARCHAR AS nb
+      FROM sp
+      JOIN og oa ON oa.doc = sp.id_a AND oa.s = sp.sa AND oa.e = sp.sa + sp.l
+      JOIN og ob ON ob.doc = sp.id_b AND ob.s = sp.sb AND ob.e = sp.sb + sp.l
+    ), ed AS (
+      SELECT na AS x, nb AS y FROM ed0 UNION SELECT nb, na FROM ed0
+    ), sreach(node, r) AS (
+      SELECT x, x FROM ed
+      UNION
+      SELECT ed.x, sreach.r FROM ed JOIN sreach ON sreach.node = ed.y
+    ), scomp AS (
+      SELECT node, min(r) AS component FROM sreach GROUP BY node
+    ), snodes AS (
+      SELECT mg.doc, mg.ms AS s, mg.me AS e, c.component
+      FROM mg JOIN scomp c ON c.node = mg.doc::VARCHAR || ':' || mg.grp::VARCHAR
+    ), sowner AS (
+      SELECT component, doc AS odoc, s AS os FROM (
+        SELECT component, doc, s,
+          row_number() OVER (PARTITION BY component
+                             ORDER BY (e - s) DESC, doc ASC, s ASC) AS rn
+        FROM snodes) WHERE rn = 1
+    ), ecut AS (
+      SELECT n.doc AS doc_id, n.s AS s, (n.e - n.s) AS l
+      FROM snodes n JOIN sowner o USING (component)
+      WHERE NOT (n.doc = o.odoc AND n.s = o.os)
+    )"""
+
+
+@register(
+    "substring_dedup_elected",
+    oracle=_SPAN_SP_CTES + _SPAN_ELECT_CTES + r"""
+    , eiv AS (
+      SELECT doc_id, list({'s': s, 'l': l}) AS ivs FROM ecut GROUP BY doc_id
     ), base AS (
       SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS w,
-             coalesce(iv.ivs, []) AS ivs
-      FROM documents d LEFT JOIN iv USING (doc_id)
+             coalesce(eiv.ivs, []) AS ivs
+      FROM documents d LEFT JOIN eiv USING (doc_id)
+    ), cutted AS (
+      SELECT doc_id, w,
+        list_filter(list_transform(range(1, len(w) + 1),
+          i -> CASE WHEN len(list_filter(ivs,
+                 v -> i - 1 >= v.s AND i - 1 < v.s + v.l)) = 0
+               THEN w[i] END), x -> x IS NOT NULL) AS kept
+      FROM base
+    )
+    SELECT doc_id, len(w)::BIGINT AS n_tokens,
+           (len(w) - len(kept))::BIGINT AS n_tokens_cut,
+           coalesce(array_to_string(kept, ' '), '') AS text_cut
+    FROM cutted
+    """,
+)
+def q_substring_dedup_elected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup under the corpus-wide span-FAMILY election
+    (round 6, VERDICT r5 #5): overlapping span occurrences group into
+    families (per-doc interval union + CC over the region graph) and
+    exactly one canonical owner per family — the longest merged extent,
+    ties to smallest (doc, start) — keeps its copy; every other region
+    is cut. Fixes the pairwise rule's chained-copy double-keep (B and C
+    each winning a different pair against A while A loses everything).
+    The election runs entirely on the tiny span frame; the oracle
+    recomputes detection, interval union, the recursive component
+    grouping AND the election from scratch."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
+    )
+    out = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text")
+    return out.select("doc_id", "n_tokens", "n_tokens_cut", "text_cut")
+
+
+@register(
+    "span_cut_savings",
+    oracle=_SPAN_SP_CTES + _SPAN_ELECT_CTES + r"""
+    , spans AS (
+      SELECT id_b AS doc_id, sb AS s, l FROM sp
+    ), iv AS (
+      SELECT doc_id, list({'s': s, 'l': l}) AS ivs FROM spans GROUP BY doc_id
+    ), eiv AS (
+      SELECT doc_id, list({'s': s, 'l': l}) AS ivs FROM ecut GROUP BY doc_id
+    ), base AS (
+      SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS w,
+             coalesce(iv.ivs, []) AS ivs, coalesce(eiv.ivs, []) AS eivs
+      FROM documents d LEFT JOIN iv USING (doc_id) LEFT JOIN eiv USING (doc_id)
     ), cutted AS (
       SELECT doc_id, len(w)::BIGINT AS n_tokens,
         (len(w) - len(list_filter(list_transform(range(1, len(w) + 1),
           i -> CASE WHEN len(list_filter(ivs,
                  v -> i - 1 >= v.s AND i - 1 < v.s + v.l)) = 0
-               THEN w[i] END), x -> x IS NOT NULL)))::BIGINT AS n_cut
+               THEN w[i] END), x -> x IS NOT NULL)))::BIGINT AS n_cut,
+        (len(w) - len(list_filter(list_transform(range(1, len(w) + 1),
+          i -> CASE WHEN len(list_filter(eivs,
+                 v -> i - 1 >= v.s AND i - 1 < v.s + v.l)) = 0
+               THEN w[i] END), x -> x IS NOT NULL)))::BIGINT AS n_cut_e
       FROM base
     )
     SELECT count(*)::BIGINT AS n_docs,
            count(*) FILTER (n_cut > 0)::BIGINT AS n_docs_cut,
            sum(n_tokens)::BIGINT AS total_tokens,
            sum(n_cut)::BIGINT AS tokens_cut,
-           round(sum(n_cut) / sum(n_tokens)::DOUBLE * 100, 4) AS cut_pct
+           round(sum(n_cut) / sum(n_tokens)::DOUBLE * 100, 4) AS cut_pct,
+           count(*) FILTER (n_cut_e > 0)::BIGINT AS n_docs_cut_elected,
+           sum(n_cut_e)::BIGINT AS tokens_cut_elected,
+           round(sum(n_cut_e) / sum(n_tokens)::DOUBLE * 100, 4)
+             AS cut_pct_elected
     FROM cutted
     """,
 )
 def q_span_cut_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The span-dedup business case in one row: if substring cutting
-    ran corpus-wide, how many documents lose a span and what fraction
-    of total tokens goes — the partial-duplication companion to
-    `dedup_savings_estimate` (which prices whole-doc drops). One
-    conditional aggregate over the proven cut chain."""
+    """The span-dedup business case in one row, under BOTH cut rules:
+    the pairwise keep-first cut and the round-6 span-family election —
+    how many documents lose a span and what fraction of total tokens
+    goes under each. The partial-duplication companion to
+    `dedup_savings_estimate` (which prices whole-doc drops); the
+    elected columns price the rule that never double-keeps chained
+    copies. The span frame is derived once (lazy localCheckpoint) and
+    feeds both cut chains."""
     docs = read_table(spark, sf_dir, "documents")
     spans = D.long_gram_overlap_spans(
         docs, "doc_id", "text", n=_SPAN_N, max_gram_doc_freq=_SPAN_CAP
-    )
+    ).localCheckpoint(eager=False)
     cut = D.cut_overlap_spans(docs, spans, "doc_id", "text")
-    return cut.agg(
+    cut_e = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text").select(
+        "doc_id", F.col("n_tokens_cut").alias("__n_cut_e")
+    )
+    return cut.join(cut_e, "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count_if(F.col("n_tokens_cut") > 0).cast("long").alias("n_docs_cut"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -2058,6 +2170,11 @@ def q_span_cut_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_tokens_cut") / F.sum("n_tokens").cast("double") * 100, 4
         ).alias("cut_pct"),
+        F.count_if(F.col("__n_cut_e") > 0).cast("long").alias("n_docs_cut_elected"),
+        F.sum("__n_cut_e").cast("long").alias("tokens_cut_elected"),
+        F.round(
+            F.sum("__n_cut_e") / F.sum("n_tokens").cast("double") * 100, 4
+        ).alias("cut_pct_elected"),
     )
 
 

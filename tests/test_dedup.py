@@ -599,3 +599,89 @@ def test_cut_overlap_spans_overlapping_intervals(spark):
     # intervals [2,6) and [4,7) union to [2,7): 5 tokens cut
     assert r.n_tokens_cut == 5
     assert r.text_cut == "t0 t1 t7 t8 t9"
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide span-family election (round 6)
+# ---------------------------------------------------------------------------
+
+def _chained_copy_docs(spark):
+    """The chained-copy fixture: A (id 3, latest) = alpha+mid+gamma;
+    B (id 1) copied alpha+mid from A's content; C (id 2) copied
+    mid+gamma. B~C share only mid (4 tokens < n=8), so no (B, C) pair
+    exists — the pairwise keep-first hole."""
+    alpha = [f"a{i}" for i in range(8)]
+    mid = [f"m{i}" for i in range(4)]
+    gamma = [f"g{i}" for i in range(8)]
+    b = " ".join(alpha + mid + ["bu1", "bu2", "bu3"])
+    c = " ".join(["cv1", "cv2", "cv3"] + mid + gamma)
+    a = " ".join(alpha + mid + gamma)
+    return (
+        spark.createDataFrame(
+            [(1, b), (2, c), (3, a)], "doc_id: long, text: string"
+        ),
+        alpha, mid, gamma,
+    )
+
+
+def _survivor_counts(rows, tokens):
+    joined = " " + " ".join(r["text_cut"] for r in rows) + " "
+    return {t: joined.count(f" {t} ") for t in tokens}
+
+
+def test_pairwise_cut_double_keeps_chained_copies(spark):
+    """Documents the pairwise rule's hole the election fixes: each of
+    B and C wins its own pair against A, so the shared mid content
+    survives TWICE while A loses everything."""
+    docs, alpha, mid, gamma = _chained_copy_docs(spark)
+    spans = D.long_gram_overlap_spans(docs, "doc_id", "text", n=8)
+    rows = D.cut_overlap_spans(docs, spans, "doc_id", "text").collect()
+    counts = _survivor_counts(rows, mid)
+    assert all(v == 2 for v in counts.values())  # the double-keep
+
+
+def test_elected_cut_keeps_every_span_exactly_once(spark):
+    docs, alpha, mid, gamma = _chained_copy_docs(spark)
+    spans = D.long_gram_overlap_spans(docs, "doc_id", "text", n=8)
+    out = {r["doc_id"]: r for r in
+           D.cut_overlap_spans_elected(docs, spans, "doc_id", "text").collect()}
+    counts = _survivor_counts(list(out.values()), alpha + mid + gamma)
+    assert all(v == 1 for v in counts.values())  # exactly once, corpus-wide
+    # the hub doc (longest merged extent) is the canonical owner
+    assert out[3]["n_tokens_cut"] == 0
+    assert out[1]["text_cut"] == "bu1 bu2 bu3"
+    assert out[2]["text_cut"] == "cv1 cv2 cv3"
+
+
+def test_elect_span_owners_families_and_flags(spark):
+    docs, alpha, mid, gamma = _chained_copy_docs(spark)
+    spans = D.long_gram_overlap_spans(docs, "doc_id", "text", n=8)
+    fams = D.elect_span_owners(spans).collect()
+    # one family: A's two overlapping occurrences merged into [0, 20)
+    assert len({r["component"] for r in fams}) == 1
+    by_doc = {r["doc"]: r for r in fams}
+    assert len(fams) == 3 and set(by_doc) == {1, 2, 3}
+    assert (by_doc[3]["s"], by_doc[3]["e"], by_doc[3]["is_owner"]) == (0, 20, True)
+    assert not by_doc[1]["is_owner"] and not by_doc[2]["is_owner"]
+
+
+def test_elected_cut_identical_docs_keep_first(spark):
+    text = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text)], "doc_id: long, text: string"
+    )
+    spans = D.long_gram_overlap_spans(docs, "doc_id", "text", n=8)
+    out = {r["doc_id"]: r for r in
+           D.cut_overlap_spans_elected(docs, spans, "doc_id", "text").collect()}
+    assert out[1]["n_tokens_cut"] == 0
+    assert out[2]["text_cut"] == "" and out[3]["text_cut"] == ""
+
+
+def test_elected_cut_no_spans_passthrough(spark):
+    docs = spark.createDataFrame(
+        [(1, "totally unique words here"), (2, "other different content row")],
+        "doc_id: long, text: string",
+    )
+    spans = D.long_gram_overlap_spans(docs, "doc_id", "text", n=3)
+    out = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text").collect()
+    assert all(r["n_tokens_cut"] == 0 for r in out) and len(out) == 2
