@@ -96,6 +96,10 @@ HEADLINE = [
     # round-6: the recipe consuming the materialize-once near-dup
     # artifacts instead of deriving pairs inline (VERDICT r5 #2)
     "curate_corpus_artifact",
+    # round-6: distributed quality-classifier training + its pinned-
+    # model inference scan (VERDICT r5 #6)
+    "quality_classifier_train",
+    "hashed_bow_score_pinned",
     "user_event_history",
     "embedding_decontaminate",
     # CUBE expand pass, fuzzy verify join, incremental rollup merge

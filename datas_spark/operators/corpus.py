@@ -68,6 +68,9 @@ __all__ = [
     "pii_stats",
     "pii_redact",
     "bow_classifier_score",
+    "hashed_bow_features",
+    "quality_classifier_train",
+    "hashed_bow_score",
     "c4_line_filters",
     "unimax_allocation",
     "pack_concat_chunks",
@@ -810,6 +813,149 @@ def bow_classifier_score(
         F.sum(F.coalesce("__w", F.lit(0.0))).alias("__wsum"),
     )
     logit = F.lit(bias) + F.col("__wsum") / F.col("n_tokens")
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_prob"),
+    )
+
+
+def hashed_bow_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_features: int = 256,
+) -> DataFrame:
+    """Hashed bag-of-words feature vectors: ``(id, features
+    array<double>)`` where ``features[b]`` counts the tokens whose
+    engine-standard md5 ``hash60`` lands in bucket ``b = hash60(tok) %
+    num_features``. The hashing-trick featurizer for the CCNet/
+    RedPajama quality-classifier loop — md5 (not murmur) so the SAME
+    bucketing is reproducible in the DuckDB oracle as ``('0x' ||
+    substr(md5(tok), 1, 15))::BIGINT % num_features``.
+
+    Shape: explode → two combinable aggregations (per (doc, bucket)
+    count, then per-doc map) → one JVM-side ``transform`` densifies to
+    ``num_features`` doubles. Docs with no tokens get the zero vector.
+    Keep ``num_features`` modest (hundreds–thousands): the dense
+    vector is ``num_features`` doubles PER DOC on the wire to the
+    model fit.
+    """
+    from datas_spark.functions.text import hash60
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_tokens(text_col)).alias("__tok"),
+    )
+    bucket = (hash60(F.col("__tok")) % num_features).cast("int")
+    counts = (
+        toks.where(F.col("__tok").isNotNull())
+        .select("__id", bucket.alias("__b"))
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    per_doc = counts.groupBy("__id").agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__c"))).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(num_features - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(F.col("__id").alias(id_col), dense.alias("features"))
+    )
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_features: int = 256,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> DataFrame:
+    """Train the CCNet/RedPajama-style quality classifier ON the corpus
+    with MLlib ``LogisticRegression`` over `hashed_bow_features` —
+    the loop the reference leaves to an external fastText binary,
+    expressed as a distributed fit (LBFGS treeAggregate over the
+    feature frame; nothing leaves the cluster but the coefficient
+    vector). Returns the MODEL as a ``(feature int, weight double)``
+    table — one row per hash bucket plus ``feature = -1`` for the
+    intercept — the broadcastable shape `hashed_bow_score` (and any
+    100 TB inference scan) consumes.
+
+    The coefficient vector is driver-materialized (``num_features``
+    doubles — contractually tiny, the broadcast-sketch contract).
+    Rows-only at the oracle gate (an LBFGS fit is not SQL-expressible);
+    invariants are pytest-locked like KMeans: separable fixtures score
+    correctly, refits reproduce, the weight table has exactly
+    ``num_features + 1`` rows.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = hashed_bow_features(df, id_col, text_col, num_features)
+    work = feats.join(df.select(id_col, label_col), id_col).withColumn(
+        "__features", array_to_vector(F.col("features"))
+    )
+    model = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    ).fit(work)
+    coef = model.coefficients.toArray()
+    rows = [(int(i), float(w)) for i, w in enumerate(coef)]
+    rows.append((-1, float(model.intercept)))
+    return df.sparkSession.createDataFrame(rows, "feature int, weight double")
+
+
+def hashed_bow_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    num_features: int = 256,
+    feature_col: str = "feature",
+    weight_col: str = "weight",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Score documents with a hash-bucket weight table (the
+    `quality_classifier_train` output, or any pinned model): ``logit =
+    bias + Σ_tokens weight[hash60(tok) % num_features]`` — identical to
+    the raw-count linear model ``intercept + Σ_b count_b · w_b`` —
+    then sigmoid. Returns ``(id, n_tokens, quality_prob)``.
+
+    Same 100 TB shape as `bow_classifier_score`: the model broadcasts,
+    tokens explode map-side into the broadcast hash join, one
+    combinable per-doc aggregation; document text never shuffles.
+    Rows with ``feature = -1`` (a stored intercept) are ignored here —
+    pass the intercept via ``bias``.
+    """
+    from datas_spark.functions.text import hash60
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(text_col)).alias("__tok"),
+    )
+    bucket = (hash60(F.col("__tok")) % num_features).cast("int")
+    w = weights.where(F.col(feature_col) >= 0).select(
+        F.col(feature_col).cast("int").alias("__b"), F.col(weight_col).alias("__w")
+    )
+    scored = (
+        toks.select("__id", bucket.alias("__b"))
+        .join(broadcast(w), "__b", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("__w", F.lit(0.0))).alias("__wsum"),
+        )
+    )
+    logit = F.lit(bias) + F.col("__wsum")
     return scored.select(
         F.col("__id").alias(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),

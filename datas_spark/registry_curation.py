@@ -954,6 +954,83 @@ def q_bow_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bow_classifier_score(docs, "doc_id", "text", weights)
 
 
+# ---------------------------------------------------------------------------
+# round 6: distributed quality-classifier training (VERDICT r5 #6) —
+# the CCNet/RedPajama loop: train the linear quality model ON the
+# corpus (MLlib LogisticRegression over md5-hashed BoW features, the
+# heuristic quality score as the teacher label), then score through
+# the same broadcast-join inference path.
+# ---------------------------------------------------------------------------
+
+_QCLF_FEATURES = 256
+
+
+@register("quality_classifier_train")  # rows-only: an LBFGS fit is not SQL
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier on the corpus: teacher label =
+    heuristic ``quality_score >= 0.5``, features = md5-hashed BoW
+    buckets ({_QCLF_FEATURES}), fit = distributed MLlib
+    LogisticRegression (LBFGS treeAggregate — only the coefficient
+    vector reaches the driver). Output is the broadcastable
+    ``(feature, weight)`` model table (+1 intercept row) that
+    `hashed_bow_score` consumes. Rows-only by design (like KMeans /
+    k-center); separability, reproducibility, and the end-to-end
+    train→score loop are pytest-locked invariants."""
+    from datas_spark.functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (quality_score("text") >= 0.5).cast("double").alias("__lbl")
+    )
+    return C.quality_classifier_train(
+        docs, "doc_id", "text", "__lbl", num_features=_QCLF_FEATURES
+    )
+
+
+_PINNED_QCLF = [(0, 0.8), (3, -1.2), (7, 0.5), (11, -0.3), (33, 1.1), (47, -0.9)]
+_PINNED_QCLF_BIAS = -0.1
+_PINNED_QCLF_F = 64
+
+
+@register(
+    "hashed_bow_score_pinned",
+    oracle=r"""
+    WITH w(feature, weight) AS (VALUES """
+    + ", ".join(f"({b}, {v})" for b, v in _PINNED_QCLF)
+    + rf"""),
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_PINNED_QCLF_F} AS f
+      FROM t
+    ), s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(coalesce(w.weight, 0)) AS wsum
+      FROM b LEFT JOIN w ON b.f = w.feature
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           round(1.0 / (1.0 + exp(-({_PINNED_QCLF_BIAS} + wsum))), 6)
+             AS quality_prob
+    FROM s
+    """,
+)
+def q_hashed_bow_score_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-classifier INFERENCE path under a pinned model: the
+    exact broadcast-join scan `quality_classifier_train`'s output runs
+    through, with fixed literal bucket weights so the DuckDB oracle can
+    recompute the md5 bucketing, the raw-count linear logit and the
+    sigmoid bit-for-bit. Proves the hash-bucket feature contract the
+    training query (rows-only) shares."""
+    docs = read_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(_PINNED_QCLF, "feature int, weight double")
+    return C.hashed_bow_score(
+        docs, "doc_id", "text", weights,
+        num_features=_PINNED_QCLF_F, bias=_PINNED_QCLF_BIAS,
+    )
+
+
 @register(
     "events_asof_click",
     oracle="""

@@ -752,3 +752,64 @@ def test_token_budget_mixture_accepts_budget_dataframe(spark):
         df, "source", "w", spark.createDataFrame([("a", 30)], "source string, budget long")
     )
     assert {r.source for r in short.collect()} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# round 6: distributed quality-classifier training (CCNet/RedPajama loop)
+# ---------------------------------------------------------------------------
+
+def _separable_docs(spark):
+    """20 'good' docs of good-vocabulary tokens, 20 'bad' ones — linearly
+    separable in hashed-BoW space."""
+    good_vocab = ["insight", "method", "theory", "proof", "result"]
+    bad_vocab = ["zzz", "spamword", "junktok", "garbled", "noise"]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(good_vocab[(i + j) % 5] for j in range(12)), 1.0))
+        rows.append((100 + i, " ".join(bad_vocab[(i + j) % 5] for j in range(12)), 0.0))
+    return spark.createDataFrame(rows, "doc_id: long, text: string, label: double")
+
+
+def test_quality_classifier_train_shape_and_separation(spark):
+    docs = _separable_docs(spark)
+    model = C.quality_classifier_train(
+        docs, "doc_id", "text", "label", num_features=64
+    )
+    rows = model.collect()
+    assert len(rows) == 64 + 1  # one weight per bucket + intercept
+    assert {r["feature"] for r in rows} == set(range(64)) | {-1}
+    assert all(abs(r["weight"]) < 1e6 for r in rows)  # finite, sane
+    # end-to-end: score the training docs through the inference path
+    bias = [r["weight"] for r in rows if r["feature"] == -1][0]
+    scored = {
+        r["doc_id"]: r["quality_prob"]
+        for r in C.hashed_bow_score(
+            docs, "doc_id", "text", model, num_features=64, bias=bias
+        ).collect()
+    }
+    good = [scored[i] for i in range(20)]
+    bad = [scored[100 + i] for i in range(20)]
+    assert min(good) > max(bad)  # separable fixture separates
+
+
+def test_quality_classifier_train_reproducible(spark):
+    docs = _separable_docs(spark)
+    w1 = {r["feature"]: r["weight"] for r in C.quality_classifier_train(
+        docs, "doc_id", "text", "label", num_features=32).collect()}
+    w2 = {r["feature"]: r["weight"] for r in C.quality_classifier_train(
+        docs, "doc_id", "text", "label", num_features=32).collect()}
+    assert set(w1) == set(w2)
+    assert all(abs(w1[k] - w2[k]) < 1e-6 for k in w1)
+
+
+def test_hashed_bow_features_zero_vector_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, None)], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r["features"] for r in
+           C.hashed_bow_features(docs, "doc_id", "text", num_features=16).collect()}
+    assert len(out) == 2
+    # counts: 3 tokens total over 1-2 buckets (alpha/beta may collide)
+    assert sum(out[1]) == 3.0 and max(out[1]) >= 2.0
+    assert sum(out[2]) == 0.0  # null doc -> zero vector, row preserved
+    assert len(out[1]) == 16 and len(out[2]) == 16
