@@ -2224,3 +2224,67 @@ def q_duplicate_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_doc_pct"
         ),
     )
+
+
+# ==================================================================
+# moved from registry_tpch.py (round-6 homing hygiene): fuzzy dedup
+# ==================================================================
+
+from datas_spark.registry_olap import _simhash_near_dup_oracle  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup: banded SimHash candidates + edit-distance verification
+# ---------------------------------------------------------------------------
+
+_FUZZY_PREFIX = 256
+_FUZZY_MAX_EDIT = 96
+
+
+@register(
+    "simhash_fuzzy_verified",
+    oracle=f"""
+    WITH pairs AS ({_simhash_near_dup_oracle()}),
+    v AS (
+      SELECT p.id_a, p.id_b, p.hamming,
+             levenshtein(substr(da.text, 1, {_FUZZY_PREFIX}),
+                         substr(db.text, 1, {_FUZZY_PREFIX}))::INT AS edit_dist
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT * FROM v WHERE edit_dist <= {_FUZZY_MAX_EDIT}
+    """,
+)
+def q_simhash_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage fuzzy-dedup pipeline: cheap banded SimHash
+    candidate generation (complete recall for hamming <= 3), then an
+    exact edit-distance verification on a bounded text prefix — the
+    structure every production fuzzy matcher uses (candidates scale
+    with bucket occupancy; the O(len^2) Levenshtein runs only on the
+    few candidate pairs, never all pairs, and the prefix cap bounds its
+    cost per pair)."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, _FUZZY_PREFIX).alias("__ta"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, _FUZZY_PREFIX).alias("__tb"),
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.levenshtein("__ta", "__tb").cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= _FUZZY_MAX_EDIT)
+    )

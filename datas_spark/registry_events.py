@@ -1329,3 +1329,51 @@ def q_churn_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("survival"),
     )
     return folded
+
+
+# ==================================================================
+# moved from registry_tpch.py (round-6 homing hygiene): incremental
+# rollup maintenance
+# ==================================================================
+
+from datas_spark.operators import incremental as INC  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SPLIT = "2024-03-01"
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts)::DATE::VARCHAR AS day, event_type,
+           count(*)::BIGINT AS cnt,
+           sum(CAST(value AS DECIMAL(20,4))) AS sum_val,
+           min(CAST(value AS DECIMAL(20,4))) AS min_val,
+           max(CAST(value AS DECIMAL(20,4))) AS max_val,
+           round((sum(CAST(value AS DECIMAL(20,4))) / count(*))::DOUBLE, 6)
+             AS avg_val
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the (day, event_type) rollup is
+    built as history-partial ⊕ delta-partial (split at a cutoff date)
+    and must be BIT-IDENTICAL to the full recompute — which is exactly
+    what the oracle computes. DECIMAL partials make merge order
+    irrelevant; this is the property that keeps incremental pipelines
+    from drifting off their backfills."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type", "value", "ts"
+    )
+    hist = ev.where(F.col("ts") < F.lit(_ROLLUP_SPLIT).cast("timestamp_ntz"))
+    delta = ev.where(F.col("ts") >= F.lit(_ROLLUP_SPLIT).cast("timestamp_ntz"))
+    keys = ["day", "event_type"]
+    merged = INC.merge_rollups(
+        INC.partial_rollup(hist, keys, "value"),
+        INC.partial_rollup(delta, keys, "value"),
+        keys,
+    )
+    return INC.finalize_rollup(merged)

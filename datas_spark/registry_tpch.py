@@ -9,17 +9,16 @@ from __future__ import annotations
 # former registry14.py
 # ==================================================================
 
-"""Registry batch 14 — CUBE/grouping-sets OLAP, edit-distance-verified
-fuzzy dedup, and incremental rollup maintenance."""
+"""Registry batch 14 — CUBE/grouping-sets OLAP. (The fuzzy-dedup and
+incremental-rollup queries that shared this batch moved to their
+domains in round 6: registry_dedup / registry_events.)"""
 
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
-from datas_spark.operators import incremental as INC
 from datas_spark.registry_core import register
-from datas_spark.registry_olap import _simhash_near_dup_oracle
 
 # ---------------------------------------------------------------------------
 # OLAP CUBE (grouping sets with grouping flags)
@@ -63,104 +62,6 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# ---------------------------------------------------------------------------
-# fuzzy dedup: banded SimHash candidates + edit-distance verification
-# ---------------------------------------------------------------------------
-
-_FUZZY_PREFIX = 256
-_FUZZY_MAX_EDIT = 96
-
-
-@register(
-    "simhash_fuzzy_verified",
-    oracle=f"""
-    WITH pairs AS ({_simhash_near_dup_oracle()}),
-    v AS (
-      SELECT p.id_a, p.id_b, p.hamming,
-             levenshtein(substr(da.text, 1, {_FUZZY_PREFIX}),
-                         substr(db.text, 1, {_FUZZY_PREFIX}))::INT AS edit_dist
-      FROM pairs p
-      JOIN documents da ON da.doc_id = p.id_a
-      JOIN documents db ON db.doc_id = p.id_b
-    )
-    SELECT * FROM v WHERE edit_dist <= {_FUZZY_MAX_EDIT}
-    """,
-)
-def q_simhash_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two-stage fuzzy-dedup pipeline: cheap banded SimHash
-    candidate generation (complete recall for hamming <= 3), then an
-    exact edit-distance verification on a bounded text prefix — the
-    structure every production fuzzy matcher uses (candidates scale
-    with bucket occupancy; the O(len^2) Levenshtein runs only on the
-    few candidate pairs, never all pairs, and the prefix cap bounds its
-    cost per pair)."""
-    from datas_spark.operators import dedup as D
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(
-        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
-    )
-    ta = docs.select(
-        F.col("doc_id").alias("id_a"),
-        F.substring("text", 1, _FUZZY_PREFIX).alias("__ta"),
-    )
-    tb = docs.select(
-        F.col("doc_id").alias("id_b"),
-        F.substring("text", 1, _FUZZY_PREFIX).alias("__tb"),
-    )
-    return (
-        pairs.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "hamming",
-            F.levenshtein("__ta", "__tb").cast("int").alias("edit_dist"),
-        )
-        .where(F.col("edit_dist") <= _FUZZY_MAX_EDIT)
-    )
-
-
-# ---------------------------------------------------------------------------
-# incremental rollup maintenance
-# ---------------------------------------------------------------------------
-
-_ROLLUP_SPLIT = "2024-03-01"
-
-
-@register(
-    "incremental_daily_rollup",
-    oracle="""
-    SELECT date_trunc('day', ts)::DATE::VARCHAR AS day, event_type,
-           count(*)::BIGINT AS cnt,
-           sum(CAST(value AS DECIMAL(20,4))) AS sum_val,
-           min(CAST(value AS DECIMAL(20,4))) AS min_val,
-           max(CAST(value AS DECIMAL(20,4))) AS max_val,
-           round((sum(CAST(value AS DECIMAL(20,4))) / count(*))::DOUBLE, 6)
-             AS avg_val
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental rollup maintenance: the (day, event_type) rollup is
-    built as history-partial ⊕ delta-partial (split at a cutoff date)
-    and must be BIT-IDENTICAL to the full recompute — which is exactly
-    what the oracle computes. DECIMAL partials make merge order
-    irrelevant; this is the property that keeps incremental pipelines
-    from drifting off their backfills."""
-    ev = read_table(spark, sf_dir, "events").select(
-        F.to_date("ts").cast("string").alias("day"), "event_type", "value", "ts"
-    )
-    hist = ev.where(F.col("ts") < F.lit(_ROLLUP_SPLIT).cast("timestamp_ntz"))
-    delta = ev.where(F.col("ts") >= F.lit(_ROLLUP_SPLIT).cast("timestamp_ntz"))
-    keys = ["day", "event_type"]
-    merged = INC.merge_rollups(
-        INC.partial_rollup(hist, keys, "value"),
-        INC.partial_rollup(delta, keys, "value"),
-        keys,
-    )
-    return INC.finalize_rollup(merged)
 
 # ==================================================================
 # former registry18.py
