@@ -58,6 +58,7 @@ __all__ = [
     "components_artifact",
     "merge_into_components_artifact",
     "artifact_status",
+    "gc_artifacts",
 ]
 
 # canonical per-family parameters — single source of truth for every
@@ -198,6 +199,48 @@ def merge_into_components_artifact(
     merged = D.merge_components(current, new_pairs).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def gc_artifacts(keep_latest: int, root: str | None = None) -> list[str]:
+    """Retention sweep over the artifact store: keep the
+    ``keep_latest`` most recently BUILT corpus-fingerprint directories
+    (recency = the newest file mtime inside each fingerprint dir — the
+    source mtime is baked into the opaque key, so build/refresh time is
+    the observable order) and remove the rest. Returns the removed
+    paths.
+
+    A regenerated corpus gets a fresh fingerprint, so without GC a
+    shared store accumulates one dead directory per regeneration; a
+    scheduler runs ``artifacts_cli.py gc --keep-latest N`` after each
+    ingest. Local-filesystem only (os.walk) — on hdfs://
+    / s3a:// stores, retention belongs to the store's lifecycle rules.
+    """
+    if keep_latest < 0:
+        raise ValueError(f"keep_latest must be >= 0, got {keep_latest}")
+    import shutil
+
+    base = root or artifact_root()
+    if not os.path.isdir(base):
+        return []
+    entries = []
+    for name in os.listdir(base):
+        path = os.path.join(base, name)
+        if not os.path.isdir(path):
+            continue
+        newest = os.stat(path).st_mtime_ns
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(newest, os.stat(os.path.join(dirpath, f)).st_mtime_ns)
+                except OSError:
+                    pass
+        entries.append((newest, path))
+    entries.sort(reverse=True)
+    removed = []
+    for _mt, path in entries[keep_latest:]:
+        shutil.rmtree(path)
+        removed.append(path)
+    return removed
 
 
 def artifact_status(spark: SparkSession, sf_dir: str) -> list[dict]:

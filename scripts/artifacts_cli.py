@@ -5,11 +5,14 @@ Usage::
     python scripts/artifacts_cli.py status [sf_dir]
     python scripts/artifacts_cli.py build  [sf_dir] [family ...]
     python scripts/artifacts_cli.py drop   [sf_dir]
+    python scripts/artifacts_cli.py gc --keep-latest N
 
 ``status`` prints build state + row counts per (family, kind);
 ``build`` forces construction (all four families by default) — the
 ingest-time step a scheduler would own at 100 TB; ``drop`` removes the
-dataset's artifact directory (next consumer rebuilds from scratch).
+dataset's artifact directory (next consumer rebuilds from scratch);
+``gc`` keeps the N most recently built corpus fingerprints and removes
+the rest (regenerated corpora leave dead fingerprints behind).
 """
 
 from __future__ import annotations
@@ -25,10 +28,23 @@ from datas_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("status", "build", "drop"):
+    if len(sys.argv) < 2 or sys.argv[1] not in ("status", "build", "drop", "gc"):
         print(__doc__)
         return 2
     cmd = sys.argv[1]
+
+    if cmd == "gc":
+        try:
+            keep = int(sys.argv[sys.argv.index("--keep-latest") + 1])
+        except (ValueError, IndexError):
+            print("usage: artifacts_cli.py gc --keep-latest N")
+            return 2
+        removed = ART.gc_artifacts(keep)
+        for path in removed:
+            print(f"removed {path}")
+        print(f"kept latest {keep}; removed {len(removed)} fingerprint dir(s)")
+        return 0
+
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     if cmd == "drop":

@@ -117,3 +117,35 @@ def test_artifact_status_reports_build_state(spark, scratch_root):
     assert rows[("simhash", "pairs")]["built"]
     assert rows[("simhash", "pairs")]["rows"] > 0
     assert not rows[("simhash", "components")]["built"]
+
+
+def test_gc_artifacts_keeps_latest(tmp_path, monkeypatch):
+    import os
+    import time
+
+    from datas_spark.operators import artifacts as ART
+
+    root = tmp_path / "art"
+    root.mkdir()
+    # three fingerprint dirs with staggered build recency
+    for i, name in enumerate(["aaa111", "bbb222", "ccc333"]):
+        d = root / name
+        d.mkdir()
+        f = d / "jaccard_pairs" / "part-0.parquet"
+        f.parent.mkdir()
+        f.write_bytes(b"x")
+        ts = 1_700_000_000 + i * 1000
+        os.utime(f, (ts, ts))
+        os.utime(d, (ts, ts))
+    removed = ART.gc_artifacts(2, root=str(root))
+    assert [os.path.basename(p) for p in removed] == ["aaa111"]  # oldest
+    assert sorted(os.listdir(root)) == ["bbb222", "ccc333"]
+    # idempotent; keep 0 clears everything
+    assert ART.gc_artifacts(2, root=str(root)) == []
+    assert len(ART.gc_artifacts(0, root=str(root))) == 2
+    assert os.listdir(root) == []
+    # missing root is a no-op
+    assert ART.gc_artifacts(3, root=str(root / "nope")) == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ART.gc_artifacts(-1, root=str(root))
