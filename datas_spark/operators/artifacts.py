@@ -56,10 +56,18 @@ __all__ = [
     "dataset_key",
     "pairs_artifact",
     "components_artifact",
+    "spans_artifact",
     "merge_into_components_artifact",
     "artifact_status",
     "gc_artifacts",
+    "SPAN_N",
+    "SPAN_CAP",
 ]
+
+# canonical substring-span parameters (shared by every span consumer —
+# the gram width and the boilerplate doc-frequency cap)
+SPAN_N = 8
+SPAN_CAP = 50
 
 # canonical per-family parameters — single source of truth for every
 # registry consumer; the directory name embeds them so a param change
@@ -174,6 +182,34 @@ def components_artifact(
     return spark.read.parquet(path)
 
 
+def spans_artifact(
+    spark: SparkSession, sf_dir: str, recompute: bool = False
+) -> DataFrame:
+    """The persisted substring-overlap SPAN table — maximal shared
+    word-``SPAN_N``-gram runs between document pairs
+    (`dedup.long_gram_overlap_spans` at the canonical ``n=SPAN_N`` /
+    ``max_gram_doc_freq=SPAN_CAP``), computed once per corpus
+    fingerprint. Five consumers (span listing, pairwise cut, the
+    family-elected cut, provenance roll-up, savings pricing) otherwise
+    re-derive the positioned-gram self-join each — the single most
+    expensive detection pass in the substring family. Same contract as
+    the pair/component artifacts: consumers keep full-recompute
+    oracles, so artifact == recompute is hash-proven every run."""
+    key = dataset_key(sf_dir, "documents")
+    path = os.path.join(
+        artifact_root(), key, f"spans_n{SPAN_N}_df{SPAN_CAP}_spans"
+    )
+    from datas_spark.io.sinks import _cache_marker_exists
+
+    if not recompute and _cache_marker_exists(spark, path):
+        return spark.read.parquet(path)
+    docs = read_table(spark, sf_dir, "documents")
+    spans = D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=SPAN_N, max_gram_doc_freq=SPAN_CAP
+    )
+    return parquet_cache(spark, spans, path, recompute=recompute)
+
+
 def merge_into_components_artifact(
     spark: SparkSession,
     sf_dir: str,
@@ -258,4 +294,14 @@ def artifact_status(spark: SparkSession, sf_dir: str) -> list[dict]:
                 {"family": family, "kind": kind, "built": built, "rows": rows,
                  "path": path}
             )
+    span_path = os.path.join(
+        artifact_root(), dataset_key(sf_dir, "documents"),
+        f"spans_n{SPAN_N}_df{SPAN_CAP}_spans",
+    )
+    built = _cache_marker_exists(spark, span_path)
+    out.append(
+        {"family": "spans", "kind": "spans", "built": built,
+         "rows": spark.read.parquet(span_path).count() if built else None,
+         "path": span_path}
+    )
     return out

@@ -62,10 +62,13 @@ def main() -> int:
     spark = get_spark("artifacts-cli")
     spark.sparkContext.setLogLevel("ERROR")
     if cmd == "build":
-        families = sys.argv[3:] or sorted(ART._FAMILIES)
+        families = sys.argv[3:] or sorted(ART._FAMILIES) + ["spans"]
         for fam in families:
-            ART.pairs_artifact(spark, sf_dir, fam).count()
-            ART.components_artifact(spark, sf_dir, fam).count()
+            if fam == "spans":
+                ART.spans_artifact(spark, sf_dir).count()
+            else:
+                ART.pairs_artifact(spark, sf_dir, fam).count()
+                ART.components_artifact(spark, sf_dir, fam).count()
             print(f"built {fam}")
     for row in ART.artifact_status(spark, sf_dir):
         state = f"{row['rows']} rows" if row["built"] else "NOT BUILT"

@@ -149,3 +149,19 @@ def test_gc_artifacts_keeps_latest(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ART.gc_artifacts(-1, root=str(root))
+
+
+def test_spans_artifact_matches_recompute_and_skips(spark, scratch_root):
+    docs = ART.read_table(spark, SF, "documents")
+    live = D.long_gram_overlap_spans(
+        docs, "doc_id", "text", n=ART.SPAN_N, max_gram_doc_freq=ART.SPAN_CAP
+    )
+    cached = ART.spans_artifact(spark, SF)
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
+    # second touch is a pure read
+    before = _parquet_mtime_set(scratch_root)
+    ART.spans_artifact(spark, SF).count()
+    assert _parquet_mtime_set(scratch_root) == before
+    # and it shows up in the status inventory
+    rows = {(r["family"], r["kind"]): r for r in ART.artifact_status(spark, SF)}
+    assert rows[("spans", "spans")]["built"] is True
