@@ -3,14 +3,19 @@ at the synthesized sf1 (see ``gen_sf1.py``) and compare per-query
 wall-clock against the sf0.1 numbers in ``BENCH_DETAIL.json``.
 
 Pass criterion (VERDICT round-4 #4): at 10x the data, no query may
-exceed 10x its sf0.1 time — linear-or-better scaling. Superlinear
-queries are listed loudly. Results land in ``SF1_SCALING.md``.
+exceed ``10x its sf0.1 time + 0.3 s`` — linear-or-better scaling, with
+the same additive slack as ``bench_diff.py`` so a 30 ms query jittering
+to 0.4 s is noise, not a finding. Superlinear queries are listed
+loudly. Results land in ``SF1_SCALING.md``.
 
 Usage::
 
     python bench.py                       # refresh BENCH_DETAIL.json at sf0.1
     python scripts/gen_sf1.py             # synthesize once
     python scripts/run_sf1.py [--top 20] [--runs 3]
+
+``--top 999`` runs the FULL headline set (VERDICT round-5 #3 — the two
+known quadratics were both caught OUTSIDE the original top-20).
 
 Run on an otherwise-idle machine (concurrent Spark work inflates
 timings ~2x).
@@ -76,14 +81,20 @@ def main() -> None:
               f"({results[name] / max(base[name], 1e-9):.1f}x)", flush=True)
     spark.stop()
 
+    scope = (
+        f"FULL headline set ({len(names)} queries)"
+        if args.top >= len(base)
+        else f"top-{args.top} most expensive headline queries"
+    )
     lines = [
         "# SF1 scaling run",
         "",
         f"Synthesized sf1 (10x sf0.1, `scripts/gen_sf1.py`) at `{sf1_dir}`;",
-        f"top-{args.top} most expensive headline queries, median of "
+        f"{scope}, median of "
         f"{args.runs} timed runs after warmup, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].",
         "",
-        "Pass criterion: at 10x data, no query exceeds 10x its sf0.1 time.",
+        "Pass criterion: at 10x data, no query exceeds 10x its sf0.1 time",
+        "+ 0.3 s (additive slack mutes timer noise on sub-100 ms queries).",
         "",
         "| query | sf0.1 (s) | sf1 (s) | ratio |",
         "|---|---|---|---|",
@@ -91,9 +102,10 @@ def main() -> None:
     worst = []
     for name in names:
         r = results[name] / max(base[name], 1e-9)
-        flag = " **> 10x**" if r > 10 else ""
+        bad = results[name] > base[name] * 10 + 0.3
+        flag = " **> 10x**" if bad else ""
         lines.append(f"| {name} | {base[name]:.2f} | {results[name]:.2f} | {r:.1f}x{flag} |")
-        if r > 10:
+        if bad:
             worst.append(name)
     lines += [
         "",
