@@ -969,9 +969,14 @@ def q_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its EXACT shingle Jaccard — the per-pair estimate error of
     the 16-permutation sketch, end-to-end (banding included). Exact
     side re-attaches the two shingle arrays and intersects map-side —
-    cost O(candidates), the same verify shape as prefix filtering."""
+    cost O(candidates), the same verify shape as prefix filtering.
+    Candidates come from the materialize-once minhash pair artifact
+    (default canonical params); the full-recompute oracle keeps
+    artifact == recompute hash-proven."""
+    from datas_spark.operators import artifacts as ART
+
     docs = read_table(spark, sf_dir, "documents")
-    est = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    est = ART.pairs_artifact(spark, sf_dir, "minhash")
     sh = (
         docs.select(F.col("doc_id").alias("__id"), word_tokens("text").alias("__toks"))
         .select("__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
@@ -2259,13 +2264,11 @@ def q_simhash_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure every production fuzzy matcher uses (candidates scale
     with bucket occupancy; the O(len^2) Levenshtein runs only on the
     few candidate pairs, never all pairs, and the prefix cap bounds its
-    cost per pair)."""
-    from datas_spark.operators import dedup as D
-
+    cost per pair). Candidates come from the materialize-once simhash
+    pair artifact (same canonical b60/4x15/h3 params); the
+    full-recompute oracle keeps artifact == recompute hash-proven."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(
-        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
-    )
+    pairs = ART.pairs_artifact(spark, sf_dir, "simhash")
     ta = docs.select(
         F.col("doc_id").alias("id_a"),
         F.substring("text", 1, _FUZZY_PREFIX).alias("__ta"),
