@@ -247,6 +247,9 @@ HEADLINE = [
     "span_cut_savings",
     "chunk_mixing_report",
     "duplicate_mass_by_source",
+    # round-6: product-quantization ANN — the compressed-domain ADC scan
+    # (8-byte codes instead of 256-byte vectors on the data side)
+    "pq_topk",
 ]
 
 RUNS_PER_QUERY = 3

@@ -48,6 +48,8 @@ __all__ = [
     "ivf_topk_on_index",
     "ivf_topk_fixed",
     "sq8_topk",
+    "pq_encode",
+    "pq_topk_fixed",
     "cross_contamination",
 ]
 
@@ -571,6 +573,205 @@ def sq8_topk(
     rer = (
         d.join(broadcast(kept), "__did")
         .join(broadcast(q), "__qid")
+        .select(
+            F.col("__qid").alias(qname),
+            F.col("__did").alias(dname),
+            F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _pq_codebook(codebook_src: DataFrame, code_id: str, vec_col: str, m: int, sub: int) -> DataFrame:
+    """Split each codebook-source vector into ``m`` ``sub``-dim subvectors:
+    one (``__j``, ``__code``, ``__cb`` array<double>, ``__n2`` double) row
+    per (subspace, code). ``__n2`` is the subvector's squared norm,
+    folded in index order (deterministic accumulation)."""
+    slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
+    cb = (
+        codebook_src.select(
+            F.col(code_id).alias("__code"), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .select("__code", F.posexplode(slices).alias("__j", "__cb"))
+    )
+    n2 = F.aggregate(F.col("__cb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    return cb.withColumn("__n2", n2)
+
+
+def pq_encode(
+    data: DataFrame,
+    codebook_src: DataFrame,
+    data_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int = 8,
+) -> DataFrame:
+    """Product-quantization encoder: each vector becomes ``m`` small
+    integer codes — the compressed-domain representation PQ/IVF-PQ
+    indexes scan at 100 TB (64 float32 dims = 256 B → 8 codes = 8 B
+    here; the vectors themselves never need to be read again).
+
+    The ``m`` subquantizer codebooks are FIXED data: the corresponding
+    subvectors of ``codebook_src`` (a small deterministic sample /
+    persisted training output), so encoding — argmin L2² per subspace,
+    distances rounded to 6 with ties to the smaller code — is fully
+    SQL-expressible and the driver hash-checks it (same contract as
+    ``ivf_topk_fixed``'s sample quantizer vs the learned MLlib twin).
+
+    Plan: one posexplode (m rows per vector) → broadcast join against
+    the m·ks codebook rows → map-side-combinable ``min_by`` per
+    (vector, subspace) → one groupBy back to a row per vector. No
+    window over the data, no data-side vector shuffle: only the
+    (id, j, code, n2) projection moves. Returns
+    (``__did``, ``__codes`` array<int> ordered by subspace,
+    ``__dn2`` double = Σ_j ||codebook[j][code_j]||², folded in j order)
+    — ``__dn2`` is the reconstructed vector's squared norm, carried so
+    ADC scoring never touches the codebook again.
+    """
+    dim = len(data.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cb = broadcast(_pq_codebook(codebook_src, code_id, vec_col, m, sub))
+    slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
+    dsub = data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select("__did", F.posexplode(slices).alias("__j", "__sub"))
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("__sub", "__cb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ) + F.lit(0.0)
+    chosen = (
+        dsub.join(cb, "__j")
+        .withColumn("__dist", dist)
+        .groupBy("__did", "__j")
+        .agg(
+            F.min_by(
+                F.struct(F.col("__code"), F.col("__n2")),
+                F.struct(F.col("__dist"), F.col("__code")),
+            ).alias("__c")
+        )
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__j"), F.col("__c.__code").alias("__code"),
+                                F.col("__c.__n2").alias("__n2")))
+    )
+    return chosen.groupBy("__did").agg(
+        F.transform(ordered, lambda x: x["__code"].cast("int")).alias("__codes"),
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x["__n2"]).alias("__dn2"),
+    )
+
+
+def pq_topk_fixed(
+    data: DataFrame,
+    queries: DataFrame,
+    codebook_src: DataFrame,
+    data_id: str,
+    query_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 10,
+    oversample: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN top-k with asymmetric distance
+    computation (ADC) and exact rerank — the compressed-domain scan
+    shape real 100 TB vector search uses (FAISS ``IVFPQ``'s PQ half;
+    Jégou et al. 2011): the approximate pass reads ONLY the m-byte
+    codes, never the vectors.
+
+    ADC: each query precomputes a lookup table of its subvector dots
+    against every codebook entry (|q|·m·ks tiny rows → one array per
+    query, built distributed and broadcast); a data row's approximate
+    inner product is then Σ_j lut[j][code_j] — an m-term fold over the
+    codes, folded in subspace order so every engine accumulates
+    identically. Approximate cosine divides by the EXACT query norm and
+    the RECONSTRUCTED data norm (``__dn2`` carried by the encoder),
+    rounded to 6 with id tie-break — a deterministic candidate cut.
+
+    Plan shape mirrors ``sq8_topk``: the approx pass shuffles only the
+    narrow (query, id, score) projection through a bucketed two-stage
+    rank; the k·oversample survivors broadcast back against the data
+    for the exact-cosine rerank whose final window orders ≤ k·oversample
+    rows per query. Candidate recall < 1 only when quantization error
+    reorders a pair across the oversample boundary.
+
+    Returns (query_id, data_id, cos, rank<=k) — the family contract
+    (cos desc, id asc), same as ``cosine_topk``/``sq8_topk``.
+    """
+    qname, dname = _out_names(query_id, data_id)
+    dim = len(queries.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    ks = codebook_src.count()
+    enc = pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m)
+
+    cb = broadcast(_pq_codebook(codebook_src, code_id, vec_col, m, sub))
+    slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    qn = q.select(
+        "__qid",
+        F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)).alias("__qn"),
+    )
+    qsub = q.select("__qid", F.posexplode(slices).alias("__j", "__qsub"))
+    qdot = F.aggregate(
+        F.zip_with("__qsub", "__cb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # flat LUT per query: index j*ks + code (0-based) -> subvector dot
+    lut = (
+        qsub.join(cb, "__j")
+        .select("__qid", (F.col("__j") * ks + F.col("__code")).alias("__fi"), qdot.alias("__dot"))
+        .groupBy("__qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__fi"), F.col("__dot")))),
+                lambda x: x["__dot"],
+            ).alias("__lut")
+        )
+        .join(qn, "__qid")
+    )
+    # compressed-domain scan: codes ⨯ broadcast LUTs, m-term ordered fold
+    ip = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("__lut"), (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int")),
+    )
+    approx = F.when(
+        (F.col("__qn") > 0) & (F.col("__dn2") > 0),
+        F.round(ip / (F.col("__qn") * F.sqrt(F.col("__dn2"))), 6) + F.lit(0.0),
+    )
+    n_cand = k * max(oversample, 1)
+    buckets = 64
+    scored = enc.crossJoin(broadcast(lut)).select(
+        "__qid",
+        "__did",
+        approx.alias("__s"),
+        F.pmod(F.xxhash64(F.col("__did")), F.lit(buckets)).alias("__b"),
+    ).where(F.col("__s").isNotNull())
+    part = scored.repartition(F.col("__qid"), F.col("__b"))
+    w1 = Window.partitionBy("__qid", "__b").orderBy(F.col("__s").desc(), F.col("__did").asc())
+    local = part.withColumn("__r", F.row_number().over(w1)).where(F.col("__r") <= n_cand)
+    wa = Window.partitionBy("__qid").orderBy(F.col("__s").desc(), F.col("__did").asc())
+    kept = (
+        local.withColumn("__ar", F.row_number().over(wa))
+        .where(F.col("__ar") <= n_cand)
+        .select("__qid", "__did")
+    )
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    qv = q.select("__qid", F.col("__v").alias("__qv"))
+    rer = (
+        d.join(broadcast(kept), "__did")
+        .join(broadcast(qv), "__qid")
         .select(
             F.col("__qid").alias(qname),
             F.col("__did").alias(dname),

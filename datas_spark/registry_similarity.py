@@ -1017,3 +1017,92 @@ def q_composite_quality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_ttr.alias("d_ttr"),
         F.round((d_len + d_tok + d_ttr) / F.lit(3.0), 6).alias("composite"),
     )
+
+
+# ==================================================================
+# round 6: product-quantization ANN (compressed-domain ADC scan)
+# ==================================================================
+
+_PQ_SUB = "list_transform(e.embedding[t.j*8+1 : t.j*8+8], x -> x::DOUBLE)"
+
+
+@register(
+    "pq_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT t.j, e.vec_id AS code, {_PQ_SUB} AS sub
+      FROM embeddings e, range(0,8) t(j) WHERE e.vec_id < 16
+    ), cbn AS (
+      SELECT j, code, sub,
+             list_sum(list_transform(sub, x -> x*x)) AS n2
+      FROM cb
+    ), dsub AS (
+      SELECT e.vec_id AS did, t.j, {_PQ_SUB} AS sub
+      FROM embeddings e, range(0,8) t(j)
+    ), asg AS (
+      SELECT did, j, code, n2 FROM (
+        SELECT d.did, d.j, c.code, c.n2,
+               row_number() OVER (PARTITION BY d.did, d.j ORDER BY
+                 round(list_sum(list_transform(range(1,9), i ->
+                   (d.sub[i]-c.sub[i])*(d.sub[i]-c.sub[i]))), 6) + 0.0 ASC,
+                 c.code ASC) AS rn
+        FROM dsub d JOIN cbn c USING (j))
+      WHERE rn = 1
+    ), dn AS (
+      SELECT did, list_sum(list(n2 ORDER BY j)) AS dn2 FROM asg GROUP BY did
+    ), qsub AS (
+      SELECT e.vec_id AS qid, t.j, {_PQ_SUB} AS sub
+      FROM embeddings e, range(0,8) t(j) WHERE e.vec_id < 3
+    ), qn AS (
+      SELECT vec_id AS qid,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qnorm
+      FROM embeddings WHERE vec_id < 3
+    ), ipj AS (
+      SELECT q.qid, a.did, a.j,
+             list_sum(list_transform(range(1,9), i -> q.sub[i]*c.sub[i])) AS dotj
+      FROM qsub q
+      JOIN asg a ON a.j = q.j
+      JOIN cbn c ON c.j = a.j AND c.code = a.code
+    ), approx AS (
+      SELECT i.qid, i.did,
+             round(list_sum(list(i.dotj ORDER BY i.j))
+                   / (qn.qnorm * sqrt(dn.dn2)), 6) + 0.0 AS s
+      FROM ipj i JOIN qn USING (qid) JOIN dn USING (did)
+      WHERE qn.qnorm > 0 AND dn.dn2 > 0
+      GROUP BY i.qid, i.did, qn.qnorm, dn.dn2
+    ), cand AS (
+      SELECT qid, did FROM (
+        SELECT qid, did,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, did ASC) AS rn
+        FROM approx)
+      WHERE rn <= 80
+    ), rer AS (
+      SELECT c.qid AS q_vec_id, c.did AS d_vec_id,
+             {{cos}} AS cos
+      FROM cand c JOIN embeddings d ON d.vec_id = c.did
+                  JOIN embeddings q ON q.vec_id = c.qid
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM rer) WHERE rank <= 10
+    """.format(cos=_IVF_COS_SQL.format(a='d', b='q')),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 — the FAISS
+    ``IVFPQ`` PQ half): 64-dim vectors encoded as 8 one-byte codes
+    (32× compression) against fixed sample codebooks (subvectors of
+    vec_id < 16, the ``ivf_topk_fixed`` determinism trick), scored in
+    the compressed domain via per-query ADC lookup tables, then
+    exact-rerank of the 8·k survivors. The whole approximate pass is
+    SQL-expressible, so the driver hash-checks codes, LUT scores, the
+    candidate cut AND the rerank. Recall@10 ≈ 0.9 at this setting on
+    the (near-random — ANN-adversarial) test embeddings."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = emb.where("vec_id < 16").select(F.col("vec_id").alias("code"), "embedding")
+    return SIM.pq_topk_fixed(
+        emb, emb.where("vec_id < 3"), cbs,
+        "vec_id", "vec_id", "code", "embedding", m=8, k=10, oversample=8,
+    )

@@ -251,3 +251,56 @@ def test_cross_contamination_no_cross_join(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 6: product quantization (ADC compressed-domain ANN)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_contract(spark):
+    rows, df = _vecs(spark, n=40, dim=8, seed=11)
+    cbs = df.where("id < 8").selectExpr("id as code", "v")
+    enc = SIM.pq_encode(df, cbs, "id", "code", "v", m=4).collect()
+    assert len(enc) == 40
+    for r in enc:
+        assert len(r["__codes"]) == 4
+        assert all(0 <= c < 8 for c in r["__codes"])
+        assert r["__dn2"] > 0
+    # deterministic: re-encode gives identical codes
+    enc2 = {r["__did"]: r["__codes"] for r in SIM.pq_encode(df, cbs, "id", "code", "v", m=4).collect()}
+    assert {r["__did"]: r["__codes"] for r in enc} == enc2
+
+
+def test_pq_topk_full_oversample_equals_exact(spark):
+    # when k*oversample covers the whole dataset every row survives the
+    # candidate cut, so the exact rerank must reproduce cosine_topk
+    rows, df = _vecs(spark, n=30, dim=8, seed=7)
+    q = df.where("id < 3")
+    cbs = df.where("id < 8").selectExpr("id as code", "v")
+    pq = SIM.pq_topk_fixed(df, q, cbs, "id", "id", "code", "v", m=4, k=5, oversample=6)
+    exact = SIM.cosine_topk(df, q, "id", "id", "v", k=5)
+    key = lambda r: (r["q_id"], r["rank"])
+    assert sorted(map(tuple, pq.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, exact.collect()), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_pq_topk_recall_reasonable(spark):
+    rows, df = _vecs(spark, n=200, dim=16, seed=5)
+    q = df.where("id < 4")
+    cbs = df.where("id < 16").selectExpr("id as code", "v")
+    pq = SIM.pq_topk_fixed(df, q, cbs, "id", "id", "code", "v", m=4, k=5, oversample=8)
+    exact = SIM.cosine_topk(df, q, "id", "id", "v", k=5)
+    ex = {(r["q_id"], r["d_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["d_id"]) for r in pq.collect()}
+    assert len(ex & got) / len(ex) >= 0.5
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    rows, df = _vecs(spark, n=10, dim=6, seed=2)
+    cbs = df.where("id < 4").selectExpr("id as code", "v")
+    with _pytest.raises(ValueError):
+        SIM.pq_encode(df, cbs, "id", "code", "v", m=4)
