@@ -250,6 +250,7 @@ HEADLINE = [
     # round-6: product-quantization ANN — the compressed-domain ADC scan
     # (8-byte codes instead of 256-byte vectors on the data side)
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 RUNS_PER_QUERY = 3

@@ -50,6 +50,7 @@ __all__ = [
     "sq8_topk",
     "pq_encode",
     "pq_topk_fixed",
+    "ivfpq_topk_fixed",
     "cross_contamination",
 ]
 
@@ -668,6 +669,66 @@ def pq_encode(
     )
 
 
+def _pq_lut(
+    queries: DataFrame,
+    codebook_src: DataFrame,
+    query_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    ks: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-query ADC lookup table: ``(__qid, __lut array<double>,
+    __qn)`` where ``__lut[j*ks + code]`` is the dot of the query's
+    subvector j with codebook entry ``code`` (each an index-order fold)
+    and ``__qn`` the exact query norm. Built distributed over the
+    |q|·m·ks tiny rows, then broadcast into the code scan. Also returns
+    the normalized query frame ``(__qid, __v)`` for the rerank."""
+    cb = broadcast(_pq_codebook(codebook_src, code_id, vec_col, m, sub))
+    slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    qn = q.select(
+        "__qid",
+        F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)).alias("__qn"),
+    )
+    qsub = q.select("__qid", F.posexplode(slices).alias("__j", "__qsub"))
+    qdot = F.aggregate(
+        F.zip_with("__qsub", "__cb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    lut = (
+        qsub.join(cb, "__j")
+        .select("__qid", (F.col("__j") * ks + F.col("__code")).alias("__fi"), qdot.alias("__dot"))
+        .groupBy("__qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__fi"), F.col("__dot")))),
+                lambda x: x["__dot"],
+            ).alias("__lut")
+        )
+        .join(qn, "__qid")
+    )
+    return q, lut
+
+
+def _pq_adc_score(m: int, ks: int) -> F.Column:
+    """Approximate cosine from codes + LUT: Σ_j lut[j][code_j] (m-term
+    fold in subspace order) over qnorm · reconstructed-norm, rounded to
+    6 — deterministic on every engine."""
+    ip = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("__lut"), (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int")),
+    )
+    return F.when(
+        (F.col("__qn") > 0) & (F.col("__dn2") > 0),
+        F.round(ip / (F.col("__qn") * F.sqrt(F.col("__dn2"))), 6) + F.lit(0.0),
+    )
+
+
 def pq_topk_fixed(
     data: DataFrame,
     queries: DataFrame,
@@ -712,44 +773,8 @@ def pq_topk_fixed(
     sub = dim // m
     ks = codebook_src.count()
     enc = pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m)
-
-    cb = broadcast(_pq_codebook(codebook_src, code_id, vec_col, m, sub))
-    slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
-    q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    qn = q.select(
-        "__qid",
-        F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)).alias("__qn"),
-    )
-    qsub = q.select("__qid", F.posexplode(slices).alias("__j", "__qsub"))
-    qdot = F.aggregate(
-        F.zip_with("__qsub", "__cb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    # flat LUT per query: index j*ks + code (0-based) -> subvector dot
-    lut = (
-        qsub.join(cb, "__j")
-        .select("__qid", (F.col("__j") * ks + F.col("__code")).alias("__fi"), qdot.alias("__dot"))
-        .groupBy("__qid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("__fi"), F.col("__dot")))),
-                lambda x: x["__dot"],
-            ).alias("__lut")
-        )
-        .join(qn, "__qid")
-    )
-    # compressed-domain scan: codes ⨯ broadcast LUTs, m-term ordered fold
-    ip = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(F.col("__lut"), (j * ks + F.element_at(F.col("__codes"), j + 1) + 1).cast("int")),
-    )
-    approx = F.when(
-        (F.col("__qn") > 0) & (F.col("__dn2") > 0),
-        F.round(ip / (F.col("__qn") * F.sqrt(F.col("__dn2"))), 6) + F.lit(0.0),
-    )
+    q, lut = _pq_lut(queries, codebook_src, query_id, code_id, vec_col, m, sub, ks)
+    approx = _pq_adc_score(m, ks)
     n_cand = k * max(oversample, 1)
     buckets = 64
     scored = enc.crossJoin(broadcast(lut)).select(
@@ -772,6 +797,114 @@ def pq_topk_fixed(
     rer = (
         d.join(broadcast(kept), "__did")
         .join(broadcast(qv), "__qid")
+        .select(
+            F.col("__qid").alias(qname),
+            F.col("__did").alias(dname),
+            F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
+    return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivfpq_topk_fixed(
+    data: DataFrame,
+    queries: DataFrame,
+    cells: DataFrame,
+    codebook_src: DataFrame,
+    data_id: str,
+    query_id: str,
+    cell_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 10,
+    oversample: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-PQ — the full FAISS ``IVFPQ`` shape (Jégou et al. 2011) and
+    the canonical 100 TB vector-search layout: a coarse quantizer
+    partitions the corpus into inverted lists, product-quantized codes
+    compress each list 32×, and a query touches only its ``n_probe``
+    lists in the compressed domain before an exact rerank of
+    ``k·oversample`` survivors. Scan cost per query ≈
+    (n_probe/n_cells) · n · m bytes — both knobs independent of the
+    vector dimensionality.
+
+    Both quantizers are FIXED data samples (``ivf_topk_fixed`` /
+    ``pq_topk_fixed`` determinism contract): the cell assignment
+    (rounded-cosine min_by), the PQ codes, the ADC candidate scores and
+    the rerank are all SQL-expressible, so the whole index+query
+    composition hash-checks against the DuckDB oracle.
+
+    Plan: cell assignment and PQ encoding are two broadcast-join
+    map-side passes over the data (index build — persisted with
+    ``partitionBy(cell)`` in a real deployment so probes become
+    partition-pruned scans); at query time the (query, probed-cell)
+    pairs ⋈ per-query LUTs broadcast into the code table, and only the
+    narrow (query, id, score) projection shuffles through the bucketed
+    two-stage rank.
+    """
+    qname, dname = _out_names(query_id, data_id)
+    dim = len(queries.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    ks = codebook_src.count()
+
+    # coarse assignment (same contract as ivf_topk_fixed: rounded
+    # cosine, ties to the smaller cell id, combinable min_by)
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
+    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    assign = (
+        d.crossJoin(broadcast(c))
+        .withColumn("__cs", cs)
+        .groupBy("__did")
+        .agg(
+            F.min_by(
+                "__cell", F.struct((-F.col("__cs")).alias("n"), F.col("__cell"))
+            ).alias("__cell")
+        )
+    )
+    enc = pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m).join(
+        assign, "__did"
+    )
+
+    q, lut = _pq_lut(queries, codebook_src, query_id, code_id, vec_col, m, sub, ks)
+    qs = F.round(cosine_similarity("__v", "__cv"), 6) + F.lit(0.0)
+    wp = Window.partitionBy("__qid").orderBy(F.col("__qs").desc(), F.col("__cell").asc())
+    probes = (
+        q.crossJoin(broadcast(c))
+        .withColumn("__qs", qs)
+        .withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= n_probe)
+        .select("__qid", "__cell")
+        .join(lut, "__qid")
+    )
+
+    approx = _pq_adc_score(m, ks)
+    n_cand = k * max(oversample, 1)
+    buckets = 64
+    scored = enc.join(broadcast(probes), "__cell").select(
+        "__qid",
+        "__did",
+        approx.alias("__s"),
+        F.pmod(F.xxhash64(F.col("__did")), F.lit(buckets)).alias("__b"),
+    ).where(F.col("__s").isNotNull())
+    part = scored.repartition(F.col("__qid"), F.col("__b"))
+    w1 = Window.partitionBy("__qid", "__b").orderBy(F.col("__s").desc(), F.col("__did").asc())
+    local = part.withColumn("__r", F.row_number().over(w1)).where(F.col("__r") <= n_cand)
+    wa = Window.partitionBy("__qid").orderBy(F.col("__s").desc(), F.col("__did").asc())
+    kept = (
+        local.withColumn("__ar", F.row_number().over(wa))
+        .where(F.col("__ar") <= n_cand)
+        .select("__qid", "__did")
+    )
+    rer = (
+        d.join(broadcast(kept), "__did")
+        .join(broadcast(q.select("__qid", F.col("__v").alias("__qv"))), "__qid")
         .select(
             F.col("__qid").alias(qname),
             F.col("__did").alias(dname),

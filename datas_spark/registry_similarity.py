@@ -1106,3 +1106,107 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where("vec_id < 3"), cbs,
         "vec_id", "vec_id", "code", "embedding", m=8, k=10, oversample=8,
     )
+
+
+@register(
+    "ivfpq_topk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+    ), ca AS (
+      SELECT e.vec_id AS did, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='e', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN cells c
+    ), cassign AS (
+      SELECT did, cell FROM ca WHERE rn = 1
+    ), qp AS (
+      SELECT q.vec_id AS qid, c.cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='q', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings q CROSS JOIN cells c
+      WHERE q.vec_id < 3
+    ), probes AS (
+      SELECT qid, cell FROM qp WHERE rn <= 3
+    ), cb AS (
+      SELECT t.j, e.vec_id AS code, {_PQ_SUB} AS sub
+      FROM embeddings e, range(0,8) t(j) WHERE e.vec_id < 16
+    ), cbn AS (
+      SELECT j, code, sub,
+             list_sum(list_transform(sub, x -> x*x)) AS n2
+      FROM cb
+    ), dsub AS (
+      SELECT e.vec_id AS did, t.j, {_PQ_SUB} AS sub
+      FROM embeddings e, range(0,8) t(j)
+    ), asg AS (
+      SELECT did, j, code, n2 FROM (
+        SELECT d.did, d.j, c.code, c.n2,
+               row_number() OVER (PARTITION BY d.did, d.j ORDER BY
+                 round(list_sum(list_transform(range(1,9), i ->
+                   (d.sub[i]-c.sub[i])*(d.sub[i]-c.sub[i]))), 6) + 0.0 ASC,
+                 c.code ASC) AS rn
+        FROM dsub d JOIN cbn c USING (j))
+      WHERE rn = 1
+    ), dn AS (
+      SELECT did, list_sum(list(n2 ORDER BY j)) AS dn2 FROM asg GROUP BY did
+    ), qsub AS (
+      SELECT e.vec_id AS qid, t.j, {_PQ_SUB} AS sub
+      FROM embeddings e, range(0,8) t(j) WHERE e.vec_id < 3
+    ), qn AS (
+      SELECT vec_id AS qid,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qnorm
+      FROM embeddings WHERE vec_id < 3
+    ), ipj AS (
+      SELECT q.qid, a.did, a.j,
+             list_sum(list_transform(range(1,9), i -> q.sub[i]*c.sub[i])) AS dotj
+      FROM qsub q
+      JOIN asg a ON a.j = q.j
+      JOIN cbn c ON c.j = a.j AND c.code = a.code
+      JOIN cassign cs ON cs.did = a.did
+      JOIN probes p ON p.qid = q.qid AND p.cell = cs.cell
+    ), approx AS (
+      SELECT i.qid, i.did,
+             round(list_sum(list(i.dotj ORDER BY i.j))
+                   / (qn.qnorm * sqrt(dn.dn2)), 6) + 0.0 AS s
+      FROM ipj i JOIN qn USING (qid) JOIN dn USING (did)
+      WHERE qn.qnorm > 0 AND dn.dn2 > 0
+      GROUP BY i.qid, i.did, qn.qnorm, dn.dn2
+    ), cand AS (
+      SELECT qid, did FROM (
+        SELECT qid, did,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, did ASC) AS rn
+        FROM approx)
+      WHERE rn <= 80
+    ), rer AS (
+      SELECT c.qid AS q_vec_id, c.did AS d_vec_id,
+             {{cos}} AS cos
+      FROM cand c JOIN embeddings d ON d.vec_id = c.did
+                  JOIN embeddings q ON q.vec_id = c.qid
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM rer) WHERE rank <= 10
+    """.format(cos=_IVF_COS_SQL.format(a='d', b='q')),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical 100 TB vector-search layout (FAISS
+    ``IVFPQ``): fixed sample coarse quantizer (cells = vec_id < 8)
+    partitions the corpus into inverted lists, PQ codes (codebooks =
+    subvectors of vec_id < 16) compress each list 32×, and each query
+    scans only its 3 probed lists in the compressed domain before the
+    exact rerank. Cell assignment, codes, ADC scores, candidate cut and
+    rerank ALL hash-check — the entire two-level index composition is
+    SQL-replayed."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = emb.where("vec_id < 8").select(F.col("vec_id").alias("cell"), "embedding")
+    cbs = emb.where("vec_id < 16").select(F.col("vec_id").alias("code"), "embedding")
+    return SIM.ivfpq_topk_fixed(
+        emb, emb.where("vec_id < 3"), cells, cbs,
+        "vec_id", "vec_id", "cell", "code", "embedding",
+        m=8, k=10, oversample=8, n_probe=3,
+    )

@@ -304,3 +304,39 @@ def test_pq_topk_rejects_indivisible_dim(spark):
     cbs = df.where("id < 4").selectExpr("id as code", "v")
     with _pytest.raises(ValueError):
         SIM.pq_encode(df, cbs, "id", "code", "v", m=4)
+
+
+def test_ivfpq_full_probe_full_oversample_equals_exact(spark):
+    # probing every cell with a whole-dataset candidate cut degrades
+    # IVF-PQ to exact search after the rerank
+    rows, df = _vecs(spark, n=30, dim=8, seed=9)
+    q = df.where("id < 3")
+    cells = df.where("id < 4").selectExpr("id as cell", "v")
+    cbs = df.where("id < 8").selectExpr("id as code", "v")
+    got = SIM.ivfpq_topk_fixed(
+        df, q, cells, cbs, "id", "id", "cell", "code", "v",
+        m=4, k=5, oversample=6, n_probe=4,
+    )
+    exact = SIM.cosine_topk(df, q, "id", "id", "v", k=5)
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, exact.collect()), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivfpq_probe_subset_reduces_candidates(spark):
+    rows, df = _vecs(spark, n=100, dim=8, seed=13)
+    q = df.where("id < 2")
+    cells = df.where("id < 8").selectExpr("id as cell", "v")
+    cbs = df.where("id < 8").selectExpr("id as code", "v")
+    got = SIM.ivfpq_topk_fixed(
+        df, q, cells, cbs, "id", "id", "cell", "code", "v",
+        m=4, k=5, oversample=4, n_probe=2,
+    ).collect()
+    # contract shape holds and every query returns <= k rows
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for qid, hits in per_q.items():
+        assert len(hits) <= 5
+        ranks = sorted(h["rank"] for h in hits)
+        assert ranks == list(range(1, len(hits) + 1))
