@@ -1191,6 +1191,50 @@ def triangle_list(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Dat
     )
 
 
+def clustering_coefficient(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node local clustering coefficient over the (canonical
+    ``src < dst``) near-dup pair graph: ``2·t(v) / (deg(v)·(deg(v)−1))``
+    where ``t(v)`` counts triangles through ``v`` — the node-granular
+    version of the component-density audit. Nodes sitting in duplicate
+    CLIQUES score ~1; bridge nodes chaining unrelated docs through LSH
+    noise score ~0, which is exactly the row you inspect before trusting
+    a keep-first election over their component.
+
+    Plan: degree is one combinable count over the exploded endpoints;
+    ``t(v)`` re-aggregates ``triangle_list``'s output (two edge joins,
+    fan bounded by the pair generator's bucket caps); one left join back.
+    Nothing here touches raw documents — it's all edge-frame-sized.
+
+    Returns (id, degree bigint, n_triangles bigint, local_cc double).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_list(pairs, src=src, dst=dst)
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    j = deg.join(tc, "id", "left").withColumn(
+        "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return j.withColumn("local_cc", cc)
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,

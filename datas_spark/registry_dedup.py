@@ -2288,3 +2288,46 @@ def q_simhash_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= _FUZZY_MAX_EDIT)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: per-node clustering coefficient (dedup-graph quality, node level)
+# ---------------------------------------------------------------------------
+
+@register(
+    "near_dup_clustering_coef",
+    oracle=f"""
+    WITH e AS ({_lsh_blocked_oracle(4)}),
+    deg AS (
+      SELECT id, count(*)::BIGINT AS degree FROM (
+        SELECT id_a AS id FROM e UNION ALL SELECT id_b AS id FROM e
+      ) GROUP BY id
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM e e1
+      JOIN e e2 ON e2.id_a = e1.id_b
+      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), tc AS (
+      SELECT id, count(*)::BIGINT AS n_triangles FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+        UNION ALL SELECT c AS id FROM tri
+      ) GROUP BY id
+    )
+    SELECT deg.id, deg.degree, coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * coalesce(tc.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6) + 0.0
+                ELSE 0.0 END AS local_cc
+    FROM deg LEFT JOIN tc ON tc.id = deg.id
+    """,
+)
+def q_near_dup_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the LSH-blocked
+    embedding near-dup graph: clique members score ~1, LSH-noise bridge
+    nodes ~0 — the node-granular complement of component_density for
+    deciding which components are safe to keep-first-collapse."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+    )
+    return D.clustering_coefficient(pairs)

@@ -685,3 +685,25 @@ def test_elected_cut_no_spans_passthrough(spark):
     spans = D.long_gram_overlap_spans(docs, "doc_id", "text", n=3)
     out = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text").collect()
     assert all(r["n_tokens_cut"] == 0 for r in out) and len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# round 6: per-node clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_clique_vs_chain(spark):
+    from datas_spark.operators.dedup import clustering_coefficient
+
+    # K4 clique on 1-4 plus a chain 10-11-12
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r for r in clustering_coefficient(pairs).collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v]["degree"] == 3
+        assert got[v]["n_triangles"] == 3
+        assert got[v]["local_cc"] == 1.0
+    assert got[11]["degree"] == 2 and got[11]["n_triangles"] == 0
+    assert got[11]["local_cc"] == 0.0
+    # degree-1 leaves: coefficient defined as 0
+    assert got[10]["local_cc"] == 0.0 and got[10]["degree"] == 1
