@@ -30,6 +30,96 @@ from pyspark.sql import functions as F
 __all__ = ["heavy_keys", "skew_stats"]
 
 
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, with both
+    marginal entropies and the normalized MI — the dependence screen
+    for corpus metadata (is ``lang`` just a proxy for ``source``?
+    should a split stratify on both or is one redundant?). Chi² (see
+    ``events_type_hour_chi2``) tests independence; MI *quantifies* it
+    in bits-worth (nats here) usable across column pairs.
+
+    Plan: one (a, b) grouped count over the data — the only full-data
+    pass; marginals and the total re-aggregate the ≤ |a|·|b| joint
+    rows. Every probability derives from exact BIGINT counts, and the
+    three entropy sums each fold a SORTED collected array (cells by
+    (a, b), marginals by key) so accumulation order — and hence the
+    last float bit — is engine-identical, the Kaplan-Meier ordered-fold
+    trick. Returns ONE row: (mi, h_a, h_b, nmi), rounded to 6; nmi
+    NULL when either marginal entropy is 0 (a constant column carries
+    no information to normalize by).
+    """
+    joint = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nab"))
+    na = joint.groupBy("__a").agg(F.sum("__nab").cast("long").alias("__na"))
+    nb = joint.groupBy("__b").agg(F.sum("__nab").cast("long").alias("__nb"))
+    tot = joint.agg(F.sum("__nab").cast("long").alias("__n"))
+
+    cells = (
+        joint.join(na, "__a")
+        .join(nb, "__b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__a",
+            "__b",
+            (
+                (F.col("__nab") / F.col("__n"))
+                * F.log(
+                    F.col("__n").cast("double")
+                    * F.col("__nab")
+                    / (F.col("__na").cast("double") * F.col("__nb"))
+                )
+            ).alias("__term"),
+        )
+    )
+
+    def _fold(frame: DataFrame, keys: list[str], out: str) -> DataFrame:
+        ordered = F.array_sort(
+            F.collect_list(F.struct(*[F.col(k) for k in keys], F.col("__term")))
+        )
+        return frame.agg(
+            F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x["__term"]).alias(out)
+        )
+
+    mi = _fold(cells, ["__a", "__b"], "__mi")
+    ent_a = _fold(
+        na.crossJoin(F.broadcast(tot)).select(
+            "__a",
+            (-(F.col("__na") / F.col("__n")) * F.log(F.col("__na") / F.col("__n"))).alias(
+                "__term"
+            ),
+        ),
+        ["__a"],
+        "__ha",
+    )
+    ent_b = _fold(
+        nb.crossJoin(F.broadcast(tot)).select(
+            "__b",
+            (-(F.col("__nb") / F.col("__n")) * F.log(F.col("__nb") / F.col("__n"))).alias(
+                "__term"
+            ),
+        ),
+        ["__b"],
+        "__hb",
+    )
+    return (
+        mi.crossJoin(ent_a)
+        .crossJoin(ent_b)
+        .select(
+            (F.round("__mi", 6) + F.lit(0.0)).alias("mi"),
+            (F.round("__ha", 6) + F.lit(0.0)).alias("h_a"),
+            (F.round("__hb", 6) + F.lit(0.0)).alias("h_b"),
+            F.when(
+                (F.col("__ha") > 0) & (F.col("__hb") > 0),
+                F.round(
+                    F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")), 6
+                )
+                + F.lit(0.0),
+            ).alias("nmi"),
+        )
+    )
+
+
 def heavy_keys(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     """Top-``top_n`` hottest keys: ``(key, cnt bigint, share_pct
     double)`` ordered by ``cnt`` desc with the key value as the

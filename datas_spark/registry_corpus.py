@@ -1395,3 +1395,52 @@ def q_chunk_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: metadata dependence screen (mutual information)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_source_mi",
+    oracle="""
+    WITH j AS (
+      SELECT lang AS a, source AS b, count(*)::BIGINT AS nab
+      FROM documents GROUP BY 1, 2
+    ), na AS (SELECT a, sum(nab)::BIGINT AS na FROM j GROUP BY a),
+    nb AS (SELECT b, sum(nab)::BIGINT AS nb FROM j GROUP BY b),
+    tot AS (SELECT sum(nab)::BIGINT AS n FROM j),
+    cells AS (
+      SELECT j.a, j.b,
+             (nab::DOUBLE / n) * ln(n::DOUBLE * nab / (na::DOUBLE * nb)) AS term
+      FROM j JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tot
+    ),
+    mi AS (SELECT list_sum(list(term ORDER BY a, b)) AS mi FROM cells),
+    ha AS (
+      SELECT list_sum(list(term ORDER BY a)) AS ha FROM (
+        SELECT a, -(na::DOUBLE / n) * ln(na::DOUBLE / n) AS term
+        FROM na CROSS JOIN tot)
+    ),
+    hb AS (
+      SELECT list_sum(list(term ORDER BY b)) AS hb FROM (
+        SELECT b, -(nb::DOUBLE / n) * ln(nb::DOUBLE / n) AS term
+        FROM nb CROSS JOIN tot)
+    )
+    SELECT round(mi, 6) + 0.0 AS mi,
+           round(ha, 6) + 0.0 AS h_a,
+           round(hb, 6) + 0.0 AS h_b,
+           CASE WHEN ha > 0 AND hb > 0
+                THEN round(mi / sqrt(ha * hb), 6) + 0.0 END AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between declared language and source — the
+    metadata-dependence screen (is lang a proxy for source? does a
+    split need to stratify on both?). One (lang, source) grouped count
+    is the only full-data pass; all entropy sums are ordered folds over
+    exact-integer-derived terms (engine-identical accumulation)."""
+    from datas_spark.operators.profile import mutual_information
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source")
+    return mutual_information(docs, "lang", "source")

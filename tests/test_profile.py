@@ -66,3 +66,37 @@ def test_profile_on_real_events(spark, sf_dir):
     assert rows[0]["cnt"] >= rows[-1]["cnt"]
     assert stats["total_rows"] == ev.count()
     assert abs(sum(r["share_pct"] for r in PROF.heavy_keys(ev, "user_id", top_n=10**6).collect()) - 100.0) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# round 6: mutual information
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_independent_and_determined(spark):
+    import math
+
+    from datas_spark.operators.profile import mutual_information
+
+    # perfectly determined: b = f(a) -> mi == h_a == h_b
+    rows = [("x", "p")] * 4 + [("y", "q")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] == r["h_a"] == r["h_b"] == round(math.log(2), 6)
+    assert r["nmi"] == 1.0
+
+    # independent uniform 2x2 -> mi == 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] == 0.0
+    assert r["nmi"] == 0.0
+
+
+def test_mutual_information_constant_column_null_nmi(spark):
+    from datas_spark.operators.profile import mutual_information
+
+    df = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["h_a"] == 0.0 and r["mi"] == 0.0
+    assert r["nmi"] is None
