@@ -397,3 +397,40 @@ def kcenter_sampling(
     if prev is not None:
         prev.unpersist()
     return df.where(F.col(id_col).isin(chosen))
+
+
+def skyline_2d(
+    df: DataFrame, max_col: str, min_col: str
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated by any other —
+    ``q`` dominates ``p`` when ``q.max_col >= p.max_col`` and
+    ``q.min_col <= p.min_col`` with at least one strict. The classic
+    multi-criteria shortlist (largest part for its price / best quality
+    for its length / …) without scoring weights.
+
+    The naive formulation is an O(n²) NOT-EXISTS self-join; this uses
+    the sorted-sweep identity instead: ``p`` survives iff (a) it holds
+    the group minimum of ``min_col`` at its own ``max_col`` value and
+    (b) every strictly-larger ``max_col`` group's best ``min_col`` is
+    strictly worse. (a) is one grouped aggregate; (b) is a suffix-min
+    window over the ≤ |distinct max_col| AGGREGATE rows (partition-less
+    but above the aggregate — metadata-sized, passes the global-window
+    audit); survivors broadcast back as a (max, min) pair filter on the
+    raw scan. Works for any total orders; flip signs to change
+    directions. Exact comparisons — intended for DECIMAL/int criteria.
+    """
+    per = df.groupBy(F.col(max_col).alias("__mx")).agg(
+        F.min(F.col(min_col)).alias("__gmin")
+    )
+    w = Window.orderBy(F.col("__mx").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per.withColumn("__mstrict", F.min("__gmin").over(w))
+        .where(F.col("__mstrict").isNull() | (F.col("__mstrict") > F.col("__gmin")))
+        .select("__mx", "__gmin")
+    )
+    return df.join(
+        broadcast(frontier),
+        (F.col(max_col) == F.col("__mx")) & (F.col(min_col) == F.col("__gmin")),
+    ).drop("__mx", "__gmin")

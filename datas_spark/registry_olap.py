@@ -837,3 +837,34 @@ def q_curate_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_weights={"train": 0.9, "test": 0.1},
     )
     return out.select("doc_id", "component", "split")
+
+
+# ---------------------------------------------------------------------------
+# round 6: 2-D skyline (Pareto frontier, no O(n^2) dominance join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "part_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline over parts — biggest size at the lowest price, no
+    dominated row: the multi-criteria shortlist operator. The oracle is
+    the O(n²) NOT-EXISTS dominance definition; the engine runs the
+    sorted-sweep identity (one grouped min + suffix-min window over the
+    ≤|sizes| aggregate rows + broadcast pair filter) — the soundness of
+    the sweep rewrite is exactly what the hash check proves."""
+    from datas_spark.operators.selection import skyline_2d
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return skyline_2d(part, "p_size", "p_retailprice")

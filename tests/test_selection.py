@@ -196,3 +196,41 @@ def test_percentile_band_filter_approx_tolerance(spark, sf_dir):
     # and the band CORE is never lost: rows strictly inside the exact
     # band by a wide margin survive both paths
     assert len(lo & exact) / max(len(exact), 1) > 0.85
+
+
+# ---------------------------------------------------------------------------
+# round 6: 2-D skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    import random
+
+    from datas_spark.operators.selection import skyline_2d
+
+    rng = random.Random(17)
+    rows = [(i, rng.randint(1, 10), float(rng.randint(1, 50))) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, sz int, price double")
+    got = {r["id"] for r in skyline_2d(df, "sz", "price").collect()}
+    brute = {
+        i
+        for (i, s, p) in rows
+        if not any(
+            qs >= s and qp <= p and (qs > s or qp < p) for (_, qs, qp) in rows
+        )
+    }
+    assert got == brute
+    assert got  # non-degenerate
+
+
+def test_skyline_2d_ties_kept_and_audit_clean(spark):
+    from datas_spark.operators.selection import skyline_2d
+    from datas_spark.plans import global_window_violations
+
+    # two rows tied on both criteria: neither dominates -> both kept
+    rows = [(1, 5, 10.0), (2, 5, 10.0), (3, 4, 10.0), (4, 5, 20.0)]
+    df = spark.createDataFrame(rows, "id long, sz int, price double")
+    out = skyline_2d(df, "sz", "price")
+    assert {r["id"] for r in out.collect()} == {1, 2}
+    # the suffix-min window sits above an aggregate: not a scale killer
+    assert global_window_violations(out) == []
