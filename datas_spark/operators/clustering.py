@@ -423,3 +423,72 @@ def random_projection(
         for plane in planes
     ]
     return df.withColumn(out_col, F.array(*comps))
+
+
+def dbscan_labels(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    min_pts: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over a precomputed ε-neighbor pair
+    frame — the density-based complement of KMeans for embedding-space
+    curation: dense regions become clusters regardless of shape, sparse
+    points are explicitly ``noise`` instead of being forced into the
+    nearest centroid. Pair generation is pluggable (exact n-gram /
+    LSH-blocked cosine / banded SimHash — any canonical ``src < dst``
+    frame), which is where the scale contract lives: neighborhoods come
+    from a blocked equi-join, never a cross join.
+
+    Distributed formulation (one degree aggregate + one CC run instead
+    of the sequential seed-expansion loop):
+    - core:   |N_ε(p)| ≥ min_pts, counting the point itself — degree is
+      one combinable count over exploded endpoints;
+    - clusters: connected components of the core-core subgraph (the
+      proven min-label machinery; density-reachability between cores IS
+      graph reachability). Cores untouched by any core-core edge keep a
+      singleton cluster of their own id;
+    - border: non-core with ≥ 1 core neighbor — joins the SMALLEST core
+      neighbor's cluster (the deterministic stand-in for DBSCAN's
+      first-seen assignment ambiguity);
+    - noise: everything else; cluster is NULL.
+
+    Returns (id_col, cluster bigint NULL, role in core|border|noise).
+    """
+    from datas_spark.operators.dedup import connected_components
+
+    e = pairs.select(F.col(src).alias("__a"), F.col(dst).alias("__b")).distinct()
+    und = e.unionAll(e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b")))
+    deg = und.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    core = deg.where(F.col("__deg") + 1 >= min_pts).select(F.col("__a").alias("__id"))
+
+    core_edges = (
+        e.join(core.select(F.col("__id").alias("__a")), "__a", "left_semi")
+        .join(core.select(F.col("__id").alias("__b")), "__b", "left_semi")
+    )
+    comp = connected_components(core_edges, src="__a", dst="__b")
+    core_comp = (
+        core.join(comp, core["__id"] == comp["node"], "left")
+        .select("__id", F.coalesce(F.col("component"), F.col("__id")).alias("__cluster"))
+    )
+    border = (
+        und.join(core_comp.select(F.col("__id").alias("__b"), "__cluster"), "__b")
+        .join(core.select(F.col("__id").alias("__a")), "__a", "left_anti")
+        .groupBy("__a")
+        .agg(F.min("__cluster").alias("__cluster"))
+        .select(F.col("__a").alias("__id"), "__cluster")
+    )
+    labeled = core_comp.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(labeled, df[id_col] == labeled["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("__cluster").cast("long").alias("cluster"),
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+        )
+    )

@@ -2331,3 +2331,61 @@ def q_near_dup_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.3, n_planes=4
     )
     return D.clustering_coefficient(pairs)
+
+
+# ---------------------------------------------------------------------------
+# round 6: DBSCAN density clustering over the ε-cosine neighbor graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_dbscan",
+    oracle=f"""
+    WITH RECURSIVE e0 AS ({_lsh_blocked_oracle(4)}),
+    e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM e0),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a AS id, count(*)::BIGINT AS deg FROM und GROUP BY a),
+    core AS (SELECT id FROM deg WHERE deg + 1 >= 3),
+    ce AS (
+      SELECT a, b FROM e
+      WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)
+    ),
+    u2 AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+    reach(node, r) AS (
+      SELECT a, a FROM u2
+      UNION
+      SELECT u2.a, reach.r FROM u2 JOIN reach ON reach.node = u2.b
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    corec AS (
+      SELECT core.id, coalesce(comp.component, core.id) AS cluster
+      FROM core LEFT JOIN comp ON comp.node = core.id
+    ),
+    border AS (
+      SELECT und.a AS id, min(corec.cluster) AS cluster
+      FROM und JOIN corec ON corec.id = und.b
+      WHERE und.a NOT IN (SELECT id FROM core)
+      GROUP BY und.a
+    ),
+    lab AS (
+      SELECT id, cluster, 'core' AS role FROM corec
+      UNION ALL SELECT id, cluster, 'border' AS role FROM border
+    )
+    SELECT em.vec_id, lab.cluster::BIGINT AS cluster,
+           coalesce(lab.role, 'noise') AS role
+    FROM embeddings em LEFT JOIN lab ON lab.id = em.vec_id
+    """,
+)
+def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the LSH-blocked ε-cosine neighbor graph (ε: cos ≥
+    0.3, min_pts=3): dense embedding regions become arbitrary-shape
+    clusters, sparse points are explicit noise — the density complement
+    of KMeans for curation (prune noise, sample per dense mode). The
+    oracle replays pair generation, the degree/core cut, the core-core
+    component recursion AND the border election."""
+    from datas_spark.operators.clustering import dbscan_labels
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+    )
+    return dbscan_labels(emb, pairs, "vec_id", min_pts=3)

@@ -57,3 +57,39 @@ def test_embedding_proxy_deterministic(spark, sf_dir):
     assert a.subtract(b).count() == 0
     vec = a.first().emb_ins_alone
     assert len(vec) == 8 and all(-0.5 <= x < 0.5 for x in vec)
+
+
+# ---------------------------------------------------------------------------
+# round 6: DBSCAN over a precomputed neighbor-pair frame
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_clique_border_noise(spark):
+    from datas_spark.operators.clustering import dbscan_labels
+
+    # clique 1-2-3 (all cores at min_pts=3), border 4 attached to 3,
+    # isolated pair 10-11 (degree 1 -> non-core, no core neighbor -> noise),
+    # fully isolated 20 -> noise
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r for r in dbscan_labels(ids, pairs, "id", min_pts=3).collect()}
+    for v in (1, 2, 3):
+        assert got[v]["role"] == "core" and got[v]["cluster"] == 1
+    assert got[4]["role"] == "border" and got[4]["cluster"] == 1
+    for v in (10, 11, 20):
+        assert got[v]["role"] == "noise" and got[v]["cluster"] is None
+
+
+def test_dbscan_singleton_core_and_min_border_attach(spark):
+    from datas_spark.operators.clustering import dbscan_labels
+
+    # star: center 5 with leaves 6,7 -> 5 is core (deg 2 + self = 3),
+    # leaves are borders of 5's singleton cluster
+    ids = spark.createDataFrame([(i,) for i in [5, 6, 7]], "id long")
+    pairs = spark.createDataFrame([(5, 6), (5, 7)], "id_a long, id_b long")
+    got = {r["id"]: r for r in dbscan_labels(ids, pairs, "id", min_pts=3).collect()}
+    assert got[5]["role"] == "core" and got[5]["cluster"] == 5
+    assert got[6]["role"] == "border" and got[6]["cluster"] == 5
+    assert got[7]["role"] == "border" and got[7]["cluster"] == 5
