@@ -127,3 +127,36 @@ def negative_sample(
         F.col("__i").alias(item_col),
         F.col("__c").alias("slot"),
     )
+
+
+def balanced_shards(
+    df: DataFrame, id_col: str, size_col: str, n_shards: int
+) -> DataFrame:
+    """Assign rows to ``n_shards`` near-equal-total-``size_col`` shards
+    — the training-shard packer: every data-parallel worker should read
+    the same token mass or the slowest shard sets the epoch time.
+
+    Deterministic snake (boustrophedon) assignment over the size-DESC
+    global rank: rank r goes to shard ``r % n`` on even blocks and
+    ``n-1 - r % n`` on odd blocks, so each consecutive block of n rows
+    distributes its within-block size gradient in alternating
+    directions — the classic near-LPT guarantee (imbalance bounded by
+    one largest item) without LPT's sequential bin state.
+
+    The global rank is ``with_row_id``'s skew-proof range exchange (no
+    partition-less window); the assignment itself is one map-side
+    expression. Returns the input plus ``shard`` (int).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from datas_spark.io.sources import with_row_id
+
+    ranked = with_row_id(
+        df,
+        [(-F.col(size_col).cast("long")).alias("__negsize"), F.col(id_col)],
+        name="__r",
+    )
+    pos = F.col("__r") % n_shards
+    block_odd = (F.col("__r") / n_shards).cast("long") % 2 == 1
+    shard = F.when(block_odd, F.lit(n_shards - 1) - pos).otherwise(pos)
+    return ranked.withColumn("shard", shard.cast("int")).drop("__r")

@@ -586,3 +586,33 @@ def q_unimax_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         budgets,
     )
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# round 6: balanced training-shard assignment (snake over size-desc rank)
+# ---------------------------------------------------------------------------
+
+@register(
+    "balanced_shard_assignment",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY -n_chars ASC, doc_id ASC) - 1 AS rr
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           (CASE WHEN (rr // 8) % 2 = 1 THEN 7 - (rr % 8) ELSE rr % 8 END)::INT
+             AS shard
+    FROM r
+    """,
+)
+def q_balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 near-equal-token training shards via deterministic snake
+    assignment over the size-DESC skew-proof global rank (imbalance
+    bounded by one largest document, no sequential LPT state, no
+    partition-less window). Every data-parallel worker reads the same
+    mass or the slowest shard sets the epoch time."""
+    from datas_spark.operators.training import balanced_shards
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return balanced_shards(docs, "doc_id", "n_chars", n_shards=8)

@@ -58,3 +58,40 @@ def test_negative_sample_respects_k_cap(spark):
            if r.user == "u"]
     assert len(out) == 3
     assert all(r.item != 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round 6: balanced shards
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_shards_near_equal_mass(spark):
+    import random
+
+    from datas_spark.operators.training import balanced_shards
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(100, 5000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, toks long")
+    got = balanced_shards(df, "id", "toks", n_shards=8).collect()
+    assert len(got) == 400
+    totals = {}
+    for r in got:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["toks"]
+    assert set(totals) == set(range(8))
+    # snake bound: imbalance within one largest item of perfect
+    assert max(totals.values()) - min(totals.values()) <= 5000
+
+
+def test_balanced_shards_deterministic_and_guard(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.training import balanced_shards
+
+    rows = [(i, 10 * (i % 7) + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, toks long")
+    a = {r["id"]: r["shard"] for r in balanced_shards(df, "id", "toks", 4).collect()}
+    b = {r["id"]: r["shard"] for r in balanced_shards(df, "id", "toks", 4).collect()}
+    assert a == b
+    with _pytest.raises(ValueError):
+        balanced_shards(df, "id", "toks", 0)
