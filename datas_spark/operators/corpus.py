@@ -1745,3 +1745,32 @@ def pack_concat_chunks(
         F.col("__s.doc_to").alias("doc_to"),
         F.col("__s.chunk_off").alias("chunk_off"),
     )
+
+
+def nfc_normalize_text(
+    df: DataFrame, text_col: str, out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonical first
+    step of any multilingual dedup/fingerprint pipeline: visually
+    identical strings with different combining-character encodings
+    ("café" composed vs decomposed) must hash identically or exact
+    dedup silently misses them.
+
+    Spark has no built-in Unicode normalizer, so this is a genuine
+    Arrow-batched pandas_udf boundary (stdlib ``unicodedata`` — no
+    model, no heavy import, pure CPU per batch); the DuckDB oracle runs
+    its NATIVE ``nfc_normalize``, making the hash check a cross-engine
+    conformance test of the two Unicode implementations. NULLs pass
+    through.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

@@ -1444,3 +1444,50 @@ def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("lang", "source")
     return mutual_information(docs, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# round 6: Unicode NFC normalization (cross-engine conformance check)
+# ---------------------------------------------------------------------------
+
+# decomposed combining characters planted on every 5th doc (the synthetic
+# corpus is ASCII) so normalization genuinely fires; the SAME Python
+# constant feeds the Spark literal and the oracle literal.
+_NFC_SUFFIX = " cafe\u0301 A\u030a"  # decomposed e-acute / A-ring
+
+
+@register(
+    "nfc_normalized_docs",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0 THEN '{_NFC_SUFFIX}' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           (nfc_normalize(text) <> text)::INT AS changed
+    FROM aug
+    """,
+)
+def q_nfc_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization at a real Arrow pandas_udf boundary
+    (stdlib unicodedata) vs DuckDB's NATIVE nfc_normalize — the hash
+    check is a cross-engine Unicode conformance test. Decomposed
+    combining chars are planted on every 5th doc so the pass genuinely
+    rewrites text; ``changed`` flags rewritten rows."""
+    from datas_spark.operators.corpus import nfc_normalize_text
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_NFC_SUFFIX)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = nfc_normalize_text(docs, "text")
+    return out.select(
+        "doc_id",
+        "text_nfc",
+        (F.col("text_nfc") != F.col("text")).cast("int").alias("changed"),
+    )

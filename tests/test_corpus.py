@@ -813,3 +813,24 @@ def test_hashed_bow_features_zero_vector_and_counts(spark):
     assert sum(out[1]) == 3.0 and max(out[1]) >= 2.0
     assert sum(out[2]) == 0.0  # null doc -> zero vector, row preserved
     assert len(out[1]) == 16 and len(out[2]) == 16
+
+
+# ---------------------------------------------------------------------------
+# round 6: Unicode NFC normalization
+# ---------------------------------------------------------------------------
+
+
+def test_nfc_normalize_text_composes_and_passes_nulls(spark):
+    from datas_spark.operators.corpus import nfc_normalize_text
+
+    decomposed = "café Å"
+    composed = "café Å"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None), (4, "plain ascii")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["text_nfc"] for r in nfc_normalize_text(df, "text").collect()}
+    assert got[1] == composed
+    assert got[2] == composed  # already-NFC is a fixpoint
+    assert got[3] is None
+    assert got[4] == "plain ascii"
