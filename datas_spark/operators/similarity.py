@@ -969,3 +969,37 @@ def cross_contamination(
             F.round(F.max("__cos"), 6).alias("max_cos"),
         )
     )
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str,
+    data_col: str,
+) -> DataFrame:
+    """Per-query recall of an approximate ANN result against the exact
+    top-k frame — 'measure, don't guess' as a first-class operator:
+    every index knob change (planes, probes, codebooks, oversample)
+    should land with this report, not a hand-waved recall claim.
+
+    Both inputs are (query, data, ...) top-k frames (k·|q| rows —
+    tiny); the hit count is one semi-join + grouped count, so the
+    report costs nothing beyond the searches themselves. Returns
+    (query_col, n_exact, n_hits, recall) per query.
+    """
+    e = exact.select(F.col(query_col), F.col(data_col))
+    a = approx.select(F.col(query_col), F.col(data_col))
+    base = e.groupBy(query_col).agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    hits = (
+        e.join(a, [query_col, data_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        base.join(hits, query_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6) + F.lit(0.0),
+        )
+    )

@@ -1210,3 +1210,84 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "vec_id", "cell", "code", "embedding",
         m=8, k=10, oversample=8, n_probe=3,
     )
+
+
+@register(
+    "ivf_recall_report",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT vec_id AS q_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), exsc AS (
+      SELECT q0.q_vec_id, d.vec_id AS d_vec_id,
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q0.qv[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q0.qv) + 1),
+                   i -> q0.qv[i]::DOUBLE * q0.qv[i]::DOUBLE)))), 6) AS cos
+      FROM embeddings d CROSS JOIN q0
+    ), ex AS (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM exsc) WHERE rank <= 10
+    ), cells AS (
+      SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+    ), ac AS (
+      SELECT e.vec_id AS did, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='e', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN cells c
+    ), assign AS (
+      SELECT did, cell FROM ac WHERE rn = 1
+    ), qp AS (
+      SELECT q.vec_id AS qid, c.cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='q', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings q CROSS JOIN cells c
+      WHERE q.vec_id < 3
+    ), probes AS (
+      SELECT qid, cell FROM qp WHERE rn <= 3
+    ), apsc AS (
+      SELECT p.qid AS q_vec_id, a.did AS d_vec_id,
+             {_IVF_COS_SQL.format(a='d', b='q')} AS cos
+      FROM probes p
+      JOIN assign a USING (cell)
+      JOIN embeddings d ON d.vec_id = a.did
+      JOIN embeddings q ON q.vec_id = p.qid
+    ), ap AS (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM apsc) WHERE rank <= 10
+    ), base AS (
+      SELECT q_vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1
+    ), hits AS (
+      SELECT ex.q_vec_id, count(*)::BIGINT AS n_hits
+      FROM ex JOIN ap USING (q_vec_id, d_vec_id) GROUP BY 1
+    )
+    SELECT base.q_vec_id, base.n_exact,
+           coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(hits.n_hits, 0) / base.n_exact::DOUBLE, 6) + 0.0 AS recall
+    FROM base LEFT JOIN hits USING (q_vec_id)
+    """,
+)
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the fixed-quantizer IVF against the exact cosine
+    top-10, per query — 'measure, don't guess' as a registered query:
+    the report itself hash-checks (both retrieval chains AND the hit
+    counting), so a recall regression from an index change shows up as
+    a correctness diff, not a forgotten benchmark."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 3")
+    exact = SIM.cosine_topk(emb, q, "vec_id", "vec_id", "embedding", k=10)
+    cells = emb.where("vec_id < 8").select(F.col("vec_id").alias("cell"), "embedding")
+    approx = SIM.ivf_topk_fixed(
+        emb, q, cells, "vec_id", "vec_id", "cell", "embedding", k=10, n_probe=3
+    )
+    return SIM.ann_recall_report(exact, approx, "q_vec_id", "d_vec_id")

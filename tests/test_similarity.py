@@ -340,3 +340,16 @@ def test_ivfpq_probe_subset_reduces_candidates(spark):
         assert len(hits) <= 5
         ranks = sorted(h["rank"] for h in hits)
         assert ranks == list(range(1, len(hits) + 1))
+
+
+def test_ann_recall_report_counts(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "q long, d long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 77), (2, 78)], "q long, d long"
+    )
+    got = {r["q"]: r for r in SIM.ann_recall_report(exact, approx, "q", "d").collect()}
+    assert got[1]["n_exact"] == 3 and got[1]["n_hits"] == 2
+    assert abs(got[1]["recall"] - 0.666667) < 1e-9
+    assert got[2]["n_hits"] == 0 and got[2]["recall"] == 0.0
