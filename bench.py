@@ -251,6 +251,17 @@ HEADLINE = [
     # (8-byte codes instead of 256-byte vectors on the data side)
     "pq_topk",
     "ivfpq_topk",
+    # round-6: node-level graph quality, metadata MI, skyline sweep,
+    # snake shard balance, the NFC pandas_udf boundary, and recall
+    # measurement as a query. (embedding_dbscan is bench-excluded by
+    # size — ~10 s of CC rounds at sf0.1; its sf1 ratio is 2.5x, see
+    # SF1_SCALING.md round-6 note.)
+    "near_dup_clustering_coef",
+    "lang_source_mi",
+    "part_skyline",
+    "balanced_shard_assignment",
+    "nfc_normalized_docs",
+    "ivf_recall_report",
 ]
 
 RUNS_PER_QUERY = 3
