@@ -198,3 +198,62 @@ def linear_attribution(
         F.sum("__share_e6").cast("long").alias("attributed_e6"),
         F.count(F.lit(1)).cast("long").alias("n_touches"),
     )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    key_col: str,
+    item_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Frequent 3-itemsets with per-direction rule confidences — the
+    depth-3 step of FP-growth-style basket mining (`event_association_
+    rules` is the depth-2 core). ``baskets`` must already be DISTINCT
+    (key, item): the triple enumeration is two self-equi-joins on the
+    basket key with a canonical ``a < b < c`` orientation, so the fan
+    per key is C(|basket|, 3) — bounded by the per-key item-set size,
+    never by corpus volume, the same containment argument as the pair
+    join. Support counts are exact BIGINTs; the three confidences
+    P(abc)/P(xy) are per-row divisions against the (min-support-
+    filtered) pair counts.
+
+    Returns (item_a, item_b, item_c, support_cnt, conf_ab_c, conf_ac_b,
+    conf_bc_a) for triples with ``support_cnt >= min_support``.
+    """
+    b1 = baskets.select(F.col(key_col).alias("__k"), F.col(item_col).alias("__a"))
+    b2 = baskets.select(F.col(key_col).alias("__k"), F.col(item_col).alias("__b"))
+    b3 = baskets.select(F.col(key_col).alias("__k"), F.col(item_col).alias("__c"))
+    tri = (
+        b1.join(b2, "__k")
+        .where(F.col("__a") < F.col("__b"))
+        .join(b3, "__k")
+        .where(F.col("__b") < F.col("__c"))
+        .groupBy("__a", "__b", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_cnt"))
+        .where(F.col("support_cnt") >= min_support)
+    )
+    pair = (
+        b1.join(b2, "__k")
+        .where(F.col("__a") < F.col("__b"))
+        .groupBy(F.col("__a").alias("__pa"), F.col("__b").alias("__pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__pc"))
+    )
+
+    def pj(frame: DataFrame, lo: str, hi: str, out: str) -> DataFrame:
+        p = pair.select(
+            F.col("__pa").alias(lo), F.col("__pb").alias(hi), F.col("__pc").alias(out)
+        )
+        return frame.join(F.broadcast(p), [lo, hi])
+
+    out = pj(tri, "__a", "__b", "__nab")
+    out = pj(out, "__a", "__c", "__nac")
+    out = pj(out, "__b", "__c", "__nbc")
+    return out.select(
+        F.col("__a").alias("item_a"),
+        F.col("__b").alias("item_b"),
+        F.col("__c").alias("item_c"),
+        "support_cnt",
+        (F.round(F.col("support_cnt") / F.col("__nab"), 6) + F.lit(0.0)).alias("conf_ab_c"),
+        (F.round(F.col("support_cnt") / F.col("__nac"), 6) + F.lit(0.0)).alias("conf_ac_b"),
+        (F.round(F.col("support_cnt") / F.col("__nbc"), 6) + F.lit(0.0)).alias("conf_bc_a"),
+    )

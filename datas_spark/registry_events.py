@@ -1377,3 +1377,47 @@ def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys,
     )
     return INC.finalize_rollup(merged)
+
+
+# ---------------------------------------------------------------------------
+# round 6: frequent 3-itemsets (depth-3 basket mining)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_frequent_triples",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id AS k, event_type AS i FROM events
+    ), tri AS (
+      SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+             count(*)::BIGINT AS support_cnt
+      FROM baskets a
+      JOIN baskets b ON b.k = a.k AND a.i < b.i
+      JOIN baskets c ON c.k = a.k AND b.i < c.i
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 5
+    ), pair AS (
+      SELECT a.i AS pa, b.i AS pb, count(*)::BIGINT AS pc
+      FROM baskets a JOIN baskets b ON b.k = a.k AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT t.item_a, t.item_b, t.item_c, t.support_cnt,
+           round(t.support_cnt / ab.pc::DOUBLE, 6) + 0.0 AS conf_ab_c,
+           round(t.support_cnt / ac.pc::DOUBLE, 6) + 0.0 AS conf_ac_b,
+           round(t.support_cnt / bc.pc::DOUBLE, 6) + 0.0 AS conf_bc_a
+    FROM tri t
+    JOIN pair ab ON ab.pa = t.item_a AND ab.pb = t.item_b
+    JOIN pair ac ON ac.pa = t.item_a AND ac.pb = t.item_c
+    JOIN pair bc ON bc.pa = t.item_b AND bc.pb = t.item_c
+    """,
+)
+def q_event_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type 3-itemsets over per-user baskets with the
+    three rule confidences ({a,b}→c etc.) — the depth-3 step of basket
+    mining; fan per user is C(|types|,3), bounded by the basket size
+    not the corpus."""
+    from datas_spark.operators.events import frequent_triples
+
+    ev = read_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    return frequent_triples(baskets, "user_id", "event_type", min_support=5)

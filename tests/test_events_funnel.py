@@ -161,3 +161,36 @@ def test_linear_attribution_integer_share_truncates(spark):
     ).collect()
     shares = sorted(r.attributed_e6 for r in out)
     assert shares == [333333, 333333, 333333]  # floor(1e6/3) each; remainder dropped
+
+
+# ---------------------------------------------------------------------------
+# round 6: frequent triples
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_triples_hand_example(spark):
+    from datas_spark.operators.events import frequent_triples
+
+    # users 1..4 hold {a,b,c}; user 5 holds {a,b}; user 6 holds {a,c,d}
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows += [(u, "a"), (u, "b"), (u, "c")]
+    rows += [(5, "a"), (5, "b"), (6, "a"), (6, "c"), (6, "d")]
+    baskets = spark.createDataFrame(rows, "k long, i string")
+    got = frequent_triples(baskets, "k", "i", min_support=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["item_c"]) == ("a", "b", "c")
+    assert r["support_cnt"] == 4
+    assert r["conf_ab_c"] == 0.8      # ab appears 5 times
+    assert r["conf_ac_b"] == 0.8      # ac appears 5 times
+    assert r["conf_bc_a"] == 1.0      # bc appears 4 times, all with a
+
+
+def test_frequent_triples_min_support_filters(spark):
+    from datas_spark.operators.events import frequent_triples
+
+    rows = [(1, "x"), (1, "y"), (1, "z")]
+    baskets = spark.createDataFrame(rows, "k long, i string")
+    assert frequent_triples(baskets, "k", "i", min_support=2).count() == 0
+    assert frequent_triples(baskets, "k", "i", min_support=1).count() == 1
