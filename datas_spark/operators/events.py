@@ -257,3 +257,70 @@ def frequent_triples(
         (F.round(F.col("support_cnt") / F.col("__nac"), 6) + F.lit(0.0)).alias("conf_ac_b"),
         (F.round(F.col("support_cnt") / F.col("__nbc"), 6) + F.lit(0.0)).alias("conf_bc_a"),
     )
+
+
+def sequence_pair_support(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    ts_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Ordered sequential-pattern mining, depth 2 (the PrefixSpan base
+    case): for every ordered item pair (a → b), the number of keys
+    whose history contains SOME occurrence of ``a`` strictly before
+    some occurrence of ``b`` — order is what separates this from
+    ``event_association_rules``'s unordered co-occurrence (a→b and b→a
+    get independent supports, and their asymmetry is the signal).
+
+    Subsequence existence needs only extremes: a before b ⇔
+    ``min_ts(a) < max_ts(b)``, so the WHOLE corpus reduces to one
+    (key, item) aggregate of two timestamps before any pair fan — the
+    self-join then touches C(|items|, 2)·2 rows per key, bounded by the
+    per-key item-set size. Exact integer supports; ``direction_ratio``
+    = support(a→b) / (support(a→b) + support(b→a)) flags asymmetric
+    flows (1.0 = strictly one-way).
+
+    Returns (item_from, item_to, support_cnt, direction_ratio) with
+    ``support_cnt >= min_support``.
+    """
+    ext = df.groupBy(
+        F.col(key_col).alias("__k"), F.col(item_col).alias("__i")
+    ).agg(
+        F.min(F.col(ts_col)).alias("__tmin"), F.max(F.col(ts_col)).alias("__tmax")
+    )
+    e2 = ext.select(
+        F.col("__k"),
+        F.col("__i").alias("__j"),
+        F.col("__tmin").alias("__jtmin"),
+        F.col("__tmax").alias("__jtmax"),
+    )
+    sup = (
+        ext.join(e2, "__k")
+        .where((F.col("__i") != F.col("__j")) & (F.col("__tmin") < F.col("__jtmax")))
+        .groupBy(F.col("__i").alias("item_from"), F.col("__j").alias("item_to"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support_cnt"))
+    )
+    rev = sup.select(
+        F.col("item_to").alias("item_from"),
+        F.col("item_from").alias("item_to"),
+        F.col("support_cnt").alias("__rev_cnt"),
+    )
+    return (
+        sup.join(F.broadcast(rev), ["item_from", "item_to"], "left")
+        .withColumn("__rev_cnt", F.coalesce(F.col("__rev_cnt"), F.lit(0).cast("long")))
+        .where(F.col("support_cnt") >= min_support)
+        .select(
+            "item_from",
+            "item_to",
+            "support_cnt",
+            (
+                F.round(
+                    F.col("support_cnt")
+                    / (F.col("support_cnt") + F.col("__rev_cnt")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("direction_ratio"),
+        )
+    )

@@ -1421,3 +1421,34 @@ def q_event_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     baskets = ev.select("user_id", "event_type").distinct()
     return frequent_triples(baskets, "user_id", "event_type", min_support=5)
+
+
+@register(
+    "event_sequence_pairs",
+    oracle="""
+    WITH ext AS (
+      SELECT user_id AS k, event_type AS i, min(ts) AS tmin, max(ts) AS tmax
+      FROM events GROUP BY 1, 2
+    ), sup AS (
+      SELECT a.i AS item_from, b.i AS item_to, count(*)::BIGINT AS support_cnt
+      FROM ext a JOIN ext b ON b.k = a.k AND a.i <> b.i AND a.tmin < b.tmax
+      GROUP BY 1, 2
+    )
+    SELECT s.item_from, s.item_to, s.support_cnt,
+           round(s.support_cnt
+                 / (s.support_cnt + coalesce(r.support_cnt, 0))::DOUBLE, 6) + 0.0
+             AS direction_ratio
+    FROM sup s LEFT JOIN sup r
+      ON r.item_from = s.item_to AND r.item_to = s.item_from
+    WHERE s.support_cnt >= 5
+    """,
+)
+def q_event_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequential patterns (a → b) with per-direction supports
+    and asymmetry ratio — PrefixSpan's depth-2 base case. The corpus
+    reduces to one (user, type, min_ts, max_ts) aggregate before any
+    pair fan (a-before-b ⇔ min_ts(a) < max_ts(b))."""
+    from datas_spark.operators.events import sequence_pair_support
+
+    ev = read_table(spark, sf_dir, "events")
+    return sequence_pair_support(ev, "user_id", "event_type", "ts", min_support=5)

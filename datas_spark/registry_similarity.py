@@ -1291,3 +1291,70 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, cells, "vec_id", "vec_id", "cell", "embedding", k=10, n_probe=3
     )
     return SIM.ann_recall_report(exact, approx, "q_vec_id", "d_vec_id")
+
+
+_MRL_COS16 = """
+        round(
+          list_sum(list_transform(range(1, 17),
+                   i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, 17),
+                   i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, 17),
+                   i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)))), 6)
+          + 0.0
+"""
+
+
+@register(
+    "matryoshka_recall",
+    oracle=f"""
+    WITH exsc AS (
+      SELECT q.vec_id AS q_vec_id, d.vec_id AS d_vec_id,
+             {_IVF_COS_SQL.format(a='d', b='q')} AS cos
+      FROM embeddings d CROSS JOIN embeddings q
+      WHERE q.vec_id < 3
+    ), ex AS (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM exsc) WHERE rank <= 10
+    ), trsc AS (
+      SELECT q.vec_id AS q_vec_id, d.vec_id AS d_vec_id,
+             {_MRL_COS16.format(a='d', b='q')} AS cos
+      FROM embeddings d CROSS JOIN embeddings q
+      WHERE q.vec_id < 3
+    ), tr AS (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM trsc) WHERE cos IS NOT NULL AND rank <= 10
+    ), base AS (
+      SELECT q_vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1
+    ), hits AS (
+      SELECT ex.q_vec_id, count(*)::BIGINT AS n_hits
+      FROM ex JOIN tr USING (q_vec_id, d_vec_id) GROUP BY 1
+    )
+    SELECT base.q_vec_id, base.n_exact,
+           coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(hits.n_hits, 0) / base.n_exact::DOUBLE, 6) + 0.0 AS recall
+    FROM base LEFT JOIN hits USING (q_vec_id)
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: recall@10 of exact
+    search over the FIRST 16 of 64 dims against full-dim exact search —
+    the measurement that decides whether a 4× cheaper truncated index
+    is good enough (MRL embeddings promise prefix-dims carry most of
+    the signal; non-MRL embeddings like these test vectors mostly
+    don't, and this query quantifies exactly that instead of assuming).
+    Composes cosine_topk over sliced vectors with ann_recall_report;
+    both chains and the hit counting hash-check."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 3")
+    full = SIM.cosine_topk(emb, q, "vec_id", "vec_id", "embedding", k=10)
+    sliced = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    qs = sliced.where("vec_id < 3")
+    trunc = SIM.cosine_topk(sliced, qs, "vec_id", "vec_id", "embedding", k=10)
+    return SIM.ann_recall_report(full, trunc, "q_vec_id", "d_vec_id")

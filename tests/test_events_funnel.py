@@ -194,3 +194,30 @@ def test_frequent_triples_min_support_filters(spark):
     baskets = spark.createDataFrame(rows, "k long, i string")
     assert frequent_triples(baskets, "k", "i", min_support=2).count() == 0
     assert frequent_triples(baskets, "k", "i", min_support=1).count() == 1
+
+
+def test_sequence_pair_support_order_matters(spark):
+    from datas_spark.operators.events import sequence_pair_support
+
+    # 3 users do a then b; 1 user does b then a; 1 user does only a
+    rows = []
+    for u, seq in [(1, "ab"), (2, "ab"), (3, "ab"), (4, "ba"), (5, "a")]:
+        for t, it in enumerate(seq):
+            rows.append((u, it, t))
+    df = spark.createDataFrame(rows, "k long, i string, ts long")
+    got = {
+        (r["item_from"], r["item_to"]): r
+        for r in sequence_pair_support(df, "k", "i", "ts", min_support=1).collect()
+    }
+    assert got[("a", "b")]["support_cnt"] == 3
+    assert got[("b", "a")]["support_cnt"] == 1
+    assert got[("a", "b")]["direction_ratio"] == 0.75
+    assert got[("b", "a")]["direction_ratio"] == 0.25
+
+
+def test_sequence_pair_support_strict_order(spark):
+    from datas_spark.operators.events import sequence_pair_support
+
+    # same timestamp: not "before", so no support either way
+    df = spark.createDataFrame([(1, "a", 5), (1, "b", 5)], "k long, i string, ts long")
+    assert sequence_pair_support(df, "k", "i", "ts", min_support=1).count() == 0
