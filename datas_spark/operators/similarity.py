@@ -50,6 +50,7 @@ __all__ = [
     "sq8_topk",
     "pq_encode",
     "pq_topk_fixed",
+    "pq_topk_on_codes",
     "ivfpq_topk_fixed",
     "cross_contamination",
 ]
@@ -631,7 +632,10 @@ def pq_encode(
     — ``__dn2`` is the reconstructed vector's squared norm, carried so
     ADC scoring never touches the codebook again.
     """
-    dim = len(data.select(vec_col).first()[0])
+    first = data.select(vec_col).first()
+    if first is None:
+        raise ValueError("data frame is empty")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -766,13 +770,43 @@ def pq_topk_fixed(
     Returns (query_id, data_id, cos, rank<=k) — the family contract
     (cos desc, id asc), same as ``cosine_topk``/``sq8_topk``.
     """
+    enc = pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m)
+    return pq_topk_on_codes(
+        enc, data, queries, codebook_src, data_id, query_id, code_id, vec_col,
+        m=m, k=k, oversample=oversample,
+    )
+
+
+def pq_topk_on_codes(
+    enc: DataFrame,
+    data: DataFrame,
+    queries: DataFrame,
+    codebook_src: DataFrame,
+    data_id: str,
+    query_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 10,
+    oversample: int = 4,
+) -> DataFrame:
+    """The query half of PQ, decoupled from encoding: ``enc`` is the
+    (``__did``, ``__codes``, ``__dn2``) code table — typically
+    ``spark.read.parquet`` of codes persisted at index-build time —
+    and ``data`` supplies vectors ONLY for the k·oversample rerank
+    survivors (at 100 TB the rerank fetch is a broadcast-semi-joined
+    point read; the scan itself never touches vectors). Encode once,
+    persist, query forever — the ``ivf_topk_on_index`` contract for the
+    compressed domain."""
+    first = queries.select(vec_col).first()
+    if first is None:
+        raise ValueError("queries frame is empty")
     qname, dname = _out_names(query_id, data_id)
-    dim = len(queries.select(vec_col).first()[0])
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     ks = codebook_src.count()
-    enc = pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m)
     q, lut = _pq_lut(queries, codebook_src, query_id, code_id, vec_col, m, sub, ks)
     approx = _pq_adc_score(m, ks)
     n_cand = k * max(oversample, 1)
@@ -847,7 +881,10 @@ def ivfpq_topk_fixed(
     two-stage rank.
     """
     qname, dname = _out_names(query_id, data_id)
-    dim = len(queries.select(vec_col).first()[0])
+    first = queries.select(vec_col).first()
+    if first is None:
+        raise ValueError("queries frame is empty")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

@@ -395,3 +395,32 @@ def test_ivf_index_upsert_equals_fresh_build(spark, tmp_path):
     assert len(got) == 60
     # the store is genuinely cell-partitioned
     assert any(p.startswith("__cell=") for p in os.listdir(path))
+
+
+def test_pq_topk_on_persisted_codes_equals_inline(spark, tmp_path):
+    from datas_spark.operators.similarity import pq_encode, pq_topk_on_codes
+
+    rows, df = _vecs(spark, n=40, dim=8, seed=31)
+    q = df.where("id < 2")
+    cbs = df.where("id < 8").selectExpr("id as code", "v")
+    inline = SIM.pq_topk_fixed(df, q, cbs, "id", "id", "code", "v", m=4, k=5, oversample=4)
+    path = str(tmp_path / "pq_codes")
+    pq_encode(df, cbs, "id", "code", "v", m=4).write.parquet(path)
+    persisted = pq_topk_on_codes(
+        spark.read.parquet(path), df, q, cbs, "id", "id", "code", "v",
+        m=4, k=5, oversample=4,
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, persisted.collect()))
+
+
+def test_pq_family_empty_queries_raise(spark):
+    import pytest as _pytest
+
+    rows, df = _vecs(spark, n=10, dim=8, seed=2)
+    cbs = df.where("id < 4").selectExpr("id as code", "v")
+    cells = df.where("id < 4").selectExpr("id as cell", "v")
+    empty = df.where("id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        SIM.pq_topk_fixed(df, empty, cbs, "id", "id", "code", "v", m=4)
+    with _pytest.raises(ValueError, match="empty"):
+        SIM.ivfpq_topk_fixed(df, empty, cells, cbs, "id", "id", "cell", "code", "v", m=4)
