@@ -60,14 +60,25 @@ __all__ = [
     "merge_into_components_artifact",
     "artifact_status",
     "gc_artifacts",
+    "pq_index_artifact",
     "SPAN_N",
     "SPAN_CAP",
+    "PQ_M",
+    "PQ_KS",
+    "PQ_CELLS",
 ]
 
 # canonical substring-span parameters (shared by every span consumer —
 # the gram width and the boilerplate doc-frequency cap)
 SPAN_N = 8
 SPAN_CAP = 50
+
+# canonical IVF-PQ index parameters (shared by the pq_topk / ivfpq_topk
+# consumers): m subquantizers, ks codebook rows (vec_id < PQ_KS),
+# PQ_CELLS coarse cells (vec_id < PQ_CELLS)
+PQ_M = 8
+PQ_KS = 16
+PQ_CELLS = 8
 
 # canonical per-family parameters — single source of truth for every
 # registry consumer; the directory name embeds them so a param change
@@ -208,6 +219,43 @@ def spans_artifact(
         docs, "doc_id", "text", n=SPAN_N, max_gram_doc_freq=SPAN_CAP
     )
     return parquet_cache(spark, spans, path, recompute=recompute)
+
+
+def pq_index_artifact(
+    spark: SparkSession, sf_dir: str, recompute: bool = False
+) -> DataFrame:
+    """The persisted IVF-PQ index table over the embeddings corpus —
+    (``__did``, ``__codes``, ``__dn2``, ``__cell``) at the canonical
+    parameters (m=PQ_M, codebooks = vec_id < PQ_KS, cells = vec_id <
+    PQ_CELLS), computed once per corpus fingerprint. The similarity
+    twin of the pair/component families: ANN queries read m-byte codes
+    from parquet instead of re-encoding the corpus per query batch,
+    while keeping their full-recompute oracles (artifact == recompute
+    hash-proven per run). On a cluster, persist with
+    ``partitionBy('__cell')`` so probes prune partitions; at test SFs
+    the flat layout keeps the cache single-file-fast."""
+    from datas_spark.operators import similarity as SIM
+    from datas_spark.io.sinks import _cache_marker_exists
+
+    key = dataset_key(sf_dir, "embeddings")
+    path = os.path.join(
+        artifact_root(), key, f"ivfpq_m{PQ_M}_ks{PQ_KS}_c{PQ_CELLS}_index"
+    )
+    if not recompute and _cache_marker_exists(spark, path):
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = emb.where(f"vec_id < {PQ_CELLS}").select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    cbs = emb.where(f"vec_id < {PQ_KS}").select(
+        F.col("vec_id").alias("code"), "embedding"
+    )
+    enc = SIM.ivfpq_build_fixed(
+        emb, cells, cbs, "vec_id", "cell", "code", "embedding", m=PQ_M
+    )
+    return parquet_cache(spark, enc, path, recompute=recompute)
 
 
 def merge_into_components_artifact(

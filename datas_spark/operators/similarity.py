@@ -52,6 +52,8 @@ __all__ = [
     "pq_topk_fixed",
     "pq_topk_on_codes",
     "ivfpq_topk_fixed",
+    "ivfpq_build_fixed",
+    "ivfpq_topk_on_index",
     "cross_contamination",
 ]
 
@@ -880,18 +882,31 @@ def ivfpq_topk_fixed(
     narrow (query, id, score) projection shuffles through the bucketed
     two-stage rank.
     """
-    qname, dname = _out_names(query_id, data_id)
-    first = queries.select(vec_col).first()
-    if first is None:
-        raise ValueError("queries frame is empty")
-    dim = len(first[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    ks = codebook_src.count()
+    enc = ivfpq_build_fixed(
+        data, cells, codebook_src, data_id, cell_id, code_id, vec_col, m=m
+    )
+    return ivfpq_topk_on_index(
+        enc, data, queries, cells, codebook_src,
+        data_id, query_id, cell_id, code_id, vec_col,
+        m=m, k=k, oversample=oversample, n_probe=n_probe,
+    )
 
-    # coarse assignment (same contract as ivf_topk_fixed: rounded
-    # cosine, ties to the smaller cell id, combinable min_by)
+
+def ivfpq_build_fixed(
+    data: DataFrame,
+    cells: DataFrame,
+    codebook_src: DataFrame,
+    data_id: str,
+    cell_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int = 8,
+) -> DataFrame:
+    """IVF-PQ index build: coarse cell assignment (``ivf_topk_fixed``'s
+    rounded-cosine min_by contract) + PQ codes in one pass. Returns
+    (``__did``, ``__codes``, ``__dn2``, ``__cell``) — the m-byte-per-
+    vector index table; persist with ``partitionBy("__cell")`` so
+    query-time probes prune to their inverted lists' partitions."""
     d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
     c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
     cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
@@ -905,10 +920,41 @@ def ivfpq_topk_fixed(
             ).alias("__cell")
         )
     )
-    enc = pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m).join(
+    return pq_encode(data, codebook_src, data_id, code_id, vec_col, m=m).join(
         assign, "__did"
     )
 
+
+def ivfpq_topk_on_index(
+    enc: DataFrame,
+    data: DataFrame,
+    queries: DataFrame,
+    cells: DataFrame,
+    codebook_src: DataFrame,
+    data_id: str,
+    query_id: str,
+    cell_id: str,
+    code_id: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 10,
+    oversample: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """The query half of IVF-PQ over a prebuilt/persisted index table
+    (``ivfpq_build_fixed``'s schema): probes ⋈ LUTs broadcast into the
+    code scan, vectors touched only for the rerank survivors."""
+    qname, dname = _out_names(query_id, data_id)
+    first = queries.select(vec_col).first()
+    if first is None:
+        raise ValueError("queries frame is empty")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    ks = codebook_src.count()
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
     q, lut = _pq_lut(queries, codebook_src, query_id, code_id, vec_col, m, sub, ks)
     qs = F.round(cosine_similarity("__v", "__cv"), 6) + F.lit(0.0)
     wp = Window.partitionBy("__qid").orderBy(F.col("__qs").desc(), F.col("__cell").asc())

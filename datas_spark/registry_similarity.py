@@ -1099,11 +1099,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate cut AND the rerank. Recall@10 ≈ 0.9 at this setting on
     the (near-random — ANN-adversarial) test embeddings."""
     from datas_spark.operators import similarity as SIM
+    from datas_spark.operators.artifacts import pq_index_artifact
 
     emb = read_table(spark, sf_dir, "embeddings")
     cbs = emb.where("vec_id < 16").select(F.col("vec_id").alias("code"), "embedding")
-    return SIM.pq_topk_fixed(
-        emb, emb.where("vec_id < 3"), cbs,
+    # codes come from the materialize-once index artifact (built on
+    # first touch per corpus fingerprint); the full-recompute oracle
+    # hash-proves artifact == re-encode every run
+    enc = pq_index_artifact(spark, sf_dir).select("__did", "__codes", "__dn2")
+    return SIM.pq_topk_on_codes(
+        enc, emb, emb.where("vec_id < 3"), cbs,
         "vec_id", "vec_id", "code", "embedding", m=8, k=10, oversample=8,
     )
 
@@ -1201,12 +1206,16 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank ALL hash-check — the entire two-level index composition is
     SQL-replayed."""
     from datas_spark.operators import similarity as SIM
+    from datas_spark.operators.artifacts import pq_index_artifact
 
     emb = read_table(spark, sf_dir, "embeddings")
     cells = emb.where("vec_id < 8").select(F.col("vec_id").alias("cell"), "embedding")
     cbs = emb.where("vec_id < 16").select(F.col("vec_id").alias("code"), "embedding")
-    return SIM.ivfpq_topk_fixed(
-        emb, emb.where("vec_id < 3"), cells, cbs,
+    # the (codes + cell) index is the materialize-once artifact; the
+    # full-recompute oracle hash-proves artifact == rebuild every run
+    enc = pq_index_artifact(spark, sf_dir)
+    return SIM.ivfpq_topk_on_index(
+        enc, emb, emb.where("vec_id < 3"), cells, cbs,
         "vec_id", "vec_id", "cell", "code", "embedding",
         m=8, k=10, oversample=8, n_probe=3,
     )

@@ -165,3 +165,31 @@ def test_spans_artifact_matches_recompute_and_skips(spark, scratch_root):
     # and it shows up in the status inventory
     rows = {(r["family"], r["kind"]): r for r in ART.artifact_status(spark, SF)}
     assert rows[("spans", "spans")]["built"] is True
+
+
+def test_pq_index_artifact_matches_rebuild_and_skips(spark, scratch_root):
+    from pyspark.sql import functions as F
+
+    from datas_spark.operators import similarity as SIM
+
+    emb = ART.read_table(spark, SF, "embeddings")
+    cells = emb.where(f"vec_id < {ART.PQ_CELLS}").select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    cbs = emb.where(f"vec_id < {ART.PQ_KS}").select(
+        F.col("vec_id").alias("code"), "embedding"
+    )
+    live = SIM.ivfpq_build_fixed(
+        emb, cells, cbs, "vec_id", "cell", "code", "embedding", m=ART.PQ_M
+    )
+    cached = ART.pq_index_artifact(spark, SF)
+    key = lambda r: r[0]
+    got = sorted((r["__did"], tuple(r["__codes"]), round(r["__dn2"], 9), r["__cell"])
+                 for r in cached.collect())
+    want = sorted((r["__did"], tuple(r["__codes"]), round(r["__dn2"], 9), r["__cell"])
+                  for r in live.collect())
+    assert got == want
+    # second call reads the cache: no file rewrites
+    before = _parquet_mtime_set(scratch_root)
+    ART.pq_index_artifact(spark, SF)
+    assert _parquet_mtime_set(scratch_root) == before
