@@ -1276,3 +1276,81 @@ def decontamination_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def semantic_decontamination_sink(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    flagged_path: str,
+    clean_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    seed: int = 42,
+):
+    """Streaming EMBEDDING-space decontamination — the semantic twin of
+    the n-gram ``decontamination_sink``: arriving vectors whose cosine
+    to ANY benchmark vector reaches ``threshold`` are quarantined with
+    (n_matches, max_cos) attached; everything else appends to the clean
+    store. Together the two sinks close the ingestion gate on both
+    surface-form AND paraphrase contamination.
+
+    The benchmark side is fixed by contract: its hyperplane sign
+    signature is computed ONCE at sink construction (localCheckpoint —
+    the `drift_monitor_sink` pattern); each micro-batch signs its own
+    vectors map-side with the SAME seed-pinned planes and meets the
+    benchmark in a bucket equi-join (never a cross join), exact JVM
+    cosine inside buckets only — the proven `cross_contamination`
+    shape, per batch. Exactly-once via the per-batch-partition +
+    commit-marker protocol shared by every sink here; flagged and
+    clean writes land before the marker, so a replayed batch
+    overwrites its own partitions idempotently.
+    """
+    from datas_spark.functions.arrays import cosine_similarity
+    from datas_spark.operators.similarity import (
+        hyperplane_signature,
+        random_hyperplanes,
+    )
+
+    dim = len(benchmark.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bb = hyperplane_signature(
+        benchmark.select(
+            F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
+        ),
+        "__bvec",
+        planes,
+    ).localCheckpoint(eager=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, flagged_path, batch_id):
+            return
+        tb = hyperplane_signature(batch_df, vec_col, planes)
+        cos = cosine_similarity(F.col(vec_col), F.col("__bvec"))
+        matches = (
+            tb.join(bb, "bucket")
+            .select(F.col(id_col), cos.alias("__cos"))
+            .where(F.col("__cos") >= threshold)
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.round(F.max("__cos"), 6).alias("max_cos"),
+            )
+        )
+        flagged = batch_df.join(matches, id_col).drop(vec_col)
+        clean = batch_df.join(matches.select(id_col), id_col, "left_anti").drop(
+            vec_col
+        )
+        _write_batch_partition(flagged, batch_id, flagged_path + "/rows")
+        _write_batch_partition(clean, batch_id, clean_path)
+        _commit_batch(spark, flagged_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

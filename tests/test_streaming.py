@@ -1309,3 +1309,57 @@ def test_enrich_stream_with_components_artifact(spark, tmp_path, monkeypatch):
     by_id = {r.doc_id: r.component for r in out}
     assert by_id[some_node["doc_id"]] == some_node["component"]
     assert by_id[10**9] is None  # left join: unknown docs pass through
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontamination_sink_routes_and_restart_safe(spark, tmp_path):
+    import json as _json
+
+    from datas_spark.streaming.scoring import semantic_decontamination_sink
+
+    bench_vec = [1.0, 0.0, 0.0, 0.0]
+    bench = spark.createDataFrame([(100, bench_vec)], "vec_id long, embedding array<double>")
+
+    src = tmp_path / "sdc_src"
+    src.mkdir()
+    near = [0.99, 0.05, 0.0, 0.0]     # cos ~0.999 vs bench
+    far = [0.0, 1.0, 0.0, 0.0]        # orthogonal
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"vec_id": 1, "embedding": near}) + "\n")
+        f.write(_json.dumps({"vec_id": 2, "embedding": far}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = semantic_decontamination_sink(
+            stream, bench, "vec_id", "embedding",
+            str(tmp_path / "sdc_flagged"), str(tmp_path / "sdc_clean"),
+            str(tmp_path / "sdc_ckpt"), threshold=0.9, n_planes=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    flagged = {r.vec_id: r for r in spark.read.parquet(str(tmp_path / "sdc_flagged/rows")).collect()}
+    clean = sorted(r.vec_id for r in spark.read.parquet(str(tmp_path / "sdc_clean")).collect())
+    assert set(flagged) == {1}
+    assert flagged[1].n_matches == 1 and flagged[1].max_cos > 0.99
+    assert clean == [2]
+
+    # restart with a second file: committed batch skipped, new rows route
+    near2 = [0.95, -0.05, 0.0, 0.0]
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"vec_id": 3, "embedding": near2}) + "\n")
+        f.write(_json.dumps({"vec_id": 4, "embedding": [0.0, 0.0, 1.0, 0.0]}) + "\n")
+    run()
+    flagged = sorted(r.vec_id for r in spark.read.parquet(str(tmp_path / "sdc_flagged/rows")).collect())
+    clean = sorted(r.vec_id for r in spark.read.parquet(str(tmp_path / "sdc_clean")).collect())
+    assert flagged == [1, 3]
+    assert clean == [2, 4]
