@@ -1235,6 +1235,58 @@ def clustering_coefficient(
     return j.withColumn("local_cc", cc)
 
 
+def snn_edge_weights(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Shared-nearest-neighbor weight per edge of the (canonical
+    ``src < dst``) near-dup graph: ``|N(a)∩N(b)| / |N(a)∪N(b)|`` with
+    the endpoints themselves excluded from both neighborhoods — the
+    SNN robustification step for density clustering and dedup-graph
+    pruning: a genuine duplicate pair sits inside a shared clique
+    (weight → 1), an LSH-noise bridge shares nobody (weight 0), so
+    thresholding SNN weight BEFORE connected components stops chain
+    merges that cosine thresholds alone let through.
+
+    Plan: one wedge join per edge (edges ⋈ undirected adjacency on
+    each endpoint, meet on the common neighbor — the triangle_list
+    machinery generalized to per-edge counting) plus a broadcast of
+    the combinable degree frame; |N(a)∪N(b)| falls out as
+    deg(a)+deg(b)−2−common, no second pass. All edge-frame-sized.
+
+    Returns (src, dst, common bigint, snn_weight double).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    na = und.select(F.col("a").alias("__ea"), F.col("b").alias("__x"))
+    nb = und.select(F.col("a").alias("__eb"), F.col("b").alias("__x2"))
+    common = (
+        e.join(na, e["a"] == na["__ea"])
+        .join(nb, (e["b"] == nb["__eb"]) & (F.col("__x") == F.col("__x2")))
+        .where((F.col("__x") != F.col("a")) & (F.col("__x") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    j = (
+        e.join(common, ["a", "b"], "left")
+        .withColumn("common", F.coalesce(F.col("common"), F.lit(0).cast("long")))
+        .join(F.broadcast(deg.select(F.col("id").alias("a"), F.col("deg").alias("__da"))), "a")
+        .join(F.broadcast(deg.select(F.col("id").alias("b"), F.col("deg").alias("__db"))), "b")
+    )
+    union_sz = F.col("__da") + F.col("__db") - 2 - F.col("common")
+    w = F.when(union_sz > 0, F.round(F.col("common") / union_sz, 6) + F.lit(0.0)).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        F.col("a").alias(src),
+        F.col("b").alias(dst),
+        "common",
+        w.alias("snn_weight"),
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,

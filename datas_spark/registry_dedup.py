@@ -2389,3 +2389,44 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.3, n_planes=4
     )
     return dbscan_labels(emb, pairs, "vec_id", min_pts=3)
+
+
+@register(
+    "near_dup_snn_edges",
+    oracle=f"""
+    WITH e0 AS ({_lsh_blocked_oracle(4)}),
+    e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM e0),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a AS id, count(*)::BIGINT AS deg FROM und GROUP BY a),
+    com AS (
+      SELECT e.a, e.b, count(*)::BIGINT AS common
+      FROM e
+      JOIN und na ON na.a = e.a
+      JOIN und nb ON nb.a = e.b AND nb.b = na.b
+      WHERE na.b <> e.a AND na.b <> e.b
+      GROUP BY e.a, e.b
+    )
+    SELECT e.a AS id_a, e.b AS id_b,
+           coalesce(com.common, 0)::BIGINT AS common,
+           CASE WHEN da.deg + db.deg - 2 - coalesce(com.common, 0) > 0
+                THEN round(coalesce(com.common, 0)::DOUBLE
+                           / (da.deg + db.deg - 2 - coalesce(com.common, 0)), 6)
+                     + 0.0
+                ELSE 0.0 END AS snn_weight
+    FROM e
+    LEFT JOIN com ON com.a = e.a AND com.b = e.b
+    JOIN deg da ON da.id = e.a
+    JOIN deg db ON db.id = e.b
+    """,
+)
+def q_near_dup_snn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-nearest-neighbor weights on the LSH-blocked embedding
+    near-dup edges: clique-internal edges score ~1, LSH-noise bridges
+    0 — thresholding SNN before connected components is the standard
+    chain-merge killer (the edge-level complement of the node-level
+    clustering coefficient)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+    )
+    return D.snn_edge_weights(pairs)

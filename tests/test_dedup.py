@@ -707,3 +707,20 @@ def test_clustering_coefficient_clique_vs_chain(spark):
     assert got[11]["local_cc"] == 0.0
     # degree-1 leaves: coefficient defined as 0
     assert got[10]["local_cc"] == 0.0 and got[10]["degree"] == 1
+
+
+def test_snn_edge_weights_clique_vs_bridge(spark):
+    from datas_spark.operators.dedup import snn_edge_weights
+
+    # K4 on 1-4 bridged to K3 on 5-7 via edge (4,5)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (5, 7), (6, 7), (4, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r for r in snn_edge_weights(pairs).collect()}
+    # inside K4: each edge shares the other 2 clique members; unions:
+    # for edge (1,2): N(1)\{2}={3,4}, N(2)\{1}={3,4} -> common=2, union=2 -> 1.0
+    assert got[(1, 2)]["common"] == 2 and got[(1, 2)]["snn_weight"] == 1.0
+    # the bridge (4,5): no common neighbors
+    assert got[(4, 5)]["common"] == 0 and got[(4, 5)]["snn_weight"] == 0.0
+    # edge (3,4): 4 also touches 5 -> union = {1,2} U {1,2,5} = 3, common 2
+    assert got[(3, 4)]["common"] == 2
+    assert abs(got[(3, 4)]["snn_weight"] - 0.666667) < 1e-9
