@@ -178,6 +178,12 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "source_length_ks",                # 1-row grand-total + grid fan scalars
         "unimax_source_allocation",        # 1-row (small_sum, n_large) scalar
         "unimax_mixture_sample",           # same scalar via the allocation subplan
+        # round 6
+        "pq_topk",                         # broadcast per-query ADC LUTs (|q| rows)
+        "ivfpq_topk",                      # same LUTs + broadcast probe/cell frames
+        "ivf_recall_report",               # cosine_topk's broadcast query set
+        "matryoshka_recall",               # two cosine_topk query-set broadcasts
+        "lang_source_mi",                  # 1-row grand-total scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
