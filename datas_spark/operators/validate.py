@@ -11,7 +11,7 @@ violators separately if a gate fails).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["expect", "quarantine", "k_anonymity", "l_diversity"]
@@ -168,6 +168,95 @@ def l_diversity(
             F.sum(F.when(F.col("__d") < l, F.col("__n")).otherwise(0))
             / F.sum("__n")
             * 100,
+            6,
+        ).alias("at_risk_pct"),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    bucket_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """The third rung of the privacy-audit ladder (k-anonymity →
+    l-diversity → t-closeness): a quasi-identifier group leaks when the
+    DISTRIBUTION of the (ordinal, pre-bucketed) sensitive attribute
+    inside it sits far from the global distribution — a group that is
+    both large and diverse still discloses if 90% of it lands in the
+    top-wealth band. Distance is the ordered-bucket Earth Mover's
+    Distance with unit spacing, EMD = Σ|cumQ − cumP| / (m−1); a group
+    is at risk when EMD > t (``t_num/t_den``).
+
+    Everything stays exact-integer until the report: per-(group,
+    bucket) BIGINT counts on a full group×bucket grid, cumulative sums
+    by bucket order, and the risk test cross-multiplied —
+    ``Σ|cumq·N − cump·n_g| · t_den > t_num · n_g · N · (m−1)`` — so the
+    threshold comparison never touches a float. (Products reach
+    n_g·N ≈ 10¹⁸ around a billion rows per side; move the two cum
+    columns to DECIMAL(38,0) past that.) All frames after the first
+    grouped count are aggregate-sized; the grid is groups × m buckets.
+
+    One row out: ``(t_required, max_emd, n_groups, groups_above,
+    n_rows, rows_at_risk, at_risk_pct)``.
+    """
+    if not quasi_cols:
+        raise ValueError("t_closeness() needs at least one quasi column")
+    if t_num <= 0 or t_den <= 0:
+        raise ValueError("t must be a positive fraction")
+    q = [F.col(c) for c in quasi_cols]
+    cell = df.groupBy(*q, F.col(bucket_col).alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    gt = cell.groupBy(*quasi_cols).agg(F.sum("__c").cast("long").alias("__ng"))
+    bt = cell.groupBy("__b").agg(F.sum("__c").cast("long").alias("__pc"))
+    tot = bt.agg(
+        F.sum("__pc").cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__m"),
+    )
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bt.withColumn("__cump", F.sum("__pc").over(wb).cast("long")).select(
+        "__b", "__cump"
+    )
+    grid = gt.crossJoin(F.broadcast(bcum)).join(
+        cell, [*quasi_cols, "__b"], "left"
+    ).withColumn("__c", F.coalesce(F.col("__c"), F.lit(0).cast("long")))
+    wg = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = grid.withColumn("__cumq", F.sum("__c").over(wg).cast("long")).crossJoin(
+        F.broadcast(tot)
+    )
+    num = F.abs(F.col("__cumq") * F.col("__N") - F.col("__cump") * F.col("__ng"))
+    per_group = terms.groupBy(*quasi_cols).agg(
+        F.sum(num).cast("long").alias("__S"),
+        F.max("__ng").alias("__ng"),
+        F.max("__N").alias("__N"),
+        F.max("__m").alias("__m"),
+    )
+    at_risk = (
+        F.col("__S") * F.lit(t_den)
+        > F.lit(t_num) * F.col("__ng") * F.col("__N") * (F.col("__m") - 1)
+    ) & (F.col("__m") > 1)
+    emd = F.when(
+        F.col("__m") > 1,
+        F.col("__S")
+        / (F.col("__ng") * F.col("__N") * (F.col("__m") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per_group.agg(
+        F.round(F.lit(t_num) / F.lit(t_den), 6).alias("t_required"),
+        F.round(F.max(emd), 6).alias("max_emd"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(at_risk).cast("long").alias("groups_above"),
+        F.sum("__ng").cast("long").alias("n_rows"),
+        F.sum(F.when(at_risk, F.col("__ng")).otherwise(0)).cast("long").alias(
+            "rows_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(at_risk, F.col("__ng")).otherwise(0)) / F.sum("__ng") * 100,
             6,
         ).alias("at_risk_pct"),
     )

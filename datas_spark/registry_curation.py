@@ -2293,3 +2293,89 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filters(docs, "doc_id", "text").select(
         "doc_id", "n_lines", "n_lines_kept", "text_clean"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: t-closeness (third rung of the privacy-audit ladder)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_t_closeness",
+    oracle="""
+    WITH thr AS (
+      SELECT round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
+             round(quantile_cont(c_acctbal, 0.50), 6) AS q2,
+             round(quantile_cont(c_acctbal, 0.75), 6) AS q3
+      FROM customer
+    ), bkt AS (
+      SELECT c.c_nationkey AS g,
+             CASE WHEN c.c_acctbal <= t.q1 THEN 1
+                  WHEN c.c_acctbal <= t.q2 THEN 2
+                  WHEN c.c_acctbal <= t.q3 THEN 3
+                  ELSE 4 END AS b
+      FROM customer c CROSS JOIN thr t
+    ), cell AS (
+      SELECT g, b, count(*)::BIGINT AS c FROM bkt GROUP BY 1, 2
+    ), gt AS (SELECT g, sum(c)::BIGINT AS ng FROM cell GROUP BY g),
+    bt AS (SELECT b, sum(c)::BIGINT AS pc FROM cell GROUP BY b),
+    tot AS (SELECT sum(pc)::BIGINT AS N, count(*)::BIGINT AS m FROM bt),
+    bcum AS (
+      SELECT b, sum(pc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS cump
+      FROM bt
+    ), grid AS (
+      SELECT gt.g, gt.ng, bc.b, bc.cump, coalesce(cell.c, 0)::BIGINT AS c
+      FROM gt CROSS JOIN bcum bc
+      LEFT JOIN cell ON cell.g = gt.g AND cell.b = bc.b
+    ), terms AS (
+      SELECT g, ng, b, cump,
+             sum(c) OVER (PARTITION BY g ORDER BY b
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cumq
+      FROM grid
+    ), pg AS (
+      SELECT g, max(ng) AS ng,
+             sum(abs(cumq * N - cump * ng))::BIGINT AS S,
+             max(N) AS N, max(m) AS m
+      FROM terms CROSS JOIN tot GROUP BY g
+    )
+    SELECT round(1.0 / 5, 6) + 0.0 AS t_required,
+           round(max(CASE WHEN m > 1
+                          THEN S / (ng * N * (m - 1))::DOUBLE
+                          ELSE 0.0 END), 6) + 0.0 AS max_emd,
+           count(*)::BIGINT AS n_groups,
+           count(*) FILTER (WHERE m > 1 AND S * 5 > ng * N * (m - 1))::BIGINT
+             AS groups_above,
+           sum(ng)::BIGINT AS n_rows,
+           sum(CASE WHEN m > 1 AND S * 5 > ng * N * (m - 1) THEN ng
+                    ELSE 0 END)::BIGINT AS rows_at_risk,
+           round(sum(CASE WHEN m > 1 AND S * 5 > ng * N * (m - 1) THEN ng
+                          ELSE 0 END)::DOUBLE / sum(ng) * 100, 6) + 0.0
+             AS at_risk_pct
+    FROM pg
+    """,
+)
+def q_customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.2) of nation-level customer slices
+    against the global account-balance quartile distribution — the rung
+    above k-anonymity/l-diversity: a large, diverse group still leaks
+    when its sensitive distribution diverges. Buckets from one rounded
+    percentile buffer; the whole EMD threshold test is cross-multiplied
+    exact integers."""
+    from datas_spark.operators.validate import t_closeness
+
+    cust = read_table(spark, sf_dir, "customer")
+    thr = cust.agg(
+        *[
+            F.round(F.percentile("c_acctbal", F.lit(p)), 6).alias(f"q{i}")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    band = (
+        F.when(F.col("c_acctbal") <= F.col("q1"), 1)
+        .when(F.col("c_acctbal") <= F.col("q2"), 2)
+        .when(F.col("c_acctbal") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    banded = cust.crossJoin(F.broadcast(thr)).select(
+        F.col("c_nationkey"), band.alias("bal_band")
+    )
+    return t_closeness(banded, ["c_nationkey"], "bal_band", t_num=1, t_den=5)

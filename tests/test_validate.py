@@ -120,3 +120,50 @@ def test_l_diversity_validates_args(spark):
         V.l_diversity(df, [], "s")
     with pytest.raises(ValueError):
         V.l_diversity(df, ["q"], "s", l=1)
+
+
+# ---------------------------------------------------------------------------
+# round 6: t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_skewed_group_flagged(spark):
+    from datas_spark.operators.validate import t_closeness
+
+    # global buckets 1/2 are 50/50; group "skew" is all bucket 2,
+    # group "fair" mirrors the global split
+    rows = [("skew", 2)] * 10 + [("fair", 1)] * 10 + [("fair", 2)] * 0
+    # rebalance so global is 50/50: fair holds all of bucket 1
+    df = spark.createDataFrame(rows, "g string, b int")
+    r = t_closeness(df, ["g"], "b", t_num=1, t_den=5).collect()[0]
+    # m=2: EMD(skew) = |0*20 - 10*10|/(10*20*1) = 0.5 > 0.2 -> at risk
+    # EMD(fair) = |10*20 - 10*10|/(10*20*1) = 0.5 -> also at risk (all b=1)
+    assert r["n_groups"] == 2
+    assert r["groups_above"] == 2
+    assert r["rows_at_risk"] == 20
+    assert r["max_emd"] == 0.5
+
+
+def test_t_closeness_matching_distribution_clean(spark):
+    from datas_spark.operators.validate import t_closeness
+
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, 1)] * 5 + [(g, 2)] * 5
+    df = spark.createDataFrame(rows, "g string, b int")
+    r = t_closeness(df, ["g"], "b", t_num=1, t_den=5).collect()[0]
+    assert r["groups_above"] == 0 and r["rows_at_risk"] == 0
+    assert r["max_emd"] == 0.0
+    assert r["at_risk_pct"] == 0.0
+
+
+def test_t_closeness_guards(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.validate import t_closeness
+
+    df = spark.createDataFrame([("a", 1)], "g string, b int")
+    with _pytest.raises(ValueError):
+        t_closeness(df, [], "b")
+    with _pytest.raises(ValueError):
+        t_closeness(df, ["g"], "b", t_num=0)
