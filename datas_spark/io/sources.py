@@ -42,6 +42,42 @@ def read_json_auto(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("multiLine", "true").json(path)
 
 
+def read_jsonl_robust(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardened for real ingest feeds: PERMISSIVE line-delimited
+    JSON scan with explicit schema (no inference pass over the corpus)
+    where malformed lines survive WHOLE in ``corrupt_col`` instead of
+    aborting the job or silently dropping — a web-scale crawl always
+    contains truncated lines, stray carriage returns, and partial
+    writes, and losing them silently is how corpus counts stop
+    reconciling.
+
+    Returns ``(good, bad)``: ``good`` carries the schema columns for
+    rows that parsed; ``bad`` carries one ``raw`` string per rejected
+    line, ready for a quarantine write (`validate.quarantine`'s file
+    cousin). The scan is cached before splitting because Spark
+    disallows queries that reference ONLY the internal corrupt-record
+    column on a raw file scan; the cache also means the two splits
+    share one physical read.
+    """
+    full = f"{schema_ddl}, {corrupt_col} string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata table (TESTDATA.md).
 

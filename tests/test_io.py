@@ -197,3 +197,21 @@ def test_write_webdataset_size_balanced(spark, tmp_path):
     }
     assert len(man) == 4
     assert max(man.values()) - min(man.values()) <= max(100 + 37 * 10, 1)
+
+
+def test_read_jsonl_robust_quarantines_bad_lines(spark, tmp_path):
+    from datas_spark.io.sources import read_jsonl_robust
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": 3, "text": "truncated\n'
+    )
+    good, bad = read_jsonl_robust(spark, str(src), "doc_id bigint, text string")
+    g = sorted((r["doc_id"], r["text"]) for r in good.collect())
+    assert g == [(1, "ok one"), (2, "ok two")]
+    b = sorted(r["raw"] for r in bad.collect())
+    assert len(b) == 2
+    assert "not json" in b[1] or "not json" in b[0]
