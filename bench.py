@@ -262,6 +262,13 @@ HEADLINE = [
     "balanced_shard_assignment",
     "nfc_normalized_docs",
     "ivf_recall_report",
+    # round-6 second wave: depth-3 baskets, ordered sequences, the
+    # Matryoshka truncation audit, SNN edge weights, t-closeness
+    "event_frequent_triples",
+    "event_sequence_pairs",
+    "matryoshka_recall",
+    "near_dup_snn_edges",
+    "customer_t_closeness",
 ]
 
 RUNS_PER_QUERY = 3
