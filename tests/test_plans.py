@@ -184,6 +184,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "ivf_recall_report",               # cosine_topk's broadcast query set
         "matryoshka_recall",               # two cosine_topk query-set broadcasts
         "lang_source_mi",                  # 1-row grand-total scalar
+        "customer_t_closeness",            # 1-row quartile thresholds + grid×bucket scalars
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
