@@ -269,6 +269,11 @@ HEADLINE = [
     "matryoshka_recall",
     "near_dup_snn_edges",
     "customer_t_closeness",
+    # round-6 third wave: MOSS winnowing fingerprints + pairing,
+    # Adamic-Adar missed-edge audit
+    "winnowing_fingerprints",
+    "winnowing_near_dup",
+    "near_dup_link_prediction",
 ]
 
 RUNS_PER_QUERY = 3

@@ -75,6 +75,9 @@ __all__ = [
     "cut_overlap_spans",
     "elect_span_owners",
     "cut_overlap_spans_elected",
+    "winnowing_fingerprints",
+    "winnowing_near_dup_pairs",
+    "adamic_adar_link_prediction",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -1905,3 +1908,205 @@ def cut_overlap_spans_elected(
         (F.col("e") - F.col("s")).alias("l"),
     )
     return _apply_cut_intervals(df, cut_rows, id_col, text_col, out_col)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Schmidt & Wilder,
+    SIGMOD 2003 — the MOSS local-fingerprinting algorithm): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive gram hashes,
+    and keep the minimum hash of each window (ties broken RIGHTMOST,
+    the robust-winnowing rule). The kept ``(pos, hash)`` set is a
+    guaranteed-coverage sample: any substring shared between two docs
+    that is at least ``w + k - 1`` tokens long contributes at least one
+    identical fingerprint to both — unlike MinHash (whole-doc set
+    resemblance) this is a LOCAL guarantee, and unlike the full
+    positioned-gram table it keeps only ~``2/(w+1)`` of positions.
+
+    Returns ``(id_col, fp_pos, fp_hash)`` — one row per selected
+    fingerprint occurrence (0-based gram offset). Docs shorter than
+    ``k`` tokens produce no rows; docs with fewer than ``w`` grams
+    winnow their single truncated window (the whole doc).
+
+    Plan shape: positioned gram hashes map-side (one md5-prefix hash
+    per offset), then ONE bounded window per doc (``ROWS BETWEEN
+    CURRENT ROW AND w-1 FOLLOWING`` partitioned by doc — never a
+    global window, and measured FASTER than a shuffle-free O(ng·w)
+    HOF sweep: the per-window array allocations cost more than
+    exchanging ~24-byte gram rows), then distinct. Scale: rows out ≈
+    docs × grams × 2/(w+1); the only shuffle is the per-doc window
+    partition, and at 100 TB the fingerprint table is the durable
+    index a MOSS-style copy detector queries — pair generation never
+    touches raw text.
+
+    The 60-bit md5-prefix hash (`hash60`) is shared with the oracle
+    engine, so hash VALUES (which drive the selection, not just
+    equality) are replayed identically in SQL.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("__wid"), word_tokens(text_col).alias("__w")
+    )
+    cnt = F.size("__w") - (k - 1)
+    # project the positioned-gram array in its own select, then
+    # explode_outer + isNotNull — plain (pos)explode would trigger
+    # InferFiltersFromGenerate cloning the whole gram expression into a
+    # per-row pushed filter (the round-5 145s trap).
+    positioned = toks.select(
+        "__wid",
+        F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    hash60(
+                        F.array_join(F.slice("__w", i + 1, k), " ")
+                    ).alias("h"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+        .alias("__gs"),
+    )
+    grams = (
+        positioned.select("__wid", F.explode_outer("__gs").alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .select("__wid", F.col("__g.pos").alias("pos"), F.col("__g.h").alias("h"))
+    )
+    per_doc = Window.partitionBy("__wid")
+    win = Window.partitionBy("__wid").orderBy("pos").rowsBetween(0, w - 1)
+    # window winner = lexicographic min of (hash, -pos): smallest hash,
+    # rightmost position on ties — identical struct ordering in the
+    # oracle engine (an O(ng*w) map-side HOF sweep was measured 2x
+    # SLOWER here: per-window F.slice allocations cost more than this
+    # narrow-row per-doc exchange; the gram rows are ~24 bytes)
+    key = F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))
+    sel = (
+        grams.withColumn("__ng", F.count(F.lit(1)).over(per_doc))
+        .withColumn("__win", F.min(key).over(win))
+        # valid window starts only: pos in [0, ng-w]; short docs keep
+        # their single truncated window at pos 0
+        .where(F.col("pos") <= F.greatest(F.col("__ng") - w, F.lit(0)))
+    )
+    return (
+        sel.select(
+            F.col("__wid").alias(id_col),
+            (-F.col("__win.np")).cast("long").alias("fp_pos"),
+            F.col("__win.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 2,
+    max_fp_doc_freq: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints — the
+    MOSS pairing rule on top of `winnowing_fingerprints`. Because
+    winnowing's coverage guarantee is local, ``min_shared`` shared
+    fingerprint HASHES ≈ evidence of long shared substrings, with
+    recall guaranteed for any overlap ≥ ``w + k - 1`` tokens per
+    shared fingerprint.
+
+    Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``. Scale
+    levers are the standard blocked-pair ones: fingerprints seen in
+    more than ``max_fp_doc_freq`` docs are dropped (boilerplate skew
+    cap — same rule as every shingle family here), pair fan is
+    bounded by cap² per fingerprint, and the join is a hash-keyed
+    equi-join over the (small) fingerprint table, never raw text.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    fd = fps.select(F.col(id_col).alias("__fid"), "fp_hash").distinct()
+    ok = (
+        fd.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_fp_doc_freq))
+        .select("fp_hash")
+    )
+    f2 = fd.join(ok, "fp_hash", "left_semi")
+    a = f2.select(F.col("fp_hash"), F.col("__fid").alias("id_a"))
+    b = f2.select(F.col("fp_hash"), F.col("__fid").alias("id_b"))
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def adamic_adar_link_prediction(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hub_degree: int = 50,
+) -> DataFrame:
+    """Adamic–Adar link prediction over the (canonical ``src < dst``)
+    near-dup graph: for every NON-edge (a, b) that shares at least one
+    neighbor, score ``Σ_z 1/ln(deg(z))`` over the common neighbors z —
+    the classic missing-link signal (Adamic & Adar 2003). On a dedup
+    graph this surfaces pairs the pair generator MISSED but the
+    neighborhood structure implies (two docs each near-dup of the same
+    third doc), i.e. candidate edges to verify before trusting
+    component boundaries; the edge-level complement of
+    `snn_edge_weights` (which scores edges that already exist).
+
+    Plan: one wedge self-join through the common neighbor (bounded by
+    the ``max_hub_degree`` cap — hubs fan deg² wedge rows yet
+    contribute the smallest 1/ln terms, so capping is the standard
+    skew rule), anti-join against existing edges, then ONE grouped
+    aggregate whose float fold runs over the z-sorted collected array
+    (accumulation order — and hence the last float bit — is
+    engine-identical).
+
+    Returns ``(src, dst, n_common bigint, aa_score double)``.
+    """
+    if max_hub_degree < 2:
+        raise ValueError("max_hub_degree must be >= 2")
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degz")
+    )
+    zn = (
+        und.select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+        .join(F.broadcast(deg.withColumnRenamed("id", "z")), "z")
+        .where(F.col("degz") <= max_hub_degree)
+    )
+    w1 = zn.select("z", "degz", F.col("nbr").alias("a"))
+    w2 = zn.select(F.col("z").alias("z2"), F.col("nbr").alias("b"))
+    wed = (
+        w1.join(w2, F.col("z") == F.col("z2"))
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "z", "degz")
+    )
+    cand = wed.join(e, ["a", "b"], "left_anti")
+    score = F.round(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("z"), F.col("degz")))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.lit(1.0) / F.log(s["degz"].cast("double")),
+        ),
+        6,
+    ) + F.lit(0.0)
+    return cand.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        score.alias("aa_score"),
+    ).select(
+        F.col("a").alias(src), F.col("b").alias(dst), "n_common", "aa_score"
+    )

@@ -2430,3 +2430,135 @@ def q_near_dup_snn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.3, n_planes=4
     )
     return D.snn_edge_weights(pairs)
+
+
+# ---------------------------------------------------------------------------
+# round 6: winnowing fingerprints (Schleimer/Schmidt/Wilder 2003, MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5        # gram width (tokens)
+_WIN_W = 8        # winnowing window (grams); guarantee length = w + k - 1
+_WIN_CAP = 50     # fingerprint doc-frequency skew cap
+_WIN_MIN_SHARED = 2
+
+_WINNOW_SEL_SQL = rf"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), gh AS (
+      SELECT doc_id, greatest(len(w) - {_WIN_K - 1}, 0) AS ng, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(w[i:i+{_WIN_K - 1}], ' ')),
+                             1, 15))::BIGINT AS h
+      FROM toks,
+           unnest(range(1, greatest(len(w) - {_WIN_K - 1}, 0) + 1)) AS t(i)
+    ), sel AS (
+      SELECT doc_id, ng, pos,
+             min([h, -pos]) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS wmin
+      FROM gh
+    ), fp AS (
+      SELECT DISTINCT doc_id, (-wmin[2])::BIGINT AS fp_pos,
+             wmin[1]::BIGINT AS fp_hash
+      FROM sel WHERE pos <= greatest(ng - {_WIN_W}, 0)
+    )
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL}
+    SELECT doc_id, fp_pos, fp_hash FROM fp
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints over the corpus (MOSS local
+    fingerprinting, Schleimer et al. SIGMOD 2003): minimum gram hash
+    per sliding window, rightmost tie-break — a ~2/(w+1)-density
+    position sample with a LOCAL guarantee (any shared substring of
+    >= w+k-1 = {_WIN_W + _WIN_K - 1} tokens leaves an identical
+    fingerprint in both docs). The oracle replays the md5-prefix hash
+    VALUES and the window-min selection itself in SQL, so the
+    selection rule — not just hash equality — is cross-engine
+    checked."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.winnowing_fingerprints(docs, "doc_id", "text", k=_WIN_K, w=_WIN_W)
+
+
+@register(
+    "winnowing_near_dup",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL},
+    fd AS (SELECT DISTINCT doc_id, fp_hash AS h FROM fp),
+    okf AS (
+      SELECT h FROM fd GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {_WIN_CAP}
+    ), f2 AS (
+      SELECT fd.* FROM fd JOIN okf USING (h)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+    FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WIN_MIN_SHARED}
+    """,
+)
+def q_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints — the
+    MOSS pairing rule: docs sharing >= {_WIN_MIN_SHARED} fingerprint
+    hashes (doc-frequency cap {_WIN_CAP} kills boilerplate skew).
+    Complements MinHash (set resemblance) and the positioned-gram
+    spans (exact offsets) with the guaranteed-local-coverage sample:
+    pair fan is bounded by cap^2 per fingerprint and the join never
+    touches raw text."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.winnowing_near_dup_pairs(
+        docs, "doc_id", "text", k=_WIN_K, w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED, max_fp_doc_freq=_WIN_CAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 6: Adamic-Adar link prediction (missed-edge audit)
+# ---------------------------------------------------------------------------
+
+_AA_CAP = 50
+
+
+@register(
+    "near_dup_link_prediction",
+    oracle=f"""
+    WITH e0 AS ({_lsh_blocked_oracle(4)}),
+    e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM e0),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS id, count(*)::BIGINT AS degz FROM und GROUP BY 1),
+    zn AS (
+      SELECT u.a AS z, u.b AS nbr, d.degz
+      FROM und u JOIN deg d ON d.id = u.a
+      WHERE d.degz <= {_AA_CAP}
+    ), wed AS (
+      SELECT w1.z, w1.degz, w1.nbr AS a, w2.nbr AS b
+      FROM zn w1 JOIN zn w2 ON w1.z = w2.z
+      WHERE w1.nbr < w2.nbr
+    ), cand AS (
+      SELECT wed.* FROM wed
+      LEFT JOIN e ON e.a = wed.a AND e.b = wed.b
+      WHERE e.a IS NULL
+    )
+    SELECT a AS id_a, b AS id_b, count(*)::BIGINT AS n_common,
+           round(list_sum(list(1.0 / ln(degz::DOUBLE) ORDER BY z)), 6) + 0.0
+             AS aa_score
+    FROM cand GROUP BY 1, 2
+    """,
+)
+def q_near_dup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar scores for MISSING edges of the LSH-blocked
+    embedding near-dup graph: non-adjacent pairs that share neighbors,
+    ranked by sum(1/ln(deg)) over the common neighbors — the pairs the
+    banded generator most plausibly missed (verify-before-CC audit
+    list). Wedge fan capped at degree {_AA_CAP}; the float fold runs
+    z-sorted on both engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+    )
+    return D.adamic_adar_link_prediction(pairs, max_hub_degree=_AA_CAP)

@@ -724,3 +724,136 @@ def test_snn_edge_weights_clique_vs_bridge(spark):
     # edge (3,4): 4 also touches 5 -> union = {1,2} U {1,2,5} = 3, common 2
     assert got[(3, 4)]["common"] == 2
     assert abs(got[(3, 4)]["snn_weight"] - 0.666667) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def _winnow(spark, rows, k=3, w=3):
+    from datas_spark.operators.dedup import winnowing_fingerprints
+    df = spark.createDataFrame(rows, "id long, text string")
+    return winnowing_fingerprints(df, "id", "text", k=k, w=w)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared substring of >= w+k-1 tokens must leave at least one
+    identical fingerprint hash in both docs (the MOSS guarantee)."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three four " + shared + " five"),
+    ]
+    fps = _winnow(spark, rows, k=3, w=3).collect()
+    h1 = {r.fp_hash for r in fps if r.id == 1}
+    h2 = {r.fp_hash for r in fps if r.id == 2}
+    assert h1 & h2, "shared long substring must share a fingerprint"
+
+
+def test_winnowing_every_window_covered(spark):
+    """Each window of w consecutive grams contains a selected position
+    (coverage), and the selected hash is the window min."""
+    text = " ".join(f"tok{i % 7}x{i * 13 % 11}" for i in range(40))
+    k, w = 3, 4
+    fps = _winnow(spark, [(1, text)], k=k, w=w).collect()
+    pos = sorted(r.fp_pos for r in fps)
+    ng = 40 - (k - 1)
+    for start in range(0, ng - w + 1):
+        assert any(start <= p <= start + w - 1 for p in pos), (
+            f"window at {start} has no fingerprint"
+        )
+    # density ~ 2/(w+1): never more than one per position, far fewer
+    # than all grams
+    assert len(pos) < ng
+
+
+def test_winnowing_short_doc_single_window(spark):
+    """Docs with fewer than w grams winnow the whole doc: exactly one
+    fingerprint (the global min, rightmost on ties)."""
+    fps = _winnow(spark, [(1, "a b c d")], k=3, w=8).collect()
+    assert len(fps) == 1
+    # doc shorter than k tokens: no grams, no rows
+    none = _winnow(spark, [(2, "a b")], k=3, w=8).collect()
+    assert none == []
+
+
+def test_winnowing_rightmost_tiebreak(spark):
+    """Identical gram hashes in one window select the RIGHTMOST
+    occurrence (robust winnowing)."""
+    # repeat the same 3-gram so window contains duplicate hashes
+    text = "x y z x y z x y z"
+    fps = _winnow(spark, [(1, text)], k=3, w=7).collect()
+    # 7 grams, one window [0..6]; duplicate hash at pos 0,3,6 (gram
+    # "x y z") etc.; whatever the min hash is, the rightmost of its
+    # occurrences must be the selected one
+    assert len(fps) == 1
+    sel = fps[0]
+    from datas_spark.operators.dedup import winnowing_fingerprints  # noqa: F401
+    # recompute hashes via the oracle-shared rule to find expected pick
+    import hashlib
+    toks = text.split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(7)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    best = min(range(7), key=lambda i: (hs[i], -i))
+    assert (sel.fp_pos, sel.fp_hash) == (best, hs[best])
+
+
+def test_winnowing_pairs_min_shared(spark):
+    from datas_spark.operators.dedup import winnowing_near_dup_pairs
+    shared = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (1, "intro " + shared),
+        (2, shared + " outro"),
+        (3, " ".join(f"zzz{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = winnowing_near_dup_pairs(
+        df, "id", "text", k=3, w=3, min_shared=2
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].shared_fps >= 2
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+def _aa(spark, edges, cap=50):
+    from datas_spark.operators.dedup import adamic_adar_link_prediction
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return adamic_adar_link_prediction(df, max_hub_degree=cap)
+
+
+def test_adamic_adar_path_predicts_endpoints(spark):
+    """Path 1-2-3: the only non-edge sharing a neighbor is (1,3) via
+    z=2 with deg(2)=2 -> score 1/ln(2)."""
+    import math
+    out = _aa(spark, [(1, 2), (2, 3)]).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in out] == [(1, 3, 1)]
+    assert abs(out[0].aa_score - round(1.0 / math.log(2.0), 6)) < 1e-9
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    """Triangle 1-2-3: every pair is already an edge -> no candidates."""
+    assert _aa(spark, [(1, 2), (2, 3), (1, 3)]).collect() == []
+
+
+def test_adamic_adar_multiple_common_neighbors(spark):
+    """1 and 4 share neighbors 2 (deg 2) and 3 (deg 3): score sums
+    both 1/ln(deg) terms; n_common = 2."""
+    import math
+    edges = [(1, 2), (2, 4), (1, 3), (3, 4), (3, 5)]
+    out = {(r.id_a, r.id_b): r for r in _aa(spark, edges).collect()}
+    r14 = out[(1, 4)]
+    assert r14.n_common == 2
+    exp = 1.0 / math.log(2.0) + 1.0 / math.log(3.0)
+    assert abs(r14.aa_score - round(exp, 6)) < 1e-9
+
+
+def test_adamic_adar_hub_cap_drops_wedges(spark):
+    """A hub over the cap contributes no wedges at all."""
+    edges = [(10, i) for i in range(1, 6)]  # star: deg(10)=5
+    assert _aa(spark, edges, cap=4).collect() == []
+    spokes = _aa(spark, edges, cap=5).collect()
+    # all C(5,2) spoke pairs predicted through the hub
+    assert len(spokes) == 10
