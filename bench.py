@@ -274,6 +274,8 @@ HEADLINE = [
     "winnowing_fingerprints",
     "winnowing_near_dup",
     "near_dup_link_prediction",
+    # round-6 third wave: blocked entity resolution
+    "customer_entity_resolution",
 ]
 
 RUNS_PER_QUERY = 3

@@ -2562,3 +2562,246 @@ def q_near_dup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.3, n_planes=4
     )
     return D.adamic_adar_link_prediction(pairs, max_hub_degree=_AA_CAP)
+
+
+# ---------------------------------------------------------------------------
+# round 6: entity resolution / record linkage (blocking + Fellegi-Sunter)
+# ---------------------------------------------------------------------------
+
+_ER_BLOCK_CAP = 200
+_ER_MATCH, _ER_POSSIBLE = 42, 10
+
+# deterministic dirty-record synthesis over customer (the synthetic
+# tables carry no natural duplicates): every 5th entity gets a second
+# record with one perturbed field — name typo (last char), phone digit,
+# or address rewrite — cycling by custkey % 15. Phone/address are
+# derived arithmetically from the key so both engines build the
+# identical table.
+_ER_RECS_SQL = """
+      SELECT c_custkey AS rec_id, c_custkey AS entity, c_name AS name,
+             c_nationkey AS nat,
+             (10 + c_nationkey)::VARCHAR || '-' ||
+               lpad(((c_custkey*7919)%1000)::VARCHAR, 3, '0') || '-' ||
+               lpad(((c_custkey*104729)%10000)::VARCHAR, 4, '0') AS phone,
+             'addr ' || ((c_custkey*31)%997)::VARCHAR AS addr
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_custkey,
+             CASE WHEN c_custkey % 15 = 0
+                  THEN substr(c_name, 1, length(c_name)-1) || 'X'
+                  ELSE c_name END,
+             c_nationkey,
+             (10 + c_nationkey)::VARCHAR || '-' ||
+               lpad(((c_custkey*7919)%1000)::VARCHAR, 3, '0') || '-' ||
+               lpad((CASE WHEN c_custkey % 15 = 5
+                          THEN (c_custkey*104729+1)%10000
+                          ELSE (c_custkey*104729)%10000 END)::VARCHAR, 4, '0'),
+             CASE WHEN c_custkey % 15 = 10
+                  THEN 'alt ' || ((c_custkey*31)%997)::VARCHAR
+                  ELSE 'addr ' || ((c_custkey*31)%997)::VARCHAR END
+      FROM customer WHERE c_custkey % 5 = 0
+"""
+
+_ER_SCORED_SQL = f"""
+    recs AS ({_ER_RECS_SQL}),
+    blk1 AS (SELECT phone AS k, rec_id FROM recs),
+    ok1 AS (SELECT k FROM blk1 GROUP BY k HAVING count(*) <= {_ER_BLOCK_CAP}),
+    p1 AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM blk1 a JOIN blk1 b ON a.k = b.k AND a.rec_id < b.rec_id
+      JOIN ok1 ON ok1.k = a.k
+    ),
+    blk2 AS (SELECT nat, substr(name, 13, 5) AS nb, rec_id FROM recs),
+    ok2 AS (
+      SELECT nat, nb FROM blk2 GROUP BY nat, nb
+      HAVING count(*) <= {_ER_BLOCK_CAP}
+    ),
+    p2 AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM blk2 a JOIN blk2 b
+        ON a.nat = b.nat AND a.nb = b.nb AND a.rec_id < b.rec_id
+      JOIN ok2 ON ok2.nat = a.nat AND ok2.nb = a.nb
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM
+        (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    ),
+    sc AS (
+      SELECT c.id_a, c.id_b,
+             levenshtein(ra.name, rb.name)::INT AS name_edit,
+             (CASE WHEN ra.name = rb.name THEN 24
+                   WHEN levenshtein(ra.name, rb.name) <= 2 THEN 16
+                   ELSE -8 END
+              + CASE WHEN ra.phone = rb.phone THEN 30 ELSE -12 END
+              + CASE WHEN ra.addr = rb.addr THEN 12 ELSE -4 END)::BIGINT
+               AS score,
+             ra.entity AS ent_a, rb.entity AS ent_b
+      FROM cand c
+      JOIN recs ra ON ra.rec_id = c.id_a
+      JOIN recs rb ON rb.rec_id = c.id_b
+    ),
+    classified AS (
+      SELECT id_a, id_b, name_edit, score,
+             CASE WHEN score >= {_ER_MATCH} THEN 'match'
+                  ELSE 'possible' END AS decision,
+             ent_a, ent_b
+      FROM sc WHERE score >= {_ER_POSSIBLE}
+    )
+"""
+
+
+def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    phone = lambda last4: F.concat(  # noqa: E731
+        (F.lit(10) + F.col("c_nationkey")).cast("string"),
+        F.lit("-"),
+        F.lpad(((key * 7919) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(last4.cast("string"), 4, "0"),
+    )
+    addr = F.concat(F.lit("addr "), ((key * 31) % 997).cast("string"))
+    base = cust.select(
+        key.alias("rec_id"),
+        key.alias("entity"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        phone((key * 104729) % 10000).alias("phone"),
+        addr.alias("addr"),
+    )
+    dup = cust.where(key % 5 == 0).select(
+        (key + 10000000).alias("rec_id"),
+        key.alias("entity"),
+        F.when(
+            key % 15 == 0,
+            F.concat(
+                F.substring(
+                    "c_name", 1, 17
+                ),  # names are fixed-width Customer#<9 digits>
+                F.lit("X"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        phone(
+            F.when(
+                key % 15 == 5, (key * 104729 + 1) % 10000
+            ).otherwise((key * 104729) % 10000)
+        ).alias("phone"),
+        F.when(key % 15 == 10, F.concat(F.lit("alt "), ((key * 31) % 997).cast("string")))
+        .otherwise(addr)
+        .alias("addr"),
+    )
+    return base.unionAll(dup)
+
+
+_ER_FIELDS = None  # built lazily to avoid importing linkage at module import
+
+
+def _er_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datas_spark.operators import linkage as LK
+
+    recs = _er_records(spark, sf_dir)
+    blocked = recs.withColumn("nb", F.substring("name", 13, 5))
+    cand = LK.blocked_candidate_pairs(
+        blocked, "rec_id", [["phone"], ["nat", "nb"]],
+        max_block_size=_ER_BLOCK_CAP,
+    )
+    fields = [
+        LK.LinkageField("name", 24, -8, fuzzy_max_edit=2, w_fuzzy=16),
+        LK.LinkageField("phone", 30, -12),
+        LK.LinkageField("addr", 12, -4),
+    ]
+    return LK.linkage_scores(
+        recs, "rec_id", cand, fields,
+        match_threshold=_ER_MATCH, possible_threshold=_ER_POSSIBLE,
+    )
+
+
+@register(
+    "customer_entity_resolution",
+    oracle=f"""
+    WITH {_ER_SCORED_SQL}
+    SELECT id_a, id_b, name_edit, score, decision FROM classified
+    """,
+)
+def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over a deterministically-dirtied customer
+    table: two blocking passes (exact phone; nation + mid-name digits
+    — each catches the typo class the other misses), block-size skew
+    cap {_ER_BLOCK_CAP}, then Fellegi-Sunter integer agreement weights
+    (name exact/fuzzy-2/disagree 24/16/-8, phone 30/-12, address
+    12/-4) classify candidates at >= {_ER_MATCH} match /
+    >= {_ER_POSSIBLE} possible. Levenshtein runs ONLY on blocked
+    candidates — never the cross product — and every weight is an
+    exact integer, so the whole classification is hash-checkable."""
+    return _er_scored(spark, sf_dir).select(
+        "id_a", "id_b", F.col("name_edit").cast("int").alias("name_edit"),
+        "score", "decision",
+    )
+
+
+@register(
+    "entity_resolution_eval",
+    oracle=f"""
+    WITH {_ER_SCORED_SQL},
+    truth AS (
+      SELECT count(*)::BIGINT AS n_truth FROM customer WHERE c_custkey % 5 = 0
+    ),
+    agg AS (
+      SELECT
+        count(*)::BIGINT AS n_candidates,
+        count_if(decision = 'match')::BIGINT AS n_match,
+        count_if(decision = 'possible')::BIGINT AS n_possible,
+        count_if(decision = 'match' AND ent_a = ent_b)::BIGINT AS tp,
+        count_if(decision = 'match' AND ent_a <> ent_b)::BIGINT AS fp
+      FROM classified
+    )
+    SELECT n_candidates, n_match, n_possible, tp, fp, n_truth,
+           CASE WHEN n_match > 0
+                THEN round(tp / n_match::DOUBLE, 6) + 0.0 END AS precision,
+           CASE WHEN n_truth > 0
+                THEN round(tp / n_truth::DOUBLE, 6) + 0.0 END AS recall
+    FROM agg CROSS JOIN truth
+    """,
+)
+def q_entity_resolution_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage quality against the synthesized truth (records sharing
+    an entity id): precision of the 'match' tier and recall against
+    all planted duplicates — one scalar row. The phone-typo variant
+    lands in 'possible' by design (agreement weights can't confirm a
+    pair on name+address alone), so recall at the match tier is the
+    honest blocking+scoring tradeoff, not 100%."""
+    scored = _er_scored(spark, sf_dir)
+    recs = _er_records(spark, sf_dir).select("rec_id", "entity")
+    j = (
+        scored.join(recs.withColumnRenamed("rec_id", "id_a").withColumnRenamed("entity", "ent_a"), "id_a")
+        .join(recs.withColumnRenamed("rec_id", "id_b").withColumnRenamed("entity", "ent_b"), "id_b")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    truth = cust.where(F.col("c_custkey") % 5 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count_if(F.col("decision") == "match").cast("long").alias("n_match"),
+        F.count_if(F.col("decision") == "possible").cast("long").alias("n_possible"),
+        F.count_if((F.col("decision") == "match") & (F.col("ent_a") == F.col("ent_b")))
+        .cast("long")
+        .alias("tp"),
+        F.count_if((F.col("decision") == "match") & (F.col("ent_a") != F.col("ent_b")))
+        .cast("long")
+        .alias("fp"),
+    )
+    return agg.crossJoin(F.broadcast(truth)).select(
+        "n_candidates", "n_match", "n_possible", "tp", "fp", "n_truth",
+        F.when(
+            F.col("n_match") > 0,
+            F.round(F.col("tp") / F.col("n_match"), 6) + F.lit(0.0),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("tp") / F.col("n_truth"), 6) + F.lit(0.0),
+        ).alias("recall"),
+    )
