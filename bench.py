@@ -276,6 +276,7 @@ HEADLINE = [
     "near_dup_link_prediction",
     # round-6 third wave: blocked entity resolution
     "customer_entity_resolution",
+    "knn_shapley_values",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1095,3 +1095,107 @@ def q_active_learning_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pool_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: exact KNN-Shapley data valuation (Jia et al. 2019, VLDB)
+# ---------------------------------------------------------------------------
+
+_KNN_SHAPLEY_K = 5
+
+# shared oracle CTE chain: probe set = vec_id < 8, train = the rest;
+# squared-euclidean rounded to 6 before ranking (engine-exact order),
+# suffix recursion as a running window over rank DESC, per-pair values
+# rounded to 8 (absorbs any sub-1e-10 fold-order drift of the window sum).
+_KNN_SHAPLEY_CTES = f"""
+    WITH q AS (
+      SELECT vec_id AS test_id, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 8
+    ), tr AS (
+      SELECT vec_id AS train_id, embedding AS dv, label AS dl
+      FROM embeddings WHERE vec_id >= 8
+    ), scored AS (
+      SELECT q.test_id, tr.train_id, (tr.dl = q.ql)::INT AS matches,
+        round(list_sum(list_transform(range(1, len(tr.dv) + 1),
+              i -> (tr.dv[i]::DOUBLE - q.qv[i]::DOUBLE)
+                 * (tr.dv[i]::DOUBLE - q.qv[i]::DOUBLE))), 6) AS d2
+      FROM tr CROSS JOIN q
+    ), ranked AS (
+      SELECT test_id, train_id, matches,
+        row_number() OVER (PARTITION BY test_id
+                           ORDER BY d2 ASC, train_id ASC) AS rank,
+        count(*) OVER (PARTITION BY test_id) AS n
+      FROM scored
+    ), step AS (
+      SELECT *,
+        CASE WHEN rank < n THEN
+          (matches - lead(matches) OVER (PARTITION BY test_id ORDER BY rank ASC))::DOUBLE
+          / greatest(rank, {_KNN_SHAPLEY_K})
+        ELSE 0.0 END AS delta,
+        max(CASE WHEN rank = n THEN matches END)
+          OVER (PARTITION BY test_id) AS m_last
+      FROM ranked
+    ), vals AS (
+      SELECT test_id, train_id, rank, matches,
+        round(m_last::DOUBLE / n
+              + sum(delta) OVER (PARTITION BY test_id ORDER BY rank DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              8) AS shapley
+      FROM step
+    )
+"""
+
+
+@register(
+    "knn_shapley_pairs",
+    oracle=_KNN_SHAPLEY_CTES
+    + """
+    SELECT test_id, train_id, rank, matches, shapley + 0.0 AS shapley
+    FROM vals
+    """,
+)
+def q_knn_shapley_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(test, train) KNN-Shapley contributions (Jia et al.
+    2019 closed form — reference has no data-valuation module; Spark-
+    native extension). One broadcast of the 8-probe set, distances
+    map-side, one shuffle-sort per probe, suffix recursion as a running
+    window — no subset enumeration, no Python loop."""
+    from datas_spark.operators import valuation as V
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_shapley_pairs(
+        emb.where("vec_id >= 8"),
+        emb.where("vec_id < 8"),
+        "vec_id",
+        "embedding",
+        "label",
+        k=_KNN_SHAPLEY_K,
+    )
+
+
+@register(
+    "knn_shapley_values",
+    oracle=_KNN_SHAPLEY_CTES
+    + """
+    SELECT train_id, count(*)::BIGINT AS n_tests,
+           round(list_sum(list(shapley ORDER BY test_id)) / count(*), 6) + 0.0
+             AS value
+    FROM vals GROUP BY train_id
+    """,
+)
+def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-point KNN-Shapley value: mean contribution over the
+    probe set, folded in explicit test_id order on both engines.
+    Negative-value points are the mislabeled/outlier removal candidates
+    — the data-valuation ranking a curation pass selects against."""
+    from datas_spark.operators import valuation as V
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_shapley_values(
+        emb.where("vec_id >= 8"),
+        emb.where("vec_id < 8"),
+        "vec_id",
+        "embedding",
+        "label",
+        k=_KNN_SHAPLEY_K,
+    )

@@ -185,6 +185,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "matryoshka_recall",               # two cosine_topk query-set broadcasts
         "lang_source_mi",                  # 1-row grand-total scalar
         "customer_t_closeness",            # 1-row quartile thresholds + grid×bucket scalars
+        "knn_shapley_pairs",               # broadcast 8-probe test set
+        "knn_shapley_values",              # same broadcast probe set
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
