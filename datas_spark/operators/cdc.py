@@ -1,0 +1,144 @@
+"""Change-data-capture operators: SCD Type-2 dimension history built,
+merged, and probed as pure window algebra.
+
+Why this exists at 100 TB: a large corpus's *metadata* tables — source
+catalogs, license states, crawl registries, per-domain quality labels —
+change daily while the fact data is append-only. Training pipelines
+need the dimension value THAT WAS TRUE at event time (point-in-time
+correctness — joining today's label onto last year's example is label
+leakage). The lakehouse answer is a Kimball Type-2 dimension: one row
+per (key, value-run) with a ``[valid_from, valid_to)`` interval, plus a
+MERGE that folds a change batch in without rewriting untouched keys.
+
+The reference engine (muyu42/DataS) scores flat snapshots only and has
+no dimension-history surface; this module extends the engine with the
+standard one. Everything here is expressible as windows partitioned by
+the dimension key — per-key history is small and bounded, so the
+windows never see a skewed global sort — and the MERGE touches only
+the keys present in the delta (a semi-join), never the full history.
+
+Exactness: run-collapse uses null-safe attribute comparison
+(``eqNullSafe``), and every ordering includes a unique sequence column
+so same-timestamp changes resolve deterministically — the property
+that lets the incremental MERGE be proven bit-identical to a full
+rebuild (see ``tests/test_cdc.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_from_changelog", "merge_scd2", "scd2_as_of"]
+
+_SCD_COLS = ("valid_from", "valid_to", "change_seq", "is_current")
+
+
+def _attrs_changed(attr_cols: list[str], w) -> Column:
+    """True when any attribute differs (null-safely) from the previous
+    change of the same key."""
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    return changed
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Collapse an append-only change log into SCD Type-2 history: one
+    row per (key, attribute-run) with ``valid_from`` = the run's first
+    change timestamp, ``valid_to`` = the next run's start (NULL while
+    open), ``is_current`` marking the open run, and ``change_seq``
+    carrying the run's opening sequence number (kept so a later
+    :func:`merge_scd2` can replay the history deterministically).
+
+    Consecutive changes with identical attributes collapse into one
+    run; ``seq_col`` must be unique per key so same-timestamp changes
+    order deterministically.
+
+    Scale shape: two windows, both partitioned by the key — per-key
+    history is bounded (a dimension key changes thousands of times,
+    not billions), so this never plans a global sort; the run-collapse
+    drops rows BEFORE the second window, so the lead() pass sees only
+    run openers.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, seq_col)
+    kept = (
+        changes.withColumn("__first", F.lag(seq_col).over(w).isNull())
+        .withColumn("__chg", _attrs_changed(attr_cols, w))
+        .where(F.col("__first") | F.col("__chg"))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, seq_col)
+    return kept.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.col(seq_col).cast("long").alias("change_seq"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_scd2(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """MERGE a change batch into existing SCD2 ``history`` (a frame
+    shaped like :func:`scd2_from_changelog` output). Only keys present
+    in the batch are touched: untouched keys pass through by anti-join,
+    touched keys have their history re-derived from (existing runs ∪
+    new changes), collapsing a batch row that merely repeats the key's
+    current attributes.
+
+    For IN-ORDER deltas (every batch change ≥ the key's last run start
+    — the normal daily-ingest case) the result is provably equal to a
+    full rebuild over the concatenated changelog (``tests/test_cdc.py``
+    asserts bit-identity), while shuffling only |touched keys| × |their
+    runs| rows — the 100 TB contract: a batch touching 0.1% of keys
+    costs 0.1% of the history, not a rewrite.
+
+    Late (out-of-order) changes are still handled deterministically —
+    the late change splits the interval it lands in and stays effective
+    until the NEXT RUN boundary. That is the run-view semantic: SCD2
+    compaction discards the instants of collapsed repeat-observations
+    inside a run, so no merge can know that the old value was re-seen
+    mid-run; rebuilding from the uncompacted log is the only way to
+    recover those (keep the log if you need exact late replay).
+    """
+    touched = changes.select(*key_cols).distinct()
+    untouched = history.join(touched, key_cols, "left_anti")
+    replay = history.join(touched, key_cols, "left_semi").select(
+        *key_cols,
+        *attr_cols,
+        F.col("valid_from").alias(ts_col),
+        F.col("change_seq").alias(seq_col),
+    )
+    rebuilt = scd2_from_changelog(
+        replay.unionByName(changes.select(*key_cols, *attr_cols, ts_col, seq_col)),
+        key_cols,
+        attr_cols,
+        ts_col,
+        seq_col,
+    )
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time snapshot: the one row per key whose interval
+    covers ``ts`` (``valid_from <= ts < valid_to``, open intervals
+    count). A pure filter — pushes to the scan, no shuffle — which is
+    the reason SCD2 beats audit-log replay at read time. ``ts`` may be
+    a Column or a plain literal of the interval type."""
+    t = ts if isinstance(ts, Column) else F.lit(ts)
+    return history.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

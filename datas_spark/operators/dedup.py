@@ -52,6 +52,7 @@ __all__ = [
     "MINHASH_A",
     "MINHASH_B",
     "MINHASH_P",
+    "minhash_band_plan",
     "exact_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",
@@ -2109,4 +2110,74 @@ def adamic_adar_link_prediction(
         score.alias("aa_score"),
     ).select(
         F.col("a").alias(src), F.col("b").alias(dst), "n_common", "aa_score"
+    )
+
+
+def minhash_band_plan(
+    spark,
+    n_perm: int = 128,
+    threshold: float = 0.7,
+    grid: int = 100,
+) -> DataFrame:
+    """LSH band planning: for every divisor split ``n_perm = b × r``,
+    the S-curve quality of banding a MinHash signature into ``b`` bands
+    of ``r`` rows — candidate probability ``p(s) = 1 − (1 − s^r)^b`` —
+    summarized as the false-positive mass below ``threshold`` and the
+    false-negative mass above it (rectangle rule over a ``grid``-step
+    similarity lattice), plus the curve's estimated inflection
+    ``(1/b)^(1/r)``.
+
+    This is the *planning* half of `minhash_lsh_pairs`: pick the (b, r)
+    minimizing the masses you care about BEFORE shuffling 100 TB into
+    band buckets — re-banding after the fact replays the whole corpus.
+    The frame is analytic (|divisors| × grid rows from `spark.range`),
+    so the only cost is arithmetic; both mass sums fold their grid
+    terms in index order (engine-identical accumulation).
+    """
+    divisors = [r for r in range(1, n_perm + 1) if n_perm % r == 0]
+    cand = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(r) for r in divisors])).alias("r"))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            (F.lit(n_perm) / F.col("r")).cast("long").alias("b"),
+        )
+    )
+    terms = cand.select(
+        "r",
+        "b",
+        F.explode(F.sequence(F.lit(0), F.lit(grid))).alias("i"),
+    ).select(
+        "r",
+        "b",
+        "i",
+        (F.col("i") / F.lit(float(grid))).alias("s"),
+    )
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    ds = F.lit(1.0 / grid)
+    terms = terms.select(
+        "r",
+        "b",
+        "i",
+        F.when(F.col("s") < F.lit(threshold), p * ds).otherwise(F.lit(0.0)).alias("fp_t"),
+        F.when(F.col("s") >= F.lit(threshold), (F.lit(1.0) - p) * ds)
+        .otherwise(F.lit(0.0))
+        .alias("fn_t"),
+    )
+
+    def _fold(term_col: str):
+        ordered = F.array_sort(F.collect_list(F.struct(F.col("i"), F.col(term_col))))
+        return F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x[term_col])
+
+    return (
+        terms.groupBy("r", "b")
+        .agg(_fold("fp_t").alias("__fp"), _fold("fn_t").alias("__fn"))
+        .select(
+            F.col("r").alias("rows_per_band"),
+            F.col("b").alias("bands"),
+            (F.round(F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r")), 6) + F.lit(0.0))
+            .alias("est_threshold"),
+            (F.round("__fp", 6) + F.lit(0.0)).alias("fp_mass"),
+            (F.round("__fn", 6) + F.lit(0.0)).alias("fn_mass"),
+        )
     )

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize", "part1by1", "morton_key", "zorder_write"]
+__all__ = [
+    "quantize",
+    "part1by1",
+    "morton_key",
+    "zorder_write",
+    "zone_minmax",
+    "zone_skipping_report",
+]
 
 # magic-number bit spreads for 16-bit -> 32-bit interleave
 _SPREAD = [
@@ -90,3 +97,99 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zone_minmax(
+    df: DataFrame,
+    layout_key_col: str,
+    zone_rows: int,
+    stat_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-zone min/max statistics under a WHAT-IF layout: as if the
+    table were rewritten sorted by ``layout_key_col`` into zones of
+    ``zone_rows`` rows (a zone models a parquet row-group / file whose
+    footer stats a scan prunes on). Returns
+    ``(zone, n_rows, min_<c>, max_<c> ...)``.
+
+    ``layout_key_col`` must be unique per row (compose the layout key
+    with a row id) so zone boundaries are deterministic.
+
+    Scale shape: the global rank comes from
+    ``selection.skew_resistant_rank`` — ONE balanced range exchange +
+    local sort, partition offsets from a tiny per-partition aggregate —
+    never a partition-less window over raw rows; the min/max roll-up is
+    a map-side-combinable groupBy on the zone id.
+    """
+    from datas_spark.operators.selection import skew_resistant_rank
+
+    ranked = skew_resistant_rank(
+        df.withColumn("__one", F.lit(1)), "__one", layout_key_col, num_partitions
+    )
+    zoned = ranked.withColumn(
+        "zone", F.floor((F.col("__rn") - F.lit(1)) / F.lit(zone_rows)).cast("long")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return zoned.groupBy("zone").agg(*aggs)
+
+
+def zone_skipping_report(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    zone_rows: int,
+    predicates: dict[str, tuple[float, float]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Data-skipping what-if: for each candidate physical layout (name →
+    unique sort-key Column), how many ``zone_rows``-row zones could a
+    scan with the conjunctive range ``predicates`` (col → [lo, hi])
+    skip on zone min/max stats alone, and how many rows ride along?
+
+    One summary row per layout: ``(layout, n_zones, n_zones_skipped,
+    n_rows_skipped, n_rows_matching)``. A zone is skippable when ANY
+    predicate column's zone range is disjoint from its [lo, hi] — the
+    exact rule parquet row-group pruning applies — and
+    ``n_rows_matching`` (layout-invariant) anchors the skip ratio
+    against the predicate's true selectivity.
+
+    This is the design tool for the 100 TB decision "sort by one
+    column or Z-order by two": run it on a sample, compare
+    ``n_zones_skipped`` across layouts, THEN pay for the rewrite
+    (`zorder_write`). Cost: one range exchange per candidate layout
+    over the (sampled) frame.
+    """
+    cols = list(predicates)
+    match = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        match = match & F.col(c).between(F.lit(lo), F.lit(hi))
+    # layout-invariant true selectivity, computed ONCE (tiny action)
+    n_match = df.where(match).count()
+    frames = []
+    for name, key in layouts.items():
+        zones = zone_minmax(
+            df.withColumn("__lk", key), "__lk", zone_rows, cols, num_partitions
+        )
+        skip = F.lit(False)
+        for c, (lo, hi) in predicates.items():
+            skip = skip | (F.col(f"max_{c}") < F.lit(lo)) | (F.col(f"min_{c}") > F.lit(hi))
+        frames.append(
+            zones.agg(
+                F.count(F.lit(1)).cast("long").alias("n_zones"),
+                F.sum(skip.cast("long")).cast("long").alias("n_zones_skipped"),
+                F.sum(F.when(skip, F.col("n_rows")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("n_rows_skipped"),
+            ).select(
+                F.lit(name).alias("layout"),
+                "n_zones",
+                "n_zones_skipped",
+                "n_rows_skipped",
+                F.lit(n_match).cast("long").alias("n_rows_matching"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -546,3 +546,4 @@ from datas_spark import registry_eval  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry_mlfeatures  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry_multimodal  # noqa: E402,F401  (isort: skip)
 from datas_spark import registry_dedup  # noqa: E402,F401  (isort: skip)
+from datas_spark import registry_cdc  # noqa: E402,F401  (isort: skip)

@@ -2805,3 +2805,47 @@ def q_entity_resolution_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tp") / F.col("n_truth"), 6) + F.lit(0.0),
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: LSH band planning (the S-curve, before the shuffle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "minhash_band_plan",
+    oracle="""
+    WITH rs AS (
+      SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS r
+    ), cand AS (
+      SELECT r::BIGINT AS r, (128 // r)::BIGINT AS b FROM rs
+    ), g AS (
+      SELECT unnest(range(0, 101)) AS i
+    ), terms AS (
+      SELECT r, b, i,
+             1 - pow(1 - pow(i / 100.0, r), b) AS p,
+             i / 100.0 AS s
+      FROM cand CROSS JOIN g
+    ), folds AS (
+      SELECT r, b,
+        list_sum(list(CASE WHEN s < 0.7 THEN p * 0.01 ELSE 0.0 END ORDER BY i))
+          AS fp,
+        list_sum(list(CASE WHEN s >= 0.7 THEN (1 - p) * 0.01 ELSE 0.0 END ORDER BY i))
+          AS fn
+      FROM terms GROUP BY r, b
+    )
+    SELECT r AS rows_per_band, b AS bands,
+           round(pow(1.0 / b, 1.0 / r), 6) + 0.0 AS est_threshold,
+           round(fp, 6) + 0.0 AS fp_mass,
+           round(fn, 6) + 0.0 AS fn_mass
+    FROM folds
+    """,
+)
+def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band planning (`dedup.minhash_band_plan`): the S-curve
+    false-positive/false-negative masses at threshold 0.7 for every
+    divisor split of a 128-perm MinHash signature, plus each curve's
+    estimated inflection (1/b)^(1/r). Run this BEFORE banding 100 TB —
+    re-banding replays the corpus; the frame itself is analytic
+    (8 divisors x 101 grid points) and both mass sums are ordered
+    folds (engine-identical accumulation)."""
+    return D.minhash_band_plan(spark, n_perm=128, threshold=0.7, grid=100)

@@ -338,6 +338,104 @@ def q_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZW_BITS = 14  # 14-bit cells: morton < 2^28, composite key fits long
+_ZW_CELLS = (1 << _ZW_BITS) - 1
+_ZW_STEP = (500.0 - 0.0) / _ZW_CELLS
+_ZW_ROWS = 500  # what-if zone size (models a parquet row-group)
+_ZW_SHIFT = 1 << 31  # event_id tie-break lane (ids < 2^31)
+
+# the part1by1 mask ladder as SQL: step1 = v & 0xFFFF;
+# step2 = (step1 | step1<<8) & 0x00FF00FF; out = (step2 | step2<<4) & 0x0F0F0F0F
+_P1B1_STEP2 = "((({v} & 65535) | (({v} & 65535) << 8)) & 16711935)"
+_P1B1 = f"(({_P1B1_STEP2} | ({_P1B1_STEP2} << 4)) & 252645135)"
+
+
+def _p1b1_sql(v: str, out: str) -> str:
+    return f"{_P1B1.format(v=v)} AS {out}"
+
+
+@register(
+    "layout_skipping_whatif",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT value, user_id, event_id,
+        greatest(0, least({_ZW_CELLS}, floor(value / {_ZW_STEP!r})))::BIGINT AS vc,
+        greatest(0, least({_ZW_CELLS}, user_id))::BIGINT AS uc
+      FROM events
+    ), spread AS (
+      SELECT value, user_id, event_id, vc, uc,
+        {_p1b1_sql('vc', 'x2')}, {_p1b1_sql('uc', 'y2')}
+      FROM keyed
+    ), spread2 AS (
+      SELECT value, user_id, event_id, vc,
+        ((x2 | (x2 << 2)) & 858993459) AS x3,
+        ((y2 | (y2 << 2)) & 858993459) AS y3
+      FROM spread
+    ), zkeyed AS (
+      SELECT value, user_id, event_id, vc,
+        (((x3 | (x3 << 1)) & 1431655765)
+         | ((((y3 | (y3 << 1)) & 1431655765)) << 1)) AS zk
+      FROM spread2
+    ), layouts AS (
+      SELECT 'natural' AS layout, event_id AS lk, value, user_id FROM zkeyed
+      UNION ALL
+      SELECT 'sort_value', vc * {_ZW_SHIFT} + event_id, value, user_id FROM zkeyed
+      UNION ALL
+      SELECT 'zorder', zk * {_ZW_SHIFT} + event_id, value, user_id FROM zkeyed
+    ), ranked AS (
+      SELECT layout, value, user_id,
+             row_number() OVER (PARTITION BY layout ORDER BY lk) AS rn
+      FROM layouts
+    ), zones AS (
+      SELECT layout, (rn - 1) // {_ZW_ROWS} AS zone,
+             count(*) AS n_rows,
+             min(value) AS minv, max(value) AS maxv,
+             min(user_id) AS minu, max(user_id) AS maxu
+      FROM ranked GROUP BY 1, 2
+    ), m AS (
+      SELECT count(*)::BIGINT AS n_rows_matching FROM events
+      WHERE value BETWEEN 100 AND 120 AND user_id BETWEEN 40 AND 60
+    )
+    SELECT layout,
+           count(*)::BIGINT AS n_zones,
+           sum((maxv < 100 OR minv > 120 OR maxu < 40 OR minu > 60)::INT)::BIGINT
+             AS n_zones_skipped,
+           sum(CASE WHEN maxv < 100 OR minv > 120 OR maxu < 40 OR minu > 60
+                    THEN n_rows ELSE 0 END)::BIGINT AS n_rows_skipped,
+           n_rows_matching
+    FROM zones CROSS JOIN m
+    GROUP BY layout, n_rows_matching
+    """,
+)
+def q_layout_skipping_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping what-if (`layout.zone_skipping_report`): would a
+    scan with `value BETWEEN 100 AND 120 AND user_id BETWEEN 40 AND 60`
+    prune more 500-row zones if events were laid out in natural order,
+    range-sorted on value, or Z-ordered on (value, user_id)? Zone
+    min/max stats model parquet row-group footers; the global what-if
+    rank is the skew-resistant range-exchange mint (no partition-less
+    window). The 100 TB design tool you run on a sample BEFORE paying
+    for the table rewrite."""
+    ev = read_table(spark, sf_dir, "events")
+    vc = LAY.quantize(F.col("value"), 0.0, 500.0, bits=_ZW_BITS)
+    uc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(_ZW_CELLS).cast("long"), F.col("user_id")),
+    )
+    shift = F.lit(_ZW_SHIFT).cast("long")
+    layouts = {
+        "natural": F.col("event_id").cast("long"),
+        "sort_value": vc * shift + F.col("event_id"),
+        "zorder": LAY.morton_key(vc, uc) * shift + F.col("event_id"),
+    }
+    return LAY.zone_skipping_report(
+        ev,
+        layouts,
+        zone_rows=_ZW_ROWS,
+        predicates={"value": (100.0, 120.0), "user_id": (40, 60)},
+    )
+
+
 # ---------------------------------------------------------------------------
 # profiling — key skew diagnostics
 # ---------------------------------------------------------------------------

@@ -1,0 +1,135 @@
+"""SCD Type-2 CDC operators: build, incremental MERGE == full rebuild,
+point-in-time snapshot."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datas_spark.operators import cdc as CDC
+
+KEYS = ["k"]
+ATTRS = ["a", "b"]
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts timestamp, seq long, a string, b int")
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    d = datetime
+    return _log(
+        spark,
+        [
+            # key 1: run-collapse (two identical consecutive changes),
+            # then a flip, then a flip back
+            (1, d(2020, 1, 1), 1, "x", 10),
+            (1, d(2020, 2, 1), 2, "x", 10),
+            (1, d(2020, 3, 1), 3, "y", 10),
+            (1, d(2020, 4, 1), 4, "x", 10),
+            # key 2: single change — stays current forever
+            (2, d(2020, 1, 15), 5, "z", None),
+            # key 3: same-timestamp changes resolved by seq; NULL attr
+            # transitions are null-safe
+            (3, d(2020, 5, 1), 6, None, 1),
+            (3, d(2020, 5, 1), 7, "w", 1),
+            (3, d(2020, 6, 1), 8, "w", None),
+        ],
+    )
+
+
+def _sorted(df):
+    return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+
+def test_scd2_build_runs_and_intervals(spark, changelog):
+    scd = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    rows = {(r["k"], r["change_seq"]): r for r in scd.collect()}
+    # key 1: seq 2 collapsed into seq 1's run
+    assert set(k for k in rows) == {(1, 1), (1, 3), (1, 4), (2, 5), (3, 6), (3, 7), (3, 8)}
+    r11 = rows[(1, 1)]
+    assert r11["valid_from"] == datetime(2020, 1, 1)
+    assert r11["valid_to"] == datetime(2020, 3, 1) and not r11["is_current"]
+    assert rows[(1, 4)]["is_current"] and rows[(1, 4)]["valid_to"] is None
+    # key 2: one open run
+    assert rows[(2, 5)]["is_current"]
+    # key 3: same-ts runs ordered by seq -> first closes AT the same ts
+    assert rows[(3, 6)]["valid_to"] == datetime(2020, 5, 1)
+    assert rows[(3, 8)]["b"] is None and rows[(3, 8)]["is_current"]
+
+
+def test_intervals_tile_per_key(spark, changelog):
+    scd = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    for k in (1, 2, 3):
+        runs = sorted(
+            scd.where(F.col("k") == k).collect(), key=lambda r: r["change_seq"]
+        )
+        assert sum(r["is_current"] for r in runs) == 1
+        for prev, nxt in zip(runs, runs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+
+
+@pytest.mark.parametrize("cut", [datetime(2020, 2, 15), datetime(2020, 5, 1)])
+def test_merge_equals_full_rebuild(spark, changelog, cut):
+    full = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    hist = CDC.scd2_from_changelog(
+        changelog.where(F.col("ts") < F.lit(cut)), KEYS, ATTRS, "ts", "seq"
+    )
+    merged = CDC.merge_scd2(
+        hist, changelog.where(F.col("ts") >= F.lit(cut)), KEYS, ATTRS, "ts", "seq"
+    )
+    assert _sorted(merged.select(*full.columns)) == _sorted(full)
+
+
+def test_merge_late_data_splits_interval(spark, changelog):
+    """A late change landing INSIDE an existing interval splits it and
+    stays effective until the NEXT RUN boundary (run-view semantics:
+    the repeat-observation at 2020-02-01 was collapsed into run 1, so
+    the merge cannot — by design — resurrect it; see merge_scd2's
+    docstring)."""
+    late = _log(spark, [(1, datetime(2020, 1, 20), 99, "late", 10)])
+    hist = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    merged = CDC.merge_scd2(hist, late, KEYS, ATTRS, "ts", "seq")
+    k1 = {r["change_seq"]: r for r in merged.where(F.col("k") == 1).collect()}
+    assert k1[1]["valid_to"] == datetime(2020, 1, 20)
+    # effective until the next surviving run boundary (2020-03-01),
+    # NOT the collapsed 2020-02-01 observation
+    assert k1[99]["a"] == "late" and k1[99]["valid_to"] == datetime(2020, 3, 1)
+    # intervals still tile per key and exactly one run is current
+    runs = sorted(
+        merged.where(F.col("k") == 1).collect(), key=lambda r: (r["valid_from"], r["change_seq"])
+    )
+    assert sum(r["is_current"] for r in runs) == 1
+    for prev, nxt in zip(runs, runs[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]
+
+
+def test_merge_touches_only_delta_keys(spark, changelog):
+    hist = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    delta = _log(spark, [(2, datetime(2021, 1, 1), 100, "z2", 5)])
+    merged = CDC.merge_scd2(hist, delta, KEYS, ATTRS, "ts", "seq")
+    # untouched keys bit-identical
+    assert _sorted(merged.where(F.col("k") != 2)) == _sorted(
+        hist.where(F.col("k") != 2)
+    )
+    k2 = sorted(merged.where(F.col("k") == 2).collect(), key=lambda r: r["change_seq"])
+    assert [r["a"] for r in k2] == ["z", "z2"]
+    assert k2[0]["valid_to"] == datetime(2021, 1, 1) and k2[1]["is_current"]
+
+
+def test_merge_repeat_of_current_collapses(spark, changelog):
+    """A delta row repeating the key's current attrs adds NO run."""
+    hist = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    delta = _log(spark, [(2, datetime(2021, 1, 1), 100, "z", None)])
+    merged = CDC.merge_scd2(hist, delta, KEYS, ATTRS, "ts", "seq")
+    assert _sorted(merged) == _sorted(hist)
+
+
+def test_as_of_snapshot(spark, changelog):
+    scd = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    snap = CDC.scd2_as_of(scd, F.lit("2020-03-15").cast("timestamp"))
+    got = {r["k"]: (r["a"], r["b"]) for r in snap.collect()}
+    assert got == {1: ("y", 10), 2: ("z", None)}  # key 3 not yet born
+    # exactly one row per present key at any probe instant
+    assert snap.groupBy("k").count().where("count > 1").count() == 0

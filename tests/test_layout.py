@@ -114,3 +114,44 @@ def test_zorder_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
 
     # round-trip: clustering must not lose or duplicate rows
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_zone_skipping_report_hand_example(spark):
+    """8 rows, 2-row zones: sorted-by-x layout skips zones the natural
+    layout cannot."""
+    from datas_spark.operators.layout import zone_skipping_report
+
+    # natural order interleaves x so every 2-row zone straddles the
+    # predicate range; sorted by x isolates it into one zone
+    rows = [(i, x) for i, x in enumerate([10, 1, 11, 2, 12, 3, 13, 4])]
+    df = spark.createDataFrame(rows, "rid long, x long")
+    rep = zone_skipping_report(
+        df,
+        layouts={
+            "natural": F.col("rid"),
+            "sort_x": F.col("x") * 100 + F.col("rid"),
+        },
+        zone_rows=2,
+        predicates={"x": (1, 2)},
+        num_partitions=2,
+    )
+    got = {r["layout"]: r for r in rep.collect()}
+    assert got["natural"]["n_zones"] == 4 and got["sort_x"]["n_zones"] == 4
+    # natural zones: {10,1},{11,2},{12,3},{13,4} -> only {12,3},{13,4} skippable
+    assert got["natural"]["n_zones_skipped"] == 2
+    # sorted zones: {1,2},{3,4},{10,11},{12,13} -> all but the first skip
+    assert got["sort_x"]["n_zones_skipped"] == 3
+    assert got["sort_x"]["n_rows_skipped"] == 6
+    for r in got.values():
+        assert r["n_rows_matching"] == 2
+
+
+def test_zone_minmax_covers_all_rows(spark):
+    from datas_spark.operators.layout import zone_minmax
+
+    df = spark.range(103).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    zones = zone_minmax(df, "k", 10, ["v"], num_partitions=3).collect()
+    assert sum(r["n_rows"] for r in zones) == 103
+    assert sorted(r["zone"] for r in zones) == list(range(11))
+    # every zone but the tail holds exactly zone_rows rows
+    assert all(r["n_rows"] == 10 for r in zones if r["zone"] < 10)
