@@ -1354,3 +1354,87 @@ def semantic_decontamination_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD Type-2: dimension history maintained per micro-batch
+# ---------------------------------------------------------------------------
+
+def scd2_sink(
+    stream: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    checkpoint_path: str,
+):
+    """Streaming SCD Type-2 dimension maintenance: every micro-batch of
+    change events is MERGEd into the durable history with
+    `cdc.merge_scd2` (touched keys replayed, untouched pass through),
+    and the FULL post-merge table lands in the batch's own ``__batch``
+    partition — a fold-every-batch versioned store, the same watermark
+    scheme the CMS/trending sinks use for compaction, degenerate case
+    "every batch folds". Dimensions are small relative to facts, so
+    rewriting the table per batch is the honest cost of a table whose
+    rows MUTATE (intervals close); the append-only partition tricks of
+    the dedup sinks don't apply.
+
+    Crash safety: the fold marker (`batch-<B>-fold`) is written only
+    after the batch's full-state partition is complete, and readers
+    (`scd2_state`) resolve ONLY the newest fold partition — a replayed
+    batch re-merges against the previous fold (its own half-written
+    partition is never the watermark) and overwrites its partition
+    idempotently. MERGE itself is idempotent by algebra: re-merging
+    already-applied changes collapses them as repeat observations.
+
+    In-order contract per key (batch N's changes >= the key's last run
+    start) gives bit-identity with a batch rebuild over the full log;
+    late changes degrade gracefully to merge_scd2's documented run-view
+    semantics.
+    """
+    from datas_spark.operators.cdc import merge_scd2, scd2_from_changelog
+
+    store_path = state_path + "/scd2"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, state_path, batch_id):
+            return
+        changes = batch_df.select(*key_cols, *attr_cols, ts_col, seq_col)
+        _, watermark = _committed_state(spark, state_path)
+        prior = None
+        if watermark >= 0:
+            store = _read_store(spark, store_path)
+            if store is not None:
+                prior = store.where(F.col("__batch") == watermark).drop("__batch")
+        if prior is None:
+            merged = scd2_from_changelog(changes, key_cols, attr_cols, ts_col, seq_col)
+        else:
+            merged = merge_scd2(prior, changes, key_cols, attr_cols, ts_col, seq_col)
+        # pin ONE materialization: the write below must not re-read the
+        # store partition it is about to supersede through live lineage
+        merged = merged.localCheckpoint(eager=True)
+        _write_batch_partition(merged, batch_id, store_path)
+        _commit_batch_fold(spark, state_path, batch_id)
+        _compact_batch_partitions(spark, store_path, keep_from=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_state(spark, state_path: str) -> DataFrame | None:
+    """Current SCD2 table from a `scd2_sink` store: the newest
+    committed fold partition, or ``None`` before the first commit.
+    Compose with `cdc.scd2_as_of` for point-in-time reads."""
+    _, watermark = _committed_state(spark, state_path)
+    if watermark < 0:
+        return None
+    store = _read_store(spark, state_path + "/scd2")
+    if store is None:
+        return None
+    return store.where(F.col("__batch") == watermark).drop("__batch")

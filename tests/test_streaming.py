@@ -1181,7 +1181,75 @@ def _data_quarantine(i):
     ]
 
 
+def _drill_scd2(spark, src, root):
+    from datas_spark.streaming.scoring import scd2_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("k bigint, ts bigint, seq bigint, a string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = scd2_sink(
+        stream, root + "/state", ["k"], ["a"], "ts", "seq", root + "/ckpt"
+    )
+    q.awaitTermination(120)
+
+
+def _state_scd2(spark, root):
+    from datas_spark.streaming.scoring import scd2_state
+
+    scd = scd2_state(spark, root + "/state")
+    assert scd is not None
+    return sorted(
+        (r.k, r.a, r.valid_from, r.valid_to, r.change_seq, r.is_current)
+        for r in scd.collect()
+    )
+
+
+def _data_scd2(i):
+    # key 1 flips value every batch; key 2 repeats the same value
+    # (collapses to ONE run across all batches); key 3 appears late
+    rows = [
+        {"k": 1, "ts": 100 + 10 * i, "seq": 10 * i + 1, "a": f"v{i}"},
+        {"k": 2, "ts": 100 + 10 * i, "seq": 10 * i + 2, "a": "const"},
+    ]
+    if i == 2:
+        rows.append({"k": 3, "ts": 130, "seq": 99, "a": "born"})
+    return rows
+
+
+def test_scd2_sink_state_shape(spark, tmp_path):
+    """Cross-batch semantics: a key flipping per batch grows one run per
+    flip; a key repeating its value collapses to ONE run spanning all
+    batches; exactly one run per key is current."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "src"); _os.makedirs(src)
+    root = str(tmp_path / "root")
+    for i in range(3):
+        with open(_os.path.join(src, f"f{i}.json"), "w") as fh:
+            for row in _data_scd2(i):
+                fh.write(_json.dumps(row) + "\n")
+    _drill_scd2(spark, src, root)
+
+    from datas_spark.streaming.scoring import scd2_state
+
+    scd = scd2_state(spark, root + "/state")
+    by_key = {}
+    for r in scd.collect():
+        by_key.setdefault(r.k, []).append(r)
+    assert len(by_key[1]) == 3  # v0 -> v1 -> v2
+    assert len(by_key[2]) == 1  # const collapses across batches
+    assert by_key[2][0].valid_from == 100 and by_key[2][0].is_current
+    assert len(by_key[3]) == 1 and by_key[3][0].a == "born"
+    for k, runs in by_key.items():
+        assert sum(r.is_current for r in runs) == 1
+
+
 _RESTART_DRILLS = [
+    ("scd2", _drill_scd2, _state_scd2, _data_scd2),
     ("neardup", _drill_neardup, _state_neardup, _data_neardup),
     ("hll", _drill_hll, _state_hll, _data_hll),
     ("cms", _drill_cms, _state_cms, _data_cms),
