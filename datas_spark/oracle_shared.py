@@ -6,9 +6,40 @@ without re-entering `datas_spark.registry` mid-import.
 
 from __future__ import annotations
 
+from datas_spark.functions import text as _T
 from datas_spark.operators import dedup as D
 
-__all__ = ["minhash_oracle", "NEAR_DEDUP_RESOLVE_ORACLE"]
+__all__ = ["minhash_oracle", "NEAR_DEDUP_RESOLVE_ORACLE", "LANG_ORACLE"]
+
+_LANG_COUNTS_SQL = {
+    lang: (
+        r"len(list_filter(string_split_regex(trim(text), '\s+'), "
+        f"t -> lower(t) IN ({', '.join(repr(s) for s in stops)})))"
+    )
+    for lang, stops in _T._STOPWORDS.items()
+}
+
+# batch-1 shared oracle (language_id and its downstream eval queries);
+# lives here so registry_eval / registry_similarity can import it
+# without re-entering the registry import chain (the circular-import
+# trap this module exists to break)
+LANG_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id,
+        {_LANG_COUNTS_SQL['en']} AS c_en,
+        {_LANG_COUNTS_SQL['es']} AS c_es,
+        {_LANG_COUNTS_SQL['fr']} AS c_fr,
+        {_LANG_COUNTS_SQL['de']} AS c_de
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+           WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+           WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+           WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+           ELSE 'de' END AS lang_guess
+    FROM c
+"""
 
 
 def minhash_oracle(num_hashes: int = 16, shingle_n: int = 3) -> str:

@@ -295,31 +295,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.token_count("text").cast("long").alias("n_tokens"))
 
 
-_LANG_COUNTS_SQL = {
-    lang: (
-        r"len(list_filter(string_split_regex(trim(text), '\s+'), "
-        f"t -> lower(t) IN ({', '.join(repr(s) for s in stops)})))"
-    )
-    for lang, stops in T._STOPWORDS.items()
-}
-
-_LANG_ORACLE = f"""
-    WITH c AS (
-      SELECT doc_id,
-        {_LANG_COUNTS_SQL['en']} AS c_en,
-        {_LANG_COUNTS_SQL['es']} AS c_es,
-        {_LANG_COUNTS_SQL['fr']} AS c_fr,
-        {_LANG_COUNTS_SQL['de']} AS c_de
-      FROM documents
-    )
-    SELECT doc_id,
-      CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
-           WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
-           WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
-           WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
-           ELSE 'de' END AS lang_guess
-    FROM c
-"""
+# moved to the LEAF oracle_shared module (circular-import fix: a test
+# importing registry_similarity first would re-enter this module
+# mid-chain); the alias keeps old imports working
+from datas_spark.oracle_shared import LANG_ORACLE as _LANG_ORACLE  # noqa: E402
 
 
 @register("language_id", oracle=_LANG_ORACLE)

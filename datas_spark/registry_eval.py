@@ -632,7 +632,7 @@ from datas_spark.functions import text as T
 from datas_spark.io.sources import read_table
 from datas_spark.operators import evalmetrics as EM
 from datas_spark.registry_core import register
-from datas_spark.registry_similarity import _LANG_ORACLE
+from datas_spark.oracle_shared import LANG_ORACLE as _LANG_ORACLE
 
 _EVAL_CUT = "2024-01-16"
 _EVAL_K = 5
@@ -931,7 +931,7 @@ from datas_spark.io.sources import read_table
 from datas_spark.operators import evalmetrics as EM
 from datas_spark.operators.scoring import hash_unit_interval
 from datas_spark.operators.selection import least_confidence_sampling
-from datas_spark.registry_similarity import _LANG_ORACLE
+from datas_spark.oracle_shared import LANG_ORACLE as _LANG_ORACLE
 from datas_spark.registry_core import register
 
 _AL_K = 25

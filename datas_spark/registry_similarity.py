@@ -733,7 +733,7 @@ from datas_spark.functions import text as T
 from datas_spark.io.sources import read_table
 from datas_spark.operators.clustering import random_projection
 from datas_spark.operators.similarity import random_hyperplanes
-from datas_spark.registry import _LANG_ORACLE  # batch-1 shared oracle
+from datas_spark.oracle_shared import LANG_ORACLE as _LANG_ORACLE  # leaf module (no chain re-entry)
 from datas_spark.registry_core import register
 
 _RP_K = 8
