@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "quarantine", "k_anonymity", "l_diversity"]
+__all__ = ["expect", "quarantine", "k_anonymity", "l_diversity", "suggest_constraints"]
 
 
 def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -260,3 +260,94 @@ def t_closeness(
             6,
         ).alias("at_risk_pct"),
     )
+
+
+def suggest_constraints(
+    df: DataFrame,
+    cols: list[str],
+    isin_cols: list[str] | None = None,
+    isin_max: int = 25,
+) -> DataFrame:
+    """Constraint SUGGESTION (the Deequ/`expect` authoring loop run in
+    reverse): profile each column in ONE wide aggregate and emit the
+    rules the data currently satisfies — ``not_null`` when no NULLs,
+    ``unique`` when every non-NULL value is distinct, ``range[lo,hi]``
+    for numeric columns, ``isin[v1,...]`` for DECLARED low-cardinality
+    columns under ``isin_max`` distinct values. One row per column:
+    ``(col_name, n_rows, n_nulls, n_distinct, rules)`` with ``rules`` a
+    deterministic '; '-joined string, ready to be reviewed and frozen
+    into an `expect` gate.
+
+    ``isin_cols`` is an explicit declaration, not an inference: a
+    value-set suggestion needs ``collect_set``, which is unbounded on a
+    high-cardinality column — at 100 TB you never collect the distinct
+    set of an id column to decide it isn't categorical. Everything
+    else (counts, distinct counts, min/max) is a single scan;
+    ``count_distinct`` over several columns expands the aggregate
+    (one Expand pass), still one shuffle.
+    """
+    isin_cols = isin_cols or []
+    unknown = set(isin_cols) - set(cols)
+    if unknown:
+        raise ValueError(f"isin_cols not in cols: {sorted(unknown)}")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    for c in isin_cols:
+        aggs.append(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col(c).cast("string"))), ","
+            ).alias(f"__set_{c}")
+        )
+    wide = df.agg(*aggs)
+
+    rows = []
+    for c in cols:
+        nn, nd = F.col(f"__nn_{c}"), F.col(f"__nd_{c}")
+        parts = [
+            F.when(F.col("__n") == nn, F.lit("not_null")),
+            F.when((nd == nn) & (nn > 0), F.lit("unique")),
+        ]
+        if c in isin_cols:
+            parts.append(
+                F.when(
+                    nd <= F.lit(isin_max),
+                    F.concat(F.lit("isin["), F.col(f"__set_{c}"), F.lit("]")),
+                )
+            )
+        if c in numeric:
+            parts.append(
+                F.when(
+                    nn > 0,
+                    F.concat(
+                        F.lit("range["),
+                        F.col(f"__min_{c}"),
+                        F.lit(","),
+                        F.col(f"__max_{c}"),
+                        F.lit("]"),
+                    ),
+                )
+            )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - nn).alias("n_nulls"),
+                nd.alias("n_distinct"),
+                F.array_join(
+                    F.filter(F.array(*parts), lambda x: x.isNotNull()), "; "
+                ).alias("rules"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("__s")).select("__s.*")

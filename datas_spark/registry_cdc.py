@@ -127,3 +127,56 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = CDC.scd2_as_of(scd, F.lit("1995-06-30").cast("timestamp"))
     return snap.select("custkey", "priority", "status", "valid_from", "change_seq")
+
+
+@register(
+    "scd2_pit_enrich",
+    oracle=f"""
+    WITH {_SCD2_CORE},
+    probe AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             o_orderdate - INTERVAL 30 DAY AS asof_ts
+      FROM orders
+    )
+    SELECT p.o_orderkey, p.custkey, p.asof_ts,
+           s.priority AS prio_asof, s.status AS status_asof
+    FROM probe p
+    LEFT JOIN scd s
+      ON p.custkey = s.custkey
+     AND s.valid_from <= p.asof_ts
+     AND (s.valid_to IS NULL OR s.valid_to > p.asof_ts)
+    """,
+)
+def q_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time FEATURE join — the feature-store read pattern that
+    prevents label leakage: every order fetches its customer's
+    dimension values as they were 30 days BEFORE the order (probing at
+    event time would be leakage-adjacent; probing before it is the
+    honest training feature). Plan shape: equi-join on the dimension
+    key with the interval containment as a residual join filter —
+    disjoint intervals guarantee ≤ 1 match, and orders before a key's
+    first run keep NULL features via the left join. At 100 TB the
+    dimension side is the small one: broadcast it."""
+    scd = CDC.scd2_from_changelog(
+        _changelog(spark, sf_dir), _KEYS, _ATTRS, "ts", "seq"
+    )
+    dim = scd.select(
+        F.col("custkey").alias("__ck"),
+        F.col("priority").alias("prio_asof"),
+        F.col("status").alias("status_asof"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.expr("o_orderdate - INTERVAL 30 DAYS").alias("asof_ts"),
+    )
+    j = probe.join(
+        dim,
+        (F.col("custkey") == F.col("__ck"))
+        & (F.col("valid_from") <= F.col("asof_ts"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("asof_ts"))),
+        "left",
+    )
+    return j.select("o_orderkey", "custkey", "asof_ts", "prio_asof", "status_asof")

@@ -2379,3 +2379,73 @@ def q_customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey"), band.alias("bal_band")
     )
     return t_closeness(banded, ["c_nationkey"], "bal_band", t_num=1, t_den=5)
+
+
+# ---------------------------------------------------------------------------
+# round 6: constraint suggestion (the expect-gate authoring loop)
+# ---------------------------------------------------------------------------
+
+@register(
+    "documents_constraint_suggestions",
+    oracle="""
+    WITH w AS (
+      SELECT count(*)::BIGINT AS n,
+        count(doc_id)::BIGINT AS nn_id, count(DISTINCT doc_id)::BIGINT AS nd_id,
+        min(doc_id)::VARCHAR AS min_id, max(doc_id)::VARCHAR AS max_id,
+        count(lang)::BIGINT AS nn_lang, count(DISTINCT lang)::BIGINT AS nd_lang,
+        array_to_string(list_sort(list(DISTINCT lang)), ',') AS set_lang,
+        count(source)::BIGINT AS nn_src, count(DISTINCT source)::BIGINT AS nd_src,
+        array_to_string(list_sort(list(DISTINCT source)), ',') AS set_src,
+        count(n_chars)::BIGINT AS nn_nc, count(DISTINCT n_chars)::BIGINT AS nd_nc,
+        min(n_chars)::VARCHAR AS min_nc, max(n_chars)::VARCHAR AS max_nc
+      FROM documents
+    )
+    SELECT 'doc_id' AS col_name, n AS n_rows, n - nn_id AS n_nulls,
+           nd_id AS n_distinct,
+           concat_ws('; ',
+             CASE WHEN n = nn_id THEN 'not_null' END,
+             CASE WHEN nd_id = nn_id AND nn_id > 0 THEN 'unique' END,
+             CASE WHEN nn_id > 0
+                  THEN concat('range[', min_id, ',', max_id, ']') END) AS rules
+    FROM w
+    UNION ALL
+    SELECT 'lang', n, n - nn_lang, nd_lang,
+           concat_ws('; ',
+             CASE WHEN n = nn_lang THEN 'not_null' END,
+             CASE WHEN nd_lang = nn_lang AND nn_lang > 0 THEN 'unique' END,
+             CASE WHEN nd_lang <= 25 THEN concat('isin[', set_lang, ']') END)
+    FROM w
+    UNION ALL
+    SELECT 'source', n, n - nn_src, nd_src,
+           concat_ws('; ',
+             CASE WHEN n = nn_src THEN 'not_null' END,
+             CASE WHEN nd_src = nn_src AND nn_src > 0 THEN 'unique' END,
+             CASE WHEN nd_src <= 25 THEN concat('isin[', set_src, ']') END)
+    FROM w
+    UNION ALL
+    SELECT 'n_chars', n, n - nn_nc, nd_nc,
+           concat_ws('; ',
+             CASE WHEN n = nn_nc THEN 'not_null' END,
+             CASE WHEN nd_nc = nn_nc AND nn_nc > 0 THEN 'unique' END,
+             CASE WHEN nn_nc > 0
+                  THEN concat('range[', min_nc, ',', max_nc, ']') END)
+    FROM w
+    """,
+)
+def q_documents_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (`validate.suggest_constraints`) over the
+    documents table: ONE wide aggregate profiles every column and emits
+    the rules the data satisfies today (not_null / unique / declared
+    isin sets / numeric ranges) — the authoring loop that freezes into
+    an `expect` ingest gate. isin sets are collected only for DECLARED
+    categorical columns (lang, source): at 100 TB you never collect_set
+    an id column to discover it isn't categorical."""
+    from datas_spark.operators.validate import suggest_constraints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return suggest_constraints(
+        docs,
+        ["doc_id", "lang", "source", "n_chars"],
+        isin_cols=["lang", "source"],
+        isin_max=25,
+    )

@@ -1438,3 +1438,49 @@ def scd2_state(spark, state_path: str) -> DataFrame | None:
     if store is None:
         return None
     return store.where(F.col("__batch") == watermark).drop("__batch")
+
+
+def enrich_stream_scd2(
+    stream: DataFrame,
+    scd2_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str] | None = None,
+):
+    """Stream-static point-in-time enrichment: each event joins the
+    SCD2 dimension run covering its EVENT TIME (``valid_from <= ts <
+    valid_to``), not the dimension's latest value — the streaming twin
+    of the batch `scd2_pit_enrich` query and the operational fix for
+    train/serve skew: a replayed event is enriched with the same
+    dimension values it would have seen live.
+
+    Plan shape: stream-static equi-join on the dimension key with the
+    interval containment as a residual condition; disjoint runs
+    guarantee ≤ 1 match per event (left join keeps pre-history events
+    with NULL attributes). Feed ``scd2_df`` from `scd2_state` (the
+    sink's newest fold) or any SCD2 parquet; Spark re-reads static
+    sides per micro-batch, so a freshly-folded dimension is picked up
+    on the next trigger.
+    """
+    dim_cols = attr_cols or [
+        c
+        for c in scd2_df.columns
+        if c not in set(key_cols) | {"valid_from", "valid_to", "change_seq", "is_current"}
+    ]
+    dim = scd2_df.select(
+        *[F.col(k).alias(f"__dim_{k}") for k in key_cols],
+        *dim_cols,
+        "valid_from",
+        "valid_to",
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (stream[k] == F.col(f"__dim_{k}"))
+    cond = (
+        cond
+        & (F.col("valid_from") <= stream[ts_col])
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > stream[ts_col]))
+    )
+    return stream.join(dim, cond, "left").drop(
+        *[f"__dim_{k}" for k in key_cols], "valid_from", "valid_to"
+    )

@@ -1431,3 +1431,42 @@ def test_semantic_decontamination_sink_routes_and_restart_safe(spark, tmp_path):
     clean = sorted(r.vec_id for r in spark.read.parquet(str(tmp_path / "sdc_clean")).collect())
     assert flagged == [1, 3]
     assert clean == [2, 4]
+
+
+def test_enrich_stream_scd2_point_in_time(spark, tmp_path):
+    """Events are enriched with the dimension run covering their EVENT
+    TIME: an event replayed from before a flip gets the old value, one
+    after gets the new, one before the key existed gets NULL."""
+    import json as _json
+
+    from datas_spark.operators.cdc import scd2_from_changelog
+    from datas_spark.streaming.scoring import enrich_stream_scd2
+
+    log = spark.createDataFrame(
+        [(1, 100, 1, "old"), (1, 200, 2, "new"), (2, 150, 3, "only")],
+        "k long, ts long, seq long, a string",
+    )
+    scd = scd2_from_changelog(log, ["k"], ["a"], "ts", "seq")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    events = [
+        {"eid": 10, "k": 1, "ts": 150},  # inside [100, 200) -> old
+        {"eid": 11, "k": 1, "ts": 200},  # at the flip -> new
+        {"eid": 12, "k": 1, "ts": 50},   # pre-history -> NULL
+        {"eid": 13, "k": 2, "ts": 500},  # open run -> only
+    ]
+    with open(src / "a.json", "w") as fh:
+        for e in events:
+            fh.write(_json.dumps(e) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("eid long, k long, ts long")
+        .load(str(src))
+    )
+    out = _run_append_stream(
+        spark, enrich_stream_scd2(stream, scd, ["k"], "ts"), "scd2_enriched"
+    ).collect()
+    got = {r.eid: r.a for r in out}
+    assert got == {10: "old", 11: "new", 12: None, 13: "only"}
+    assert len(out) == 4  # disjoint runs: never a fan-out

@@ -167,3 +167,33 @@ def test_t_closeness_guards(spark):
         t_closeness(df, [], "b")
     with _pytest.raises(ValueError):
         t_closeness(df, ["g"], "b", t_num=0)
+
+
+def test_suggest_constraints_rules(spark):
+    from datas_spark.operators.validate import suggest_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", None), (4, None, 5.0)],
+        "id long, cat string, v double",
+    )
+    got = {
+        r.col_name: r
+        for r in suggest_constraints(
+            df, ["id", "cat", "v"], isin_cols=["cat"], isin_max=5
+        ).collect()
+    }
+    assert got["id"].rules == "not_null; unique; range[1,4]"
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+    # cat has a NULL -> no not_null; 2 distinct over 3 non-null -> no unique
+    assert got["cat"].rules == "isin[a,b]"
+    assert got["cat"].n_nulls == 1
+    # v: one NULL kills not_null; distinct non-nulls -> unique + range
+    assert got["v"].rules == "unique; range[5.0,20.0]"
+
+
+def test_suggest_constraints_rejects_undeclared_isin(spark):
+    from datas_spark.operators.validate import suggest_constraints
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        suggest_constraints(df, ["id"], isin_cols=["missing"])
