@@ -277,6 +277,19 @@ HEADLINE = [
     # round-6 third wave: blocked entity resolution
     "customer_entity_resolution",
     "knn_shapley_values",
+    # round-6 fourth wave: lakehouse CDC (SCD2 build + incremental
+    # MERGE + the point-in-time feature join), the data-skipping
+    # layout what-if, and the one-pass constraint-suggestion profile
+    "scd2_build",
+    "scd2_incremental_merge",
+    "scd2_pit_enrich",
+    "layout_skipping_whatif",
+    "documents_constraint_suggestions",
+    # round-6 fourth wave: delta-join view maintenance, the watermark
+    # lateness audit (two-level running max), encoding-damage rates
+    "ivm_join_delta",
+    "events_watermark_audit",
+    "mojibake_audit",
 ]
 
 RUNS_PER_QUERY = 3

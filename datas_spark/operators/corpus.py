@@ -1774,3 +1774,25 @@ def nfc_normalize_text(
         )
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+# UTF-8-decoded-as-Latin-1 artifact markers (the ftfy fix targets):
+# U+00C3/U+00C2 lead bytes of mangled 2-byte UTF-8 sequences, the
+# 'â€' (U+00E2 U+20AC) mangled curly-punctuation pair — bare 'â' is
+# legitimate French — and U+FFFD, the hard replacement char.
+MOJIBAKE_PATTERN = "Ã|â€|Â|�"
+
+
+def mojibake_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Encoding-damage detection: count UTF-8-as-Latin-1 mojibake
+    markers per document (``n_mojibake``) and flag affected rows
+    (``has_mojibake``). A pure JVM-side regexp over the scan — zero
+    shuffles, zero UDFs — so it rides along any ingest pass for free;
+    route flagged docs to a re-decode/ftfy stage instead of training on
+    'cafÃ©'. Heuristic by design: the capital-lead-byte
+    markers are vanishingly rare in legitimate text but certain in
+    double-decoded text."""
+    n = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_PATTERN))
+    return df.withColumn("n_mojibake", n.cast("long")).withColumn(
+        "has_mojibake", (F.col("n_mojibake") > 0).cast("int")
+    )

@@ -16,10 +16,10 @@ one event type's row groups, not the whole table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts"]
 
 
 def funnel_stage_times(
@@ -324,3 +324,66 @@ def sequence_pair_support(
             ).alias("direction_ratio"),
         )
     )
+
+
+def watermark_lateness_counts(
+    df: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    delays_s: list[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Watermark design audit: in ARRIVAL order (``arrival_col``, a
+    unique monotone ingest sequence), how many events arrive with event
+    time more than ``d`` seconds behind the maximum event time already
+    seen — i.e. would be DROPPED by ``withWatermark(ts, d)``? One row:
+    ``(n_rows, late_<d>s ...)`` for each candidate delay. Run this
+    before fixing a production watermark: too tight silently drops the
+    tail, too loose holds state forever.
+
+    Scale shape: the running maximum over arrival order is computed
+    two-level, never with a global window — ONE balanced range exchange
+    on the arrival key, a partition-LOCAL prefix max (window partitioned
+    by the physical partition id), and a broadcast cumulative max of
+    the tiny per-partition maxima. Lateness tests compare timestamps
+    directly (``runmax > ts + INTERVAL d``) — no epoch conversion, so
+    nanosecond inputs stay exact.
+    """
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.select(F.col(arrival_col).alias("__arr"), F.col(ts_col).alias("__ts"))
+        .repartitionByRange(int(parts), F.col("__arr"))
+        .sortWithinPartitions("__arr")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # pin ONE materialization: the stats pass and the final pass must
+    # see the same range boundaries (same contract as skew_resistant_rank)
+    ranged = ranged.localCheckpoint(eager=False)
+    local = ranged.withColumn(
+        "__lmax",
+        F.max("__ts").over(
+            Window.partitionBy("__pid")
+            .orderBy("__arr")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    pmax = ranged.groupBy("__pid").agg(F.max("__ts").alias("__pmax"))
+    prior = pmax.withColumn(
+        "__prior",
+        F.max("__pmax").over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select("__pid", "__prior")
+    run = local.join(F.broadcast(prior), "__pid").withColumn(
+        "__runmax", F.greatest(F.col("__lmax"), F.col("__prior"))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for d in delays_s:
+        aggs.append(
+            F.count_if(
+                F.col("__runmax") > F.col("__ts") + F.expr(f"INTERVAL {int(d)} SECONDS")
+            )
+            .cast("long")
+            .alias(f"late_{int(d)}s")
+        )
+    return run.agg(*aggs)

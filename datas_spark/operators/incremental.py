@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_rollup", "merge_rollups", "finalize_rollup"]
+__all__ = ["partial_rollup", "merge_rollups", "finalize_rollup", "ivm_join_delta"]
 
 _PARTIAL_COLS = ("cnt", "sum_val", "min_val", "max_val")
 
@@ -65,4 +65,37 @@ def finalize_rollup(partial: DataFrame) -> DataFrame:
         F.round(
             F.col("sum_val").cast("double") / F.col("cnt").cast("double"), 6
         ).alias("avg_val"),
+    )
+
+
+def ivm_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join: the NEW
+    result rows a pair of insert-deltas adds to ``a_old ⋈ b_old`` —
+    the standard delta-join algebra
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB.
+
+    Append the returned frame to the stored join view and it equals a
+    full recompute over (A ∪ ΔA) ⋈ (B ∪ ΔB) — proven in
+    ``tests/test_incremental.py``. At 100 TB this is why the nightly
+    join view costs |delta| × matching keys, not |history|²: each of
+    the three terms joins at least one SMALL side, so the planner
+    broadcasts the delta and only the touched key partitions of the
+    history are read (pair it with bucketed/partitioned history tables
+    to skip the rest at scan time).
+
+    Insert-only (the lakehouse append case). Deletes/updates need
+    retraction counts — out of scope here, as for Spark's own
+    streaming joins.
+    """
+    return (
+        a_delta.join(b_old, keys)
+        .unionByName(a_old.join(b_delta, keys))
+        .unionByName(a_delta.join(b_delta, keys))
     )

@@ -180,3 +180,58 @@ def q_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return j.select("o_orderkey", "custkey", "asof_ts", "prio_asof", "status_asof")
+
+
+@register(
+    "ivm_join_delta",
+    oracle="""
+    WITH a_old AS (
+      SELECT o_orderkey AS okey, o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-06-01'
+    ), a_new AS (
+      SELECT o_orderkey AS okey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+    ), b_old AS (
+      SELECT l_orderkey AS okey, l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-06-01'
+    ), b_new AS (
+      SELECT l_orderkey AS okey, l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    )
+    SELECT okey, o_custkey, l_linenumber, l_extendedprice
+    FROM a_new JOIN b_old USING (okey)
+    UNION ALL
+    SELECT okey, o_custkey, l_linenumber, l_extendedprice
+    FROM a_old JOIN b_new USING (okey)
+    UNION ALL
+    SELECT okey, o_custkey, l_linenumber, l_extendedprice
+    FROM a_new JOIN b_new USING (okey)
+    """,
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the orders ⋈ lineitem view
+    (`incremental.ivm_join_delta`): the rows a day's append-deltas add
+    to the stored join — ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, never |history|².
+    Each term joins at least one small (delta) side, so the planner
+    broadcasts it and touches only matching history keys; appending
+    the result to the view is proven equal to a full recompute in
+    tests/test_incremental.py."""
+    from datas_spark.operators.incremental import ivm_join_delta
+
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    a_old = orders.where(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    a_new = orders.where(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    b_old = li.where(F.col("l_shipdate") < cutoff).drop("l_shipdate")
+    b_new = li.where(F.col("l_shipdate") >= cutoff).drop("l_shipdate")
+    return ivm_join_delta(a_old, a_new, b_old, b_new, ["okey"]).select(
+        "okey", "o_custkey", "l_linenumber", "l_extendedprice"
+    )

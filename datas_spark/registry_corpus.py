@@ -1491,3 +1491,60 @@ def q_nfc_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_nfc",
         (F.col("text_nfc") != F.col("text")).cast("int").alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: mojibake / encoding-damage audit
+# ---------------------------------------------------------------------------
+
+# planted on every 7th doc (the synthetic corpus is clean ASCII): the
+# classic UTF-8-read-as-Latin-1 rendering of "café" and a curly quote —
+# the SAME constant feeds the Spark literal and the oracle literal
+_MOJ_SUFFIX = " cafÃ© â€œquoted"
+
+from datas_spark.operators.corpus import MOJIBAKE_PATTERN as _MOJ_PATTERN  # noqa: E402
+
+
+@register(
+    "mojibake_audit",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source,
+             text || CASE WHEN doc_id % 7 = 0 THEN '{_MOJ_SUFFIX}' ELSE '' END
+               AS text
+      FROM documents
+    ), flags AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_MOJ_PATTERN}'))::BIGINT AS n_mojibake
+      FROM aug
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           count_if(n_mojibake > 0)::BIGINT AS n_flagged,
+           sum(n_mojibake)::BIGINT AS n_artifacts,
+           round(count_if(n_mojibake > 0) / count(*)::DOUBLE, 6) + 0.0 AS rate
+    FROM flags GROUP BY source
+    """,
+)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (`corpus.mojibake_stats`): per-source
+    mojibake rates over a corpus with UTF-8-as-Latin-1 artifacts
+    planted on every 7th doc (the synthetic corpus is clean ASCII, so
+    detection genuinely fires). Pure JVM-side regexp on the scan — the
+    zero-cost ingest rider that routes damaged docs to a re-decode
+    stage instead of training on 'cafÃ©'."""
+    from datas_spark.operators.corpus import mojibake_stats
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_MOJ_SUFFIX)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    flagged = mojibake_stats(docs, "text")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("has_mojibake") == 1).cast("long").alias("n_flagged"),
+        F.sum("n_mojibake").cast("long").alias("n_artifacts"),
+        (F.round(F.count_if(F.col("has_mojibake") == 1) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias("rate"),
+    )

@@ -1452,3 +1452,38 @@ def q_event_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return sequence_pair_support(ev, "user_id", "event_type", "ts", min_support=5)
+
+
+# ---------------------------------------------------------------------------
+# round 6: watermark design audit (how late is the stream, really?)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_watermark_audit",
+    oracle="""
+    WITH r AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM events
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           count_if(runmax > ts + INTERVAL 60 SECOND)::BIGINT AS late_60s,
+           count_if(runmax > ts + INTERVAL 300 SECOND)::BIGINT AS late_300s,
+           count_if(runmax > ts + INTERVAL 900 SECOND)::BIGINT AS late_900s
+    FROM r
+    """,
+)
+def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark design audit (`events.watermark_lateness_counts`): in
+    event_id arrival order, how many events would
+    ``withWatermark(ts, d)`` drop at d = 1/5/15 minutes? The running
+    event-time maximum is computed two-level (range exchange + local
+    prefix max + broadcast cumulative partition maxima) — never a
+    global window; lateness compares timestamps directly, so the
+    nanosecond inputs stay exact. Run it before freezing a production
+    watermark."""
+    from datas_spark.operators.events import watermark_lateness_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return watermark_lateness_counts(ev, "ts", "event_id", [60, 300, 900])
