@@ -290,6 +290,10 @@ HEADLINE = [
     "ivm_join_delta",
     "events_watermark_audit",
     "mojibake_audit",
+    # round-6 fifth wave: right-to-erasure component repair and the
+    # Hilbert-vs-Z-order skipping measurement
+    "components_purge",
+    "hilbert_vs_zorder_skipping",
 ]
 
 RUNS_PER_QUERY = 3

@@ -72,6 +72,7 @@ __all__ = [
     "hamming_near_dup_pairs",
     "k_core",
     "merge_components",
+    "purge_components",
     "long_gram_overlap_spans",
     "cut_overlap_spans",
     "elect_span_owners",
@@ -1587,6 +1588,59 @@ def merge_components(
         all_nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def purge_components(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    forget: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Delete-cascade for the component store (the GDPR/right-to-erasure
+    path): remove ``forget`` nodes from an existing ``(node, component)``
+    assignment and REPAIR only the components they touched — a deletion
+    can split a component, so unlike :func:`merge_components` the stored
+    label edges cannot be trusted (connectivity may have routed through
+    the forgotten node); the real ``pairs`` restricted to surviving
+    nodes of AFFECTED components are re-clustered instead, which is why
+    the artifact store persists pairs alongside components.
+
+    Untouched components pass through by anti-join (never reshuffled);
+    surviving affected nodes whose every edge died come back as
+    singletons. Min-id labels are LOCAL to a component, so the result
+    is provably identical to a full rebuild over the purged pair set
+    (``tests/test_dedup.py``). Cost: |affected components|' pairs, not
+    the corpus — the deletion twin of merge_components' append path.
+
+    ``forget`` is a one-column frame named ``node_col``.
+    """
+    affected = (
+        assignments.join(forget.select(node_col), node_col, "left_semi")
+        .select(comp_col)
+        .distinct()
+    )
+    intact = assignments.join(affected, comp_col, "left_anti").select(
+        F.col(node_col).alias("node"), F.col(comp_col).alias("component")
+    )
+    surv = (
+        assignments.join(affected, comp_col, "left_semi")
+        .join(forget.select(node_col), node_col, "left_anti")
+        .select(node_col)
+    )
+    edges = (
+        pairs.select(src, dst)
+        .join(surv.select(F.col(node_col).alias(src)), src, "left_semi")
+        .join(surv.select(F.col(node_col).alias(dst)), dst, "left_semi")
+    )
+    recomputed = connected_components(edges, src, dst, max_iter=max_iter)
+    singles = surv.join(recomputed, surv[node_col] == recomputed["node"], "left_anti").select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    )
+    return intact.unionByName(recomputed).unionByName(singles)
 
 
 def long_gram_overlap_spans(

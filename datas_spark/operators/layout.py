@@ -28,6 +28,8 @@ __all__ = [
     "zorder_write",
     "zone_minmax",
     "zone_skipping_report",
+    "with_hilbert_key",
+    "hilbert_sql",
 ]
 
 # magic-number bit spreads for 16-bit -> 32-bit interleave
@@ -193,3 +195,85 @@ def zone_skipping_report(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    xcell_col: str,
+    ycell_col: str,
+    bits: int,
+    out: str = "hkey",
+) -> DataFrame:
+    """Append the Hilbert-curve index of ``(xcell, ycell)`` (each in
+    ``[0, 2^bits)``) — the space-filling curve behind 'liquid'-style
+    clustering: like Z-order it interleaves two dimensions for 2-D scan
+    pruning, but its unit-step locality avoids Z-order's long diagonal
+    jumps, so zone min/max ranges are tighter and more zones skip
+    (measure with `zone_skipping_report`, don't take the folklore's
+    word).
+
+    The standard xy→d bit ladder (Hamilton's algorithm), UNROLLED into
+    ``bits`` chained projections of two long columns — each iteration's
+    (x, y) land as real named columns, so the expression tree stays
+    LINEAR in ``bits`` (nesting the rotations instead doubles the tree
+    per level: the swap references both inputs). All int64
+    mask/compare/arith — whole-stage codegen, no UDFs; mirrored
+    constant-for-constant by :func:`hilbert_sql`.
+    """
+    x, y, d = f"__hx_{out}", f"__hy_{out}", out
+    cur = df.withColumn(x, F.col(xcell_col).cast("long")).withColumn(
+        y, F.col(ycell_col).cast("long")
+    ).withColumn(d, F.lit(0).cast("long"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(F.col(x).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col(y).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        step = F.lit(s) * F.lit(s) * ((F.lit(3) * rx).bitwiseXOR(ry))
+        flip_x = F.when(rx == 1, F.lit(s - 1) - F.col(x)).otherwise(F.col(x))
+        flip_y = F.when(rx == 1, F.lit(s - 1) - F.col(y)).otherwise(F.col(y))
+        new_x = F.when(ry == 0, flip_y).otherwise(F.col(x))
+        new_y = F.when(ry == 0, flip_x).otherwise(F.col(y))
+        cur = (
+            cur.withColumn(d, (F.col(d) + step).cast("long"))
+            .withColumn("__nx", new_x)
+            .withColumn("__ny", new_y)
+            .withColumn(x, F.col("__nx"))
+            .withColumn(y, F.col("__ny"))
+            .drop("__nx", "__ny")
+        )
+    return cur.drop(x, y)
+
+
+def hilbert_sql(x_expr: str, y_expr: str, bits: int, out: str = "hkey") -> str:
+    """DuckDB twin of :func:`with_hilbert_key`: a chained-CTE SQL
+    fragment computing the same unrolled ladder over ``x_expr`` /
+    ``y_expr`` (SQL expressions for the input cells). Returns the BODY
+    of a WITH chain — caller embeds it as
+    ``WITH <prior>, {hilbert_sql(...)} SELECT ... FROM h{bits}``; the
+    final CTE ``h<bits>`` exposes every source column plus ``out``.
+
+    The input CTE/table must be named ``h0src``.
+    """
+    parts = [
+        f"h0 AS (SELECT *, ({x_expr})::BIGINT AS hx, ({y_expr})::BIGINT AS hy,"
+        f" 0::BIGINT AS {out} FROM h0src)"
+    ]
+    prev = "h0"
+    step_i = 0
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        step_i += 1
+        cur = f"h{step_i}"
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        parts.append(
+            f"{cur} AS (SELECT * REPLACE ("
+            f"({out} + {s}::BIGINT * {s} * xor(3 * {rx}, {ry}))::BIGINT AS {out}, "
+            f"(CASE WHEN {ry} = 0 THEN {flip_y} ELSE hx END)::BIGINT AS hx, "
+            f"(CASE WHEN {ry} = 0 THEN {flip_x} ELSE hy END)::BIGINT AS hy"
+            f") FROM {prev})"
+        )
+        prev = cur
+    return ",\n    ".join(parts)

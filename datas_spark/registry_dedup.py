@@ -2849,3 +2849,54 @@ def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8 divisors x 101 grid points) and both mass sums are ordered
     folds (engine-identical accumulation)."""
     return D.minhash_band_plan(spark, n_perm=128, threshold=0.7, grid=100)
+
+
+# ---------------------------------------------------------------------------
+# round 6: right-to-erasure purge of the component store
+# ---------------------------------------------------------------------------
+
+@register(
+    "components_purge",
+    oracle=_COMPONENT_CTES
+    + """
+    , surv_pairs AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % 17 <> 0 AND id_b % 17 <> 0
+    ), e2 AS (
+      SELECT id_a AS a, id_b AS b FROM surv_pairs
+      UNION SELECT id_b, id_a FROM surv_pairs
+    ), reach2(node, r) AS (
+      SELECT a, a FROM e2
+      UNION
+      SELECT e2.a, reach2.r FROM e2 JOIN reach2 ON reach2.node = e2.b
+    ), comp2 AS (
+      SELECT node, min(r) AS component FROM reach2 GROUP BY node
+    )
+    SELECT d.doc_id AS node,
+           coalesce(comp2.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp2 ON d.doc_id = comp2.node
+    WHERE d.doc_id % 17 <> 0
+    """,
+)
+def q_components_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure purge (`dedup.purge_components`): forget every
+    17th doc and repair ONLY the components it touched — deletions can
+    SPLIT a component (connectivity may have routed through the
+    forgotten doc), so the stored label edges can't be trusted and the
+    affected components re-cluster from the persisted PAIRS artifact
+    (the reason the store keeps pairs next to components). Untouched
+    components pass through by anti-join; the oracle is the full
+    rebuild over surviving pairs, so hash-green proves repair ==
+    rebuild every run."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ART.pairs_artifact(spark, sf_dir, "jaccard").select("id_a", "id_b")
+    comp = ART.components_artifact(spark, sf_dir, "jaccard")
+    assign = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+    forget = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return D.purge_components(assign, pairs, forget)

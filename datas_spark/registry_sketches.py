@@ -436,6 +436,94 @@ def q_layout_skipping_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_whatif_oracle() -> str:
+    from datas_spark.operators.layout import hilbert_sql
+
+    return f"""
+    WITH h0src AS (
+      SELECT value, user_id, event_id,
+        greatest(0, least({_ZW_CELLS}, floor(value / {_ZW_STEP!r})))::BIGINT AS vc,
+        greatest(0, least({_ZW_CELLS}, user_id))::BIGINT AS uc
+      FROM events
+    ),
+    {hilbert_sql('vc', 'uc', _ZW_BITS)},
+    withz AS (
+      SELECT value, user_id, event_id, hkey,
+        {_P1B1.format(v='vc')} AS x2, {_P1B1.format(v='uc')} AS y2
+      FROM h{_ZW_BITS}
+    ), withz2 AS (
+      SELECT value, user_id, event_id, hkey,
+        ((x2 | (x2 << 2)) & 858993459) AS x3,
+        ((y2 | (y2 << 2)) & 858993459) AS y3
+      FROM withz
+    ), zk AS (
+      SELECT value, user_id, event_id, hkey,
+        (((x3 | (x3 << 1)) & 1431655765)
+         | ((((y3 | (y3 << 1)) & 1431655765)) << 1)) AS zkey
+      FROM withz2
+    ), layouts AS (
+      SELECT 'zorder' AS layout, zkey * {_ZW_SHIFT} + event_id AS lk,
+             value, user_id FROM zk
+      UNION ALL
+      SELECT 'hilbert', hkey * {_ZW_SHIFT} + event_id, value, user_id FROM zk
+    ), ranked AS (
+      SELECT layout, value, user_id,
+             row_number() OVER (PARTITION BY layout ORDER BY lk) AS rn
+      FROM layouts
+    ), zones AS (
+      SELECT layout, (rn - 1) // {_ZW_ROWS} AS zone,
+             count(*) AS n_rows,
+             min(value) AS minv, max(value) AS maxv,
+             min(user_id) AS minu, max(user_id) AS maxu
+      FROM ranked GROUP BY 1, 2
+    ), m AS (
+      SELECT count(*)::BIGINT AS n_rows_matching FROM events
+      WHERE value BETWEEN 100 AND 120 AND user_id BETWEEN 40 AND 60
+    )
+    SELECT layout,
+           count(*)::BIGINT AS n_zones,
+           sum((maxv < 100 OR minv > 120 OR maxu < 40 OR minu > 60)::INT)::BIGINT
+             AS n_zones_skipped,
+           sum(CASE WHEN maxv < 100 OR minv > 120 OR maxu < 40 OR minu > 60
+                    THEN n_rows ELSE 0 END)::BIGINT AS n_rows_skipped,
+           n_rows_matching
+    FROM zones CROSS JOIN m
+    GROUP BY layout, n_rows_matching
+    """
+
+
+@register("hilbert_vs_zorder_skipping", oracle=_hilbert_whatif_oracle())
+def q_hilbert_vs_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Z-order, measured not folklored: the same 2-D
+    predicate's zone-skipping counts under both curves
+    (`layout.with_hilbert_key` — the unrolled Hamilton ladder as
+    chained long projections — vs the morton key). Hilbert's unit-step
+    locality avoids Z-order's diagonal jumps, so its zone min/max
+    ranges are tighter; this query turns that claim into a hash-checked
+    number (the 'liquid clustering' pitch, reproduced in two engines
+    constant-for-constant)."""
+    ev = read_table(spark, sf_dir, "events")
+    vc = LAY.quantize(F.col("value"), 0.0, 500.0, bits=_ZW_BITS)
+    uc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(_ZW_CELLS).cast("long"), F.col("user_id")),
+    )
+    keyed = LAY.with_hilbert_key(
+        ev.withColumn("vc", vc).withColumn("uc", uc), "vc", "uc", _ZW_BITS
+    )
+    shift = F.lit(_ZW_SHIFT).cast("long")
+    layouts = {
+        "zorder": LAY.morton_key(F.col("vc"), F.col("uc")) * shift + F.col("event_id"),
+        "hilbert": F.col("hkey") * shift + F.col("event_id"),
+    }
+    return LAY.zone_skipping_report(
+        keyed,
+        layouts,
+        zone_rows=_ZW_ROWS,
+        predicates={"value": (100.0, 120.0), "user_id": (40, 60)},
+    )
+
+
 # ---------------------------------------------------------------------------
 # profiling — key skew diagnostics
 # ---------------------------------------------------------------------------

@@ -857,3 +857,48 @@ def test_adamic_adar_hub_cap_drops_wedges(spark):
     spokes = _aa(spark, edges, cap=5).collect()
     # all C(5,2) spoke pairs predicted through the hub
     assert len(spokes) == 10
+
+
+def test_purge_components_equals_full_rebuild(spark):
+    """Deleting nodes splits/repairs only affected components; result
+    == full CC rebuild over the purged pair set (min-id labels are
+    component-local, so the decomposition is label-stable)."""
+    from datas_spark.operators.dedup import connected_components, purge_components
+
+    # comp {1,2,3,4} is a CHAIN 1-2-3-4 (deleting 2 splits it),
+    # comp {10,11,12} is a triangle (deleting none),
+    # comp {20,21} dies entirely when 20 and 21 are forgotten
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    assign = connected_components(pairs)
+    forget = spark.createDataFrame([(2,), (20,), (21,)], "node long")
+
+    purged = purge_components(assign, pairs, forget)
+    # full rebuild over surviving pairs + surviving isolated nodes
+    surv_pairs = spark.createDataFrame([(3, 4), (10, 11), (11, 12), (10, 12)],
+                                       "id_a long, id_b long")
+    rebuilt = connected_components(surv_pairs)
+    # node 1 survives edgeless -> singleton
+    expected = {(r.node, r.component) for r in rebuilt.collect()} | {(1, 1)}
+    got = {(r.node, r.component) for r in purged.collect()}
+    assert got == expected
+    # the chain split: 1 alone, {3,4} relabeled to 3
+    assert (3, 3) in got and (4, 3) in got and (1, 1) in got
+    # forgotten nodes are gone
+    assert not any(n in (2, 20, 21) for n, _ in got)
+
+
+def test_purge_components_untouched_pass_through(spark):
+    from datas_spark.operators.dedup import connected_components, purge_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    assign = connected_components(pairs)
+    forget = spark.createDataFrame([(99,)], "node long")  # touches nothing
+    purged = purge_components(assign, pairs, forget)
+    assert {(r.node, r.component) for r in purged.collect()} == {
+        (r.node, r.component) for r in assign.collect()
+    }

@@ -155,3 +155,72 @@ def test_zone_minmax_covers_all_rows(spark):
     assert sorted(r["zone"] for r in zones) == list(range(11))
     # every zone but the tail holds exactly zone_rows rows
     assert all(r["n_rows"] == 10 for r in zones if r["zone"] < 10)
+
+
+def _hilbert_ref(x, y, bits):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_bijects(spark):
+    from datas_spark.operators.layout import with_hilbert_key
+
+    bits = 3
+    cells = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    got = {
+        (r.x, r.y): r.hkey
+        for r in with_hilbert_key(df, "x", "y", bits).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == _hilbert_ref(x, y, bits), (x, y)
+    assert sorted(got.values()) == list(range(64))  # bijection onto [0, 4^bits)
+
+
+def test_hilbert_unit_step_locality(spark):
+    """The defining property Z-order lacks: consecutive curve positions
+    are GRID NEIGHBORS (manhattan distance exactly 1), so zone ranges
+    stay tight."""
+    from datas_spark.operators.layout import with_hilbert_key
+
+    bits = 4
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    rows = sorted(
+        with_hilbert_key(df, "x", "y", bits).collect(), key=lambda r: r.hkey
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert abs(a.x - b.x) + abs(a.y - b.y) == 1
+
+
+def test_hilbert_sql_twin_matches(spark):
+    import duckdb
+
+    from datas_spark.operators.layout import hilbert_sql, with_hilbert_key
+
+    bits = 3
+    cells = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    spark_side = {
+        (r.x, r.y): r.hkey for r in with_hilbert_key(df, "x", "y", bits).collect()
+    }
+    con = duckdb.connect()
+    sql = (
+        "WITH h0src AS (SELECT x, y FROM (VALUES "
+        + ", ".join(f"({x}, {y})" for x, y in cells)
+        + ") t(x, y)),\n    "
+        + hilbert_sql("x", "y", bits)
+        + f"\n    SELECT x, y, hkey FROM h{bits}"
+    )
+    duck_side = {(x, y): d for x, y, d in con.execute(sql).fetchall()}
+    assert duck_side == spark_side
