@@ -436,21 +436,29 @@ def q_layout_skipping_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 10-bit cells for the curve comparison: user_id tops out at ~150 of
+# 1024 cells and value granularity is 0.49 — plenty for zone
+# boundaries, and the unrolled ladders stay shallow in BOTH engines
+_HB_BITS = 10
+_HB_CELLS = (1 << _HB_BITS) - 1
+_HB_STEP = 500.0 / _HB_CELLS
+
+
 def _hilbert_whatif_oracle() -> str:
     from datas_spark.operators.layout import hilbert_sql
 
     return f"""
     WITH h0src AS (
       SELECT value, user_id, event_id,
-        greatest(0, least({_ZW_CELLS}, floor(value / {_ZW_STEP!r})))::BIGINT AS vc,
-        greatest(0, least({_ZW_CELLS}, user_id))::BIGINT AS uc
+        greatest(0, least({_HB_CELLS}, floor(value / {_HB_STEP!r})))::BIGINT AS vc,
+        greatest(0, least({_HB_CELLS}, user_id))::BIGINT AS uc
       FROM events
     ),
-    {hilbert_sql('vc', 'uc', _ZW_BITS)},
+    {hilbert_sql('vc', 'uc', _HB_BITS)},
     withz AS (
       SELECT value, user_id, event_id, hkey,
         {_P1B1.format(v='vc')} AS x2, {_P1B1.format(v='uc')} AS y2
-      FROM h{_ZW_BITS}
+      FROM h{_HB_BITS}
     ), withz2 AS (
       SELECT value, user_id, event_id, hkey,
         ((x2 | (x2 << 2)) & 858993459) AS x3,
@@ -503,13 +511,13 @@ def q_hilbert_vs_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     number (the 'liquid clustering' pitch, reproduced in two engines
     constant-for-constant)."""
     ev = read_table(spark, sf_dir, "events")
-    vc = LAY.quantize(F.col("value"), 0.0, 500.0, bits=_ZW_BITS)
+    vc = LAY.quantize(F.col("value"), 0.0, 500.0, bits=_HB_BITS)
     uc = F.greatest(
         F.lit(0).cast("long"),
-        F.least(F.lit(_ZW_CELLS).cast("long"), F.col("user_id")),
+        F.least(F.lit(_HB_CELLS).cast("long"), F.col("user_id")),
     )
     keyed = LAY.with_hilbert_key(
-        ev.withColumn("vc", vc).withColumn("uc", uc), "vc", "uc", _ZW_BITS
+        ev.withColumn("vc", vc).withColumn("uc", uc), "vc", "uc", _HB_BITS
     )
     shift = F.lit(_ZW_SHIFT).cast("long")
     layouts = {
