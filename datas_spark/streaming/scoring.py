@@ -1484,3 +1484,97 @@ def enrich_stream_scd2(
     return stream.join(dim, cond, "left").drop(
         *[f"__dim_{k}" for k in key_cols], "valid_from", "valid_to"
     )
+
+
+def ivm_join_view_sink(
+    stream: DataFrame,
+    state_path: str,
+    side_col: str,
+    keys: list[str],
+    a_cols: list[str],
+    b_cols: list[str],
+    checkpoint_path: str,
+):
+    """Streaming incremental view maintenance for an inner equi-join:
+    the stream carries BOTH relations' inserts tagged by ``side_col``
+    ('a' / 'b' — the shape a CDC feed delivers), and every micro-batch
+    appends exactly the join rows it adds — ``ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB``
+    (`incremental.ivm_join_delta`) — to the stored view, never
+    recomputing history against history.
+
+    Contrast with Spark's native stream-stream join: that needs
+    watermarks to BOUND state and drops matches beyond them; this sink
+    keeps the full relations as append-only parquet (the lakehouse
+    already stores them) and so maintains the UNBOUNDED join exactly,
+    at the cost of one store-side scan per batch — the right trade for
+    a slowly-growing dimension-ish relation joined against a fact feed.
+
+    Layout under ``state_path``: ``a/`` and ``b/`` accumulate the
+    relations, ``view/`` accumulates join rows; all three are
+    batch-partitioned with the shared commit-marker scheme (replays
+    overwrite their own partitions; a crashed batch's partial
+    partitions are excluded from its replay's probes), so the view is
+    exactly-once.
+
+    Column contract: besides ``side_col`` and ``keys``, 'a' rows carry
+    ``a_cols`` (NULL on 'b' rows) and 'b' rows carry ``b_cols``; the
+    view gets ``keys + a_cols + b_cols``.
+    """
+    from datas_spark.operators.incremental import ivm_join_delta
+
+    a_path, b_path, view_path = (
+        state_path + "/a",
+        state_path + "/b",
+        state_path + "/view",
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_committed(spark, state_path, batch_id):
+            return
+        da = batch_df.where(F.col(side_col) == "a").select(*keys, *a_cols)
+        db = batch_df.where(F.col(side_col) == "b").select(*keys, *b_cols)
+        # one deterministic materialization per batch: the delta join
+        # and the two store appends must see the same rows
+        da = da.localCheckpoint(eager=True)
+        db = db.localCheckpoint(eager=True)
+
+        def _stored(path: str, cols: list[str]) -> DataFrame | None:
+            st = _read_store(spark, path)
+            if st is None:
+                return None
+            return st.where(F.col("__batch") != batch_id).select(*keys, *cols)
+
+        a_old = _stored(a_path, a_cols)
+        b_old = _stored(b_path, b_cols)
+        empty_a = da.limit(0)
+        empty_b = db.limit(0)
+        delta = ivm_join_delta(
+            a_old if a_old is not None else empty_a,
+            da,
+            b_old if b_old is not None else empty_b,
+            db,
+            keys,
+        )
+        _write_batch_partition(delta, batch_id, view_path)
+        _write_batch_partition(da, batch_id, a_path)
+        _write_batch_partition(db, batch_id, b_path)
+        _commit_batch(spark, state_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivm_view_state(spark, state_path: str) -> DataFrame | None:
+    """Current join view from an `ivm_join_view_sink` store: the union
+    of committed batch partitions (append-only — no fold needed), or
+    ``None`` before the first commit."""
+    committed, _ = _committed_state(spark, state_path)
+    store = _read_store(spark, state_path + "/view")
+    if store is None or not committed:
+        return None
+    return store.where(F.col("__batch").isin(sorted(committed))).drop("__batch")

@@ -1248,7 +1248,66 @@ def test_scd2_sink_state_shape(spark, tmp_path):
         assert sum(r.is_current for r in runs) == 1
 
 
+def _drill_ivm(spark, src, root):
+    from datas_spark.streaming.scoring import ivm_join_view_sink
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("side string, k long, av string, bv long")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = ivm_join_view_sink(
+        stream, root + "/state", "side", ["k"], ["av"], ["bv"], root + "/ckpt"
+    )
+    q.awaitTermination(120)
+
+
+def _state_ivm(spark, root):
+    from datas_spark.streaming.scoring import ivm_view_state
+
+    view = ivm_view_state(spark, root + "/state")
+    assert view is not None
+    return sorted((r.k, r.av, r.bv) for r in view.collect())
+
+
+def _data_ivm(i):
+    # keys join ACROSS batches in both directions; duplicates of (k, v)
+    # never sent, so the exact view == full join of everything sent
+    rows = [
+        {"side": "a", "k": i + 1, "av": f"a{i + 1}"},
+        {"side": "b", "k": i, "bv": 10 * i},
+    ]
+    if i == 2:
+        rows.append({"side": "b", "k": 1, "bv": 999})
+    return rows
+
+
+def test_ivm_join_view_matches_batch_join(spark, tmp_path):
+    """The maintained view == a from-scratch join of every row sent."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "src"); _os.makedirs(src)
+    root = str(tmp_path / "root")
+    all_rows = []
+    for i in range(3):
+        with open(_os.path.join(src, f"f{i}.json"), "w") as fh:
+            for row in _data_ivm(i):
+                fh.write(_json.dumps(row) + "\n")
+                all_rows.append(row)
+    _drill_ivm(spark, src, root)
+    a = [(r["k"], r["av"]) for r in all_rows if r["side"] == "a"]
+    b = [(r["k"], r["bv"]) for r in all_rows if r["side"] == "b"]
+    expected = sorted(
+        (ka, av, bv) for ka, av in a for kb, bv in b if ka == kb
+    )
+    assert _state_ivm(spark, root) == expected
+    assert expected  # the fixture genuinely produces cross-batch joins
+
+
 _RESTART_DRILLS = [
+    ("ivm", _drill_ivm, _state_ivm, _data_ivm),
     ("scd2", _drill_scd2, _state_scd2, _data_scd2),
     ("neardup", _drill_neardup, _state_neardup, _data_neardup),
     ("hll", _drill_hll, _state_hll, _data_hll),
