@@ -294,6 +294,9 @@ HEADLINE = [
     # Hilbert-vs-Z-order skipping measurement
     "components_purge",
     "hilbert_vs_zorder_skipping",
+    # round-6 sixth wave: SCD2 folded from periodic snapshots
+    # (deletes/reappearances from presence, the no-changelog case)
+    "scd2_from_snapshots",
 ]
 
 RUNS_PER_QUERY = 3

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_changelog", "merge_scd2", "scd2_as_of"]
+__all__ = [
+    "scd2_from_changelog",
+    "merge_scd2",
+    "scd2_as_of",
+    "scd2_from_snapshots",
+]
 
 _SCD_COLS = ("valid_from", "valid_to", "change_seq", "is_current")
 
@@ -141,4 +146,76 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
     return history.where(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
+def scd2_from_snapshots(
+    snaps: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    snap_col: str,
+) -> DataFrame:
+    """Fold a SERIES of periodic full snapshots into SCD Type-2 history
+    — the most common real ingest shape (a source system exports daily
+    state; nobody gives you a changelog). ``snaps`` holds one row per
+    (key, snapshot) PRESENT in that snapshot, with the attrs observed
+    then; ``snap_col`` is the snapshot timestamp/sequence (its distinct
+    values order the series).
+
+    Semantics beyond :func:`scd2_from_changelog`: ABSENCE is a change.
+    A key present in snapshot S-1 but missing from S gets its open run
+    CLOSED at S (a delete); a later reappearance opens a fresh run (no
+    interval spans the gap). Consecutive snapshots with identical attrs
+    collapse into one run, so a key that never changes costs one output
+    row no matter how many snapshots were taken.
+
+    Plan shape: the presence grid is |keys| × |snapshots| — built by
+    crossing the distinct key frame with the distinct (TINY — one per
+    export) snapshot list and left-joining the observations, then the
+    same key-partitioned lag/lead windows as the changelog path. At
+    100 TB the grid is the honest cost of delete detection from
+    snapshots; the snapshot list broadcasts, so the cross is a map-side
+    fan, never a shuffle of keys × keys.
+
+    Returns ``(keys..., attrs..., valid_from, valid_to, is_current)``
+    where intervals are snapshot-resolution (``valid_from`` = first
+    snapshot observing the run, ``valid_to`` = first snapshot NOT
+    observing it, NULL while current).
+    """
+    keys = snaps.select(*key_cols).distinct()
+    snap_list = snaps.select(snap_col).distinct()
+    grid = keys.crossJoin(F.broadcast(snap_list))
+    obs = grid.join(
+        snaps.withColumn("__present", F.lit(True)),
+        [*key_cols, snap_col],
+        "left",
+    ).withColumn("__present", F.coalesce("__present", F.lit(False)))
+
+    w = Window.partitionBy(*key_cols).orderBy(snap_col)
+    changed = ~F.col("__present").eqNullSafe(F.lag("__present").over(w))
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    kept = (
+        obs.withColumn("__first", F.lag(snap_col).over(w).isNull())
+        .withColumn("__chg", changed)
+        .where(F.col("__first") | F.col("__chg"))
+        # a key's LEADING absences are no-ops (it did not exist yet);
+        # keep them out so the first real run's lag sees "first row"
+        .where(F.col("__present") | ~F.col("__first"))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(snap_col)
+    runs = kept.select(
+        *key_cols,
+        *attr_cols,
+        "__present",
+        F.col(snap_col).alias("valid_from"),
+        F.lead(snap_col).over(w2).alias("valid_to"),
+    )
+    # tombstone rows exist only to close their predecessor's interval
+    return runs.where(F.col("__present")).select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )

@@ -235,3 +235,71 @@ def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm_join_delta(a_old, a_new, b_old, b_new, ["okey"]).select(
         "okey", "o_custkey", "l_linenumber", "l_extendedprice"
     )
+
+
+@register(
+    "scd2_from_snapshots",
+    oracle="""
+    WITH snaps AS (
+      SELECT custkey, yr, priority FROM (
+        SELECT o_custkey AS custkey, year(o_orderdate)::BIGINT AS yr,
+               o_orderpriority AS priority,
+               row_number() OVER (PARTITION BY o_custkey, year(o_orderdate)
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                 AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ), keys AS (SELECT DISTINCT custkey FROM snaps),
+    sl AS (SELECT DISTINCT yr FROM snaps),
+    grid AS (SELECT custkey, yr FROM keys CROSS JOIN sl),
+    obs AS (
+      SELECT g.custkey, g.yr, s.priority,
+             (s.custkey IS NOT NULL) AS present
+      FROM grid g LEFT JOIN snaps s USING (custkey, yr)
+    ), flagged AS (
+      SELECT custkey, yr, priority, present,
+             (lag(yr) OVER w IS NULL) AS first_row,
+             (present IS DISTINCT FROM lag(present) OVER w
+              OR priority IS DISTINCT FROM lag(priority) OVER w) AS chg
+      FROM obs WINDOW w AS (PARTITION BY custkey ORDER BY yr)
+    ), kept AS (
+      SELECT custkey, yr, priority, present FROM flagged
+      WHERE (first_row OR chg) AND (present OR NOT first_row)
+    ), runs AS (
+      SELECT custkey, priority, present, yr AS valid_from,
+             lead(yr) OVER (PARTITION BY custkey ORDER BY yr) AS valid_to
+      FROM kept
+    )
+    SELECT custkey, priority, valid_from, valid_to,
+           (valid_to IS NULL)::INT AS is_current
+    FROM runs WHERE present
+    """,
+)
+def q_scd2_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 from periodic snapshots (`cdc.scd2_from_snapshots`) — the
+    no-changelog real world: yearly dimension exports derived from
+    orders (a customer is IN year Y's snapshot iff they ordered that
+    year; attr = the year's last order priority), folded into history
+    where ABSENCE IS A CHANGE: a customer skipping a year gets their
+    run closed (delete) and a fresh run on return — no interval spans
+    the gap. The presence grid crosses the key frame with the TINY
+    broadcast snapshot list; everything else is the key-partitioned
+    window algebra of the changelog path."""
+    orders = read_table(spark, sf_dir, "orders")
+    snaps = (
+        orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.max_by(
+                F.col("o_orderpriority"),
+                F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+            ).alias("priority")
+        )
+    )
+    scd = CDC.scd2_from_snapshots(snaps, ["custkey"], ["priority"], "yr")
+    return scd.select(
+        "custkey", "priority", "valid_from", "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )

@@ -133,3 +133,43 @@ def test_as_of_snapshot(spark, changelog):
     assert got == {1: ("y", 10), 2: ("z", None)}  # key 3 not yet born
     # exactly one row per present key at any probe instant
     assert snap.groupBy("k").count().where("count > 1").count() == 0
+
+
+def test_scd2_from_snapshots_deletes_and_reappearance(spark):
+    from datas_spark.operators.cdc import scd2_from_snapshots
+
+    # key 1: present s1 (x), s2 (x, collapses), s3 MISSING (delete),
+    #        s4 back (y) — the gap must NOT be spanned
+    # key 2: appears only at s3 (leading absences are no-ops)
+    # key 3: present throughout, never changes -> ONE run
+    snaps = spark.createDataFrame(
+        [
+            (1, 1, "x"), (1, 2, "x"), (1, 4, "y"),
+            (2, 3, "z"), (2, 4, "z"),
+            (3, 1, "c"), (3, 2, "c"), (3, 3, "c"), (3, 4, "c"),
+        ],
+        "k int, snap int, a string",
+    )
+    scd = scd2_from_snapshots(snaps, ["k"], ["a"], "snap")
+    rows = {(r.k, r.valid_from): r for r in scd.collect()}
+    assert set(rows) == {(1, 1), (1, 4), (2, 3), (3, 1)}
+    # delete closes the run at the first non-observing snapshot
+    assert rows[(1, 1)].valid_to == 3 and not rows[(1, 1)].is_current
+    assert rows[(1, 4)].a == "y" and rows[(1, 4)].is_current
+    assert rows[(2, 3)].is_current and rows[(2, 3)].valid_to is None
+    assert rows[(3, 1)].is_current  # full collapse to one open run
+    # exactly one current run per live key
+    assert scd.where("is_current").groupBy("k").count().where("count > 1").count() == 0
+
+
+def test_scd2_from_snapshots_attr_flip_without_gap(spark):
+    from datas_spark.operators.cdc import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (1, 3, "x")], "k int, snap int, a string"
+    )
+    scd = scd2_from_snapshots(snaps, ["k"], ["a"], "snap")
+    runs = sorted(scd.collect(), key=lambda r: r.valid_from)
+    assert [(r.a, r.valid_from, r.valid_to) for r in runs] == [
+        ("x", 1, 2), ("y", 2, 3), ("x", 3, None),
+    ]
