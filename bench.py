@@ -296,7 +296,9 @@ HEADLINE = [
     "hilbert_vs_zorder_skipping",
     # round-6 sixth wave: SCD2 folded from periodic snapshots
     # (deletes/reappearances from presence, the no-changelog case)
+    # and the nightly one-snapshot MERGE proven == full fold
     "scd2_from_snapshots",
+    "scd2_snapshot_merge",
 ]
 
 RUNS_PER_QUERY = 3

@@ -34,6 +34,7 @@ __all__ = [
     "merge_scd2",
     "scd2_as_of",
     "scd2_from_snapshots",
+    "merge_snapshot_scd2",
 ]
 
 _SCD_COLS = ("valid_from", "valid_to", "change_seq", "is_current")
@@ -218,4 +219,80 @@ def scd2_from_snapshots(
         "valid_from",
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def merge_snapshot_scd2(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    snap_ts,
+) -> DataFrame:
+    """Fold ONE new full snapshot (taken at ``snap_ts``, which must
+    order after every ``valid_from`` in ``history``) into existing SCD2
+    history — the nightly production MERGE for snapshot-shaped sources,
+    incremental twin of :func:`scd2_from_snapshots` (sequential merges
+    are proven equal to the full fold in ``tests/test_cdc.py``).
+
+    One full-outer join of the CURRENT runs against the snapshot keys
+    decides every case: key in history only → run closes at ``snap_ts``
+    (delete); in both with equal attrs (null-safe) → run stays open
+    untouched; in both with different attrs → close + open a new run;
+    in snapshot only (new or reappearing key) → open a new run. Closed
+    history rows pass through untouched — cost is |current| +
+    |snapshot|, never the closed history.
+    """
+    t = snap_ts if isinstance(snap_ts, Column) else F.lit(snap_ts)
+    # pin ONE materialization of the history: it is read by two branches
+    # here and the output of one merge is the input of the next — without
+    # the checkpoint a chain of nightly merges re-evaluates every prior
+    # merge's plan once per union branch (measured 8.1s -> ~1s at sf0.1
+    # for a 2-merge chain; the blowup is exponential in chain length)
+    history = history.localCheckpoint(eager=False)
+    cur = history.where(F.col("is_current"))
+    closed = history.where(~F.col("is_current"))
+    snap = snapshot.select(
+        *key_cols,
+        *[F.col(a).alias(f"__s_{a}") for a in attr_cols],
+        F.lit(True).alias("__in_snap"),
+    )
+    # the join feeds THREE output branches — same single-materialization
+    # contract
+    j = (
+        cur.withColumn("__in_cur", F.lit(True))
+        .join(snap, key_cols, "full")
+        .localCheckpoint(eager=False)
+    )
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col(a).eqNullSafe(F.col(f"__s_{a}"))
+    in_cur = F.col("__in_cur").isNotNull()
+    in_snap = F.col("__in_snap").isNotNull()
+
+    # runs that survive from the current generation: unchanged keys
+    unchanged = j.where(in_cur & in_snap & same).select(
+        *key_cols, *attr_cols, "valid_from", "valid_to", "is_current"
+    )
+    # runs closed at snap_ts: key vanished, or its attrs changed
+    closes = j.where(in_cur & (~in_snap | ~same)).select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        t.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # new open runs: key (re)appeared or changed
+    opens = j.where(in_snap & (~in_cur | ~same)).select(
+        *key_cols,
+        *[F.col(f"__s_{a}").alias(a) for a in attr_cols],
+        t.alias("valid_from"),
+        F.lit(None).cast(j.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed.select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+        .unionByName(unchanged)
+        .unionByName(closes)
+        .unionByName(opens)
     )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import cdc as CDC
-from datas_spark.registry_core import register
+from datas_spark.registry_core import ORACLES, register
 
 _KEYS = ["custkey"]
 _ATTRS = ["priority", "status"]
@@ -300,6 +300,52 @@ def q_scd2_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scd = CDC.scd2_from_snapshots(snaps, ["custkey"], ["priority"], "yr")
     return scd.select(
+        "custkey", "priority", "valid_from", "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_SNAPSHOT_FOLD_ORACLE = ORACLES["scd2_from_snapshots"]
+
+
+def _yearly_snaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(
+        F.max_by(
+            F.col("o_orderpriority"),
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+        ).alias("priority")
+    )
+
+
+@register("scd2_snapshot_merge", oracle=_SNAPSHOT_FOLD_ORACLE)
+def q_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly snapshot MERGE (`cdc.merge_snapshot_scd2`): history is
+    the full fold of the 1995-1999 yearly exports; the 2000 and 2001
+    exports then merge in one at a time — each a full-outer join of
+    CURRENT runs vs the snapshot keys deciding close / keep / flip /
+    open, with closed history passing through untouched. The oracle is
+    the full fold over all years, so hash-green proves sequential
+    merges == rebuild (the incremental-ingest contract: nightly cost is
+    |current| + |snapshot|, never the closed history)."""
+    from datas_spark.operators.cdc import merge_snapshot_scd2
+
+    snaps = _yearly_snaps(spark, sf_dir)
+    hist = CDC.scd2_from_snapshots(
+        snaps.where(F.col("yr") <= 1999), ["custkey"], ["priority"], "yr"
+    ).select("custkey", "priority", "valid_from", "valid_to", "is_current")
+    for y in (2000, 2001):
+        hist = merge_snapshot_scd2(
+            hist,
+            snaps.where(F.col("yr") == y).select("custkey", "priority"),
+            ["custkey"],
+            ["priority"],
+            F.lit(y).cast("long"),
+        )
+    return hist.select(
         "custkey", "priority", "valid_from", "valid_to",
         F.col("is_current").cast("int").alias("is_current"),
     )

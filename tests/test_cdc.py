@@ -173,3 +173,45 @@ def test_scd2_from_snapshots_attr_flip_without_gap(spark):
     assert [(r.a, r.valid_from, r.valid_to) for r in runs] == [
         ("x", 1, 2), ("y", 2, 3), ("x", 3, None),
     ]
+
+
+def test_merge_snapshot_equals_full_fold(spark):
+    """Sequential per-snapshot merges land on the exact full-fold
+    result, through deletes, reappearances, and attr flips."""
+    from datas_spark.operators.cdc import merge_snapshot_scd2, scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [
+            (1, 1, "x"), (1, 2, "x"), (1, 4, "y"),   # collapse, delete, return
+            (2, 3, "z"), (2, 4, "z"),                  # late birth
+            (3, 1, "c"), (3, 2, "d"), (3, 3, "d"), (3, 4, "c"),  # flips
+        ],
+        "k int, snap int, a string",
+    )
+    full = scd2_from_snapshots(snaps, ["k"], ["a"], "snap")
+    hist = scd2_from_snapshots(
+        snaps.where(F.col("snap") <= 2), ["k"], ["a"], "snap"
+    ).select("k", "a", "valid_from", "valid_to", "is_current")
+    for s in (3, 4):
+        hist = merge_snapshot_scd2(
+            hist, snaps.where(F.col("snap") == s).select("k", "a"), ["k"], ["a"], s
+        )
+    key = lambda df: sorted(tuple(repr(v) for v in r) for r in df.collect())
+    assert key(hist) == key(full.select(*hist.columns))
+
+
+def test_merge_snapshot_closed_history_untouched(spark):
+    from datas_spark.operators.cdc import merge_snapshot_scd2, scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y")], "k int, snap int, a string"
+    )
+    hist = scd2_from_snapshots(snaps, ["k"], ["a"], "snap").select(
+        "k", "a", "valid_from", "valid_to", "is_current"
+    )
+    # snapshot 3 repeats the current value: nothing changes at all
+    merged = merge_snapshot_scd2(
+        hist, spark.createDataFrame([(1, "y")], "k int, a string"), ["k"], ["a"], 3
+    )
+    key = lambda df: sorted(tuple(repr(v) for v in r) for r in df.collect())
+    assert key(merged) == key(hist)

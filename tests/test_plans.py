@@ -189,6 +189,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "knn_shapley_values",              # same broadcast probe set
         "entity_resolution_eval",          # 1-row metrics agg × 1-row truth-count scalar
         "scd2_from_snapshots",             # key frame × broadcast TINY snapshot list (one row per export)
+        "scd2_snapshot_merge",             # same grid inside its full-fold history stage
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
