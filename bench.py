@@ -339,6 +339,10 @@ def main() -> None:
         # LATER queries (round 6: an iterative k-core measured 3x its
         # fresh-JVM time by the tail of the session); explicit cleanup
         # keeps the regression gate comparing plans, not heap pressure
+        # (a per-query JVM System.gc() was tried and REVERTED: it made
+        # the session total worse, and the remaining multi-second
+        # outliers track the box's noisy-neighbor variance — fresh-JVM
+        # spot checks, not harness knobs, are the arbiter for those)
         spark.catalog.clearCache()
         _gc.collect()
 
