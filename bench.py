@@ -299,6 +299,9 @@ HEADLINE = [
     # and the nightly one-snapshot MERGE proven == full fold
     "scd2_from_snapshots",
     "scd2_snapshot_merge",
+    # analytic LSH band planner (cheap; here so the planning surface
+    # stays perf-tracked alongside the banding it tunes)
+    "minhash_band_plan",
 ]
 
 RUNS_PER_QUERY = 3
