@@ -302,6 +302,8 @@ HEADLINE = [
     # analytic LSH band planner (cheap; here so the planning surface
     # stays perf-tracked alongside the banding it tunes)
     "minhash_band_plan",
+    # stratified 5-fold CV deal (per-stratum skew-resistant rank)
+    "doc_stratified_kfold",
 ]
 
 RUNS_PER_QUERY = 3

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from datas_spark.operators.dedup import near_dedup_keep_first
 
-__all__ = ["group_split_assign", "group_safe_split", "split_leakage_counts", "kfold_assign"]
+__all__ = ["group_split_assign", "group_safe_split", "split_leakage_counts", "kfold_assign",
+    "stratified_kfold_assign"]
 
 
 def group_split_assign(
@@ -151,3 +152,33 @@ def kfold_assign(
     return df.withColumn(
         out_col, F.pmod(hash60(key.cast("string")), F.lit(int(k))).cast("int")
     )
+
+
+def stratified_kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int = 5,
+    out_col: str = "fold",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Stratified k-fold assignment: within every stratum (label), rows
+    are ordered by ``md5(id)`` and dealt round-robin — each fold gets
+    ``count/k`` of EVERY stratum to within one row, the guarantee plain
+    hash-mod folds (`kfold_assign`) only give in expectation (a rare
+    label's 20 rows can land 8/1/5/2/4 by hash; stratified deals
+    4/4/4/4/4). Deterministic: same data → same folds, no RNG state.
+
+    Scale shape: the per-stratum rank comes from
+    ``selection.skew_resistant_rank`` — a label covering half the
+    corpus never serializes onto one task the way a
+    ``Window.partitionBy(label)`` would. One balanced range exchange,
+    map-side modulo, done.
+    """
+    from datas_spark.operators.selection import skew_resistant_rank
+
+    keyed = df.withColumn("__skey", F.md5(F.col(id_col).cast("string")))
+    ranked = skew_resistant_rank(keyed, strata_col, "__skey", num_partitions)
+    return ranked.withColumn(
+        out_col, ((F.col("__rn") - 1) % F.lit(int(k))).cast("int")
+    ).drop("__skey", "__rn", "__m", "__one")

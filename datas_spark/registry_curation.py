@@ -2449,3 +2449,30 @@ def q_documents_constraint_suggestions(spark: SparkSession, sf_dir: str) -> Data
         isin_cols=["lang", "source"],
         isin_max=25,
     )
+
+
+@register(
+    "doc_stratified_kfold",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR)) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, ((rn - 1) % 5)::INT AS fold FROM r
+    """,
+)
+def q_doc_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold CV assignment (`splits.stratified_kfold_assign`):
+    every language contributes count/5 rows to each fold to within one
+    row — the per-stratum balance hash-mod folds only give in
+    expectation. Rank within stratum is the skew-resistant range-
+    exchange mint (a dominant language never serializes onto one
+    task); the deal is a map-side modulo."""
+    from datas_spark.operators.splits import stratified_kfold_assign
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_kfold_assign(docs, "doc_id", "lang", k=5).select(
+        "doc_id", "lang", "fold"
+    )

@@ -163,3 +163,26 @@ def test_kfold_assign_null_group_falls_back_to_id(spark):
     out = {r.id: r.fold for r in S.kfold_assign(df, "id", k=97, group_col="g").collect()}
     # distinct ids → (almost surely) distinct folds, NOT one glued group
     assert out[1] != out[2]
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    from datas_spark.operators.splits import stratified_kfold_assign
+
+    rows = [(i, "a" if i < 23 else "b") for i in range(40)]  # 23 a / 17 b
+    df = spark.createDataFrame(rows, "id long, lab string")
+    got = stratified_kfold_assign(df, "id", "lab", k=5, num_partitions=3)
+    counts = {
+        (r.lab, r.fold): r["count"]
+        for r in got.groupBy("lab", "fold").count().collect()
+    }
+    # every stratum deals count/k per fold to within ONE row
+    for lab, n in (("a", 23), ("b", 17)):
+        per = [counts.get((lab, f), 0) for f in range(5)]
+        assert sum(per) == n and max(per) - min(per) <= 1
+    # deterministic across invocations
+    a = sorted((r.id, r.fold) for r in got.collect())
+    b = sorted(
+        (r.id, r.fold)
+        for r in stratified_kfold_assign(df, "id", "lab", k=5, num_partitions=3).collect()
+    )
+    assert a == b
