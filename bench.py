@@ -308,6 +308,39 @@ HEADLINE = [
 
 RUNS_PER_QUERY = 3
 
+# Canary protocol (round-7, VERDICT r6 "Next round" #1): the bench box
+# swings 2-6x per query between runs, which defeats the 1.5x+0.3s
+# regression gate. These five map-only scan queries are NEVER to be
+# touched by operator work — their plans are frozen (a change to any of
+# their source files should also update this comment) — so their total,
+# plus a pure-JVM spark.range sum that does no I/O at all, measures the
+# BOX, not the code. bench_diff.py divides every new timing by the
+# canary ratio (new_canary_total / old_canary_total) before applying
+# the gate, making BENCH_DETAIL.json self-normalizing across boxes.
+CANARY_QUERIES = [
+    "token_count",
+    "language_id",
+    "simhash",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+RANGE_SENTINEL_N = 256_000_000  # fixed work: sum(id % 7) over 256M longs
+
+
+def _range_sentinel(spark) -> float:
+    """Median-of-3 wall time of a fixed pure-JVM aggregate — zero I/O,
+    zero Python, whole-stage codegen only: the cleanest possible probe
+    of executor-thread throughput on this box right now."""
+    samples = []
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.perf_counter()
+        spark.range(0, RANGE_SENTINEL_N, 1, 32).selectExpr(
+            "sum(id % 7) AS s"
+        ).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -351,6 +384,13 @@ def main() -> None:
         spark.catalog.clearCache()
         _gc.collect()
 
+    range_s = _range_sentinel(spark)
+    canary = {
+        "queries": {q: timings[q] for q in CANARY_QUERIES if q in timings},
+        "range_sentinel_s": range_s,
+    }
+    canary["total"] = round(sum(canary["queries"].values()) + range_s, 3)
+
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a FILE — with 120+ queries the inline
     # map is ~4.6 KB, and the driver keeps only a ~2 KB stdout tail, so
@@ -367,6 +407,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "canary": canary,
             },
             f,
             indent=1,
@@ -387,6 +428,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "canary_total": canary["total"],
             "queries": slowest,
         }
     )

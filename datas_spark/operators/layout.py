@@ -166,8 +166,16 @@ def zone_skipping_report(
     match = F.lit(True)
     for c, (lo, hi) in predicates.items():
         match = match & F.col(c).between(F.lit(lo), F.lit(hi))
-    # layout-invariant true selectivity, computed ONCE (tiny action)
-    n_match = df.where(match).count()
+    # layout-invariant true selectivity as a LAZY 1-row aggregate — no
+    # call-time action (an eager count here would execute the full
+    # input lineage once per invocation before the returned plan runs);
+    # broadcast-cross-joined onto the n_layouts-row summary below, it
+    # is computed exactly once inside the returned frame's own plan
+    match_agg = df.agg(
+        F.coalesce(F.sum(match.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_rows_matching")
+    )
     frames = []
     for name, key in layouts.items():
         zones = zone_minmax(
@@ -188,13 +196,12 @@ def zone_skipping_report(
                 "n_zones",
                 "n_zones_skipped",
                 "n_rows_skipped",
-                F.lit(n_match).cast("long").alias("n_rows_matching"),
             )
         )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    return out
+    return out.crossJoin(F.broadcast(match_agg))
 
 
 def with_hilbert_key(

@@ -181,4 +181,4 @@ def stratified_kfold_assign(
     ranked = skew_resistant_rank(keyed, strata_col, "__skey", num_partitions)
     return ranked.withColumn(
         out_col, ((F.col("__rn") - 1) % F.lit(int(k))).cast("int")
-    ).drop("__skey", "__rn", "__m", "__one")
+    ).drop("__skey", "__rn", "__m")

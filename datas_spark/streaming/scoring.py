@@ -1399,10 +1399,14 @@ def scd2_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _batch_committed(spark, state_path, batch_id):
+        # this sink commits only fold markers (`batch-<B>-fold`), so the
+        # replay guard must read them through _committed_state (which
+        # strips the -fold suffix) — a plain `batch-<B>` probe never
+        # fires and every checkpoint redelivery would re-run the merge
+        committed, watermark = _committed_state(spark, state_path)
+        if batch_id in committed:
             return
         changes = batch_df.select(*key_cols, *attr_cols, ts_col, seq_col)
-        _, watermark = _committed_state(spark, state_path)
         prior = None
         if watermark >= 0:
             store = _read_store(spark, store_path)

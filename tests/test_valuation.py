@@ -130,3 +130,30 @@ def test_harmful_point_gets_negative_value(spark, frames):
     # and near test 0's neighborhood competitors; brute force confirms
     # its mean value is negative.
     assert vals[12] < 0
+
+
+def test_no_raw_row_window_partitioned_only_by_test_id(spark, frames):
+    """VERDICT r6 #2 done-criterion: the per-probe ranking must never
+    flow a probe's whole training set through one task. Every window
+    over raw rows partitions by (__pid, test_id); any window whose
+    partition spec is test_id alone may exist only above an aggregate
+    (the tiny per-segment carry frame)."""
+    from datas_spark.plans.audit import _has_aggregate_below, _root, walk_plan
+
+    train, test = frames
+    df = V.knn_shapley_pairs(train, test, "vec_id", "embedding", "label", k=K)
+    saw_window = False
+    for nd in walk_plan(_root(df)):
+        if nd.getClass().getSimpleName() not in ("WindowExec", "WindowGroupLimitExec"):
+            continue
+        saw_window = True
+        spec = nd.partitionSpec()
+        names = [
+            str(spec.apply(i).toString()).split("#")[0]
+            for i in range(spec.length())
+        ]
+        if names == ["test_id"]:
+            assert _has_aggregate_below(nd), (
+                "raw-row window partitioned solely by test_id: " + str(names)
+            )
+    assert saw_window
