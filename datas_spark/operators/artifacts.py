@@ -57,6 +57,7 @@ __all__ = [
     "pairs_artifact",
     "components_artifact",
     "spans_artifact",
+    "elected_spans_artifact",
     "merge_into_components_artifact",
     "artifact_status",
     "gc_artifacts",
@@ -221,6 +222,31 @@ def spans_artifact(
     return parquet_cache(spark, spans, path, recompute=recompute)
 
 
+def elected_spans_artifact(
+    spark: SparkSession, sf_dir: str, recompute: bool = False
+) -> DataFrame:
+    """The persisted span-family ELECTION — ``(doc, s, e, component,
+    is_owner)`` from `dedup.elect_span_owners` over the spans artifact,
+    computed once per corpus fingerprint (round-7, VERDICT r6 "Next
+    round" #3). The two elected-cut consumers (`substring_dedup_elected`,
+    `span_cut_savings`) otherwise re-run the per-doc interval union +
+    region-graph CC inline on every evaluation; the election is a pure
+    function of the span table, so it belongs in the store next to its
+    input. Same contract as every family: consumers keep full-recompute
+    DuckDB oracles (recursive-CC election included), so artifact ==
+    recompute stays hash-proven per run."""
+    key = dataset_key(sf_dir, "documents")
+    path = os.path.join(
+        artifact_root(), key, f"spans_n{SPAN_N}_df{SPAN_CAP}_elected"
+    )
+    from datas_spark.io.sinks import _cache_marker_exists
+
+    if not recompute and _cache_marker_exists(spark, path):
+        return spark.read.parquet(path)
+    fams = D.elect_span_owners(spans_artifact(spark, sf_dir))
+    return parquet_cache(spark, fams, path, recompute=recompute)
+
+
 def pq_index_artifact(
     spark: SparkSession, sf_dir: str, recompute: bool = False
 ) -> DataFrame:
@@ -342,14 +368,15 @@ def artifact_status(spark: SparkSession, sf_dir: str) -> list[dict]:
                 {"family": family, "kind": kind, "built": built, "rows": rows,
                  "path": path}
             )
-    span_path = os.path.join(
-        artifact_root(), dataset_key(sf_dir, "documents"),
-        f"spans_n{SPAN_N}_df{SPAN_CAP}_spans",
-    )
-    built = _cache_marker_exists(spark, span_path)
-    out.append(
-        {"family": "spans", "kind": "spans", "built": built,
-         "rows": spark.read.parquet(span_path).count() if built else None,
-         "path": span_path}
-    )
+    for family, kind in (("spans", "spans"), ("spans", "elected")):
+        span_path = os.path.join(
+            artifact_root(), dataset_key(sf_dir, "documents"),
+            f"spans_n{SPAN_N}_df{SPAN_CAP}_{kind}",
+        )
+        built = _cache_marker_exists(spark, span_path)
+        out.append(
+            {"family": family, "kind": kind, "built": built,
+             "rows": spark.read.parquet(span_path).count() if built else None,
+             "path": span_path}
+        )
     return out

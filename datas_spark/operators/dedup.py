@@ -1945,6 +1945,7 @@ def cut_overlap_spans_elected(
     id_col: str,
     text_col: str,
     out_col: str = "text_cut",
+    fams: DataFrame | None = None,
 ) -> DataFrame:
     """Apply corpus-wide substring dedup under the span-family election
     (`elect_span_owners`): every merged duplicated region that is NOT
@@ -1955,8 +1956,14 @@ def cut_overlap_spans_elected(
 
     Appends ``out_col``, ``n_tokens``, ``n_tokens_cut``; docs in no
     span pass through with ``n_tokens_cut = 0``.
+
+    ``fams`` accepts a precomputed election (e.g. the persisted
+    ``artifacts.elected_spans_artifact``) so repeated consumers skip
+    the interval-union + CC derivation; when None it is derived from
+    ``spans`` inline.
     """
-    fams = elect_span_owners(spans)
+    if fams is None:
+        fams = elect_span_owners(spans)
     cut_rows = fams.where(~F.col("is_owner")).select(
         F.col("doc").alias(id_col),
         F.col("s"),

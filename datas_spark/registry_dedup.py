@@ -2105,10 +2105,14 @@ def q_substring_dedup_elected(spark: SparkSession, sf_dir: str) -> DataFrame:
     each winning a different pair against A while A loses everything).
     The election runs entirely on the tiny span frame; the oracle
     recomputes detection, interval union, the recursive component
-    grouping AND the election from scratch."""
+    grouping AND the election from scratch. Round-7: the election is
+    read from the persisted ``spans_elected`` artifact family instead
+    of being re-derived inline per evaluation (the oracle still
+    recomputes everything, so artifact == recompute stays proven)."""
     docs = read_table(spark, sf_dir, "documents")
     spans = ART.spans_artifact(spark, sf_dir)
-    out = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text")
+    fams = ART.elected_spans_artifact(spark, sf_dir)
+    out = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text", fams=fams)
     return out.select("doc_id", "n_tokens", "n_tokens_cut", "text_cut")
 
 
@@ -2161,9 +2165,13 @@ def q_span_cut_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     spans = ART.spans_artifact(spark, sf_dir)
     cut = D.cut_overlap_spans(docs, spans, "doc_id", "text")
-    cut_e = D.cut_overlap_spans_elected(docs, spans, "doc_id", "text").select(
-        "doc_id", F.col("n_tokens_cut").alias("__n_cut_e")
-    )
+    cut_e = D.cut_overlap_spans_elected(
+        docs,
+        spans,
+        "doc_id",
+        "text",
+        fams=ART.elected_spans_artifact(spark, sf_dir),
+    ).select("doc_id", F.col("n_tokens_cut").alias("__n_cut_e"))
     return cut.join(cut_e, "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count_if(F.col("n_tokens_cut") > 0).cast("long").alias("n_docs_cut"),

@@ -66,6 +66,7 @@ def main() -> int:
         for fam in families:
             if fam == "spans":
                 ART.spans_artifact(spark, sf_dir).count()
+                ART.elected_spans_artifact(spark, sf_dir).count()
             else:
                 ART.pairs_artifact(spark, sf_dir, fam).count()
                 ART.components_artifact(spark, sf_dir, fam).count()

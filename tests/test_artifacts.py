@@ -193,3 +193,14 @@ def test_pq_index_artifact_matches_rebuild_and_skips(spark, scratch_root):
     before = _parquet_mtime_set(scratch_root)
     ART.pq_index_artifact(spark, SF)
     assert _parquet_mtime_set(scratch_root) == before
+
+
+def test_elected_spans_artifact_matches_recompute(spark, scratch_root):
+    spans = ART.spans_artifact(spark, SF)
+    live = D.elect_span_owners(spans)
+    cached = ART.elected_spans_artifact(spark, SF)
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
+    # skip-if-exists: a second call reads parquet, no rewrite
+    before = _parquet_mtime_set(scratch_root)
+    ART.elected_spans_artifact(spark, SF).count()
+    assert _parquet_mtime_set(scratch_root) == before
