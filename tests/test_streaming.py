@@ -1529,3 +1529,79 @@ def test_enrich_stream_scd2_point_in_time(spark, tmp_path):
     got = {r.eid: r.a for r in out}
     assert got == {10: "old", 11: "new", 12: None, 13: "only"}
     assert len(out) == 4  # disjoint runs: never a fan-out
+
+
+def test_ivm_compaction_preserves_protocol(spark, tmp_path):
+    """VERDICT r6 #4 done-criterion: the kill-and-resume drill still
+    passes after a MID-STREAM offline compaction, and the store's file
+    count is bounded (one partition dir per store) afterwards."""
+    import json as _json
+
+    from datas_spark.streaming.scoring import compact_ivm_store
+
+    def write_file(src, i):
+        with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+            for row in _data_ivm(i):
+                fh.write(_json.dumps(row) + "\n")
+
+    src_a = str(tmp_path / "src_a"); os.makedirs(src_a)
+    root_a = str(tmp_path / "a")
+    write_file(src_a, 0)
+    write_file(src_a, 1)
+    _drill_ivm(spark, src_a, root_a)
+    # offline compaction between the kill and the resume
+    report = compact_ivm_store(spark, root_a + "/state", target_file_bytes=1 << 30)
+    assert report["view"]["folded_batches"] >= 1
+    write_file(src_a, 2)
+    _drill_ivm(spark, src_a, root_a)
+
+    src_b = str(tmp_path / "src_b"); os.makedirs(src_b)
+    root_b = str(tmp_path / "b")
+    for i in range(3):
+        write_file(src_b, i)
+    _drill_ivm(spark, src_b, root_b)
+    assert _state_ivm(spark, root_a) == _state_ivm(spark, root_b)
+
+    # file count bounded: compact again after the resume and every
+    # store must collapse to ONE partition dir with n_files files
+    compact_ivm_store(spark, root_a + "/state", target_file_bytes=1 << 30)
+    for sub in ("a", "b", "view"):
+        store = os.path.join(root_a, "state", sub)
+        parts = [d for d in os.listdir(store) if d.startswith("__batch=")]
+        assert len(parts) == 1, (sub, parts)
+        files = [
+            f for f in os.listdir(os.path.join(store, parts[0]))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (sub, files)
+    # and the compacted store still answers correctly
+    assert _state_ivm(spark, root_a) == _state_ivm(spark, root_b)
+
+
+def test_ivm_compaction_crash_recovery(spark, tmp_path):
+    """A compactor crash at the worst point (store renamed away, swap
+    not finished) must be healed by the next compact call."""
+    import json as _json
+    import shutil
+
+    from datas_spark.streaming.scoring import compact_ivm_store
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    root = str(tmp_path / "root")
+    # two batches: batch 0 alone joins nothing (empty view partition)
+    for i in range(2):
+        with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+            for row in _data_ivm(i):
+                fh.write(_json.dumps(row) + "\n")
+    _drill_ivm(spark, src, root)
+    before = _state_ivm(spark, root)
+
+    # simulate: compacted copy fully written, then crash mid-swap with
+    # the store renamed to the backup and no new store in place
+    view = os.path.join(root, "state", "view")
+    shutil.copytree(view, view + ".__compact")
+    os.rename(view, view + ".__precompact")
+    assert not os.path.exists(view)
+
+    compact_ivm_store(spark, root + "/state", target_file_bytes=1 << 30)
+    assert _state_ivm(spark, root) == before
