@@ -204,3 +204,21 @@ def test_elected_spans_artifact_matches_recompute(spark, scratch_root):
     before = _parquet_mtime_set(scratch_root)
     ART.elected_spans_artifact(spark, SF).count()
     assert _parquet_mtime_set(scratch_root) == before
+
+
+def test_partial_components_artifact_matches_recompute(spark, scratch_root):
+    from pyspark.sql import functions as F
+
+    cut = 250
+    pairs = ART.pairs_artifact(spark, SF, "jaccard")
+    old_pairs = pairs.where((F.col("id_a") < cut) & (F.col("id_b") < cut))
+    old_docs = (
+        ART.read_table(spark, SF, "documents")
+        .where(F.col("doc_id") < cut)
+        .select("doc_id")
+    )
+    live = D.near_dedup_keep_first(old_docs, "doc_id", old_pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    cached = ART.partial_components_artifact(spark, SF, "jaccard", cut)
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
