@@ -42,6 +42,8 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "language_id",
+    # round-7: the fifth bench canary (map-only rolling-hash scan)
+    "doc_fingerprint",
     "events_window_agg",
     "least_confidence",
     "simhash",
@@ -304,6 +306,12 @@ HEADLINE = [
     "minhash_band_plan",
     # stratified 5-fold CV deal (per-stratum skew-resistant rank)
     "doc_stratified_kfold",
+    # round-7: cohort retention matrix, the unigram LM companion, and
+    # the DoReMi exponentiated-gradient mixture step (two self-trained
+    # LM passes + the tiny-frame update)
+    "events_retention_cohorts",
+    "unigram_lm_score",
+    "doremi_domain_weights",
 ]
 
 RUNS_PER_QUERY = 3

@@ -53,6 +53,8 @@ __all__ = [
     "repetition_stats",
     "temperature_sample",
     "ngram_lm_score",
+    "unigram_lm_score",
+    "doremi_domain_weights",
     "weighted_sample",
     "weighted_sample_per_key",
     "rebalance_labels",
@@ -1795,4 +1797,109 @@ def mojibake_stats(df: DataFrame, text_col: str) -> DataFrame:
     n = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_PATTERN))
     return df.withColumn("n_mojibake", n.cast("long")).withColumn(
         "has_mojibake", (F.col("n_mojibake") > 0).cast("int")
+    )
+
+
+def unigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained UNIGRAM LM score — the context-free companion of
+    `ngram_lm_score`: ``P(w) = c(w) / c(·)`` estimated from the corpus
+    itself, per-doc average negative log-likelihood. On its own a
+    weaker fluency signal than the bigram NLL; the pair (unigram,
+    bigram) is the deterministic two-model stand-in that
+    `doremi_domain_weights` consumes as (proxy, reference) losses.
+
+    Plan: one explode → token-hash count aggregate; the corpus total is
+    a 1-row reaggregation broadcast into the probability table; scoring
+    joins each doc's tokens on the 8-byte key and averages per doc.
+    Docs with no token get ``n_tokens = 0`` and NULL nll.
+
+    Returns (id, n_tokens, nll) with nll rounded to 6 decimals.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("__id"), word_tokens(text_col).alias("__toks"))
+        .select("__id", F.explode_outer("__toks").alias("__t"))
+        .where(F.col("__t").isNotNull())
+        .select("__id", F.xxhash64("__t").alias("__th"))
+    )
+    cnt = toks.groupBy("__th").agg(F.count(F.lit(1)).alias("__c"))
+    total = cnt.agg(F.sum("__c").alias("__tot"))
+    probs = cnt.crossJoin(F.broadcast(total)).withColumn(
+        "__lp", F.log(F.col("__c") / F.col("__tot"))
+    )
+    scored = toks.join(probs.select("__th", "__lp"), "__th").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg("__lp"), 6).alias("nll"),
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "nll",
+    )
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str,
+    proxy_nll_col: str,
+    ref_nll_col: str,
+    step_size: float = 1.0,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """One DoReMi exponentiated-gradient step over domain mixture
+    weights (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds
+    Up Language Model Pretraining"): per-domain excess loss
+    ``λ_i = avg(max(0, proxy − ref))`` over the domain's examples,
+    multiplicative update from the uniform base
+    ``w_i ∝ (1/k) · exp(η · λ_i)``, normalized, then smoothed with the
+    uniform mixture ``(1 − c) · w + c/k`` so no domain's weight
+    collapses to zero. Domains where the proxy model trails the
+    reference hardest get upweighted — the published group-DRO rule,
+    here as ONE deterministic dataflow step: feed it real per-example
+    losses from two model passes (the `reward_score`-style pandas_udf
+    boundary) and iterate; the registry query feeds the self-trained
+    unigram/bigram LM pair so the whole step is oracle-checkable.
+
+    Scale shape: the only pass over examples is ONE map-side-combinable
+    aggregate per domain; everything after runs on the k-row domain
+    frame — the normalization total folds over the domain-sorted
+    collected array (engine-identical accumulation) and broadcasts
+    back. Returns ``(domain, n_docs, excess_loss, weight)`` with
+    ``excess_loss`` rounded to 9 and ``weight`` to 6 decimals.
+    """
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.coalesce(
+                F.avg(
+                    F.greatest(
+                        F.col(proxy_nll_col) - F.col(ref_nll_col), F.lit(0.0)
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("excess_loss"),
+    )
+    raw = per_dom.withColumn(
+        "__raw", F.exp(F.lit(float(step_size)) * F.col("excess_loss"))
+    )
+    norm = raw.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "__raw"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__raw"],
+        ).alias("__tot"),
+    )
+    c = float(smoothing)
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "domain",
+        "n_docs",
+        "excess_loss",
+        F.round(
+            F.lit(1.0 - c) * F.col("__raw") / F.col("__tot")
+            + F.lit(c) / F.col("__k"),
+            6,
+        ).alias("weight"),
     )

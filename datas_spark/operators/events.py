@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix"]
 
 
 def funnel_stage_times(
@@ -387,3 +387,62 @@ def watermark_lateness_counts(
             .alias(f"late_{int(d)}s")
         )
     return run.agg(*aggs)
+
+
+def retention_cohort_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics rollup
+    (and, for a training-data platform, the contributor-activity audit):
+    users are grouped into cohorts by the period of their FIRST event,
+    and each cohort's activity is counted at every whole-period offset
+    since then.
+
+    Returns ``(cohort_start, period_offset, n_active, cohort_size,
+    retention_pct)`` — one row per (cohort, offset) with at least one
+    active user; ``period_offset`` 0 is the cohort's own period (always
+    ``n_active == cohort_size``), and ``retention_pct`` is rounded to 4
+    decimals.
+
+    Scale shape: raw events reduce FIRST to distinct (user, period)
+    activity — one shuffle on the user key; the per-user cohort is a
+    min-aggregate over the same key (co-partitioned, no second
+    exchange of raw rows); the activity ⋈ cohort join is user-keyed;
+    the final matrix is a map-side-combinable count per (cohort,
+    offset) and the cohort sizes it normalizes by ride a broadcast of
+    the tiny per-cohort frame. No window touches raw rows.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    acting = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
+    ).distinct()
+    cohort = acting.groupBy("__u").agg(F.min("__p").alias("__c0"))
+    if period == "month":
+        offset = F.months_between(F.col("__p"), F.col("__c0")).cast("int")
+    elif period == "week":
+        offset = (F.datediff(F.col("__p"), F.col("__c0")) / 7).cast("int")
+    else:
+        offset = F.datediff(F.col("__p"), F.col("__c0"))
+    active = (
+        acting.join(cohort, "__u")
+        .select(F.col("__c0").alias("cohort_start"), offset.alias("period_offset"))
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cohort.groupBy(F.col("__c0").alias("cohort_start")).agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return active.join(F.broadcast(sizes), "cohort_start").select(
+        "cohort_start",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size") * 100, 4).alias(
+            "retention_pct"
+        ),
+    )

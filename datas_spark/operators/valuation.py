@@ -181,7 +181,10 @@ def knn_shapley_pairs(
         (F.col("__lrn") + F.col("__offset")).cast("int").alias("rank"),
         F.coalesce(F.col("__lead_m"), F.col("__next_first_m")).alias("__m_next"),
     )
-    # delta_j = (m_j - m_{j+1}) / max(K, j) for j < N; 0 at j = N
+    # delta_j = (m_j - m_{j+1}) / max(K, j) for j < N; 0 at j = N.
+    # Two consumers below (the row-level suffix window and the
+    # per-segment delta totals) — pin ONE materialization so the rank
+    # windows + segment join are not re-evaluated per branch
     step = rows.withColumn(
         "__delta",
         F.when(
@@ -189,7 +192,7 @@ def knn_shapley_pairs(
             (F.col("matches") - F.col("__m_next")).cast("double")
             / F.greatest(F.col("rank"), F.lit(k)).cast("double"),
         ).otherwise(F.lit(0.0)),
-    )
+    ).localCheckpoint(eager=False)
     # suffix sum two-level: partition-local running sum in rank-desc
     # order, plus a broadcast carry of the delta totals of all
     # HIGHER-rank segments of the same probe

@@ -2476,3 +2476,116 @@ def q_doc_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_kfold_assign(docs, "doc_id", "lang", k=5).select(
         "doc_id", "lang", "fold"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: unigram LM + one DoReMi exponentiated-gradient step
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_lm_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), tk AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ), cw AS (
+      SELECT w, count(*) AS c FROM tk GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS tc FROM cw
+    ), p AS (
+      SELECT w, ln(c::DOUBLE / tc) AS lp FROM cw, tot
+    ), s AS (
+      SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+             round(-avg(p.lp), 6) AS nll
+      FROM tk JOIN p USING (w) GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens, s.nll
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM NLL per doc — the context-free companion
+    of `ngram_lm_score` and the deterministic 'proxy model' half of the
+    DoReMi step below. One token-hash count aggregate, a 1-row corpus
+    total broadcast into the probability table, one scoring join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.unigram_lm_score(docs, "doc_id", "text")
+
+
+@register(
+    "doremi_domain_weights",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), tk AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ), cw AS (
+      SELECT w, count(*) AS c FROM tk GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS tc FROM cw
+    ), pu AS (
+      SELECT w, ln(c::DOUBLE / tc) AS lp FROM cw, tot
+    ), su AS (
+      SELECT tk.doc_id, round(-avg(pu.lp), 6) AS proxy
+      FROM tk JOIN pu USING (w) GROUP BY tk.doc_id
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    ), cbg AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, sum(c) AS cc FROM cbg GROUP BY w1
+    ), pb AS (
+      SELECT cbg.w1, cbg.w2, ln(cbg.c::DOUBLE / cctx.cc) AS lp
+      FROM cbg JOIN cctx USING (w1)
+    ), sb AS (
+      SELECT bg.doc_id, round(-avg(pb.lp), 6) AS ref
+      FROM bg JOIN pb ON bg.w1 = pb.w1 AND bg.w2 = pb.w2
+      GROUP BY bg.doc_id
+    ), perdoc AS (
+      SELECT d.doc_id, d.source, su.proxy, sb.ref
+      FROM documents d
+      LEFT JOIN su USING (doc_id) LEFT JOIN sb USING (doc_id)
+    ), dom AS (
+      SELECT source AS domain, count(*)::BIGINT AS n_docs,
+             round(coalesce(avg(greatest(proxy - ref, 0.0)), 0.0), 9)
+               AS excess_loss
+      FROM perdoc GROUP BY source
+    ), raw AS (
+      SELECT *, exp(1.0 * excess_loss) AS r FROM dom
+    ), norm AS (
+      SELECT count(*)::BIGINT AS k,
+             list_sum(list(r ORDER BY domain))::DOUBLE AS tot
+      FROM raw
+    )
+    SELECT domain, n_docs, excess_loss,
+           round(0.99 * r / tot + 0.01 / k, 6) AS weight
+    FROM raw, norm
+    """,
+)
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi exponentiated-gradient step over source mixture
+    weights (`corpus.doremi_domain_weights`): per-source excess loss of
+    the self-trained unigram LM over the bigram LM (the deterministic
+    two-model stand-in — with real models, per-example losses enter
+    through the same pandas_udf boundary as `reward_score`), then the
+    published multiplicative update ``w ∝ u·exp(η·λ)`` normalized and
+    uniform-smoothed. ONE pass over examples; everything after runs on
+    the |sources|-row frame with an ordered normalization fold."""
+    docs = read_table(spark, sf_dir, "documents")
+    uni = C.unigram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", F.col("nll").alias("__proxy")
+    )
+    big = C.ngram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", F.col("nll").alias("__ref")
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(uni, "doc_id", "left")
+        .join(big, "doc_id", "left")
+    )
+    return C.doremi_domain_weights(
+        per_doc, "source", "__proxy", "__ref", step_size=1.0, smoothing=0.01
+    )

@@ -1487,3 +1487,44 @@ def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return watermark_lateness_counts(ev, "ts", "event_id", [60, 300, 900])
+
+
+# ---------------------------------------------------------------------------
+# round 7: cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH acting AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS p
+      FROM events
+    ), cohort AS (
+      SELECT u, min(p) AS c0 FROM acting GROUP BY u
+    ), active AS (
+      SELECT c.c0 AS cohort_start,
+             ((a.p - c.c0) / 7)::INT AS period_offset,
+             count(*)::BIGINT AS n_active
+      FROM acting a JOIN cohort c USING (u)
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT c0 AS cohort_start, count(*)::BIGINT AS cohort_size
+      FROM cohort GROUP BY 1
+    )
+    SELECT cohort_start, period_offset, n_active, cohort_size,
+           round(n_active / cohort_size::DOUBLE * 100, 4) AS retention_pct
+    FROM active JOIN sizes USING (cohort_start)
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (`events.retention_cohort_matrix`): users cohorted by first-event
+    week, activity counted per whole-week offset. Raw events reduce to
+    distinct (user, week) before anything else; cohorts are a min-agg
+    on the same user key; the matrix normalizes by a broadcast of the
+    tiny per-cohort sizes. No window over raw rows anywhere."""
+    from datas_spark.operators.events import retention_cohort_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohort_matrix(ev, "user_id", "ts", period="week")

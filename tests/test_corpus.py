@@ -834,3 +834,56 @@ def test_nfc_normalize_text_composes_and_passes_nulls(spark):
     assert got[2] == composed  # already-NFC is a fixpoint
     assert got[3] is None
     assert got[4] == "plain ascii"
+
+
+def test_unigram_lm_score_matches_hand_computed_probs(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nll)
+        for r in C.unigram_lm_score(df, "doc_id", "text").collect()
+    }
+    # corpus: c(a)=2 c(b)=2 c(c)=1, total 5
+    exp1 = round(-(2 * math.log(2 / 5) + math.log(2 / 5)) / 3, 6)
+    exp2 = round(-(math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
+    assert got[1] == (3, exp1)
+    assert got[2] == (2, exp2)
+
+
+def test_doremi_weights_upweight_high_excess_and_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [
+            ("web", 1.0, 3.0, 2.5),   # excess 0.5
+            ("web", 2.0, 3.2, 2.8),   # excess 0.4
+            ("code", 3.0, 4.0, 2.0),  # excess 2.0
+            ("wiki", 4.0, 2.0, 2.5),  # proxy BETTER than ref -> clipped 0
+        ],
+        "domain string, doc_id double, proxy double, ref double",
+    )
+    rows = {
+        r.domain: r
+        for r in C.doremi_domain_weights(df, "domain", "proxy", "ref").collect()
+    }
+    assert rows["wiki"].excess_loss == 0.0
+    assert rows["code"].excess_loss == 2.0
+    assert abs(rows["web"].excess_loss - 0.45) < 1e-9
+    # the hardest domain gets the largest weight; clipped one the smallest
+    assert rows["code"].weight > rows["web"].weight > rows["wiki"].weight
+    assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-5
+    # smoothing floor: even a zero-excess domain keeps >= c/k
+    assert rows["wiki"].weight >= 0.01 / 3
+
+
+def test_doremi_null_losses_contribute_zero_excess(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 2.0, 1.0), ("a", 2, None, None), ("b", 3, 1.0, 1.0)],
+        "domain string, doc_id long, proxy double, ref double",
+    )
+    rows = {
+        r.domain: r
+        for r in C.doremi_domain_weights(df, "domain", "proxy", "ref").collect()
+    }
+    # null (proxy - ref) clips to 0 via greatest, counted in the avg
+    assert abs(rows["a"].excess_loss - 0.5) < 1e-9
+    assert rows["a"].n_docs == 2

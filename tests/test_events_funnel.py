@@ -221,3 +221,31 @@ def test_sequence_pair_support_strict_order(spark):
     # same timestamp: not "before", so no support either way
     df = spark.createDataFrame([(1, "a", 5), (1, "b", 5)], "k long, i string, ts long")
     assert sequence_pair_support(df, "k", "i", "ts", min_support=1).count() == 0
+
+
+def test_retention_cohort_matrix_weekly(spark):
+    from datas_spark.operators.events import retention_cohort_matrix
+
+    rows = [
+        # user 1: first week W0 (2026-01-05 is a Monday), active W0, W1, W3
+        (1, "2026-01-06"), (1, "2026-01-13"), (1, "2026-01-28"),
+        # user 2: same cohort, active W0 only (two events, one week)
+        (2, "2026-01-05"), (2, "2026-01-09"),
+        # user 3: cohort W1, active W1 and W2
+        (3, "2026-01-14"), (3, "2026-01-19"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").select(
+        "user_id", F.to_timestamp("d").alias("ts")
+    )
+    got = {
+        (str(r.cohort_start), r.period_offset): (
+            r.n_active, r.cohort_size, r.retention_pct
+        )
+        for r in retention_cohort_matrix(df, "user_id", "ts").collect()
+    }
+    assert got[("2026-01-05", 0)] == (2, 2, 100.0)
+    assert got[("2026-01-05", 1)] == (1, 2, 50.0)
+    assert got[("2026-01-05", 3)] == (1, 2, 50.0)
+    assert ("2026-01-05", 2) not in got  # nobody active that week
+    assert got[("2026-01-12", 0)] == (1, 1, 100.0)
+    assert got[("2026-01-12", 1)] == (1, 1, 100.0)
