@@ -190,6 +190,11 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "entity_resolution_eval",          # 1-row metrics agg × 1-row truth-count scalar
         "scd2_from_snapshots",             # key frame × broadcast TINY snapshot list (one row per export)
         "scd2_snapshot_merge",             # same grid inside its full-fold history stage
+        # round 7
+        "unigram_lm_score",                # 1-row corpus token-total scalar
+        "doremi_domain_weights",           # same total + 1-row (k, tot) normalization scalar
+        "layout_skipping_whatif",          # 1-row lazy n_rows_matching scalar (ADVICE r6: no call-time action)
+        "hilbert_vs_zorder_skipping",      # same lazy selectivity scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
