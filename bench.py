@@ -312,6 +312,9 @@ HEADLINE = [
     "events_retention_cohorts",
     "unigram_lm_score",
     "doremi_domain_weights",
+    # round-7: deterministic JL sketch + its measured recall audit
+    "jl_projection",
+    "jl_recall_report",
 ]
 
 RUNS_PER_QUERY = 3

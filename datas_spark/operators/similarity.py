@@ -55,6 +55,7 @@ __all__ = [
     "ivfpq_build_fixed",
     "ivfpq_topk_on_index",
     "cross_contamination",
+    "random_projection",
 ]
 
 
@@ -1138,3 +1139,71 @@ def ivf_index_upsert(
         .select("__did", "__dv", "__cell")
     )
     upsert_partitioned(spark, path, assigned, ["__did"], "__cell")
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    out_col: str = "rp",
+    tag: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    ±1 sign matrix (Achlioptas 2003, "Database-friendly random
+    projections"): ``rp[j] = (1/√k) · Σ_i vec[i] · sign(i, j)`` where
+    ``sign(i, j) ∈ {+1, −1}`` comes from ``md5(tag|i|j)`` — seed-free,
+    so the SAME matrix materializes on any cluster, any engine, and
+    the DuckDB oracle regenerates it from the same md5 strings (the
+    `hash_split` determinism contract applied to a matrix).
+
+    The sketching step BEFORE the ANN index: at 100 TB, projecting
+    64-dim embeddings to 16 dims quarters every downstream shuffle,
+    LSH signature, and PQ codebook while JL guarantees pairwise
+    distances distort by at most ~ε for k = O(log n / ε²). Map-only:
+    the k×d sign matrix rides the plan as a literal (k·d ≤ a few
+    thousand doubles), each output coordinate is one ordered
+    index-fold over the input array, no shuffle, no UDF. Output
+    coordinates round to 6 decimals (engine-identical fold order).
+
+    Compose with `cosine_topk` / `ann_recall_report` to MEASURE the
+    recall cost of the compression instead of trusting the lemma
+    (`jl_recall_report`).
+    """
+    import hashlib
+    import math as _math
+
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    signs = [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{tag}|{i}|{j}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+    scale = 1.0 / _math.sqrt(float(out_dim))
+    rmat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in signs])
+    return df.withColumn(
+        out_col,
+        F.transform(
+            rmat,
+            lambda row: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), row, lambda x, s: x.cast("double") * s
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(scale),
+                6,
+            ),
+        ),
+    )

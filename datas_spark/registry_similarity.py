@@ -1367,3 +1367,111 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = sliced.where("vec_id < 3")
     trunc = SIM.cosine_topk(sliced, qs, "vec_id", "vec_id", "embedding", k=10)
     return SIM.ann_recall_report(full, trunc, "q_vec_id", "d_vec_id")
+
+
+# ---------------------------------------------------------------------------
+# round 7: Johnson–Lindenstrauss random projection + its recall audit
+# ---------------------------------------------------------------------------
+
+_JL_SIGNS_SQL = """
+    jl_signs AS (
+      SELECT j, list_transform(range(0, 64), i ->
+        CASE WHEN ('0x' || substr(md5('jl|' || i::VARCHAR || '|' || j::VARCHAR),
+                                  1, 15))::BIGINT % 2 = 0
+             THEN 1.0 ELSE -1.0 END) AS srow
+      FROM (SELECT unnest(range(0, 16)) AS j)
+    ), jl_proj AS (
+      SELECT e.vec_id, s.j,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> e.embedding[i]::DOUBLE * s.srow[i]))
+                   / sqrt(16.0), 6) AS v
+      FROM embeddings e CROSS JOIN jl_signs s
+    ), jl AS (
+      SELECT vec_id, list(v ORDER BY j) AS rp FROM jl_proj GROUP BY vec_id
+    )
+"""
+
+_JL_COS_SQL = """
+        round(
+          list_sum(list_transform(range(1, 17),
+                   i -> {a}.rp[i] * {b}.rp[i]))
+          / (sqrt(list_sum(list_transform(range(1, 17),
+                   i -> {a}.rp[i] * {a}.rp[i])))
+           * sqrt(list_sum(list_transform(range(1, 17),
+                   i -> {b}.rp[i] * {b}.rp[i])))), 6)
+          + 0.0
+"""
+
+
+@register(
+    "jl_projection",
+    oracle="WITH " + _JL_SIGNS_SQL + """
+    SELECT vec_id, rp FROM jl
+    """,
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL random projection 64 → 16 dims
+    (`similarity.random_projection`): ±1 signs from md5(tag|i|j), one
+    ordered index-fold per output coordinate, map-only — the sketching
+    step that quarters every downstream ANN shuffle. The oracle
+    regenerates the SAME sign matrix from the same md5 strings and
+    replays the fold."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.random_projection(emb, "embedding", 64, 16).select("vec_id", "rp")
+
+
+@register(
+    "jl_recall_report",
+    oracle="WITH " + _JL_SIGNS_SQL + f""",
+    exsc AS (
+      SELECT q.vec_id AS q_vec_id, d.vec_id AS d_vec_id,
+             {_IVF_COS_SQL.format(a='d', b='q')} AS cos
+      FROM embeddings d CROSS JOIN embeddings q
+      WHERE q.vec_id < 3
+    ), ex AS (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM exsc) WHERE rank <= 10
+    ), jlsc AS (
+      SELECT q.vec_id AS q_vec_id, d.vec_id AS d_vec_id,
+             {_JL_COS_SQL.format(a='d', b='q')} AS cos
+      FROM jl d CROSS JOIN jl q
+      WHERE q.vec_id < 3
+    ), jltop AS (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM jlsc) WHERE cos IS NOT NULL AND rank <= 10
+    ), base AS (
+      SELECT q_vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1
+    ), hits AS (
+      SELECT ex.q_vec_id, count(*)::BIGINT AS n_hits
+      FROM ex JOIN jltop USING (q_vec_id, d_vec_id) GROUP BY 1
+    )
+    SELECT base.q_vec_id, base.n_exact,
+           coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(hits.n_hits, 0) / base.n_exact::DOUBLE, 6) + 0.0 AS recall
+    FROM base LEFT JOIN hits USING (q_vec_id)
+    """,
+)
+def q_jl_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact search in the 16-dim JL sketch space against
+    full 64-dim exact search — the measured answer to 'is 4× cheaper
+    good enough', exactly like `matryoshka_recall` but for the
+    projection the JL lemma actually blesses (truncation keeps prefix
+    dims; projection mixes ALL dims — on these near-random synthetic
+    embeddings both land ~0.1-0.3 at k=10, which is precisely why the
+    measurement, not the lemma's asymptotics, decides). Both chains
+    and the hit counting hash-check end-to-end."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = SIM.random_projection(emb, "embedding", 64, 16).select("vec_id", "rp")
+    q = emb.where("vec_id < 3")
+    full = SIM.cosine_topk(emb, q, "vec_id", "vec_id", "embedding", k=10)
+    qp = proj.where("vec_id < 3")
+    sketch = SIM.cosine_topk(proj, qp, "vec_id", "vec_id", "rp", k=10)
+    return SIM.ann_recall_report(full, sketch, "q_vec_id", "d_vec_id")

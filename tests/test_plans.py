@@ -195,6 +195,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "doremi_domain_weights",           # same total + 1-row (k, tot) normalization scalar
         "layout_skipping_whatif",          # 1-row lazy n_rows_matching scalar (ADVICE r6: no call-time action)
         "hilbert_vs_zorder_skipping",      # same lazy selectivity scalar
+        "jl_recall_report",                # cosine_topk's broadcast 3-query set (both chains)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

@@ -84,3 +84,26 @@ def test_keyness_terms_are_overrepresented(spark, sf_dir):
         assert len(rows) <= 5
         g2s = [r.g2 for r in rows]
         assert g2s == sorted(g2s, reverse=True)
+
+
+def test_random_projection_deterministic_and_jl_shaped(spark):
+    from datas_spark.operators.similarity import random_projection
+    import hashlib, math
+
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.rp for r in random_projection(df, "embedding", 8, 4).collect()}
+    # hand-compute row 3 against the same md5 sign rule
+    signs = [
+        [1.0 if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+         else -1.0 for i in range(8)]
+        for j in range(4)
+    ]
+    vec = rows[3][1]
+    want = [round(sum(x * s for x, s in zip(vec, signs[j])) / math.sqrt(4.0), 6)
+            for j in range(4)]
+    assert [round(v, 5) for v in out[3]] == [round(w, 5) for w in want]
+    # deterministic across layouts
+    again = {r.vec_id: r.rp
+             for r in random_projection(df.repartition(5), "embedding", 8, 4).collect()}
+    assert again == out
