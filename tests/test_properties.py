@@ -251,3 +251,68 @@ def test_value_deciles_monotone_complete_partition(spark, values):
     ordered = [next(iter(by_v[v])) for v in sorted(by_v)]
     assert ordered == sorted(ordered)  # monotone in the value
     assert 1 <= ordered[0] and ordered[-1] <= 10
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "code", "wiki"]),
+            values,
+            values,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_doremi_weights_form_a_distribution(spark, rows):
+    from datas_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(d, i, float(p), float(r)) for i, (d, p, r) in enumerate(rows)],
+        "domain string, doc_id long, proxy double, ref double",
+    )
+    out = C.doremi_domain_weights(df, "domain", "proxy", "ref").collect()
+    k = len(out)
+    assert k == len({d for d, _, _ in rows})
+    # weights are a smoothed probability distribution
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-4
+    for r in out:
+        # smoothing floor, modulo the 6-dp output rounding
+        assert r.weight >= 0.01 / k - 5e-7
+        assert r.excess_loss >= 0.0          # clipped at zero
+    # per-domain doc counts cover the input exactly
+    assert sum(r.n_docs for r in out) == len(rows)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 40)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t,
+    )
+)
+@settings(**SETTINGS)
+def test_retention_cohort_invariants(spark, rows):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datas_spark.operators.events import retention_cohort_matrix
+
+    base = dt.datetime(2026, 1, 5)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(days=d)) for u, d in rows],
+        "user_id long, ts timestamp",
+    )
+    out = retention_cohort_matrix(df, "user_id", "ts").collect()
+    users = {u for u, _ in rows}
+    # offset-0 cells cover every user exactly once across cohorts
+    assert sum(r.n_active for r in out if r.period_offset == 0) == len(users)
+    assert sum(r.cohort_size for r in out if r.period_offset == 0) == len(users)
+    for r in out:
+        assert 0 < r.n_active <= r.cohort_size
+        assert r.period_offset >= 0
+        if r.period_offset == 0:
+            assert r.n_active == r.cohort_size  # everyone active at birth
