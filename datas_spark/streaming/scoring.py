@@ -1601,29 +1601,78 @@ def compact_ivm_store(
     commit-marker protocol exactly:
 
     - every folded batch keeps its ``batch-<id>`` marker, so a
-      checkpoint REPLAY of a compacted batch still short-circuits;
+      checkpoint REPLAY of a compacted batch still short-circuits on
+      the marker before it ever probes the store;
     - the fold target partition is itself a committed batch id, so
-      `ivm_view_state` and the sink's own store probes (which filter
-      ``__batch ∈ committed``) read the folded rows unchanged;
+      `ivm_view_state` (which filters ``__batch ∈ committed``) and the
+      sink's own store probes (which filter ``__batch != batch_id`` —
+      exclude-CURRENT-batch, so a replayed batch never self-joins its
+      own partial partition) read the folded rows unchanged;
     - an UNCOMMITTED partial partition (crashed batch) is dropped by
-      the committed filter — its replay rewrites it from the source,
-      which is the marker scheme's normal recovery path.
+      the committed filter here. That is safe even though the sink
+      probe would have read it: the crashed batch has no commit marker,
+      so restart REPLAYS it from the source and rewrites its partition
+      before any later batch probes the store — the marker scheme's
+      normal recovery path, with or without compaction in between.
 
     Run with the stream STOPPED (offline maintenance, like compacting
-    any lake table). The rewrite itself is crash-recoverable via a
-    backup-dir swap: the compacted copy is fully written to
-    ``<store>.__compact`` first, then ``store → <store>.__precompact``,
-    ``__compact → store``, delete backup; a re-run after a crash at any
-    point rolls back or completes the swap before compacting again.
+    any lake table). The rewrite is crash-recoverable WITHOUT assuming
+    atomic directory rename (object-store ``rename`` is copy-then-
+    delete, so a swap protocol that trusts rename can be caught with
+    two half-copies and no way to tell which is whole): the compacted
+    copy is fully written to ``<store>.__compact``, its row count is
+    verified against the committed source count, and only then is a
+    ``_compact_ok_<rows>`` completion marker created inside it. A copy
+    is AUTHORITATIVE iff its marker row count matches its actual
+    parquet count — recovery rolls FORWARD to whichever side verifies
+    (store first, then the compacted copy) and deletes the rest; a copy
+    that fails verification is never trusted and never the only
+    surviving replica, because the source store is deleted strictly
+    after the compacted copy verifies.
 
     Returns ``{store: {"folded_batches": n, "n_files": m}}``.
     """
+    from pyspark.errors import AnalysisException
+
     committed, _ = _committed_state(spark, state_path)
     if not committed:
         return {}
     target_batch = max(committed)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+
+    MARK = "_compact_ok_"
+
+    def _marker_rows(fs, p_dir) -> int | None:
+        """Row count recorded by the completion marker, or None."""
+        for st in fs.listStatus(p_dir):
+            name = st.getPath().getName()
+            if name.startswith(MARK):
+                try:
+                    return int(name[len(MARK):])
+                except ValueError:
+                    return None
+        return None
+
+    def _parquet_rows(path: str) -> int | None:
+        try:
+            return spark.read.parquet(path).count()
+        except AnalysisException:
+            return None
+
+    def _verified(fs, p_dir, path: str) -> bool:
+        """A copy is authoritative iff its marker's recorded count
+        matches its actual parquet footer count — a half-copied dir
+        (non-atomic rename) fails this even if the tiny marker file
+        happened to copy first."""
+        want = _marker_rows(fs, p_dir)
+        return want is not None and _parquet_rows(path) == want
+
+    def _strip_marker(fs, p_dir) -> None:
+        for st in fs.listStatus(p_dir):
+            if st.getPath().getName().startswith(MARK):
+                fs.delete(st.getPath(), False)
+
     out: dict = {}
     for sub in ("a", "b", "view"):
         store = state_path + "/" + sub
@@ -1631,20 +1680,31 @@ def compact_ivm_store(
         p_tmp = jvm.org.apache.hadoop.fs.Path(store + ".__compact")
         p_bak = jvm.org.apache.hadoop.fs.Path(store + ".__precompact")
         fs = p_store.getFileSystem(conf)
-        # recover a crashed previous compaction before touching anything
-        if fs.exists(p_bak):
+        # --- recovery: roll FORWARD to whichever copy verifies ---
+        if fs.exists(p_store) and _verified(fs, p_store, store):
+            # swap finished, cleanup died: store is the compacted copy
+            if fs.exists(p_tmp):
+                fs.delete(p_tmp, True)
+            _strip_marker(fs, p_store)
+        elif fs.exists(p_tmp) and _verified(fs, p_tmp, store + ".__compact"):
+            # compacted copy complete but swap unfinished: finish it
             if fs.exists(p_store):
-                fs.delete(p_bak, True)  # swap finished; cleanup died
+                fs.delete(p_store, True)
+            fs.rename(p_tmp, p_store)
+            _strip_marker(fs, p_store)
+        elif fs.exists(p_bak):
+            # legacy (pre-marker) backup-swap crash: the old protocol
+            # only deleted the store after a completed tmp→store rename
+            if fs.exists(p_store):
+                fs.delete(p_bak, True)
             else:
-                fs.rename(p_bak, p_store)  # swap died mid-way; roll back
+                fs.rename(p_bak, p_store)
         if fs.exists(p_tmp):
-            fs.delete(p_tmp, True)  # incomplete compacted copy
+            fs.delete(p_tmp, True)  # unverified compacted copy: discard
         if not fs.exists(p_store):
             continue
         total = int(fs.getContentSummary(p_store).getLength())
         n_files = max(1, -(-total // int(target_file_bytes)))
-        from pyspark.errors import AnalysisException
-
         try:
             src = spark.read.parquet(store)
         except AnalysisException as e:
@@ -1653,19 +1713,34 @@ def compact_ivm_store(
                 # view store before the first join row) — nothing to fold
                 continue
             raise
+        keep = src.where(F.col("__batch").isin(sorted(committed)))
+        src_rows = keep.count()
+        if src_rows == 0:
+            continue
         folded = (
-            src
-            .where(F.col("__batch").isin(sorted(committed)))
-            .drop("__batch")
+            keep.drop("__batch")
             .repartition(n_files)
             .withColumn("__batch", F.lit(target_batch))
         )
-        # full write completes BEFORE the store is touched
+        # full write completes — and VERIFIES — before the store is touched
         folded.write.mode("overwrite").partitionBy("__batch").parquet(
             store + ".__compact"
         )
-        fs.rename(p_store, p_bak)
+        tmp_rows = _parquet_rows(store + ".__compact")
+        if tmp_rows != src_rows:
+            raise IOError(
+                f"compacted copy of {store} read back {tmp_rows} rows, "
+                f"expected {src_rows}; store left untouched"
+            )
+        # completion marker LAST: its presence certifies a full copy
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(
+                store + f".__compact/{MARK}{tmp_rows}"
+            ),
+            True,
+        ).close()
+        fs.delete(p_store, True)
         fs.rename(p_tmp, p_store)
-        fs.delete(p_bak, True)
+        _strip_marker(fs, p_store)
         out[sub] = {"folded_batches": len(committed), "n_files": n_files}
     return out

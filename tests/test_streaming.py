@@ -1596,12 +1596,67 @@ def test_ivm_compaction_crash_recovery(spark, tmp_path):
     _drill_ivm(spark, src, root)
     before = _state_ivm(spark, root)
 
-    # simulate: compacted copy fully written, then crash mid-swap with
-    # the store renamed to the backup and no new store in place
+    # legacy (pre-marker) crash shape: compacted copy fully written,
+    # then crash mid-swap with the store renamed to the backup and no
+    # new store in place
     view = os.path.join(root, "state", "view")
     shutil.copytree(view, view + ".__compact")
     os.rename(view, view + ".__precompact")
     assert not os.path.exists(view)
 
     compact_ivm_store(spark, root + "/state", target_file_bytes=1 << 30)
+    assert _state_ivm(spark, root) == before
+
+
+def test_ivm_compaction_marker_protocol_crashes(spark, tmp_path):
+    """The marker-verified swap (ADVICE r7: object-store rename is
+    copy-then-delete, so completion must be PROVEN, not assumed) heals
+    every new-protocol crash point: (a) verified compacted copy, store
+    already deleted → roll forward; (b) unverified compacted copy (no
+    marker — the crash-mid-write shape) → discarded, store untouched;
+    (c) marker present but row count wrong (the half-copied-dir shape
+    where the tiny marker file copied first) → NOT trusted."""
+    import glob
+    import json as _json
+    import shutil
+
+    from datas_spark.streaming.scoring import compact_ivm_store
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    root = str(tmp_path / "root")
+    for i in range(2):
+        with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+            for row in _data_ivm(i):
+                fh.write(_json.dumps(row) + "\n")
+    _drill_ivm(spark, src, root)
+    before = _state_ivm(spark, root)
+    view = os.path.join(root, "state", "view")
+    n_rows = spark.read.parquet(view).count()
+
+    # (b) unverified compacted copy: discarded, normal compaction runs
+    shutil.copytree(view, view + ".__compact")
+    compact_ivm_store(spark, root + "/state", target_file_bytes=1 << 30)
+    assert not os.path.exists(view + ".__compact")
+    assert _state_ivm(spark, root) == before
+
+    # (a) verified copy, store deleted (crash between delete and
+    # rename): recovery must roll FORWARD from the compacted copy
+    shutil.copytree(view, view + ".__compact")
+    copy_rows = spark.read.parquet(view + ".__compact").count()
+    open(os.path.join(view + ".__compact", f"_compact_ok_{copy_rows}"), "w").close()
+    shutil.rmtree(view)
+    compact_ivm_store(spark, root + "/state", target_file_bytes=1 << 30)
+    assert os.path.exists(view)
+    assert not glob.glob(os.path.join(view, "_compact_ok_*"))
+    assert _state_ivm(spark, root) == before
+
+    # (c) marker row count disagrees with the data (half-copied dir):
+    # the copy must NOT be trusted — it is discarded and the intact
+    # store survives
+    shutil.copytree(view, view + ".__compact")
+    open(
+        os.path.join(view + ".__compact", f"_compact_ok_{n_rows + 999}"), "w"
+    ).close()
+    compact_ivm_store(spark, root + "/state", target_file_bytes=1 << 30)
+    assert not os.path.exists(view + ".__compact")
     assert _state_ivm(spark, root) == before
