@@ -396,11 +396,25 @@ def main() -> None:
         _gc.collect()
 
     range_s = _range_sentinel(spark)
+    # ADVICE r7: if a canary query were ever renamed or dropped, old and
+    # new canary totals would silently cover different query sets and
+    # mis-normalize every gated timing — fail loudly instead, and record
+    # the set so bench_diff can refuse to normalize across mismatches.
+    missing = [q for q in CANARY_QUERIES if q not in timings]
+    assert not missing, f"canary queries missing from timings: {missing}"
     canary = {
-        "queries": {q: timings[q] for q in CANARY_QUERIES if q in timings},
+        "queries": {q: timings[q] for q in CANARY_QUERIES},
+        "set": sorted(CANARY_QUERIES),
         "range_sentinel_s": range_s,
     }
-    canary["total"] = round(sum(canary["queries"].values()) + range_s, 3)
+    # scan_total (five frozen scan canaries) and the pure-JVM sentinel
+    # are kept SEPARATE: the sentinel measures CPU throughput only, the
+    # scan canaries add the I/O + Python-worker path — bench_diff
+    # compares their ratios to tell box slowness from a code regression
+    # in shared scan infrastructure. "total" (scan + sentinel) remains
+    # for diffs against pre-round-8 baselines.
+    canary["scan_total"] = round(sum(canary["queries"].values()), 3)
+    canary["total"] = round(canary["scan_total"] + range_s, 3)
 
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a FILE — with 120+ queries the inline

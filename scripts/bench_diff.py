@@ -9,12 +9,37 @@ Canary normalization (round-7): identical workloads measured 110-194 s
 across same-day runs on this box — per-query variance of 2-6x defeats
 any fixed ratio gate. bench.py therefore times five frozen map-only
 canary queries plus a pure-JVM ``spark.range`` sentinel in every run
-and records their total under ``canary`` in BENCH_DETAIL.json. Here,
-every NEW timing is divided by the canary ratio (new canary total /
-old canary total, clamped to [0.25, 4]) before the gate applies —
-so a uniformly-slow box cancels out and only per-query PLAN changes
-flag. Runs missing canary data (pre-round-7 baselines) fall back to
-ratio 1.0, i.e. the old unnormalized gate.
+and records them under ``canary`` in BENCH_DETAIL.json. Here, every
+NEW timing is divided by the canary ratio (clamped to [0.25, 4])
+before the gate applies — so a uniformly-slow box cancels out and only
+per-query PLAN changes flag.
+
+Round-8 refinements (VERDICT r7 #3, ADVICE r7):
+
+- **Normalized-space floors.** The committed BENCH_DETAIL.json is a
+  per-query FLOOR map min-merged across sessions
+  (scripts/bench_floor_merge.py). Sessions have different box speeds,
+  so raw-space min-merge would pair a fast-box floor with a slow-box
+  canary total and mis-gate. Invariant: every floor carries the SCAN
+  canary total of the session that set it (top-level ``floor_canary``
+  map; absent entries fall back to the document's own canary), and the
+  gate normalizes each query by ITS floor's canary —
+  ``new_adj = new_raw / clamp(new_scan_total / floor_canary[q])`` —
+  so numerator and denominator always come from the same box regime.
+- **Sentinel vs scan divergence.** The pure-JVM range sentinel is
+  code-independent; the five scan canaries share the parquet-scan
+  path with every gated query. Their ratios are computed SEPARATELY:
+  normalization uses the scan ratio (scan slowness, whatever its
+  cause, affects gated queries identically), but when the two ratios
+  diverge >2x a WARNING is printed — "scan canaries slowed, CPU
+  sentinel flat" is either a slow-I/O box phase or a code regression
+  in shared scan/session infrastructure, and only a fresh-JVM canary
+  spot check can tell them apart. The warning is not a failure
+  because this box demonstrably HAS slow-I/O phases (round-7 floors
+  were inflated 5-20x by one), but it must be triaged in the commit.
+- **Canary-set guard.** Normalization is REFUSED (ratio 1.0 + warning)
+  when the two sides' canary query sets differ — totals over different
+  sets are not comparable.
 
 Usage:
     python scripts/bench_diff.py                    # HEAD vs working tree
@@ -44,6 +69,8 @@ SLACK_S = 0.3
 # canary ratio clamp: outside this range the canaries themselves moved
 # suspiciously (a frozen-plan query regressed?) — trust it only so far
 CANARY_CLAMP = (0.25, 4.0)
+# sentinel-vs-scan ratio divergence past this factor draws a warning
+DIVERGENCE = 2.0
 
 
 def _load(source: str) -> dict:
@@ -62,57 +89,142 @@ def _queries(doc: dict) -> dict[str, float]:
     return {k: float(v) for k, v in queries.items()}
 
 
-def _canary_total(doc: dict) -> float | None:
+def canary_info(doc: dict) -> dict | None:
+    """Normalize a document's canary block: scan total (pre-round-8
+    docs only recorded scan+sentinel under "total" — subtract the
+    sentinel when present), the sentinel, and the canary query set."""
     c = doc.get("canary") if isinstance(doc, dict) else None
-    if isinstance(c, dict) and c.get("total"):
-        return float(c["total"])
-    return None
+    if not isinstance(c, dict) or not c.get("total"):
+        return None
+    sentinel = c.get("range_sentinel_s")
+    if c.get("scan_total"):
+        scan = float(c["scan_total"])
+    else:
+        scan = float(c["total"]) - float(sentinel or 0.0)
+    qset = c.get("set") or sorted(c.get("queries", {}))
+    return {
+        "scan": scan,
+        "sentinel": float(sentinel) if sentinel else None,
+        "set": list(qset),
+    }
+
+
+def _clamp(r: float) -> float:
+    return max(CANARY_CLAMP[0], min(CANARY_CLAMP[1], r))
+
+
+def diff(old_doc: dict, new_doc: dict) -> dict:
+    """Pure comparison core (testable without git/files). Returns
+    {"regressions", "improvements", "added", "removed", "messages",
+    "fail"}; each regression/improvement is (name, old_raw, new_raw,
+    new_adj)."""
+    old, new = _queries(old_doc), _queries(new_doc)
+    oc, nc = canary_info(old_doc), canary_info(new_doc)
+    messages: list[str] = []
+
+    default_ratio = 1.0
+    normalizing = False
+    if oc and nc:
+        if oc["set"] != nc["set"]:
+            messages.append(
+                f"WARNING canary sets differ (old {oc['set']} vs new "
+                f"{nc['set']}): totals not comparable, normalization "
+                f"REFUSED (ratio 1.0)"
+            )
+        else:
+            normalizing = True
+            default_ratio = _clamp(nc["scan"] / oc["scan"])
+            messages.append(
+                f"canary scan: old {oc['scan']:.3f}s new {nc['scan']:.3f}s "
+                f"-> box ratio {nc['scan'] / oc['scan']:.3f} "
+                f"(applied {default_ratio:.3f})"
+            )
+            if oc["sentinel"] and nc["sentinel"]:
+                sr = nc["sentinel"] / oc["sentinel"]
+                cr = nc["scan"] / oc["scan"]
+                messages.append(
+                    f"canary sentinel: old {oc['sentinel']:.3f}s new "
+                    f"{nc['sentinel']:.3f}s -> cpu ratio {sr:.3f}"
+                )
+                if cr / sr > DIVERGENCE:
+                    messages.append(
+                        f"WARNING scan canaries moved {cr:.2f}x but the "
+                        f"pure-JVM sentinel only {sr:.2f}x: frozen-plan "
+                        f"scans slowed without matching CPU slowness — "
+                        f"either a slow-I/O box phase or a code "
+                        f"regression in shared scan/session "
+                        f"infrastructure; fresh-JVM spot-check a canary "
+                        f"before trusting normalized numbers"
+                    )
+                elif sr / cr > DIVERGENCE:
+                    messages.append(
+                        f"WARNING sentinel moved {sr:.2f}x but scan "
+                        f"canaries only {cr:.2f}x: CPU-bound slowness "
+                        f"the scan canaries don't see — normalization "
+                        f"may under-correct CPU-heavy queries"
+                    )
+    else:
+        messages.append(
+            "canary: absent on one side, no normalization (ratio 1.0)"
+        )
+
+    floor_canary = old_doc.get("floor_canary") or {}
+
+    def adj(name: str, n_raw: float) -> float:
+        if not normalizing:
+            return n_raw / default_ratio
+        fc = floor_canary.get(name)
+        if fc:
+            return n_raw / _clamp(nc["scan"] / float(fc))
+        return n_raw / default_ratio
+
+    regressions, improvements = [], []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        n_adj = adj(name, n)
+        if n_adj > o * RATIO + SLACK_S:
+            regressions.append((name, o, n, n_adj))
+        elif o > n_adj * RATIO + SLACK_S:
+            improvements.append((name, o, n, n_adj))
+
+    return {
+        "regressions": regressions,
+        "improvements": improvements,
+        "added": sorted(set(new) - set(old)),
+        "removed": sorted(set(old) - set(new)),
+        "messages": messages,
+        "ratio": default_ratio,
+        "fail": bool(regressions),
+    }
 
 
 def main() -> int:
     old_src = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
     new_src = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_DETAIL.json")
     old_doc, new_doc = _load(old_src), _load(new_src)
-    old, new = _queries(old_doc), _queries(new_doc)
-
-    oc, nc = _canary_total(old_doc), _canary_total(new_doc)
-    if oc and nc:
-        ratio = max(CANARY_CLAMP[0], min(CANARY_CLAMP[1], nc / oc))
-        print(f"canary: old {oc:.3f}s new {nc:.3f}s -> box ratio "
-              f"{nc / oc:.3f} (applied {ratio:.3f})")
-    else:
-        ratio = 1.0
-        print("canary: absent on one side, no normalization (ratio 1.0)")
-
-    regressions, improvements = [], []
-    for name in sorted(set(old) & set(new)):
-        o, n = old[name], new[name]
-        n_adj = n / ratio
-        if n_adj > o * RATIO + SLACK_S:
-            regressions.append((name, o, n, n_adj))
-        elif o > n_adj * RATIO + SLACK_S:
-            improvements.append((name, o, n, n_adj))
-
-    added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
-    if added:
-        print(f"added ({len(added)}): {', '.join(added)}")
-    if removed:
-        print(f"removed ({len(removed)}): {', '.join(removed)}")
-    for name, o, n, n_adj in improvements:
+    res = diff(old_doc, new_doc)
+    for m in res["messages"]:
+        print(m)
+    if res["added"]:
+        print(f"added ({len(res['added'])}): {', '.join(res['added'])}")
+    if res["removed"]:
+        print(f"removed ({len(res['removed'])}): {', '.join(res['removed'])}")
+    for name, o, n, n_adj in res["improvements"]:
         print(f"IMPROVED  {name}: {o:.3f}s -> {n:.3f}s "
               f"(adj {n_adj:.3f}s, {n_adj / max(o, 1e-9):.2f}x)")
-    for name, o, n, n_adj in regressions:
+    for name, o, n, n_adj in res["regressions"]:
         print(f"REGRESSED {name}: {o:.3f}s -> {n:.3f}s "
               f"(adj {n_adj:.3f}s, {n_adj / max(o, 1e-9):.2f}x)"
               f"  [limit {o * RATIO + SLACK_S:.3f}s]")
 
-    tot_o = sum(old[q] for q in set(old) & set(new))
-    tot_n = sum(new[q] for q in set(old) & set(new))
+    old, new = _queries(old_doc), _queries(new_doc)
+    shared = set(old) & set(new)
+    tot_o = sum(old[q] for q in shared)
+    tot_n = sum(new[q] for q in shared)
     print(f"shared-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"(adj {tot_n / ratio:.1f}s, {len(set(old) & set(new))} queries)")
-    if regressions:
-        print(f"FAIL: {len(regressions)} per-query regression(s) past "
+          f"(adj {tot_n / res['ratio']:.1f}s, {len(shared)} queries)")
+    if res["fail"]:
+        print(f"FAIL: {len(res['regressions'])} per-query regression(s) past "
               f"{RATIO}x + {SLACK_S}s (canary-adjusted)")
         return 1
     print("OK: no per-query regressions (canary-adjusted)")

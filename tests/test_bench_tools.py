@@ -1,0 +1,129 @@
+"""Bench tooling invariants (VERDICT r7 "Next round" #3, ADVICE r7):
+floor min-merging happens in NORMALIZED space with per-query floor
+canaries, bench_diff normalizes each query by its own floor's canary,
+refuses mismatched canary sets, and separates the pure-JVM sentinel
+ratio from the scan-canary ratio. Pure-Python — no Spark session."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(SCRIPTS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault(name, mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench_diff = _load("bench_diff")
+floor_merge = _load("bench_floor_merge")
+
+CANARY_SET = ["a_canary", "b_canary"]
+
+
+def _doc(queries, scan_total, sentinel, floor_canary=None):
+    d = {
+        "queries": queries,
+        "canary": {
+            "queries": {q: scan_total / len(CANARY_SET) for q in CANARY_SET},
+            "set": CANARY_SET,
+            "scan_total": scan_total,
+            "range_sentinel_s": sentinel,
+            "total": scan_total + sentinel,
+        },
+    }
+    if floor_canary:
+        d["floor_canary"] = floor_canary
+    return d
+
+
+class TestFloorMerge:
+    def test_mixed_session_merge_is_normalized(self):
+        # fast session (canary 2.0) measured q1=1.0s; slow session
+        # (canary 4.0 = box 2x slower) measured q1=1.5s. RAW min-merge
+        # would keep 1.0; NORMALIZED compare sees 1.0/2.0=0.5 vs
+        # 1.5/4.0=0.375 -> the slow session's floor is actually the
+        # faster machine-relative measurement and must win.
+        old = _doc({"q1": 1.0, "q2": 0.2}, scan_total=2.0, sentinel=0.2)
+        new = _doc({"q1": 1.5, "q2": 0.6}, scan_total=4.0, sentinel=0.4)
+        merged = floor_merge.merge(old, new)
+        assert merged["queries"]["q1"] == 1.5
+        assert merged["floor_canary"]["q1"] == 4.0
+        # q2: 0.2/2.0=0.1 beats 0.6/4.0=0.15 -> old floor kept, WITH
+        # its own session canary
+        assert merged["queries"]["q2"] == 0.2
+        assert merged["floor_canary"]["q2"] == 2.0
+
+    def test_merge_carries_existing_floor_canaries(self):
+        # an old floor that itself came from a third session keeps that
+        # session's canary through subsequent merges
+        old = _doc({"q1": 0.5}, scan_total=2.0, sentinel=0.2,
+                   floor_canary={"q1": 1.0})
+        new = _doc({"q1": 0.9, "q3": 0.3}, scan_total=2.0, sentinel=0.2)
+        merged = floor_merge.merge(old, new)
+        # 0.5/1.0=0.5 vs 0.9/2.0=0.45 -> new wins despite larger raw
+        assert merged["queries"]["q1"] == 0.9
+        assert merged["floor_canary"]["q1"] == 2.0
+        # query only in the new run enters with the new session canary
+        assert merged["queries"]["q3"] == 0.3
+        assert merged["floor_canary"]["q3"] == 2.0
+
+    def test_merge_refuses_mismatched_canary_sets(self):
+        old = _doc({"q1": 1.0}, 2.0, 0.2)
+        old["canary"]["set"] = ["other_canary"]
+        new = _doc({"q1": 1.0}, 2.0, 0.2)
+        with pytest.raises(SystemExit):
+            floor_merge.merge(old, new)
+
+
+class TestDiff:
+    def test_per_query_floor_canary_normalization(self):
+        # floor set on a session with canary 1.0; current session's
+        # canary is 3.0 (box 3x slower). q1 raw 3.1s vs floor 1.0s
+        # looks like a 3.1x regression un-normalized, but per-floor
+        # normalization divides by 3.0 -> adj 1.033, inside the gate.
+        old = _doc({"q1": 1.0}, scan_total=2.0, sentinel=0.2,
+                   floor_canary={"q1": 1.0})
+        new = _doc({"q1": 3.1}, scan_total=3.0, sentinel=0.3)
+        res = bench_diff.diff(old, new)
+        assert not res["regressions"], res
+        # same raw timing but the floor's own session was the SLOW one
+        # (floor canary 3.0, new canary 3.0 -> ratio 1.0): now 3.1s vs
+        # a 1.0s floor is a genuine regression
+        old2 = _doc({"q1": 1.0}, scan_total=2.0, sentinel=0.2,
+                    floor_canary={"q1": 3.0})
+        res2 = bench_diff.diff(old2, new)
+        assert [r[0] for r in res2["regressions"]] == ["q1"]
+
+    def test_set_mismatch_refuses_normalization(self):
+        old = _doc({"q1": 1.0}, 2.0, 0.2)
+        old["canary"]["set"] = ["other"]
+        new = _doc({"q1": 1.2}, 8.0, 0.2)  # would clamp to 4x if trusted
+        res = bench_diff.diff(old, new)
+        assert res["ratio"] == 1.0
+        assert any("REFUSED" in m for m in res["messages"])
+
+    def test_sentinel_divergence_warns(self):
+        # scans 3x slower, CPU sentinel flat -> the ADVICE r7 warning
+        old = _doc({"q1": 1.0}, scan_total=2.0, sentinel=0.2)
+        new = _doc({"q1": 1.0}, scan_total=6.0, sentinel=0.21)
+        res = bench_diff.diff(old, new)
+        assert any("sentinel" in m and "WARNING" in m for m in res["messages"])
+
+    def test_legacy_total_backward_compat(self):
+        # pre-round-8 docs: no scan_total, no set -> scan derived as
+        # total - sentinel, set derived from canary queries
+        old = _doc({"q1": 1.0}, 2.0, 0.2)
+        del old["canary"]["scan_total"]
+        del old["canary"]["set"]
+        new = _doc({"q1": 1.1}, 2.0, 0.2)
+        res = bench_diff.diff(old, new)
+        info = bench_diff.canary_info(old)
+        assert info["scan"] == pytest.approx(2.0)
+        assert not res["regressions"]
