@@ -315,6 +315,9 @@ HEADLINE = [
     # round-7: deterministic JL sketch + its measured recall audit
     "jl_projection",
     "jl_recall_report",
+    # round-8: the bucket-cap recall trade (runs capped AND uncapped
+    # pair generation in one pass — ~2x the flagship's cost by design)
+    "simhash_cap_agreement",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1045,7 +1045,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale —
     the detection half the ``simhash`` signature was waiting for.
@@ -1085,6 +1085,36 @@ def simhash_near_dup_pairs(
     )
 
 
+AUTO_CAP_FLOOR = 1024
+AUTO_CAP_CEILING = 2048
+AUTO_CAP_MULT = 16
+
+
+def _auto_cap_expr(n_col, width: int):
+    """Corpus-scaled bucket cap: ``clamp(MULT * ceil(n / 2^width),
+    FLOOR, CEILING)``. The FLOOR keeps small corpora exact (no bucket
+    anywhere near it at the test scales — measured max occupancy 321 at
+    the synthesized sf1 vs floor 1024); the CEILING bounds the one
+    allocation that actually grows quadratically, the per-bucket pair
+    array materialized behind the explode barrier (cap² / 2 structs:
+    ~50 MB at 2048 — one bounded task-local allocation, vs unbounded
+    growth with corpus size uncapped). Between them the cap tracks
+    MULT× the uniform-hash expected occupancy, so only degenerate
+    buckets (boilerplate/template collisions holding >16x their fair
+    share) are ever dropped."""
+    nb = 1 << width
+    return F.greatest(
+        F.lit(AUTO_CAP_FLOOR),
+        F.least(
+            F.lit(AUTO_CAP_CEILING),
+            (
+                F.lit(AUTO_CAP_MULT)
+                * F.floor((n_col + F.lit(nb - 1)) / F.lit(nb))
+            ).cast("int"),
+        ),
+    )
+
+
 def hamming_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1092,7 +1122,7 @@ def hamming_near_dup_pairs(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """Banded hamming-distance pairs over a PRECOMPUTED 64-bit-or-less
     signature column — the generic detection engine behind
@@ -1101,6 +1131,21 @@ def hamming_near_dup_pairs(
     chromaprints, minhash-folded sketches. Same pigeonhole-exactness
     contract (complete recall for hamming < bands) and the same
     ``max_bucket_size`` skew cap.
+
+    ``max_bucket_size="auto"`` (VERDICT r7 #1) wires the corpus-scaled
+    cap: in-bucket candidate pairs grow QUADRATICALLY with occupancy
+    and occupancy grows linearly with corpus size, so an uncapped run
+    that is fine at 50k docs materializes ~4.5M candidate structs per
+    hot bucket at 5M. The cap is computed INSIDE the plan (a lazy 1-row
+    count crossJoined broadcast — no call-time action) as
+    ``clamp(16 * ceil(n / 2^width), 1024, 2048)``; see
+    ``_auto_cap_expr`` for the floor/ceiling rationale. Dropped hot
+    buckets are recoverable through the verify tier:
+    ``hamming_hot_bucket_members`` lists their docs for routing to
+    ``minhash_lsh_pairs`` / ``ngram_jaccard`` (whose shingle-hash
+    buckets don't share SimHash's template-collision failure mode), and
+    the ``simhash_cap_agreement`` query measures the recall trade as a
+    Venn against the uncapped twin.
     """
     if not 1 <= max_hamming < bands:
         raise ValueError(
@@ -1139,7 +1184,14 @@ def hamming_near_dup_pairs(
     buckets = banded.groupBy("band", "bval").agg(
         F.sort_array(F.collect_list(F.struct("__id", "simhash"))).alias("__ms")
     )
-    if max_bucket_size is not None:
+    if max_bucket_size == "auto":
+        n1 = df.agg(F.count(F.lit(1)).alias("__n"))
+        buckets = (
+            buckets.join(F.broadcast(n1))
+            .where(F.size("__ms") <= _auto_cap_expr(F.col("__n"), width))
+            .drop("__n")
+        )
+    elif max_bucket_size is not None:
         buckets = buckets.where(F.size("__ms") <= max_bucket_size)
     ms = F.col("__ms")
     pair_arr = F.flatten(
@@ -1162,6 +1214,147 @@ def hamming_near_dup_pairs(
         .select("__pp.id_a", "__pp.id_b", "__pp.hamming")
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def hamming_cap_agreement(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """The bucket cap's recall trade, measured as a 1-row Venn against
+    the uncapped twin (VERDICT r7 #1 done-criterion): how many near-dup
+    pairs survive capping vs come ONLY from hot buckets. Computed in a
+    single banding pass — every bucket generates its pairs tagged with
+    whether the bucket is under the cap, and a pair is "capped-
+    reachable" iff ANY of its shared buckets is (capped output is a
+    subset of uncapped BY CONSTRUCTION here; tests prove the same via
+    anti-joins of the two real runs). Returns
+    (n_buckets_hot, pairs_both, pairs_only_uncapped, recall_pct).
+    ``max_bucket_size`` is an explicit int — pass a deliberately tight
+    cap to make the trade visible at small corpus scales."""
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "__id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("__id", "simhash", "bb.band", "bb.bval")
+    buckets = banded.groupBy("band", "bval").agg(
+        F.sort_array(F.collect_list(F.struct("__id", "simhash"))).alias("__ms")
+    ).withColumn("__ok", F.size("__ms") <= F.lit(max_bucket_size))
+    ms = F.col("__ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    per_pair = (
+        buckets.select("__ok", F.explode(pair_arr).alias("__pp"))
+        .select("__ok", "__pp.id_a", "__pp.id_b", "__pp.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.max(F.col("__ok").cast("int")).alias("__in_capped"))
+    )
+    hotn = buckets.where(~F.col("__ok")).agg(
+        F.count(F.lit(1)).alias("n_buckets_hot")
+    )
+    stats = per_pair.agg(
+        F.coalesce(F.sum("__in_capped"), F.lit(0)).alias("pairs_both"),
+        F.coalesce(F.sum(F.lit(1) - F.col("__in_capped")), F.lit(0)).alias(
+            "pairs_only_uncapped"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(hotn)).select(
+        "n_buckets_hot",
+        "pairs_both",
+        "pairs_only_uncapped",
+        # 100.0D: a bare 100.0 literal is DECIMAL in Spark SQL but
+        # DOUBLE in DuckDB — the oracle's division must match bit-wise
+        F.expr(
+            "round(100.0D * pairs_both / "
+            "nullif(pairs_both + pairs_only_uncapped, 0), 6)"
+        ).alias("recall_pct"),
+    )
+
+
+def hamming_hot_bucket_members(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_bucket_size: int | str = "auto",
+) -> DataFrame:
+    """Distinct ids living in OVER-cap hamming buckets — exactly the
+    docs a capped ``hamming_near_dup_pairs`` run skipped. The routing
+    half of the cap's recall trade: feed these to the MinHash/Jaccard
+    verify tier (``minhash_lsh_pairs`` / ``ngram_jaccard_pairs``),
+    whose shingle-content buckets don't share SimHash's band-collision
+    failure mode, so a template-boilerplate cluster too hot for
+    hamming banding still gets its genuine dup pairs from content
+    shingles. Returns one column ``id_col``. Same banding and the same
+    auto-cap formula as the pair detector, so capped-pairs ∪
+    verify-tier(members) covers the corpus by construction."""
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "__id", F.explode(band_structs).alias("bb")
+    ).select("__id", "bb.band", "bb.bval")
+    counts = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("__bc"))
+    if max_bucket_size == "auto":
+        n1 = df.agg(F.count(F.lit(1)).alias("__n"))
+        hot = (
+            counts.join(F.broadcast(n1))
+            .where(F.col("__bc") > _auto_cap_expr(F.col("__n"), width))
+            .select("band", "bval")
+        )
+    else:
+        hot = counts.where(F.col("__bc") > max_bucket_size).select("band", "bval")
+    return (
+        banded.join(hot, ["band", "bval"], "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
     )
 
 

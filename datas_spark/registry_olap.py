@@ -313,21 +313,38 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_near_dup_oracle(bits: int = 60) -> str:
+def _simhash_near_dup_oracle(bits: int = 60, capped: bool = False) -> str:
     from datas_spark.registry_scoring import _simhash_oracle
 
     width = bits // 4
     mask = (1 << width) - 1
+    nb = 1 << width
+    if capped:
+        # the corpus-scaled auto cap, replayed exactly: 16x the uniform
+        # expected occupancy, clamped to [1024, 2048] (dedup.py
+        # _auto_cap_expr) — hot buckets drop out of candidate generation
+        cap_ctes = f""",
+    cap AS (
+      SELECT greatest(1024, least(2048,
+             16 * ((count(*) + {nb - 1}) // {nb}))) AS cap FROM s
+    ), ok AS (
+      SELECT band, bval FROM bb, cap GROUP BY band, bval, cap.cap
+      HAVING count(*) <= cap.cap
+    )"""
+        bucket_src = "bb a JOIN ok ON ok.band = a.band AND ok.bval = a.bval"
+    else:
+        cap_ctes = ""
+        bucket_src = "bb a"
     return f"""
     WITH s AS ({_simhash_oracle(bits)}),
     bb AS (
       SELECT doc_id, simhash, band,
              (simhash >> (band * {width})) & {mask} AS bval
       FROM s, unnest(range(0, 4)) AS u(band)
-    ), cand AS (
+    ){cap_ctes}, cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sa, b.simhash AS sb
-      FROM bb a JOIN bb b
+      FROM {bucket_src} JOIN bb b
         ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
@@ -335,7 +352,7 @@ def _simhash_near_dup_oracle(bits: int = 60) -> str:
     """
 
 
-@register("simhash_near_dup", oracle=_simhash_near_dup_oracle())
+@register("simhash_near_dup", oracle=_simhash_near_dup_oracle(capped=True))
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3), banded 4x15 bits over a
     60-BIT signature: by pigeonhole a pair within distance 3 always
@@ -347,12 +364,81 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy — and the quadratic in-bucket candidate count —
     drops ~128x at the same corpus size. 60 bits, not 64, because the
     md5-prefix token hash must round-trip through signed int64 on both
-    engines."""
+    engines.
+
+    Round-8 (VERDICT r7 #1): the corpus-scaled bucket cap is wired in
+    (``max_bucket_size="auto"``, a lazy in-plan 1-row count — cap
+    clamp(16 * expected occupancy, 1024, 2048)). Occupancy grows
+    linearly with corpus size and in-bucket candidates quadratically,
+    so uncapped the flagship was the suite's one remaining 100x
+    scale-killer. The floor is chosen so sf0.01/sf0.1/sf1 outputs are
+    bit-identical to the uncapped run (measured max occupancy 321 at
+    sf1 vs floor 1024); the DuckDB oracle replays the cap exactly, so
+    the query stays hash-green even at scales where the cap binds.
+    Dropped docs are routable to the shingle verify tier
+    (``hamming_hot_bucket_members``); the recall trade is measured by
+    ``simhash_cap_agreement``."""
     from datas_spark.operators import dedup as D
 
     docs = read_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(
-        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3,
+        max_bucket_size="auto",
+    )
+
+
+def _simhash_cap_agreement_oracle() -> str:
+    from datas_spark.registry_scoring import _simhash_oracle
+
+    return f"""
+    WITH s AS ({_simhash_oracle(60)}),
+    bb AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 15)) & 32767 AS bval
+      FROM s, unnest(range(0, 4)) AS u(band)
+    ), bc AS (
+      SELECT band, bval, count(*) AS c FROM bb GROUP BY 1, 2
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(CASE WHEN bc.c <= 64 THEN 1 ELSE 0 END) AS in_capped
+      FROM bb a
+      JOIN bb b ON a.band = b.band AND a.bval = b.bval
+                AND a.doc_id < b.doc_id
+      JOIN bc ON bc.band = a.band AND bc.bval = a.bval
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      GROUP BY 1, 2
+    ), hot AS (
+      SELECT count(*) AS n_buckets_hot FROM bc WHERE c > 64
+    ), agg AS (
+      SELECT coalesce(sum(in_capped), 0)::BIGINT AS pairs_both,
+             coalesce(sum(1 - in_capped), 0)::BIGINT AS pairs_only_uncapped
+      FROM cand
+    )
+    SELECT hot.n_buckets_hot, agg.pairs_both, agg.pairs_only_uncapped,
+           round(100.0 * pairs_both /
+                 nullif(pairs_both + pairs_only_uncapped, 0), 6)
+             AS recall_pct
+    FROM agg, hot
+    """
+
+
+@register("simhash_cap_agreement", oracle=_simhash_cap_agreement_oracle())
+def q_simhash_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket cap's recall trade as a measured query (VERDICT r7 #1
+    done-criterion): a 1-row Venn of near-dup pairs reachable under a
+    DELIBERATELY tight cap (64 — the production auto-cap floor of 1024
+    never binds at test scales, so the trade would measure a boring
+    zero) vs the uncapped twin, plus the hot-bucket count. A pair
+    survives capping iff ANY of its shared band buckets is under the
+    cap — the pigeonhole argument degrades gracefully, and this query
+    prices exactly how gracefully on the current corpus."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = D.simhash(docs, "text", 60).select("doc_id", "simhash")
+    return D.hamming_cap_agreement(
+        sig, "doc_id", "simhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=64,
     )
 
 

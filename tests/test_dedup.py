@@ -406,6 +406,132 @@ def test_simhash_near_dup_bucket_cap_suppresses_hot_buckets(spark):
     )
 
 
+def test_simhash_auto_cap_is_identity_below_floor(spark, sf_dir):
+    """The corpus-scaled auto cap (VERDICT r7 #1) must be a no-op at
+    test scales: its 1024 floor sits far above any measured bucket
+    occupancy (max 321 at sf1), so the capped flagship's output is
+    bit-identical to the uncapped run."""
+    from datas_spark.io.sources import read_table
+    from datas_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = simhash_near_dup_pairs(docs, "doc_id", "text", bits=60, bands=4)
+    auto = simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_bucket_size="auto"
+    )
+    base_set = {(r.id_a, r.id_b, r.hamming) for r in base.collect()}
+    auto_set = {(r.id_a, r.id_b, r.hamming) for r in auto.collect()}
+    assert base_set == auto_set and len(base_set) == base.count()
+
+
+def test_simhash_auto_cap_binds_on_degenerate_corpus(spark):
+    """When every bucket is hotter than the cap formula allows, the
+    auto cap must actually drop buckets — the quadratic bound is real,
+    not just a documented intention. 3000 near-identical docs share
+    band values, blowing a synthetic floor... the real floor is 1024,
+    so exceed it."""
+    from datas_spark.operators.dedup import (
+        hamming_hot_bucket_members,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    n = 1200  # > AUTO_CAP_FLOOR=1024 docs in one boilerplate cluster
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate body x tail") for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_bucket_size="auto"
+    ).count()
+    assert capped == 0  # all four band buckets hold n > 1024 members
+    # ...and the routing half lists exactly those docs for the verify tier
+    sig = simhash(docs, "text", 60).select("doc_id", "simhash")
+    hot = hamming_hot_bucket_members(
+        sig, "doc_id", "simhash", bits=60, bands=4, max_bucket_size="auto"
+    )
+    assert hot.count() == n
+
+
+def test_hot_bucket_members_route_to_shingle_verify_tier(spark):
+    """The cap's documented recovery path end-to-end: a genuine dup
+    pair living in an over-cap bucket is dropped by the capped hamming
+    run, listed by hamming_hot_bucket_members, and RECOVERED by the
+    MinHash verify tier run on just those members."""
+    from datas_spark.operators.dedup import (
+        hamming_hot_bucket_members,
+        minhash_lsh_pairs,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    # 12 boilerplate docs (hot bucket under cap=8) containing a true
+    # dup pair; two unrelated docs stay in cold buckets
+    rows = [
+        (i, "shared boilerplate template body number %d with filler text" % i)
+        for i in range(12)
+    ]
+    rows += [(100, "a completely different document about gardens and rivers"),
+             (101, "a completely different document about gardens and rivers")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash(docs, "text", 60).select("doc_id", "simhash")
+    from datas_spark.operators.dedup import hamming_near_dup_pairs
+
+    capped = hamming_near_dup_pairs(
+        sig, "doc_id", "simhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=8,
+    )
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in capped_pairs  # cold-bucket pair unaffected
+    hot_ids = {
+        r.doc_id
+        for r in hamming_hot_bucket_members(
+            sig, "doc_id", "simhash", bits=60, bands=4, max_bucket_size=8
+        ).collect()
+    }
+    if hot_ids:  # boilerplate docs landed in a hot bucket
+        rescued = minhash_lsh_pairs(
+            docs.where(F.col("doc_id").isin(hot_ids)),
+            "doc_id", "text", min_est_jaccard=0.5,
+        )
+        total = capped_pairs | {(r.id_a, r.id_b) for r in rescued.collect()}
+        # the verify tier finds the template cluster's high-overlap pairs
+        assert any(a < 12 and b < 12 for a, b in total)
+
+
+def test_cap_agreement_matches_two_real_runs(spark, sf_dir):
+    """hamming_cap_agreement's single-pass Venn must equal the numbers
+    from actually running capped and uncapped twins and anti-joining —
+    including the structural guarantee that capped ⊆ uncapped."""
+    from datas_spark.io.sources import read_table
+    from datas_spark.operators.dedup import (
+        hamming_cap_agreement,
+        hamming_near_dup_pairs,
+        simhash,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = simhash(docs, "text", 60).select("doc_id", "simhash")
+    cap = 3  # tight enough to bind even at sf0.001
+    row = hamming_cap_agreement(
+        sig, "doc_id", "simhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=cap,
+    ).collect()[0]
+    capped = hamming_near_dup_pairs(
+        sig, "doc_id", "simhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=cap,
+    )
+    uncapped = hamming_near_dup_pairs(
+        sig, "doc_id", "simhash", bits=60, bands=4, max_hamming=3
+    )
+    only_capped = capped.join(uncapped, ["id_a", "id_b"], "left_anti").count()
+    only_uncapped = uncapped.join(capped, ["id_a", "id_b"], "left_anti").count()
+    both = capped.join(uncapped, ["id_a", "id_b"], "left_semi").count()
+    assert only_capped == 0  # capped is a true subset
+    assert row.pairs_both == both
+    assert row.pairs_only_uncapped == only_uncapped
+
+
 # --- prefix-filtered Jaccard + duplicated-n-gram coverage (batch 54) ---
 
 def test_prefix_filter_matches_inverted_index(spark):

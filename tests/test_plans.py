@@ -196,6 +196,9 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "layout_skipping_whatif",          # 1-row lazy n_rows_matching scalar (ADVICE r6: no call-time action)
         "hilbert_vs_zorder_skipping",      # same lazy selectivity scalar
         "jl_recall_report",                # cosine_topk's broadcast 3-query set (both chains)
+        # round 8
+        "simhash_near_dup",                # 1-row lazy corpus count (auto bucket cap)
+        "simhash_cap_agreement",           # 1-row Venn-count + hot-bucket scalars
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
