@@ -1528,3 +1528,82 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return retention_cohort_matrix(ev, "user_id", "ts", period="week")
+
+
+@register(
+    "user_cohort_retention",
+    oracle="""
+    WITH acting AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS p
+      FROM events
+    ), cohort AS (
+      SELECT u, min(p) AS c0 FROM acting GROUP BY u
+    )
+    SELECT c.c0 AS cohort_week,
+           ((a.p - c.c0) / 7)::INT AS week_offset,
+           count(*) AS n_users
+    FROM acting a JOIN cohort c USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle under its original (pre-round-7)
+    column names — SUBSUMED by ``events.retention_cohort_matrix``
+    (VERDICT r7 #5) and re-homed here from registry_similarity. The
+    old standalone plan joined raw events to the first-event frame
+    BEFORE reducing to distinct (user, week); the operator reduces
+    first — one shuffle on the user key, cohort min on the same key,
+    and since each (user, week) row is already distinct, the plain
+    count per (cohort, offset) IS the old count_distinct(user)."""
+    from datas_spark.operators.events import retention_cohort_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    m = retention_cohort_matrix(ev, "user_id", "ts", period="week")
+    return m.select(
+        F.col("cohort_start").alias("cohort_week"),
+        F.col("period_offset").alias("week_offset"),
+        F.col("n_active").alias("n_users"),
+    )
+
+
+# re-homed from registry_similarity (round 8 homing sweep)
+@register(
+    "events_timed_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL '1 hour'
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL '1 hour'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1)::BIGINT AS n_step_0,
+           (SELECT count(*) FROM s2)::BIGINT AS n_step_1,
+           (SELECT count(*) FROM s3)::BIGINT AS n_step_2,
+           round(100.0 * (SELECT count(*) FROM s2)
+                 / greatest((SELECT count(*) FROM s1), 1), 4) AS pct_1,
+           round(100.0 * (SELECT count(*) FROM s3)
+                 / greatest((SELECT count(*) FROM s2), 1), 4) AS pct_2
+    """,
+)
+def q_events_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed conversion funnel view→click→purchase where each stage
+    must follow the previous within 1 hour — attribution semantics
+    (the plain `events_funnel` counts a purchase a month later as
+    converted; this one doesn't). Same per-stage min-agg chain on the
+    one user_id shuffle key, one extra map-side interval predicate."""
+    from datas_spark.operators.events import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], max_gap="1 hour"
+    )

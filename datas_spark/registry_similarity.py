@@ -207,41 +207,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "user_cohort_retention",
-    oracle="""
-    WITH f AS (
-      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
-    )
-    SELECT date_trunc('week', f.first_ts)::DATE AS cohort_week,
-           (date_diff('day', date_trunc('week', f.first_ts),
-                      date_trunc('week', e.ts)) // 7)::INT AS week_offset,
-           count(DISTINCT e.user_id) AS n_users
-    FROM events e JOIN f USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle: users grouped by first-event week,
-    distinct actives counted per week offset — the standard
-    product-analytics rollup. Two keyed aggregations and one join on
-    user_id; the first-event frame is per-user (small side, AQE
-    broadcasts when it fits)."""
-    ev = read_table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    j = ev.join(first, "user_id")
-    cw = F.date_trunc("week", F.col("first_ts"))
-    return (
-        j.select(
-            "user_id",
-            cw.cast("date").alias("cohort_week"),
-            F.floor(
-                F.datediff(F.date_trunc("week", F.col("ts")), cw) / 7
-            ).cast("int").alias("week_offset"),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
-    )
+# `user_cohort_retention` moved to registry_events (VERDICT r7 #5):
+# it is the (cohort, offset, actives) projection of
+# events.retention_cohort_matrix and never belonged in this registry.
 
 
 def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
@@ -326,7 +294,6 @@ from pyspark.sql import functions as F
 
 from datas_spark.io.sources import read_table
 from datas_spark.operators import similarity as SIM
-from datas_spark.operators.events import funnel_counts
 from datas_spark.registry_core import register
 
 _SQ8_ORACLE = """
@@ -559,44 +526,9 @@ def q_region_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_timed_funnel",
-    oracle="""
-    WITH s1 AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ), s2 AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN s1 ON s1.user_id = e.user_id
-      WHERE e.event_type = 'click' AND e.ts > s1.t1
-        AND e.ts <= s1.t1 + INTERVAL '1 hour'
-      GROUP BY e.user_id
-    ), s3 AS (
-      SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN s2 ON s2.user_id = e.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-        AND e.ts <= s2.t2 + INTERVAL '1 hour'
-      GROUP BY e.user_id
-    )
-    SELECT (SELECT count(*) FROM s1)::BIGINT AS n_step_0,
-           (SELECT count(*) FROM s2)::BIGINT AS n_step_1,
-           (SELECT count(*) FROM s3)::BIGINT AS n_step_2,
-           round(100.0 * (SELECT count(*) FROM s2)
-                 / greatest((SELECT count(*) FROM s1), 1), 4) AS pct_1,
-           round(100.0 * (SELECT count(*) FROM s3)
-                 / greatest((SELECT count(*) FROM s2), 1), 4) AS pct_2
-    """,
-)
-def q_events_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timed conversion funnel view→click→purchase where each stage
-    must follow the previous within 1 hour — attribution semantics
-    (the plain `events_funnel` counts a purchase a month later as
-    converted; this one doesn't). Same per-stage min-agg chain on the
-    one user_id shuffle key, one extra map-side interval predicate."""
-    ev = read_table(spark, sf_dir, "events")
-    return funnel_counts(
-        ev, ["view", "click", "purchase"], max_gap="1 hour"
-    )
+# `events_timed_funnel` moved to registry_events (round 8 homing sweep —
+# the same drift class as VERDICT r7 #5's user_cohort_retention).
+
 
 # ==================================================================
 # former registry33.py

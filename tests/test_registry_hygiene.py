@@ -70,3 +70,51 @@ def test_no_conflicting_import_aliases(path):
         f"{os.path.basename(path)} rebinds an import alias to a different "
         f"target — runtime name lookups take the LAST binding: {conflicts}"
     )
+
+
+def _registered_names(path) -> set[str]:
+    """Names passed as the first arg of @register(...) in a file."""
+    tree = ast.parse(open(path).read())
+    names = set()
+    for node in ast.walk(tree):
+        for dec in getattr(node, "decorator_list", []):
+            if (
+                isinstance(dec, ast.Call)
+                and getattr(dec.func, "id", "") == "register"
+                and dec.args
+                and isinstance(dec.args[0], ast.Constant)
+            ):
+                names.add(dec.args[0].value)
+    return names
+
+
+def test_query_homing_locked():
+    """Queries live in the registry module of their DOMAIN (VERDICT r7
+    #5: `user_cohort_retention` sat in registry_similarity for four
+    rounds). Lock the re-homed entries, and mechanically forbid the
+    known cross-domain drift classes: no event-analytics rollups in the
+    similarity registry, and no query registered twice anywhere."""
+    by_file = {
+        os.path.basename(p): _registered_names(p) for p in REGISTRY_FILES
+    }
+    events = by_file.get("registry_events.py", set())
+    similarity = by_file.get("registry_similarity.py", set())
+    # the re-homed entry and the operator query it is subsumed by
+    assert "user_cohort_retention" in events
+    assert "events_retention_cohorts" in events
+    assert "user_cohort_retention" not in similarity
+    # similarity must hold no cohort/retention/funnel rollups at all
+    strays = {
+        n for n in similarity
+        if any(k in n for k in ("cohort", "retention", "funnel", "sessionize"))
+    }
+    assert not strays, f"event-analytics queries in registry_similarity: {strays}"
+    # and a name registered in two files is a latent last-import-wins bug
+    seen: dict[str, str] = {}
+    dups = []
+    for fname, names in sorted(by_file.items()):
+        for n in names:
+            if n in seen:
+                dups.append(f"{n} ({seen[n]} and {fname})")
+            seen[n] = fname
+    assert not dups, f"queries registered in two files: {dups}"
