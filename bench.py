@@ -318,6 +318,8 @@ HEADLINE = [
     # round-8: the bucket-cap recall trade (runs capped AND uncapped
     # pair generation in one pass — ~2x the flagship's cost by design)
     "simhash_cap_agreement",
+    # round-8: five unrolled DoReMi EG steps (packed 1-row iteration)
+    "doremi_weights_k5",
 ]
 
 RUNS_PER_QUERY = 3

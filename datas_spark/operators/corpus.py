@@ -1838,6 +1838,112 @@ def unigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def doremi_domain_weights_k(
+    df: DataFrame,
+    domain_col: str,
+    proxy_nll_col: str,
+    ref_nll_col: str,
+    n_steps: int = 5,
+    step_size: float = 1.0,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """``n_steps`` unrolled DoReMi exponentiated-gradient steps
+    (VERDICT r7 #6) — the published method iterates; the round-7 query
+    was one step. Per step t (Xie et al. 2023, with the per-domain
+    excess loss fixed between steps — retraining the proxy model is
+    the GPU half the sandbox lacks; with real models each step's
+    losses would re-enter through the `reward_score` pandas_udf
+    boundary):
+
+        r_i = w_i · exp(η · λ_i)
+        w'_i = (1 − c) · r_i / Σr + c / k      (rounded to 12 dp)
+
+    starting from uniform w⁰ = 1/k. Compounding pushes mass toward the
+    max-excess domain while the smoothing floor keeps every domain
+    sampled — the weights converge monotonically to the smoothed
+    near-one-hot fixed point (property-tested on a planted skew).
+
+    Scale shape — the BPE-unroll pattern: examples are touched by ONE
+    map-side-combinable aggregate; the k-row domain frame is then
+    packed into a SINGLE row (array_sort'd struct list, so every fold
+    runs in deterministic domain order on both engines) and all
+    ``n_steps`` updates run as chained 1-row projections — each step
+    its own select, so Catalyst keeps them as separate cheap Projects
+    instead of exponentially inlining the step expression. Per-step
+    rounding to 12 dp stops last-ulp ``exp`` divergence between
+    JVM and C libm from compounding across steps while leaving the
+    6-dp output exact.
+
+    Returns ``(domain, n_docs, excess_loss, weight)`` like the
+    single-step operator."""
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.coalesce(
+                F.avg(
+                    F.greatest(
+                        F.col(proxy_nll_col) - F.col(ref_nll_col), F.lit(0.0)
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("excess_loss"),
+    )
+    eta = float(step_size)
+    c = float(smoothing)
+    row = per_dom.agg(
+        F.array_sort(
+            F.collect_list(F.struct("domain", "n_docs", "excess_loss"))
+        ).alias("__d")
+    )
+    row = row.select(
+        "__d",
+        F.transform(
+            "__d", lambda d: F.lit(1.0) / F.size("__d").cast("double")
+        ).alias("__w"),
+    )
+    for _ in range(int(n_steps)):
+        row = row.select(
+            "__d",
+            F.zip_with(
+                "__w",
+                "__d",
+                lambda w, d: w * F.exp(F.lit(eta) * d["excess_loss"]),
+            ).alias("__r"),
+        )
+        row = row.select(
+            "__d",
+            "__r",
+            F.aggregate("__r", F.lit(0.0), lambda acc, x: acc + x).alias("__z"),
+        )
+        row = row.select(
+            "__d",
+            F.transform(
+                "__r",
+                lambda r: F.round(
+                    F.lit(1.0 - c) * r / F.col("__z")
+                    + F.lit(c) / F.size("__d").cast("double"),
+                    12,
+                ),
+            ).alias("__w"),
+        )
+    return row.select(
+        F.explode(
+            F.zip_with(
+                "__d",
+                "__w",
+                lambda d, w: F.struct(
+                    d["domain"].alias("domain"),
+                    d["n_docs"].alias("n_docs"),
+                    d["excess_loss"].alias("excess_loss"),
+                    F.round(w, 6).alias("weight"),
+                ),
+            )
+        ).alias("__o")
+    ).select("__o.*")
+
+
 def doremi_domain_weights(
     df: DataFrame,
     domain_col: str,

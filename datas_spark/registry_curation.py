@@ -2589,3 +2589,96 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.doremi_domain_weights(
         per_doc, "source", "__proxy", "__ref", step_size=1.0, smoothing=0.01
     )
+
+
+_DOREMI_LOSS_CTES = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), tk AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ), cw AS (
+      SELECT w, count(*) AS c FROM tk GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS tc FROM cw
+    ), pu AS (
+      SELECT w, ln(c::DOUBLE / tc) AS lp FROM cw, tot
+    ), su AS (
+      SELECT tk.doc_id, round(-avg(pu.lp), 6) AS proxy
+      FROM tk JOIN pu USING (w) GROUP BY tk.doc_id
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    ), cbg AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, sum(c) AS cc FROM cbg GROUP BY w1
+    ), pb AS (
+      SELECT cbg.w1, cbg.w2, ln(cbg.c::DOUBLE / cctx.cc) AS lp
+      FROM cbg JOIN cctx USING (w1)
+    ), sb AS (
+      SELECT bg.doc_id, round(-avg(pb.lp), 6) AS ref
+      FROM bg JOIN pb ON bg.w1 = pb.w1 AND bg.w2 = pb.w2
+      GROUP BY bg.doc_id
+    ), perdoc AS (
+      SELECT d.doc_id, d.source, su.proxy, sb.ref
+      FROM documents d
+      LEFT JOIN su USING (doc_id) LEFT JOIN sb USING (doc_id)
+    ), dom AS (
+      SELECT source AS domain, count(*)::BIGINT AS n_docs,
+             round(coalesce(avg(greatest(proxy - ref, 0.0)), 0.0), 9)
+               AS excess_loss
+      FROM perdoc GROUP BY source
+    )"""
+
+
+def _doremi_k_oracle(n_steps: int = 5) -> str:
+    """Chained-CTE twin of ``doremi_domain_weights_k``: w0 uniform,
+    each step an ordered-list normalization fold + the smoothed
+    multiplicative update rounded to 12 dp (the same per-step resync
+    the Spark side applies)."""
+    sql = _DOREMI_LOSS_CTES + """,
+    k AS (SELECT count(*)::BIGINT AS k FROM dom),
+    w0 AS (SELECT domain, n_docs, excess_loss, 1.0 / k.k AS w FROM dom, k)"""
+    prev = "w0"
+    for t in range(1, n_steps + 1):
+        sql += f""",
+    z{t} AS (
+      SELECT list_sum(list(w * exp(1.0 * excess_loss) ORDER BY domain))::DOUBLE
+        AS z FROM {prev}
+    ), w{t} AS (
+      SELECT domain, n_docs, excess_loss,
+             round(0.99 * (w * exp(1.0 * excess_loss)) / z{t}.z
+                   + 0.01 / k.k, 12) AS w
+      FROM {prev}, z{t}, k
+    )"""
+        prev = f"w{t}"
+    return sql + f"""
+    SELECT domain, n_docs, excess_loss, round(w, 6) AS weight FROM {prev}
+    """
+
+
+@register("doremi_weights_k5", oracle=_doremi_k_oracle(5))
+def q_doremi_weights_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five unrolled DoReMi EG steps (`corpus.doremi_domain_weights_k`,
+    VERDICT r7 #6) over the same self-trained unigram/bigram loss pair
+    as the single-step query: mass compounds onto the max-excess source
+    each step while the 1% uniform floor keeps every source sampled.
+    Examples are touched ONCE; the five updates run as chained 1-row
+    projections over the packed domain array (the BPE-unroll pattern),
+    each step's fold in deterministic domain order on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    uni = C.unigram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", F.col("nll").alias("__proxy")
+    )
+    big = C.ngram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", F.col("nll").alias("__ref")
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(uni, "doc_id", "left")
+        .join(big, "doc_id", "left")
+    )
+    return C.doremi_domain_weights_k(
+        per_doc, "source", "__proxy", "__ref", n_steps=5,
+        step_size=1.0, smoothing=0.01,
+    )

@@ -316,3 +316,48 @@ def test_retention_cohort_invariants(spark, rows):
         assert r.period_offset >= 0
         if r.period_offset == 0:
             assert r.n_active == r.cohort_size  # everyone active at birth
+
+
+def test_doremi_k_steps_converge_monotonically_on_planted_skew(spark):
+    """VERDICT r7 #6 done-criterion: on a planted skew (one domain with
+    large excess loss, the rest at zero) the iterated EG update must
+    push the hot domain's weight UP monotonically in the step count,
+    approaching the smoothed near-one-hot fixed point (1-c) + c/k, and
+    every step's weights must stay a smoothed distribution."""
+    from datas_spark.operators import corpus as C
+
+    # gentle skew (excess 0.3): e^0.3 per step, so the trajectory is
+    # visible at 6 dp instead of saturating at the fixed point by step 2
+    rows = (
+        [("hot", i, 1.3, 1.0) for i in range(10)]
+        + [("cold_a", 100 + i, 1.0, 1.0) for i in range(10)]
+        + [("cold_b", 200 + i, 1.0, 2.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "domain string, doc_id long, proxy double, ref double"
+    )
+    c, k = 0.01, 3
+    prev_hot = 1.0 / k
+    for steps in (1, 2, 3, 5, 8):
+        out = {
+            r.domain: r.weight
+            for r in C.doremi_domain_weights_k(
+                df, "domain", "proxy", "ref", n_steps=steps
+            ).collect()
+        }
+        assert abs(sum(out.values()) - 1.0) < 1e-4
+        assert all(w >= c / k - 5e-7 for w in out.values())
+        assert out["hot"] > prev_hot  # strictly increasing in steps
+        prev_hot = out["hot"]
+        # zero-excess domains decay toward the smoothing floor together
+        assert abs(out["cold_a"] - out["cold_b"]) < 1e-9
+    # by 8 steps the hot domain dominates the mixture
+    assert prev_hot > 0.8
+    # and k=1 more step never decreases it (fixed-point approach)
+    out9 = {
+        r.domain: r.weight
+        for r in C.doremi_domain_weights_k(
+            df, "domain", "proxy", "ref", n_steps=9
+        ).collect()
+    }
+    assert out9["hot"] >= prev_hot - 1e-9
