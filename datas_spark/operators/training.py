@@ -19,7 +19,95 @@ from pyspark.sql import functions as F
 
 from datas_spark.functions.text import hash60
 
-__all__ = ["next_event_examples", "negative_sample"]
+__all__ = ["next_event_examples", "negative_sample", "preference_pairs"]
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    margin: float,
+    source_col: str | None = None,
+    per_source_quota: int | None = None,
+) -> DataFrame:
+    """Chosen/rejected preference-pair construction — the DPO/RLHF
+    post-training data shape (VERDICT r7 #7), generalizing the
+    reference's scorer contract (reference ``README.md:28-39``,
+    ``score_pipeline_rw.py:39-52``: reward scores exist precisely to
+    rank competing outputs). Per prompt:
+
+    - **chosen** = the top-scoring response; ties break to the LOWEST
+      response id (deterministic, replayable in SQL);
+    - **rejected** = the best-scoring response with
+      ``score <= chosen_score - margin`` — the HARDEST margin-separated
+      negative (a barely-worse response teaches more than a garbage
+      one), same tie-break;
+    - prompts with no margin-separated partner emit NO pair (a pair
+      whose gap could be scorer noise is worse than no pair);
+    - with ``per_source_quota``, each source keeps its top-N pairs by
+      (chosen_score desc, prompt asc) — the per-source balance control
+      every mixed-corpus preference set needs.
+
+    Scale shape: both elections are rank-1 row_number windows
+    PARTITIONED BY the prompt key (never partition-less; WindowGroupLimit
+    prunes to the top row map-side), the chosen↔candidate match is one
+    equi-join on the same key, and the quota is a per-source keyed
+    window over the already prompt-reduced pair frame. Returns
+    ``(prompt, chosen_id, chosen_score, rejected_id, rejected_score
+    [, source])``."""
+    p = F.col(prompt_col)
+    w_chosen = Window.partitionBy(prompt_col).orderBy(
+        F.col(score_col).desc(), F.col(response_col).asc()
+    )
+    keep = [prompt_col, response_col, score_col] + (
+        [source_col] if source_col else []
+    )
+    chosen = (
+        df.select(*keep)
+        .withColumn("__rn", F.row_number().over(w_chosen))
+        .where(F.col("__rn") == 1)
+        .select(
+            p.alias("__p"),
+            F.col(response_col).alias("chosen_id"),
+            F.col(score_col).alias("chosen_score"),
+            *([F.col(source_col).alias("source")] if source_col else []),
+        )
+    )
+    cand = df.select(
+        p.alias("__p"),
+        F.col(response_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    w_rej = Window.partitionBy("__p").orderBy(
+        F.col("rejected_score").desc(), F.col("rejected_id").asc()
+    )
+    pairs = (
+        chosen.join(cand, "__p")
+        .where(F.col("rejected_score") <= F.col("chosen_score") - F.lit(margin))
+        .withColumn("__rn", F.row_number().over(w_rej))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if per_source_quota is not None:
+        if not source_col:
+            raise ValueError("per_source_quota requires source_col")
+        w_q = Window.partitionBy("source").orderBy(
+            F.col("chosen_score").desc(), F.col("__p").asc()
+        )
+        pairs = (
+            pairs.withColumn("__qn", F.row_number().over(w_q))
+            .where(F.col("__qn") <= per_source_quota)
+            .drop("__qn")
+        )
+    return pairs.select(
+        F.col("__p").alias(prompt_col),
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+        *(["source"] if source_col else []),
+    )
 
 
 def next_event_examples(

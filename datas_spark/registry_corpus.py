@@ -1287,6 +1287,69 @@ def q_chat_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "preference_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id // 4 AS prompt_id, doc_id AS response_id,
+             (n_chars % 97)::DOUBLE AS score, source
+      FROM documents
+    ), ch AS (
+      SELECT prompt_id, response_id AS chosen_id, score AS chosen_score,
+             source,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, response_id ASC) AS rn
+      FROM r
+    ), c1 AS (
+      SELECT prompt_id, chosen_id, chosen_score, source FROM ch WHERE rn = 1
+    ), rj AS (
+      SELECT c1.prompt_id, c1.chosen_id, c1.chosen_score, c1.source,
+             r.response_id AS rejected_id, r.score AS rejected_score,
+             row_number() OVER (PARTITION BY c1.prompt_id
+                                ORDER BY r.score DESC, r.response_id ASC) AS rn
+      FROM c1 JOIN r USING (prompt_id)
+      WHERE r.score <= c1.chosen_score - 5.0
+    ), p AS (
+      SELECT prompt_id, chosen_id, chosen_score, rejected_id,
+             rejected_score, source
+      FROM rj WHERE rn = 1
+    ), q AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY chosen_score DESC, prompt_id ASC)
+               AS qn
+      FROM p
+    )
+    SELECT prompt_id, chosen_id, chosen_score, rejected_id, rejected_score,
+           source
+    FROM q WHERE qn <= 5
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen/rejected preference pairs (`training.preference_pairs`,
+    VERDICT r7 #7 — the DPO/RLHF companion of the SFT flattening
+    above). Multi-response fixture: documents grouped 4-per-prompt
+    (doc_id // 4) with the deterministic score (n_chars % 97), so ties
+    are frequent and the tie-break rules are exercised. Margin 5.0
+    drops prompts whose best gap could be scorer noise; each source
+    keeps its top-5 pairs by (chosen_score, prompt). Both elections
+    are rank-1 windows keyed by prompt; the quota window runs on the
+    already prompt-reduced frame."""
+    from datas_spark.operators.training import preference_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    resp = docs.select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.col("doc_id").alias("response_id"),
+        (F.col("n_chars") % 97).cast("double").alias("score"),
+        "source",
+    )
+    return preference_pairs(
+        resp, "prompt_id", "response_id", "score",
+        margin=5.0, source_col="source", per_source_quota=5,
+    )
+
+
 # ==================================================================
 # round 5: exact concat-and-chunk packing manifest
 # ==================================================================

@@ -95,3 +95,57 @@ def test_balanced_shards_deterministic_and_guard(spark):
     assert a == b
     with _pytest.raises(ValueError):
         balanced_shards(df, "id", "toks", 0)
+
+
+def test_preference_pairs_margin_ties_and_quota(spark):
+    """Planted cases for every preference_pairs rule: deterministic
+    tie-breaks on both elections, margin exclusion (no pair rather
+    than a noisy pair), hardest-negative selection, per-source quota."""
+    from datas_spark.operators.training import preference_pairs
+
+    rows = [
+        # prompt 1: tie at top (ids 11 vs 10 -> chosen=10), rejected
+        # candidates 5.0 and 4.0 with margin 3 -> hardest negative 5.0
+        (1, 10, 9.0, "a"),
+        (1, 11, 9.0, "a"),
+        (1, 12, 5.0, "a"),
+        (1, 13, 4.0, "a"),
+        # prompt 2: best gap (8-6=2) below margin 3 -> NO pair
+        (2, 20, 8.0, "a"),
+        (2, 21, 6.0, "a"),
+        # prompt 3: exactly-margin gap qualifies (<=), rejected ties
+        # break to the lower id
+        (3, 30, 7.0, "b"),
+        (3, 31, 4.0, "b"),
+        (3, 32, 4.0, "b"),
+        # prompt 4: single response -> no partner, no pair
+        (4, 40, 9.5, "b"),
+        # prompts 5-6: same source as 3, quota=2 keeps the two pairs
+        # with the highest chosen_score (7.0 and 6.5, drops 6.0)
+        (5, 50, 6.5, "b"),
+        (5, 51, 1.0, "b"),
+        (6, 60, 6.0, "b"),
+        (6, 61, 1.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, score double, source string"
+    )
+    out = {
+        r.prompt_id: r
+        for r in preference_pairs(
+            df, "prompt_id", "response_id", "score",
+            margin=3.0, source_col="source", per_source_quota=2,
+        ).collect()
+    }
+    assert set(out) == {1, 3, 5}
+    assert (out[1].chosen_id, out[1].rejected_id) == (10, 12)
+    assert out[1].rejected_score == 5.0  # hardest negative, not 4.0
+    assert (out[3].chosen_id, out[3].rejected_id) == (30, 31)  # tie -> low id
+    assert (out[5].chosen_id, out[5].rejected_id) == (50, 51)
+    # quota requires a source column
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        preference_pairs(
+            df, "prompt_id", "response_id", "score",
+            margin=1.0, per_source_quota=2,
+        )
