@@ -320,6 +320,9 @@ HEADLINE = [
     "simhash_cap_agreement",
     # round-8: five unrolled DoReMi EG steps (packed 1-row iteration)
     "doremi_weights_k5",
+    # round-8: DPO pair construction + exact SCD2 straggler repair
+    "preference_pairs",
+    "scd2_repair_keys",
 ]
 
 RUNS_PER_QUERY = 3

@@ -35,6 +35,8 @@ __all__ = [
     "scd2_as_of",
     "scd2_from_snapshots",
     "merge_snapshot_scd2",
+    "scd2_repair_keys",
+    "scd2_repair_partitioned",
 ]
 
 _SCD_COLS = ("valid_from", "valid_to", "change_seq", "is_current")
@@ -135,6 +137,102 @@ def merge_scd2(
         seq_col,
     )
     return untouched.unionByName(rebuilt)
+
+
+def scd2_repair_keys(
+    history: DataFrame,
+    changelog: DataFrame,
+    late_changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Late-data repair (VERDICT r7 #8): EXACT replay of only the keys
+    a straggler batch touches. :func:`merge_scd2` is proven equal to a
+    full rebuild for IN-order deltas; a genuinely late change can only
+    get run-view semantics from the compacted history, because
+    compaction discarded the instants of repeat-observations inside
+    runs. When the uncompacted ``changelog`` is retained (the module
+    docstring's standing advice), this is the targeted fix for the
+    nightly pipeline that receives a straggler: touched keys' runs are
+    re-derived from (their changelog slice ∪ the late rows) — exact by
+    construction — and untouched keys pass through by anti-join.
+
+    ``late_changes`` holds straggler rows NOT yet appended to
+    ``changelog``; pass the already-appended log and an empty late
+    frame to re-verify keys instead.
+
+    Scale shape: cost ∝ |touched keys| × |their changes| — the
+    changelog scan is a semi-join on the key (partition-prunable when
+    the log is stored keyed; :func:`scd2_repair_partitioned` proves
+    the pruned write path), the replay windows are key-partitioned,
+    and untouched history is never shuffled. Repair == full rebuild is
+    hash-proven on shuffled deltas in ``tests/test_cdc.py`` and by the
+    ``scd2_repair_keys`` query's full-rebuild oracle every driver run.
+    """
+    touched = late_changes.select(*key_cols).distinct()
+    untouched = history.join(touched, key_cols, "left_anti")
+    cols = [*key_cols, *attr_cols, ts_col, seq_col]
+    log_slice = changelog.select(*cols).join(touched, key_cols, "left_semi")
+    rebuilt = scd2_from_changelog(
+        log_slice.unionByName(late_changes.select(*cols)),
+        key_cols,
+        attr_cols,
+        ts_col,
+        seq_col,
+    )
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_repair_partitioned(
+    spark,
+    path: str,
+    changelog: DataFrame,
+    late_changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    partition_col: str,
+    partition_expr: Column,
+) -> None:
+    """:func:`scd2_repair_keys` against a hive-partitioned SCD2 store:
+    only the partitions named by the straggler batch are read (the
+    IN-list pushes to PartitionFilters) and rewritten (dynamic
+    partition overwrite) — untouched partitions' FILES are never opened
+    or replaced (mtime-proven in ``tests/test_cdc.py``, the same
+    isolation contract as ``io.maintenance.upsert_partitioned``).
+
+    ``partition_expr`` must be a pure function of the key columns
+    (e.g. ``F.col("custkey") % 64``) — it is re-derived for the
+    repaired rows and must match how the store and ``late_changes``
+    were partitioned. ``changelog`` needs the same column when its
+    store is partitioned, so the replay scan prunes too."""
+    late_parted = late_changes.withColumn(partition_col, partition_expr)
+    touched_parts = [
+        r[0] for r in late_parted.select(partition_col).distinct().collect()
+    ]
+    hist = (
+        spark.read.parquet(path)
+        .where(F.col(partition_col).isin(touched_parts))
+        .drop(partition_col)
+    )
+    log = changelog
+    if partition_col in changelog.columns:
+        log = changelog.where(F.col(partition_col).isin(touched_parts))
+    repaired = scd2_repair_keys(
+        hist, log, late_changes, key_cols, attr_cols, ts_col, seq_col
+    ).withColumn(partition_col, partition_expr)
+    # materialize before the overwrite: the plan reads the very files
+    # dynamic overwrite replaces (same contract as upsert_partitioned)
+    repaired = repaired.localCheckpoint(eager=True)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repaired.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
 
 def scd2_as_of(history: DataFrame, ts) -> DataFrame:

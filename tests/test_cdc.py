@@ -265,3 +265,74 @@ def test_merge_snapshot_chain_depth_stays_linear(spark):
     med = sorted(per_merge)[len(per_merge) // 2]
     assert per_merge[-1] < med * 6 + 2.0, (per_merge, med)
     assert total < 120, total
+
+
+def test_repair_equals_full_rebuild_on_shuffled_deltas(spark, changelog):
+    """VERDICT r7 #8 done-criterion: repair from the retained log is
+    bit-identical to a full rebuild for ARBITRARY (shuffled,
+    out-of-order) straggler subsets — including ones merge_scd2 can
+    only approximate with run-view semantics."""
+    full = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    # every nonempty straggler subset of seq ids, a few shuffled picks
+    for late_seqs in ([2], [3, 7], [1, 4, 8], [6, 2, 5], [4]):
+        late = changelog.where(F.col("seq").isin(late_seqs))
+        early = changelog.where(~F.col("seq").isin(late_seqs))
+        history = CDC.scd2_from_changelog(early, KEYS, ATTRS, "ts", "seq")
+        repaired = CDC.scd2_repair_keys(
+            history, early, late, KEYS, ATTRS, "ts", "seq"
+        )
+        assert _sorted(repaired) == _sorted(full), late_seqs
+    # contrast: with seq 3 late, history collapsed k=1's runs to one
+    # open "x" run (seq 4's re-observation is GONE from the compacted
+    # history) — merge_scd2 must extend the late "y" to the end, while
+    # repair replays the retained log and restores the x@[4/1 run
+    late = changelog.where(F.col("seq") == 3)
+    early = changelog.where(F.col("seq") != 3)
+    history = CDC.scd2_from_changelog(early, KEYS, ATTRS, "ts", "seq")
+    merged = CDC.merge_scd2(history, late, KEYS, ATTRS, "ts", "seq")
+    assert _sorted(merged) != _sorted(full)  # the gap repair closes
+
+
+def test_repair_untouched_keys_pass_through(spark, changelog):
+    """Keys absent from the late batch are never replayed: their rows
+    are the history's own (anti-join identity)."""
+    late = changelog.where(F.col("seq") == 3)  # touches key 1 only
+    early = changelog.where(F.col("seq") != 3)
+    history = CDC.scd2_from_changelog(early, KEYS, ATTRS, "ts", "seq")
+    repaired = CDC.scd2_repair_keys(
+        history, early, late, KEYS, ATTRS, "ts", "seq"
+    )
+    want = _sorted(history.where(F.col("k") != 1))
+    got = _sorted(repaired.where(F.col("k") != 1))
+    assert got == want
+
+
+def test_repair_partitioned_touches_only_straggler_partitions(
+    spark, changelog, tmp_path
+):
+    """The mtime-isolation contract (same as upsert_partitioned's):
+    a straggler batch for key 1 must leave every other partition's
+    FILES untouched — not re-read-and-rewritten-identically."""
+    import glob
+    import os
+
+    path = str(tmp_path / "scd2_store")
+    pexpr = F.col("k") % 8
+    late = changelog.where(F.col("seq") == 3)  # key 1 -> partition 1
+    early = changelog.where(F.col("seq") != 3)
+    history = CDC.scd2_from_changelog(early, KEYS, ATTRS, "ts", "seq")
+    history.withColumn("kb", pexpr).write.partitionBy("kb").parquet(path)
+
+    before = sorted(glob.glob(os.path.join(path, "kb=*", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in before}
+    CDC.scd2_repair_partitioned(
+        spark, path, early, late, KEYS, ATTRS, "ts", "seq", "kb", pexpr
+    )
+    after = sorted(glob.glob(os.path.join(path, "kb=*", "*.parquet")))
+    untouched = [f for f in after if "/kb=1/" not in f]
+    assert untouched and all(f in mtimes for f in untouched)
+    assert all(os.path.getmtime(f) == mtimes[f] for f in untouched)
+    # and the repaired store equals the full rebuild
+    full = CDC.scd2_from_changelog(changelog, KEYS, ATTRS, "ts", "seq")
+    got = spark.read.parquet(path).drop("kb")
+    assert _sorted(got) == _sorted(full)
