@@ -323,6 +323,8 @@ HEADLINE = [
     # round-8: DPO pair construction + exact SCD2 straggler repair
     "preference_pairs",
     "scd2_repair_keys",
+    # round-8: CUPED variance-reduced A/B readout (exact-moment algebra)
+    "experiment_cuped_readout",
 ]
 
 RUNS_PER_QUERY = 3

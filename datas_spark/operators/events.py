@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout"]
 
 
 def funnel_stage_times(
@@ -445,4 +445,91 @@ def retention_cohort_matrix(
         F.round(F.col("n_active") / F.col("cohort_size") * 100, 4).alias(
             "retention_pct"
         ),
+    )
+
+
+def cuped_readout(
+    units: DataFrame,
+    arm_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """CUPED experiment readout (Deng, Xu, Kohavi & Walker, WSDM 2013:
+    "Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data") — the standard variance-reduction
+    companion of any A/B metric rollup: the post-period metric ``y`` is
+    adjusted by the pre-period covariate ``x``,
+
+        y_adj = y − θ·(x − x̄_pool),   θ = cov(x, y) / var(x)  (pooled)
+
+    which is unbiased for the arm difference (assignment ⊥ pre-period)
+    and cuts readout variance by cor(x, y)² — typically 30-60% on
+    revenue metrics, i.e. the same sensitivity as ~2x the traffic.
+
+    ``units`` is ONE ROW PER EXPERIMENT UNIT with ``y_col``/``x_col``
+    INTEGER-quantized (cents, micro-units — the engine discipline that
+    makes moment sums exact and the readout bit-identical across
+    engines and partitionings). Products are summed as decimal(38,0),
+    so second moments stay exact far past int64.
+
+    Scale shape: ONE map-side-combinable aggregate per arm over units;
+    θ and the pooled means come from a second aggregate over the
+    |arms|-row frame; every later step runs on that tiny frame with the
+    1-row pooled scalars broadcast. No window, no per-unit second pass
+    — the adjusted means and variances expand algebraically in moments
+    (Σy, Σx, Σy², Σx², Σxy).
+
+    Returns one row per arm: ``(arm, n_units, mean_y, mean_y_cuped,
+    theta, var_reduction_pct)`` — means rounded to 6, theta to 9, the
+    variance reduction (pooled, 1 − var(y_adj)/var(y)) to 4.
+    """
+    y = F.col(y_col).cast("decimal(38,0)")
+    x = F.col(x_col).cast("decimal(38,0)")
+    per_arm = units.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(x).alias("sx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    pooled = per_arm.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sy").alias("psy"),
+        F.sum("sx").alias("psx"),
+        F.sum("syy").alias("psyy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    )
+    # exact integer moments -> double formulas, written identically in
+    # the DuckDB oracle so every intermediate double matches bit-wise
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mx = d("psx") / d("pn")
+    my = d("psy") / d("pn")
+    cov = d("psxy") / d("pn") - mx * my
+    varx = d("psxx") / d("pn") - mx * mx
+    vary = d("psyy") / d("pn") - my * my
+    theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    scal = pooled.select(
+        F.col("pn"),
+        mx.alias("mx"),
+        theta.alias("theta"),
+        # pooled var(y_adj) = var(y) - 2θcov + θ²var(x)
+        F.when(
+            vary > 0,
+            (F.lit(1.0) - (vary - F.lit(2.0) * theta * cov + theta * theta * varx) / vary)
+            * F.lit(100.0),
+        ).alias("vr"),
+    )
+    return per_arm.crossJoin(F.broadcast(scal)).select(
+        "arm",
+        F.col("n").alias("n_units"),
+        F.round(d("sy") / d("n"), 6).alias("mean_y"),
+        F.round(
+            d("sy") / d("n")
+            - F.col("theta") * (d("sx") / d("n") - F.col("mx")),
+            6,
+        ).alias("mean_y_cuped"),
+        F.round(F.col("theta"), 9).alias("theta"),
+        F.round(F.col("vr"), 4).alias("var_reduction_pct"),
     )

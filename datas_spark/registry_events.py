@@ -1607,3 +1607,102 @@ def q_events_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         ev, ["view", "click", "purchase"], max_gap="1 hour"
     )
+
+
+@register(
+    "experiment_cuped_readout",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), pre AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS x
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    ), post AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    ), units AS (
+      SELECT u.user_id, (u.user_id % 2)::INT AS arm,
+             coalesce(pre.x, 0) AS x, coalesce(post.y, 0) AS y
+      FROM u LEFT JOIN pre USING (user_id) LEFT JOIN post USING (user_id)
+    ), pa AS (
+      SELECT arm, count(*)::BIGINT AS n,
+             sum(y::HUGEINT) AS sy, sum(x::HUGEINT) AS sx,
+             sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * x) AS sxx,
+             sum(x::HUGEINT * y) AS sxy
+      FROM units GROUP BY arm
+    ), pooled AS (
+      SELECT sum(n)::BIGINT AS pn, sum(sy) AS psy, sum(sx) AS psx,
+             sum(syy) AS psyy, sum(sxx) AS psxx, sum(sxy) AS psxy
+      FROM pa
+    ), m AS (
+      SELECT pn, psx::DOUBLE / pn::DOUBLE AS mx,
+             psy::DOUBLE / pn::DOUBLE AS my,
+             psxy::DOUBLE / pn::DOUBLE AS pxy,
+             psxx::DOUBLE / pn::DOUBLE AS pxx,
+             psyy::DOUBLE / pn::DOUBLE AS pyy
+      FROM pooled
+    ), s AS (
+      SELECT pn, mx,
+             pxy - mx * my AS cov,
+             pxx - mx * mx AS varx,
+             pyy - my * my AS vary
+      FROM m
+    ), sc AS (
+      SELECT pn, mx,
+             CASE WHEN varx > 0 THEN cov / varx ELSE 0.0 END AS theta,
+             cov, varx, vary
+      FROM s
+    )
+    SELECT pa.arm, pa.n AS n_units,
+           round(pa.sy::DOUBLE / pa.n::DOUBLE, 6) AS mean_y,
+           round(pa.sy::DOUBLE / pa.n::DOUBLE
+                 - sc.theta * (pa.sx::DOUBLE / pa.n::DOUBLE - sc.mx), 6)
+             AS mean_y_cuped,
+           round(sc.theta, 9) AS theta,
+           round(CASE WHEN sc.vary > 0 THEN
+                   (1.0 - (sc.vary - 2.0 * sc.theta * sc.cov
+                           + sc.theta * sc.theta * sc.varx) / sc.vary)
+                   * 100.0
+                 END, 4) AS var_reduction_pct
+    FROM pa, sc
+    """,
+)
+def q_experiment_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (`events.cuped_readout`,
+    Deng et al. WSDM 2013): units = distinct users, deterministic
+    50/50 assignment (user_id parity), post-period purchase cents
+    adjusted by the pre-period covariate with the pooled
+    theta = cov/var. All moments are exact integer sums (cents,
+    decimal-38 products), so theta, the adjusted means, and the
+    variance-reduction percentage are bit-identical across engines —
+    the property that lets an experiment readout be oracle-checked at
+    all. ONE aggregate over units; everything after runs on the 2-row
+    arm frame with 1-row pooled scalars broadcast."""
+    from datas_spark.operators.events import cuped_readout
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    pre = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cut))
+        .groupBy("user_id").agg(F.sum(cents).alias("x"))
+    )
+    post = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("ts") >= cut))
+        .groupBy("user_id").agg(F.sum(cents).alias("y"))
+    )
+    units = (
+        ev.select("user_id").distinct()
+        .join(pre, "user_id", "left")
+        .join(post, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    return cuped_readout(units, "arm", "y", "x")

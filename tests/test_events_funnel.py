@@ -249,3 +249,37 @@ def test_retention_cohort_matrix_weekly(spark):
     assert ("2026-01-05", 2) not in got  # nobody active that week
     assert got[("2026-01-12", 0)] == (1, 1, 100.0)
     assert got[("2026-01-12", 1)] == (1, 1, 100.0)
+
+
+def test_cuped_readout_planted_values(spark):
+    """Hand-computed CUPED on a planted frame: x perfectly predicts y
+    in both arms (y = 2x + arm effect), so theta -> 2, the adjusted
+    means recover the pure arm effect, and variance reduction -> 100%."""
+    from datas_spark.operators.events import cuped_readout
+
+    rows = []
+    # arm 0: y = 2x; arm 1: y = 2x + 10 (the true treatment effect)
+    for i, x in enumerate([1, 2, 3, 4, 5, 6]):
+        rows.append((i, i % 2, x * 100, (2 * x + (10 if i % 2 else 0)) * 100))
+    df = spark.createDataFrame(rows, "uid long, arm int, x long, y long")
+    out = {r.arm: r for r in cuped_readout(df, "arm", "y", "x").collect()}
+    assert set(out) == {0, 1}
+    # pooled theta: cov(x,y)/var(x) -- the odd-i offset correlates with
+    # x (odd x mean 4 vs even 3), so pooled theta overshoots the within-
+    # arm slope of 2; it must stay in the plausible band
+    assert 1.5 < out[0].theta < 3.5
+    assert out[0].theta == out[1].theta  # pooled, not per-arm
+    # CUPED never changes the DIFFERENCE estimand's unbiasedness, and
+    # here it must tighten the gap toward the true effect of 1000 cents
+    raw_gap = out[1].mean_y - out[0].mean_y
+    adj_gap = out[1].mean_y_cuped - out[0].mean_y_cuped
+    assert abs(adj_gap - 1000.0) <= abs(raw_gap - 1000.0) + 1e-6
+    # x explains most of y's variance -> large pooled reduction
+    assert out[0].var_reduction_pct > 50.0
+    # zero-variance covariate degrades gracefully: theta = 0, no adjust
+    flat = spark.createDataFrame(
+        [(1, 0, 5, 10), (2, 1, 5, 30)], "uid long, arm int, x long, y long"
+    )
+    out2 = {r.arm: r for r in cuped_readout(flat, "arm", "y", "x").collect()}
+    assert out2[0].theta == 0.0
+    assert out2[0].mean_y_cuped == out2[0].mean_y

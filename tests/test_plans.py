@@ -199,6 +199,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         # round 8
         "simhash_near_dup",                # 1-row lazy corpus count (auto bucket cap)
         "simhash_cap_agreement",           # 1-row Venn-count + hot-bucket scalars
+        "experiment_cuped_readout",        # 1-row pooled-moment scalars (theta, mx)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
