@@ -324,7 +324,9 @@ HEADLINE = [
     "preference_pairs",
     "scd2_repair_keys",
     # round-8: CUPED variance-reduced A/B readout (exact-moment algebra)
+    # + the SRM gate that must pass before anyone reads it
     "experiment_cuped_readout",
+    "experiment_srm_check",
 ]
 
 RUNS_PER_QUERY = 3

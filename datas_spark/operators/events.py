@@ -533,3 +533,69 @@ def cuped_readout(
         F.round(F.col("theta"), 9).alias("theta"),
         F.round(F.col("vr"), 4).alias("var_reduction_pct"),
     )
+
+
+def srm_check(
+    units: DataFrame,
+    arm_col: str,
+    expected: dict[int | str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch gate — the sanity check every experiment
+    readout must pass BEFORE anyone reads the metrics (Fabijan et al.,
+    KDD 2019 call SRM "the most useful data-quality test in online
+    experimentation"): Pearson chi-square of observed arm counts
+    against the declared allocation. A biased split (broken hash,
+    lossy logging, bot filtering that favors one arm) invalidates the
+    readout no matter how pretty the CUPED numbers are.
+
+    ``expected`` maps arm value -> intended share (must sum to ~1).
+    Returns ONE row ``(n_units, n_arms, chi2, srm_flag)`` with
+    ``chi2 = sum (obs_i - n*p_i)^2 / (n*p_i)`` over the declared arms
+    (an arm with zero observations still contributes its full expected
+    mass) and ``srm_flag`` = chi2 above the 99.9% quantile of
+    chi-square(k-1) — the conventional SRM alarm threshold, wired for
+    k = 2..5 (10.828, 13.816, 16.266, 18.467).
+
+    Scale shape: ONE count aggregate over units; the chi-square folds
+    over the k-row broadcast arm frame in sorted-arm order (exact
+    integer counts, double formula identical across engines).
+    """
+    if not expected:
+        raise ValueError("expected allocation must be non-empty")
+    tot_share = sum(expected.values())
+    if abs(tot_share - 1.0) > 1e-9:
+        raise ValueError(f"expected shares must sum to 1, got {tot_share}")
+    crit = {2: 10.828, 3: 13.816, 4: 16.266, 5: 18.467}
+    k = len(expected)
+    if k not in crit:
+        raise ValueError(f"srm_check supports 2..5 arms, got {k}")
+    exp_rows = sorted(expected.items())
+    counts = units.groupBy(F.col(arm_col).alias("__arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    # fold in declared-arm order: chi2 terms accumulate identically on
+    # both engines; arms outside `expected` are an assignment bug and
+    # surface as a NULL chi2 via the unmatched-share total check
+    n1 = counts.agg(
+        F.sum("__c").alias("__n"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__arm", "__c")))
+        ).alias("__m"),
+    )
+    chi2 = F.lit(0.0)
+    seen = F.lit(0).cast("long")
+    for arm, share in exp_rows:
+        obs = F.coalesce(
+            F.col("__m")[F.lit(arm)], F.lit(0).cast("long")
+        ).cast("double")
+        exp_n = F.col("__n").cast("double") * F.lit(float(share))
+        chi2 = chi2 + (obs - exp_n) * (obs - exp_n) / exp_n
+        seen = seen + F.coalesce(F.col("__m")[F.lit(arm)], F.lit(0).cast("long"))
+    return n1.select(
+        F.col("__n").cast("long").alias("n_units"),
+        F.lit(k).alias("n_arms"),
+        F.round(F.when(seen == F.col("__n"), chi2), 6).alias("chi2"),
+        F.when(seen == F.col("__n"), chi2 > F.lit(crit[k]))
+        .cast("int")
+        .alias("srm_flag"),
+    )

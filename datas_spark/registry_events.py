@@ -1706,3 +1706,46 @@ def q_experiment_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cuped_readout(units, "arm", "y", "x")
+
+
+@register(
+    "experiment_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), c AS (
+      SELECT (user_id % 2)::INT AS arm, count(*)::BIGINT AS c
+      FROM u GROUP BY 1
+    ), n AS (
+      SELECT sum(c)::BIGINT AS n FROM c
+    ), o AS (
+      SELECT n.n,
+             coalesce((SELECT c FROM c WHERE arm = 0), 0)::DOUBLE AS o0,
+             coalesce((SELECT c FROM c WHERE arm = 1), 0)::DOUBLE AS o1,
+             n.n::DOUBLE AS nd
+      FROM n
+    ), x AS (
+      SELECT n,
+             (o0 - nd * 0.5) * (o0 - nd * 0.5) / (nd * 0.5)
+             + (o1 - nd * 0.5) * (o1 - nd * 0.5) / (nd * 0.5) AS chi2_raw
+      FROM o
+    )
+    SELECT n AS n_units, 2 AS n_arms, round(chi2_raw, 6) AS chi2,
+           (chi2_raw > 10.828)::INT AS srm_flag
+    FROM x
+    """,
+)
+def q_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (`events.srm_check`) on the same
+    user-parity 50/50 assignment the CUPED readout uses — the
+    data-quality test that must pass before anyone reads the metrics.
+    Exact integer counts, chi-square folded in declared-arm order,
+    99.9% alarm threshold. ONE distinct + count aggregate over users;
+    the fold runs on the 1-row count map."""
+    from datas_spark.operators.events import srm_check
+
+    ev = read_table(spark, sf_dir, "events")
+    units = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    return srm_check(units, "arm", {0: 0.5, 1: 0.5})

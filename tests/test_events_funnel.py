@@ -283,3 +283,38 @@ def test_cuped_readout_planted_values(spark):
     out2 = {r.arm: r for r in cuped_readout(flat, "arm", "y", "x").collect()}
     assert out2[0].theta == 0.0
     assert out2[0].mean_y_cuped == out2[0].mean_y
+
+
+def test_srm_check_fires_on_biased_split_only(spark):
+    from datas_spark.operators.events import srm_check
+    import pytest as _pytest
+
+    # clean 50/50: no alarm
+    ok = spark.createDataFrame(
+        [(i, i % 2) for i in range(2000)], "uid long, arm int"
+    ).select("arm")
+    r = srm_check(ok, "arm", {0: 0.5, 1: 0.5}).collect()[0]
+    assert (r.n_units, r.n_arms, r.srm_flag) == (2000, 2, 0)
+    assert r.chi2 == 0.0
+    # 10% of arm 1 lost (the classic lossy-logging SRM): alarm fires
+    biased = spark.createDataFrame(
+        [(i, i % 2) for i in range(2000) if not (i % 2 == 1 and i % 10 == 1)],
+        "uid long, arm int",
+    ).select("arm")
+    r2 = srm_check(biased, "arm", {0: 0.5, 1: 0.5}).collect()[0]
+    assert r2.srm_flag == 1 and r2.chi2 > 10.828
+    # an observed arm OUTSIDE the declared allocation -> NULL chi2
+    stray = spark.createDataFrame([(0,), (1,), (7,)], "arm int")
+    r3 = srm_check(stray, "arm", {0: 0.5, 1: 0.5}).collect()[0]
+    assert r3.chi2 is None and r3.srm_flag is None
+    # three-arm support with unequal shares
+    three = spark.createDataFrame(
+        [(0,)] * 500 + [(1,)] * 250 + [(2,)] * 250, "arm int"
+    )
+    r4 = srm_check(three, "arm", {0: 0.5, 1: 0.25, 2: 0.25}).collect()[0]
+    assert (r4.chi2, r4.srm_flag) == (0.0, 0)
+    # config validation
+    with _pytest.raises(ValueError):
+        srm_check(ok, "arm", {0: 0.6, 1: 0.5})
+    with _pytest.raises(ValueError):
+        srm_check(ok, "arm", {0: 1.0})
