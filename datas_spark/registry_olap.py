@@ -313,20 +313,31 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_near_dup_oracle(bits: int = 60, capped: bool = False) -> str:
+def _simhash_near_dup_oracle(
+    bits: int = 60, capped: bool = False, cap_literal: int | None = None
+) -> str:
     from datas_spark.registry_scoring import _simhash_oracle
 
     width = bits // 4
     mask = (1 << width) - 1
     nb = 1 << width
-    if capped:
-        # the corpus-scaled auto cap, replayed exactly: 16x the uniform
-        # expected occupancy, clamped to [1024, 2048] (dedup.py
-        # _auto_cap_expr) — hot buckets drop out of candidate generation
+    if capped or cap_literal is not None:
+        # the bucket cap, replayed exactly: either the corpus-scaled
+        # auto formula (16x uniform expected occupancy clamped to
+        # [1024, 2048], dedup.py _auto_cap_expr) or an explicit literal
+        # — hot buckets drop out of candidate generation
+        # the cap CTE must be ONE row: the auto form aggregates s, the
+        # literal form selects a constant (a bare FROM s would fan the
+        # ok-filter's counts by |docs|)
+        cap_cte = (
+            f"SELECT {int(cap_literal)} AS cap"
+            if cap_literal is not None
+            else f"SELECT greatest(1024, least(2048, "
+                 f"16 * ((count(*) + {nb - 1}) // {nb}))) AS cap FROM s"
+        )
         cap_ctes = f""",
     cap AS (
-      SELECT greatest(1024, least(2048,
-             16 * ((count(*) + {nb - 1}) // {nb}))) AS cap FROM s
+      {cap_cte}
     ), ok AS (
       SELECT band, bval FROM bb, cap GROUP BY band, bval, cap.cap
       HAVING count(*) <= cap.cap
@@ -438,6 +449,28 @@ def q_simhash_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.simhash(docs, "text", 60).select("doc_id", "simhash")
     return D.hamming_cap_agreement(
         sig, "doc_id", "simhash", bits=60, bands=4, max_hamming=3,
+        max_bucket_size=64,
+    )
+
+
+@register(
+    "simhash_near_dup_cap64",
+    oracle=_simhash_near_dup_oracle(cap_literal=64),
+)
+def q_simhash_near_dup_cap64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with a DELIBERATELY tight explicit cap (64): at
+    sf0.1 several band buckets exceed it (measured occupancy up to
+    260), so this twin hash-proves the capped SEMANTICS at a scale
+    where dropping actually happens — the flagship's auto floor (1024)
+    never binds at driver scales, so without this twin the cap replay
+    in the oracle would only ever be exercised as a no-op. Recall
+    difference vs the uncapped flagship is priced by
+    `simhash_cap_agreement` (same cap)."""
+    from datas_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3,
         max_bucket_size=64,
     )
 
