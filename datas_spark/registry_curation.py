@@ -2657,6 +2657,14 @@ def _doremi_k_oracle(n_steps: int = 5) -> str:
     """
 
 
+def _doremi_k_steps_ctes(n_steps: int = 5) -> tuple[str, str]:
+    """The loss + k-step CTE chain WITHOUT a final select — for
+    composing queries (returns (sql, last_w_cte_name))."""
+    full = _doremi_k_oracle(n_steps)
+    last = f"w{n_steps}"
+    return full[: full.rindex("SELECT domain, n_docs")], last
+
+
 @register("doremi_weights_k5", oracle=_doremi_k_oracle(5))
 def q_doremi_weights_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five unrolled DoReMi EG steps (`corpus.doremi_domain_weights_k`,
@@ -2681,4 +2689,70 @@ def q_doremi_weights_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.doremi_domain_weights_k(
         per_doc, "source", "__proxy", "__ref", n_steps=5,
         step_size=1.0, smoothing=0.01,
+    )
+
+
+_DOREMI_MIX_BUDGET = 300_000
+
+
+def _doremi_mixture_oracle() -> str:
+    ctes, last_w = _doremi_k_steps_ctes(5)
+    return ctes + f""",
+    budget AS (
+      SELECT domain AS source,
+             CAST(round(round(w, 6) * {_DOREMI_MIX_BUDGET}) AS BIGINT)
+               AS budget
+      FROM {last_w}
+    ), draws AS (
+      SELECT d.doc_id, d.source, d.n_chars, b.budget,
+             sum(d.n_chars) OVER (
+               PARTITION BY d.source
+               ORDER BY (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                          / 4294967296.0) ASC,
+                        d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents d JOIN budget b ON b.source = d.source
+    )
+    SELECT doc_id, source, n_chars::BIGINT AS n_chars
+    FROM draws WHERE cum - n_chars < budget
+    """
+
+
+@register("doremi_mixture_sample", oracle=_doremi_mixture_oracle())
+def q_doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimize-then-materialize loop closed in ONE plan: five
+    DoReMi EG steps learn the domain weights, the weights become
+    per-source char budgets (weight x 300,000), and the budget table
+    flows straight into `token_budget_mixture`'s deterministic
+    md5-draw admission — the same no-driver-round-trip composition as
+    `unimax_mixture_sample`, with the learned mixture instead of the
+    water-filled one. The oracle replays the LM training, all five EG
+    steps, the budget conversion, AND the admission end-to-end."""
+    from datas_spark.operators.corpus import token_budget_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    uni = C.unigram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", F.col("nll").alias("__proxy")
+    )
+    big = C.ngram_lm_score(docs, "doc_id", "text").select(
+        "doc_id", F.col("nll").alias("__ref")
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(uni, "doc_id", "left")
+        .join(big, "doc_id", "left")
+    )
+    w = C.doremi_domain_weights_k(
+        per_doc, "source", "__proxy", "__ref", n_steps=5,
+        step_size=1.0, smoothing=0.01,
+    )
+    budgets = w.select(
+        F.col("domain").alias("source"),
+        F.round(F.col("weight") * _DOREMI_MIX_BUDGET).cast("long").alias("budget"),
+    )
+    out = token_budget_mixture(
+        docs.select("doc_id", "source", "n_chars"), "source", "n_chars", budgets
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )

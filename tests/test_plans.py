@@ -201,6 +201,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "simhash_cap_agreement",           # 1-row Venn-count + hot-bucket scalars
         "experiment_cuped_readout",        # 1-row pooled-moment scalars (theta, mx)
         "doremi_weights_k5",               # unigram/bigram LM corpus-total scalars (same as doremi_domain_weights)
+        "doremi_mixture_sample",           # same LM scalars feeding the budget table
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
