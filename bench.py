@@ -385,8 +385,22 @@ def main() -> None:
 
     import gc as _gc
 
+    # drift probe (round-8): the box can enter a slow phase MID-session
+    # (round-8 rebase: 15 contiguous HEADLINE queries measured 3-14x
+    # their fresh-JVM times in one window). One single-shot token_count
+    # every DRIFT_EVERY queries records WHEN the box speed moved, so a
+    # flagged block can be matched against the phase timeline instead
+    # of triaging every query individually. Evidence only — the gate
+    # still normalizes by the session-level canary medians.
+    DRIFT_EVERY = 20
+    drift: list[float] = []
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi % DRIFT_EVERY == 0:
+            t0 = time.perf_counter()
+            QUERIES["token_count"](spark, sf_dir).count()
+            drift.append(round(time.perf_counter() - t0, 3))
         fn = QUERIES[name]
         samples = []
         for _ in range(RUNS_PER_QUERY):
@@ -427,6 +441,7 @@ def main() -> None:
     # for diffs against pre-round-8 baselines.
     canary["scan_total"] = round(sum(canary["queries"].values()), 3)
     canary["total"] = round(canary["scan_total"] + range_s, 3)
+    canary["drift_probe"] = drift  # single-shot token_count each 20 queries
 
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a FILE — with 120+ queries the inline
