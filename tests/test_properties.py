@@ -361,3 +361,59 @@ def test_doremi_k_steps_converge_monotonically_on_planted_skew(spark):
         ).collect()
     }
     assert out9["hot"] >= prev_hot - 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),                    # prompt
+            st.integers(0, 40),                   # score (ties frequent)
+            st.sampled_from(["s1", "s2", "s3"]),  # source
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    margin=st.integers(1, 10),
+    quota=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_preference_pairs_invariants(spark, rows, margin, quota):
+    """For ANY response set: every emitted pair respects the margin,
+    chosen is the prompt's true argmax (lowest-id on ties), rejected is
+    the hardest eligible negative, and no source exceeds its quota."""
+    from datas_spark.operators.training import preference_pairs
+
+    df = spark.createDataFrame(
+        [(p, i, float(s), src) for i, (p, s, src) in enumerate(rows)],
+        "prompt_id long, response_id long, score double, source string",
+    )
+    out = preference_pairs(
+        df, "prompt_id", "response_id", "score",
+        margin=float(margin), source_col="source", per_source_quota=quota,
+    ).collect()
+    by_prompt = {}
+    for i, (p, s, src) in enumerate(rows):
+        by_prompt.setdefault(p, []).append((i, float(s), src))
+    per_source = {}
+    seen_prompts = set()
+    for r in out:
+        assert r.prompt_id not in seen_prompts  # at most one pair/prompt
+        seen_prompts.add(r.prompt_id)
+        cands = by_prompt[r.prompt_id]
+        best = max(cands, key=lambda t: (t[1], -t[0]))
+        assert (r.chosen_id, r.chosen_score) == (best[0], best[1])
+        assert r.rejected_score <= r.chosen_score - margin  # margin rule
+        elig = [t for t in cands if t[1] <= best[1] - margin]
+        hardest = max(elig, key=lambda t: (t[1], -t[0]))
+        assert (r.rejected_id, r.rejected_score) == (hardest[0], hardest[1])
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    for src, n in per_source.items():
+        assert n <= quota
+    # completeness under quota: a prompt with an eligible negative is
+    # only absent if its source's quota was filled by higher-priority
+    # pairs (checked coarsely: total pairs >= min over sources)
+    eligible_prompts = {
+        p for p, cands in by_prompt.items()
+        if any(s <= max(c[1] for c in cands) - margin for _, s, _ in cands)
+    }
+    assert len(out) <= len(eligible_prompts)
