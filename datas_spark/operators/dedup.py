@@ -1115,6 +1115,55 @@ def _auto_cap_expr(n_col, width: int):
     )
 
 
+def _hamming_banded(df, id_col: str, sig_col: str, bits: int, bands: int):
+    """Shared banding front end for the hamming family: one row per
+    (doc, band) with the band's bit-slice value. Returns
+    ``(banded_frame, width)``; frame columns are
+    ``(__id, simhash, band, bval)``."""
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "__id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("__id", "simhash", "bb.band", "bb.bval")
+    return banded, width
+
+
+def _bucket_pair_arr():
+    """All in-bucket candidate pairs of a ``__ms`` member list, as one
+    array of (id_a, id_b, hamming) structs — generated behind the
+    explode barrier so only hamming-filtered pairs reach any shuffle."""
+    ms = F.col("__ms")
+    return F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+
+
 def hamming_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1152,25 +1201,7 @@ def hamming_near_dup_pairs(
             f"banding is exact only for max_hamming < bands, got "
             f"{max_hamming} >= {bands}"
         )
-    if bits % bands != 0:
-        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bval"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "__id", "simhash", F.explode(band_structs).alias("bb")
-    ).select("__id", "simhash", "bb.band", "bb.bval")
+    banded, width = _hamming_banded(df, id_col, sig_col, bits, bands)
     # ONE shuffle: gather each bucket's (id, signature) members with a
     # groupBy — the signature subtree evaluates exactly once. (The
     # alias/self-join formulation computes the signature on BOTH join
@@ -1193,24 +1224,8 @@ def hamming_near_dup_pairs(
         )
     elif max_bucket_size is not None:
         buckets = buckets.where(F.size("__ms") <= max_bucket_size)
-    ms = F.col("__ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["__id"].alias("id_a"),
-                    y["__id"].alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arr).alias("__pp"))
+        buckets.select(F.explode(_bucket_pair_arr()).alias("__pp"))
         .select("__pp.id_a", "__pp.id_b", "__pp.hamming")
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
@@ -1237,46 +1252,12 @@ def hamming_cap_agreement(
     (n_buckets_hot, pairs_both, pairs_only_uncapped, recall_pct).
     ``max_bucket_size`` is an explicit int — pass a deliberately tight
     cap to make the trade visible at small corpus scales."""
-    if bits % bands != 0:
-        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bval"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "__id", "simhash", F.explode(band_structs).alias("bb")
-    ).select("__id", "simhash", "bb.band", "bb.bval")
+    banded, _ = _hamming_banded(df, id_col, sig_col, bits, bands)
     buckets = banded.groupBy("band", "bval").agg(
         F.sort_array(F.collect_list(F.struct("__id", "simhash"))).alias("__ms")
     ).withColumn("__ok", F.size("__ms") <= F.lit(max_bucket_size))
-    ms = F.col("__ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["__id"].alias("id_a"),
-                    y["__id"].alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
     per_pair = (
-        buckets.select("__ok", F.explode(pair_arr).alias("__pp"))
+        buckets.select("__ok", F.explode(_bucket_pair_arr()).alias("__pp"))
         .select("__ok", "__pp.id_a", "__pp.id_b", "__pp.hamming")
         .where(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
@@ -1322,25 +1303,8 @@ def hamming_hot_bucket_members(
     shingles. Returns one column ``id_col``. Same banding and the same
     auto-cap formula as the pair detector, so capped-pairs ∪
     verify-tier(members) covers the corpus by construction."""
-    if bits % bands != 0:
-        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("simhash"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bval"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "__id", F.explode(band_structs).alias("bb")
-    ).select("__id", "bb.band", "bb.bval")
+    banded, width = _hamming_banded(df, id_col, sig_col, bits, bands)
+    banded = banded.drop("simhash")
     counts = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("__bc"))
     if max_bucket_size == "auto":
         n1 = df.agg(F.count(F.lit(1)).alias("__n"))
