@@ -327,6 +327,18 @@ HEADLINE = [
     # + the SRM gate that must pass before anyone reads it
     "experiment_cuped_readout",
     "experiment_srm_check",
+    # round-8 batch 2: post-training readouts (BT arena ratings, pass@k),
+    # DiD + MDE experimentation companions, the DP release what-if, and
+    # LPA communities on the embcos pair artifact
+    "bt_model_ratings",
+    "passk_estimate",
+    "experiment_did_readout",
+    "experiment_power_mde",
+    "events_dp_release",
+    "near_dup_label_prop",
+    # round-8 batch 2b: conformal coverage + group-sequential looks
+    "conformal_coverage_audit",
+    "experiment_obf_looks",
 ]
 
 RUNS_PER_QUERY = 3

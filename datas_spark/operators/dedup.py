@@ -80,6 +80,7 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_near_dup_pairs",
     "adamic_adar_link_prediction",
+    "label_propagation",
 ]
 
 # Fixed-seed permutation constants, shared verbatim with the oracle SQL.
@@ -2398,4 +2399,76 @@ def minhash_band_plan(
             (F.round("__fp", 6) + F.lit(0.0)).alias("fp_mass"),
             (F.round("__fn", 6) + F.lit(0.0)).alias("fn_mass"),
         )
+    )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    n_rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation communities over the near-dup
+    pair graph (Raghavan, Albert & Kumara 2007, made deterministic):
+    every node starts labeled with its own id; each round every node
+    adopts the most common label among its neighbors AND itself, ties
+    broken to the smallest label. Where connected components answer
+    "which docs are transitively linked at all", LPA after a few
+    rounds splits a weak bridge between two dense duplicate clusters
+    — the community view of the same graph (a chain A—B—C yields one
+    CC but LPA keeps the endpoints' labels alive).
+
+    Determinism: synchronous updates + the (count DESC, label ASC)
+    tie-break make every round a pure function of the previous
+    labeling — no random sweep order — so ``n_rounds`` of it are
+    replayable as unrolled SQL CTEs. (Oscillation between two
+    labelings is possible on bipartite-ish graphs and is fine: the
+    fixed round count picks one side deterministically.)
+
+    Scale shape: each round is ONE equi-join of the symmetric edge
+    frame to the |nodes|-row label frame plus one (node, label) count
+    aggregate and a per-node rank-1 window (never partition-less) —
+    the same per-round cost envelope as `connected_components`, with
+    a FIXED round count instead of a convergence loop. Self-loops
+    inject each node's own label once per round.
+
+    Returns ``(node, community, community_size)``.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    half = pairs.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).where(
+        F.col("node") != F.col("nbr")
+    )
+    edges = (
+        half.unionByName(
+            half.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        )
+        .unionByName(half.select("node", F.col("node").alias("nbr")))
+        .unionByName(
+            half.select(F.col("nbr").alias("node"), F.col("nbr").alias("nbr"))
+        )
+        .distinct()
+    )
+    labels = edges.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(int(n_rounds)):
+        labels = (
+            edges.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__rn", F.row_number().over(pick))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k"]
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit"]
 
 
 def ranking_metrics(
@@ -466,4 +466,362 @@ def ndcg_at_k(
         F.round(F.sum("__ndcg_e9") / 1e9 / F.count(F.lit(1)), 6).alias(
             f"ndcg_at_k"
         ),
+    )
+
+
+def bt_rating_k(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    n_steps: int = 5,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise win/loss records —
+    the Chatbot-Arena-style readout of a preference dataset, and the
+    natural consumer of the engine's ``preference_pairs`` shape (the
+    reference's reward scores exist to rank competing outputs,
+    ``score_pipeline_rw.py``; this turns those rankings into per-model
+    strengths). ``n_steps`` unrolled minorization-maximization updates
+    (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    models"):
+
+        p'_i = W_i / Σ_{j≠i} n_ij / (p_i + p_j),  then normalize to Σ=1
+
+    starting from uniform. W_i = total wins of item i, n_ij = games
+    between i and j. Items that never win converge to rating 0 (the
+    standard MM caveat); ties must be excluded upstream.
+
+    Scale shape — the DoReMi/BPE unroll pattern: comparisons are
+    touched by ONE combinable (winner, loser) count aggregate; the
+    ≤k²-row pair frame is packed into a single row (array_sort'd
+    struct list → deterministic fold order on both engines), the win
+    vector and the flat k×k game matrix are built as 1-row array
+    projections, and every MM step is its own chained 1-row select.
+    Only +,/ arithmetic — no libm calls — so every intermediate double
+    is bit-identical across engines; per-step rounding to 12 dp is
+    belt-and-braces against future expression reassociation.
+
+    Returns ``(item, n_wins, n_games, rating)``, rating rounded to 6.
+    """
+    wins = comparisons.groupBy(
+        F.col(winner_col).alias("__wi"), F.col(loser_col).alias("__li")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    items = (
+        wins.select(F.col("__wi").alias("__it"))
+        .unionByName(wins.select(F.col("__li").alias("__it")))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("__it")).alias("__items"))
+    )
+    packed = wins.agg(
+        F.array_sort(F.collect_list(F.struct("__wi", "__li", "__c"))).alias(
+            "__pairs"
+        )
+    )
+    # two 1-row aggregates cross: the documented literal-sized BNLJ
+    row = items.crossJoin(F.broadcast(packed))
+    # 0-based item indexes into the sorted item list
+    row = row.select(
+        "__items",
+        F.transform(
+            "__pairs",
+            lambda s: F.struct(
+                (F.array_position("__items", s["__wi"]) - 1)
+                .cast("int")
+                .alias("wi"),
+                (F.array_position("__items", s["__li"]) - 1)
+                .cast("int")
+                .alias("li"),
+                s["__c"].alias("c"),
+            ),
+        ).alias("__pairs"),
+    )
+    k = F.size("__items")
+    idx = F.sequence(F.lit(0), k - 1)
+    # W[i] = wins of i; N[i*k+j] = games between i and j (symmetric)
+    row = row.select(
+        "__items",
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                "__pairs",
+                F.lit(0.0),
+                lambda a, s: a
+                + F.when(s["wi"] == i, s["c"]).otherwise(F.lit(0.0)),
+            ),
+        ).alias("__W"),
+        F.transform(
+            F.sequence(F.lit(0), k * k - 1),
+            lambda x: F.aggregate(
+                "__pairs",
+                F.lit(0.0),
+                lambda a, s: a
+                + F.when(
+                    (s["wi"] == F.floor(x / k).cast("int"))
+                    & (s["li"] == (x % k).cast("int")),
+                    s["c"],
+                )
+                .when(
+                    (s["li"] == F.floor(x / k).cast("int"))
+                    & (s["wi"] == (x % k).cast("int")),
+                    s["c"],
+                )
+                .otherwise(F.lit(0.0)),
+            ),
+        ).alias("__N"),
+        F.transform(idx, lambda i: F.lit(1.0) / k.cast("double")).alias(
+            "__p"
+        ),
+    )
+    for _ in range(int(n_steps)):
+        # denom_i = sum_j N[i,j] / (p_i + p_j); p'_i = W_i / denom_i
+        row = row.select(
+            "__items",
+            "__W",
+            "__N",
+            "__p",
+            F.transform(
+                F.sequence(F.lit(0), F.size("__items") - 1),
+                lambda i: F.aggregate(
+                    F.sequence(F.lit(0), F.size("__items") - 1),
+                    F.lit(0.0),
+                    lambda a, j: a
+                    + F.when(
+                        (j != i)
+                        & (
+                            F.element_at(
+                                "__N", (i * F.size("__items") + j + 1).cast("int")
+                            )
+                            > 0.0
+                        ),
+                        F.element_at(
+                            "__N", (i * F.size("__items") + j + 1).cast("int")
+                        )
+                        / (
+                            F.element_at("__p", (i + 1).cast("int"))
+                            + F.element_at("__p", (j + 1).cast("int"))
+                        ),
+                    ).otherwise(F.lit(0.0)),
+                ),
+            ).alias("__den"),
+        )
+        row = row.select(
+            "__items",
+            "__W",
+            "__N",
+            F.zip_with(
+                "__W",
+                F.arrays_zip("__den", "__p"),
+                lambda w, dp: F.when(
+                    dp["__den"] > 0.0, w / dp["__den"]
+                ).otherwise(dp["__p"]),
+            ).alias("__r"),
+        )
+        row = row.select(
+            "__items",
+            "__W",
+            "__N",
+            "__r",
+            F.aggregate("__r", F.lit(0.0), lambda a, x: a + x).alias("__z"),
+        )
+        row = row.select(
+            "__items",
+            "__W",
+            "__N",
+            F.transform(
+                "__r",
+                lambda r: F.round(
+                    F.when(F.col("__z") > 0.0, r / F.col("__z")).otherwise(r),
+                    12,
+                ),
+            ).alias("__p"),
+        )
+    out = row.select(
+        F.explode(
+            F.zip_with(
+                F.arrays_zip("__items", "__W"),
+                F.arrays_zip(
+                    "__p",
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__items") - 1),
+                        lambda i: F.aggregate(
+                            F.sequence(F.lit(0), F.size("__items") - 1),
+                            F.lit(0.0),
+                            lambda a, j: a
+                            + F.element_at(
+                                "__N",
+                                (i * F.size("__items") + j + 1).cast("int"),
+                            ),
+                        ),
+                    ),
+                ),
+                lambda iw, pg: F.struct(
+                    iw["__items"].alias("item"),
+                    iw["__W"].cast("long").alias("n_wins"),
+                    pg["1"].cast("long").alias("n_games"),
+                    F.round(pg["__p"], 6).alias("rating"),
+                ),
+            )
+        ).alias("__o")
+    )
+    return out.select("__o.*")
+
+
+def pass_at_k(
+    responses: DataFrame,
+    group_col: str,
+    correct_col: str,
+    ks: list[int],
+) -> DataFrame:
+    """Unbiased pass@k over per-prompt response samples (Chen et al.
+    2021, "Evaluating Large Language Models Trained on Code", eq. 1):
+    with n samples of which c pass,
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+               = 1 − Π_{i=0..k−1} (n−c−i) / (n−i)
+
+    — the standard readout of any best-of-n generation harness, and
+    the measurement companion of ``training.preference_pairs`` (both
+    consume the same multi-response-per-prompt frame).
+
+    Scale shape: ONE combinable (count, sum) aggregate per prompt;
+    the k-fan is an explode of the literal ``ks`` list over the
+    prompt-level frame. The product folds over ``sequence(0, k−1)``
+    in fixed order (exact rational terms, no libm); per-prompt values
+    are quantized to e9 integers before the global mean, so the
+    average is an exact integer sum + one division (the ndcg_at_k
+    bit-stability contract).
+
+    Returns one row per k: ``(k, n_prompts, pass_at_k)`` rounded 6.
+    """
+    per = responses.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("int").alias("__n"),
+        F.sum(F.col(correct_col).cast("int")).cast("int").alias("__c"),
+    )
+    fanned = per.select(
+        "__n",
+        "__c",
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+    )
+    n, c, kk = F.col("__n"), F.col("__c"), F.col("k")
+    prod = F.aggregate(
+        F.sequence(F.lit(0), kk - 1),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (n - c - i).cast("double")
+        / (n - i).cast("double"),
+    )
+    per_prompt = fanned.select(
+        "k",
+        F.when(c <= 0, F.lit(0.0))
+        .when(n - c < kk, F.lit(1.0))
+        .otherwise(F.lit(1.0) - prod)
+        .alias("__pass"),
+    ).select(
+        "k",
+        F.round(F.col("__pass") * 1_000_000_000).cast("long").alias("__e9"),
+    )
+    return (
+        per_prompt.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prompts"),
+            F.round(
+                F.sum("__e9") / 1e9 / F.count(F.lit(1)), 6
+            ).alias("pass_at_k"),
+        )
+        .orderBy("k")
+    )
+
+
+def split_conformal_audit(
+    scored: DataFrame,
+    split_col: str,
+    target_col: str,
+    pred_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction-interval audit (Vovk et al.; Lei et
+    al. 2018 JASA): from a CALIBRATION set's absolute residuals take
+    the finite-sample-corrected order statistic
+
+        q̂ = the k-th smallest |y − ŷ|,   k = ⌈(1−α)(n_cal + 1)⌉
+
+    and measure the EVALUATION set's realized coverage of ŷ ± q̂ —
+    the distribution-free guarantee is coverage ≥ 1−α, and this query
+    measures instead of assuming it (the engine's "measure, don't
+    guess" discipline; the proxy-scorer contract makes any regression
+    in a scorer's error distribution a visible coverage drop).
+
+    ``scored`` carries ``split_col`` ∈ {'cal', 'eval'} (built by the
+    caller on a hash split DISJOINT from the model's training slice —
+    leakage discipline is the caller's), plus target and prediction.
+
+    Scale shape: residuals quantize to an e2 grid (cents), so the
+    order statistic is an exact cumulative-count walk over the
+    |distinct residuals|-row grid frame — ONE combinable
+    (value, count) aggregate over rows, a running-sum window over
+    aggregate rows only, never a raw-row sort and never a
+    buffer-everything percentile aggregate. k > n_cal (tiny
+    calibration sets) yields q̂ = NULL = +∞ and 100% coverage, per the
+    conformal definition.
+
+    Returns one row: ``(n_cal, n_eval, alpha, k_rank, q_hat,
+    coverage_pct)`` — q_hat in target units (2 dp), coverage 4 dp.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    resid_e2 = F.round(
+        F.abs(
+            F.col(target_col).cast("double") - F.col(pred_col).cast("double")
+        )
+        * 100.0
+    ).cast("long")
+    base = scored.select(F.col(split_col).alias("__s"), resid_e2.alias("__r"))
+    grid = (
+        base.where(F.col("__s") == "cal")
+        .groupBy("__r")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    cum = grid.select(
+        "__r",
+        F.sum("__c")
+        .over(
+            Window.orderBy("__r").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("__cum"),
+    )
+    ncal = grid.agg(F.sum("__c").cast("long").alias("__ncal"))
+    # k-th smallest residual: the first grid value whose running count
+    # reaches k = ceil((1-alpha) * (n_cal + 1))
+    k_expr = F.ceil(
+        F.lit(1.0 - float(alpha)) * (F.col("__ncal") + F.lit(1)).cast("double")
+    ).cast("long")
+    qhat = (
+        cum.crossJoin(F.broadcast(ncal.select(k_expr.alias("__k"), "__ncal")))
+        .where(F.col("__cum") >= F.col("__k"))
+        .agg(F.min("__r").alias("__q_e2"))
+    )
+    ev = base.where(F.col("__s") == "eval").crossJoin(F.broadcast(qhat))
+    cov = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(
+            F.count(F.when(F.col("__r") <= F.col("__q_e2"), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 100.0,
+            4,
+        ).alias("__cov_raw"),
+    )
+    one = cov.crossJoin(F.broadcast(ncal)).crossJoin(F.broadcast(qhat))
+    return one.select(
+        F.col("__ncal").alias("n_cal"),
+        "n_eval",
+        F.lit(float(alpha)).alias("alpha"),
+        k_expr.alias("k_rank"),
+        F.round(F.col("__q_e2").cast("double") / 100.0, 2).alias("q_hat"),
+        F.when(
+            F.col("__q_e2").isNull() & (k_expr > F.col("__ncal")),
+            F.lit(100.0),
+        )
+        .otherwise(F.col("__cov_raw"))
+        .alias("coverage_pct"),
     )

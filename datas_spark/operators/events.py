@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks"]
 
 
 def funnel_stage_times(
@@ -599,3 +599,195 @@ def srm_check(
         .cast("int")
         .alias("srm_flag"),
     )
+
+
+def did_readout(
+    units: DataFrame,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Difference-in-differences readout on unit-level pre/post
+    outcomes — the quasi-experimental companion of `cuped_readout` for
+    rollouts WITHOUT randomized assignment (staged launches, geo
+    splits): the treatment effect is the treated arm's pre→post change
+    minus the control arm's,
+
+        DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+            = mean(d | T) − mean(d | C),   d_u = y_post,u − y_pre,u
+
+    with a Welch standard error from the per-arm variance of the
+    unit-level deltas (the canonical two-period/two-group panel
+    estimator; parallel-trends is the identifying assumption and is
+    the caller's to defend).
+
+    ``units`` is one row per unit with INTEGER-quantized outcomes
+    (cents — the engine's exact-moment discipline): per arm ONE
+    combinable aggregate of (n, Σd, Σd²) as decimal(38,0); every later
+    step is double formulas over the 2-row arm frame, bit-identical
+    across engines. Arm values must be 0 (control) and 1 (treated).
+
+    Returns one row: ``(n_treat, n_control, mean_delta_treat,
+    mean_delta_control, did, se, t_stat)`` — means/did/se rounded 6,
+    t rounded 4.
+    """
+    d = (F.col(post_col) - F.col(pre_col)).cast("decimal(38,0)")
+    per_arm = units.groupBy(F.col(arm_col).alias("__arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(d).alias("__sd"),
+        F.sum(d * d).alias("__sdd"),
+    )
+    one = per_arm.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__arm", F.struct("__n", "__sd", "__sdd"))))
+        ).alias("__m")
+    )
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+    dd = lambda c: c.cast("double")  # noqa: E731
+    nT, nC = dd(_arm(1, "__n")), dd(_arm(0, "__n"))
+    mT = dd(_arm(1, "__sd")) / nT
+    mC = dd(_arm(0, "__sd")) / nC
+    # sample variance of d per arm: (Σd² − n·m²) / (n − 1)
+    vT = (dd(_arm(1, "__sdd")) - nT * mT * mT) / (nT - F.lit(1.0))
+    vC = (dd(_arm(0, "__sdd")) - nC * mC * mC) / (nC - F.lit(1.0))
+    se = F.sqrt(vT / nT + vC / nC)
+    return one.select(
+        _arm(1, "__n").alias("n_treat"),
+        _arm(0, "__n").alias("n_control"),
+        F.round(mT, 6).alias("mean_delta_treat"),
+        F.round(mC, 6).alias("mean_delta_control"),
+        F.round(mT - mC, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(
+            F.when(se > 0.0, (mT - mC) / se), 4
+        ).alias("t_stat"),
+    )
+
+
+# two-sided alpha=0.05 and 80% power normal quantiles, fixed to the
+# double literals every stats package prints — sqrt is the only libm
+# call downstream and IEEE 754 requires it correctly rounded, so the
+# readout is bit-identical across engines
+_Z_ALPHA_2 = 1.959963984540054
+_Z_POWER = 0.8416212335729143
+
+
+def power_mde(
+    units: DataFrame,
+    y_col: str,
+) -> DataFrame:
+    """Minimum detectable effect for a 50/50 two-arm experiment on
+    this population — the planning readout that belongs NEXT TO the
+    readout queries (Kohavi et al., "Trustworthy Online Controlled
+    Experiments", ch. 17): with per-arm size n/2 and outcome variance
+    σ² (pooled, from the pre-experiment population),
+
+        MDE_abs = (z_{α/2} + z_{power}) · sqrt(2σ²/(n/2))
+                 (α = 5% two-sided, power = 80%)
+
+    ``units`` is one row per unit with the INTEGER-quantized outcome
+    (cents). ONE combinable aggregate of (n, Σy, Σy²) as
+    decimal(38,0); the MDE is a double formula over the 1-row moment
+    frame. Returns one row ``(n_units, mean_y, sd_y, mde_abs,
+    mde_rel_pct)`` — mean/sd/mde rounded 6, relative MDE (percent of
+    the mean) rounded 4; relative MDE NULL when the mean is 0.
+    """
+    y = F.col(y_col).cast("decimal(38,0)")
+    m = units.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = dd("__n")
+    mean = dd("__sy") / n
+    var = (dd("__syy") - n * mean * mean) / (n - F.lit(1.0))
+    mde = F.lit(_Z_ALPHA_2 + _Z_POWER) * F.sqrt(
+        F.lit(2.0) * var / (n / F.lit(2.0))
+    )
+    return m.select(
+        F.col("__n").alias("n_units"),
+        F.round(mean, 6).alias("mean_y"),
+        F.round(F.sqrt(var), 6).alias("sd_y"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(mean != 0.0, mde / mean * F.lit(100.0)), 4
+        ).alias("mde_rel_pct"),
+    )
+
+
+# two-sided O'Brien-Fleming boundaries for K=4 equally-spaced looks at
+# overall alpha=0.05 (Lan-DeMets OBF spending, the textbook table) —
+# literal constants so both engines compare against identical doubles
+_OBF_BOUNDS_K4 = [4.333, 2.963, 2.359, 2.014]
+
+
+def sequential_looks(
+    units_by_look: DataFrame,
+    look_col: str,
+    arm_col: str,
+    y_col: str,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Group-sequential experiment monitoring (O'Brien & Fleming 1979;
+    Lan & DeMets 1983): at each interim look the cumulative z-statistic
+    of the arm difference is compared against a spending boundary that
+    keeps the OVERALL false-positive rate at α despite peeking — the
+    guardrail that makes "check the experiment weekly" statistically
+    legal. Peeking at a fixed 1.96 inflates type-I error to ~14% over
+    four looks; these boundaries spend almost nothing early (4.33)
+    and converge to ~2.01 at the final read.
+
+    ``units_by_look`` is one row per (look, unit) with the unit's
+    CUMULATIVE integer-quantized outcome up to that look (the caller
+    builds it — typically an explode of per-period partial sums).
+    ``boundaries[i]`` guards look i+1; defaults to the K=4 OBF table.
+
+    Scale shape: ONE combinable (n, Σy, Σy²) aggregate per (look, arm);
+    z and the boundary comparison run on the 2K-row frame (Welch SE,
+    exact decimal moments — the CUPED/DiD discipline). Returns one row
+    per look: ``(look, n_treat, n_control, diff, se, z, obf_bound,
+    crossed)``."""
+    bounds = [float(b) for b in (boundaries or _OBF_BOUNDS_K4)]
+    y = F.col(y_col).cast("decimal(38,0)")
+    per = units_by_look.groupBy(
+        F.col(look_col).alias("look"), F.col(arm_col).alias("__arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    one = per.groupBy("look").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("__arm", F.struct("__n", "__sy", "__syy"))
+                )
+            )
+        ).alias("__m")
+    )
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+    dd = lambda c: c.cast("double")  # noqa: E731
+    nT, nC = dd(_arm(1, "__n")), dd(_arm(0, "__n"))
+    mT, mC = dd(_arm(1, "__sy")) / nT, dd(_arm(0, "__sy")) / nC
+    vT = (dd(_arm(1, "__syy")) - nT * mT * mT) / (nT - F.lit(1.0))
+    vC = (dd(_arm(0, "__syy")) - nC * mC * mC) / (nC - F.lit(1.0))
+    se = F.sqrt(vT / nT + vC / nC)
+    bound = F.element_at(
+        F.array(*[F.lit(b) for b in bounds]), F.col("look").cast("int")
+    )
+    z = F.when(se > 0.0, (mT - mC) / se)
+    return one.select(
+        "look",
+        _arm(1, "__n").alias("n_treat"),
+        _arm(0, "__n").alias("n_control"),
+        F.round(mT - mC, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 4).alias("z"),
+        bound.alias("obf_bound"),
+        F.when(z.isNotNull(), F.abs(z) > bound)
+        .cast("int")
+        .alias("crossed"),
+    ).orderBy("look")

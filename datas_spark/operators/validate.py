@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "quarantine", "k_anonymity", "l_diversity", "suggest_constraints"]
+__all__ = ["expect", "quarantine", "k_anonymity", "l_diversity", "suggest_constraints", "dp_release_audit"]
 
 
 def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -351,3 +351,72 @@ def suggest_constraints(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("__s")).select("__s.*")
+
+
+def dp_release_audit(
+    df: DataFrame,
+    key_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp1",
+) -> DataFrame:
+    """Differentially-private histogram release what-if (Dwork et al.
+    2006, the Laplace mechanism) — the release-side companion of the
+    privacy AUDITS (`k_anonymity`/`l_diversity`/`t_closeness` measure
+    a table's risk; this prices what publishing its histogram under
+    ε-DP would cost in accuracy): per key,
+
+        released = max(round(count + Lap(Δf/ε)), 0),   Δf = 1
+
+    with the Laplace draw inverse-CDF'd from a DETERMINISTIC md5
+    uniform, u = (int(md5(seed:key)[:8]) + 0.5) / 2³²:
+
+        noise = −(1/ε) · sgn(u − ½) · ln(1 − 2·|u − ½|)
+
+    Determinism is the point of the what-if: the SAME noise lands on
+    any cluster size, any partition layout, any engine, so the
+    accuracy audit is oracle-checkable (a production release would
+    swap the md5 uniform for a real CSPRNG — one expression — and
+    everything else, including the ε accounting, is unchanged).
+    NOTE: a real release publishes ONLY ``key``/``n_released``; the
+    true count and noise columns exist because this is the pricing
+    audit.
+
+    Scale shape: ONE combinable count aggregate; noise is a map-side
+    expression over the |keys|-row frame. Noise is rounded to 6 dp
+    (the engine's ln last-ulp resync). Returns ``(key, n_true,
+    epsilon, noise, n_released, abs_err)``.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("key").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = F.round(
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))),
+        6,
+    )
+    released = F.greatest(
+        F.round(F.col("n_true") + noise).cast("long"), F.lit(0).cast("long")
+    )
+    return counts.select(
+        "key",
+        "n_true",
+        F.lit(float(epsilon)).alias("epsilon"),
+        noise.alias("noise"),
+        released.alias("n_released"),
+        F.abs(released - F.col("n_true")).cast("long").alias("abs_err"),
+    )

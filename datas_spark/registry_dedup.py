@@ -2903,3 +2903,81 @@ def q_components_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node")
     )
     return D.purge_components(assign, pairs, forget)
+
+
+# ==================================================================
+# round 8: label-propagation communities on the embedding pair graph
+# ==================================================================
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(n_rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled-CTE twin of ``dedup.label_propagation`` over the same
+    full-recompute embcos pair derivation as ``_k_core_oracle`` (the
+    artifact == recompute proof rides along)."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, n_rounds + 1):
+        rounds.append(f"""
+    c{t} AS (
+      SELECT e.node, l.label, count(*) AS c
+      FROM e JOIN {prev} l ON l.node = e.nbr
+      GROUP BY 1, 2
+    ), l{t} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+          row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) AS rn
+        FROM c{t}) WHERE rn = 1
+    )""")
+        prev = f"l{t}"
+    return f"""
+    WITH p AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+            AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cos >= 0.3
+    ), e AS MATERIALIZED (
+      SELECT id_a AS node, id_b AS nbr FROM p WHERE id_a <> id_b
+      UNION
+      SELECT id_b, id_a FROM p WHERE id_a <> id_b
+      UNION
+      SELECT id_a, id_a FROM p WHERE id_a <> id_b
+      UNION
+      SELECT id_b, id_b FROM p WHERE id_a <> id_b
+    ), l0 AS (
+      SELECT node, node AS label FROM (SELECT DISTINCT node FROM e)
+    ),{",".join(rounds)}
+    SELECT l.node, l.label AS community, s.sz AS community_size
+    FROM {prev} l
+    JOIN (SELECT label, count(*)::BIGINT AS sz FROM {prev} GROUP BY label) s
+      USING (label)
+    """
+
+
+@register("near_dup_label_prop", oracle=_lpa_oracle())
+def q_near_dup_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round deterministic label-propagation communities
+    (`dedup.label_propagation`, Raghavan et al. 2007 with synchronous
+    updates + (count DESC, label ASC) tie-break) over the embcos pair
+    artifact — the community view of the graph whose transitive view
+    is `embedding_semantic_dedup` and whose density view is
+    `embedding_kcore`: LPA splits weak bridges between dense duplicate
+    clusters that CC would merge. Fixed round count keeps the plan a
+    4-deep join/agg/rank-1-window chain, every window keyed by node;
+    the oracle recomputes pairs from scratch so artifact == recompute
+    stays hash-proven."""
+    from datas_spark.operators import artifacts as ART
+
+    pairs = ART.pairs_artifact(spark, sf_dir, "embcos")
+    return D.label_propagation(pairs, n_rounds=_LPA_ROUNDS)

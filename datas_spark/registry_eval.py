@@ -1199,3 +1199,258 @@ def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         k=_KNN_SHAPLEY_K,
     )
+
+
+# ==================================================================
+# round 8: post-training readouts — Bradley-Terry ratings and pass@k
+# ==================================================================
+
+"""Registry batch — the two measurement companions of the
+``preference_pairs`` construction: per-model Bradley-Terry strengths
+from pairwise outcomes (the Chatbot-Arena readout) and unbiased
+pass@k over per-prompt response samples (the best-of-n harness
+readout). Both run on the same multi-response fixture as
+``preference_pairs``: documents grouped 8-per-prompt (doc_id // 8),
+model = doc_id % 8, score = n_chars % 97."""
+
+
+def _bt_oracle(n_steps: int = 5) -> str:
+    """Chained-CTE twin of ``evalmetrics.bt_rating_k``: pack the
+    (winner, loser) count frame into one row, build the win vector and
+    the flat k×k game matrix as list projections, then unroll
+    ``n_steps`` MM updates — only +,/ arithmetic, per-step 12-dp
+    resync, identical fold order to the Spark HOFs."""
+    steps = []
+    prev = "b0"
+    for t in range(1, n_steps + 1):
+        steps.append(f"""
+    d{t} AS (
+      SELECT items, k, W, N, p,
+        list_transform(range(0, k), i ->
+          list_sum(list_transform(range(0, k), j ->
+            CASE WHEN j <> i AND N[i*k + j + 1] > 0.0
+                 THEN N[i*k + j + 1] / (p[i + 1] + p[j + 1])
+                 ELSE 0.0 END))) AS den
+      FROM {prev}
+    ), r{t} AS (
+      SELECT items, k, W, N,
+        list_transform(range(0, k), i ->
+          CASE WHEN den[i + 1] > 0.0 THEN W[i + 1] / den[i + 1]
+               ELSE p[i + 1] END) AS r
+      FROM d{t}
+    ), b{t} AS (
+      SELECT items, k, W, N,
+        list_transform(r, x ->
+          round(CASE WHEN z > 0.0 THEN x / z ELSE x END, 12)) AS p
+      FROM (SELECT items, k, W, N, r, list_sum(r) AS z FROM r{t})
+    )""")
+        prev = f"b{t}"
+    return f"""
+    WITH resp AS MATERIALIZED (
+      SELECT doc_id // 8 AS prompt_id,
+             'm' || (doc_id % 8)::VARCHAR AS model,
+             (n_chars % 97)::DOUBLE AS score
+      FROM documents
+    ), comp AS (
+      SELECT a.model AS winner, b.model AS loser
+      FROM resp a JOIN resp b ON a.prompt_id = b.prompt_id
+      WHERE a.score > b.score
+    ), wins AS (
+      SELECT winner, loser, count(*)::DOUBLE AS c FROM comp GROUP BY 1, 2
+    ), its AS (
+      SELECT list_sort(list(DISTINCT it)) AS items FROM (
+        SELECT winner AS it FROM wins UNION ALL SELECT loser FROM wins
+      )
+    ), idx AS (
+      SELECT list_position(i.items, w.winner) - 1 AS wi,
+             list_position(i.items, w.loser) - 1 AS li, w.c
+      FROM wins w, its i
+    ), pk AS (
+      SELECT (SELECT items FROM its) AS items,
+             len((SELECT items FROM its)) AS k,
+             list(struct_pack(wi := wi, li := li, c := c)
+                  ORDER BY wi, li) AS pairs
+      FROM idx
+    ), b0 AS (
+      SELECT items, k, pairs,
+        list_transform(range(0, k), i ->
+          list_sum(list_transform(pairs, s ->
+            CASE WHEN s.wi = i THEN s.c ELSE 0.0 END))) AS W,
+        list_transform(range(0, k*k), x ->
+          list_sum(list_transform(pairs, s ->
+            CASE WHEN (s.wi = x // k AND s.li = x % k)
+                   OR (s.li = x // k AND s.wi = x % k)
+                 THEN s.c ELSE 0.0 END))) AS N,
+        list_transform(range(0, k), i -> 1.0 / k) AS p
+      FROM pk
+    ),{",".join(steps)}
+    SELECT items[i + 1] AS item,
+           W[i + 1]::BIGINT AS n_wins,
+           list_sum(list_transform(range(0, k), j -> N[i*k + j + 1]))::BIGINT
+             AS n_games,
+           round(p[i + 1], 6) AS rating
+    FROM (SELECT unnest(range(0, k)) AS i, items, k, W, N, p FROM {prev})
+    """
+
+
+@register("bt_model_ratings", oracle=_bt_oracle(5))
+def q_bt_model_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry model strengths (`evalmetrics.bt_rating_k`,
+    Hunter 2004 MM) from all within-prompt pairwise outcomes of the
+    8-response fixture — the Chatbot-Arena-style leaderboard a
+    preference dataset implies. Comparisons are a prompt-blocked
+    self-join (equi-join on prompt_id, strict score inequality — ties
+    never count as games); the ≤k²-row win frame then packs into ONE
+    row and 5 MM steps run as chained 1-row projections, the
+    DoReMi/BPE unroll pattern."""
+    from datas_spark.operators.evalmetrics import bt_rating_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.floor(F.col("doc_id") / 8).cast("long").alias("prompt_id"),
+        F.concat(F.lit("m"), (F.col("doc_id") % 8).cast("string")).alias(
+            "model"
+        ),
+        (F.col("n_chars") % 97).cast("double").alias("score"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    comps = (
+        a.join(b, "prompt_id")
+        .where(F.col("a.score") > F.col("b.score"))
+        .select(
+            F.col("a.model").alias("winner"), F.col("b.model").alias("loser")
+        )
+    )
+    return bt_rating_k(comps, "winner", "loser", n_steps=5)
+
+
+@register(
+    "passk_estimate",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id // 8 AS g, ((n_chars % 97) >= 60)::INT AS ok
+      FROM documents
+    ), per AS (
+      SELECT g, count(*)::INT AS n, sum(ok)::INT AS c FROM r GROUP BY g
+    ), fan AS (
+      SELECT n, c, k FROM per, (SELECT unnest([1, 2, 4]) AS k) ks
+    ), pp AS (
+      SELECT k,
+        CAST(round(CASE
+          WHEN c <= 0 THEN 0.0
+          WHEN n - c < k THEN 1.0
+          ELSE 1.0 - list_reduce(
+            list_transform(range(0, k),
+                           i -> (n - c - i)::DOUBLE / (n - i)::DOUBLE),
+            (a, x) -> a * x)
+        END * 1000000000) AS BIGINT) AS e9
+      FROM fan
+    )
+    SELECT k, count(*)::BIGINT AS n_prompts,
+           round(sum(e9)::DOUBLE / 1e9 / count(*), 6) AS pass_at_k
+    FROM pp GROUP BY k ORDER BY k
+    """,
+)
+def q_passk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@{1,2,4} (`evalmetrics.pass_at_k`, Chen et al.
+    2021 eq. 1) on the 8-response fixture with "pass" = score ≥ 60 —
+    the best-of-n readout of the same frame `preference_pairs`
+    consumes. ONE (count, sum) aggregate per prompt; exact rational
+    product folds (no libm), per-prompt e9 quantization before the
+    global mean (the ndcg_at_k bit-stability contract)."""
+    from datas_spark.operators.evalmetrics import pass_at_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    resp = docs.select(
+        F.floor(F.col("doc_id") / 8).cast("long").alias("prompt_id"),
+        ((F.col("n_chars") % 97) >= 60).cast("int").alias("ok"),
+    )
+    return pass_at_k(resp, "prompt_id", "ok", [1, 2, 4])
+
+
+@register(
+    "conformal_coverage_audit",
+    oracle=r"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS toks,
+             ('0x' || substr(md5('conf:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    ), tr AS (
+      SELECT round(sum(n_chars)::DOUBLE / sum(toks)::DOUBLE, 9) AS ratio
+      FROM d WHERE u < 0.5
+    ), sc AS MATERIALIZED (
+      SELECT CASE WHEN u < 0.75 THEN 'cal' ELSE 'eval' END AS split,
+             CAST(round(abs(n_chars::DOUBLE - tr.ratio * toks::DOUBLE)
+                        * 100.0) AS BIGINT) AS r
+      FROM d, tr WHERE u >= 0.5
+    ), grid AS (
+      SELECT r, count(*)::BIGINT AS c FROM sc WHERE split = 'cal' GROUP BY r
+    ), cum AS (
+      SELECT r, sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum
+      FROM grid
+    ), nc AS (
+      SELECT sum(c)::BIGINT AS ncal,
+             ceil(0.9::DOUBLE * (sum(c) + 1)::DOUBLE)::BIGINT AS k
+      FROM grid
+    ), q AS (
+      SELECT min(r) AS q_e2 FROM cum, nc WHERE cum >= nc.k
+    ), ev AS (
+      SELECT count(*)::BIGINT AS n_eval,
+             round(count(*) FILTER (WHERE r <= q.q_e2)::DOUBLE
+                   / count(*)::DOUBLE * 100.0, 4) AS cov
+      FROM sc, q WHERE split = 'eval'
+    )
+    SELECT nc.ncal AS n_cal, ev.n_eval, 0.1::DOUBLE AS alpha,
+           nc.k AS k_rank,
+           round(q.q_e2::DOUBLE / 100.0, 2) AS q_hat,
+           CASE WHEN q.q_e2 IS NULL AND nc.k > nc.ncal THEN 100.0
+                ELSE ev.cov END AS coverage_pct
+    FROM nc, ev, q
+    """,
+)
+def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval audit
+    (`evalmetrics.split_conformal_audit`, Lei et al. 2018) of the
+    engine's simplest proxy model — chars ≈ ratio · tokens with the
+    ratio fit on a DISJOINT md5 train slice (u < 0.5), calibrated on
+    u ∈ [0.5, 0.75), coverage measured on u ≥ 0.75. The
+    distribution-free guarantee says eval coverage ≥ 90%; this query
+    MEASURES it, so a drift in the scorer's error distribution is a
+    visible correctness diff, not a silent assumption. Exact
+    order-statistic threshold via the e2 residual grid — no raw-row
+    sort, no buffer-everything percentile."""
+    from datas_spark.operators.evalmetrics import split_conformal_audit
+
+    docs = read_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select(
+        "doc_id", "n_chars", toks.alias("toks"), u.alias("u")
+    )
+    tr = d.where(F.col("u") < 0.5).agg(
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("toks").cast("double"), 9
+        ).alias("ratio")
+    )
+    scored = (
+        d.where(F.col("u") >= 0.5)
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.when(F.col("u") < 0.75, F.lit("cal"))
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+            F.col("n_chars").cast("double").alias("y"),
+            (F.col("ratio") * F.col("toks").cast("double")).alias("pred"),
+        )
+    )
+    return split_conformal_audit(scored, "split", "y", "pred", alpha=0.1)

@@ -1749,3 +1749,296 @@ def q_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("arm")
     )
     return srm_check(units, "arm", {0: 0.5, 1: 0.5})
+
+
+# ==================================================================
+# round 8: DiD readout, MDE planning, DP histogram release
+# ==================================================================
+
+
+@register(
+    "experiment_did_readout",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), pre AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS x
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    ), post AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    ), units AS (
+      SELECT (u.user_id % 2)::INT AS arm,
+             coalesce(post.y, 0) - coalesce(pre.x, 0) AS d
+      FROM u LEFT JOIN pre USING (user_id) LEFT JOIN post USING (user_id)
+    ), pa AS (
+      SELECT arm, count(*)::BIGINT AS n,
+             sum(d::HUGEINT) AS sd, sum(d::HUGEINT * d) AS sdd
+      FROM units GROUP BY arm
+    ), w AS (
+      SELECT
+        (SELECT n FROM pa WHERE arm = 1) AS nt,
+        (SELECT n FROM pa WHERE arm = 0) AS nc,
+        (SELECT sd FROM pa WHERE arm = 1)::DOUBLE AS sdt,
+        (SELECT sd FROM pa WHERE arm = 0)::DOUBLE AS sdc,
+        (SELECT sdd FROM pa WHERE arm = 1)::DOUBLE AS sddt,
+        (SELECT sdd FROM pa WHERE arm = 0)::DOUBLE AS sddc
+    ), m AS (
+      SELECT nt, nc,
+             sdt / nt::DOUBLE AS mt, sdc / nc::DOUBLE AS mc,
+             (sddt - nt::DOUBLE * (sdt / nt::DOUBLE) * (sdt / nt::DOUBLE))
+               / (nt::DOUBLE - 1.0) AS vt,
+             (sddc - nc::DOUBLE * (sdc / nc::DOUBLE) * (sdc / nc::DOUBLE))
+               / (nc::DOUBLE - 1.0) AS vc
+      FROM w
+    ), s AS (
+      SELECT nt, nc, mt, mc,
+             sqrt(vt / nt::DOUBLE + vc / nc::DOUBLE) AS se
+      FROM m
+    )
+    SELECT nt AS n_treat, nc AS n_control,
+           round(mt, 6) AS mean_delta_treat,
+           round(mc, 6) AS mean_delta_control,
+           round(mt - mc, 6) AS did,
+           round(se, 6) AS se,
+           round(CASE WHEN se > 0.0 THEN (mt - mc) / se END, 4) AS t_stat
+    FROM s
+    """,
+)
+def q_experiment_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (`events.did_readout`) on the
+    same user-parity arms and pre/post purchase-cents frame as the
+    CUPED readout — the quasi-experimental estimator for when
+    assignment was NOT randomized (the parity split here stands in for
+    a staged-launch geo split). Per-arm exact integer moments of the
+    unit deltas, Welch SE, everything after the one aggregate on the
+    2-row arm frame."""
+    from datas_spark.operators.events import did_readout
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    pre = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cut))
+        .groupBy("user_id").agg(F.sum(cents).alias("x"))
+    )
+    post = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("ts") >= cut))
+        .groupBy("user_id").agg(F.sum(cents).alias("y"))
+    )
+    units = (
+        ev.select("user_id").distinct()
+        .join(pre, "user_id", "left")
+        .join(post, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.coalesce("x", F.lit(0)).alias("pre"),
+            F.coalesce("y", F.lit(0)).alias("post"),
+        )
+    )
+    return did_readout(units, "arm", "pre", "post")
+
+
+@register(
+    "experiment_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), post AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), units AS (
+      SELECT coalesce(post.y, 0) AS y
+      FROM u LEFT JOIN post USING (user_id)
+    ), m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(y::HUGEINT)::DOUBLE AS sy,
+             sum(y::HUGEINT * y)::DOUBLE AS syy
+      FROM units
+    ), s AS (
+      SELECT n, sy / n::DOUBLE AS mean,
+             (syy - n::DOUBLE * (sy / n::DOUBLE) * (sy / n::DOUBLE))
+               / (n::DOUBLE - 1.0) AS var
+      FROM m
+    ), d AS (
+      SELECT n, mean, var,
+             (1.959963984540054 + 0.8416212335729143)
+               * sqrt(2.0 * var / (n::DOUBLE / 2.0)) AS mde
+      FROM s
+    )
+    SELECT n AS n_units, round(mean, 6) AS mean_y,
+           round(sqrt(var), 6) AS sd_y, round(mde, 6) AS mde_abs,
+           round(CASE WHEN mean <> 0.0 THEN mde / mean * 100.0 END, 4)
+             AS mde_rel_pct
+    FROM d
+    """,
+)
+def q_experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect planning readout
+    (`events.power_mde`): given this population's per-user purchase
+    cents, the smallest lift a 50/50 experiment at α=5%/80% power
+    could resolve — the go/no-go number that precedes every
+    experiment the CUPED/SRM/DiD queries read out. ONE exact-moment
+    aggregate over distinct users; sqrt is the only libm call and
+    IEEE-correctly-rounded, so the readout hash-matches."""
+    from datas_spark.operators.events import power_mde
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    post = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.sum(cents).alias("y"))
+    )
+    units = (
+        ev.select("user_id").distinct()
+        .join(post, "user_id", "left")
+        .select(F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    return power_mde(units, "y")
+
+
+@register(
+    "events_dp_release",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS key, count(*)::BIGINT AS n_true
+      FROM events GROUP BY 1
+    ), n AS (
+      SELECT key, n_true,
+             (('0x' || substr(md5('dp1:' || key), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u
+      FROM c
+    ), x AS (
+      SELECT key, n_true,
+             round(-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+               AS noise
+      FROM n
+    )
+    SELECT key, n_true, 1.0::DOUBLE AS epsilon, noise,
+           greatest(round(n_true + noise)::BIGINT, 0) AS n_released,
+           abs(greatest(round(n_true + noise)::BIGINT, 0) - n_true)::BIGINT
+             AS abs_err
+    FROM x
+    """,
+)
+def q_events_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 Laplace-mechanism release what-if
+    (`validate.dp_release_audit`) of the event-type histogram — the
+    release-side member of the privacy family (k-anonymity/
+    l-diversity/t-closeness audit risk; this prices the DP noise a
+    publishable histogram would carry). Deterministic md5-uniform
+    inverse-CDF draws make the accuracy audit oracle-checkable; the
+    plan is one count aggregate + map-side noise."""
+    from datas_spark.operators.validate import dp_release_audit
+
+    ev = read_table(spark, sf_dir, "events")
+    return dp_release_audit(ev, "event_type", epsilon=1.0, seed="dp1")
+
+
+@register(
+    "experiment_obf_looks",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', ts::DATE) // 7 AS wk,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ), uw AS (
+      SELECT user_id, wk, sum(cents) AS c
+      FROM b WHERE wk < 4 GROUP BY 1, 2
+    ), fan AS (
+      SELECT user_id, look, sum(c) AS y
+      FROM uw, (SELECT unnest([1, 2, 3, 4]) AS look) l
+      WHERE wk < look GROUP BY 1, 2
+    ), units AS (
+      SELECT look, (user_id % 2)::INT AS arm, y FROM fan
+    ), pa AS (
+      SELECT look, arm, count(*)::BIGINT AS n,
+             sum(y::HUGEINT) AS sy, sum(y::HUGEINT * y) AS syy
+      FROM units GROUP BY 1, 2
+    ), w AS (
+      SELECT look,
+        max(CASE WHEN arm = 1 THEN n END) AS nt,
+        max(CASE WHEN arm = 0 THEN n END) AS nc,
+        max(CASE WHEN arm = 1 THEN sy END)::DOUBLE AS syt,
+        max(CASE WHEN arm = 0 THEN sy END)::DOUBLE AS syc,
+        max(CASE WHEN arm = 1 THEN syy END)::DOUBLE AS syyt,
+        max(CASE WHEN arm = 0 THEN syy END)::DOUBLE AS syyc
+      FROM pa GROUP BY look
+    ), m AS (
+      SELECT look, nt, nc,
+             syt / nt::DOUBLE AS mt, syc / nc::DOUBLE AS mc,
+             (syyt - nt::DOUBLE * (syt / nt::DOUBLE) * (syt / nt::DOUBLE))
+               / (nt::DOUBLE - 1.0) AS vt,
+             (syyc - nc::DOUBLE * (syc / nc::DOUBLE) * (syc / nc::DOUBLE))
+               / (nc::DOUBLE - 1.0) AS vc
+      FROM w
+    ), s AS (
+      SELECT look, nt, nc, mt, mc,
+             sqrt(vt / nt::DOUBLE + vc / nc::DOUBLE) AS se
+      FROM m
+    )
+    SELECT look, nt AS n_treat, nc AS n_control,
+           round(mt - mc, 6) AS diff, round(se, 6) AS se,
+           round(CASE WHEN se > 0.0 THEN (mt - mc) / se END, 4) AS z,
+           list_value(4.333::DOUBLE, 2.963::DOUBLE, 2.359::DOUBLE,
+                      2.014::DOUBLE)[look] AS obf_bound,
+           CASE WHEN se > 0.0 THEN
+             (abs((mt - mc) / se)
+              > list_value(4.333::DOUBLE, 2.963::DOUBLE, 2.359::DOUBLE,
+                           2.014::DOUBLE)[look])::INT
+           END AS crossed
+    FROM s ORDER BY look
+    """,
+)
+def q_experiment_obf_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring (`events.sequential_looks`,
+    O'Brien-Fleming boundaries): four weekly interim looks at the
+    user-parity experiment's cumulative purchase-cents difference —
+    the legal way to peek weekly (a fixed 1.96 over four looks
+    inflates type-I error ~3x; OBF spends almost nothing early).
+    Units enter at their first active week; per look ONE exact-moment
+    aggregate per arm, z and boundary math on the 8-row frame."""
+    from datas_spark.operators.events import sequential_looks
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    wk = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    ).cast("int")
+    per_uw = (
+        ev.select("user_id", wk.alias("wk"), cents.alias("cents"))
+        .where(F.col("wk") < 4)
+        .groupBy("user_id", "wk")
+        .agg(F.sum("cents").alias("c"))
+    )
+    units = (
+        per_uw.select(
+            "user_id",
+            "wk",
+            "c",
+            F.explode(
+                F.array(*[F.lit(t) for t in (1, 2, 3, 4)])
+            ).alias("look"),
+        )
+        .where(F.col("wk") < F.col("look"))
+        .groupBy("user_id", "look")
+        .agg(F.sum("c").alias("y"))
+        .select(
+            "look", (F.col("user_id") % 2).cast("int").alias("arm"), "y"
+        )
+    )
+    return sequential_looks(units, "look", "arm", "y")

@@ -1028,3 +1028,51 @@ def test_purge_components_untouched_pass_through(spark):
     assert {(r.node, r.component) for r in purged.collect()} == {
         (r.node, r.component) for r in assign.collect()
     }
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge: CC merges them into one
+    component; 4-round LPA keeps two communities (the bridge is
+    outvoted by each side's internal majority)."""
+    from datas_spark.operators.dedup import connected_components, label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    cc = connected_components(pairs)
+    assert cc.select("component").distinct().count() == 1
+    out = {r.node: r for r in label_propagation(pairs, n_rounds=4).collect()}
+    comms = {out[n].community for n in (1, 2, 3)} | {
+        out[n].community for n in (4, 5, 6)
+    }
+    assert {out[1].community, out[2].community, out[3].community} == {out[1].community}
+    assert {out[4].community, out[5].community, out[6].community} == {out[4].community}
+    assert out[1].community != out[4].community
+    assert all(out[n].community_size == 3 for n in out)
+
+
+def test_label_propagation_clique_converges_to_min_label(spark):
+    """A clique floods to one community; with the (count DESC, label
+    ASC) tie-break the surviving label is the minimum node id."""
+    from datas_spark.operators.dedup import label_propagation
+
+    clique = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    pairs = spark.createDataFrame(clique, ["id_a", "id_b"])
+    out = label_propagation(pairs, n_rounds=4).collect()
+    assert {r.community for r in out} == {10}
+    assert all(r.community_size == 5 for r in out)
+
+
+def test_label_propagation_is_deterministic_and_validates(spark):
+    from datas_spark.operators.dedup import label_propagation
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    a = sorted(map(tuple, label_propagation(pairs, 3).collect()))
+    b = sorted(map(tuple, label_propagation(pairs, 3).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        label_propagation(pairs, n_rounds=0)

@@ -186,3 +186,140 @@ def test_ndcg_rank_position_matters(spark):
     v_hi = EM.ndcg_at_k(hi, truth, "u", "i", "r", k=3).collect()[0].ndcg_at_k
     v_lo = EM.ndcg_at_k(lo, truth, "u", "i", "r", k=3).collect()[0].ndcg_at_k
     assert v_hi == 1.0 and 0 < v_lo < 1.0
+
+
+# ------------------------------------------------------------------
+# round 8: Bradley-Terry ratings + pass@k
+# ------------------------------------------------------------------
+
+
+def test_bt_rating_matches_reference_mm(spark):
+    """5 MM steps must equal a plain-Python Hunter-2004 implementation
+    term for term (same fold order, same per-step 12-dp resync)."""
+    rows = (
+        [("A", "B")] * 3
+        + [("B", "A")]
+        + [("B", "C")] * 2
+        + [("C", "B")]
+        + [("A", "C")] * 2
+    )
+    df = spark.createDataFrame(rows, ["winner", "loser"])
+    got = {
+        r.item: r for r in EM.bt_rating_k(df, "winner", "loser", 5).collect()
+    }
+
+    import collections
+
+    wins = collections.Counter(rows)
+    items = sorted({x for r in rows for x in r})
+    k = len(items)
+    ix = {it: i for i, it in enumerate(items)}
+    W = [0.0] * k
+    N = [[0.0] * k for _ in range(k)]
+    for (w, l), c in wins.items():
+        W[ix[w]] += c
+        N[ix[w]][ix[l]] += c
+        N[ix[l]][ix[w]] += c
+    p = [1.0 / k] * k
+    for _ in range(5):
+        r = []
+        for i in range(k):
+            den = sum(
+                N[i][j] / (p[i] + p[j])
+                for j in range(k)
+                if j != i and N[i][j] > 0
+            )
+            r.append(W[i] / den if den > 0 else p[i])
+        z = sum(r)
+        p = [round(x / z, 12) if z > 0 else x for x in r]
+    for it in items:
+        assert got[it].rating == round(p[ix[it]], 6)
+        assert got[it].n_wins == int(W[ix[it]])
+        assert got[it].n_games == int(sum(N[ix[it]]))
+
+
+def test_bt_rating_orders_by_strength_and_sums_to_one(spark):
+    """A dominant item must out-rate everyone; ratings stay a
+    distribution; an item that never wins converges to ~0."""
+    rows = [("A", "B")] * 9 + [("B", "A")] + [("B", "C")] * 9 + [("A", "C")] * 9
+    df = spark.createDataFrame(rows, ["winner", "loser"])
+    out = {r.item: r.rating for r in EM.bt_rating_k(df, "winner", "loser", 8).collect()}
+    assert out["A"] > out["B"] > out["C"]
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out["C"] < 0.01  # zero wins -> rating decays to 0
+
+
+def test_pass_at_k_hand_example(spark):
+    """n=4, c=2: pass@1 = 0.5, pass@2 = 1 - C(2,2)/C(4,2) = 5/6,
+    pass@4 = 1 (k > n-c). A prompt with c=0 contributes 0."""
+    rows = [("p1", 1), ("p1", 1), ("p1", 0), ("p1", 0), ("p2", 0), ("p2", 0)]
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    got = {r.k: r.pass_at_k for r in EM.pass_at_k(df, "g", "ok", [1, 2, 4]).collect()}
+    assert got[1] == round((0.5 + 0.0) / 2, 6)
+    assert got[2] == round((1 - 1 / 6) / 2, 6)
+    assert got[4] == round((1.0 + 0.0) / 2, 6)
+
+
+def test_pass_at_k_matches_combinatorial_definition(spark):
+    """The product form must equal 1 - C(n-c,k)/C(n,k) for every
+    (n, c, k) the fixture can produce."""
+    from math import comb
+
+    rows = []
+    expect = {}
+    cases = [(5, 0), (5, 1), (5, 3), (5, 5), (3, 2), (8, 4)]
+    for gi, (n, c) in enumerate(cases):
+        g = f"g{gi}"
+        rows += [(g, 1)] * c + [(g, 0)] * (n - c)
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    for k in (1, 2, 4):
+        vals = []
+        for n, c in cases:
+            if k > n:
+                vals.append(1.0 if c > 0 else 0.0)
+            else:
+                vals.append(1.0 - comb(n - c, k) / comb(n, k) if n - c >= k else 1.0)
+            if c == 0:
+                vals[-1] = 0.0
+        expect[k] = round(sum(round(v, 9) for v in vals) / len(vals), 6)
+    got = {r.k: r.pass_at_k for r in EM.pass_at_k(df, "g", "ok", [1, 2, 4]).collect()}
+    for k in (1, 2, 4):
+        assert abs(got[k] - expect[k]) < 2e-6, (k, got[k], expect[k])
+
+
+def test_split_conformal_exact_order_statistic(spark):
+    """n_cal=100 residuals 1..100 cents, alpha=0.1: k = ceil(0.9*101)
+    = 91, q_hat = 0.91; eval residuals 1..200 -> coverage 45.5%."""
+    rows = [("cal", i / 100.0, 0.0) for i in range(1, 101)] + [
+        ("eval", j / 100.0, 0.0) for j in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, ["split", "y", "pred"])
+    r = EM.split_conformal_audit(df, "split", "y", "pred", 0.1).collect()[0]
+    assert (r.n_cal, r.n_eval, r.k_rank) == (100, 200, 91)
+    assert r.q_hat == 0.91
+    assert r.coverage_pct == 45.5
+
+
+def test_split_conformal_guarantee_holds_on_exchangeable_data(spark):
+    """When cal and eval draw the same residual distribution the
+    realized coverage must be >= 1 - alpha minus sampling slack."""
+    rows = [("cal" if i % 2 == 0 else "eval", (i * 37 % 500) / 100.0, 0.0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, ["split", "y", "pred"])
+    r = EM.split_conformal_audit(df, "split", "y", "pred", 0.1).collect()[0]
+    assert r.coverage_pct >= 88.0  # 90% guarantee minus slack
+
+
+def test_split_conformal_tiny_cal_set_means_infinite_interval(spark):
+    """k > n_cal (here k = ceil(0.9*4) = 4 > 3): q_hat NULL = +inf,
+    coverage 100% by the conformal definition."""
+    rows = [("cal", 1.0, 0.0)] * 3 + [("eval", 9.0, 0.0)] * 5
+    df = spark.createDataFrame(rows, ["split", "y", "pred"])
+    r = EM.split_conformal_audit(df, "split", "y", "pred", 0.1).collect()[0]
+    assert r.n_cal == 3 and r.k_rank == 4
+    assert r.q_hat is None and r.coverage_pct == 100.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        EM.split_conformal_audit(df, "split", "y", "pred", alpha=1.5)

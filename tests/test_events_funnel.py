@@ -318,3 +318,89 @@ def test_srm_check_fires_on_biased_split_only(spark):
         srm_check(ok, "arm", {0: 0.6, 1: 0.5})
     with _pytest.raises(ValueError):
         srm_check(ok, "arm", {0: 1.0})
+
+
+def test_did_readout_recovers_planted_effect(spark):
+    """DiD on a planted panel: control drifts +30, treated drifts
+    +30 plus a true effect of +50 -> did == 50 exactly; t is large
+    when within-arm delta noise is small."""
+    from datas_spark.operators.events import did_readout
+
+    rows = []
+    for i in range(40):
+        arm = i % 2
+        pre = 100 + (i % 5)  # small unit heterogeneity
+        # shared drift + effect + noise keyed by the (control, treated)
+        # pair index so both arms see the identical noise sequence
+        post = pre + 30 + (50 if arm else 0) + (i // 2 % 3)
+        rows.append((arm, pre, post))
+    df = spark.createDataFrame(rows, "arm int, pre long, post long")
+    r = did_readout(df, "arm", "pre", "post").collect()[0]
+    assert (r.n_treat, r.n_control) == (20, 20)
+    # pair-indexed noise has the same mean in both arms, so the
+    # planted effect is recovered exactly
+    assert r.did == 50.0
+    assert r.se > 0 and r.t_stat > 10
+    # removing the effect zeroes the estimate
+    df0 = spark.createDataFrame(
+        [(a, p, q - (50 if a else 0)) for a, p, q in rows],
+        "arm int, pre long, post long",
+    )
+    assert did_readout(df0, "arm", "pre", "post").collect()[0].did == 0.0
+
+
+def test_power_mde_shrinks_with_n(spark):
+    """MDE must scale like 1/sqrt(n): quadrupling the population at
+    the same variance halves the detectable effect."""
+    from datas_spark.operators.events import power_mde
+
+    base = [(i % 7 * 10,) for i in range(140)]
+    small = spark.createDataFrame(base, "y long")
+    big = spark.createDataFrame(base * 4, "y long")
+    r1 = power_mde(small, "y").collect()[0]
+    r4 = power_mde(big, "y").collect()[0]
+    assert r1.n_units == 140 and r4.n_units == 560
+    assert abs(r1.sd_y - r4.sd_y) < 0.2  # same distribution
+    assert abs(r4.mde_abs - r1.mde_abs / 2) < 0.05
+    # alpha/power constants: MDE = 2.8016 * sqrt(2 var / (n/2))
+    import math
+
+    var = r1.sd_y**2
+    want = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        2 * var / (140 / 2)
+    )
+    assert abs(r1.mde_abs - want) < 0.01
+
+
+def test_sequential_looks_obf_boundaries_gate_early_peeks(spark):
+    """A moderate effect (z ~ 2.5 at every look) must NOT cross the
+    4.333/2.963 early boundaries but cross the 2.359/2.014 late ones —
+    the exact property that makes weekly peeking legal."""
+    from datas_spark.operators.events import sequential_looks
+
+    rows = []
+    for look in (1, 2, 3, 4):
+        for u in range(400):
+            arm = u % 2
+            # pair-indexed noise (identical sequence in both arms):
+            # values 0..199 -> per-arm sample sd sqrt(200*201/12) = 57.9,
+            # Welch se = sqrt(2*3350/200) = 5.788; effect 15 -> z = 2.59
+            y = (u // 2) + (15 if arm else 0)
+            rows.append((look, arm, y))
+    df = spark.createDataFrame(rows, "look int, arm int, y long")
+    out = {r.look: r for r in sequential_looks(df, "look", "arm", "y").collect()}
+    assert [out[t].obf_bound for t in (1, 2, 3, 4)] == [4.333, 2.963, 2.359, 2.014]
+    zs = {t: out[t].z for t in (1, 2, 3, 4)}
+    assert all(2.0 < zs[t] < 3.0 for t in zs), zs
+    assert [out[t].crossed for t in (1, 2, 3, 4)] == [0, 0, 1, 1]
+
+
+def test_sequential_looks_null_se_yields_null_crossed(spark):
+    from datas_spark.operators.events import sequential_looks
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 0, 5), (1, 1, 5), (1, 1, 5)],
+        "look int, arm int, y long",
+    )
+    r = sequential_looks(df, "look", "arm", "y").collect()[0]
+    assert r.se == 0.0 and r.z is None and r.crossed is None

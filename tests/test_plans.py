@@ -202,6 +202,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "experiment_cuped_readout",        # 1-row pooled-moment scalars (theta, mx)
         "doremi_weights_k5",               # unigram/bigram LM corpus-total scalars (same as doremi_domain_weights)
         "doremi_mixture_sample",           # same LM scalars feeding the budget table
+        "bt_model_ratings",                # 1-row packed item list x 1-row packed pair list
+        "conformal_coverage_audit",        # 1-row ratio/k-rank/q-hat scalars
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

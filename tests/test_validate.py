@@ -197,3 +197,48 @@ def test_suggest_constraints_rejects_undeclared_isin(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         suggest_constraints(df, ["id"], isin_cols=["missing"])
+
+
+def test_dp_release_audit_noise_is_laplace_shaped_and_deterministic(spark):
+    """The md5 inverse-CDF draw: deterministic across runs, zero-mean-ish
+    over many keys, scale shrinks as 1/epsilon, released counts never
+    negative."""
+    from datas_spark.operators.validate import dp_release_audit
+
+    rows = [(f"k{i:03d}",) for i in range(200) for _ in range(i % 7 + 1)]
+    df = spark.createDataFrame(rows, ["key"])
+    a = {r.key: r for r in dp_release_audit(df, "key", epsilon=1.0).collect()}
+    b = {r.key: r for r in dp_release_audit(df, "key", epsilon=1.0).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].noise == b[k].noise  # same draw every run
+        assert a[k].n_released >= 0
+        assert a[k].n_released == max(round(a[k].n_true + a[k].noise), 0)
+    noises = [r.noise for r in a.values()]
+    # Laplace(1): mean |noise| = 1; the 200-key empirical mean must be
+    # in a generous band, and signs must mix
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    assert 0.6 < mean_abs < 1.6
+    assert any(x > 0 for x in noises) and any(x < 0 for x in noises)
+    # epsilon=10 shrinks every draw 10x (same uniform, scaled b)
+    tight = {
+        r.key: r.noise
+        for r in dp_release_audit(df, "key", epsilon=10.0).collect()
+    }
+    for k in a:
+        assert abs(tight[k] - a[k].noise / 10.0) < 1e-5
+    # a different seed is a different draw
+    other = {
+        r.key: r.noise
+        for r in dp_release_audit(df, "key", epsilon=1.0, seed="dp2").collect()
+    }
+    assert any(other[k] != a[k].noise for k in a)
+
+
+def test_dp_release_audit_rejects_bad_epsilon(spark):
+    from datas_spark.operators.validate import dp_release_audit
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",)], ["key"])
+    with _pytest.raises(ValueError):
+        dp_release_audit(df, "key", epsilon=0.0)
