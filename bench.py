@@ -339,6 +339,15 @@ HEADLINE = [
     # round-8 batch 2b: conformal coverage + group-sequential looks
     "conformal_coverage_audit",
     "experiment_obf_looks",
+    # round-8 batch 3: QTE, DSIR ESS audit, tokenizer fertility
+    "experiment_qte",
+    "dsir_ess_report",
+    "tokenizer_fertility",
+    # round-8 batch 4: Markov removal-effect attribution, Qini uplift,
+    # order-independent content fingerprint
+    "events_markov_attribution",
+    "experiment_uplift_qini",
+    "source_content_fingerprint",
 ]
 
 RUNS_PER_QUERY = 3

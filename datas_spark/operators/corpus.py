@@ -51,6 +51,7 @@ __all__ = [
     "hash_split",
     "group_split",
     "repetition_stats",
+    "importance_weight_diagnostics",
     "temperature_sample",
     "ngram_lm_score",
     "unigram_lm_score",
@@ -2008,4 +2009,60 @@ def doremi_domain_weights(
             + F.lit(c) / F.col("__k"),
             6,
         ).alias("weight"),
+    )
+
+
+def importance_weight_diagnostics(
+    df: DataFrame,
+    weight_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Effective-sample-size diagnostics for an importance-weighting
+    scheme (Kong 1992; the standard "is my resampling degenerate"
+    readout): with per-example weights w_i,
+
+        ESS = (Σw)² / Σw²   ∈ [1, n]
+
+    — ESS ≈ n means the weights barely tilt; ESS ≪ n means a few
+    examples dominate and the resampled corpus will be near-duplicates
+    of them. The input is the LOG-ratio weight `dsir_importance`
+    emits; the diagnostic weight is the PER-TOKEN tilt
+    ``exp(weight / n_tokens)`` (document-length-normalized — raw
+    exp(Σ log-ratio) overflows doubles on long documents and conflates
+    length with domain match).
+
+    Determinism: weights quantize to e6 integers before the moment
+    sums (decimal-38 squares — Σw² exceeds int64 at corpus scale), so
+    ESS is exact-integer algebra + one division; ESS is
+    scale-invariant so the e6 factor cancels. Docs with no tokens
+    (NULL weight) are excluded and counted.
+
+    ONE combinable aggregate. Returns one row: ``(n_docs, n_excluded,
+    ess, ess_pct, max_w_share_pct)``.
+    """
+    w = F.col(weight_col).cast("double") / F.col(tokens_col).cast("double")
+    we6 = F.round(F.exp(w) * 1_000_000.0).cast("long")
+    base = df.select(
+        F.when(
+            F.col(weight_col).isNotNull() & (F.col(tokens_col) > 0), we6
+        ).alias("__w")
+    )
+    agg = base.agg(
+        F.count("__w").cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.count("__w")).cast("long").alias("n_excluded"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).alias("__sw"),
+        F.sum(
+            F.col("__w").cast("decimal(38,0)")
+            * F.col("__w").cast("decimal(38,0)")
+        ).alias("__sww"),
+        F.max("__w").alias("__mx"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    ess = dd("__sw") * dd("__sw") / dd("__sww")
+    return agg.select(
+        "n_docs",
+        "n_excluded",
+        F.round(ess, 3).alias("ess"),
+        F.round(ess / dd("n_docs") * 100.0, 4).alias("ess_pct"),
+        F.round(dd("__mx") / dd("__sw") * 100.0, 6).alias("max_w_share_pct"),
     )

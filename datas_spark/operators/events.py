@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve"]
 
 
 def funnel_stage_times(
@@ -791,3 +791,300 @@ def sequential_looks(
         .cast("int")
         .alias("crossed"),
     ).orderBy("look")
+
+
+def quantile_treatment_effect(
+    units: DataFrame,
+    arm_col: str,
+    y_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects — where the mean readout
+    (`cuped_readout`/`did_readout`) can hide a distributional shift
+    (a treatment that helps whales and hurts the median moves means
+    and quantiles differently), the QTE reads the arm difference at
+    each requested quantile:
+
+        QTE(p) = Q_treat(p) − Q_control(p)
+
+    with Q the TYPE-1 (exact order statistic, no interpolation)
+    quantile: the ⌈p·n⌉-th smallest integer-quantized outcome —
+    exactly replayable in SQL and immune to cross-engine
+    interpolation drift.
+
+    Scale shape — the conformal-audit grid trick: ONE combinable
+    (arm, value) count aggregate over units, a per-arm cumulative
+    count window over the AGGREGATE grid rows (value quantization
+    bounds the grid; raw rows are touched exactly once), and the
+    quantile walk + arm pivot on the |grid|-row frame. Arms must be
+    0 (control) and 1 (treated). Returns one row per p:
+    ``(p, n_treat, n_control, q_treat, q_control, qte)``.
+    """
+    if not ps or any(not 0.0 < p < 1.0 for p in ps):
+        raise ValueError(f"ps must be quantiles in (0,1), got {ps}")
+    g = units.groupBy(
+        F.col(arm_col).alias("__arm"), F.col(y_col).cast("long").alias("__y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    cum = g.select(
+        "__arm",
+        "__y",
+        F.sum("__c")
+        .over(
+            Window.partitionBy("__arm")
+            .orderBy("__y")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("__cum"),
+    )
+    n = g.groupBy("__arm").agg(F.sum("__c").cast("long").alias("__n"))
+    fan = cum.join(F.broadcast(n), "__arm").select(
+        "__arm",
+        "__y",
+        "__cum",
+        "__n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    )
+    k = F.ceil(F.col("p") * F.col("__n").cast("double")).cast("long")
+    qs = (
+        fan.where(F.col("__cum") >= k)
+        .groupBy("__arm", "p")
+        .agg(F.min("__y").alias("__q"), F.max("__n").alias("__n"))
+    )
+    one = qs.groupBy("p").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__arm", F.struct("__q", "__n"))))
+        ).alias("__m")
+    )
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+    return one.select(
+        "p",
+        _arm(1, "__n").alias("n_treat"),
+        _arm(0, "__n").alias("n_control"),
+        _arm(1, "__q").alias("q_treat"),
+        _arm(0, "__q").alias("q_control"),
+        (_arm(1, "__q") - _arm(0, "__q")).alias("qte"),
+    ).orderBy("p")
+
+
+def markov_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    convert_type: str,
+    n_steps: int = 16,
+) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution — the
+    data-driven attribution model (Anderl et al. 2016): journeys are
+    per-key ordered touch sequences absorbed into CONV (first
+    ``convert_type`` event) or NULL (journey ends unconverted); the
+    first-order transition matrix is estimated from observed
+    consecutive pairs, and channel c's credit is its REMOVAL EFFECT
+
+        RE_c = 1 − P(conv | chain with c's edges sent to NULL)
+                   / P(conv | full chain)
+
+    normalized into attribution shares — unlike last-touch
+    (`asof_join`) or equal-credit (`linear_attribution`), a channel
+    that only ever feeds other channels still earns the credit the
+    chain loses without it.
+
+    Absorption probabilities use ``n_steps`` truncated power
+    iterations (p ← Q·p + r) with per-step 12-dp rounding rather than
+    a matrix inverse, so the math is bit-replayable in SQL; with
+    journeys a handful of hops long the truncation residual sits far
+    below the output rounding. Touches at or after the conversion
+    timestamp are outside the journey; a key converting with no prior
+    touch contributes a start→conv transition.
+
+    Scale shape: journey assembly is one key-partitioned lead window
+    over (ts, order) plus a rank-1 first-touch window, and transition
+    counting is ONE combinable (src, dst) aggregate — that is where
+    the data volume lives. The count matrix is then CONTRACTUALLY
+    TINY (≤ (k+1)(k+2) rows for k channels) and is collected for the
+    (k+1)-variant × n_steps power iteration on the driver — the same
+    tiny-collect pattern as the BPE per-merge argmax and the k-center
+    greedy step (an in-plan unroll of (k+1)² chained HOF projections
+    triggers exponential optimizer inlining past ~5 steps; 42 numbers
+    do not need a cluster). Returns one row per channel:
+    ``(channel, p_conv_base, removal_effect, attribution_pct,
+    attributed_conversions)``.
+    """
+    key, ts, order, typ = (
+        F.col(key_col), F.col(ts_col), F.col(order_col), F.col(type_col)
+    )
+    conv = (
+        events.where(typ == convert_type)
+        .groupBy(key.alias("__k"))
+        .agg(F.min(ts).alias("__cts"))
+    )
+    touches = (
+        events.where(typ != convert_type)
+        .select(key.alias("__k"), ts.alias("__ts"), order.alias("__o"),
+                typ.alias("__t"))
+        .join(conv, "__k", "left")
+        .where(F.col("__cts").isNull() | (F.col("__ts") < F.col("__cts")))
+        .select("__k", "__ts", "__o", "__t",
+                F.col("__cts").isNotNull().alias("__cv"))
+    )
+    w = Window.partitionBy("__k").orderBy("__ts", "__o")
+    seq = touches.select(
+        "__k", "__t", "__cv",
+        F.lead("__t").over(w).alias("__nxt"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    mid = seq.where(F.col("__nxt").isNotNull()).select(
+        F.col("__t").alias("src"), F.col("__nxt").alias("dst")
+    )
+    last = seq.where(F.col("__nxt").isNull()).select(
+        F.col("__t").alias("src"),
+        F.when(F.col("__cv"), F.lit("__conv__"))
+        .otherwise(F.lit("__null__"))
+        .alias("dst"),
+    )
+    first = seq.where(F.col("__rn") == 1).select(
+        F.lit("__start__").alias("src"), F.col("__t").alias("dst")
+    )
+    bare_conv = (
+        conv.join(touches.select("__k").distinct(), "__k", "left_anti")
+        .select(F.lit("__start__").alias("src"), F.lit("__conv__").alias("dst"))
+    )
+    trans_rows = (
+        mid.unionByName(last).unionByName(first).unionByName(bare_conv)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()  # <= (k+1)(k+2) rows by construction
+    )
+    n_conv = conv.count()
+
+    counts = {(r["src"], r["dst"]): float(r["c"]) for r in trans_rows}
+    specials = {"__start__", "__conv__", "__null__"}
+    chans = sorted(
+        {s for s, _ in counts} | {d for _, d in counts} - specials
+    )
+    chans = [c for c in chans if c not in specials]
+    states = ["__start__"] + chans
+    rowsum = {
+        s: sum(c for (a, _), c in counts.items() if a == s) for s in states
+    }
+
+    def _absorb(removed: str | None) -> float:
+        p = {s: 0.0 for s in states}
+        for _ in range(int(n_steps)):
+            nxt = {}
+            for s in states:
+                tot = rowsum[s]
+                if tot <= 0:
+                    nxt[s] = 0.0
+                    continue
+                acc = counts.get((s, "__conv__"), 0.0) / tot
+                for c in chans:
+                    if c == removed:
+                        continue
+                    acc += counts.get((s, c), 0.0) / tot * p[c]
+                nxt[s] = round(acc, 12)
+            p = nxt
+        return p["__start__"]
+
+    p_base = _absorb(None)
+    re = {
+        c: (max(0.0, (p_base - _absorb(c)) / p_base) if p_base > 0 else None)
+        for c in chans
+    }
+    tot_re = 0.0
+    for c in chans:  # fixed channel order, the ordered-fold discipline
+        tot_re += re[c] or 0.0
+    out = [
+        (
+            c,
+            round(p_base, 6),
+            round(re[c], 6) if re[c] is not None else None,
+            round(re[c] / tot_re * 100.0, 4)
+            if re[c] is not None and tot_re > 0
+            else None,
+            round(re[c] / tot_re * n_conv, 2)
+            if re[c] is not None and tot_re > 0
+            else None,
+        )
+        for c in chans
+    ]
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv_base double, removal_effect double, "
+        "attribution_pct double, attributed_conversions double",
+    ).orderBy("channel")
+
+
+def uplift_curve(
+    units: DataFrame,
+    arm_col: str,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Threshold-based uplift (Qini) curve (Radcliffe 2007) — the
+    model-QA readout for a targeting score: at every distinct score
+    threshold t, among units scored ≥ t,
+
+        qini(t)   = conv_T(t) − conv_C(t) · n_T(t) / n_C(t)
+        uplift(t) = conv_T(t)/n_T(t) − conv_C(t)/n_C(t)
+
+    A useful uplift score front-loads incremental conversions (qini
+    rises steeply then flattens); a useless one tracks the random
+    diagonal. Thresholds rather than forced deciles keep ties exact:
+    every cumulative count is an integer, so the curve is
+    bit-replayable — no fractional-rank tie splitting.
+
+    Scale shape: ONE combinable (score → 4 conditional counts)
+    aggregate over units; the cumulative walk is a window over the
+    |distinct scores| AGGREGATE grid rows (quantize a continuous
+    score first — the binary_auc precision contract). Returns one row
+    per distinct score: ``(score_threshold, n_treat, n_control,
+    conv_treat, conv_control, uplift_pct, qini)``.
+    """
+    g = units.groupBy(F.col(score_col).alias("score_threshold")).agg(
+        F.count(F.when(F.col(arm_col) == 1, 1)).cast("long").alias("__nt"),
+        F.count(F.when(F.col(arm_col) == 0, 1)).cast("long").alias("__nc"),
+        F.count(
+            F.when((F.col(arm_col) == 1) & (F.col(outcome_col) == 1), 1)
+        ).cast("long").alias("__ct"),
+        F.count(
+            F.when((F.col(arm_col) == 0) & (F.col(outcome_col) == 1), 1)
+        ).cast("long").alias("__cc"),
+    )
+    w = Window.orderBy(F.col("score_threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "score_threshold",
+        F.sum("__nt").over(w).alias("n_treat"),
+        F.sum("__nc").over(w).alias("n_control"),
+        F.sum("__ct").over(w).alias("conv_treat"),
+        F.sum("__cc").over(w).alias("conv_control"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return cum.select(
+        "score_threshold",
+        "n_treat",
+        "n_control",
+        "conv_treat",
+        "conv_control",
+        F.round(
+            F.when(
+                (F.col("n_treat") > 0) & (F.col("n_control") > 0),
+                (dd("conv_treat") / dd("n_treat")
+                 - dd("conv_control") / dd("n_control")) * 100.0,
+            ),
+            4,
+        ).alias("uplift_pct"),
+        F.round(
+            F.when(
+                F.col("n_control") > 0,
+                dd("conv_treat")
+                - dd("conv_control") * dd("n_treat") / dd("n_control"),
+            ),
+            4,
+        ).alias("qini"),
+    ).orderBy(F.col("score_threshold").desc())

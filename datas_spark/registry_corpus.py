@@ -1611,3 +1611,98 @@ def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_mojibake").cast("long").alias("n_artifacts"),
         (F.round(F.count_if(F.col("has_mojibake") == 1) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias("rate"),
     )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS words,
+             list_sum(list_transform(
+               list_filter(
+                 string_split_regex(
+                   trim(regexp_replace(lower(text), '([^\w\s])', ' \1 ', 'g')),
+                   '\s+'),
+                 t -> t <> ''),
+               t -> (len(t) + 3) // 4)) AS subwords
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS n_words,
+           sum(subwords)::BIGINT AS n_subwords,
+           round(sum(subwords)::DOUBLE / sum(words)::DOUBLE, 6) AS fertility
+    FROM d GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subwords per whitespace word
+    under the engine's deterministic BPE cost model
+    (`functions.text.tokenize` + ceil(len/4), the same convention the
+    packing/budget queries account in): the per-language tokenizer-tax
+    readout every multilingual mixture needs (a language at fertility
+    2x consumes twice the context window per word, so a char-budgeted
+    mixture over-trains it). Map-only HOFs + one grouped aggregate —
+    zero shuffles before the k-row lang frame."""
+    from datas_spark.functions.text import tokenize
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    subwords = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select(
+        "lang", words.alias("words"), subwords.alias("subwords")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("subwords").cast("long").alias("n_subwords"),
+        F.round(
+            F.sum("subwords").cast("double") / F.sum("words").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+
+
+@register(
+    "source_content_fingerprint",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum((('0x' || substr(md5(doc_id::VARCHAR || ':' || md5(text)),
+                  1, 15))::BIGINT)::HUGEINT)::VARCHAR AS fingerprint
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per source: the sum of
+    per-row md5-prefix hashes over (doc_id, md5(text)) — two snapshots
+    of a source are byte-identical iff (n_docs, fingerprint) match,
+    with NO sort and NO row shipping (the cheap preflight before
+    `corpus_snapshot_diff` does row-level work). Addition commutes, so
+    the fingerprint is stable under any partitioning/engine; sums run
+    as decimal-38 (2^60-bit hashes × millions of rows exceed int64)
+    and surface as strings (the driver compare is string-exact)."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col("text")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+    )

@@ -2042,3 +2042,282 @@ def q_experiment_obf_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sequential_looks(units, "look", "arm", "y")
+
+
+@register(
+    "experiment_qte",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), post AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), units AS (
+      SELECT (u.user_id % 2)::INT AS arm, coalesce(post.y, 0) AS y
+      FROM u LEFT JOIN post USING (user_id)
+    ), g AS (
+      SELECT arm, y, count(*)::BIGINT AS c FROM units GROUP BY 1, 2
+    ), cum AS (
+      SELECT arm, y,
+             sum(c) OVER (PARTITION BY arm ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ), n AS (
+      SELECT arm, sum(c)::BIGINT AS n FROM g GROUP BY arm
+    ), fan AS (
+      SELECT cum.arm, cum.y, cum.cum, n.n, ps.p
+      FROM cum JOIN n USING (arm),
+           (SELECT unnest(list_value(0.25::DOUBLE, 0.5::DOUBLE,
+                                     0.75::DOUBLE, 0.9::DOUBLE)) AS p) ps
+    ), qs AS (
+      SELECT arm, p, min(y) AS q, max(n) AS n
+      FROM fan WHERE cum >= ceil(p * n::DOUBLE)::BIGINT GROUP BY 1, 2
+    )
+    SELECT t.p, t.n AS n_treat, c.n AS n_control,
+           t.q AS q_treat, c.q AS q_control, t.q - c.q AS qte
+    FROM (SELECT * FROM qs WHERE arm = 1) t
+    JOIN (SELECT * FROM qs WHERE arm = 0) c USING (p)
+    ORDER BY p
+    """,
+)
+def q_experiment_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (`events.quantile_treatment_effect`)
+    at p ∈ {.25, .5, .75, .9} on the user-parity arms' per-user
+    purchase cents — the distributional companion of the CUPED/DiD
+    mean readouts (a whales-only effect moves p90 and leaves the
+    median alone; means can't tell those apart). Exact type-1 order
+    statistics via per-arm cumulative counts over the value grid —
+    no interpolation, no raw-row sort."""
+    from datas_spark.operators.events import quantile_treatment_effect
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    post = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.sum(cents).alias("y"))
+    )
+    units = (
+        ev.select("user_id").distinct()
+        .join(post, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    return quantile_treatment_effect(
+        units, "arm", "y", ps=(0.25, 0.5, 0.75, 0.9)
+    )
+
+
+def _markov_oracle(n_steps: int = 16) -> str:
+    """Chained-CTE twin of ``events.markov_attribution``: journey
+    transitions via the same lead/row_number windows, then the packed
+    (k+1)x(k+2) count matrix iterates (k+1) removal variants x
+    ``n_steps`` truncated power steps as list projections. Fold order
+    mirrors the driver loop exactly: each state's accumulator STARTS
+    at the conv term (list_prepend) and adds channel terms in channel
+    order, rounded to 12 dp per step."""
+    steps = []
+    prev = "b0"
+    for t in range(1, n_steps + 1):
+        steps.append(f"""
+    b{t} AS (
+      SELECT chans, kk, nconv, T, R,
+        list_transform(range(0, (kk+1)*(kk+1)), x ->
+          round(CASE WHEN R[(x % (kk+1)) + 1] > 0.0 THEN
+            list_sum(list_prepend(
+              T[(x % (kk+1)) * (kk+2) + kk + 1],
+              list_transform(range(0, kk), c ->
+                CASE WHEN (x // (kk+1)) = 0 OR c <> (x // (kk+1)) - 1
+                     THEN T[(x % (kk+1)) * (kk+2) + c + 1]
+                          * pv[(x // (kk+1)) * (kk+1) + c + 2]
+                     ELSE 0.0 END)))
+            / R[(x % (kk+1)) + 1]
+          ELSE 0.0 END, 12)) AS pv
+      FROM {prev}
+    )""")
+        prev = f"b{t}"
+    return f"""
+    WITH conv AS MATERIALIZED (
+      SELECT user_id AS k, min(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ), tch AS MATERIALIZED (
+      SELECT e.user_id AS k, e.ts, e.event_id AS o, e.event_type AS t,
+             (c.cts IS NOT NULL) AS cv
+      FROM events e LEFT JOIN conv c ON c.k = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (c.cts IS NULL OR e.ts < c.cts)
+    ), seq AS MATERIALIZED (
+      SELECT k, t, cv,
+             lead(t) OVER (PARTITION BY k ORDER BY ts, o) AS nxt,
+             row_number() OVER (PARTITION BY k ORDER BY ts, o) AS rn
+      FROM tch
+    ), tr AS (
+      SELECT t AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT t, CASE WHEN cv THEN '__conv__' ELSE '__null__' END
+      FROM seq WHERE nxt IS NULL
+      UNION ALL
+      SELECT '__start__', t FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT '__start__', '__conv__' FROM conv c
+      WHERE NOT EXISTS (SELECT 1 FROM tch WHERE tch.k = c.k)
+    ), cnt AS (
+      SELECT src, dst, count(*)::DOUBLE AS c FROM tr GROUP BY 1, 2
+    ), chs AS (
+      SELECT list_sort(list(DISTINCT ch)) AS chans FROM (
+        SELECT src AS ch FROM cnt UNION ALL SELECT dst FROM cnt
+      ) WHERE ch NOT IN ('__start__', '__conv__', '__null__')
+    ), nc AS (
+      SELECT count(*)::DOUBLE AS nconv FROM conv
+    ), idx AS (
+      SELECT CASE WHEN src = '__start__' THEN 0
+                  ELSE list_position(chs.chans, src) END AS si,
+             CASE WHEN dst = '__conv__' THEN len(chs.chans)
+                  WHEN dst = '__null__' THEN len(chs.chans) + 1
+                  ELSE list_position(chs.chans, dst) - 1 END AS di,
+             c
+      FROM cnt, chs
+    ), pk AS (
+      SELECT list(struct_pack(si := si, di := di, c := c)
+                  ORDER BY si, di) AS pairs
+      FROM idx
+    ), b0 AS (
+      SELECT chs.chans AS chans, len(chs.chans) AS kk, nc.nconv AS nconv,
+        list_transform(range(0, (len(chs.chans)+1)*(len(chs.chans)+2)), x ->
+          list_sum(list_transform(pk.pairs, s ->
+            CASE WHEN s.si = x // (len(chs.chans)+2)
+                  AND s.di = x % (len(chs.chans)+2)
+                 THEN s.c ELSE 0.0 END))) AS T,
+        list_transform(range(0, len(chs.chans)+1), s ->
+          list_sum(list_transform(pk.pairs, p ->
+            CASE WHEN p.si = s THEN p.c ELSE 0.0 END))) AS R,
+        list_transform(range(0, (len(chs.chans)+1)*(len(chs.chans)+1)),
+                       x -> 0.0) AS pv
+      FROM chs, nc, pk
+    ),{",".join(steps)},
+    fin AS (
+      SELECT chans, kk, nconv, pv,
+        list_transform(range(0, kk), c ->
+          CASE WHEN pv[1] > 0.0
+               THEN greatest((pv[1] - pv[(c+1)*(kk+1) + 1]) / pv[1], 0.0)
+          END) AS res
+      FROM {prev}
+    ), tt AS (
+      SELECT *, list_sum(list_transform(res, r -> coalesce(r, 0.0))) AS totre
+      FROM fin
+    )
+    SELECT chans[c + 1] AS channel,
+           round(pv[1], 6) AS p_conv_base,
+           round(res[c + 1], 6) AS removal_effect,
+           CASE WHEN res[c + 1] IS NOT NULL AND totre > 0.0
+                THEN round(res[c + 1] / totre * 100.0, 4) END
+             AS attribution_pct,
+           CASE WHEN res[c + 1] IS NOT NULL AND totre > 0.0
+                THEN round(res[c + 1] / totre * nconv, 2) END
+             AS attributed_conversions
+    FROM (SELECT unnest(range(0, kk)) AS c, chans, pv, res, totre, nconv
+          FROM tt)
+    ORDER BY channel
+    """
+
+
+@register("events_markov_attribution", oracle=_markov_oracle(16))
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (`events.markov_attribution`,
+    Anderl et al. 2016) over the events journeys: channels = the four
+    non-purchase event types, conversion = first purchase. The
+    data-driven attribution model — completes the attribution family
+    (last-touch `events_asof_click`, equal-credit
+    `view_linear_attribution`, `attribution_compare`) with the model
+    that credits feeder channels. Journey windows + ONE (src, dst)
+    count aggregate carry the data volume; the ≤(k+1)(k+2) count
+    matrix iterates driver-side (the BPE/k-center tiny-collect
+    pattern), bit-replayed by the oracle's unrolled 16-step CTEs."""
+    from datas_spark.operators.events import markov_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase", n_steps=16
+    )
+
+
+@register(
+    "experiment_uplift_qini",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), pre AS (
+      SELECT user_id, count(*)::BIGINT AS s FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    ), post AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+    ), units AS (
+      SELECT (u.user_id % 2)::INT AS arm,
+             coalesce(pre.s, 0) AS s,
+             (post.user_id IS NOT NULL)::INT AS y
+      FROM u LEFT JOIN pre USING (user_id) LEFT JOIN post USING (user_id)
+    ), g AS (
+      SELECT s AS score_threshold,
+             count(*) FILTER (WHERE arm = 1)::BIGINT AS nt,
+             count(*) FILTER (WHERE arm = 0)::BIGINT AS nc,
+             count(*) FILTER (WHERE arm = 1 AND y = 1)::BIGINT AS ct,
+             count(*) FILTER (WHERE arm = 0 AND y = 1)::BIGINT AS cc
+      FROM units GROUP BY 1
+    ), cum AS (
+      SELECT score_threshold,
+             sum(nt) OVER (ORDER BY score_threshold DESC
+                           ROWS UNBOUNDED PRECEDING) AS n_treat,
+             sum(nc) OVER (ORDER BY score_threshold DESC
+                           ROWS UNBOUNDED PRECEDING) AS n_control,
+             sum(ct) OVER (ORDER BY score_threshold DESC
+                           ROWS UNBOUNDED PRECEDING) AS conv_treat,
+             sum(cc) OVER (ORDER BY score_threshold DESC
+                           ROWS UNBOUNDED PRECEDING) AS conv_control
+      FROM g
+    )
+    SELECT score_threshold, n_treat, n_control, conv_treat, conv_control,
+           round(CASE WHEN n_treat > 0 AND n_control > 0 THEN
+             (conv_treat::DOUBLE / n_treat::DOUBLE
+              - conv_control::DOUBLE / n_control::DOUBLE) * 100.0 END, 4)
+             AS uplift_pct,
+           round(CASE WHEN n_control > 0 THEN
+             conv_treat::DOUBLE
+             - conv_control::DOUBLE * n_treat::DOUBLE / n_control::DOUBLE
+           END, 4) AS qini
+    FROM cum ORDER BY score_threshold DESC
+    """,
+)
+def q_experiment_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-based Qini/uplift curve (`events.uplift_curve`,
+    Radcliffe 2007): targeting score = pre-period view count, outcome
+    = any post-period purchase, arms = the user-parity split — does
+    targeting high-engagement users capture incremental conversions
+    faster than random? Exact integer cumulative counts over the
+    ~|distinct scores| grid; the experimentation family's model-QA
+    member next to the readouts (CUPED/DiD/QTE/OBF)."""
+    from datas_spark.operators.events import uplift_curve
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    pre = (
+        ev.where((F.col("event_type") == "view") & (F.col("ts") < cut))
+        .groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    post = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("ts") >= cut))
+        .select("user_id").distinct().withColumn("__y", F.lit(1))
+    )
+    units = (
+        ev.select("user_id").distinct()
+        .join(pre, "user_id", "left")
+        .join(post, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("__y", F.lit(0)).alias("y"),
+        )
+    )
+    return uplift_curve(units, "arm", "s", "y")

@@ -616,3 +616,71 @@ def q_balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return balanced_shards(docs, "doc_id", "n_chars", n_shards=8)
+
+
+@register(
+    "dsir_ess_report",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+             lower(unnest(string_split_regex(trim(text), '\s+'))) AS t
+      FROM documents
+    ), ct AS (
+      SELECT t, count(*)::BIGINT AS ct FROM toks WHERE tgt GROUP BY 1
+    ), cr AS (
+      SELECT t, count(*)::BIGINT AS cr FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT cr.t, coalesce(ct.ct, 0)::BIGINT AS ct, cr.cr
+      FROM cr LEFT JOIN ct USING (t)
+    ), scal AS (
+      SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr,
+             count(*)::BIGINT AS v
+      FROM vocab
+    ), ratio AS (
+      SELECT v.t,
+             ln((v.ct + 1)::DOUBLE / (s.nt + s.v)::DOUBLE)
+           - ln((v.cr + 1)::DOUBLE / (s.nr + s.v)::DOUBLE) AS lr
+      FROM vocab v CROSS JOIN scal s
+    ), scored AS (
+      SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+             round(sum(r.lr), 6) AS dsir_weight
+      FROM toks tk JOIN ratio r USING (t) GROUP BY 1
+    ), weights AS (
+      SELECT d.doc_id,
+             CASE WHEN s.dsir_weight IS NOT NULL AND s.n_tokens > 0
+                  THEN CAST(round(exp(s.dsir_weight / s.n_tokens::DOUBLE)
+                                  * 1000000.0) AS BIGINT)
+             END AS w
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    ), agg AS (
+      SELECT count(w)::BIGINT AS n_docs,
+             (count(*) - count(w))::BIGINT AS n_excluded,
+             sum(w::HUGEINT) AS sw,
+             sum(w::HUGEINT * w) AS sww,
+             max(w) AS mx
+      FROM weights
+    )
+    SELECT n_docs, n_excluded,
+           round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 3) AS ess,
+           round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE
+                 / n_docs::DOUBLE * 100.0, 4) AS ess_pct,
+           round(mx::DOUBLE / sw::DOUBLE * 100.0, 6) AS max_w_share_pct
+    FROM agg
+    """,
+)
+def q_dsir_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size audit of the DSIR weights
+    (`corpus.importance_weight_diagnostics`, Kong 1992): how
+    degenerate is sampling ∝ the per-token tilt exp(weight/n_tokens)?
+    ESS ≪ n means the resample would be near-copies of a few
+    target-looking documents — the number to check BEFORE running the
+    resample the `dsir_importance_weights` query prices. Exact
+    e6-quantized moment sums; one combinable aggregate over the scored
+    frame."""
+    from datas_spark.operators.corpus import importance_weight_diagnostics
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = dsir_importance(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    )
+    return importance_weight_diagnostics(scored, "dsir_weight", "n_tokens")

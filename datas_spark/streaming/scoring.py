@@ -1744,3 +1744,135 @@ def compact_ivm_store(
         _strip_marker(fs, p_store)
         out[sub] = {"folded_batches": len(committed), "n_files": n_files}
     return out
+
+
+# ---------------------------------------------------------------------------
+# streaming group-sequential experiment monitor: durable per-arm moments
+# ---------------------------------------------------------------------------
+
+
+def sequential_monitor_sink(
+    stream: DataFrame,
+    state_path: str,
+    arm_col: str,
+    y_col: str,
+    checkpoint_path: str,
+    compact_every: int = 8,
+):
+    """Streaming companion of `events.sequential_looks`: each
+    micro-batch folds its units into per-arm EXACT moment partials
+    ``(arm, n, sy, syy)`` (y integer-quantized, sums decimal-38) in a
+    committed ``__batch`` partition — the experiment accumulates as
+    the stream runs, and `sequential_monitor_state` turns the live
+    store into the current z / OBF-boundary readout at any moment.
+
+    Moments merge by SUM, so like the CMS sink (and unlike HLL's
+    idempotent max) correctness hangs on the commit-marker protocol:
+    replayed batches short-circuit on their marker, readers see only
+    committed partitions at or above the fold watermark, and every
+    ``compact_every`` batches the whole store folds into one ≤|arms|-
+    row partition whose `-fold` marker atomically supersedes the rest.
+
+    The input ``stream`` carries one row per UNIT-EVENT (a unit may
+    appear in many batches; moments accumulate per event — monitor
+    cumulative per-unit outcomes upstream if unit-level variance is
+    wanted, e.g. by feeding a per-batch pre-aggregated CDC feed)."""
+    mom_path = state_path + "/moments"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed, watermark = _committed_state(spark, state_path)
+        if batch_id in committed:
+            return
+        y = F.col(y_col).cast("decimal(38,0)")
+        mom = batch_df.groupBy(F.col(arm_col).cast("int").alias("arm")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).cast("decimal(38,0)").alias("sy"),
+            F.sum(y * y).cast("decimal(38,0)").alias("syy"),
+        )
+        live_count = len([b for b in committed if b >= watermark])
+        fold = live_count >= compact_every
+        if fold:
+            prior = _live_store(spark, mom_path, state_path, exclude_batch=batch_id)
+            if prior is not None:
+                mom = (
+                    mom.unionByName(prior.select("arm", "n", "sy", "syy"))
+                    .groupBy("arm")
+                    .agg(
+                        F.sum("n").cast("long").alias("n"),
+                        F.sum("sy").cast("decimal(38,0)").alias("sy"),
+                        F.sum("syy").cast("decimal(38,0)").alias("syy"),
+                    )
+                )
+        _write_batch_partition(mom, batch_id, mom_path)
+        if fold:
+            _commit_batch_fold(spark, state_path, batch_id)
+            _compact_batch_partitions(spark, mom_path, keep_from=batch_id)
+        else:
+            _commit_batch(spark, state_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sequential_monitor_state(
+    spark,
+    state_path: str,
+    look: int,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Current group-sequential readout from a `sequential_monitor_sink`
+    store: cumulative per-arm moments → arm difference, Welch SE, z,
+    and the O'Brien-Fleming boundary for interim ``look`` (1-based
+    into ``boundaries``, default the K=4 OBF table — the caller's
+    analysis plan decides which look this read IS; the store just
+    accumulates). Returns the `sequential_looks` row shape; NULL
+    metrics when a side has < 2 units."""
+    from datas_spark.operators.events import _OBF_BOUNDS_K4
+
+    bounds = [float(b) for b in (boundaries or _OBF_BOUNDS_K4)]
+    if not 1 <= int(look) <= len(bounds):
+        raise ValueError(f"look must be in 1..{len(bounds)}, got {look}")
+    empty = (
+        "look int, n_treat long, n_control long, diff double, se double, "
+        "z double, obf_bound double, crossed int"
+    )
+    store = _live_store(spark, state_path + "/moments", state_path, exclude_batch=-2)
+    if store is None:
+        return spark.createDataFrame([], empty)
+    mom = store.groupBy("arm").agg(
+        F.sum("n").cast("long").alias("__n"),
+        F.sum("sy").cast("decimal(38,0)").alias("__sy"),
+        F.sum("syy").cast("decimal(38,0)").alias("__syy"),
+    )
+    one = mom.agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("arm", F.struct("__n", "__sy", "__syy")))
+            )
+        ).alias("__m")
+    )
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+    dd = lambda c: c.cast("double")  # noqa: E731
+    nT, nC = dd(_arm(1, "__n")), dd(_arm(0, "__n"))
+    mT, mC = dd(_arm(1, "__sy")) / nT, dd(_arm(0, "__sy")) / nC
+    vT = (dd(_arm(1, "__syy")) - nT * mT * mT) / (nT - F.lit(1.0))
+    vC = (dd(_arm(0, "__syy")) - nC * mC * mC) / (nC - F.lit(1.0))
+    se = F.sqrt(vT / nT + vC / nC)
+    z = F.when(se > 0.0, (mT - mC) / se)
+    bound = F.lit(bounds[int(look) - 1])
+    return one.select(
+        F.lit(int(look)).alias("look"),
+        _arm(1, "__n").alias("n_treat"),
+        _arm(0, "__n").alias("n_control"),
+        F.round(mT - mC, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 4).alias("z"),
+        bound.alias("obf_bound"),
+        F.when(z.isNotNull(), F.abs(z) > bound).cast("int").alias("crossed"),
+    )

@@ -887,3 +887,26 @@ def test_doremi_null_losses_contribute_zero_excess(spark):
     # null (proxy - ref) clips to 0 via greatest, counted in the avg
     assert abs(rows["a"].excess_loss - 0.5) < 1e-9
     assert rows["a"].n_docs == 2
+
+
+def test_importance_weight_diagnostics_ess_bounds(spark):
+    """Uniform weights -> ESS == n (100%); one dominant weight -> ESS
+    near 1 and max share near 100%; NULL/zero-token rows excluded."""
+    from datas_spark.operators.corpus import importance_weight_diagnostics
+
+    uni = spark.createDataFrame(
+        [(0.0, 10)] * 50, "dsir_weight double, n_tokens long"
+    )
+    r = importance_weight_diagnostics(uni, "dsir_weight", "n_tokens").collect()[0]
+    assert r.n_docs == 50 and r.n_excluded == 0
+    assert r.ess == 50.0 and r.ess_pct == 100.0
+    assert abs(r.max_w_share_pct - 2.0) < 1e-6
+
+    skewed = spark.createDataFrame(
+        [(100.0, 10)] + [(0.0, 10)] * 49 + [(None, 0)],
+        "dsir_weight double, n_tokens long",
+    )
+    r2 = importance_weight_diagnostics(skewed, "dsir_weight", "n_tokens").collect()[0]
+    assert r2.n_docs == 50 and r2.n_excluded == 1
+    assert r2.ess < 1.01  # exp(10) dwarfs the 49 unit weights
+    assert r2.max_w_share_pct > 99.0

@@ -404,3 +404,124 @@ def test_sequential_looks_null_se_yields_null_crossed(spark):
     )
     r = sequential_looks(df, "look", "arm", "y").collect()[0]
     assert r.se == 0.0 and r.z is None and r.crossed is None
+
+
+def test_quantile_treatment_effect_exact_order_statistics(spark):
+    """Control = 1..100, treated = control + 10 at every rank: QTE is
+    exactly 10 at every p; type-1 quantile = ceil(p*n)-th smallest."""
+    from datas_spark.operators.events import quantile_treatment_effect
+
+    rows = [(0, i) for i in range(1, 101)] + [(1, i + 10) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "arm int, y long")
+    out = {r.p: r for r in quantile_treatment_effect(df, "arm", "y", (0.5, 0.9)).collect()}
+    assert out[0.5].q_control == 50 and out[0.5].q_treat == 60
+    assert out[0.9].q_control == 90 and out[0.9].q_treat == 100
+    assert out[0.5].qte == 10 and out[0.9].qte == 10
+    assert out[0.5].n_treat == 100 and out[0.5].n_control == 100
+
+
+def test_quantile_treatment_effect_sees_tail_only_effect(spark):
+    """A whales-only treatment (top decile doubled) must leave the
+    median QTE at 0 and move p90 — the property means can't show."""
+    from datas_spark.operators.events import quantile_treatment_effect
+    import pytest as _pytest
+
+    rows = [(0, i) for i in range(1, 101)] + [
+        (1, i * 2 if i > 85 else i) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "arm int, y long")
+    out = {r.p: r for r in quantile_treatment_effect(df, "arm", "y", (0.5, 0.9)).collect()}
+    assert out[0.5].qte == 0
+    assert out[0.9].qte > 0
+    with _pytest.raises(ValueError):
+        quantile_treatment_effect(df, "arm", "y", (0.0,))
+
+
+def test_markov_attribution_credits_feeder_channels(spark):
+    """A channel that ONLY feeds another channel (never last-touch)
+    must still earn credit — the property last-touch attribution
+    denies. Fixture: every conversion path is view -> click -> conv;
+    last-touch gives view nothing, Markov removal gives view 100% of
+    what click gets (removing either kills every conversion)."""
+    from datas_spark.operators.events import markov_attribution
+    import datetime as dtm
+
+    T = dtm.datetime
+    rows = []
+    eid = 0
+    for u in range(10):
+        eid += 3
+        rows += [
+            (u, T(2024, 1, 1, 10, 0), eid - 2, "view"),
+            (u, T(2024, 1, 1, 10, 1), eid - 1, "click"),
+            (u, T(2024, 1, 1, 10, 2), eid, "purchase"),
+        ]
+    # plus two non-converting view-only users so p_base < 1
+    rows += [(100, T(2024, 1, 1, 10, 0), 900, "view"),
+             (101, T(2024, 1, 1, 10, 0), 901, "view")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.channel: r for r in markov_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "purchase"
+    ).collect()}
+    assert set(out) == {"view", "click"}
+    # removing either channel severs every converting path
+    assert out["view"].removal_effect == 1.0
+    assert out["click"].removal_effect == 1.0
+    assert out["view"].attribution_pct == 50.0
+    assert out["click"].attribution_pct == 50.0
+    assert out["view"].attributed_conversions == 5.0  # half of 10
+
+
+def test_markov_attribution_journey_rules(spark):
+    """Touches after conversion are outside the journey; a bare
+    conversion contributes start->conv; ties order by event_id."""
+    from datas_spark.operators.events import markov_attribution
+    import datetime as dtm
+
+    T = dtm.datetime
+    rows = [
+        # u1 converts, then views afterwards (must not count)
+        (1, T(2024, 1, 1, 9, 0), 1, "click"),
+        (1, T(2024, 1, 1, 10, 0), 2, "purchase"),
+        (1, T(2024, 1, 1, 11, 0), 3, "view"),
+        # u2: bare conversion
+        (2, T(2024, 1, 1, 9, 0), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.channel: r for r in markov_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "purchase"
+    ).collect()}
+    # 'view' never appears inside a journey -> it is not a channel
+    assert set(out) == {"click"}
+    # removing click still leaves u2's bare conversion: p drops 2/2 -> 1/2
+    assert out["click"].removal_effect == 0.5
+    assert out["click"].p_conv_base == 1.0
+
+
+def test_uplift_curve_front_loads_incremental_conversions(spark):
+    """A perfect uplift score (converts iff treated AND high score)
+    shows qini == all incremental conversions at the high threshold
+    and a flat tail; a random score tracks ~0 uplift."""
+    from datas_spark.operators.events import uplift_curve
+
+    rows = []
+    for i in range(200):
+        arm = i % 2
+        hi = 1 if i < 100 else 0  # first half scored high
+        # converts only when treated AND high-scored
+        y = 1 if (arm == 1 and hi == 1) else 0
+        rows.append((arm, hi, y))
+    df = spark.createDataFrame(rows, "arm int, s int, y int")
+    out = {r.score_threshold: r for r in uplift_curve(df, "arm", "s", "y").collect()}
+    top = out[1]
+    assert (top.n_treat, top.n_control) == (50, 50)
+    assert top.conv_treat == 50 and top.conv_control == 0
+    assert top.qini == 50.0 and top.uplift_pct == 100.0
+    full = out[0]
+    assert (full.n_treat, full.n_control) == (100, 100)
+    assert full.qini == 50.0          # no more incremental conv below
+    assert full.uplift_pct == 50.0    # dilution halves the rate gap

@@ -1660,3 +1660,85 @@ def test_ivm_compaction_marker_protocol_crashes(spark, tmp_path):
     compact_ivm_store(spark, root + "/state", target_file_bytes=1 << 30)
     assert not os.path.exists(view + ".__compact")
     assert _state_ivm(spark, root) == before
+
+
+def test_sequential_monitor_sink_accumulates_and_survives_restart(spark, tmp_path):
+    """The streaming experiment monitor: moments accumulate across
+    micro-batches, replays are short-circuited by commit markers, a
+    restart with new data continues the experiment, and the readout
+    equals the batch `sequential_looks` computation over all data."""
+    import json as _json
+
+    from datas_spark.streaming.scoring import (
+        sequential_monitor_sink,
+        sequential_monitor_state,
+    )
+
+    src = tmp_path / "sm_src"
+    src.mkdir()
+    # three files -> three micro-batches; arm 1 has a +10 shift
+    all_rows = []
+    for f, rng in (("a", range(0, 40)), ("b", range(40, 80)), ("c", range(80, 120))):
+        with open(src / f"{f}.json", "w") as fh:
+            for i in rng:
+                arm = i % 2
+                y = (i // 2) % 20 + (10 if arm else 0)
+                all_rows.append((arm, y))
+                fh.write(_json.dumps({"arm": arm, "y": y}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("arm int, y bigint")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = sequential_monitor_sink(
+            stream,
+            str(tmp_path / "sm_state"),
+            "arm",
+            "y",
+            str(tmp_path / "sm_ckpt"),
+            compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    r = sequential_monitor_state(spark, str(tmp_path / "sm_state"), look=1).collect()[0]
+    assert (r.n_treat, r.n_control) == (60, 60)
+    assert r.obf_bound == 4.333
+
+    # the streamed readout must equal the batch computation on all data
+    from datas_spark.operators.events import sequential_looks
+
+    batch = spark.createDataFrame(
+        [(1, a, y) for a, y in all_rows], "look int, arm int, y long"
+    )
+    b = sequential_looks(batch, "look", "arm", "y").collect()[0]
+    assert (r.diff, r.se, r.z, r.crossed) == (b.diff, b.se, b.z, b.crossed)
+
+    # replay idempotence: re-running with no new data changes nothing
+    run()
+    r2 = sequential_monitor_state(spark, str(tmp_path / "sm_state"), look=2).collect()[0]
+    assert (r2.n_treat, r2.n_control, r2.diff) == (60, 60, r.diff)
+    assert r2.obf_bound == 2.963  # look picks the boundary
+
+    # restart with a fourth file: experiment continues
+    with open(src / "d.json", "w") as fh:
+        for i in range(120, 160):
+            arm = i % 2
+            fh.write(_json.dumps({"arm": arm, "y": (i // 2) % 20 + (10 if arm else 0)}) + "\n")
+    run()
+    r3 = sequential_monitor_state(spark, str(tmp_path / "sm_state"), look=4).collect()[0]
+    assert (r3.n_treat, r3.n_control) == (80, 80)
+
+    # compaction bounded the store
+    import glob as _glob
+
+    parts = _glob.glob(str(tmp_path / "sm_state" / "moments" / "__batch=*"))
+    assert 1 <= len(parts) <= 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sequential_monitor_state(spark, str(tmp_path / "sm_state"), look=9)
