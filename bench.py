@@ -348,6 +348,10 @@ HEADLINE = [
     "events_markov_attribution",
     "experiment_uplift_qini",
     "source_content_fingerprint",
+    # round-8 batch 5: treatment-effect heterogeneity (Cochran's Q)
+    "experiment_hte_segments",
+    # round-8 batch 5b: MDM golden-record survivorship over the ER match tier
+    "customer_golden_records",
 ]
 
 RUNS_PER_QUERY = 3

@@ -516,8 +516,12 @@ def bt_rating_k(
             "__pairs"
         )
     )
-    # two 1-row aggregates cross: the documented literal-sized BNLJ
-    row = items.crossJoin(F.broadcast(packed))
+    # two 1-row aggregates cross: the documented literal-sized BNLJ;
+    # an empty comparison frame yields an empty item list — drop the
+    # row so no downstream sequence(0, k-1) reverses on k = 0
+    row = items.crossJoin(F.broadcast(packed)).where(
+        F.size("__items") > 0
+    )
     # 0-based item indexes into the sorted item list
     row = row.select(
         "__items",
@@ -790,7 +794,9 @@ def split_conformal_audit(
         )
         .alias("__cum"),
     )
-    ncal = grid.agg(F.sum("__c").cast("long").alias("__ncal"))
+    ncal = grid.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__ncal")
+    )
     # k-th smallest residual: the first grid value whose running count
     # reaches k = ceil((1-alpha) * (n_cal + 1))
     k_expr = F.ceil(
@@ -805,9 +811,13 @@ def split_conformal_audit(
     cov = ev.agg(
         F.count(F.lit(1)).cast("long").alias("n_eval"),
         F.round(
-            F.count(F.when(F.col("__r") <= F.col("__q_e2"), 1)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-            * 100.0,
+            F.when(
+                F.count(F.lit(1)) > 0,  # ANSI guard: 0/0 raises, not NULLs
+                F.count(F.when(F.col("__r") <= F.col("__q_e2"), 1))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 100.0,
+            ),
             4,
         ).alias("__cov_raw"),
     )

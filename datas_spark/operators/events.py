@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve", "hte_segments"]
 
 
 def funnel_stage_times(
@@ -1088,3 +1088,124 @@ def uplift_curve(
             4,
         ).alias("qini"),
     ).orderBy(F.col("score_threshold").desc())
+
+
+# chi-square 95% critical values for df = 1..5 — fixed literals, the
+# same convention as srm_check's 99.9% table
+_CHI2_95 = [3.841, 5.991, 7.815, 9.488, 11.070]
+
+
+def hte_segments(
+    units: DataFrame,
+    segment_col: str,
+    arm_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Heterogeneous-treatment-effect readout by segment — the first
+    follow-up question to any A/B readout ("is the effect the same
+    for everyone?"), answered with the standard fixed-effect
+    meta-analysis machinery (Cochran 1954): per segment s the arm
+    difference d_s with Welch SE; across segments the
+    inverse-variance pooled estimate and Cochran's Q,
+
+        d̄ = Σ w_s·d_s / Σ w_s,   w_s = 1/SE_s²,
+        Q  = Σ w_s·(d_s − d̄)²   ~ χ²(k−1) under homogeneity
+
+    with ``het_flag`` = Q above the 95% χ² critical value — a fired
+    flag means one pooled number misleads and the per-segment rows
+    are the real readout.
+
+    Scale shape: ONE combinable exact-moment aggregate per
+    (segment, arm); everything after runs on the 2k-row frame packed
+    into a single row, every float fold in sorted-segment order (the
+    engine's ordered-fold discipline). Segments with a degenerate SE
+    (n < 2 or zero variance) are excluded from the pooled fold and
+    carry NULL diff context; df = valid segments − 1 (flag NULL past
+    df 5 or below 1). Arms must be 0/1. Returns one row per segment:
+    ``(segment, n_treat, n_control, diff, se, pooled_diff, q_stat,
+    df, het_flag)``.
+    """
+    y = F.col(y_col).cast("decimal(38,0)")
+    per = units.groupBy(
+        F.col(segment_col).alias("segment"), F.col(arm_col).alias("__arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    seg = per.groupBy("segment").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("__arm", F.struct("__n", "__sy", "__syy")))
+            )
+        ).alias("__m")
+    )
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+    dd = lambda c: c.cast("double")  # noqa: E731
+    nT, nC = dd(_arm(1, "__n")), dd(_arm(0, "__n"))
+    mT, mC = dd(_arm(1, "__sy")) / nT, dd(_arm(0, "__sy")) / nC
+    vT = (dd(_arm(1, "__syy")) - nT * mT * mT) / (nT - F.lit(1.0))
+    vC = (dd(_arm(0, "__syy")) - nC * mC * mC) / (nC - F.lit(1.0))
+    se2 = vT / nT + vC / nC
+    rows = seg.select(
+        "segment",
+        _arm(1, "__n").alias("n_treat"),
+        _arm(0, "__n").alias("n_control"),
+        (mT - mC).alias("__d"),
+        F.when(
+            (nT > 1) & (nC > 1) & (se2 > 0.0), F.sqrt(se2)
+        ).alias("__se"),
+    )
+    packed = rows.agg(
+        F.array_sort(
+            F.collect_list(F.struct("segment", "__d", "__se"))
+        ).alias("__s")
+    )
+    valid = F.filter("__s", lambda s: s["__se"].isNotNull())
+    sw = F.aggregate(
+        valid, F.lit(0.0), lambda a, s: a + 1.0 / (s["__se"] * s["__se"])
+    )
+    swd = F.aggregate(
+        valid,
+        F.lit(0.0),
+        lambda a, s: a + s["__d"] / (s["__se"] * s["__se"]),
+    )
+    scal = packed.select(
+        F.size(valid).alias("__k"),
+        sw.alias("__sw"),
+        swd.alias("__swd"),
+        "__s",
+    )
+    pooled = F.when(F.col("__sw") > 0.0, F.col("__swd") / F.col("__sw"))
+    scal = scal.select(
+        "__k",
+        pooled.alias("__pooled"),
+        F.aggregate(
+            F.filter("__s", lambda s: s["__se"].isNotNull()),
+            F.lit(0.0),
+            lambda a, s: a
+            + (s["__d"] - pooled) * (s["__d"] - pooled)
+            / (s["__se"] * s["__se"]),
+        ).alias("__q"),
+    )
+    dfree = F.col("__k") - 1
+    crit = F.when(
+        (dfree >= 1) & (dfree <= len(_CHI2_95)),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _CHI2_95]), dfree.cast("int")
+        ),
+    )
+    return rows.crossJoin(F.broadcast(scal)).select(
+        "segment",
+        "n_treat",
+        "n_control",
+        F.round("__d", 6).alias("diff"),
+        F.round("__se", 6).alias("se"),
+        F.round("__pooled", 6).alias("pooled_diff"),
+        F.round(F.when(dfree >= 1, F.col("__q")), 6).alias("q_stat"),
+        dfree.cast("int").alias("df"),
+        F.when(crit.isNotNull(), F.col("__q") > crit)
+        .cast("int")
+        .alias("het_flag"),
+    ).orderBy("segment")

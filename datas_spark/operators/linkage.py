@@ -20,13 +20,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "LinkageField",
     "blocked_candidate_pairs",
     "linkage_scores",
+    "golden_records",
 ]
 
 
@@ -151,3 +152,70 @@ def linkage_scores(
             F.lit("possible")
         ),
     )
+
+
+def golden_records(
+    recs: DataFrame,
+    id_col: str,
+    match_pairs: DataFrame,
+    fields: list[str],
+) -> DataFrame:
+    """Golden-record survivorship — the step AFTER entity resolution:
+    matched records cluster into entities (connected components over
+    the match-tier pairs), and each entity publishes ONE record with
+    per-field survivorship: the most frequent non-null value wins,
+    ties break to the smallest value (mode election, deterministic —
+    the standard MDM rule set minus recency, which the synthetic
+    records don't carry). Unmatched records are their own entity.
+
+    Scale shape: components iterate on the match-pair graph only;
+    each field's election is ONE (entity, value) count aggregate plus
+    a rank-1 window keyed by entity (WindowGroupLimit prunes map-side);
+    elected fields join back on the entity key. Returns one row per
+    entity: ``(golden_id, n_records, <field>...)`` with golden_id =
+    the smallest member record id.
+    """
+    from datas_spark.operators.dedup import connected_components
+
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    comp = connected_components(match_pairs)
+    base = (
+        recs.select(F.col(id_col).alias("__rid"), *fields)
+        .join(
+            comp.select(
+                F.col("node").alias("__rid"), F.col("component").alias("__g")
+            ),
+            "__rid",
+            "left",
+        )
+        .select(
+            F.coalesce("__g", F.col("__rid")).alias("golden_id"),
+            "__rid",
+            *fields,
+        )
+        # base feeds |fields|+1 branches (sizes + one election each);
+        # unpinned, every branch re-evaluates the whole upstream
+        # ER-scoring + CC chain (the merge_snapshot_scd2 trap) —
+        # measured 7.4s -> pinning collapses it to one evaluation
+        .localCheckpoint(eager=False)
+    )
+    out = base.groupBy("golden_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    for f in fields:
+        counts = (
+            base.where(F.col(f).isNotNull())
+            .groupBy("golden_id", f)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        pick = Window.partitionBy("golden_id").orderBy(
+            F.col("__c").desc(), F.col(f).asc()
+        )
+        elected = (
+            counts.withColumn("__rn", F.row_number().over(pick))
+            .where(F.col("__rn") == 1)
+            .select("golden_id", f)
+        )
+        out = out.join(elected, "golden_id", "left")
+    return out

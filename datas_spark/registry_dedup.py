@@ -2981,3 +2981,72 @@ def q_near_dup_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ART.pairs_artifact(spark, sf_dir, "embcos")
     return D.label_propagation(pairs, n_rounds=_LPA_ROUNDS)
+
+
+@register(
+    "customer_golden_records",
+    oracle=f"""
+    WITH RECURSIVE {_ER_SCORED_SQL},
+    me AS (
+      SELECT id_a AS a, id_b AS b FROM classified WHERE decision = 'match'
+      UNION
+      SELECT id_b, id_a FROM classified WHERE decision = 'match'
+    ), reach(node, r) AS (
+      SELECT a, a FROM me
+      UNION
+      SELECT me.a, reach.r FROM me JOIN reach ON reach.node = me.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), base AS (
+      SELECT coalesce(comp.component, recs.rec_id) AS golden_id,
+             recs.rec_id, recs.name, recs.phone, recs.addr
+      FROM recs LEFT JOIN comp ON comp.node = recs.rec_id
+    ), sizes AS (
+      SELECT golden_id, count(*)::BIGINT AS n_records FROM base GROUP BY 1
+    ), e_name AS (
+      SELECT golden_id, name FROM (
+        SELECT golden_id, name,
+               row_number() OVER (PARTITION BY golden_id
+                                  ORDER BY count(*) DESC, name ASC) AS rn
+        FROM base WHERE name IS NOT NULL GROUP BY golden_id, name
+      ) WHERE rn = 1
+    ), e_phone AS (
+      SELECT golden_id, phone FROM (
+        SELECT golden_id, phone,
+               row_number() OVER (PARTITION BY golden_id
+                                  ORDER BY count(*) DESC, phone ASC) AS rn
+        FROM base WHERE phone IS NOT NULL GROUP BY golden_id, phone
+      ) WHERE rn = 1
+    ), e_addr AS (
+      SELECT golden_id, addr FROM (
+        SELECT golden_id, addr,
+               row_number() OVER (PARTITION BY golden_id
+                                  ORDER BY count(*) DESC, addr ASC) AS rn
+        FROM base WHERE addr IS NOT NULL GROUP BY golden_id, addr
+      ) WHERE rn = 1
+    )
+    SELECT s.golden_id, s.n_records, e_name.name, e_phone.phone, e_addr.addr
+    FROM sizes s
+    LEFT JOIN e_name USING (golden_id)
+    LEFT JOIN e_phone USING (golden_id)
+    LEFT JOIN e_addr USING (golden_id)
+    """,
+)
+def q_customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (`linkage.golden_records`) over the
+    entity-resolution match tier — the MDM step AFTER
+    `customer_entity_resolution` classifies pairs: match-tier pairs
+    cluster into entities (CC), each entity publishes one record with
+    per-field mode election (ties to the smallest value), singletons
+    pass through. The planted duplicate classes resolve exactly: the
+    perturbed field is outvoted 1-2 wherever the base value ties win,
+    and the oracle replays blocking, scoring, the component recursion,
+    AND every field election."""
+    from datas_spark.operators.linkage import golden_records
+
+    scored = _er_scored(spark, sf_dir)
+    matches = scored.where(F.col("decision") == "match").select(
+        "id_a", "id_b"
+    )
+    recs = _er_records(spark, sf_dir)
+    return golden_records(recs, "rec_id", matches, ["name", "phone", "addr"])

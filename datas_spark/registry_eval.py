@@ -1391,8 +1391,8 @@ def q_passk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r, sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum
       FROM grid
     ), nc AS (
-      SELECT sum(c)::BIGINT AS ncal,
-             ceil(0.9::DOUBLE * (sum(c) + 1)::DOUBLE)::BIGINT AS k
+      SELECT coalesce(sum(c), 0)::BIGINT AS ncal,
+             ceil(0.9::DOUBLE * (coalesce(sum(c), 0) + 1)::DOUBLE)::BIGINT AS k
       FROM grid
     ), q AS (
       SELECT min(r) AS q_e2 FROM cum, nc WHERE cum >= nc.k

@@ -2321,3 +2321,116 @@ def q_experiment_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return uplift_curve(units, "arm", "s", "y")
+
+
+@register(
+    "experiment_hte_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN count(*) < 58 THEN 'a_lt58'
+                  WHEN count(*) < 66 THEN 'b_58to65'
+                  WHEN count(*) < 74 THEN 'c_66to73'
+                  ELSE 'd_74plus' END AS seg
+      FROM events GROUP BY user_id
+    ), post AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), units AS (
+      SELECT u.seg AS segment, (u.user_id % 2)::INT AS arm,
+             coalesce(post.y, 0) AS y
+      FROM u LEFT JOIN post USING (user_id)
+    ), pa AS (
+      SELECT segment, arm, count(*)::BIGINT AS n,
+             sum(y::HUGEINT) AS sy, sum(y::HUGEINT * y) AS syy
+      FROM units GROUP BY 1, 2
+    ), w AS (
+      SELECT segment,
+        max(CASE WHEN arm = 1 THEN n END) AS nt,
+        max(CASE WHEN arm = 0 THEN n END) AS nc,
+        max(CASE WHEN arm = 1 THEN sy END)::DOUBLE AS syt,
+        max(CASE WHEN arm = 0 THEN sy END)::DOUBLE AS syc,
+        max(CASE WHEN arm = 1 THEN syy END)::DOUBLE AS syyt,
+        max(CASE WHEN arm = 0 THEN syy END)::DOUBLE AS syyc
+      FROM pa GROUP BY segment
+    ), m AS (
+      SELECT segment, nt, nc,
+             syt / nt::DOUBLE AS mt, syc / nc::DOUBLE AS mc,
+             (syyt - nt::DOUBLE * (syt / nt::DOUBLE) * (syt / nt::DOUBLE))
+               / (nt::DOUBLE - 1.0) AS vt,
+             (syyc - nc::DOUBLE * (syc / nc::DOUBLE) * (syc / nc::DOUBLE))
+               / (nc::DOUBLE - 1.0) AS vc
+      FROM w
+    ), r AS (
+      SELECT segment, nt, nc, mt - mc AS d,
+             CASE WHEN nt > 1 AND nc > 1
+                   AND (vt / nt::DOUBLE + vc / nc::DOUBLE) > 0.0
+                  THEN sqrt(vt / nt::DOUBLE + vc / nc::DOUBLE) END AS se
+      FROM m
+    ), pk AS (
+      SELECT list(struct_pack(segment := segment, d := d, se := se)
+                  ORDER BY segment) AS s
+      FROM r
+    ), sc AS (
+      SELECT len(list_filter(s, x -> x.se IS NOT NULL)) AS k,
+        list_sum(list_transform(list_filter(s, x -> x.se IS NOT NULL),
+                                x -> 1.0 / (x.se * x.se))) AS sw,
+        list_sum(list_transform(list_filter(s, x -> x.se IS NOT NULL),
+                                x -> x.d / (x.se * x.se))) AS swd,
+        s
+      FROM pk
+    ), sc2 AS (
+      SELECT k,
+        CASE WHEN sw > 0.0 THEN swd / sw END AS pooled,
+        list_sum(list_transform(list_filter(s, x -> x.se IS NOT NULL),
+          x -> (x.d - CASE WHEN sw > 0.0 THEN swd / sw END)
+             * (x.d - CASE WHEN sw > 0.0 THEN swd / sw END)
+             / (x.se * x.se))) AS q
+      FROM sc
+    )
+    SELECT r.segment, r.nt AS n_treat, r.nc AS n_control,
+           round(r.d, 6) AS diff, round(r.se, 6) AS se,
+           round(sc2.pooled, 6) AS pooled_diff,
+           round(CASE WHEN sc2.k - 1 >= 1 THEN sc2.q END, 6) AS q_stat,
+           (sc2.k - 1)::INT AS df,
+           CASE WHEN sc2.k - 1 BETWEEN 1 AND 5 THEN
+             (sc2.q > list_value(3.841::DOUBLE, 5.991::DOUBLE,
+                                 7.815::DOUBLE, 9.488::DOUBLE,
+                                 11.070::DOUBLE)[sc2.k - 1])::INT
+           END AS het_flag
+    FROM r, sc2 ORDER BY r.segment
+    """,
+)
+def q_experiment_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treatment-effect heterogeneity by activity band
+    (`events.hte_segments`, Cochran's Q): per user-activity-quartile
+    segment the arm difference in purchase cents with Welch SE, the
+    inverse-variance pooled estimate, and the Q homogeneity test —
+    the "is the effect the same for everyone" follow-up to the
+    CUPED/DiD readouts, on the same parity arms. One exact-moment
+    aggregate per (segment, arm); every cross-segment float fold runs
+    in sorted-segment order on the packed 1-row frame."""
+    from datas_spark.operators.events import hte_segments
+
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__na"))
+    seg = (
+        F.when(F.col("__na") < 58, F.lit("a_lt58"))
+        .when(F.col("__na") < 66, F.lit("b_58to65"))
+        .when(F.col("__na") < 74, F.lit("c_66to73"))
+        .otherwise(F.lit("d_74plus"))
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    post = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.sum(cents).alias("y"))
+    )
+    units = (
+        first.join(post, "user_id", "left")
+        .select(
+            seg.alias("segment"),
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    return hte_segments(units, "segment", "arm", "y")

@@ -89,3 +89,63 @@ def test_round3_operators_empty_inputs(spark):
     assert len(rows) == 1 and rows[0].r_tag is None
     salted = J.asof_join(left, right, "id", "ts", "ts", salt_buckets=4).collect()
     assert len(salted) == 1 and salted[0].r_tag is None
+
+
+def test_round8_operators_empty_inputs(spark):
+    """Round-8 additions on zero rows: plans build and execute."""
+    from datas_spark.operators.dedup import label_propagation
+    from datas_spark.operators.evalmetrics import (
+        bt_rating_k,
+        pass_at_k,
+        split_conformal_audit,
+    )
+    from datas_spark.operators.events import (
+        hte_segments,
+        markov_attribution,
+        quantile_treatment_effect,
+        sequential_looks,
+        uplift_curve,
+    )
+    from datas_spark.operators.linkage import golden_records
+    from datas_spark.operators.validate import dp_release_audit
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert label_propagation(pairs, 3).count() == 0
+
+    comps = spark.createDataFrame([], "winner string, loser string")
+    assert bt_rating_k(comps, "winner", "loser", 3).count() == 0
+
+    resp = spark.createDataFrame([], "g string, ok int")
+    assert pass_at_k(resp, "g", "ok", [1, 2]).count() == 0
+
+    scored = spark.createDataFrame([], "split string, y double, pred double")
+    r = split_conformal_audit(scored, "split", "y", "pred").collect()[0]
+    # empty calibration: k = ceil(0.9 * 1) = 1 > 0 -> infinite interval
+    assert r.n_cal == 0 and r.q_hat is None and r.coverage_pct == 100.0
+
+    units = spark.createDataFrame([], "arm int, y long")
+    assert quantile_treatment_effect(units, "arm", "y", (0.5,)).count() == 0
+    assert uplift_curve(
+        spark.createDataFrame([], "arm int, s int, y int"), "arm", "s", "y"
+    ).count() == 0
+    assert hte_segments(
+        spark.createDataFrame([], "segment string, arm int, y long"),
+        "segment", "arm", "y",
+    ).count() == 0
+    assert sequential_looks(
+        spark.createDataFrame([], "look int, arm int, y long"),
+        "look", "arm", "y",
+    ).count() == 0
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    assert markov_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase"
+    ).count() == 0
+
+    recs = spark.createDataFrame([], "rec_id long, name string")
+    assert golden_records(recs, "rec_id", pairs, ["name"]).count() == 0
+
+    docs = spark.createDataFrame([], "key string")
+    assert dp_release_audit(docs, "key").count() == 0

@@ -525,3 +525,48 @@ def test_uplift_curve_front_loads_incremental_conversions(spark):
     assert (full.n_treat, full.n_control) == (100, 100)
     assert full.qini == 50.0          # no more incremental conv below
     assert full.uplift_pct == 50.0    # dilution halves the rate gap
+
+
+def test_hte_segments_flags_planted_heterogeneity(spark):
+    """Two segments with the same effect -> Q ~ 0, no flag; a planted
+    segment-dependent effect -> Q large, flag fires; pooled estimate
+    sits between the per-segment diffs."""
+    from datas_spark.operators.events import hte_segments
+
+    def frame(eff_b):
+        rows = []
+        for i in range(400):
+            segment = "a" if i < 200 else "b"
+            arm = i % 2
+            eff = 50 if segment == "a" else eff_b
+            rows.append((segment, arm, (i // 2) % 20 + (eff if arm else 0)))
+        return spark.createDataFrame(rows, "segment string, arm int, y long")
+
+    homo = {r.segment: r for r in hte_segments(frame(50), "segment", "arm", "y").collect()}
+    assert homo["a"].diff == 50.0 and homo["b"].diff == 50.0
+    assert homo["a"].q_stat == 0.0 and homo["a"].het_flag == 0
+    assert homo["a"].pooled_diff == 50.0
+    assert homo["a"].df == 1
+
+    het = {r.segment: r for r in hte_segments(frame(5), "segment", "arm", "y").collect()}
+    assert het["a"].diff == 50.0 and het["b"].diff == 5.0
+    assert het["a"].het_flag == 1
+    assert 5.0 < het["a"].pooled_diff < 50.0
+    # same scalars on every row (pooled/Q are cross-segment)
+    assert het["a"].q_stat == het["b"].q_stat
+
+
+def test_hte_segments_degenerate_segment_excluded(spark):
+    """A segment with a single unit per arm (no variance df) is
+    excluded from the pooled fold; with only one valid segment the
+    Q test has df 0 and stays NULL."""
+    from datas_spark.operators.events import hte_segments
+
+    rows = [("big", i % 2, (i // 2) % 10 + (7 if i % 2 else 0)) for i in range(100)]
+    rows += [("tiny", 0, 5), ("tiny", 1, 9)]
+    df = spark.createDataFrame(rows, "segment string, arm int, y long")
+    out = {r.segment: r for r in hte_segments(df, "segment", "arm", "y").collect()}
+    assert out["tiny"].se is None
+    assert out["big"].df == 0
+    assert out["big"].q_stat is None and out["big"].het_flag is None
+    assert out["big"].pooled_diff == out["big"].diff

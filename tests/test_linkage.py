@@ -74,3 +74,49 @@ def test_linkage_drops_below_possible(spark):
     pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
     fields = [LinkageField("phone", 5, -100)]
     assert linkage_scores(df, "rid", pairs, fields, 10, 0).count() == 0
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Mode election per field with smallest-value tie-break;
+    singletons pass through; golden_id is the smallest member id."""
+    from datas_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            # entity {1,2,3}: name majority 'alice'; phone tie -> min wins
+            (1, "alice", "111", "addr a"),
+            (2, "alice", "222", "addr a"),
+            (3, "alicX", "111", None),
+            # singleton
+            (9, "bob", "999", "addr b"),
+        ],
+        "rec_id long, name string, phone string, addr string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.golden_id: r for r in golden_records(
+        recs, "rec_id", pairs, ["name", "phone", "addr"]
+    ).collect()}
+    assert set(out) == {1, 9}
+    g = out[1]
+    assert g.n_records == 3
+    assert g.name == "alice"       # 2-1 majority
+    assert g.phone == "111"        # 2-1 majority
+    assert g.addr == "addr a"      # NULLs never win
+    s = out[9]
+    assert (s.n_records, s.name, s.phone, s.addr) == (1, "bob", "999", "addr b")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        golden_records(recs, "rec_id", pairs, [])
+
+
+def test_golden_records_tie_breaks_to_smallest_value(spark):
+    from datas_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [(1, "zeta"), (2, "alpha")], "rec_id long, name string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = golden_records(recs, "rec_id", pairs, ["name"]).collect()[0]
+    assert (r.golden_id, r.name) == (1, "alpha")

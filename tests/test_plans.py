@@ -205,6 +205,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "bt_model_ratings",                # 1-row packed item list x 1-row packed pair list
         "conformal_coverage_audit",        # 1-row ratio/k-rank/q-hat scalars
         "dsir_ess_report",                 # dsir's 1-row smoothing scalars (inherited subplan)
+        "experiment_hte_segments",         # 1-row packed pooled/Q scalar frame
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

@@ -417,3 +417,76 @@ def test_preference_pairs_invariants(spark, rows, margin, quota):
         if any(s <= max(c[1] for c in cands) - margin for _, s, _ in cands)
     }
     assert len(out) <= len(eligible_prompts)
+
+
+# ------------------------------------------------------------------
+# round 8: post-training + experimentation operator invariants
+# ------------------------------------------------------------------
+
+
+@given(
+    outcomes=st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()), min_size=2, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_pass_at_k_monotone_in_k_and_bounded(spark, outcomes):
+    """pass@k is nondecreasing in k and sits in [0, 1]; k >= n with
+    any success gives exactly 1 for that prompt."""
+    from datas_spark.operators.evalmetrics import pass_at_k
+
+    rows = [(f"g{g}", int(ok)) for g, ok in outcomes]
+    df = spark.createDataFrame(rows, "g string, ok int")
+    got = {r.k: r.pass_at_k for r in pass_at_k(df, "g", "ok", [1, 2, 4, 8]).collect()}
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a] <= got[b] + 1e-9
+    for k in ks:
+        assert -1e-9 <= got[k] <= 1 + 1e-9
+
+
+@given(
+    games=st.lists(
+        st.tuples(st.sampled_from("ABCD"), st.sampled_from("ABCD")),
+        min_size=1,
+        max_size=40,
+    ).map(lambda g: [(w, l) for w, l in g if w != l])
+)
+@settings(**SETTINGS)
+def test_bt_ratings_are_a_distribution_and_order_free(spark, games):
+    """Ratings form a distribution over items; reversing the input row
+    order changes nothing (the packed fold is sorted)."""
+    from hypothesis import assume as _assume
+
+    from datas_spark.operators.evalmetrics import bt_rating_k
+
+    _assume(len(games) >= 1)
+    df1 = spark.createDataFrame(games, "winner string, loser string")
+    df2 = spark.createDataFrame(list(reversed(games)), "winner string, loser string")
+    a = sorted(map(tuple, bt_rating_k(df1, "winner", "loser", 4).collect()))
+    b = sorted(map(tuple, bt_rating_k(df2, "winner", "loser", 4).collect()))
+    assert a == b
+    tot = sum(r[3] for r in a)
+    assert abs(tot - 1.0) < 1e-5
+    assert all(r[3] >= 0 for r in a)
+
+
+@given(
+    ys=st.lists(st.integers(0, 1000), min_size=4, max_size=60),
+)
+@settings(**SETTINGS)
+def test_qte_quantiles_monotone_in_p(spark, ys):
+    """Per-arm type-1 quantiles are nondecreasing in p, and QTE of an
+    arm against itself is 0 at every p."""
+    from datas_spark.operators.events import quantile_treatment_effect
+
+    rows = [(a, y) for y in ys for a in (0, 1)]
+    df = spark.createDataFrame(rows, "arm int, y long")
+    out = sorted(
+        quantile_treatment_effect(df, "arm", "y", (0.25, 0.5, 0.75, 0.9)).collect(),
+        key=lambda r: r.p,
+    )
+    for a, b in zip(out, out[1:]):
+        assert a.q_treat <= b.q_treat
+        assert a.q_control <= b.q_control
+    assert all(r.qte == 0 for r in out)  # identical arms
