@@ -352,6 +352,8 @@ HEADLINE = [
     "experiment_hte_segments",
     # round-8 batch 5b: MDM golden-record survivorship over the ER match tier
     "customer_golden_records",
+    # round-8 batch 6: Dirichlet query-likelihood retrieval (the LM scorer)
+    "ql_dirichlet_topk",
 ]
 
 RUNS_PER_QUERY = 3

@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast
 
 from datas_spark.functions.text import word_tokens
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "ql_dirichlet_topk"]
 
 
 def bm25_topk(
@@ -159,5 +159,97 @@ def rrf_fuse(
             n_lists.cast("int").alias("n_lists"),
         )
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_n)
+    )
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` documents by Dirichlet-smoothed query likelihood
+    (Zhai & Lafferty 2001) — the language-modeling retrieval twin of
+    `bm25_topk` (the other classic lexical scorer; disagreement
+    between the two is itself a ranking-quality signal for `rrf_fuse`):
+
+        score(d) = Σ_t ln(1 + tf(t,d) / (μ·p(t|C))) + |q|·ln(μ/(|d|+μ)),
+        p(t|C) = cf(t) / Σ|d|
+
+    Query terms absent from the corpus (p = 0) are dropped and |q|
+    shrinks accordingly — the standard zero-probability convention.
+    Note the per-doc length adjustment means EVERY document scores
+    (longer docs pay more smoothing), unlike BM25 where unmatched
+    docs drop out.
+
+    Scale shape: postings filter to the query vocabulary before the
+    explode (as in BM25); collection frequencies are a |q|-row
+    broadcast; the length adjustment is map-side over the (id, dl)
+    projection; matched contributions fold per doc in term order
+    (bit-reproducible), then one TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu <= 0:
+        raise ValueError(f"mu must be > 0, got {mu}")
+    terms = [t.lower() for t in query_terms]
+
+    toks = docs.select(
+        F.col(id_col),
+        F.transform(word_tokens(text_col), lambda w: F.lower(w)).alias("__w"),
+    )
+    lens = toks.select(F.col(id_col), F.size("__w").cast("long").alias("dl"))
+    consts = lens.agg(F.sum("dl").cast("long").alias("sum_dl"))
+    tf = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.col("__w"), lambda w: w.isin(terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    nq = cf.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    # matched contributions: ln(1 + tf / (mu * cf / sum_dl))
+    contrib = F.log(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        / (
+            F.lit(float(mu))
+            * F.col("cf").cast("double")
+            / F.col("sum_dl").cast("double")
+        )
+    )
+    matched = (
+        tf.join(broadcast(cf), "term")
+        .crossJoin(broadcast(consts))
+        .select(
+            F.col(id_col), F.struct(F.col("term"), contrib.alias("c")).alias("tc")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("tc")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("__m")
+        )
+    )
+    adj = F.col("n_terms").cast("double") * F.log(
+        F.lit(float(mu)) / (F.col("dl").cast("double") + F.lit(float(mu)))
+    )
+    return (
+        lens.join(matched, id_col, "left")
+        .crossJoin(broadcast(nq))
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce("__m", F.lit(0.0)) + adj, 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_n)
     )

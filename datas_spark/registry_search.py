@@ -460,3 +460,61 @@ def q_bm25_rerank_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rank") <= _RERANK_TOP).select(
         "doc_id", "bm25_score", "ce_score", "rank"
     )
+
+
+_QL_MU = 2000.0
+
+
+@register(
+    "ql_dirichlet_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), cf AS (
+      SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+    ), nq AS (
+      SELECT count(*)::BIGINT AS n_terms FROM cf
+    ), m AS (
+      SELECT tf.doc_id,
+        list_reduce(
+          list(ln(1.0 + tf.tf::DOUBLE
+                  / ({_QL_MU} * cf.cf::DOUBLE / c.sum_dl::DOUBLE))
+               ORDER BY tf.term),
+          (a, b) -> a + b) AS m
+      FROM tf JOIN cf USING (term) CROSS JOIN consts c
+      GROUP BY tf.doc_id
+    )
+    SELECT l.doc_id,
+           round(coalesce(m.m, 0.0)
+                 + nq.n_terms::DOUBLE
+                   * ln({_QL_MU} / (l.dl::DOUBLE + {_QL_MU})), 4) AS score
+    FROM lens l LEFT JOIN m USING (doc_id) CROSS JOIN nq
+    ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOP}
+    """,
+)
+def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval
+    (`search.ql_dirichlet_topk`, Zhai & Lafferty 2001) for the same
+    fixed query as `bm25_topk` — the language-modeling scorer next to
+    the probabilistic one; `hybrid_search_rrf` can fuse either. Every
+    document scores (the smoothing adjustment depends on doc length),
+    postings still filter to the query vocabulary before the explode,
+    and per-doc folds run in term order."""
+    from datas_spark.operators.search import ql_dirichlet_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ql_dirichlet_topk(
+        docs, "doc_id", "text", _BM25_TERMS, mu=_QL_MU, top_n=_BM25_TOP
+    )

@@ -47,3 +47,37 @@ def test_bm25_case_insensitive(spark):
 def test_bm25_validation(corpus):
     with pytest.raises(ValueError):
         bm25_topk(corpus, "doc_id", "text", [])
+
+
+def test_ql_dirichlet_prefers_term_dense_docs_and_penalizes_length(spark):
+    """A doc with more query-term mass outranks a sparse one; between
+    two docs with identical matches the SHORTER one wins (Dirichlet
+    length normalization); corpus-absent query terms are dropped."""
+    from datas_spark.operators.search import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data join skew other other"),
+            (2, "data other other other other other"),
+            (3, "data data join skew " + "pad " * 50),
+            (4, "nothing here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in ql_dirichlet_topk(
+        docs, "doc_id", "text", ["data", "join", "skew", "zzz_absent"],
+        mu=100.0, top_n=10,
+    ).collect()}
+    assert len(out) == 4  # every doc scores under QL
+    assert out[1] > out[2]      # more matched mass wins
+    assert out[1] > out[3]      # same matches, shorter doc wins
+    # doc 4 has no matches: worse than comparable-length matched docs
+    # (but can outrank a LONG matched doc — length smoothing is real QL)
+    assert out[4] < out[1] and out[4] < out[2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ql_dirichlet_topk(docs, "doc_id", "text", [])
+    with _pytest.raises(ValueError):
+        ql_dirichlet_topk(docs, "doc_id", "text", ["data"], mu=0.0)
