@@ -354,6 +354,11 @@ HEADLINE = [
     "customer_golden_records",
     # round-8 batch 6: Dirichlet query-likelihood retrieval (the LM scorer)
     "ql_dirichlet_topk",
+    # round-8 batch 6b: two-scorer lexical fusion + the Zipf screen
+    "lexical_rrf_fusion",
+    "vocab_zipf_fit",
+    # round-8 batch 6c: whale-resistant trimmed A/B readout
+    "experiment_trimmed_readout",
 ]
 
 RUNS_PER_QUERY = 3

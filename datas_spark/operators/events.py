@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve", "hte_segments"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve", "hte_segments", "trimmed_readout"]
 
 
 def funnel_stage_times(
@@ -1209,3 +1209,104 @@ def hte_segments(
         .cast("int")
         .alias("het_flag"),
     ).orderBy("segment")
+
+
+def trimmed_readout(
+    units: DataFrame,
+    arm_col: str,
+    y_col: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Robust (trimmed-mean) experiment readout — the whale-resistant
+    companion of `cuped_readout`: each arm's outcome mean is computed
+    over values between its own ``trim`` and ``1 − trim`` exact
+    order-statistic thresholds (type-1, tie-INCLUSIVE: every unit whose
+    value equals a boundary value stays — thresholds are values, not
+    ranks, which keeps the estimator exactly SQL-replayable; with heavy
+    boundary ties the effective trim is smaller than nominal, and the
+    reported per-arm kept-counts make that visible).
+
+    A single capped-metric mean hides a treatment that moves the cap;
+    per-arm trimming at the same QUANTILE keeps the estimator
+    comparable across arms whose scales differ.
+
+    Scale shape — the QTE grid machinery: ONE combinable (arm, value)
+    count+sum aggregate over units; thresholds walk per-arm cumulative
+    counts over the AGGREGATE grid rows; the trimmed sums re-aggregate
+    the same grid. Returns one row: ``(n_treat, n_control, kept_treat,
+    kept_control, lo_treat, hi_treat, lo_control, hi_control,
+    trimmed_mean_treat, trimmed_mean_control, trimmed_diff)``.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    g = units.groupBy(
+        F.col(arm_col).alias("__arm"), F.col(y_col).cast("long").alias("__y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    cum = g.select(
+        "__arm",
+        "__y",
+        "__c",
+        F.sum("__c")
+        .over(
+            Window.partitionBy("__arm")
+            .orderBy("__y")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("__cum"),
+    )
+    n = g.groupBy("__arm").agg(F.sum("__c").cast("long").alias("__n"))
+    j = cum.join(F.broadcast(n), "__arm")
+    k_lo = F.ceil(F.lit(float(trim)) * F.col("__n").cast("double")).cast("long")
+    k_hi = F.ceil(
+        F.lit(1.0 - float(trim)) * F.col("__n").cast("double")
+    ).cast("long")
+    bounds = (
+        j.groupBy("__arm")
+        .agg(
+            F.min(F.when(F.col("__cum") >= k_lo, F.col("__y"))).alias("__lo"),
+            F.min(F.when(F.col("__cum") >= k_hi, F.col("__y"))).alias("__hi"),
+            F.max("__n").alias("__n"),
+        )
+    )
+    kept = (
+        g.join(F.broadcast(bounds), "__arm")
+        .where((F.col("__y") >= F.col("__lo")) & (F.col("__y") <= F.col("__hi")))
+        .groupBy("__arm")
+        .agg(
+            F.sum("__c").cast("long").alias("__kept"),
+            F.sum(
+                F.col("__y").cast("decimal(38,0)")
+                * F.col("__c").cast("decimal(38,0)")
+            ).alias("__sv"),
+        )
+    )
+    one = bounds.join(kept, "__arm").groupBy().agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "__arm",
+                        F.struct("__n", "__lo", "__hi", "__kept", "__sv"),
+                    )
+                )
+            )
+        ).alias("__m")
+    )
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+    dd = lambda c: c.cast("double")  # noqa: E731
+    mT = dd(_arm(1, "__sv")) / dd(_arm(1, "__kept"))
+    mC = dd(_arm(0, "__sv")) / dd(_arm(0, "__kept"))
+    return one.select(
+        _arm(1, "__n").alias("n_treat"),
+        _arm(0, "__n").alias("n_control"),
+        _arm(1, "__kept").alias("kept_treat"),
+        _arm(0, "__kept").alias("kept_control"),
+        _arm(1, "__lo").alias("lo_treat"),
+        _arm(1, "__hi").alias("hi_treat"),
+        _arm(0, "__lo").alias("lo_control"),
+        _arm(0, "__hi").alias("hi_control"),
+        F.round(mT, 6).alias("trimmed_mean_treat"),
+        F.round(mC, 6).alias("trimmed_mean_control"),
+        F.round(mT - mC, 6).alias("trimmed_diff"),
+    )

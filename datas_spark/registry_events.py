@@ -2434,3 +2434,86 @@ def q_experiment_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hte_segments(units, "segment", "arm", "y")
+
+
+@register(
+    "experiment_trimmed_readout",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), post AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), units AS (
+      SELECT (u.user_id % 2)::INT AS arm, coalesce(post.y, 0) AS y
+      FROM u LEFT JOIN post USING (user_id)
+    ), g AS (
+      SELECT arm, y, count(*)::BIGINT AS c FROM units GROUP BY 1, 2
+    ), cum AS (
+      SELECT arm, y, c,
+             sum(c) OVER (PARTITION BY arm ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ), n AS (
+      SELECT arm, sum(c)::BIGINT AS n FROM g GROUP BY arm
+    ), b AS (
+      SELECT cum.arm,
+        min(CASE WHEN cum >= ceil(0.05::DOUBLE * n.n::DOUBLE)::BIGINT
+                 THEN y END) AS lo,
+        min(CASE WHEN cum >= ceil(0.95::DOUBLE * n.n::DOUBLE)::BIGINT
+                 THEN y END) AS hi,
+        max(n.n) AS n
+      FROM cum JOIN n USING (arm) GROUP BY cum.arm
+    ), kept AS (
+      SELECT g.arm, sum(g.c)::BIGINT AS kept,
+             sum(g.y::HUGEINT * g.c) AS sv
+      FROM g JOIN b USING (arm)
+      WHERE g.y >= b.lo AND g.y <= b.hi
+      GROUP BY g.arm
+    ), w AS (
+      SELECT
+        (SELECT n FROM b WHERE arm = 1) AS nt,
+        (SELECT n FROM b WHERE arm = 0) AS nc,
+        (SELECT kept FROM kept WHERE arm = 1) AS kt,
+        (SELECT kept FROM kept WHERE arm = 0) AS kc,
+        (SELECT lo FROM b WHERE arm = 1) AS lot,
+        (SELECT hi FROM b WHERE arm = 1) AS hit,
+        (SELECT lo FROM b WHERE arm = 0) AS loc,
+        (SELECT hi FROM b WHERE arm = 0) AS hic,
+        (SELECT sv FROM kept WHERE arm = 1)::DOUBLE AS svt,
+        (SELECT sv FROM kept WHERE arm = 0)::DOUBLE AS svc
+    )
+    SELECT nt AS n_treat, nc AS n_control,
+           kt AS kept_treat, kc AS kept_control,
+           lot AS lo_treat, hit AS hi_treat,
+           loc AS lo_control, hic AS hi_control,
+           round(svt / kt::DOUBLE, 6) AS trimmed_mean_treat,
+           round(svc / kc::DOUBLE, 6) AS trimmed_mean_control,
+           round(svt / kt::DOUBLE - svc / kc::DOUBLE, 6) AS trimmed_diff
+    FROM w
+    """,
+)
+def q_experiment_trimmed_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed robust A/B readout (`events.trimmed_readout`) on the
+    user-parity purchase-cents frame — the whale-resistant mean next
+    to CUPED (variance reduction) and QTE (distributional): each arm
+    trims at its own exact tie-inclusive order-statistic thresholds,
+    so one mega-purchaser cannot drag the readout. Grid cumulative
+    counts only; exact integer value sums inside the kept band."""
+    from datas_spark.operators.events import trimmed_readout
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    post = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.sum(cents).alias("y"))
+    )
+    units = (
+        ev.select("user_id").distinct()
+        .join(post, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    return trimmed_readout(units, "arm", "y", trim=0.05)

@@ -518,3 +518,73 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql_dirichlet_topk(
         docs, "doc_id", "text", _BM25_TERMS, mu=_QL_MU, top_n=_BM25_TOP
     )
+
+
+@register(
+    "lexical_rrf_fusion",
+    oracle=f"""
+    WITH {_LEX_CTE},
+    cf AS (
+      SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+    ), nq AS (
+      SELECT count(*)::BIGINT AS n_terms FROM cf
+    ), qm AS (
+      SELECT tf.doc_id,
+        list_reduce(
+          list(ln(1.0 + tf.tf::DOUBLE
+                  / ({_QL_MU} * cf.cf::DOUBLE / c.sum_dl::DOUBLE))
+               ORDER BY tf.term),
+          (a, b) -> a + b) AS m
+      FROM tf JOIN cf USING (term) CROSS JOIN consts c
+      GROUP BY tf.doc_id
+    ), qls AS (
+      SELECT l.doc_id,
+             round(coalesce(qm.m, 0.0)
+                   + nq.n_terms::DOUBLE
+                     * ln({_QL_MU} / (l.dl::DOUBLE + {_QL_MU})), 4) AS score
+      FROM lens l LEFT JOIN qm USING (doc_id) CROSS JOIN nq
+      ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    ), qlr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM qls
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K0} + l.r), 0.0)
+                 + coalesce(1.0 / ({_RRF_K0} + s.r), 0.0), 6) AS rrf_score,
+           ((l.doc_id IS NOT NULL)::INT + (s.doc_id IS NOT NULL)::INT)::INT
+             AS n_lists
+    FROM lexr l FULL OUTER JOIN qlr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOP}
+    """,
+)
+def q_lexical_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scorer lexical fusion: BM25 top-50 and Dirichlet-QL top-50
+    for the same query fused by reciprocal rank — the probabilistic and
+    language-modeling scorers rank the tail differently (QL's length
+    smoothing vs BM25's saturation), and RRF harvests the agreement
+    without score calibration. Both retrievers reduce the corpus to
+    50-row candidate frames before any fusion work."""
+    from datas_spark.operators.search import bm25_topk as _bm25
+    from datas_spark.operators.search import ql_dirichlet_topk as _ql
+    from datas_spark.operators.search import rrf_fuse as _fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    lex = _bm25(
+        docs, "doc_id", "text", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B, top_n=_RRF_DEPTH,
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    ql = _ql(docs, "doc_id", "text", _BM25_TERMS, mu=_QL_MU, top_n=_RRF_DEPTH)
+    qlr = ql.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    return _fuse([lexr, qlr], "doc_id", k0=_RRF_K0, top_n=_RRF_TOP)

@@ -570,3 +570,28 @@ def test_hte_segments_degenerate_segment_excluded(spark):
     assert out["big"].df == 0
     assert out["big"].q_stat is None and out["big"].het_flag is None
     assert out["big"].pooled_diff == out["big"].diff
+
+
+def test_trimmed_readout_resists_whales(spark):
+    """One mega-outlier in the treated arm swings the raw mean but not
+    the 5%-trimmed readout; thresholds are per-arm and tie-inclusive."""
+    from datas_spark.operators.events import trimmed_readout
+
+    base = [(a, v) for v in range(1, 101) for a in (0, 1)]
+    clean = spark.createDataFrame(base, "arm int, y long")
+    r0 = trimmed_readout(clean, "arm", "y", trim=0.05).collect()[0]
+    assert r0.trimmed_diff == 0.0  # identical arms
+    assert r0.lo_treat == 5 and r0.hi_treat == 95  # ceil(.05*100)=5th val
+
+    whale = spark.createDataFrame(
+        base + [(1, 10_000_000)], "arm int, y long"
+    )
+    r1 = trimmed_readout(whale, "arm", "y", trim=0.05).collect()[0]
+    # raw means differ by ~99k; the trimmed readout barely moves
+    assert abs(r1.trimmed_diff) < 2.0
+    assert r1.n_treat == 101 and r1.kept_treat < r1.n_treat
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trimmed_readout(clean, "arm", "y", trim=0.5)

@@ -207,6 +207,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "dsir_ess_report",                 # dsir's 1-row smoothing scalars (inherited subplan)
         "experiment_hte_segments",         # 1-row packed pooled/Q scalar frame
         "ql_dirichlet_topk",               # 1-row corpus constants (sum_dl, |q|) — the bm25 shape
+        "lexical_rrf_fusion",              # both retrievers' 1-row corpus constants
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

@@ -81,3 +81,16 @@ def test_ql_dirichlet_prefers_term_dense_docs_and_penalizes_length(spark):
         ql_dirichlet_topk(docs, "doc_id", "text", [])
     with _pytest.raises(ValueError):
         ql_dirichlet_topk(docs, "doc_id", "text", ["data"], mu=0.0)
+
+
+def test_lexical_rrf_fusion_rewards_agreement(spark):
+    """A doc both scorers rank #1 must out-fuse docs only one list
+    holds; ids in one list only still appear with n_lists == 1."""
+    from datas_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 1), (9, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], "doc_id", k0=60, top_n=10).collect()}
+    assert out[1].n_lists == 2 and out[9].n_lists == 1
+    assert out[1].rrf_score > out[2].rrf_score > out[3].rrf_score
+    assert out[1].rrf_score == round(2 / 61, 6)
