@@ -2041,7 +2041,14 @@ def importance_weight_diagnostics(
     ess, ess_pct, max_w_share_pct)``.
     """
     w = F.col(weight_col).cast("double") / F.col(tokens_col).cast("double")
-    we6 = F.round(F.exp(w) * 1_000_000.0).cast("long")
+    # Clamp before the long cast: a per-token log-ratio above ~42 makes
+    # exp(w)·1e6 exceed int64 and ANSI mode raises CAST_OVERFLOW at
+    # runtime. 1e18 is far above any real per-token tilt (exp(27.6))
+    # and is exactly representable, so the clamp never binds on sane
+    # corpora and the hash is unchanged.
+    we6 = F.least(F.round(F.exp(w) * 1_000_000.0), F.lit(1.0e18)).cast(
+        "long"
+    )
     base = df.select(
         F.when(
             F.col(weight_col).isNotNull() & (F.col(tokens_col) > 0), we6
@@ -2058,11 +2065,17 @@ def importance_weight_diagnostics(
         F.max("__w").alias("__mx"),
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    ess = dd("__sw") * dd("__sw") / dd("__sww")
+    # If every weight quantizes to 0, Σw² = 0 and ESS would be 0/0 =
+    # NaN; the guard yields NULL instead (degenerate-input readout).
+    ess = F.when(dd("__sww") > 0.0, dd("__sw") * dd("__sw") / dd("__sww"))
     return agg.select(
         "n_docs",
         "n_excluded",
         F.round(ess, 3).alias("ess"),
-        F.round(ess / dd("n_docs") * 100.0, 4).alias("ess_pct"),
-        F.round(dd("__mx") / dd("__sw") * 100.0, 6).alias("max_w_share_pct"),
+        F.round(
+            F.when(dd("n_docs") > 0.0, ess / dd("n_docs") * 100.0), 4
+        ).alias("ess_pct"),
+        F.round(
+            F.when(dd("__sw") > 0.0, dd("__mx") / dd("__sw") * 100.0), 6
+        ).alias("max_w_share_pct"),
     )

@@ -696,6 +696,8 @@ def pass_at_k(
 
     Returns one row per k: ``(k, n_prompts, pass_at_k)`` rounded 6.
     """
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks!r}")
     per = responses.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).cast("int").alias("__n"),
         F.sum(F.col(correct_col).cast("int")).cast("int").alias("__c"),

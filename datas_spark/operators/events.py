@@ -775,8 +775,15 @@ def sequential_looks(
     vT = (dd(_arm(1, "__syy")) - nT * mT * mT) / (nT - F.lit(1.0))
     vC = (dd(_arm(0, "__syy")) - nC * mC * mC) / (nC - F.lit(1.0))
     se = F.sqrt(vT / nT + vC / nC)
-    bound = F.element_at(
-        F.array(*[F.lit(b) for b in bounds]), F.col("look").cast("int")
+    # Range-guard the boundary lookup: a data-driven look outside
+    # 1..len(bounds) (0-based look numbering, or a 5th look against the
+    # default K=4 table) yields NULL obf_bound/crossed instead of
+    # aborting the job under ANSI mode. try_element_at alone is not
+    # enough — Spark still raises INVALID_INDEX_OF_ZERO for look = 0.
+    look_i = F.col("look").cast("int")
+    bound = F.when(
+        (look_i >= 1) & (look_i <= len(bounds)),
+        F.element_at(F.array(*[F.lit(b) for b in bounds]), look_i),
     )
     z = F.when(se > 0.0, (mT - mC) / se)
     return one.select(
@@ -962,9 +969,8 @@ def markov_attribution(
     counts = {(r["src"], r["dst"]): float(r["c"]) for r in trans_rows}
     specials = {"__start__", "__conv__", "__null__"}
     chans = sorted(
-        {s for s, _ in counts} | {d for _, d in counts} - specials
+        ({s for s, _ in counts} | {d for _, d in counts}) - specials
     )
-    chans = [c for c in chans if c not in specials]
     states = ["__start__"] + chans
     rowsum = {
         s: sum(c for (a, _), c in counts.items() if a == s) for s in states

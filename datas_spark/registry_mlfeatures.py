@@ -648,8 +648,10 @@ def q_balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), weights AS (
       SELECT d.doc_id,
              CASE WHEN s.dsir_weight IS NOT NULL AND s.n_tokens > 0
-                  THEN CAST(round(exp(s.dsir_weight / s.n_tokens::DOUBLE)
-                                  * 1000000.0) AS BIGINT)
+                  THEN CAST(least(round(exp(s.dsir_weight
+                                            / s.n_tokens::DOUBLE)
+                                        * 1000000.0),
+                                  1e18) AS BIGINT)
              END AS w
       FROM documents d LEFT JOIN scored s USING (doc_id)
     ), agg AS (
@@ -661,10 +663,16 @@ def q_balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM weights
     )
     SELECT n_docs, n_excluded,
-           round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 3) AS ess,
-           round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE
-                 / n_docs::DOUBLE * 100.0, 4) AS ess_pct,
-           round(mx::DOUBLE / sw::DOUBLE * 100.0, 6) AS max_w_share_pct
+           CASE WHEN sww > 0 THEN
+             round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 3)
+           END AS ess,
+           CASE WHEN sww > 0 THEN
+             round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE
+                   / n_docs::DOUBLE * 100.0, 4)
+           END AS ess_pct,
+           CASE WHEN sw > 0 THEN
+             round(mx::DOUBLE / sw::DOUBLE * 100.0, 6)
+           END AS max_w_share_pct
     FROM agg
     """,
 )

@@ -910,3 +910,23 @@ def test_importance_weight_diagnostics_ess_bounds(spark):
     assert r2.n_docs == 50 and r2.n_excluded == 1
     assert r2.ess < 1.01  # exp(10) dwarfs the 49 unit weights
     assert r2.max_w_share_pct > 99.0
+
+
+def test_importance_weight_diagnostics_extreme_and_degenerate(spark):
+    """A per-token log-ratio above ~42 must clamp (not CAST_OVERFLOW
+    under ANSI); all-zero quantized weights must yield NULL ess, not
+    NaN."""
+    from datas_spark.operators.corpus import importance_weight_diagnostics
+
+    huge = spark.createDataFrame(
+        [(1000.0, 1), (0.0, 10)], "dsir_weight double, n_tokens long"
+    )
+    r = importance_weight_diagnostics(huge, "dsir_weight", "n_tokens").collect()[0]
+    assert r.n_docs == 2 and r.max_w_share_pct > 99.0  # clamp binds, no crash
+
+    zero = spark.createDataFrame(
+        [(-1000.0, 1)] * 3, "dsir_weight double, n_tokens long"
+    )
+    r2 = importance_weight_diagnostics(zero, "dsir_weight", "n_tokens").collect()[0]
+    assert r2.n_docs == 3 and r2.ess is None and r2.ess_pct is None
+    assert r2.max_w_share_pct is None

@@ -323,3 +323,13 @@ def test_split_conformal_tiny_cal_set_means_infinite_interval(spark):
 
     with _pytest.raises(ValueError):
         EM.split_conformal_audit(df, "split", "y", "pred", alpha=1.5)
+
+
+def test_pass_at_k_rejects_bad_ks(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("p1", 1)], ["g", "ok"])
+    with _pytest.raises(ValueError):
+        EM.pass_at_k(df, "g", "ok", [])
+    with _pytest.raises(ValueError):
+        EM.pass_at_k(df, "g", "ok", [1, 0])

@@ -595,3 +595,20 @@ def test_trimmed_readout_resists_whales(spark):
 
     with _pytest.raises(ValueError):
         trimmed_readout(clean, "arm", "y", trim=0.5)
+
+
+def test_sequential_looks_out_of_range_look_yields_null_bound(spark):
+    """A 0-based look column or a 5th look against the default K=4
+    table must yield NULL obf_bound/crossed (try_element_at), not
+    abort the job under ANSI mode with INVALID_ARRAY_INDEX."""
+    from datas_spark.operators.events import sequential_looks
+
+    rows = []
+    for look in (0, 5):
+        for u in range(40):
+            rows.append((look, u % 2, u + (10 if u % 2 else 0)))
+    df = spark.createDataFrame(rows, "look int, arm int, y long")
+    out = {r.look: r for r in sequential_looks(df, "look", "arm", "y").collect()}
+    for t in (0, 5):
+        assert out[t].obf_bound is None and out[t].crossed is None
+        assert out[t].z is not None  # the stats themselves still compute
