@@ -6,7 +6,17 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 The printed line is kept compact (<1.5 KB: headline total + slowest-10
 map) because the driver stores only a ~2 KB stdout tail; the full
-per-query timing map is written to BENCH_DETAIL.json next to this file.
+per-query timing map is written to BENCH_RUN.json next to this file.
+
+BENCH_RUN.json is this session's RAW output. The committed
+BENCH_DETAIL.json is the min-merged per-query FLOOR map and is written
+ONLY by scripts/bench_floor_merge.py (VERDICT r8 "What's wrong" #1: a
+bench run that wrote the raw session doc over the floors doc silently
+dropped every floor_canary on the next commit). Flow:
+
+    python bench.py                      # -> BENCH_RUN.json
+    python scripts/bench_diff.py         # gate: floors vs BENCH_RUN
+    python scripts/bench_floor_merge.py  # min-merge -> BENCH_DETAIL.json
 
 Each query is executed with a count()-style action (results consumed,
 not collected to the driver). Per-query time is the MEDIAN of 3 timed
@@ -378,9 +388,25 @@ CANARY_QUERIES = [
     "simhash",
     "quality_score",
     "doc_fingerprint",
+    # round-9 throughput canaries (VERDICT r8 "Next round" #3): the five
+    # map-only scan canaries above are 0.1-0.4 s fixed-overhead plans
+    # that track session cost, not executor throughput (r7->r8 their
+    # total moved 3.5x while the shared 176-query total moved 0.93x).
+    # These two ~1.2 s frozen shuffle-heavy plans — the 6-table
+    # broadcast-join rollup and the Q18 pre-aggregated join — weight the
+    # normalization ratio toward where multi-second queries actually
+    # spend time. Plans frozen in tests/canary_plans.json.
+    "regional_revenue",
+    "large_volume_orders",
 ]
 
 RANGE_SENTINEL_N = 256_000_000  # fixed work: sum(id % 7) over 256M longs
+
+# The ONLY file bench.py writes. The committed floors doc
+# BENCH_DETAIL.json is written exclusively by scripts/bench_floor_merge.py.
+RUN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_RUN.json"
+)
 
 
 def _range_sentinel(spark) -> float:
@@ -428,11 +454,18 @@ def main() -> None:
     drift: list[float] = []
 
     timings: dict[str, float] = {}
+    drift_index: dict[str, int] = {}
     for qi, name in enumerate(HEADLINE):
         if qi % DRIFT_EVERY == 0:
             t0 = time.perf_counter()
             QUERIES["token_count"](spark, sf_dir).count()
             drift.append(round(time.perf_counter() - t0, 3))
+        # nearest probe by run position (round-9, VERDICT r8 #2): the
+        # probe at drift[qi // DRIFT_EVERY] was taken at the START of
+        # this query's block; queries in the back half of a block are
+        # closer to the NEXT probe. bench_diff divides each query by
+        # the probe nearest it so mid-session box phases normalize out.
+        drift_index[name] = round(qi / DRIFT_EVERY)
         fn = QUERIES[name]
         samples = []
         for _ in range(RUNS_PER_QUERY):
@@ -474,14 +507,20 @@ def main() -> None:
     canary["scan_total"] = round(sum(canary["queries"].values()), 3)
     canary["total"] = round(canary["scan_total"] + range_s, 3)
     canary["drift_probe"] = drift  # single-shot token_count each 20 queries
+    # final probe indices may point one past the last recorded probe
+    # (back half of the final block) — clamp to the probes we have
+    canary["drift_index"] = {
+        q: min(i, len(drift) - 1) for q, i in drift_index.items()
+    }
 
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a FILE — with 120+ queries the inline
     # map is ~4.6 KB, and the driver keeps only a ~2 KB stdout tail, so
     # an oversized line loses its own head (round 4: "parsed": null).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # RAW session output goes to BENCH_RUN.json — never to the committed
+    # floors doc BENCH_DETAIL.json, which only bench_floor_merge.py may
+    # write (VERDICT r8 #1: the r8 driver session clobbered the floors).
+    detail_path = RUN_PATH
     with open(detail_path, "w") as f:
         json.dump(
             {

@@ -41,15 +41,32 @@ Round-8 refinements (VERDICT r7 #3, ADVICE r7):
   when the two sides' canary query sets differ — totals over different
   sets are not comparable.
 
+Round-9 refinements (VERDICT r8 "Next round" #1/#2):
+
+- **Drift-aware normalization.** The session-start canaries miss
+  mid-session box phases: the r8 driver session's own drift probe (one
+  single-shot token_count every 20 queries) swung ~2x within the run
+  and produced 2 false flags that fresh-JVM triage cleared. bench.py
+  now records ``canary.drift_index`` (query -> nearest probe by run
+  position); here each NEW timing is normalized by an EFFECTIVE scan
+  total — ``scan_total * drift[idx(q)] / drift[0]`` — so a query
+  measured during a slow phase is compared at that phase's box speed,
+  not the session start's.
+- **BENCH_RUN.json.** bench.py writes its raw session output to
+  BENCH_RUN.json; the committed BENCH_DETAIL.json floors doc is written
+  only by bench_floor_merge.py. The default NEW side here is
+  BENCH_RUN.json when it exists (falling back to BENCH_DETAIL.json for
+  pre-round-9 layouts).
+
 Usage:
-    python scripts/bench_diff.py                    # HEAD vs working tree
+    python scripts/bench_diff.py                    # HEAD floors vs BENCH_RUN.json
     python scripts/bench_diff.py OLD.json NEW.json  # explicit files
 
 With no arguments the OLD side is the last committed BENCH_DETAIL.json
 (``git show HEAD:BENCH_DETAIL.json``) and the NEW side is the working
-tree copy. Added/removed queries are reported but never fail the gate
-(new queries have no baseline; removals are a registry decision the
-oracle gate polices).
+tree BENCH_RUN.json. Added/removed queries are reported but never fail
+the gate (new queries have no baseline; removals are a registry
+decision the oracle gate polices).
 """
 
 from __future__ import annotations
@@ -113,6 +130,26 @@ def _clamp(r: float) -> float:
     return max(CANARY_CLAMP[0], min(CANARY_CLAMP[1], r))
 
 
+def drift_factor(doc: dict, name: str) -> float:
+    """Box-speed factor at the run position where ``name`` was measured,
+    relative to session start: ``drift_probe[idx(name)] / drift_probe[0]``
+    (1.0 when the doc predates drift_index or the probe is unusable).
+    Multiplying the session scan total by this gives the EFFECTIVE
+    canary for that query — the session-start canaries re-priced to the
+    box phase the query actually ran in."""
+    c = doc.get("canary") if isinstance(doc, dict) else None
+    if not isinstance(c, dict):
+        return 1.0
+    probes = c.get("drift_probe") or []
+    idx_map = c.get("drift_index") or {}
+    if name not in idx_map or not probes or float(probes[0]) <= 0.0:
+        return 1.0
+    i = int(idx_map[name])
+    if not (0 <= i < len(probes)) or float(probes[i]) <= 0.0:
+        return 1.0
+    return float(probes[i]) / float(probes[0])
+
+
 def diff(old_doc: dict, new_doc: dict) -> dict:
     """Pure comparison core (testable without git/files). Returns
     {"regressions", "improvements", "added", "removed", "messages",
@@ -173,10 +210,13 @@ def diff(old_doc: dict, new_doc: dict) -> dict:
     def adj(name: str, n_raw: float) -> float:
         if not normalizing:
             return n_raw / default_ratio
+        # effective canary: session scan total re-priced to the box
+        # phase this query ran in (drift factor 1.0 on pre-round-9 docs)
+        eff_scan = nc["scan"] * drift_factor(new_doc, name)
         fc = floor_canary.get(name)
         if fc:
-            return n_raw / _clamp(nc["scan"] / float(fc))
-        return n_raw / default_ratio
+            return n_raw / _clamp(eff_scan / float(fc))
+        return n_raw / _clamp(eff_scan / oc["scan"])
 
     regressions, improvements = [], []
     for name in sorted(set(old) & set(new)):
@@ -200,7 +240,13 @@ def diff(old_doc: dict, new_doc: dict) -> dict:
 
 def main() -> int:
     old_src = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
-    new_src = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_DETAIL.json")
+    if len(sys.argv) > 2:
+        new_src = sys.argv[2]
+    else:
+        run = os.path.join(REPO, "BENCH_RUN.json")
+        new_src = run if os.path.exists(run) else os.path.join(
+            REPO, "BENCH_DETAIL.json"
+        )
     old_doc, new_doc = _load(old_src), _load(new_src)
     res = diff(old_doc, new_doc)
     for m in res["messages"]:

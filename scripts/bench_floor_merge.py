@@ -18,8 +18,16 @@ and its RAW seconds plus ITS session's canary land in the merged map —
 bench_diff.py then normalizes each query by its own floor canary, so
 both sides of the gate always share a box regime.
 
+Round-9: the new side's per-query canary is the drift-EFFECTIVE one
+(session scan total x the drift probe nearest the query's run position,
+bench_diff.drift_factor) — a floor measured in a mid-session slow phase
+carries that phase's canary, and this tool is the ONLY writer of
+BENCH_DETAIL.json: bench.py writes raw session output to BENCH_RUN.json
+(VERDICT r8 "What's wrong" #1 — a bench run used to clobber the
+committed floors doc, dropping every floor_canary).
+
 Usage:
-    python scripts/bench_floor_merge.py            # HEAD + working tree -> working tree
+    python scripts/bench_floor_merge.py            # HEAD floors + BENCH_RUN.json -> BENCH_DETAIL.json
     python scripts/bench_floor_merge.py OLD NEW    # explicit files -> stdout path arg 3
 """
 
@@ -33,7 +41,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench_diff import canary_info  # noqa: E402
+from bench_diff import canary_info, drift_factor  # noqa: E402
 
 
 def merge(old_doc: dict, new_doc: dict) -> dict:
@@ -66,7 +74,11 @@ def merge(old_doc: dict, new_doc: dict) -> dict:
             fc = float(old_fc.get(name, old_scan or nc["scan"]))
             cands.append((old_q[name] / fc, old_q[name], fc))
         if name in new_q:
-            cands.append((new_q[name] / nc["scan"], new_q[name], nc["scan"]))
+            # drift-effective canary: the session scan total re-priced
+            # to the box phase this query's run position saw (1.0 on
+            # docs without drift_index)
+            eff = nc["scan"] * drift_factor(new_doc, name)
+            cands.append((new_q[name] / eff, new_q[name], eff))
         _, raw, fc = min(cands)
         merged[name] = raw
         floor_canary[name] = round(fc, 3)
@@ -93,7 +105,9 @@ def main() -> int:
         ).stdout
         old_doc = json.loads(raw)
         dest = os.path.join(REPO, "BENCH_DETAIL.json")
-        with open(dest) as fh:
+        run = os.path.join(REPO, "BENCH_RUN.json")
+        src = run if os.path.exists(run) else dest
+        with open(src) as fh:
             new_doc = json.load(fh)
     out = merge(old_doc, new_doc)
     kept_old = sum(

@@ -127,3 +127,77 @@ class TestDiff:
         info = bench_diff.canary_info(old)
         assert info["scan"] == pytest.approx(2.0)
         assert not res["regressions"]
+
+
+def _drift_doc(queries, scan_total, sentinel, drift_probe, drift_index):
+    d = _doc(queries, scan_total, sentinel)
+    d["canary"]["drift_probe"] = drift_probe
+    d["canary"]["drift_index"] = drift_index
+    return d
+
+
+class TestDriftNormalization:
+    def test_mid_session_slow_phase_produces_no_false_flags(self):
+        # Floors measured on a steady box (canary 2.0). The new session
+        # STARTS at the same speed (scan canaries 2.0, probe 0.1) but a
+        # mid-session phase doubles the box time: the probe nearest q_mid
+        # reads 0.2. q_mid's raw time doubled with the box — the r8
+        # failure mode that start-canary normalization flags falsely.
+        old = _doc({"q_early": 1.0, "q_mid": 1.0}, scan_total=2.0,
+                   sentinel=0.2, floor_canary={"q_early": 2.0, "q_mid": 2.0})
+        new = _drift_doc(
+            {"q_early": 1.0, "q_mid": 2.2}, scan_total=2.0, sentinel=0.2,
+            drift_probe=[0.1, 0.1, 0.2],
+            drift_index={"q_early": 0, "q_mid": 2},
+        )
+        res = bench_diff.diff(old, new)
+        assert not res["regressions"], res
+
+    def test_genuine_regression_still_flags_during_slow_phase(self):
+        # same slow phase, but the query ran 5x — far past the 2x the
+        # box explains; drift normalization must NOT absorb it
+        old = _doc({"q_mid": 1.0}, scan_total=2.0, sentinel=0.2,
+                   floor_canary={"q_mid": 2.0})
+        new = _drift_doc(
+            {"q_mid": 5.0}, scan_total=2.0, sentinel=0.2,
+            drift_probe=[0.1, 0.1, 0.2], drift_index={"q_mid": 2},
+        )
+        res = bench_diff.diff(old, new)
+        assert [r[0] for r in res["regressions"]] == ["q_mid"]
+
+    def test_drift_factor_defaults_on_legacy_docs(self):
+        legacy = _doc({"q1": 1.0}, 2.0, 0.2)
+        assert bench_diff.drift_factor(legacy, "q1") == 1.0
+        bad = _drift_doc({"q1": 1.0}, 2.0, 0.2,
+                         drift_probe=[0.0, 0.1], drift_index={"q1": 1})
+        assert bench_diff.drift_factor(bad, "q1") == 1.0  # zero base probe
+
+    def test_floor_merge_stores_drift_effective_canary(self):
+        # a new floor set during a 2x-slow phase must carry the
+        # re-priced canary (scan 2.0 * factor 2.0 = 4.0), so later
+        # sessions compare against the regime that measured it
+        old = _doc({"q_mid": 9.9}, scan_total=2.0, sentinel=0.2,
+                   floor_canary={"q_mid": 2.0})
+        new = _drift_doc(
+            {"q_mid": 2.0}, scan_total=2.0, sentinel=0.2,
+            drift_probe=[0.1, 0.2], drift_index={"q_mid": 1},
+        )
+        merged = floor_merge.merge(old, new)
+        assert merged["queries"]["q_mid"] == 2.0
+        assert merged["floor_canary"]["q_mid"] == 4.0
+
+
+class TestRunDocSeparation:
+    def test_bench_writes_run_file_not_floors_doc(self):
+        """VERDICT r8 #1 regression guard: bench.py's only write target
+        is BENCH_RUN.json; the floors doc is bench_floor_merge.py's."""
+        repo = os.path.dirname(SCRIPTS)
+        src = open(os.path.join(repo, "bench.py")).read()
+        import re
+        opens = re.findall(r"open\(([^)]*)\)", src)
+        assert not any("BENCH_DETAIL" in o for o in opens), opens
+        assert 'RUN_PATH = os.path.join(' in src
+        assert '"BENCH_RUN.json"' in src
+        # and the merge tool writes the floors doc
+        msrc = open(os.path.join(SCRIPTS, "bench_floor_merge.py")).read()
+        assert '"BENCH_DETAIL.json"' in msrc
