@@ -369,6 +369,15 @@ HEADLINE = [
     "vocab_zipf_fit",
     # round-8 batch 6c: whale-resistant trimmed A/B readout
     "experiment_trimmed_readout",
+    # round-9: Fisher-weighted model merging (gradient moments through
+    # the pandas_udf capture), the Beta-Binomial posterior A/B readout
+    # (512-cell deterministic grid), generation-eval n-gram metrics,
+    # and the memorization/novelty release gate
+    "fisher_weighted_merge",
+    "experiment_bayes_readout",
+    "corpus_bleu",
+    "rouge_n",
+    "doc_novelty_rate",
 ]
 
 RUNS_PER_QUERY = 3

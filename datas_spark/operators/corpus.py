@@ -52,6 +52,7 @@ __all__ = [
     "group_split",
     "repetition_stats",
     "importance_weight_diagnostics",
+    "doc_novelty_rate",
     "temperature_sample",
     "ngram_lm_score",
     "unigram_lm_score",
@@ -2078,4 +2079,79 @@ def importance_weight_diagnostics(
         F.round(
             F.when(dd("__sw") > 0.0, dd("__mx") / dd("__sw") * 100.0), 6
         ).alias("max_w_share_pct"),
+    )
+
+
+def doc_novelty_rate(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_novelty: float = 0.5,
+) -> DataFrame:
+    """Memorization/novelty scan (VERDICT r8 #8): for each eval or
+    generated document, the fraction of its DISTINCT ``n``-gram
+    shingles that do NOT appear anywhere in the training corpus —
+
+        novelty_rate = (n_grams − n_known) / n_grams
+
+    — the release-gate readout for generated text (a low rate means
+    the text is largely regurgitated training data). Shingles are the
+    decontamination tier's hash-of-token-hashes (`_doc_shingle_hashes`
+    — no gram string ever shuffles); membership is a left-semi
+    equi-join of the eval side's shingles against the training
+    corpus's distinct shingle set. Unlike `ngram_contamination` the
+    big side here is the REFERENCE set, so nothing is broadcast: the
+    join shuffles on the 64-bit shingle hash, which at 100 TB is one
+    well-partitioned hash join (for a cheaper approximate pre-filter
+    at extreme scale, probe `sketches`' Bloom tier first and verify
+    only probable-known shingles through this exact join — the same
+    two-tier routing as `bloom_decontaminate`).
+
+    Docs whose novelty cannot be certified — zero shingles (shorter
+    than ``n`` tokens) — yield NULL novelty_rate and route to
+    ``review`` alongside sub-threshold (memorization-suspect) docs;
+    the rest route ``release`` (the `hamming_hot_bucket_members`
+    routing discipline: the cheap tier decides, the suspect residue
+    gets the expensive look).
+
+    Returns one row per eval doc:
+    ``(id, n_grams, n_known, novelty_rate, route)``.
+    """
+    if not 0.0 <= min_novelty <= 1.0:
+        raise ValueError(f"min_novelty must be in [0,1], got {min_novelty}")
+    e = _doc_shingle_hashes(eval_docs, id_col, text_col, n)
+    t = _doc_shingle_hashes(train_docs, id_col, text_col, n).select(
+        "__s"
+    ).distinct()
+    per = e.join(t, "__s", "left_semi").groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_known")
+    )
+    totals = e.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    ids = eval_docs.select(F.col(id_col).alias("__id"))
+    out = (
+        ids.join(totals, "__id", "left")
+        .join(per, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_known", F.lit(0)).alias("n_known"),
+        )
+    )
+    rate = F.when(
+        F.col("n_grams") > 0,
+        (F.col("n_grams") - F.col("n_known")).cast("double")
+        / F.col("n_grams").cast("double"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_known",
+        F.round(rate, 6).alias("novelty_rate"),
+        F.when(rate >= min_novelty, F.lit("release"))
+        .otherwise(F.lit("review"))
+        .alias("route"),
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit"]
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit", "corpus_bleu", "rouge_n"]
 
 
 def ranking_metrics(
@@ -837,3 +837,192 @@ def split_conformal_audit(
         .otherwise(F.col("__cov_raw"))
         .alias("coverage_pct"),
     )
+
+
+def _clipped_ngram_stats(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    ns: tuple[int, ...],
+) -> DataFrame:
+    """Shared counting core for `corpus_bleu` / `rouge_n`: per n, the
+    corpus totals of clipped n-gram matches and both sides' n-gram
+    counts. Clipping is per PAIR (each candidate against its own
+    reference: Σ_g min(count_cand, count_ref) — Papineni 2002 §2.1).
+
+    Tokenization is the engine convention (lower, trim, split \\s+).
+    All n-gram families stack into ONE (n, gram) explode so the corpus
+    is scanned once per side; the only shuffle is the (pair, n, gram)
+    count + one clip join. Totals are exact integer sums. Returns one
+    row per n: ``(n, clipped, cand_total, ref_total)``.
+    """
+    def toks(col: str):
+        return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+    def tagged_grams(tcol):
+        # project the token array FIRST (InferFiltersFromGenerate trap),
+        # guard size < n (sequence(1,0) would run descending).
+        # NB: bind n via a closure FACTORY — `lambda j, n=n:` would make
+        # PySpark treat n as the transform's element-index Column.
+        def gram_at(n):
+            return lambda j: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(tcol, j, n)).alias("gram"),
+            )
+
+        fams = []
+        for n in ns:
+            idxs = F.when(
+                F.size(tcol) >= n,
+                F.sequence(F.lit(1), F.size(tcol) - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+            fams.append(F.transform(idxs, gram_at(n)))
+        return F.flatten(F.array(*fams))
+
+    # the pair id must be caller-provided: a generated id
+    # (monotonically_increasing_id) is partitioning-dependent and the
+    # two gram branches would clip against the WRONG reference
+    base = pairs.select(
+        F.col(id_col).alias("__pid"),
+        toks(cand_col).alias("__ct"),
+        toks(ref_col).alias("__rt"),
+    )
+
+    def side_counts(arr_col: str):
+        g = base.select("__pid", tagged_grams(F.col(arr_col)).alias("__g"))
+        e = g.select(
+            "__pid", F.explode_outer("__g").alias("__s")
+        ).where(F.col("__s").isNotNull())
+        return e.groupBy(
+            "__pid", F.col("__s")["n"].alias("n"),
+            F.col("__s")["gram"].alias("gram"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    cc, rc = side_counts("__ct"), side_counts("__rt")
+    clipped = (
+        cc.alias("c")
+        .join(rc.alias("r"), ["__pid", "n", "gram"])
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("c.cnt"), F.col("r.cnt"))).alias("clipped")
+        )
+    )
+    totals = base.select(
+        F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
+        F.size("__ct").alias("__cl"),
+        F.size("__rt").alias("__rl"),
+    ).groupBy("n").agg(
+        F.sum(F.greatest(F.col("__cl") - F.col("n") + 1, F.lit(0)))
+        .cast("long").alias("cand_total"),
+        F.sum(F.greatest(F.col("__rl") - F.col("n") + 1, F.lit(0)))
+        .cast("long").alias("ref_total"),
+    )
+    return totals.join(clipped, "n", "left").select(
+        "n",
+        F.coalesce("clipped", F.lit(0)).cast("long").alias("clipped"),
+        "cand_total",
+        "ref_total",
+    )
+
+
+def corpus_bleu(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002): modified (clipped)
+    n-gram precisions pooled over the whole corpus,
+
+        p_n = Σ_pairs clipped_n / Σ_pairs cand_grams_n
+        BP  = min(1, e^(1 − r/c))      (corpus token lengths c, r)
+        BLEU = BP · exp(Σ_{n≤N} (1/N)·ln p_n)
+
+    — no smoothing: any p_n = 0 yields BLEU 0 (reported alongside the
+    per-n precisions so the readout stays diagnosable). The log sum
+    folds in fixed ascending-n order (left-associated — the ordered-
+    fold cross-engine contract); counts are exact integer sums, so the
+    only libm is the final ln/exp. One row:
+    ``(c_len, r_len, bp, p1..pN, bleu)`` rounded 6.
+    """
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    ns = tuple(range(1, max_n + 1))
+    stats = _clipped_ngram_stats(pairs, id_col, cand_col, ref_col, ns)
+    one = stats.groupBy().agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("n", F.struct("clipped", "cand_total", "ref_total"))
+                )
+            )
+        ).alias("__m")
+    )
+
+    def _n(n: int, field: str):
+        return F.col("__m")[F.lit(n)][field].cast("double")
+
+    c_len = _n(1, "cand_total")  # 1-gram count == token count
+    r_len = _n(1, "ref_total")
+    bp = (
+        F.when(c_len <= 0.0, F.lit(0.0))
+        .when(c_len < r_len, F.exp(F.lit(1.0) - r_len / c_len))
+        .otherwise(F.lit(1.0))
+    )
+    ps = {n: _n(n, "clipped") / _n(n, "cand_total") for n in ns}
+    # fixed-order left-associated log sum (ordered-fold contract)
+    log_sum = F.log(ps[1])
+    for n in ns[1:]:
+        log_sum = log_sum + F.log(ps[n])
+    all_pos = ps[1] > 0.0
+    for n in ns[1:]:
+        all_pos = all_pos & (ps[n] > 0.0)
+    bleu = F.when(
+        all_pos & (c_len > 0.0),
+        bp * F.exp(log_sum / F.lit(float(max_n))),
+    ).otherwise(F.lit(0.0))
+    cols = [
+        _n(1, "cand_total").cast("long").alias("c_len"),
+        _n(1, "ref_total").cast("long").alias("r_len"),
+        F.round(bp, 6).alias("bp"),
+    ]
+    for n in ns:
+        cols.append(F.round(ps[n], 6).alias(f"p{n}"))
+    cols.append(F.round(bleu, 6).alias("bleu"))
+    return one.select(*cols)
+
+
+def rouge_n(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Corpus-level (micro-averaged) ROUGE-N (Lin 2004): per n,
+
+        recall    = Σ clipped_n / Σ ref_grams_n
+        precision = Σ clipped_n / Σ cand_grams_n
+        f1        = 2·p·r / (p + r)
+
+    pooled over all pairs (micro — corpus totals, not a per-example
+    macro mean: deterministic, weightless, and exactly replayable as
+    integer-count SQL). Degenerate denominators yield NULL rather than
+    div0. One row per n: ``(n, clipped, cand_total, ref_total,
+    rouge_precision, rouge_recall, rouge_f1)`` rounded 6.
+    """
+    if not ns or any(int(n) < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive ints, got {ns!r}")
+    stats = _clipped_ngram_stats(pairs, id_col, cand_col, ref_col, tuple(ns))
+    cl = F.col("clipped").cast("double")
+    p = F.when(F.col("cand_total") > 0, cl / F.col("cand_total").cast("double"))
+    r = F.when(F.col("ref_total") > 0, cl / F.col("ref_total").cast("double"))
+    f1 = F.when((p + r) > 0.0, F.lit(2.0) * p * r / (p + r))
+    return stats.select(
+        "n", "clipped", "cand_total", "ref_total",
+        F.round(p, 6).alias("rouge_precision"),
+        F.round(r, 6).alias("rouge_recall"),
+        F.round(f1, 6).alias("rouge_f1"),
+    ).orderBy("n")

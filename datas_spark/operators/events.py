@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve", "hte_segments", "trimmed_readout"]
+__all__ = ["funnel_stage_times", "funnel_counts", "linear_attribution", "watermark_lateness_counts", "retention_cohort_matrix", "cuped_readout", "did_readout", "power_mde", "sequential_looks", "quantile_treatment_effect", "markov_attribution", "uplift_curve", "hte_segments", "trimmed_readout", "bayes_ab_readout"]
 
 
 def funnel_stage_times(
@@ -1315,4 +1315,140 @@ def trimmed_readout(
         F.round(mT, 6).alias("trimmed_mean_treat"),
         F.round(mC, 6).alias("trimmed_mean_control"),
         F.round(mT - mC, 6).alias("trimmed_diff"),
+    )
+
+
+def bayes_ab_readout(
+    units: DataFrame,
+    arm_col: str,
+    y_col: str,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    grid: int = 512,
+) -> DataFrame:
+    """Bayesian A/B conversion readout — the posterior complement to
+    the frequentist family (`cuped_readout`/`srm_check`/`power_mde`):
+    with a Beta(α, β) prior and per-arm conversions c of n trials, the
+    conversion rate posterior is Beta(α+c, β+n−c), and the decision
+    quantities are
+
+        P(p_T > p_C)              (probability treatment wins)
+        E[(p_C − p_T)+]           (expected loss of SHIPPING treatment)
+        E[(p_T − p_C)+]           (expected loss of keeping control)
+
+    computed by DETERMINISTIC grid integration — the residual-grid
+    discipline of `quantile_treatment_effect`, never Monte Carlo: the
+    unit interval splits into ``grid`` midpoint cells x_i = (2i+1)/2G,
+    each arm's log-density (α+c−1)·ln x + (β+n−c−1)·ln(1−x) is
+    max-shifted and exponentiated, and the cell mass quantizes to e12
+    integers so every downstream sum — normalizers, CDFs, the win
+    probability's Σ w_T·(F_C − w_C/2) midpoint rule, and the expected
+    losses' Σ w_C·(x·A − B) prefix-sum identity — is exact
+    integer/decimal-38 algebra: order-free, partitioning-independent,
+    bit-replayable in a SQL oracle. The only libm calls are one
+    ln/exp pair per grid cell.
+
+    Grid resolution: G=512 midpoint cells integrate a Beta posterior
+    with O(1/G²) bias; the posterior must be wider than a cell
+    (sd ≈ √(p(1−p)/n) ≫ 1/G) — at G=512 that holds to n ≈ 10⁵ per arm;
+    raise ``grid`` for larger arms (cost is linear, the grid frame is
+    2·G rows). Posterior means are reported in closed conjugate form
+    (α+c)/(α+β+n) — exact, grid-free (the property test anchor).
+
+    Plan shape: ONE combinable (count, sum) aggregate over units; all
+    grid math runs on the 2·G-row frame (windows partitioned by arm),
+    and the readout is a 1-row fold. Arms must be 0 (control) and
+    1 (treated); ``y_col`` is 0/1 conversion. Returns one row.
+    """
+    if alpha <= 0 or beta <= 0:
+        raise ValueError(f"alpha/beta must be > 0, got {alpha}/{beta}")
+    if grid < 16:
+        raise ValueError(f"grid must be >= 16, got {grid}")
+    G = int(grid)
+    per = units.groupBy(F.col(arm_col).alias("__arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(y_col).cast("int")).cast("long").alias("__c"),
+    )
+    gr = per.select(
+        "__arm",
+        "__n",
+        "__c",
+        F.explode(F.sequence(F.lit(0), F.lit(G - 1))).alias("__i"),
+    )
+    xnum = (F.col("__i") * 2 + 1).cast("double")  # x = xnum / 2G
+    x = xnum / F.lit(2.0 * G)
+    n, c = F.col("__n").cast("double"), F.col("__c").cast("double")
+    lp = (c + F.lit(alpha - 1.0)) * F.log(x) + (
+        n - c + F.lit(beta - 1.0)
+    ) * F.log(F.lit(1.0) - x)
+    w_arm = Window.partitionBy("__arm")
+    w_cum = (
+        Window.partitionBy("__arm")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shifted = gr.select(
+        "__arm", "__n", "__c", "__i",
+        (lp - F.max(lp).over(w_arm)).alias("__lp"),
+    )
+    ue = F.round(F.exp(F.col("__lp")) * 1e12).cast("long")
+    cells = shifted.select(
+        "__arm", "__n", "__c", "__i",
+        ue.alias("__u"),
+    ).select(
+        "__arm", "__n", "__c", "__i", "__u",
+        F.sum("__u").over(w_arm).alias("__s"),
+        F.sum("__u").over(w_cum).alias("__cum"),
+        F.sum(F.col("__u") * (F.col("__i") * 2 + 1)).over(w_cum).alias("__bx"),
+    )
+    one = cells.groupBy("__i").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "__arm",
+                        F.struct("__u", "__cum", "__bx", "__s", "__n", "__c"),
+                    )
+                )
+            )
+        ).alias("__m")
+    )
+
+    def _arm(a: int, field: str):
+        return F.col("__m")[F.lit(a)][field]
+
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    uT, uC = dec(_arm(1, "__u")), dec(_arm(0, "__u"))
+    cumT, cumC = dec(_arm(1, "__cum")), dec(_arm(0, "__cum"))
+    bxT, bxC = dec(_arm(1, "__bx")), dec(_arm(0, "__bx"))
+    xj = dec(F.col("__i") * 2 + 1)
+    agg = one.agg(
+        F.sum(uT * (cumC * F.lit(2).cast("decimal(38,0)") - uC)).alias("__pn"),
+        F.sum(uC * (xj * cumT - bxT)).alias("__lt"),
+        F.sum(uT * (xj * cumC - bxC)).alias("__lc"),
+        F.max(_arm(1, "__s")).alias("__sT"),
+        F.max(_arm(0, "__s")).alias("__sC"),
+        F.max(_arm(1, "__n")).alias("n_treat"),
+        F.max(_arm(0, "__n")).alias("n_control"),
+        F.max(_arm(1, "__c")).alias("c_treat"),
+        F.max(_arm(0, "__c")).alias("c_control"),
+    )
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    sTsC = dd("__sT") * dd("__sC")
+    pm = lambda cc, nn: (dd(cc) + F.lit(alpha)) / (  # noqa: E731
+        dd(nn) + F.lit(alpha + beta)
+    )
+    return agg.select(
+        "n_treat", "c_treat", "n_control", "c_control",
+        F.round(pm("c_treat", "n_treat"), 6).alias("pm_treat"),
+        F.round(pm("c_control", "n_control"), 6).alias("pm_control"),
+        F.round(dd("__pn") / (F.lit(2.0) * sTsC), 6).alias(
+            "p_treat_beats_control"
+        ),
+        F.round(dd("__lt") / (F.lit(2.0 * G) * sTsC), 6).alias(
+            "exp_loss_treat"
+        ),
+        F.round(dd("__lc") / (F.lit(2.0 * G) * sTsC), 6).alias(
+            "exp_loss_control"
+        ),
     )

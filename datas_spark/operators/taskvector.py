@@ -39,6 +39,8 @@ __all__ = [
     "key_symmetric_difference",
     "tv_cosine_by_key",
     "dare_drop_rescale",
+    "fisher_from_grads",
+    "fisher_weighted_merge",
 ]
 
 _KEYS = ["key", "idx"]
@@ -461,4 +463,115 @@ def dare_drop_rescale(
     )
     return tv.where(u >= p).withColumn(
         "value", F.col("value") / F.lit(1.0 - p)
+    )
+
+
+def fisher_from_grads(
+    grads: DataFrame,
+    quantize_dp: int = 12,
+) -> DataFrame:
+    """Diagonal empirical Fisher from a long per-example gradient table
+    ``(id, key, idx, value)`` (the `scoring.grad_capture_long` layout):
+
+        F[key, idx] = (1/n) Σ_examples grad²
+
+    — the per-parameter importance weight of Matena & Raffel 2022
+    ("Merging Models with Fisher-Weighted Averaging", eq. 4; the
+    reference's gradient-capture intent is ``get_info.py:43-68``).
+
+    Determinism discipline: gradients quantize to e12 integers before
+    the moment sum (squares exceed int64 at corpus scale → decimal-38,
+    the CUPED exact-moments pattern), so the Fisher is exact integer
+    algebra + one division — bit-identical on any partitioning and
+    replayable in a SQL oracle. ONE combinable aggregate over the
+    gradient table; output is |params|·dim rows (model-sized, small).
+    """
+    q = float(10 ** quantize_dp)
+    ge = F.round(F.col("value") * q).cast("long").cast("decimal(38,0)")
+    return (
+        grads.groupBy("key", "idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(ge * ge).alias("__sgg"),
+        )
+        .select(
+            "key",
+            "idx",
+            (
+                F.col("__sgg").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(q * q)
+            ).alias("fisher"),
+        )
+    )
+
+
+def fisher_weighted_merge(
+    models: list[DataFrame],
+    fishers: list[DataFrame],
+    coefs: list[float] | None = None,
+) -> DataFrame:
+    """Fisher-weighted model averaging (Matena & Raffel 2022, eq. 7):
+
+        merged[key, idx] = Σ_k λ_k·F_k·θ_k / Σ_k λ_k·F_k
+
+    — each parameter is averaged with per-model weights proportional
+    to that model's (diagonal) Fisher information there, so a model
+    that is *certain* about a weight dominates it while an indifferent
+    model defers. With uniform Fisher this reduces exactly to T4's
+    plain weighted merge with normalized coefficients (property-tested).
+
+    Inputs: ``models[k]`` long checkpoints ``(key, idx, value)``,
+    ``fishers[k]`` long weights ``(key, idx, fisher)`` (from
+    `fisher_from_grads` or any per-parameter importance), optional
+    per-model scalars ``coefs`` (default 1.0).
+
+    Plan shape: each model equi-joins its own Fisher on (key, idx)
+    (co-partitioned if written bucketed), the k tagged branches union,
+    and ONE groupBy(key, idx) reduces them — partial aggregation
+    handles the k-way sum map-side, so the only shuffle is the one the
+    merge inherently needs. Numerator and denominator fold over the
+    model-tag-sorted struct array (ordered fold — cross-engine
+    bit-stable float sums, the lang_source_mi discipline). Parameters
+    where Σ λ_k·F_k = 0 (every model indifferent) yield NULL rather
+    than dividing by zero.
+    """
+    if len(models) != len(fishers) or not models:
+        raise ValueError(
+            f"need equal non-empty models/fishers, got "
+            f"{len(models)}/{len(fishers)}"
+        )
+    if coefs is None:
+        coefs = [1.0] * len(models)
+    if len(coefs) != len(models):
+        raise ValueError(f"coefs length {len(coefs)} != models {len(models)}")
+    tagged = []
+    for t, (m, fi, c) in enumerate(zip(models, fishers, coefs)):
+        w = F.lit(float(c)) * F.col("f.fisher")
+        tagged.append(
+            m.alias("m")
+            .join(fi.alias("f"), _KEYS)
+            .select(
+                "key",
+                "idx",
+                F.struct(
+                    F.lit(t).alias("t"),
+                    w.alias("w"),
+                    (w * F.col("m.value")).alias("wv"),
+                ).alias("__s"),
+            )
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    arr = F.array_sort(F.collect_list("__s"))
+    agg = u.groupBy(*_KEYS).agg(arr.alias("__a"))
+    num = F.aggregate(
+        F.col("__a"), F.lit(0.0), lambda acc, x: acc + x["wv"]
+    )
+    den = F.aggregate(
+        F.col("__a"), F.lit(0.0), lambda acc, x: acc + x["w"]
+    )
+    return agg.select(
+        "key", "idx", F.when(den != 0.0, num / den).alias("value")
     )

@@ -2756,3 +2756,54 @@ def q_doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "doc_novelty_rate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, tr AS (
+      SELECT DISTINCT g FROM ex WHERE doc_id % 10 <> 0
+    ), ev AS (
+      SELECT doc_id, g FROM ex WHERE doc_id % 10 = 0
+    ), tot AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams FROM ev GROUP BY 1
+    ), kn AS (
+      SELECT e.doc_id, count(*)::BIGINT AS n_known
+      FROM ev e JOIN tr ON e.g = tr.g GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(k.n_known, 0) AS n_known,
+           round(CASE WHEN coalesce(t.n_grams, 0) > 0
+                 THEN (coalesce(t.n_grams, 0) - coalesce(k.n_known, 0))::DOUBLE
+                      / coalesce(t.n_grams, 0)::DOUBLE END, 6)
+             AS novelty_rate,
+           CASE WHEN coalesce(t.n_grams, 0) > 0
+                 AND (coalesce(t.n_grams, 0) - coalesce(k.n_known, 0))::DOUBLE
+                     / coalesce(t.n_grams, 0)::DOUBLE >= 0.5
+                THEN 'release' ELSE 'review' END AS route
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN kn k ON d.doc_id = k.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def q_doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/novelty release gate (`corpus.doc_novelty_rate`,
+    VERDICT r8 #8): every 10th document stands in for generated/held-out
+    text; its distinct 3-gram shingles probe the other 90%'s shingle
+    set (the training corpus). Per-doc novelty = fraction of shingles
+    unseen in training; docs under 50% novelty — or too short to
+    certify — route to 'review' (the hot-residue routing discipline).
+    The reference set is the BIG side, so the membership check is a
+    shuffled hash semi-join on 64-bit shingle hashes, never a
+    broadcast; text never shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.doc_novelty_rate(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        n=3,
+        min_novelty=0.5,
+    )

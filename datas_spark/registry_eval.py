@@ -1454,3 +1454,174 @@ def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return split_conformal_audit(scored, "split", "y", "pred", alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# round-9: generation-eval n-gram metrics (VERDICT r8 "Next round" #7) —
+# the half of the reference's scorer intent (README.md:28-39) that
+# measures generated text against references. Candidates are the
+# 8-response fixture's non-best responses, the reference is each
+# prompt's top-scoring response; pure clipped counting over the shingle
+# machinery, exact integer totals, one ln/exp pair at the very end.
+# ---------------------------------------------------------------------------
+
+_GEN_EVAL_PAIRS_SQL = """
+    r AS (
+      SELECT doc_id // 8 AS pid, doc_id, text, (n_chars % 97) AS score
+      FROM documents
+    ), best AS (
+      SELECT pid, doc_id AS ref_id, text AS ref_text FROM (
+        SELECT pid, doc_id, text,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM r
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT r.doc_id,
+             string_split_regex(trim(lower(r.text)), '\\s+') AS ct,
+             string_split_regex(trim(lower(b.ref_text)), '\\s+') AS rt
+      FROM r JOIN best b ON r.pid = b.pid AND r.doc_id <> b.ref_id
+    ), ns AS (SELECT unnest([{ns}]) AS n
+    ), cg AS (
+      SELECT doc_id, n, g, count(*)::BIGINT AS c FROM (
+        SELECT p.doc_id, ns.n,
+               unnest(list_transform(range(1, len(p.ct) - ns.n + 2),
+                      j -> array_to_string(list_slice(p.ct, j, j + ns.n - 1),
+                                           ' '))) AS g
+        FROM pairs p CROSS JOIN ns
+      ) GROUP BY 1, 2, 3
+    ), rg AS (
+      SELECT doc_id, n, g, count(*)::BIGINT AS c FROM (
+        SELECT p.doc_id, ns.n,
+               unnest(list_transform(range(1, len(p.rt) - ns.n + 2),
+                      j -> array_to_string(list_slice(p.rt, j, j + ns.n - 1),
+                                           ' '))) AS g
+        FROM pairs p CROSS JOIN ns
+      ) GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT cg.n, sum(least(cg.c, rg.c))::BIGINT AS clipped
+      FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n
+                     AND cg.g = rg.g
+      GROUP BY 1
+    ), tot AS (
+      SELECT ns.n,
+             sum(greatest(len(p.ct) - ns.n + 1, 0))::BIGINT AS cand_total,
+             sum(greatest(len(p.rt) - ns.n + 1, 0))::BIGINT AS ref_total
+      FROM pairs p CROSS JOIN ns GROUP BY 1
+    ), st AS (
+      SELECT tot.n, coalesce(clip.clipped, 0)::BIGINT AS clipped,
+             tot.cand_total, tot.ref_total
+      FROM tot LEFT JOIN clip ON tot.n = clip.n
+    )
+"""
+
+
+def _gen_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    r = docs.select(
+        F.floor(F.col("doc_id") / 8).cast("long").alias("pid"),
+        "doc_id",
+        "text",
+        (F.col("n_chars") % 97).alias("score"),
+    )
+    w = W.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (
+        r.select("pid", "doc_id", "text", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(
+            "pid",
+            F.col("doc_id").alias("ref_id"),
+            F.col("text").alias("ref_text"),
+        )
+    )
+    return (
+        r.join(best, "pid")
+        .where(F.col("doc_id") != F.col("ref_id"))
+        .select("doc_id", "text", "ref_text")
+    )
+
+
+@register(
+    "corpus_bleu",
+    oracle="WITH " + _GEN_EVAL_PAIRS_SQL.format(ns="1, 2, 3, 4") + """,
+    m AS (
+      SELECT max(CASE WHEN n = 1 THEN clipped END) AS c1,
+             max(CASE WHEN n = 2 THEN clipped END) AS c2,
+             max(CASE WHEN n = 3 THEN clipped END) AS c3,
+             max(CASE WHEN n = 4 THEN clipped END) AS c4,
+             max(CASE WHEN n = 1 THEN cand_total END) AS t1,
+             max(CASE WHEN n = 2 THEN cand_total END) AS t2,
+             max(CASE WHEN n = 3 THEN cand_total END) AS t3,
+             max(CASE WHEN n = 4 THEN cand_total END) AS t4,
+             max(CASE WHEN n = 1 THEN ref_total END) AS rl
+      FROM st
+    ), d AS (
+      SELECT t1::DOUBLE AS c_len, rl::DOUBLE AS r_len,
+             c1::DOUBLE / t1::DOUBLE AS p1, c2::DOUBLE / t2::DOUBLE AS p2,
+             c3::DOUBLE / t3::DOUBLE AS p3, c4::DOUBLE / t4::DOUBLE AS p4
+      FROM m
+    )
+    SELECT CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+           round(CASE WHEN c_len <= 0.0 THEN 0.0
+                      WHEN c_len < r_len THEN exp(1.0 - r_len / c_len)
+                      ELSE 1.0 END, 6) AS bp,
+           round(p1, 6) AS p1, round(p2, 6) AS p2,
+           round(p3, 6) AS p3, round(p4, 6) AS p4,
+           round(CASE WHEN p1 > 0.0 AND p2 > 0.0 AND p3 > 0.0 AND p4 > 0.0
+                       AND c_len > 0.0
+                 THEN (CASE WHEN c_len <= 0.0 THEN 0.0
+                            WHEN c_len < r_len THEN exp(1.0 - r_len / c_len)
+                            ELSE 1.0 END)
+                      * exp((((ln(p1) + ln(p2)) + ln(p3)) + ln(p4)) / 4.0)
+                 ELSE 0.0 END, 6) AS bleu
+    FROM d
+    """,
+)
+def q_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU (`evalmetrics.corpus_bleu`, Papineni 2002) of the
+    8-response fixture's 7 non-best responses against each prompt's
+    top-scoring response — clipped per-pair n-gram precisions pooled
+    corpus-wide, brevity penalty from corpus token lengths, fixed-order
+    log fold. ONE stacked (n, gram) explode per side, one clip join."""
+    from datas_spark.operators.evalmetrics import corpus_bleu
+
+    return corpus_bleu(
+        _gen_pairs(spark, sf_dir), "doc_id", "text", "ref_text", max_n=4
+    )
+
+
+@register(
+    "rouge_n",
+    oracle="WITH " + _GEN_EVAL_PAIRS_SQL.format(ns="1, 2") + """
+    SELECT n, clipped, cand_total, ref_total,
+           round(CASE WHEN cand_total > 0
+                 THEN clipped::DOUBLE / cand_total::DOUBLE END, 6)
+             AS rouge_precision,
+           round(CASE WHEN ref_total > 0
+                 THEN clipped::DOUBLE / ref_total::DOUBLE END, 6)
+             AS rouge_recall,
+           round(CASE WHEN cand_total > 0 AND ref_total > 0
+                  AND (clipped::DOUBLE / cand_total::DOUBLE
+                       + clipped::DOUBLE / ref_total::DOUBLE) > 0.0
+                 THEN 2.0 * (clipped::DOUBLE / cand_total::DOUBLE)
+                      * (clipped::DOUBLE / ref_total::DOUBLE)
+                      / (clipped::DOUBLE / cand_total::DOUBLE
+                         + clipped::DOUBLE / ref_total::DOUBLE) END, 6)
+             AS rouge_f1
+    FROM st ORDER BY n
+    """,
+)
+def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged corpus ROUGE-1/ROUGE-2 (`evalmetrics.rouge_n`,
+    Lin 2004) on the same responses-vs-best-response frame as
+    `corpus_bleu` — the recall side of the generation readout (BLEU
+    alone rewards short outputs; ROUGE recall exposes them)."""
+    from datas_spark.operators.evalmetrics import rouge_n
+
+    return rouge_n(
+        _gen_pairs(spark, sf_dir), "doc_id", "text", "ref_text", ns=(1, 2)
+    )

@@ -2517,3 +2517,85 @@ def q_experiment_trimmed_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return trimmed_readout(units, "arm", "y", trim=0.05)
+
+
+@register(
+    "experiment_bayes_readout",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, max((event_type = 'purchase')::INT)::INT AS y
+      FROM events GROUP BY 1
+    ), per AS (
+      SELECT (user_id % 2)::INT AS arm, count(*)::BIGINT AS n,
+             sum(y)::BIGINT AS c
+      FROM u GROUP BY 1
+    ), gr AS (
+      SELECT arm, n, c, i
+      FROM per CROSS JOIN (SELECT unnest(range(0, 512)) AS i) g
+    ), lp AS (
+      SELECT arm, n, c, i,
+             (c::DOUBLE + 0.0) * ln((i * 2 + 1)::DOUBLE / 1024.0)
+           + (n::DOUBLE - c::DOUBLE + 0.0)
+             * ln(1.0 - (i * 2 + 1)::DOUBLE / 1024.0) AS lp
+      FROM gr
+    ), sh AS (
+      SELECT arm, n, c, i,
+             CAST(round(exp(lp - max(lp) OVER (PARTITION BY arm)) * 1e12)
+                  AS BIGINT) AS u
+      FROM lp
+    ), cells AS (
+      SELECT arm, n, c, i, u,
+             sum(u) OVER (PARTITION BY arm) AS s,
+             sum(u) OVER (PARTITION BY arm ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(u * (i * 2 + 1)) OVER (PARTITION BY arm ORDER BY i
+                                        ROWS UNBOUNDED PRECEDING) AS bx
+      FROM sh
+    ), t AS (SELECT * FROM cells WHERE arm = 1),
+       ctl AS (SELECT * FROM cells WHERE arm = 0),
+    folded AS (
+      SELECT sum(t.u::HUGEINT * (2 * ctl.cum::HUGEINT - ctl.u)) AS pn,
+             sum(ctl.u::HUGEINT
+                 * ((t.i * 2 + 1)::HUGEINT * t.cum - t.bx)) AS lt,
+             sum(t.u::HUGEINT
+                 * ((t.i * 2 + 1)::HUGEINT * ctl.cum - ctl.bx)) AS lc,
+             max(t.s) AS st, max(ctl.s) AS sc,
+             max(t.n) AS nt, max(ctl.n) AS nc,
+             max(t.c) AS ct, max(ctl.c) AS cc
+      FROM t JOIN ctl ON t.i = ctl.i
+    )
+    SELECT nt AS n_treat, ct AS c_treat, nc AS n_control, cc AS c_control,
+           round((ct::DOUBLE + 1.0) / (nt::DOUBLE + 2.0), 6) AS pm_treat,
+           round((cc::DOUBLE + 1.0) / (nc::DOUBLE + 2.0), 6) AS pm_control,
+           round(pn::DOUBLE / (2.0 * (st::DOUBLE * sc::DOUBLE)), 6)
+             AS p_treat_beats_control,
+           round(lt::DOUBLE / (1024.0 * (st::DOUBLE * sc::DOUBLE)), 6)
+             AS exp_loss_treat,
+           round(lc::DOUBLE / (1024.0 * (st::DOUBLE * sc::DOUBLE)), 6)
+             AS exp_loss_control
+    FROM folded
+    """,
+)
+def q_experiment_bayes_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial posterior A/B readout (`events.bayes_ab_readout`,
+    VERDICT r8 #6): user-parity arms, conversion = any purchase,
+    uniform Beta(1,1) prior — reports P(treatment wins) and both
+    expected losses via the deterministic 512-cell grid integration
+    (e12-quantized cell masses, exact decimal-38 folds; the only libm
+    is one ln/exp per cell, mirrored verbatim in the oracle). The
+    decision-theoretic complement to the frequentist CUPED/MDE/OBF
+    readouts on the same experiment frame."""
+    from datas_spark.operators.events import bayes_ab_readout
+
+    ev = read_table(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("y")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            "y",
+        )
+    )
+    return bayes_ab_readout(units, "arm", "y", alpha=1.0, beta=1.0, grid=512)

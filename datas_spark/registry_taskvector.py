@@ -660,3 +660,106 @@ def q_dare_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         F.round(F.col("value") + F.coalesce("__tv", F.lit(0.0)), 6).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9: Fisher-weighted merging (VERDICT r8 "Next round" #5) — the
+# published successor to plain/TIES merging (Matena & Raffel 2022).
+# The gradient table comes through the SAME iterator-pandas_udf capture
+# the LESS influence dataflow uses (reference intent get_info.py:43-68);
+# models are the per-slice mean-gradient directions, Fishers the
+# per-slice mean squared gradients, everything e12-exact so the oracle
+# bit-replays capture -> moments -> merge end-to-end.
+# ---------------------------------------------------------------------------
+
+_FWM_PARAMS = ["layer0.proj", "layer1.proj"]
+_FWM_DIM = 4
+_FWM_MD5 = "(('0x' || substr(md5({key}), 1, 8))::BIGINT / 4294967296.0)"
+
+_FWM_ORACLE = f"""
+    WITH p AS (
+      SELECT unnest([{', '.join(repr(p) for p in _FWM_PARAMS)}]) AS key
+    ), ix AS (
+      SELECT unnest(range(0, {_FWM_DIM})) AS idx
+    ), g AS (
+      SELECT d.doc_id, p.key, ix.idx,
+        CAST(round((2.0 * {_FWM_MD5.format(key="d.text || '#' || p.key || '#' || ix.idx")}
+          - 1.0) * 1e12) AS BIGINT) AS ge
+      FROM documents d CROSS JOIN p CROSS JOIN ix
+    ), mom AS (
+      SELECT (doc_id % 2)::INT AS slice, key, idx,
+             count(*)::BIGINT AS n,
+             sum(ge::HUGEINT) AS sg,
+             sum(ge::HUGEINT * ge) AS sgg
+      FROM g GROUP BY 1, 2, 3
+    ), mf AS (
+      SELECT slice, key, idx,
+             sg::DOUBLE / n::DOUBLE / 1e12 AS theta,
+             sgg::DOUBLE / n::DOUBLE / 1e24 AS fisher
+      FROM mom
+    ), a AS (SELECT * FROM mf WHERE slice = 0),
+       b AS (SELECT * FROM mf WHERE slice = 1)
+    SELECT a.key, a.idx,
+           round(((0.6 * a.fisher) * a.theta + (0.4 * b.fisher) * b.theta)
+                 / ((0.6 * a.fisher) + (0.4 * b.fisher)), 6) AS value
+    FROM a JOIN b ON a.key = b.key AND a.idx = b.idx
+"""
+
+
+@register("fisher_weighted_merge", oracle=_FWM_ORACLE)
+def q_fisher_weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-weighted averaging of two 'fine-tunes'
+    (`taskvector.fisher_weighted_merge`, Matena & Raffel 2022 eq. 7):
+    per-example gradients captured through the real Arrow pandas_udf
+    boundary (T12, deterministic md5 fake) split into two halves; each
+    half's mean gradient is its model delta and its mean SQUARED
+    gradient its diagonal Fisher (`fisher_from_grads`, e12-exact
+    decimal-38 moments); the merge weights each parameter by λ_k·F_k.
+    ONE gradient capture, one moment aggregate per slice, one
+    merge shuffle — certainty-weighted averaging priced for tables,
+    not host RAM."""
+    from datas_spark.io.sources import read_table
+    from datas_spark.operators.scoring import grad_capture_long
+
+    docs = read_table(spark, sf_dir, "documents")
+    grads = grad_capture_long(
+        docs, "doc_id", "text", _FWM_PARAMS, _FWM_DIM
+    ).select(
+        "doc_id", F.col("param").alias("key"), "idx", "value"
+    )
+    q = 1e12
+    ge = F.round(F.col("value") * q).cast("long").cast("decimal(38,0)")
+    models, fishers = [], []
+    for s in (0, 1):
+        sl = grads.where(F.col("doc_id") % 2 == s)
+        mom = sl.groupBy("key", "idx").agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(ge).alias("__sg"),
+            F.sum(ge * ge).alias("__sgg"),
+        )
+        models.append(
+            mom.select(
+                "key",
+                "idx",
+                (
+                    F.col("__sg").cast("double")
+                    / F.col("__n").cast("double")
+                    / F.lit(q)
+                ).alias("value"),
+            )
+        )
+        fishers.append(
+            mom.select(
+                "key",
+                "idx",
+                (
+                    F.col("__sgg").cast("double")
+                    / F.col("__n").cast("double")
+                    / F.lit(q * q)
+                ).alias("fisher"),
+            )
+        )
+    merged = TV.fisher_weighted_merge(models, fishers, coefs=[0.6, 0.4])
+    return merged.select(
+        "key", "idx", F.round("value", 6).alias("value")
+    )

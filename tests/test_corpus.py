@@ -930,3 +930,45 @@ def test_importance_weight_diagnostics_extreme_and_degenerate(spark):
     r2 = importance_weight_diagnostics(zero, "dsir_weight", "n_tokens").collect()[0]
     assert r2.n_docs == 3 and r2.ess is None and r2.ess_pct is None
     assert r2.max_w_share_pct is None
+
+
+def test_doc_novelty_rate_counts_and_routing(spark):
+    """Planted: eval doc e1 repeats training text (novelty 0 ->
+    review), e2 is fresh (novelty 1 -> release), e3 is half-known,
+    e4 too short to certify (NULL -> review)."""
+    from datas_spark.operators.corpus import doc_novelty_rate
+
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    evald = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # grams all known
+            (2, "zig zag zip zap"),              # grams all novel
+            (3, "alpha beta gamma zap"),         # 1 of 2 known
+            (4, "too short"),                    # < 3 tokens: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in doc_novelty_rate(evald, train, "doc_id", "text", n=3).collect()
+    }
+    assert out[1].n_grams == 2 and out[1].n_known == 2
+    assert out[1].novelty_rate == 0.0 and out[1].route == "review"
+    assert out[2].n_known == 0 and out[2].novelty_rate == 1.0
+    assert out[2].route == "release"
+    assert out[3].n_grams == 2 and out[3].n_known == 1
+    assert out[3].novelty_rate == 0.5 and out[3].route == "release"
+    assert out[4].n_grams == 0 and out[4].novelty_rate is None
+    assert out[4].route == "review"
+
+
+def test_doc_novelty_rate_validates_threshold(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.corpus import doc_novelty_rate
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        doc_novelty_rate(df, df, "doc_id", "text", min_novelty=1.5)

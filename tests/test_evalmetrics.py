@@ -333,3 +333,68 @@ def test_pass_at_k_rejects_bad_ks(spark):
         EM.pass_at_k(df, "g", "ok", [])
     with _pytest.raises(ValueError):
         EM.pass_at_k(df, "g", "ok", [1, 0])
+
+
+def test_corpus_bleu_hand_example(spark):
+    """Hand-counted 2-pair corpus: p1=8/10, p2=5/8, p3=3/6, p4=1/4,
+    BP=e^(1-11/10); BLEU = BP*(p1*p2*p3*p4)^(1/4) = BP*0.5."""
+    import math
+
+    pairs = spark.createDataFrame([
+        (1, "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "a quick brown fox", "the quick brown fox jumps"),
+    ], ["pid", "cand", "ref"])
+    r = EM.corpus_bleu(pairs, "pid", "cand", "ref").collect()[0]
+    assert (r.c_len, r.r_len) == (10, 11)
+    assert (r.p1, r.p2, r.p3, r.p4) == (0.8, 0.625, 0.5, 0.25)
+    assert r.bp == round(math.exp(1 - 11 / 10), 6)
+    assert abs(r.bleu - math.exp(1 - 11 / 10) * 0.5) < 1e-6
+
+
+def test_corpus_bleu_perfect_and_zero(spark):
+    pairs = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e")], ["pid", "cand", "ref"]
+    )
+    r = EM.corpus_bleu(pairs, "pid", "cand", "ref").collect()[0]
+    assert r.bleu == 1.0 and r.bp == 1.0
+    # no 4-gram overlap anywhere -> BLEU exactly 0, precisions reported
+    pairs0 = spark.createDataFrame(
+        [(1, "a b c d", "x y z w")], ["pid", "cand", "ref"]
+    )
+    r0 = EM.corpus_bleu(pairs0, "pid", "cand", "ref").collect()[0]
+    assert r0.bleu == 0.0 and r0.p1 == 0.0
+
+
+def test_corpus_bleu_clip_is_per_pair(spark):
+    """'the the the' vs 'the cat': clipped count of 'the' is min(3,1)=1
+    — the modified-precision clip that stops degenerate repetition."""
+    pairs = spark.createDataFrame(
+        [(1, "the the the", "the cat")], ["pid", "cand", "ref"]
+    )
+    r = EM.corpus_bleu(pairs, "pid", "cand", "ref", max_n=1).collect()[0]
+    assert r.p1 == round(1 / 3, 6)
+
+
+def test_rouge_n_hand_example(spark):
+    pairs = spark.createDataFrame([
+        (1, "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "a quick brown fox", "the quick brown fox jumps"),
+    ], ["pid", "cand", "ref"])
+    out = {r.n: r for r in EM.rouge_n(pairs, "pid", "cand", "ref").collect()}
+    assert out[1].clipped == 8 and out[1].ref_total == 11
+    assert out[1].rouge_recall == round(8 / 11, 6)
+    assert out[2].clipped == 5 and out[2].rouge_precision == 0.625
+    p, r2 = 5 / 8, 5 / 9
+    assert out[2].rouge_f1 == round(2 * p * r2 / (p + r2), 6)
+
+
+def test_bleu_rouge_validate_params(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, "a", "a")], ["pid", "cand", "ref"])
+    with _pytest.raises(ValueError):
+        EM.corpus_bleu(pairs, "pid", "cand", "ref", max_n=0)
+    with _pytest.raises(ValueError):
+        EM.rouge_n(pairs, "pid", "cand", "ref", ns=())
+    with _pytest.raises(ValueError):
+        EM.rouge_n(pairs, "pid", "cand", "ref", ns=(1, 0))

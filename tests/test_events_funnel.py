@@ -612,3 +612,61 @@ def test_sequential_looks_out_of_range_look_yields_null_bound(spark):
     for t in (0, 5):
         assert out[t].obf_bound is None and out[t].crossed is None
         assert out[t].z is not None  # the stats themselves still compute
+
+
+def test_bayes_ab_readout_matches_exact_beta_integral(spark):
+    """Planted 60/100 vs 50/100: P(p_T > p_C) must match a dense
+    independent numerical integral of the two Beta posteriors, and the
+    expected-loss difference must equal the posterior-mean difference
+    (the identity E[(a-b)+] - E[(b-a)+] = E[a] - E[b], which also pins
+    the grid mean to the closed-form conjugate mean within O(1/G^2))."""
+    import numpy as np
+
+    from datas_spark.operators.events import bayes_ab_readout
+
+    rows = [(1, 1)] * 60 + [(1, 0)] * 40 + [(0, 1)] * 50 + [(0, 0)] * 50
+    df = spark.createDataFrame(rows, "arm int, y int")
+    r = bayes_ab_readout(df, "arm", "y").collect()[0]
+
+    # dense independent integral (8192 cells, float128-free but fine)
+    x = (2 * np.arange(8192) + 1) / (2 * 8192.0)
+    def post(c, n):
+        lp = c * np.log(x) + (n - c) * np.log1p(-x)
+        w = np.exp(lp - lp.max())
+        return w / w.sum()
+    wT, wC = post(60, 100), post(50, 100)
+    cdfC = np.cumsum(wC)
+    p_exact = float(np.sum(wT * (cdfC - 0.5 * wC)))
+    assert abs(r.p_treat_beats_control - p_exact) < 2e-3, (
+        r.p_treat_beats_control, p_exact)
+
+    assert abs(
+        (r.exp_loss_control - r.exp_loss_treat)
+        - (r.pm_treat - r.pm_control)
+    ) < 1e-4
+    assert r.pm_treat == round(61 / 102, 6)  # closed-form conjugate mean
+    assert r.pm_control == round(51 / 102, 6)
+
+
+def test_bayes_ab_readout_symmetric_arms(spark):
+    from datas_spark.operators.events import bayes_ab_readout
+
+    rows = ([(1, 1)] * 30 + [(1, 0)] * 70) + ([(0, 1)] * 30 + [(0, 0)] * 70)
+    df = spark.createDataFrame(rows, "arm int, y int")
+    r = bayes_ab_readout(df, "arm", "y").collect()[0]
+    assert abs(r.p_treat_beats_control - 0.5) < 5e-3
+    assert abs(r.exp_loss_treat - r.exp_loss_control) < 1e-4
+
+
+def test_bayes_ab_readout_validates_params(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.events import bayes_ab_readout
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "arm int, y int")
+    with _pytest.raises(ValueError):
+        bayes_ab_readout(df, "arm", "y", alpha=0.0)
+    with _pytest.raises(ValueError):
+        bayes_ab_readout(df, "arm", "y", beta=-1.0)
+    with _pytest.raises(ValueError):
+        bayes_ab_readout(df, "arm", "y", grid=8)

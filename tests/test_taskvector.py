@@ -164,3 +164,73 @@ def test_dare_validates_p(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         TV.dare_drop_rescale(tv, p=1.0)
+
+
+def test_fisher_uniform_reduces_to_weighted_merge(spark):
+    """Matena-Raffel with a CONSTANT Fisher must equal T4's plain
+    weighted merge with normalized coefficients — the property that
+    pins the estimator's algebra."""
+    m1 = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(8)], ["key", "idx", "value"]
+    )
+    m2 = spark.createDataFrame(
+        [("k", i, float(2 * i + 1)) for i in range(8)], ["key", "idx", "value"]
+    )
+    uni = spark.createDataFrame(
+        [("k", i, 3.5) for i in range(8)], ["key", "idx", "fisher"]
+    )
+    got = {
+        (r.key, r.idx): r.value
+        for r in TV.fisher_weighted_merge(
+            [m1, m2], [uni, uni], coefs=[0.6, 0.4]
+        ).collect()
+    }
+    want = {
+        (r.key, r.idx): r.value
+        for r in TV.tv_weighted_merge(
+            [m1, m2], [0.6 / 1.0, 0.4 / 1.0]
+        ).collect()
+    }
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_fisher_weighting_prefers_certain_model(spark):
+    """A parameter where model A's Fisher dwarfs B's must land near
+    A's value; zero Fisher on both sides yields NULL, not div0."""
+    mA = spark.createDataFrame([("k", 0, 10.0), ("k", 1, 10.0)],
+                               ["key", "idx", "value"])
+    mB = spark.createDataFrame([("k", 0, -10.0), ("k", 1, -10.0)],
+                               ["key", "idx", "value"])
+    fA = spark.createDataFrame([("k", 0, 99.0), ("k", 1, 0.0)],
+                               ["key", "idx", "fisher"])
+    fB = spark.createDataFrame([("k", 0, 1.0), ("k", 1, 0.0)],
+                               ["key", "idx", "fisher"])
+    out = {r.idx: r.value
+           for r in TV.fisher_weighted_merge([mA, mB], [fA, fB]).collect()}
+    assert out[0] > 9.0  # 99:1 certainty ratio pulls to A
+    assert out[1] is None  # both indifferent -> NULL
+
+
+def test_fisher_from_grads_exact_moments(spark):
+    from datas_spark.operators.taskvector import fisher_from_grads
+
+    g = spark.createDataFrame(
+        [(1, "k", 0, 1.0), (2, "k", 0, -3.0), (3, "k", 0, 2.0)],
+        ["id", "key", "idx", "value"],
+    )
+    r = fisher_from_grads(g).collect()[0]
+    assert abs(r.fisher - (1 + 9 + 4) / 3) < 1e-9
+
+
+def test_fisher_merge_validates_shapes(spark):
+    import pytest as _pytest
+
+    m = spark.createDataFrame([("k", 0, 1.0)], ["key", "idx", "value"])
+    f = spark.createDataFrame([("k", 0, 1.0)], ["key", "idx", "fisher"])
+    with _pytest.raises(ValueError):
+        TV.fisher_weighted_merge([m], [f, f])
+    with _pytest.raises(ValueError):
+        TV.fisher_weighted_merge([], [])
+    with _pytest.raises(ValueError):
+        TV.fisher_weighted_merge([m], [f], coefs=[1.0, 2.0])
