@@ -10,12 +10,20 @@ loudly. Results land in ``SF1_SCALING.md``.
 
 Usage::
 
-    python bench.py                       # refresh BENCH_DETAIL.json at sf0.1
+    python bench.py                       # refresh BENCH_RUN.json at sf0.1
     python scripts/gen_sf1.py             # synthesize once
-    python scripts/run_sf1.py [--top 20] [--runs 3]
+    python scripts/run_sf1.py [--top 20] [--runs 3] [--same-session]
 
 ``--top 999`` runs the FULL headline set (VERDICT round-5 #3 — the two
 known quadratics were both caught OUTSIDE the original top-20).
+
+``--same-session`` (round-9 default for full refreshes) re-times each
+query at sf0.1 in the SAME JVM right before its sf1 runs, instead of
+comparing against the committed floors doc: this box's speed varies up
+to ~2x between sessions, so a cross-session ratio conflates scale
+behavior with box phase (round-6: two "superlinear" flags at 17.5x and
+10.3x re-measured at 3.5x/3.2x back-to-back). Floors-based mode
+remains for quick spot checks against known sf0.1 numbers.
 
 Run on an otherwise-idle machine (concurrent Spark work inflates
 timings ~2x).
@@ -42,6 +50,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf1-dir", default=None)
+    ap.add_argument("--same-session", action="store_true")
+    ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     sf1_dir = args.sf1_dir
     if sf1_dir is None:
@@ -67,18 +77,28 @@ def main() -> None:
     spark = get_spark("datas-spark-sf1")
     spark.sparkContext.setLogLevel("ERROR")
 
-    results = {}
-    for name in names:
-        fn = queries[name]
-        fn(spark, sf1_dir).count()  # warmup (also builds artifacts once)
+    def timed(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).count()  # warmup (also builds artifacts once)
         samples = []
         for _ in range(args.runs):
             t0 = time.time()
-            fn(spark, sf1_dir).count()
+            fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
-        results[name] = round(statistics.median(samples), 3)
+        return round(statistics.median(samples), 3)
+
+    results = {}
+    import gc as _gc
+
+    for name in names:
+        fn = queries[name]
+        if args.same_session:
+            # numerator and denominator from the SAME JVM, back to back
+            base[name] = timed(fn, args.sf01_dir)
+        results[name] = timed(fn, sf1_dir)
         print(f"{name}: sf0.1={base[name]:.2f}s sf1={results[name]:.2f}s "
               f"({results[name] / max(base[name], 1e-9):.1f}x)", flush=True)
+        spark.catalog.clearCache()
+        _gc.collect()
     spark.stop()
 
     scope = (
@@ -86,12 +106,19 @@ def main() -> None:
         if args.top >= len(base)
         else f"top-{args.top} most expensive headline queries"
     )
+    mode = (
+        "sf0.1 and sf1 timed back-to-back in ONE JVM per query "
+        "(same-session ratios — box phase cancels)"
+        if args.same_session
+        else "sf0.1 baselines from the committed BENCH_DETAIL.json floors"
+    )
     lines = [
         "# SF1 scaling run",
         "",
         f"Synthesized sf1 (10x sf0.1, `scripts/gen_sf1.py`) at `{sf1_dir}`;",
         f"{scope}, median of "
-        f"{args.runs} timed runs after warmup, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].",
+        f"{args.runs} timed runs after warmup, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]; "
+        f"{mode}.",
         "",
         "Pass criterion: at 10x data, no query exceeds 10x its sf0.1 time",
         "+ 0.3 s (additive slack mutes timer noise on sub-100 ms queries).",
