@@ -378,6 +378,12 @@ HEADLINE = [
     "corpus_bleu",
     "rouge_n",
     "doc_novelty_rate",
+    # round-9 batch 2: generation-eval completion — diversity readouts
+    # (distinct-n, corpus-pooled Self-BLEU with the top-2 multi-ref
+    # clip) and the tokenization-free chrF
+    "distinct_n",
+    "self_bleu",
+    "chrf_score",
 ]
 
 RUNS_PER_QUERY = 3

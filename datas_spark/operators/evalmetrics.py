@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit", "corpus_bleu", "rouge_n"]
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit", "corpus_bleu", "rouge_n", "distinct_n", "self_bleu", "chrf"]
 
 
 def ranking_metrics(
@@ -1026,3 +1026,358 @@ def rouge_n(
         F.round(r, 6).alias("rouge_recall"),
         F.round(f1, 6).alias("rouge_f1"),
     ).orderBy("n")
+
+def distinct_n(
+    responses: DataFrame,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    Objective for Neural Conversation Models"): corpus-level ratio of
+    DISTINCT n-grams to total n-grams over a set of generated
+    responses — the standard mode-collapse readout (a sampler that
+    repeats itself scores near 0, maximal diversity near 1).
+
+    Same tokenization and stacked single-explode counting as
+    `corpus_bleu`; exact integer counts, one division. Returns one row
+    per n: ``(n, distinct_grams, total_grams, distinct_ratio)``.
+    """
+    if not ns or any(int(n) < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive ints, got {ns!r}")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def gram_at(n):
+        return lambda j: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(F.col("__t"), j, n)).alias("gram"),
+        )
+
+    fams = []
+    for n in ns:
+        idxs = F.when(
+            F.size("__t") >= n,
+            F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        fams.append(F.transform(idxs, gram_at(n)))
+    g = (
+        responses.select(toks.alias("__t"))
+        .select(F.explode_outer(F.flatten(F.array(*fams))).alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    agg = g.groupBy(F.col("__s")["n"].alias("n")).agg(
+        F.count_distinct(F.col("__s")["gram"])
+        .cast("long")
+        .alias("distinct_grams"),
+        F.count(F.lit(1)).cast("long").alias("total_grams"),
+    )
+    return agg.select(
+        "n",
+        "distinct_grams",
+        "total_grams",
+        F.round(
+            F.col("distinct_grams").cast("double")
+            / F.col("total_grams").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    ).orderBy("n")
+
+
+def self_bleu(
+    responses: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-pooled Self-BLEU (Zhu et al. 2018, Texygen) — the
+    diversity complement to `corpus_bleu`: every response is a
+    candidate and the OTHER responses of its prompt are its multiple
+    references, so a sampler that says the same thing eight ways
+    scores near 1 and a diverse one near 0. Pooled (corpus totals)
+    rather than the per-sentence macro mean — deterministic,
+    weightless, exactly SQL-replayable.
+
+    Multi-reference clipping (Papineni 2002 §2.1): a candidate gram's
+    ceiling is the MAX count of that gram in any OTHER response of the
+    group, computed with a top-2 trick — per (group, n, gram) keep the
+    best and second-best response counts (rank by count DESC, id ASC);
+    a candidate that IS the best falls back to the second-best. The
+    group therefore never all-pairs joins on grams. The brevity
+    penalty uses pooled candidate length vs the pooled per-candidate
+    CLOSEST-other length (the standard effective reference length;
+    ties to the shorter, then smaller id — a bounded within-group
+    self-join, rank-1 window keyed by (group, id)).
+
+    Groups with a single response are EXCLUDED (they have no
+    references). Returns one row: ``(c_len, r_len, bp, p1..pN,
+    self_bleu)`` rounded 6.
+    """
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    ns = tuple(range(1, max_n + 1))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = responses.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        toks.alias("__t"),
+    ).select("__g", "__id", "__t", F.size("__t").alias("__len"))
+    # groups with >= 2 responses only
+    gsz = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__gn"))
+    base = base.join(gsz.where(F.col("__gn") >= 2).select("__g"), "__g")
+
+    def gram_at(n):
+        return lambda j: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(F.col("__t"), j, n)).alias("gram"),
+        )
+
+    fams = []
+    for n in ns:
+        idxs = F.when(
+            F.size("__t") >= n,
+            F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        fams.append(F.transform(idxs, gram_at(n)))
+    cnts = (
+        base.select(
+            "__g",
+            "__id",
+            F.explode_outer(F.flatten(F.array(*fams))).alias("__s"),
+        )
+        .where(F.col("__s").isNotNull())
+        .groupBy(
+            "__g",
+            "__id",
+            F.col("__s")["n"].alias("n"),
+            F.col("__s")["gram"].alias("gram"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w2 = Window.partitionBy("__g", "n", "gram").orderBy(
+        F.desc("cnt"), F.asc("__id")
+    )
+    ranked = cnts.select(
+        "__g", "__id", "n", "gram", "cnt", F.row_number().over(w2).alias("rn")
+    ).where(F.col("rn") <= 2)
+    top2 = ranked.groupBy("__g", "n", "gram").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("m1"),
+        F.max(F.when(F.col("rn") == 1, F.col("__id"))).alias("a1"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == 2, F.col("cnt"))), F.lit(0)
+        ).alias("m2"),
+    )
+    ceil = F.when(F.col("a1") != F.col("__id"), F.col("m1")).otherwise(
+        F.col("m2")
+    )
+    clipped = (
+        cnts.join(top2, ["__g", "n", "gram"])
+        .groupBy("n")
+        .agg(F.sum(F.least(F.col("cnt"), ceil)).cast("long").alias("clipped"))
+    )
+    totals = base.select(
+        F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
+        F.col("__len"),
+    ).groupBy("n").agg(
+        F.sum(F.greatest(F.col("__len") - F.col("n") + 1, F.lit(0)))
+        .cast("long")
+        .alias("cand_total")
+    )
+    # effective reference length: closest OTHER response's length
+    a, b = base.alias("a"), base.alias("b")
+    cross = a.join(b, "__g").where(F.col("a.__id") != F.col("b.__id"))
+    wl = Window.partitionBy("__g", F.col("a.__id")).orderBy(
+        F.abs(F.col("b.__len") - F.col("a.__len")).asc(),
+        F.col("b.__len").asc(),
+        F.col("b.__id").asc(),
+    )
+    rlen = (
+        cross.select(
+            F.col("a.__id").alias("__id"),
+            F.col("b.__len").alias("__rl"),
+            F.row_number().over(wl).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .agg(F.sum("__rl").cast("long").alias("r_len"))
+    )
+    one = (
+        totals.join(clipped, "n", "left")
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "n",
+                            F.struct(
+                                F.coalesce("clipped", F.lit(0)).alias(
+                                    "clipped"
+                                ),
+                                F.col("cand_total"),
+                            ),
+                        )
+                    )
+                )
+            ).alias("__m")
+        )
+        .crossJoin(F.broadcast(rlen))  # 1-row scalar
+    )
+
+    def _n(n: int, field: str):
+        return F.col("__m")[F.lit(n)][field].cast("double")
+
+    c_len = _n(1, "cand_total")
+    r_len = F.col("r_len").cast("double")
+    bp = (
+        F.when(c_len <= 0.0, F.lit(0.0))
+        .when(c_len < r_len, F.exp(F.lit(1.0) - r_len / c_len))
+        .otherwise(F.lit(1.0))
+    )
+    ps = {n: _n(n, "clipped") / _n(n, "cand_total") for n in ns}
+    log_sum = F.log(ps[1])
+    for n in ns[1:]:
+        log_sum = log_sum + F.log(ps[n])
+    all_pos = ps[1] > 0.0
+    for n in ns[1:]:
+        all_pos = all_pos & (ps[n] > 0.0)
+    sbleu = F.when(
+        all_pos & (c_len > 0.0), bp * F.exp(log_sum / F.lit(float(max_n)))
+    ).otherwise(F.lit(0.0))
+    cols = [
+        c_len.cast("long").alias("c_len"),
+        F.col("r_len"),
+        F.round(bp, 6).alias("bp"),
+    ]
+    for n in ns:
+        cols.append(F.round(ps[n], 6).alias(f"p{n}"))
+    cols.append(F.round(sbleu, 6).alias("self_bleu"))
+    return one.select(*cols)
+
+
+def chrf(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """chrF (Popović 2015): character-n-gram F-score — the
+    tokenization-free generation metric that survives morphology,
+    diacritics, and compounding where word-level BLEU shatters.
+    Whitespace is removed entirely (the chrF convention) and text is
+    lowercased (the engine's tokenizer convention); character n-grams
+    n = 1..max_n are clip-counted per pair exactly like `corpus_bleu`,
+    then
+
+        chrP = (1/N) Σ_n clip_n / cand_n     (corpus-pooled per n,
+        chrR = (1/N) Σ_n clip_n / ref_n       arithmetic mean over n;
+                                              empty layers count as 0)
+        chrF = (1+β²)·P·R / (β²·P + R)        (0 when P + R = 0)
+
+    with β = 2 (recall-weighted, the published default). Fixed
+    ascending-n fold order; exact integer counts; the one division per
+    layer is the only float step. Returns one row:
+    ``(chrp, chrr, chrf)`` rounded 6.
+    """
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    if beta <= 0:
+        raise ValueError(f"beta must be > 0, got {beta}")
+    ns = tuple(range(1, max_n + 1))
+
+    def clean(col: str):
+        return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", "")
+
+    base = pairs.select(
+        F.col(id_col).alias("__pid"),
+        clean(cand_col).alias("__c"),
+        clean(ref_col).alias("__r"),
+    )
+
+    def gram_at(scol, n):
+        return lambda j: F.struct(
+            F.lit(n).alias("n"), F.substring(scol, j, n).alias("gram")
+        )
+
+    def side_counts(scol_name: str):
+        scol = F.col(scol_name)
+        fams = []
+        for n in ns:
+            idxs = F.when(
+                F.length(scol) >= n,
+                F.sequence(F.lit(1), F.length(scol) - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+            fams.append(F.transform(idxs, gram_at(scol, n)))
+        g = base.select(
+            "__pid", F.explode_outer(F.flatten(F.array(*fams))).alias("__s")
+        ).where(F.col("__s").isNotNull())
+        return g.groupBy(
+            "__pid",
+            F.col("__s")["n"].alias("n"),
+            F.col("__s")["gram"].alias("gram"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    cc, rc = side_counts("__c"), side_counts("__r")
+    clipped = (
+        cc.alias("c")
+        .join(rc.alias("r"), ["__pid", "n", "gram"])
+        .groupBy("n")
+        .agg(F.sum(F.least(F.col("c.cnt"), F.col("r.cnt"))).alias("clipped"))
+    )
+    totals = base.select(
+        F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
+        F.length("__c").alias("__cl"),
+        F.length("__r").alias("__rl"),
+    ).groupBy("n").agg(
+        F.sum(F.greatest(F.col("__cl") - F.col("n") + 1, F.lit(0)))
+        .cast("long")
+        .alias("cand_total"),
+        F.sum(F.greatest(F.col("__rl") - F.col("n") + 1, F.lit(0)))
+        .cast("long")
+        .alias("ref_total"),
+    )
+    one = (
+        totals.join(clipped, "n", "left")
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "n",
+                            F.struct(
+                                F.coalesce("clipped", F.lit(0)).alias(
+                                    "clipped"
+                                ),
+                                F.col("cand_total"),
+                                F.col("ref_total"),
+                            ),
+                        )
+                    )
+                )
+            ).alias("__m")
+        )
+    )
+
+    def layer(n: int, num: str, den: str):
+        d = F.col("__m")[F.lit(n)][den].cast("double")
+        x = F.col("__m")[F.lit(n)][num].cast("double")
+        return F.when(d > 0.0, x / d).otherwise(F.lit(0.0))
+
+    p_sum = layer(1, "clipped", "cand_total")
+    r_sum = layer(1, "clipped", "ref_total")
+    for n in ns[1:]:
+        p_sum = p_sum + layer(n, "clipped", "cand_total")
+        r_sum = r_sum + layer(n, "clipped", "ref_total")
+    P = p_sum / F.lit(float(max_n))
+    R = r_sum / F.lit(float(max_n))
+    b2 = float(beta) * float(beta)
+    score = F.when(
+        (F.lit(b2) * P + R) > 0.0,
+        F.lit(1.0 + b2) * P * R / (F.lit(b2) * P + R),
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        F.round(P, 6).alias("chrp"),
+        F.round(R, 6).alias("chrr"),
+        F.round(score, 6).alias("chrf"),
+    )

@@ -1625,3 +1625,235 @@ def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_n(
         _gen_pairs(spark, sf_dir), "doc_id", "text", "ref_text", ns=(1, 2)
     )
+# Appended to datas_spark/registry_eval.py after the sf1 session.
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 2: generation-eval completion — diversity (distinct-n,
+# Self-BLEU) and the tokenization-free chrF, on the same fixtures as
+# corpus_bleu. All pure counting over the stacked-explode core; the
+# only libm is the final ln/exp (BLEU BP) or nothing (distinct-n, chrF
+# ratios).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_n",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ), ns AS (SELECT unnest([1, 2, 3]) AS n),
+    g AS (
+      SELECT ns.n,
+             unnest(list_transform(range(1, len(t.t) - ns.n + 2),
+                    j -> array_to_string(list_slice(t.t, j, j + ns.n - 1),
+                                         ' '))) AS gram
+      FROM toks t CROSS JOIN ns
+    )
+    SELECT n, count(DISTINCT gram)::BIGINT AS distinct_grams,
+           count(*)::BIGINT AS total_grams,
+           round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 6)
+             AS distinct_ratio
+    FROM g GROUP BY n ORDER BY n
+    """,
+)
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity (`evalmetrics.distinct_n`, Li 2016)
+    over the document corpus as the generated-set stand-in — the
+    mode-collapse readout next to Self-BLEU. ONE stacked explode, one
+    distinct-count aggregate per n."""
+    from datas_spark.operators.evalmetrics import distinct_n
+
+    docs = read_table(spark, sf_dir, "documents")
+    return distinct_n(docs, "text", ns=(1, 2, 3))
+
+
+@register(
+    "self_bleu",
+    oracle=r"""
+    WITH base0 AS (
+      SELECT doc_id // 8 AS g, doc_id AS id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), gsz AS (
+      SELECT g FROM base0 GROUP BY g HAVING count(*) >= 2
+    ), base AS (
+      SELECT b.g, b.id, b.t, len(b.t) AS l FROM base0 b JOIN gsz USING (g)
+    ), ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+    cnts AS (
+      SELECT g, id, n, gram, count(*)::BIGINT AS cnt FROM (
+        SELECT b.g, b.id, ns.n,
+               unnest(list_transform(range(1, len(b.t) - ns.n + 2),
+                      j -> array_to_string(list_slice(b.t, j, j + ns.n - 1),
+                                           ' '))) AS gram
+        FROM base b CROSS JOIN ns
+      ) GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+      SELECT g, id, n, gram, cnt,
+             row_number() OVER (PARTITION BY g, n, gram
+                                ORDER BY cnt DESC, id ASC) AS rn
+      FROM cnts
+    ), top2 AS (
+      SELECT g, n, gram,
+             max(CASE WHEN rn = 1 THEN cnt END) AS m1,
+             max(CASE WHEN rn = 1 THEN id END) AS a1,
+             coalesce(max(CASE WHEN rn = 2 THEN cnt END), 0) AS m2
+      FROM ranked WHERE rn <= 2 GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT c.n,
+             sum(least(c.cnt, CASE WHEN t.a1 <> c.id THEN t.m1
+                              ELSE t.m2 END))::BIGINT AS clipped
+      FROM cnts c JOIN top2 t ON c.g = t.g AND c.n = t.n AND c.gram = t.gram
+      GROUP BY 1
+    ), tot AS (
+      SELECT ns.n, sum(greatest(b.l - ns.n + 1, 0))::BIGINT AS cand_total
+      FROM base b CROSS JOIN ns GROUP BY 1
+    ), rl AS (
+      SELECT sum(best)::BIGINT AS r_len FROM (
+        SELECT a.id, b.l AS best,
+               row_number() OVER (PARTITION BY a.g, a.id
+                                  ORDER BY abs(b.l - a.l) ASC, b.l ASC,
+                                           b.id ASC) AS rn
+        FROM base a JOIN base b ON a.g = b.g AND a.id <> b.id
+      ) WHERE rn = 1
+    ), st AS (
+      SELECT tot.n, coalesce(clip.clipped, 0) AS clipped, tot.cand_total
+      FROM tot LEFT JOIN clip USING (n)
+    ), m AS (
+      SELECT max(CASE WHEN n=1 THEN clipped END) AS c1,
+             max(CASE WHEN n=2 THEN clipped END) AS c2,
+             max(CASE WHEN n=3 THEN clipped END) AS c3,
+             max(CASE WHEN n=4 THEN clipped END) AS c4,
+             max(CASE WHEN n=1 THEN cand_total END) AS t1,
+             max(CASE WHEN n=2 THEN cand_total END) AS t2,
+             max(CASE WHEN n=3 THEN cand_total END) AS t3,
+             max(CASE WHEN n=4 THEN cand_total END) AS t4
+      FROM st
+    ), d AS (
+      SELECT t1::DOUBLE AS c_len, (SELECT r_len FROM rl)::DOUBLE AS r_len,
+             c1::DOUBLE / t1::DOUBLE AS p1, c2::DOUBLE / t2::DOUBLE AS p2,
+             c3::DOUBLE / t3::DOUBLE AS p3, c4::DOUBLE / t4::DOUBLE AS p4
+      FROM m
+    )
+    SELECT CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+           round(CASE WHEN c_len <= 0.0 THEN 0.0
+                      WHEN c_len < r_len THEN exp(1.0 - r_len / c_len)
+                      ELSE 1.0 END, 6) AS bp,
+           round(p1, 6) AS p1, round(p2, 6) AS p2,
+           round(p3, 6) AS p3, round(p4, 6) AS p4,
+           round(CASE WHEN p1 > 0.0 AND p2 > 0.0 AND p3 > 0.0 AND p4 > 0.0
+                       AND c_len > 0.0
+                 THEN (CASE WHEN c_len <= 0.0 THEN 0.0
+                            WHEN c_len < r_len THEN exp(1.0 - r_len / c_len)
+                            ELSE 1.0 END)
+                      * exp((((ln(p1) + ln(p2)) + ln(p3)) + ln(p4)) / 4.0)
+                 ELSE 0.0 END, 6) AS self_bleu
+    FROM d
+    """,
+)
+def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pooled Self-BLEU (`evalmetrics.self_bleu`, Zhu 2018) of
+    the 8-response groups — each response against the other seven as
+    multiple references via the top-2 per-(group, gram) clip ceiling
+    (never an all-pairs gram join); effective reference length by the
+    closest-other rank-1 window. The diversity readout paired with
+    `distinct_n`: high Self-BLEU = the sampler repeats itself."""
+    from datas_spark.operators.evalmetrics import self_bleu
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.floor(F.col("doc_id") / 8).cast("long").alias("pid"),
+        "doc_id",
+        "text",
+    )
+    return self_bleu(r, "pid", "doc_id", "text", max_n=4)
+
+
+@register(
+    "chrf_score",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id // 8 AS pid, doc_id, text, (n_chars % 97) AS score
+      FROM documents
+    ), best AS (
+      SELECT pid, doc_id AS ref_id, text AS ref_text FROM (
+        SELECT pid, doc_id, text,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM r
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT r.doc_id,
+             regexp_replace(trim(lower(r.text)), '\s+', '', 'g') AS c,
+             regexp_replace(trim(lower(b.ref_text)), '\s+', '', 'g') AS rf
+      FROM r JOIN best b ON r.pid = b.pid AND r.doc_id <> b.ref_id
+    ), ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+    cg AS (
+      SELECT doc_id, n, g, count(*)::BIGINT AS cnt FROM (
+        SELECT p.doc_id, ns.n,
+               unnest(list_transform(range(1, length(p.c) - ns.n + 2),
+                      j -> substr(p.c, j, ns.n))) AS g
+        FROM pairs p CROSS JOIN ns
+      ) GROUP BY 1, 2, 3
+    ), rg AS (
+      SELECT doc_id, n, g, count(*)::BIGINT AS cnt FROM (
+        SELECT p.doc_id, ns.n,
+               unnest(list_transform(range(1, length(p.rf) - ns.n + 2),
+                      j -> substr(p.rf, j, ns.n))) AS g
+        FROM pairs p CROSS JOIN ns
+      ) GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT cg.n, sum(least(cg.cnt, rg.cnt))::BIGINT AS clipped
+      FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n
+                     AND cg.g = rg.g
+      GROUP BY 1
+    ), tot AS (
+      SELECT ns.n,
+             sum(greatest(length(p.c) - ns.n + 1, 0))::BIGINT AS cand_total,
+             sum(greatest(length(p.rf) - ns.n + 1, 0))::BIGINT AS ref_total
+      FROM pairs p CROSS JOIN ns GROUP BY 1
+    ), st AS (
+      SELECT tot.n, coalesce(clip.clipped, 0) AS clipped,
+             tot.cand_total, tot.ref_total
+      FROM tot LEFT JOIN clip USING (n)
+    ), lay AS (
+      SELECT n,
+        CASE WHEN cand_total > 0
+             THEN clipped::DOUBLE / cand_total::DOUBLE ELSE 0.0 END AS pl,
+        CASE WHEN ref_total > 0
+             THEN clipped::DOUBLE / ref_total::DOUBLE ELSE 0.0 END AS rl
+      FROM st
+    ), m AS (
+      SELECT
+        ((((max(CASE WHEN n=1 THEN pl END) + max(CASE WHEN n=2 THEN pl END))
+           + max(CASE WHEN n=3 THEN pl END))
+           + max(CASE WHEN n=4 THEN pl END))
+           + max(CASE WHEN n=5 THEN pl END))
+           + max(CASE WHEN n=6 THEN pl END) AS psum,
+        ((((max(CASE WHEN n=1 THEN rl END) + max(CASE WHEN n=2 THEN rl END))
+           + max(CASE WHEN n=3 THEN rl END))
+           + max(CASE WHEN n=4 THEN rl END))
+           + max(CASE WHEN n=5 THEN rl END))
+           + max(CASE WHEN n=6 THEN rl END) AS rsum
+      FROM lay
+    ), pr AS (
+      SELECT psum / 6.0 AS p, rsum / 6.0 AS r FROM m
+    )
+    SELECT round(p, 6) AS chrp, round(r, 6) AS chrr,
+           round(CASE WHEN (4.0 * p + r) > 0.0
+                 THEN 5.0 * p * r / (4.0 * p + r) ELSE 0.0 END, 6) AS chrf
+    FROM pr
+    """,
+)
+def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF with beta=2 (`evalmetrics.chrf`, Popovic 2015) on the same
+    responses-vs-best-response pairs as `corpus_bleu` — the character
+    n-gram F-score that needs no tokenizer and so survives morphology
+    where word BLEU shatters. Six stacked char-gram layers, one clip
+    join, ratio means in fixed layer order."""
+    from datas_spark.operators.evalmetrics import chrf
+
+    return chrf(
+        _gen_pairs(spark, sf_dir), "doc_id", "text", "ref_text",
+        max_n=6, beta=2.0,
+    )

@@ -398,3 +398,96 @@ def test_bleu_rouge_validate_params(spark):
         EM.rouge_n(pairs, "pid", "cand", "ref", ns=())
     with _pytest.raises(ValueError):
         EM.rouge_n(pairs, "pid", "cand", "ref", ns=(1, 0))
+
+
+def test_distinct_n_hand_example(spark):
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b c",)], ["text"]
+    )
+    out = {r.n: r for r in EM.distinct_n(df, "text", ns=(1, 2)).collect()}
+    # 1-grams: 7 total (a,b,a,b,a,b,c), 3 distinct
+    assert out[1].total_grams == 7 and out[1].distinct_grams == 3
+    assert out[1].distinct_ratio == round(3 / 7, 6)
+    # 2-grams: "a b","b a","a b" + "a b","b c" -> 5 total, 3 distinct
+    assert out[2].total_grams == 5 and out[2].distinct_grams == 3
+
+
+def test_self_bleu_identical_vs_diverse(spark):
+    """Three identical responses -> Self-BLEU 1.0; three disjoint
+    responses -> 0 (no clip ceiling anywhere)."""
+    same = spark.createDataFrame(
+        [(1, i, "a b c d e") for i in range(3)], ["g", "id", "text"]
+    )
+    r = EM.self_bleu(same, "g", "id", "text").collect()[0]
+    assert r.self_bleu == 1.0 and r.bp == 1.0
+    assert r.c_len == 15 and r.r_len == 15
+
+    diverse = spark.createDataFrame(
+        [(1, 0, "a b c d e"), (1, 1, "f g h i j"), (1, 2, "k l m n o")],
+        ["g", "id", "text"],
+    )
+    r2 = EM.self_bleu(diverse, "g", "id", "text").collect()[0]
+    assert r2.self_bleu == 0.0 and r2.p1 == 0.0
+
+
+def test_self_bleu_top2_excludes_self(spark):
+    """Candidate 0 repeats 'x' 3 times; the only other response has one
+    'x' -> ceiling for cand 0 is 1 (not its own 3): p1 pools
+    min(3,1)+min(1,3) = 2 over 4 total 1-grams."""
+    df = spark.createDataFrame(
+        [(1, 0, "x x x"), (1, 1, "x")], ["g", "id", "text"]
+    )
+    r = EM.self_bleu(df, "g", "id", "text", max_n=1).collect()[0]
+    assert r.p1 == 0.5
+    # singleton groups are excluded entirely
+    df2 = spark.createDataFrame(
+        [(1, 0, "x x x"), (1, 1, "x"), (2, 9, "lonely response")],
+        ["g", "id", "text"],
+    )
+    r2 = EM.self_bleu(df2, "g", "id", "text", max_n=1).collect()[0]
+    assert r2.c_len == 4  # the lonely group contributes nothing
+
+
+def test_chrf_identical_and_disjoint(spark):
+    pairs = spark.createDataFrame(
+        [(1, "abc def", "abc def")], ["pid", "cand", "ref"]
+    )
+    r = EM.chrf(pairs, "pid", "cand", "ref").collect()[0]
+    assert r.chrp == 1.0 and r.chrr == 1.0 and r.chrf == 1.0
+    pairs0 = spark.createDataFrame(
+        [(1, "aaaa", "bbbb")], ["pid", "cand", "ref"]
+    )
+    r0 = EM.chrf(pairs0, "pid", "cand", "ref").collect()[0]
+    assert r0.chrf == 0.0
+
+
+def test_chrf_recall_weighting(spark):
+    """beta=2 weights recall 4x: a candidate covering half the
+    reference scores below one the same P/R would give at beta=1."""
+    # cand 'abcd' vs ref 'abcdefgh' (whitespace removed lengths 4 vs 8)
+    pairs = spark.createDataFrame(
+        [(1, "ab cd", "ab cd ef gh")], ["pid", "cand", "ref"]
+    )
+    r = EM.chrf(pairs, "pid", "cand", "ref", max_n=2).collect()[0]
+    # P: n1 4/4=1, n2 3/3=1 -> 1.0; R: n1 4/8, n2 3/7 -> mean 0.4643
+    assert r.chrp == 1.0
+    want_r = round((4 / 8 + 3 / 7) / 2, 6)
+    assert r.chrr == want_r
+    p, rr = 1.0, (4 / 8 + 3 / 7) / 2
+    assert abs(r.chrf - 5 * p * rr / (4 * p + rr)) < 1e-6
+
+
+def test_gen_eval_extensions_validate(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",)], ["text"])
+    with _pytest.raises(ValueError):
+        EM.distinct_n(df, "text", ns=())
+    p = spark.createDataFrame([(1, "a", "a")], ["pid", "cand", "ref"])
+    with _pytest.raises(ValueError):
+        EM.chrf(p, "pid", "cand", "ref", max_n=0)
+    with _pytest.raises(ValueError):
+        EM.chrf(p, "pid", "cand", "ref", beta=0.0)
+    g = spark.createDataFrame([(1, 0, "a")], ["g", "id", "text"])
+    with _pytest.raises(ValueError):
+        EM.self_bleu(g, "g", "id", "text", max_n=0)

@@ -208,6 +208,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "experiment_hte_segments",         # 1-row packed pooled/Q scalar frame
         "ql_dirichlet_topk",               # 1-row corpus constants (sum_dl, |q|) — the bm25 shape
         "lexical_rrf_fusion",              # both retrievers' 1-row corpus constants
+        # round 9
+        "self_bleu",                       # 1-row pooled effective-ref-length scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
