@@ -384,6 +384,11 @@ HEADLINE = [
     "distinct_n",
     "self_bleu",
     "chrf_score",
+    # round-9 batch 3: Bloom-tier novelty router (sound release
+    # certification in front of the exact semi-join) and RM3
+    # pseudo-relevance feedback (two-pass weighted QL)
+    "doc_novelty_route_bloom",
+    "rm3_expanded_topk",
 ]
 
 RUNS_PER_QUERY = 3

@@ -53,6 +53,7 @@ __all__ = [
     "repetition_stats",
     "importance_weight_diagnostics",
     "doc_novelty_rate",
+    "doc_novelty_route_bloom",
     "temperature_sample",
     "ngram_lm_score",
     "unigram_lm_score",
@@ -2153,5 +2154,97 @@ def doc_novelty_rate(
         F.round(rate, 6).alias("novelty_rate"),
         F.when(rate >= min_novelty, F.lit("release"))
         .otherwise(F.lit("review"))
+        .alias("route"),
+    )
+
+
+def doc_novelty_route_bloom(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_novelty: float = 0.5,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+    backend: str = "auto",
+) -> DataFrame:
+    """Bloom-tier novelty router — the cheap first pass in front of
+    `doc_novelty_rate`'s exact semi-join, using the one-sided error a
+    Bloom filter guarantees: a shingle the training corpus CONTAINS
+    always hits, so ``(n_grams − hits) / n_grams`` is a LOWER BOUND on
+    the true novelty rate (false positives only ever *shrink* it).
+    A doc whose lower bound already clears ``min_novelty`` is
+    'release'-certified without touching the training corpus again;
+    everything else routes 'verify' — the exact tier re-scores only
+    that residue (the `bloom_decontaminate` / hot-bucket two-tier
+    discipline).
+
+    At 100 TB the training shingle set never shuffles per probe: it
+    folds once into the fixed-size ``(word, bits)`` table
+    (`sketches.bloom_bitset`) and probes are map-side — a dense
+    driver-literal expression below `BLOOM_LITERAL_MAX_BITS`, k
+    broadcast word-joins above it. Size ``m_bits`` to the expected
+    distinct-shingle count (~10 bits/shingle ≈ 1% FPR at k=4):
+    a higher FPR only sends more docs to 'verify', never mislabels a
+    'release'.
+
+    Returns one row per eval doc: ``(id, n_grams, n_probable_known,
+    novelty_lower_bound, route)``.
+    """
+    if not 0.0 <= min_novelty <= 1.0:
+        raise ValueError(f"min_novelty must be in [0,1], got {min_novelty}")
+    from datas_spark.functions.text import shingles_of_tokens, word_tokens
+    from datas_spark.operators import sketches as SK
+
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.select(*keep, word_tokens(text_col).alias("__w"))
+            .select(
+                *keep,
+                F.explode_outer(
+                    shingles_of_tokens(F.col("__w"), n)
+                ).alias("g"),
+            )
+            .where(F.col("g").isNotNull())
+            .distinct()
+        )
+
+    bitset = SK.bloom_bitset(
+        grams(train_docs).select("g"), "g", m_bits=m_bits, k=k
+    )
+    ev = grams(eval_docs, id_col)
+    totals = ev.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        SK.bloom_contains(ev, "g", bitset, m_bits=m_bits, k=k, backend=backend)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_probable_known"))
+    )
+    ids = eval_docs.select(F.col(id_col).alias(id_col))
+    out = (
+        ids.join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_probable_known", F.lit(0)).alias(
+                "n_probable_known"
+            ),
+        )
+    )
+    lb = F.when(
+        F.col("n_grams") > 0,
+        (F.col("n_grams") - F.col("n_probable_known")).cast("double")
+        / F.col("n_grams").cast("double"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_probable_known",
+        F.round(lb, 6).alias("novelty_lower_bound"),
+        F.when(lb >= min_novelty, F.lit("release"))
+        .otherwise(F.lit("verify"))
         .alias("route"),
     )

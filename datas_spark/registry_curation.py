@@ -2807,3 +2807,93 @@ def q_doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         min_novelty=0.5,
     )
+
+
+_NOV_BLOOM_M = 1 << 25  # ~16 bits/shingle at sf0.1 training size (FPR ~0.2%)
+_NOV_BLOOM_K = 4
+
+_NOV_TRAIN_SH_SQL = r"""
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(
+            range(1, greatest(len(w) - 2, 0) + 1),
+            i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 10 <> 0))
+"""
+_NOV_EVAL_SH_SQL = r"""
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(w) - 2, 0) + 1),
+            i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 10 = 0))
+"""
+
+
+@register(
+    "doc_novelty_route_bloom",
+    oracle=rf"""
+    WITH tsh AS ({_NOV_TRAIN_SH_SQL}),
+    bpos AS (
+      SELECT ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 15))::BIGINT
+               % {_NOV_BLOOM_M} AS pos
+      FROM tsh CROSS JOIN (SELECT unnest(range({_NOV_BLOOM_K})) AS i)
+    ), words AS (
+      SELECT pos // 60 AS word, bit_or(1::BIGINT << (pos % 60)) AS bits
+      FROM bpos GROUP BY 1
+    ), esh AS ({_NOV_EVAL_SH_SQL}),
+    epos AS (
+      SELECT doc_id, g,
+        ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 15))::BIGINT
+          % {_NOV_BLOOM_M} AS pos
+      FROM esh CROSS JOIN (SELECT unnest(range({_NOV_BLOOM_K})) AS i)
+    ), shingle_hits AS (
+      SELECT doc_id, g
+      FROM epos JOIN words w ON w.word = epos.pos // 60
+       AND ((w.bits >> (epos.pos % 60)) & 1) = 1
+      GROUP BY doc_id, g HAVING count(*) = {_NOV_BLOOM_K}
+    ), tot AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams FROM esh GROUP BY 1
+    ), hit AS (
+      SELECT doc_id, count(*)::BIGINT AS n_probable_known
+      FROM shingle_hits GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(h.n_probable_known, 0) AS n_probable_known,
+           round(CASE WHEN coalesce(t.n_grams, 0) > 0
+                 THEN (coalesce(t.n_grams, 0)
+                       - coalesce(h.n_probable_known, 0))::DOUBLE
+                      / coalesce(t.n_grams, 0)::DOUBLE END, 6)
+             AS novelty_lower_bound,
+           CASE WHEN coalesce(t.n_grams, 0) > 0
+                 AND (coalesce(t.n_grams, 0)
+                      - coalesce(h.n_probable_known, 0))::DOUBLE
+                     / coalesce(t.n_grams, 0)::DOUBLE >= 0.5
+                THEN 'release' ELSE 'verify' END AS route
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN hit h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def q_doc_novelty_route_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-tier novelty router (`corpus.doc_novelty_route_bloom`):
+    the cheap pass in front of `doc_novelty_rate`'s exact semi-join on
+    the same eval/train split — the training shingle set folds once
+    into a 2^25-bit (word, bits) table (join backend, past the literal
+    ceiling) and every probe is map-side. Bloom one-sidedness makes
+    the reported rate a LOWER bound, so 'release' certifications are
+    sound and only the residue routes to the exact tier. The oracle
+    replays the 60-bit word packing end to end."""
+    docs = read_table(spark, sf_dir, "documents")
+    return C.doc_novelty_route_bloom(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        n=3,
+        min_novelty=0.5,
+        m_bits=_NOV_BLOOM_M,
+        k=_NOV_BLOOM_K,
+    )

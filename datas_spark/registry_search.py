@@ -588,3 +588,122 @@ def q_lexical_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return _fuse([lexr, qlr], "doc_id", k0=_RRF_K0, top_n=_RRF_TOP)
+
+
+_RM3_FB_DOCS = 10
+_RM3_FB_TERMS = 10
+_RM3_LAM = 0.5
+
+_RM3_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf1 AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), cf1 AS (
+      SELECT term, sum(tf)::BIGINT AS cf FROM tf1 GROUP BY term
+    ), nq1 AS (
+      SELECT count(*)::BIGINT AS n_terms FROM cf1
+    ), m1 AS (
+      SELECT tf1.doc_id,
+        list_reduce(
+          list(ln(1.0 + tf1.tf::DOUBLE
+                  / ({_QL_MU} * cf1.cf::DOUBLE / c.sum_dl::DOUBLE))
+               ORDER BY tf1.term),
+          (a, b) -> a + b) AS m
+      FROM tf1 JOIN cf1 USING (term) CROSS JOIN consts c
+      GROUP BY tf1.doc_id
+    ), pass1 AS (
+      SELECT l.doc_id,
+             coalesce(m1.m, 0.0)
+             + nq1.n_terms::DOUBLE
+               * ln({_QL_MU} / (l.dl::DOUBLE + {_QL_MU})) AS score
+      FROM lens l LEFT JOIN m1 USING (doc_id) CROSS JOIN nq1
+    ), fb AS (
+      SELECT doc_id, score FROM pass1
+      ORDER BY score DESC, doc_id ASC LIMIT {_RM3_FB_DOCS}
+    ), fbw AS (
+      SELECT doc_id,
+             exp(score - (SELECT max(score) FROM fb))
+               / (SELECT sum(exp(score - (SELECT max(score) FROM fb)))
+                  FROM fb) AS wd
+      FROM fb
+    ), fb_tf AS (
+      SELECT t.doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks
+            WHERE doc_id IN (SELECT doc_id FROM fb)) t
+      GROUP BY 1, 2
+    ), rm1 AS (
+      SELECT term,
+        list_reduce(
+          list(fbw.wd * fb_tf.tf::DOUBLE / l.dl::DOUBLE
+               ORDER BY fb_tf.doc_id),
+          (a, b) -> a + b) AS p_rm1
+      FROM fb_tf JOIN fbw USING (doc_id) JOIN lens l USING (doc_id)
+      GROUP BY term
+    ), expansion AS (
+      SELECT term, CAST(round(p * 1e6) AS BIGINT) AS w_e6 FROM (
+        SELECT term,
+               {_RM3_LAM} * (CASE WHEN term IN ({_TERMS_SQL})
+                             THEN 1.0 / 3.0 ELSE 0.0 END)
+             + (1.0 - {_RM3_LAM}) * p_rm1 AS p
+        FROM rm1
+        ORDER BY p DESC, term ASC LIMIT {_RM3_FB_TERMS}
+      ) WHERE CAST(round(p * 1e6) AS BIGINT) > 0
+    ), tf2 AS (
+      SELECT u.doc_id, u.term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks) u
+      SEMI JOIN expansion e ON u.term = e.term
+      GROUP BY 1, 2
+    ), cf2 AS (
+      SELECT term, sum(tf)::BIGINT AS cf FROM tf2 GROUP BY term
+    ), wt AS (
+      SELECT sum(e.w_e6)::DOUBLE / 1e6 AS w_total
+      FROM cf2 JOIN expansion e USING (term)
+    ), m2 AS (
+      SELECT tf2.doc_id,
+        list_reduce(
+          list((e.w_e6::DOUBLE / 1e6)
+               * ln(1.0 + tf2.tf::DOUBLE
+                    / ({_QL_MU} * cf2.cf::DOUBLE / c.sum_dl::DOUBLE))
+               ORDER BY tf2.term),
+          (a, b) -> a + b) AS m
+      FROM tf2 JOIN cf2 USING (term) JOIN expansion e USING (term)
+      CROSS JOIN consts c
+      GROUP BY tf2.doc_id
+    )
+    SELECT l.doc_id,
+           round(coalesce(m2.m, 0.0)
+                 + wt.w_total
+                   * ln({_QL_MU} / (l.dl::DOUBLE + {_QL_MU})), 4) AS score
+    FROM lens l LEFT JOIN m2 USING (doc_id) CROSS JOIN wt
+    ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOP}
+"""
+
+
+@register("rm3_expanded_topk", oracle=_RM3_ORACLE)
+def q_rm3_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (`search.rm3_expanded_topk`,
+    Abdul-Jaleel 2004) for the same fixed query as `bm25_topk` /
+    `ql_dirichlet_topk`: QL pass one, softmax-weighted relevance model
+    over the top-10 feedback docs, λ=0.5 interpolation with the
+    uniform query model, top-10 e6-quantized expansion terms, weighted
+    QL pass two. The oracle replays both passes, the softmax, RM1's
+    doc-ordered folds, and the expansion election end to end."""
+    from datas_spark.operators.search import rm3_expanded_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return rm3_expanded_topk(
+        docs, "doc_id", "text", _BM25_TERMS, mu=_QL_MU,
+        fb_docs=_RM3_FB_DOCS, fb_terms=_RM3_FB_TERMS, lam=_RM3_LAM,
+        top_n=_BM25_TOP,
+    )

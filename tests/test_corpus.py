@@ -972,3 +972,53 @@ def test_doc_novelty_rate_validates_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         doc_novelty_rate(df, df, "doc_id", "text", min_novelty=1.5)
+
+
+def test_doc_novelty_route_bloom_is_sound_lower_bound(spark):
+    """Bloom one-sidedness: per doc, novelty_lower_bound <= the exact
+    tier's novelty_rate, and every Bloom 'release' is an exact-tier
+    'release' (false positives only ever send MORE docs to verify)."""
+    from datas_spark.operators.corpus import (
+        doc_novelty_rate,
+        doc_novelty_route_bloom,
+    )
+
+    train = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta run{i} end{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    evald = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "zig zag zip zap zoom"),
+            (3, "alpha beta gamma zap novel words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r.doc_id: r
+        for r in doc_novelty_rate(evald, train, "doc_id", "text", n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in doc_novelty_route_bloom(
+            evald, train, "doc_id", "text", n=3, m_bits=1 << 16
+        ).collect()
+    }
+    for d in exact:
+        assert bloom[d].n_grams == exact[d].n_grams
+        assert bloom[d].novelty_lower_bound <= exact[d].novelty_rate + 1e-9
+        if bloom[d].route == "release":
+            assert exact[d].route == "release"
+    # with a roomy filter the known/novel split is exact on this data
+    assert bloom[1].route == "verify" and bloom[2].route == "release"
+
+
+def test_doc_novelty_route_bloom_validates(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.corpus import doc_novelty_route_bloom
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        doc_novelty_route_bloom(df, df, "doc_id", "text", min_novelty=-0.1)

@@ -210,6 +210,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "lexical_rrf_fusion",              # both retrievers' 1-row corpus constants
         # round 9
         "self_bleu",                       # 1-row pooled effective-ref-length scalar
+        "rm3_expanded_topk",               # QL corpus constants + 1-row softmax/weight scalars (both passes)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

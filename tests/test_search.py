@@ -94,3 +94,63 @@ def test_lexical_rrf_fusion_rewards_agreement(spark):
     assert out[1].n_lists == 2 and out[9].n_lists == 1
     assert out[1].rrf_score > out[2].rrf_score > out[3].rrf_score
     assert out[1].rrf_score == round(2 / 61, 6)
+
+
+def test_rm3_lam1_preserves_plain_ql_ranking(spark):
+    """lam=1 puts all interpolation mass on the original query, so the
+    expansion set collapses to the original terms with uniform weights
+    — the second pass must rank exactly like plain QL (scores scale by
+    the 1/|q| weight, order unchanged)."""
+    from datas_spark.operators.search import ql_dirichlet_topk, rm3_expanded_topk
+
+    rows = [
+        (1, "data join skew data"),
+        (2, "data join other words here"),
+        (3, "skew skew data join join"),
+        (4, "completely unrelated text block"),
+        (5, "data data data join skew skew"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = [r.doc_id for r in ql_dirichlet_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"], mu=100.0, top_n=5
+    ).collect()]
+    rm3 = [r.doc_id for r in rm3_expanded_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"], mu=100.0,
+        fb_docs=3, fb_terms=3, lam=1.0, top_n=5
+    ).collect()]
+    assert rm3 == plain
+
+
+def test_rm3_expansion_pulls_cooccurring_terms(spark):
+    """'umbrella' never appears in the query but dominates the top
+    feedback docs; with lam=0 the expansion must include it, lifting a
+    doc that contains ONLY 'umbrella' above one with no overlap."""
+    from datas_spark.operators.search import rm3_expanded_topk
+
+    rows = [
+        (1, "data join skew umbrella umbrella"),
+        (2, "data join umbrella umbrella skew"),
+        (3, "umbrella umbrella umbrella parade"),   # no query terms
+        (4, "nothing relevant whatsoever here"),
+        (5, "data join skew plain"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.score for r in rm3_expanded_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"], mu=100.0,
+        fb_docs=2, fb_terms=5, lam=0.0, top_n=5
+    ).collect()}
+    assert out[3] > out[4]  # umbrella-only doc outranks the no-overlap doc
+
+
+def test_rm3_validates_params(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.search import rm3_expanded_topk
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        rm3_expanded_topk(docs, "doc_id", "text", [])
+    with _pytest.raises(ValueError):
+        rm3_expanded_topk(docs, "doc_id", "text", ["a"], lam=1.5)
+    with _pytest.raises(ValueError):
+        rm3_expanded_topk(docs, "doc_id", "text", ["a"], fb_docs=0)
