@@ -389,6 +389,9 @@ HEADLINE = [
     # pseudo-relevance feedback (two-pass weighted QL)
     "doc_novelty_route_bloom",
     "rm3_expanded_topk",
+    # round-9 batch 4: Brier-score anatomy and multi-rater agreement
+    "brier_decomposition",
+    "annotator_alpha",
 ]
 
 RUNS_PER_QUERY = 3

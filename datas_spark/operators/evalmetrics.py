@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit", "corpus_bleu", "rouge_n", "distinct_n", "self_bleu", "chrf"]
+__all__ = ["ranking_metrics", "binary_auc", "cohens_kappa", "lift_table", "calibration_ece", "classification_prf1", "ndcg_at_k", "bt_rating_k", "pass_at_k", "split_conformal_audit", "corpus_bleu", "rouge_n", "distinct_n", "self_bleu", "chrf", "brier_decomposition", "krippendorff_alpha"]
 
 
 def ranking_metrics(
@@ -1380,4 +1380,207 @@ def chrf(
         F.round(P, 6).alias("chrp"),
         F.round(R, 6).alias("chrr"),
         F.round(score, 6).alias("chrf"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+    quantize_dp: int = 9,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score — the
+    calibration readout that says not just HOW miscalibrated a
+    probability is (`calibration_ece`) but WHY:
+
+        Brier = reliability − resolution + uncertainty
+                + within_bin_var − 2·within_bin_cov
+
+    where over ``bins`` equal-width bins b with counts n_b, mean
+    forecast p̄_b, outcome rate ȳ_b, and base rate ȳ:
+    reliability = Σ n_b(p̄_b−ȳ_b)²/N (calibration gap — lower better),
+    resolution = Σ n_b(ȳ_b−ȳ)²/N (discrimination — higher better),
+    uncertainty = ȳ(1−ȳ) (irreducible), and the two within-bin terms
+    (variance of p inside bins, covariance of p and y inside bins —
+    Stephenson et al. 2008's extension) are the binning residuals that
+    make the identity EXACT rather than approximate — reported, never
+    dropped (the classical 3-term form silently assumes p is constant
+    within each bin).
+
+    Determinism: probabilities quantize to e9 integers first, so every
+    moment (Σp, Σp², Σpy per bin — decimal-38) is exact integer
+    algebra and the identity is bit-exact across engines; the per-bin
+    folds run in bin order. ONE combinable aggregate over rows, the
+    rest on the ``bins``-row frame. Label must be 0/1. Returns one
+    row: ``(n, brier, reliability, resolution, uncertainty,
+    within_bin_var, within_bin_cov)`` rounded 6.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    q = float(10 ** quantize_dp)
+    pe = F.round(F.col(prob_col).cast("double") * q).cast("long")
+    y = F.col(label_col).cast("int").cast("long")
+    b = F.least(
+        F.floor(pe * bins / F.lit(int(q))).cast("int"), F.lit(bins - 1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        df.select(pe.alias("__p"), y.alias("__y"), b.alias("__b"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum(dec(F.col("__p"))).alias("sp"),
+            F.sum(dec(F.col("__p")) * dec(F.col("__p"))).alias("spp"),
+            F.sum("__y").cast("long").alias("sy"),
+            F.sum(dec(F.col("__p")) * dec(F.col("__y"))).alias("spy"),
+        )
+    )
+    one = per.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("__b", "n_b", "sp", "spp", "sy", "spy"))
+        ).alias("__a")
+    )
+    dd = lambda x: x.cast("double")  # noqa: E731
+
+    def fold(term):
+        return F.aggregate(F.col("__a"), F.lit(0.0), term)
+
+    n = fold(lambda acc, x: acc + dd(x["n_b"]))
+    sy = fold(lambda acc, x: acc + dd(x["sy"]))
+    sp = fold(lambda acc, x: acc + dd(x["sp"]) / F.lit(q))
+    spp = fold(lambda acc, x: acc + dd(x["spp"]) / F.lit(q * q))
+    spy = fold(lambda acc, x: acc + dd(x["spy"]) / F.lit(q))
+    ybar = sy / n
+    brier = (spp - F.lit(2.0) * spy + sy) / n
+    rel = fold(
+        lambda acc, x: acc
+        + dd(x["n_b"])
+        * (dd(x["sp"]) / F.lit(q) / dd(x["n_b"]) - dd(x["sy"]) / dd(x["n_b"]))
+        ** 2
+    ) / n
+    # resolution needs the global ybar — fold with it inline (same
+    # expression both engines): Σ n_b(ȳ_b − ȳ)²/N
+    res = fold(
+        lambda acc, x: acc
+        + dd(x["n_b"]) * (dd(x["sy"]) / dd(x["n_b"]) - ybar) ** 2
+    ) / n
+    wbv = fold(
+        lambda acc, x: acc
+        + (
+            dd(x["spp"]) / F.lit(q * q)
+            - dd(x["n_b"])
+            * (dd(x["sp"]) / F.lit(q) / dd(x["n_b"])) ** 2
+        )
+    ) / n
+    wbc = fold(
+        lambda acc, x: acc
+        + (
+            dd(x["spy"]) / F.lit(q)
+            - dd(x["sp"]) / F.lit(q) * dd(x["sy"]) / dd(x["n_b"])
+        )
+    ) / n
+    unc = ybar * (F.lit(1.0) - ybar)
+    return one.select(
+        n.cast("long").alias("n"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(wbv, 6).alias("within_bin_var"),
+        F.round(wbc, 6).alias("within_bin_cov"),
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    unit_col: str,
+    value_col: str,
+    exact_scale: int = 840,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+    agreement coefficient that, unlike `cohens_kappa`, handles ANY
+    number of raters per unit and missing ratings natively:
+
+        α = 1 − D_o / D_e
+
+    via the coincidence-matrix identities: per unit u with m_u ≥ 2
+    ratings and per-category counts r_uc, the observed disagreement
+    contribution is (m_u² − Σ_c r_uc²)/(m_u − 1); margins n_c are
+    plain category totals over qualifying units, and
+
+        α = 1 − (n−1)·Σ_u contrib_u / (n² − Σ_c n_c²).
+
+    Exactness: contributions scale by ``exact_scale`` (default 840 =
+    lcm(1..8), covering up to 9 raters/unit; a unit with more raters
+    fails loudly at execution, the `ranking_metrics` discipline), so
+    every sum is integer/decimal-38 and α is exact algebra + one
+    division. Units with a single rating are excluded (the standard
+    convention). ONE (unit, value) count aggregate, one unit
+    aggregate, one category aggregate. Returns one row:
+    ``(n_units, n_ratings, alpha)`` rounded 6.
+    """
+    if exact_scale < 1:
+        raise ValueError(f"exact_scale must be >= 1, got {exact_scale}")
+    ruc = (
+        ratings.where(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).alias("__u"), F.col(value_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    )
+    per_unit = ruc.groupBy("__u").agg(
+        F.sum("__r").cast("long").alias("__m"),
+        F.sum(F.col("__r") * F.col("__r")).cast("long").alias("__rr"),
+    ).where(F.col("__m") >= 2)
+    div_ok = (F.lit(int(exact_scale)) % (F.col("__m") - 1)) == 0
+    contrib = F.when(
+        div_ok,
+        (F.col("__m") * F.col("__m") - F.col("__rr"))
+        * (F.lit(int(exact_scale)) / (F.col("__m") - 1)).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"krippendorff_alpha(exact_scale={exact_scale}) "
+                    "requires (m_u - 1) to divide it; got m_u = "
+                ),
+                F.col("__m").cast("string"),
+            )
+        )
+    )
+    units = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.col("__m")).cast("long").alias("n"),
+        F.sum(contrib.cast("decimal(38,0)")).alias("do_s"),
+    )
+    # category margins over qualifying units only
+    nc = (
+        ruc.join(per_unit.select("__u"), "__u")
+        .groupBy("__c")
+        .agg(F.sum("__r").cast("long").alias("__nc"))
+        .agg(
+            F.sum(
+                F.col("__nc").cast("decimal(38,0)")
+                * F.col("__nc").cast("decimal(38,0)")
+            ).alias("sncc")
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    de_den = (
+        dd("n") * dd("n") - dd("sncc")
+    )
+    alpha = F.when(
+        de_den > 0.0,
+        F.lit(1.0)
+        - (dd("n") - F.lit(1.0))
+        * dd("do_s")
+        / (F.lit(float(exact_scale)) * de_den),
+    )
+    return units.crossJoin(F.broadcast(nc)).select(
+        "n_units",
+        F.col("n").alias("n_ratings"),
+        F.round(alpha, 6).alias("alpha"),
     )

@@ -1857,3 +1857,149 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gen_pairs(spark, sf_dir), "doc_id", "text", "ref_text",
         max_n=6, beta=2.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 4: calibration anatomy + multi-rater agreement.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brier_decomposition",
+    oracle=r"""
+    WITH lab AS (
+      SELECT (('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0) AS p,
+             (event_type = 'purchase')::INT AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), qz AS (
+      SELECT CAST(round(p * 1e9) AS BIGINT) AS pe, y::BIGINT AS y FROM lab
+    ), binned AS (
+      SELECT least(CAST(floor(pe * 10 / 1000000000) AS INT), 9) AS b, pe, y
+      FROM qz
+    ), per AS (
+      SELECT b, count(*)::BIGINT AS n_b,
+             sum(pe::HUGEINT) AS sp, sum(pe::HUGEINT * pe) AS spp,
+             sum(y)::BIGINT AS sy, sum(pe::HUGEINT * y) AS spy
+      FROM binned GROUP BY b
+    ), f AS (
+      SELECT
+        list_reduce(list(n_b::DOUBLE ORDER BY b), (a, x) -> a + x) AS n,
+        list_reduce(list(sy::DOUBLE ORDER BY b), (a, x) -> a + x) AS sy,
+        list_reduce(list(spp::DOUBLE / 1e18 ORDER BY b),
+                    (a, x) -> a + x) AS spp,
+        list_reduce(list(spy::DOUBLE / 1e9 ORDER BY b),
+                    (a, x) -> a + x) AS spy,
+        list_reduce(list(n_b::DOUBLE * pow(sp::DOUBLE / 1e9 / n_b::DOUBLE
+                                           - sy::DOUBLE / n_b::DOUBLE, 2)
+                         ORDER BY b), (a, x) -> a + x) AS rel_n,
+        list_reduce(list(spp::DOUBLE / 1e18
+                         - n_b::DOUBLE
+                           * pow(sp::DOUBLE / 1e9 / n_b::DOUBLE, 2)
+                         ORDER BY b), (a, x) -> a + x) AS wbv_n,
+        list_reduce(list(spy::DOUBLE / 1e9
+                         - sp::DOUBLE / 1e9 * sy::DOUBLE / n_b::DOUBLE
+                         ORDER BY b), (a, x) -> a + x) AS wbc_n
+      FROM per
+    ), g AS (
+      SELECT f.*,
+        (SELECT list_reduce(
+           list(n_b::DOUBLE * pow(sy::DOUBLE / n_b::DOUBLE
+                                  - f.sy / f.n, 2) ORDER BY b),
+           (a, x) -> a + x) FROM per) AS res_n
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((spp - 2.0 * spy + sy) / n, 6) AS brier,
+           round(rel_n / n, 6) AS reliability,
+           round(res_n / n, 6) AS resolution,
+           round((sy / n) * (1.0 - sy / n), 6) AS uncertainty,
+           round(wbv_n / n, 6) AS within_bin_var,
+           round(wbc_n / n, 6) AS within_bin_cov
+    FROM g
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy/Stephenson Brier decomposition
+    (`evalmetrics.brier_decomposition`) of the md5-proxy score against
+    the purchase label — the same frame `proxy_calibration_ece` bins,
+    now split into calibration gap, discrimination, irreducible
+    uncertainty, and the two exact binning residuals. e9-quantized
+    decimal-38 moments; per-bin folds in bin order."""
+    ev = read_table(spark, sf_dir, "events")
+    lab = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        hash_unit_interval(
+            F.concat(F.lit("cal:"), F.col("event_id").cast("string"))
+        ).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return EM.brier_decomposition(lab, "p", "y", bins=10)
+
+
+@register(
+    "annotator_alpha",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id AS u,
+        CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                       || j::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0) < 0.8
+             THEN 'c' || (n_chars % 4)::VARCHAR
+             ELSE 'c' || ((n_chars + 1 + j) % 4)::VARCHAR END AS v
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), ruc AS (
+      SELECT u, v, count(*)::BIGINT AS r FROM r GROUP BY 1, 2
+    ), pu AS (
+      SELECT u, sum(r)::BIGINT AS m, sum(r * r)::BIGINT AS rr
+      FROM ruc GROUP BY u HAVING sum(r) >= 2
+    ), un AS (
+      SELECT count(*)::BIGINT AS n_units, sum(m)::BIGINT AS n,
+             sum(((m * m - rr) * (840 // (m - 1)))::HUGEINT) AS do_s
+      FROM pu
+    ), nc AS (
+      SELECT sum(t::HUGEINT * t) AS sncc FROM (
+        SELECT sum(ruc.r)::BIGINT AS t
+        FROM ruc SEMI JOIN pu ON ruc.u = pu.u GROUP BY ruc.v)
+    )
+    SELECT n_units, n AS n_ratings,
+           round(CASE WHEN (n::DOUBLE * n::DOUBLE - sncc::DOUBLE) > 0.0
+                 THEN 1.0 - (n::DOUBLE - 1.0) * do_s::DOUBLE
+                      / (840.0 * (n::DOUBLE * n::DOUBLE - sncc::DOUBLE))
+                 END, 6) AS alpha
+    FROM un CROSS JOIN nc
+    """,
+)
+def q_annotator_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (`evalmetrics.krippendorff_alpha`) over a
+    3-annotator synthetic labeling of documents (each annotator agrees
+    with the n_chars-derived base category ~80% of the time,
+    md5-deterministic flips otherwise) — the multi-rater, missing-
+    tolerant agreement readout next to `cohens_kappa`. Exact integer
+    coincidence algebra, one division."""
+    docs = read_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("u"),
+        F.when(
+            hash_unit_interval(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            < 0.8,
+            F.concat(F.lit("c"), (F.col("n_chars") % 4).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("c"),
+                ((F.col("n_chars") + 1 + F.col("j")) % 4).cast("string"),
+            )
+        )
+        .alias("v"),
+    )
+    return EM.krippendorff_alpha(r, "u", "v", exact_scale=840)

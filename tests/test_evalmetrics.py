@@ -491,3 +491,75 @@ def test_gen_eval_extensions_validate(spark):
     g = spark.createDataFrame([(1, 0, "a")], ["g", "id", "text"])
     with _pytest.raises(ValueError):
         EM.self_bleu(g, "g", "id", "text", max_n=0)
+
+
+def test_brier_decomposition_exact_identity_and_perfect(spark):
+    """The 5-term Stephenson identity holds exactly (to the 6-dp
+    rounding of the components); a perfect forecaster has Brier 0,
+    reliability ~0 and resolution = uncertainty."""
+    import random
+
+    random.seed(3)
+    rows = [(p, 1 if random.random() < p else 0)
+            for p in (random.random() for _ in range(1500))]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = EM.brier_decomposition(df, "p", "y").collect()[0]
+    ident = (r.reliability - r.resolution + r.uncertainty
+             + r.within_bin_var - 2 * r.within_bin_cov)
+    assert abs(ident - r.brier) < 5e-6
+
+    perfect = spark.createDataFrame(
+        [(1.0, 1)] * 40 + [(0.0, 0)] * 60, "p double, y int"
+    )
+    rp = EM.brier_decomposition(perfect, "p", "y").collect()[0]
+    assert rp.brier == 0.0 and rp.reliability == 0.0
+    assert rp.resolution == rp.uncertainty == 0.24
+
+
+def test_brier_decomposition_validates(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+    with _pytest.raises(ValueError):
+        EM.brier_decomposition(df, "p", "y", bins=0)
+
+
+def test_krippendorff_alpha_known_values(spark):
+    """Perfect 3-rater agreement -> 1; a unit with one dissent lowers
+    it; single-rating units are excluded; variable rater counts work
+    when (m-1) divides the scale."""
+    perfect = spark.createDataFrame(
+        [(u, f"a{u % 3}") for u in range(10) for _ in range(3)], ["u", "v"]
+    )
+    r = EM.krippendorff_alpha(perfect, "u", "v").collect()[0]
+    assert r.alpha == 1.0 and r.n_units == 10 and r.n_ratings == 30
+
+    # degenerate: every rating the SAME category -> D_e = 0 -> alpha
+    # NULL (undefined by construction, the standard convention)
+    same = spark.createDataFrame(
+        [(u, "a") for u in range(5) for _ in range(3)], ["u", "v"]
+    )
+    assert EM.krippendorff_alpha(same, "u", "v").collect()[0].alpha is None
+
+    # mixed: 2 units agree on different categories -> alpha 1 still
+    mixed = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 3 + [(3, "c")], ["u", "v"]
+    )
+    r2 = EM.krippendorff_alpha(mixed, "u", "v").collect()[0]
+    assert r2.n_units == 2 and r2.n_ratings == 6  # singleton u=3 excluded
+    assert r2.alpha == 1.0
+
+    # variable rater counts: m in {2, 3}
+    varm = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "a")], ["u", "v"]
+    )
+    r3 = EM.krippendorff_alpha(varm, "u", "v").collect()[0]
+    assert r3.n_ratings == 5 and r3.alpha is not None
+
+
+def test_krippendorff_alpha_validates(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], ["u", "v"])
+    with _pytest.raises(ValueError):
+        EM.krippendorff_alpha(df, "u", "v", exact_scale=0)

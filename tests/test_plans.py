@@ -211,6 +211,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         # round 9
         "self_bleu",                       # 1-row pooled effective-ref-length scalar
         "rm3_expanded_topk",               # QL corpus constants + 1-row softmax/weight scalars (both passes)
+        "annotator_alpha",                 # 1-row coincidence scalars (n, D_o) x 1-row margin scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
