@@ -2051,9 +2051,16 @@ def importance_weight_diagnostics(
     we6 = F.least(F.round(F.exp(w) * 1_000_000.0), F.lit(1.0e18)).cast(
         "long"
     )
+    # NaN weights must be EXCLUDED, not clamped: Spark orders NaN above
+    # every double, so F.least(NaN, 1e18) returns 1e18 and a corrupt
+    # weight would silently become the maximum-weight document. Route
+    # NaN to n_excluded alongside NULL/zero-token rows.
     base = df.select(
         F.when(
-            F.col(weight_col).isNotNull() & (F.col(tokens_col) > 0), we6
+            F.col(weight_col).isNotNull()
+            & ~F.isnan(F.col(weight_col).cast("double"))
+            & (F.col(tokens_col) > 0),
+            we6,
         ).alias("__w")
     )
     agg = base.agg(

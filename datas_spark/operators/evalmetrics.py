@@ -1278,6 +1278,14 @@ def chrf(
     ascending-n fold order; exact integer counts; the one division per
     layer is the only float step. Returns one row:
     ``(chrp, chrr, chrf)`` rounded 6.
+
+    Convention note: this computes ONE F-score from the n-averaged
+    chrP/chrR — the form in Popović 2015. The de-facto standard
+    implementation (sacrebleu) instead averages PER-ORDER F-scores
+    (mean over n of F_n), so numbers here are NOT directly comparable
+    with published chrF2 scores despite the same name and defaults;
+    use this metric for within-corpus comparisons, not cross-paper
+    benchmarking.
     """
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")

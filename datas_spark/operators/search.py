@@ -286,9 +286,11 @@ def rm3_expanded_topk(
     (value DESC, key ASC); the doc softmax is max-shifted; interpolated
     term weights quantize to e6 integers before the rescoring pass (the
     12-dp-resync discipline), so both passes replay exactly in SQL.
-    Expansion terms always occur in the corpus (they come FROM feedback
-    docs); original query terms missing from the corpus drop exactly as
-    in `ql_dirichlet_topk`.
+    Original query terms are retained unconditionally (p_rm1 = 0 when
+    absent from every feedback doc — the standard RM3 convention, so
+    lam = 1.0 reduces to the original query); query terms missing from
+    the whole corpus still drop from pass 2 exactly as in
+    `ql_dirichlet_topk`.
 
     Scale shape: pass 1 is `ql_dirichlet_topk`'s plan; the feedback set
     is a ``fb_docs``-row broadcast; RM1 touches only the feedback docs'
@@ -454,6 +456,19 @@ def rm3_expanded_topk(
                 lambda acc, x: acc + x["p"],
             ).alias("p_rm1")
         )
+    )
+    # standard RM3 retains original query terms unconditionally: union
+    # the query-term set in with p_rm1 = 0 (for terms absent from every
+    # feedback doc) BEFORE the top-fb_terms cut, so at lam = 1.0 the
+    # expansion reduces to the original query. sum over the ≤2 rows per
+    # term is exact (x + 0.0); oracle mirrors the same union.
+    qframe = docs.sparkSession.createDataFrame(
+        [(t, 0.0) for t in terms], "term: string, p_rm1: double"
+    )
+    rm1 = (
+        rm1.unionByName(qframe)
+        .groupBy("term")
+        .agg(F.sum("p_rm1").alias("p_rm1"))
     )
     p_orig = F.when(
         F.col("term").isin(terms), F.lit(1.0 / len(terms))

@@ -650,13 +650,19 @@ _RM3_ORACLE = f"""
           (a, b) -> a + b) AS p_rm1
       FROM fb_tf JOIN fbw USING (doc_id) JOIN lens l USING (doc_id)
       GROUP BY term
+    ), rm1u AS (
+      SELECT term, sum(p_rm1) AS p_rm1 FROM (
+        SELECT term, p_rm1 FROM rm1
+        UNION ALL
+        SELECT unnest([{_TERMS_SQL}]) AS term, 0.0 AS p_rm1
+      ) GROUP BY term
     ), expansion AS (
       SELECT term, CAST(round(p * 1e6) AS BIGINT) AS w_e6 FROM (
         SELECT term,
                {_RM3_LAM} * (CASE WHEN term IN ({_TERMS_SQL})
                              THEN 1.0 / 3.0 ELSE 0.0 END)
              + (1.0 - {_RM3_LAM}) * p_rm1 AS p
-        FROM rm1
+        FROM rm1u
         ORDER BY p DESC, term ASC LIMIT {_RM3_FB_TERMS}
       ) WHERE CAST(round(p * 1e6) AS BIGINT) > 0
     ), tf2 AS (

@@ -931,6 +931,18 @@ def test_importance_weight_diagnostics_extreme_and_degenerate(spark):
     assert r2.n_docs == 3 and r2.ess is None and r2.ess_pct is None
     assert r2.max_w_share_pct is None
 
+    # Round-9 ADVICE: a NaN log-ratio must be EXCLUDED, not clamped to
+    # the 1e18 maximum (Spark orders NaN above every double, so
+    # F.least(NaN, 1e18) would silently make a corrupt weight dominate).
+    nan = spark.createDataFrame(
+        [(float("nan"), 10)] + [(0.0, 10)] * 4,
+        "dsir_weight double, n_tokens long",
+    )
+    r3 = importance_weight_diagnostics(nan, "dsir_weight", "n_tokens").collect()[0]
+    assert r3.n_docs == 4 and r3.n_excluded == 1
+    assert r3.ess == 4.0  # the 4 clean uniform weights, NaN gone
+    assert abs(r3.max_w_share_pct - 25.0) < 1e-6
+
 
 def test_doc_novelty_rate_counts_and_routing(spark):
     """Planted: eval doc e1 repeats training text (novelty 0 ->

@@ -599,8 +599,11 @@ def test_trimmed_readout_resists_whales(spark):
 
 def test_sequential_looks_out_of_range_look_yields_null_bound(spark):
     """A 0-based look column or a 5th look against the default K=4
-    table must yield NULL obf_bound/crossed (try_element_at), not
-    abort the job under ANSI mode with INVALID_ARRAY_INDEX."""
+    table must yield NULL obf_bound/crossed, not abort the job under
+    ANSI mode with INVALID_ARRAY_INDEX. The guard is a range-checked
+    F.when around element_at (try_element_at was insufficient — it
+    still raises INVALID_INDEX_OF_ZERO at index 0; see the operator
+    comment in events.sequential_looks)."""
     from datas_spark.operators.events import sequential_looks
 
     rows = []

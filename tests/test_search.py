@@ -121,6 +121,31 @@ def test_rm3_lam1_preserves_plain_ql_ranking(spark):
     assert rm3 == plain
 
 
+def test_rm3_retains_query_term_absent_from_feedback_docs(spark):
+    """Round-9 ADVICE: a query term present in the corpus but absent
+    from every feedback doc must survive interpolation (p_rm1 = 0, not
+    dropped) — at lam=1 the expansion is exactly the original query, so
+    RM3 must rank like plain QL even when 'skew' lives only in a
+    low-ranked doc outside the fb_docs=2 window."""
+    from datas_spark.operators.search import ql_dirichlet_topk, rm3_expanded_topk
+
+    rows = [
+        (1, "data join data join data join"),   # fb doc 1 — no 'skew'
+        (2, "data data join join data join"),   # fb doc 2 — no 'skew'
+        (3, "skew other words entirely"),        # only corpus home of 'skew'
+        (4, "unrelated filler text block"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = [r.doc_id for r in ql_dirichlet_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"], mu=100.0, top_n=4
+    ).collect()]
+    rm3 = [r.doc_id for r in rm3_expanded_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"], mu=100.0,
+        fb_docs=2, fb_terms=3, lam=1.0, top_n=4
+    ).collect()]
+    assert rm3 == plain
+
+
 def test_rm3_expansion_pulls_cooccurring_terms(spark):
     """'umbrella' never appears in the query but dominates the top
     feedback docs; with lam=0 the expansion must include it, lifting a
