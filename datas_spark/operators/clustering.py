@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "embedding_proxy",
     "kmeans_cluster",
+    "kmeans_lloyd",
     "pca_reduce",
     "cluster_sizes",
     "cluster_indices",
@@ -65,6 +66,157 @@ def kmeans_cluster(
     work = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol=out_col).fit(work)
     return model.transform(work).drop("__features")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_rounds: int = 4,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic fixed-round Lloyd's KMeans (F2, reference
+    main.py:316-322) — the hash-checkable twin of `kmeans_cluster`:
+    every step is exact integer algebra, so the whole trainer replays
+    in ANSI SQL (``oracle_shared.lloyd_cte_sql``) and the driver can
+    hash-verify clusters end to end. MLlib KMeans is seeded but not
+    replayable (parallel float accumulation + k-means|| init); this is
+    the engine's BPE/DoReMi unrolled-iteration discipline applied to
+    clustering.
+
+    Algorithm:
+    - vectors quantize once to exact ``1/scale`` units (`_quantized` —
+      order-independent integer sums from here on);
+    - init: the k rows with smallest ``(md5(id), id)`` — a seedless
+      deterministic pseudo-random draw any engine reproduces;
+    - each of ``n_rounds`` rounds: assign every point to the centroid
+      with the smallest INTEGER squared L2 distance (ties → smaller
+      centroid index), then recompute each centroid as
+      ``floor(Σq_i / n)`` per dimension (floor of an exact-integer
+      division — no float-rounding ambiguity; empty clusters keep
+      their previous centroid);
+    - one final assignment pass against the round-``n_rounds``
+      centroids.
+
+    Plan shape (scale contract): centroids live in ONE packed
+    broadcast row (k·dim longs) — assignment is a map-only fold per
+    point (``array_min`` over per-centroid integer distances), NEVER a
+    points×centroids shuffle; the update is one combinable
+    posexplode → (cluster, dim) aggregate (k·dim rows out). Per-round
+    frames are lazily localCheckpoint-ed so lineage stays flat; there
+    are NO driver collects anywhere. At 10⁹ rows the per-round cost is
+    one scan + one k·dim-row aggregate, exactly KMeans' lower bound.
+
+    Σq per (cluster, dim) stays long-exact up to ~2^53/(0.5·scale)
+    rows per cluster (≈1.8e10 at the e6 default); past that, widen the
+    moment sums to decimal(38,0) (the `cluster_cohesion` discipline).
+
+    Returns ``(assignments, centroids)``: assignments =
+    ``(id_col, cluster int)``; centroids = ``(cluster int, centroid
+    array<double>)`` with components ``c/scale`` — the quantizer frame
+    `ivf_topk_fixed` consumes as learned cells.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    pts = df.select(
+        F.col(id_col).alias("__id"), _quantized(vec_col, scale).alias("__q")
+    ).localCheckpoint(eager=False)
+    seeds = (
+        pts.select(F.md5(F.col("__id").cast("string")).alias("__h"), "__id", "__q")
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
+        .limit(k)
+    )
+    packed = (
+        seeds.agg(
+            F.array_sort(F.collect_list(F.struct("__h", "__id", "__q"))).alias(
+                "__raw"
+            )
+        )
+        .select(
+            F.transform(
+                F.col("__raw"),
+                lambda s, i: F.struct(i.cast("int").alias("j"), s["__q"].alias("c")),
+            ).alias("__cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _assign(cents_frame: DataFrame) -> DataFrame:
+        def d2(cvec):
+            return F.aggregate(
+                F.zip_with(F.col("__q"), cvec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("__cents"),
+                lambda s: F.struct(d2(s["c"]).alias("d"), s["j"].alias("j")),
+            )
+        )
+        return pts.crossJoin(broadcast(cents_frame)).select(
+            "__id", "__q", best["j"].alias("__cluster")
+        )
+
+    for _ in range(n_rounds):
+        assigned = _assign(packed)
+        newc = (
+            assigned.select("__cluster", F.posexplode("__q").alias("__d", "__x"))
+            .groupBy("__cluster", "__d")
+            .agg(
+                F.sum("__x").alias("__s"),
+                F.count(F.lit(1)).cast("long").alias("__n"),
+            )
+            .select(
+                "__cluster",
+                "__d",
+                F.floor(F.col("__s").cast("double") / F.col("__n").cast("double"))
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("__cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__d", "__c"))),
+                    lambda s: s["__c"],
+                ).alias("__cnew")
+            )
+        )
+        prev = packed.select(F.explode("__cents").alias("__pc")).select(
+            F.col("__pc")["j"].alias("__cluster"),
+            F.col("__pc")["c"].alias("__cprev"),
+        )
+        merged = prev.join(newc, "__cluster", "left").select(
+            "__cluster", F.coalesce("__cnew", "__cprev").alias("__c")
+        )
+        packed = (
+            merged.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__cluster").alias("j"), F.col("__c").alias("c")
+                        )
+                    )
+                ).alias("__cents")
+            )
+        ).localCheckpoint(eager=False)
+
+    final = _assign(packed).select(
+        F.col("__id").alias(id_col), F.col("__cluster").alias("cluster")
+    )
+    cents = packed.select(F.explode("__cents").alias("__pc")).select(
+        F.col("__pc")["j"].alias("cluster"),
+        F.transform(
+            F.col("__pc")["c"], lambda x: x.cast("double") / F.lit(float(scale))
+        ).alias("centroid"),
+    )
+    return final, cents
 
 
 def pca_reduce(df: DataFrame, vec_col: str, k: int = 10, out_col: str = "pca") -> DataFrame:

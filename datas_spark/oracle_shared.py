@@ -9,7 +9,106 @@ from __future__ import annotations
 from datas_spark.functions import text as _T
 from datas_spark.operators import dedup as D
 
-__all__ = ["minhash_oracle", "NEAR_DEDUP_RESOLVE_ORACLE", "LANG_ORACLE"]
+__all__ = [
+    "minhash_oracle",
+    "NEAR_DEDUP_RESOLVE_ORACLE",
+    "LANG_ORACLE",
+    "lloyd_cte_sql",
+    "IVF_COS_SQL",
+]
+
+# rounded cosine between two table aliases' ``embedding`` columns —
+# the shared scoring expression of every fixed-quantizer IVF oracle
+# (mirrors functions.arrays.cosine_similarity + round 6; the trailing
+# + 0.0 normalizes -0.0)
+IVF_COS_SQL = """
+        round(
+          list_sum(list_transform(range(1, len({a}.embedding) + 1),
+                   i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len({a}.embedding) + 1),
+                   i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len({b}.embedding) + 1),
+                   i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)))), 6)
+          + 0.0
+"""
+
+
+def lloyd_cte_sql(
+    src: str,
+    id_expr: str,
+    vec_expr: str,
+    k: int,
+    n_rounds: int,
+    dim: int,
+    scale: int = 1_000_000,
+    prefix: str = "lw",
+) -> str:
+    """DuckDB CTE chain replaying `clustering.kmeans_lloyd` exactly:
+    e-scale integer quantization, (md5(id), id)-order init, per-round
+    integer-distance argmin assignment (ties → smaller index) and
+    floor(Σ/n) centroid update with empty-cluster carry-over, one
+    final assignment pass. Every sum is an integer, so fold order
+    never matters cross-engine.
+
+    Emits CTEs named ``{prefix}_*``; append after your own WITH list.
+    Exposes ``{prefix}_asg (id, cluster)`` and ``{prefix}_cent
+    (j, cv DOUBLE[])`` (components divided back by ``scale`` — the
+    quantizer frame for the fixed-cell IVF oracle shape).
+    """
+    p = prefix
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (p.q[i] - s.c[i]) * (p.q[i] - s.c[i])))"
+    )
+    parts = [
+        f"""
+    {p}_pts AS (
+      SELECT {id_expr} AS id,
+             list_transform({vec_expr},
+                            x -> CAST(round(x::DOUBLE * {scale}.0) AS BIGINT)) AS q
+      FROM {src}
+    ), {p}_c0 AS (
+      SELECT (row_number() OVER (ORDER BY h, id) - 1)::INT AS j, q AS c
+      FROM (SELECT md5(id::VARCHAR) AS h, id, q FROM {p}_pts
+            ORDER BY h, id LIMIT {k})
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", {p}_a{r} AS (
+      SELECT id, q, j AS cluster FROM (
+        SELECT p.id, p.q, s.j,
+               row_number() OVER (PARTITION BY p.id
+                                  ORDER BY {d2} ASC, s.j ASC) AS rn
+        FROM {p}_pts p CROSS JOIN {p}_c{r - 1} s
+      ) WHERE rn = 1
+    ), {p}_c{r} AS (
+      SELECT pv.j, coalesce(nw.c, pv.c) AS c
+      FROM {p}_c{r - 1} pv LEFT JOIN (
+        SELECT j, list(cc ORDER BY i) AS c FROM (
+          SELECT cluster AS j, i,
+                 CAST(floor(sum(q[i])::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+                   AS cc
+          FROM {p}_a{r} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) t
+          GROUP BY 1, 2
+        ) GROUP BY j
+      ) nw USING (j)
+    )"""
+        )
+    parts.append(
+        f""", {p}_asg AS (
+      SELECT id, cluster FROM (
+        SELECT p.id, s.j AS cluster,
+               row_number() OVER (PARTITION BY p.id
+                                  ORDER BY {d2} ASC, s.j ASC) AS rn
+        FROM {p}_pts p CROSS JOIN {p}_c{n_rounds} s
+      ) WHERE rn = 1
+    ), {p}_cent AS (
+      SELECT j, list_transform(c, x -> x::DOUBLE / {scale}.0) AS cv
+      FROM {p}_c{n_rounds}
+    )"""
+    )
+    return "".join(parts)
 
 _LANG_COUNTS_SQL = {
     lang: (

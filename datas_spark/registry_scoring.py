@@ -561,14 +561,71 @@ def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_topk_learned")  # rows-only check (KMeans quantizer, no SQL oracle)
+def _ivf_learned_oracle() -> str:
+    from datas_spark.oracle_shared import IVF_COS_SQL, lloyd_cte_sql
+
+    return f"""
+    WITH {lloyd_cte_sql("embeddings", "vec_id", "embedding", 8, 2, 64, prefix="iq")},
+    cells AS (
+      SELECT j AS cell, cv AS embedding FROM iq_cent
+    ), ac AS (
+      SELECT e.vec_id AS did, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {IVF_COS_SQL.format(a='e', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN cells c
+    ), assign AS (
+      SELECT did, cell FROM ac WHERE rn = 1
+    ), qp AS (
+      SELECT q.vec_id AS qid, c.cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {IVF_COS_SQL.format(a='q', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings q CROSS JOIN cells c
+      WHERE q.vec_id < 3
+    ), probes AS (
+      SELECT qid, cell FROM qp WHERE rn <= 3
+    ), scored AS (
+      SELECT p.qid AS q_vec_id, a.did AS d_vec_id,
+             {IVF_COS_SQL.format(a='d', b='q')} AS cos
+      FROM probes p
+      JOIN assign a USING (cell)
+      JOIN embeddings d ON d.vec_id = a.did
+      JOIN embeddings q ON q.vec_id = p.qid
+    )
+    SELECT q_vec_id, d_vec_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, d_vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("ivf_topk_learned", oracle=_ivf_learned_oracle())
 def q_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a LEARNED coarse quantizer: seed-pinned MLlib
-    KMeans, each query probes its 3 nearest of 8 cells, exact cosine
-    inside (recall vs cosine_topk is data-dependent → rows-only driver
-    check). The driver-visible ``ivf_topk`` is the fixed-quantizer
-    twin in registry_similarity — the same plan shape with deterministic cells,
-    so the whole approximate query hash-checks."""
+    """IVF ANN with a LEARNED coarse quantizer that still hash-checks
+    end to end: the 8 cells come from the deterministic unrolled Lloyd
+    trainer (`clustering.kmeans_lloyd`, 2 rounds — the oracle replays
+    the training), then the query runs the exact `ivf_topk_fixed` plan
+    (map-side min_by assignment, 3-cell probes, exact cosine inside).
+    The MLlib-quantizer variant stays as `ivf_topk_mllib` (rows-only —
+    k-means|| isn't SQL-replayable)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, cents = C.kmeans_lloyd(emb, "vec_id", "embedding", k=8, n_rounds=2)
+    cells = cents.select(
+        F.col("cluster").alias("cell"), F.col("centroid").alias("embedding")
+    )
+    return SIM.ivf_topk_fixed(
+        emb, emb.where("vec_id < 3"), cells,
+        "vec_id", "vec_id", "cell", "embedding", k=10, n_probe=3,
+    )
+
+
+@register("ivf_topk_mllib")  # rows-only (MLlib KMeans quantizer)
+def q_ivf_topk_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the seed-pinned MLlib KMeans quantizer — the
+    library twin of `ivf_topk_learned` (recall vs cosine_topk is
+    data-dependent; k-means|| init has no SQL replay → rows-only)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
         emb, emb.where("vec_id < 3"), "vec_id", "vec_id", "embedding",
@@ -716,13 +773,44 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MLlib + iterative (rows-only checks: seeded but not SQL-expressible)
+# KMeans: deterministic unrolled Lloyd (hash-checked) + MLlib twin
+# (rows-only: seeded but not SQL-replayable)
 # ---------------------------------------------------------------------------
 
-@register("kmeans_clusters")  # rows-only
+from datas_spark.oracle_shared import lloyd_cte_sql as _lloyd_ctes  # noqa: E402
+
+_KM_K, _KM_ROUNDS, _KM_DIM = 3, 4, 64
+
+
+@register(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH {_lloyd_ctes("embeddings", "vec_id", "embedding", _KM_K, _KM_ROUNDS, _KM_DIM)}
+    SELECT id AS vec_id, cluster FROM lw_asg
+    """,
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 (main.py:316-322): KMeans(k=3, seed=0) labels on the embedding
-    column via MLlib (deterministic w/ seed; invariants unit-tested)."""
+    """F2 (main.py:316-322): KMeans(k=3) labels on the embedding column
+    via the deterministic unrolled Lloyd trainer
+    (`clustering.kmeans_lloyd`): e6-quantized integer distances,
+    (md5(id), id)-order init, 4 fixed rounds of argmin-assign +
+    floor(Σ/n) centroid update — the oracle replays every round, so
+    the clustering itself hash-checks. The MLlib twin
+    (`kmeans_clusters_mllib`) keeps the seeded-but-unreplayable
+    k-means|| path as the rows-only scale variant."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    asg, _ = C.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, n_rounds=_KM_ROUNDS
+    )
+    return asg.select("vec_id", "cluster")
+
+
+@register("kmeans_clusters_mllib")  # rows-only (MLlib k-means||, seed-pinned)
+def q_kmeans_clusters_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 via MLlib KMeans(k=3, seed=0) — the library twin of
+    `kmeans_clusters` (deterministic w/ seed; invariants unit-tested;
+    not SQL-replayable because k-means|| init and parallel float
+    accumulation have no fixed-order equivalent)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return C.kmeans_cluster(emb, "embedding", k=3, seed=0).select("vec_id", "cluster")
 

@@ -524,13 +524,93 @@ def q_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("datas_full_pipeline")  # rows-only: KMeans inside (seed-pinned)
+_FLAGSHIP_K, _FLAGSHIP_ROUNDS, _FLAGSHIP_DIM = 5, 3, 8
+
+
+def _flagship_lloyd_oracle() -> str:
+    """The flagship's FULL replay: proxy embedding, the unrolled Lloyd
+    rounds, proxy ppl confidence, per-cluster percentile band, stride
+    sample, gather — the whole reference main.py §3.1 flow in one
+    DuckDB statement."""
+    from datas_spark.functions import text as T
+    from datas_spark.oracle_shared import lloyd_cte_sql
+
+    unit = "(('0x' || substr(md5({key}), 1, 8))::BIGINT / 4294967296.0)"
+    comps = ", ".join(
+        f"({unit.format(key=f'''instruction || '#emb{i}' ''')} - 0.5)::FLOAT"
+        for i in range(_FLAGSHIP_DIM)
+    )
+    prefix = T.PROMPT_NO_INPUT.split("{instruction}")[0]
+    prompt = f"'{prefix}' || instruction || '\n\n### Response:'"
+    lloyd = lloyd_cte_sql(
+        "emb", "doc_id", "e", _FLAGSHIP_K, _FLAGSHIP_ROUNDS, _FLAGSHIP_DIM,
+        prefix="fl",
+    )
+    return f"""
+    WITH pseudo AS (
+      SELECT doc_id, substr(text, 1, 80) AS instruction FROM documents
+    ), emb AS (
+      SELECT doc_id, instruction, [{comps}] AS e FROM pseudo
+    ), {lloyd},
+    conf AS (
+      SELECT p.doc_id, a.cluster,
+             1.0 + 99.0 * {unit.format(key=prompt)} AS conf
+      FROM pseudo p JOIN fl_asg a ON a.id = p.doc_id
+    ), stats AS (
+      SELECT cluster, count(*) AS cnt,
+             quantile_cont(conf, 0.25) AS lo, quantile_cont(conf, 0.75) AS hi
+      FROM conf GROUP BY cluster
+    ), band AS (
+      SELECT c.* FROM conf c JOIN stats s USING (cluster)
+      WHERE s.cnt < 5 OR (c.conf >= s.lo AND c.conf <= s.hi)
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS m
+      FROM band
+    ), strided AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY rn) AS k
+      FROM ranked WHERE (rn - 1) % greatest(m // 5, 1) = 0
+    )
+    SELECT d.* FROM documents d
+    SEMI JOIN (SELECT doc_id FROM strided WHERE k <= 5) s
+      ON d.doc_id = s.doc_id
+    """
+
+
+@register("datas_full_pipeline", oracle=_flagship_lloyd_oracle())
 def q_datas_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE main.py flow as one lazy composition
-    (SURVEY §3.1): pseudo-alpaca projection → embedding column (proxy
-    F1) → KMeans k=5 (F2) → per-cluster ppl confidence (P5 proxy) →
-    percentile-band filter + stride sample (A1+A2) → gather original
-    rows (A3). Deterministic under seed; invariants unit-tested."""
+    (SURVEY §3.1), hash-checked end to end: pseudo-alpaca projection →
+    embedding column (proxy F1) → deterministic unrolled Lloyd KMeans
+    k=5 (F2, `clustering.kmeans_lloyd` — the oracle replays every
+    round) → per-cluster ppl confidence (P5 proxy) → percentile-band
+    filter + stride sample (A1+A2) → gather original rows (A3). The
+    MLlib-KMeans twin stays as `datas_full_pipeline_mllib`
+    (rows-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pseudo = docs.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("instruction"),
+        F.lit("").alias("input"),
+    )
+    emb = C.embedding_proxy(pseudo, "instruction", dim=_FLAGSHIP_DIM)
+    asg, _ = C.kmeans_lloyd(
+        emb, "doc_id", "emb_ins_alone",
+        k=_FLAGSHIP_K, n_rounds=_FLAGSHIP_ROUNDS,
+    )
+    clustered = pseudo.join(asg, "doc_id")
+    scored = SC.perplexity_scorer_proxy(clustered)
+    selected = S.middle_confidence_sample(
+        scored, "cluster", "ppl_ins_alone", "doc_id", n=5
+    )
+    return S.gather_rows(docs, selected, "doc_id")
+
+
+@register("datas_full_pipeline_mllib")  # rows-only: MLlib KMeans inside
+def q_datas_full_pipeline_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship flow with the seed-pinned MLlib KMeans quantizer —
+    the library twin of `datas_full_pipeline` (k-means|| init is not
+    SQL-replayable; invariants unit-tested)."""
     docs = read_table(spark, sf_dir, "documents")
     pseudo = docs.select(
         "doc_id",

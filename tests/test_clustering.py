@@ -93,3 +93,66 @@ def test_dbscan_singleton_core_and_min_border_attach(spark):
     assert got[5]["role"] == "core" and got[5]["cluster"] == 5
     assert got[6]["role"] == "border" and got[6]["cluster"] == 5
     assert got[7]["role"] == "border" and got[7]["cluster"] == 5
+
+
+# ---------------------------------------------------------------------------
+# round 10: deterministic unrolled Lloyd's KMeans
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_separated_blobs_and_determinism(spark):
+    """Three well-separated 2-D blobs must come out as three pure
+    clusters; a re-run (fresh plan) must assign identically (the
+    whole point of the deterministic trainer)."""
+    from datas_spark.operators.clustering import kmeans_lloyd
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.0 + i * 1e-4, 0.0]))          # blob A
+        rows.append((100 + i, [0.4, 0.4 + i * 1e-4]))    # blob B
+        rows.append((200 + i, [-0.4 - i * 1e-4, 0.4]))   # blob C
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    asg, cents = kmeans_lloyd(df, "id", "v", k=3, n_rounds=4)
+    got = {r.id: r.cluster for r in asg.collect()}
+    blobs = [
+        {got[i] for i in range(10)},
+        {got[100 + i] for i in range(10)},
+        {got[200 + i] for i in range(10)},
+    ]
+    assert all(len(b) == 1 for b in blobs)          # each blob is pure
+    assert len(set().union(*blobs)) == 3            # and they differ
+    c = {r.cluster: r.centroid for r in cents.collect()}
+    assert len(c) == 3 and all(len(v) == 2 for v in c.values())
+    asg2, _ = kmeans_lloyd(df, "id", "v", k=3, n_rounds=4)
+    assert {r.id: r.cluster for r in asg2.collect()} == got
+
+
+def test_kmeans_lloyd_empty_cluster_carries_previous_centroid(spark):
+    """k larger than the number of distinct points leaves clusters
+    empty after round 1 — they must keep their seed centroid (no NULL
+    centroids, no crash) and every point still gets a label."""
+    from datas_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, [0.1, 0.1]), (3, [-0.2, 0.3])],
+        "id long, v array<double>",
+    )
+    asg, cents = kmeans_lloyd(df, "id", "v", k=3, n_rounds=2)
+    labels = {r.id: r.cluster for r in asg.collect()}
+    assert set(labels) == {1, 2, 3}
+    assert labels[1] == labels[2]  # identical points share a cluster
+    crows = cents.collect()
+    assert len(crows) == 3
+    assert all(r.centroid is not None and len(r.centroid) == 2 for r in crows)
+
+
+def test_kmeans_lloyd_validates_params(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(df, "id", "v", k=0)
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(df, "id", "v", k=2, n_rounds=0)

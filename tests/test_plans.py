@@ -212,6 +212,10 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "self_bleu",                       # 1-row pooled effective-ref-length scalar
         "rm3_expanded_topk",               # QL corpus constants + 1-row softmax/weight scalars (both passes)
         "annotator_alpha",                 # 1-row coincidence scalars (n, D_o) x 1-row margin scalar
+        # round 10
+        "kmeans_clusters",                 # 1-row packed Lloyd centroid frame per round
+        "datas_full_pipeline_mllib",       # the flagship's band-cuts frames (same as datas_full_pipeline)
+        "ivf_topk_mllib",                  # centroids + query set (same as ivf_topk_learned)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
