@@ -334,7 +334,8 @@ def entropy_sampling(
 
 
 def kcenter_sampling(
-    df: DataFrame, vec_col: str, id_col: str, k: int
+    df: DataFrame, vec_col: str, id_col: str, k: int,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """L5: greedy k-center — iteratively add the point maximizing its
     min distance to the chosen set. Inherently sequential in k: k driver
@@ -345,6 +346,14 @@ def kcenter_sampling(
     ``min_dist = least(min_dist, dist(vec, new_center))`` — one map-only
     stage — then takes the 1-row argmax (``limit(1).collect()``, the
     inherent greedy step).
+
+    ``exact_scale`` (round 10, VERDICT r9 #2): when set, vectors
+    quantize once to exact ``1/exact_scale`` units and every distance is
+    the INTEGER squared L2 (monotone in L2, so the greedy argmax picks
+    the same points — but now with no float accumulation anywhere), and
+    the whole k-round greedy replays in ANSI SQL
+    (`oracle_shared.kcenter_cte_sql`) — the Markov-style unrolled-round
+    oracle. Ties break (min_dist DESC, id ASC) in both modes.
 
     Iteration hygiene (large k would otherwise blow up driver and
     executors): exactly ONE round's frame is cached at a time (the
@@ -358,12 +367,43 @@ def kcenter_sampling(
     from datas_spark.functions.arrays import l2_distance
 
     checkpoint_every = 8
-    first = df.orderBy(id_col).limit(1).select(id_col, vec_col).collect()[0]
+    if exact_scale is None:
+        pool = df.select(id_col, vec_col)
+        wcol = vec_col
+
+        def _lit_vec(v):
+            return F.array(*[F.lit(float(x)) for x in v])
+
+        def _dist(center_lit):
+            return l2_distance(wcol, center_lit)
+    else:
+        pool = df.select(
+            F.col(id_col).alias(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * exact_scale).cast("long"),
+            ).alias("__qv"),
+        )
+        wcol = "__qv"
+
+        def _lit_vec(v):
+            return F.array(*[F.lit(int(x)) for x in v])
+
+        def _dist(center_lit):
+            return F.aggregate(
+                F.zip_with(
+                    F.col(wcol), center_lit, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+    first = pool.orderBy(id_col).limit(1).collect()[0]
     chosen = [first[id_col]]
-    center_vec = F.array(*[F.lit(float(x)) for x in first[vec_col]])
+    center_vec = _lit_vec(first[wcol])
     work = (
-        df.select(id_col, vec_col)
-        .withColumn("__min_dist", l2_distance(vec_col, center_vec))
+        pool
+        .withColumn("__min_dist", _dist(center_vec))
         .withColumn("__chosen", F.col(id_col) == F.lit(first[id_col]))
     )
     prev = None
@@ -388,9 +428,9 @@ def kcenter_sampling(
             break  # fewer distinct points than k
         far = far_rows[0]
         chosen.append(far[id_col])
-        cvec = F.array(*[F.lit(float(x)) for x in far[vec_col]])
+        cvec = _lit_vec(far[wcol])
         work = work.withColumn(
-            "__min_dist", F.least(F.col("__min_dist"), l2_distance(vec_col, cvec))
+            "__min_dist", F.least(F.col("__min_dist"), _dist(cvec))
         ).withColumn(
             "__chosen", F.col("__chosen") | (F.col(id_col) == F.lit(far[id_col]))
         )

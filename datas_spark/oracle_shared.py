@@ -14,6 +14,7 @@ __all__ = [
     "NEAR_DEDUP_RESOLVE_ORACLE",
     "LANG_ORACLE",
     "lloyd_cte_sql",
+    "kcenter_cte_sql",
     "IVF_COS_SQL",
 ]
 
@@ -31,6 +32,64 @@ IVF_COS_SQL = """
                    i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)))), 6)
           + 0.0
 """
+
+
+def kcenter_cte_sql(
+    src: str,
+    id_expr: str,
+    vec_expr: str,
+    k: int,
+    dim: int,
+    scale: int = 1_000_000,
+    prefix: str = "kc",
+) -> str:
+    """DuckDB CTE chain replaying `selection.kcenter_sampling(...,
+    exact_scale=scale)` exactly — the greedy farthest-first traversal
+    unrolled k−1 rounds (the Markov-16-step discipline): quantize once
+    to integers, seed with the smallest id, then per round pick the
+    unchosen point with the largest INTEGER squared min-distance
+    (ties → smaller id) and fold ``least`` of the distance to it into
+    every row. Assumes the pool has ≥ k rows (the Spark side breaks
+    early on exhaustion; SQL can't).
+
+    Emits CTEs named ``{prefix}_*``; exposes ``{prefix}_sel (id)`` —
+    the k chosen ids.
+    """
+    p = prefix
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (d.q[i] - c.q[i]) * (d.q[i] - c.q[i])))"
+    )
+    parts = [
+        f"""
+    {p}_pts AS (
+      SELECT {id_expr} AS id,
+             list_transform({vec_expr},
+                            x -> CAST(round(x::DOUBLE * {scale}.0) AS BIGINT)) AS q
+      FROM {src}
+    ), {p}_s0 AS (
+      SELECT id, q FROM {p}_pts ORDER BY id LIMIT 1
+    ), {p}_d1 AS (
+      SELECT d.id, d.q, {d2} AS md, d.id = c.id AS ch
+      FROM {p}_pts d CROSS JOIN {p}_s0 c
+    )"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""", {p}_s{r} AS (
+      SELECT id, q FROM {p}_d{r} WHERE NOT ch
+      ORDER BY md DESC, id ASC LIMIT 1
+    ), {p}_d{r + 1} AS (
+      SELECT d.id, d.q, least(d.md, {d2}) AS md, d.ch OR d.id = c.id AS ch
+      FROM {p}_d{r} d CROSS JOIN {p}_s{r} c
+    )"""
+        )
+    parts.append(
+        f""", {p}_sel AS (
+      SELECT id FROM {p}_d{k} WHERE ch
+    )"""
+    )
+    return "".join(parts)
 
 
 def lloyd_cte_sql(

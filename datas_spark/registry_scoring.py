@@ -815,11 +815,29 @@ def q_kmeans_clusters_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.kmeans_cluster(emb, "embedding", k=3, seed=0).select("vec_id", "cluster")
 
 
-@register("kcenter_sample")  # rows-only (iterative greedy, driver-coordinated)
+def _kcenter_oracle() -> str:
+    from datas_spark.oracle_shared import kcenter_cte_sql
+
+    return f"""
+    WITH {kcenter_cte_sql(
+        "(SELECT * FROM embeddings WHERE vec_id < 200)",
+        "vec_id", "embedding", 8, 64,
+    )}
+    SELECT id AS vec_id FROM kc_sel
+    """
+
+
+@register("kcenter_sample", oracle=_kcenter_oracle())
 def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: greedy k-center (k=8) over a bounded pool."""
+    """L5: greedy k-center (k=8) over a bounded pool, hash-checked: the
+    e6-quantized integer-distance greedy (`selection.kcenter_sampling`
+    with ``exact_scale``) replays round by round in the oracle —
+    farthest-first argmax with (distance DESC, id ASC) ties, exactly
+    the Markov-chain unrolled-iteration discipline (VERDICT r9 #2)."""
     emb = read_table(spark, sf_dir, "embeddings").where("vec_id < 200")
-    return S.kcenter_sampling(emb, "embedding", "vec_id", k=8).select("vec_id")
+    return S.kcenter_sampling(
+        emb, "embedding", "vec_id", k=8, exact_scale=1_000_000
+    ).select("vec_id")
 
 # ==================================================================
 # former registry4.py

@@ -234,3 +234,23 @@ def test_skyline_2d_ties_kept_and_audit_clean(spark):
     assert {r["id"] for r in out.collect()} == {1, 2}
     # the suffix-min window sits above an aggregate: not a scale killer
     assert global_window_violations(out) == []
+
+
+def test_kcenter_exact_scale_matches_float_on_separated_points(spark):
+    """The integer-squared-distance mode (round 10 — the oracle path)
+    must pick the same greedy set as the float path when distances are
+    well separated, and must be deterministic across re-runs."""
+    from datas_spark.operators.selection import kcenter_sampling
+
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [0.4, 0.4]),
+        (4, [-0.4, 0.4]), (5, [0.4, -0.4]), (6, [0.02, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    flt = {r.id for r in kcenter_sampling(df, "v", "id", k=4).collect()}
+    ext = {r.id for r in kcenter_sampling(
+        df, "v", "id", k=4, exact_scale=1_000_000).collect()}
+    assert flt == ext == {1, 3, 4, 5}  # seed=min id, then the 3 far corners
+    ext2 = {r.id for r in kcenter_sampling(
+        df, "v", "id", k=4, exact_scale=1_000_000).collect()}
+    assert ext2 == ext
