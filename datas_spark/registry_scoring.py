@@ -947,3 +947,59 @@ def q_ties_merge_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_size=1024,
         sign_method="minority",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: Evol-Instruct schedule surface (the reference's absent
+# evol_schedules module, main.py:11; VERDICT r9 "Next round" #3)
+# ---------------------------------------------------------------------------
+
+_EVOL_ROUNDS = 3
+
+
+def _evol_schedule_oracle() -> str:
+    from datas_spark.operators.evol import EVOL_METHODS
+
+    names = "[" + ", ".join(f"'{n}'" for n, _ in EVOL_METHODS) + "]"
+    tmpls = "[" + ", ".join(f"'{t}'" for _, t in EVOL_METHODS) + "]"
+    prev = "instruction"
+    selects = []
+    for r in range(1, _EVOL_ROUNDS + 1):
+        idx = (
+            f"(((('0x' || substr(md5(doc_id::VARCHAR || ':{r}'), 1, 8))::BIGINT)"
+            f" % {len(EVOL_METHODS)}) + 1)::INT"
+        )
+        method = f"({names})[{idx}]"
+        prompt = f"(({tmpls})[{idx}] || {prev})"
+        selects.append(
+            f"SELECT doc_id, {r} AS round, {method} AS method, "
+            f"{prompt} AS prompt FROM pseudo"
+        )
+        prev = f"('[' || {method} || '] ' || {prev})"
+    body = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH pseudo AS (
+      SELECT doc_id, substr(text, 1, 80) AS instruction FROM documents
+    )
+    {body}
+    """
+
+
+@register("evol_prompt_schedule", oracle=_evol_schedule_oracle())
+def q_evol_prompt_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evol-Instruct N-round evolution schedule (`operators/evol.py` —
+    the engine counterpart of the reference's absent ``evol_schedules``
+    import, main.py:11): per (doc, round) the md5-picked depth/breadth
+    method and the generator-ready prompt, round r wrapping round
+    r−1's marker-chained instruction. One map-only pass, no shuffle;
+    the oracle replays the method election, the templates, and the
+    chain verbatim."""
+    from datas_spark.operators.evol import evol_prompt_schedule
+
+    docs = read_table(spark, sf_dir, "documents")
+    pseudo = docs.select(
+        "doc_id", F.substring("text", 1, 80).alias("instruction")
+    )
+    return evol_prompt_schedule(
+        pseudo, "doc_id", "instruction", n_rounds=_EVOL_ROUNDS
+    )
