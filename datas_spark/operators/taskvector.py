@@ -41,6 +41,7 @@ __all__ = [
     "dare_drop_rescale",
     "fisher_from_grads",
     "fisher_weighted_merge",
+    "slerp_merge",
 ]
 
 _KEYS = ["key", "idx"]
@@ -574,4 +575,92 @@ def fisher_weighted_merge(
     )
     return agg.select(
         "key", "idx", F.when(den != 0.0, num / den).alias("value")
+    )
+
+
+def slerp_merge(
+    a: DataFrame,
+    b: DataFrame,
+    t: float = 0.5,
+    scale: int = 1_000_000,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-layer spherical linear interpolation between two checkpoints
+    (the SLERP member of the merging family — the reference's
+    `tv_apply` (merging.py:83-95) is the linear special case;
+    TIES/DARE/Fisher are done):
+
+        Ω_key  = arccos( a·b / (‖a‖‖b‖) )           (per layer)
+        merged = sin((1−t)Ω)/sin(Ω) · a + sin(tΩ)/sin(Ω) · b
+
+    — interpolating along the great circle preserves parameter-vector
+    NORM where plain lerp shrinks it (the geometric argument behind
+    SLERP merges of fine-tunes; Shoemake 1985 for the formula).
+
+    Determinism discipline (the `fisher_from_grads` pattern): both
+    layers' dot/norm moments come from e6-quantized integers
+    (decimal-38 products — exact on any partitioning and replayable as
+    HUGEINT sums in SQL), so cosΩ is bit-identical cross-engine; the
+    one acos + three sin per LAYER are followed by a 12-dp weight
+    resync, which absorbs libm last-ulp differences. Degenerate layers
+    — near-collinear (sin Ω < eps) or zero-norm — fall back to plain
+    lerp weights (1−t, t), the standard SLERP convention (and the
+    t=0/t=1 endpoints hold exactly: sin(Ω)/sin(Ω) quantizes to 1,
+    sin(0) to 0).
+
+    Plan shape: ONE equi-join of the two checkpoints on (key, idx)
+    feeds both the per-layer moment aggregate (combinable, |layers|
+    rows out) and the output projection; the |layers|-row weight table
+    broadcasts back. Two scans of the join, zero extra shuffles.
+    """
+    if not 0.0 <= t <= 1.0:
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    q = lambda c: (  # noqa: E731
+        F.round(c.cast("double") * scale).cast("long").cast("decimal(38,0)")
+    )
+    j = (
+        a.alias("a")
+        .join(b.alias("b"), _KEYS)
+        .select(
+            "key",
+            "idx",
+            F.col("a.value").cast("double").alias("__av"),
+            F.col("b.value").cast("double").alias("__bv"),
+            q(F.col("a.value")).alias("__qa"),
+            q(F.col("b.value")).alias("__qb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = j.groupBy("key").agg(
+        F.sum(F.col("__qa") * F.col("__qb")).alias("__dot"),
+        F.sum(F.col("__qa") * F.col("__qa")).alias("__na"),
+        F.sum(F.col("__qb") * F.col("__qb")).alias("__nb"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    cosw = F.least(
+        F.greatest(
+            dd("__dot") / (F.sqrt(dd("__na")) * F.sqrt(dd("__nb"))),
+            F.lit(-1.0),
+        ),
+        F.lit(1.0),
+    )
+    omega = F.acos(cosw)
+    sino = F.sin(omega)
+    lt = 1.0 - float(t)
+    degenerate = (
+        (F.col("__na") <= 0) | (F.col("__nb") <= 0) | (sino < F.lit(float(eps)))
+    )
+    wa = F.when(degenerate, F.lit(lt)).otherwise(
+        F.round(F.sin(F.lit(lt) * omega) / sino, 12)
+    )
+    wb = F.when(degenerate, F.lit(float(t))).otherwise(
+        F.round(F.sin(F.lit(float(t)) * omega) / sino, 12)
+    )
+    w = m.select("key", wa.alias("__wa"), wb.alias("__wb"))
+    return j.join(broadcast(w), "key").select(
+        "key",
+        "idx",
+        (
+            F.col("__wa") * F.col("__av") + F.col("__wb") * F.col("__bv")
+        ).alias("value"),
     )

@@ -843,3 +843,61 @@ def q_fisher_weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "key", "idx", F.round("value", 6).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10: SLERP checkpoint interpolation (VERDICT r9 "Next round" #4)
+# — completes the merging family (linear apply = merging.py:83-95;
+# TIES/DARE/Fisher done). Per-layer angle from e6-exact integer
+# moments, one acos + sin per layer, 12-dp weight resync.
+# ---------------------------------------------------------------------------
+
+_SLERP_T = 0.3
+
+_SLERP_ORACLE = f"""
+    WITH j AS (
+      SELECT p_brand AS key, p_partkey AS idx,
+             p_retailprice::DOUBLE AS av, p_size::DOUBLE AS bv,
+             CAST(round(p_retailprice::DOUBLE * 1000000.0) AS BIGINT) AS qa,
+             CAST(round(p_size::DOUBLE * 1000000.0) AS BIGINT) AS qb
+      FROM part
+    ), m AS (
+      SELECT key,
+             sum(qa::HUGEINT * qb) AS dot,
+             sum(qa::HUGEINT * qa) AS na,
+             sum(qb::HUGEINT * qb) AS nb
+      FROM j GROUP BY key
+    ), ang AS (
+      SELECT key, na, nb,
+             acos(least(greatest(
+               dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)),
+               -1.0), 1.0)) AS omega
+      FROM m
+    ), w AS (
+      SELECT key,
+        CASE WHEN na <= 0 OR nb <= 0 OR sin(omega) < 1e-6
+             THEN {1.0 - _SLERP_T}
+             ELSE round(sin({1.0 - _SLERP_T} * omega) / sin(omega), 12)
+        END AS wa,
+        CASE WHEN na <= 0 OR nb <= 0 OR sin(omega) < 1e-6
+             THEN {_SLERP_T}
+             ELSE round(sin({_SLERP_T} * omega) / sin(omega), 12)
+        END AS wb
+      FROM ang
+    )
+    SELECT j.key, j.idx, (w.wa * j.av) + (w.wb * j.bv) AS value
+    FROM j JOIN w USING (key)
+"""
+
+
+@register("slerp_merge", oracle=_SLERP_ORACLE)
+def q_slerp_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer spherical interpolation between the two synthetic
+    checkpoints (`taskvector.slerp_merge`, t=0.3): layer angle
+    from e6-quantized integer dot/norm moments (exact on any
+    partitioning), sin-ratio weights resynced at 12 dp, degenerate
+    layers falling back to lerp — the oracle replays moments, angle,
+    weights, and the apply."""
+    return TV.slerp_merge(
+        _ckpt_f(spark, sf_dir), _ckpt_p(spark, sf_dir), t=_SLERP_T
+    )

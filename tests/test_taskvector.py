@@ -234,3 +234,63 @@ def test_fisher_merge_validates_shapes(spark):
         TV.fisher_weighted_merge([], [])
     with _pytest.raises(ValueError):
         TV.fisher_weighted_merge([m], [f], coefs=[1.0, 2.0])
+
+
+# ---------------------------------------------------------------------------
+# round 10: SLERP checkpoint interpolation
+# ---------------------------------------------------------------------------
+
+
+def _two_ckpts(spark):
+    a = spark.createDataFrame(
+        [("l0", 0, 1.0), ("l0", 1, 0.0), ("l1", 0, 2.0), ("l1", 1, 2.0)],
+        "key string, idx long, value double",
+    )
+    b = spark.createDataFrame(
+        [("l0", 0, 0.0), ("l0", 1, 1.0), ("l1", 0, 4.0), ("l1", 1, 4.0)],
+        "key string, idx long, value double",
+    )
+    return a, b
+
+
+def test_slerp_endpoints_equal_inputs(spark):
+    from datas_spark.operators.taskvector import slerp_merge
+
+    a, b = _two_ckpts(spark)
+    at0 = {(r.key, r.idx): r.value for r in slerp_merge(a, b, t=0.0).collect()}
+    at1 = {(r.key, r.idx): r.value for r in slerp_merge(a, b, t=1.0).collect()}
+    av = {(r.key, r.idx): r.value for r in a.collect()}
+    bv = {(r.key, r.idx): r.value for r in b.collect()}
+    assert at0 == av
+    assert at1 == bv
+
+
+def test_slerp_collinear_layer_falls_back_to_lerp(spark):
+    """l1's vectors are parallel (b = 2a): omega = 0, sin = 0 -> lerp
+    weights (1-t, t); l0's are orthogonal -> true spherical weights
+    sin((1-t)*pi/2), sin(t*pi/2) and the result keeps unit norm."""
+    import math
+
+    from datas_spark.operators.taskvector import slerp_merge
+
+    a, b = _two_ckpts(spark)
+    got = {(r.key, r.idx): r.value for r in slerp_merge(a, b, t=0.5).collect()}
+    # collinear layer: plain midpoint
+    assert abs(got[("l1", 0)] - 3.0) < 1e-9
+    assert abs(got[("l1", 1)] - 3.0) < 1e-9
+    # orthogonal layer: w = sin(pi/4)/sin(pi/2) = sqrt(2)/2 on both ends
+    w = math.sin(math.pi / 4)
+    assert abs(got[("l0", 0)] - w) < 1e-9
+    assert abs(got[("l0", 1)] - w) < 1e-9
+    norm = math.hypot(got[("l0", 0)], got[("l0", 1)])
+    assert abs(norm - 1.0) < 1e-6  # SLERP preserves the unit norm
+
+
+def test_slerp_validates_t(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.taskvector import slerp_merge
+
+    a, b = _two_ckpts(spark)
+    with _pytest.raises(ValueError):
+        slerp_merge(a, b, t=1.5)
