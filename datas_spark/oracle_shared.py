@@ -15,6 +15,7 @@ __all__ = [
     "LANG_ORACLE",
     "lloyd_cte_sql",
     "kcenter_cte_sql",
+    "pca_power_cte_sql",
     "IVF_COS_SQL",
 ]
 
@@ -32,6 +33,107 @@ IVF_COS_SQL = """
                    i -> {b}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE)))), 6)
           + 0.0
 """
+
+
+def pca_power_cte_sql(
+    src: str,
+    id_expr: str,
+    vec_expr: str,
+    k: int,
+    dim: int,
+    n_iters: int = 10,
+    scale: int = 1_000_000,
+    prefix: str = "pw",
+) -> str:
+    """DuckDB CTE chain replaying `clustering.pca_exact_components` +
+    the projection bit-exactly: e-scale quantization, exact HUGEINT
+    scatter moments, M_ij = n·S_ij − S_i·S_j cast to DOUBLE, k rounds
+    of md5-seeded power iteration with per-round e12 unit-vector
+    resync, Rayleigh deflation between components. Every float fold is
+    an init-0.0 left fold (``list_reduce(list_prepend(0.0, ...))`` ==
+    Spark ``F.aggregate(..., 0.0, +)`` == the driver-side Python loop),
+    so the three implementations agree to the bit.
+
+    Exposes ``{prefix}_q (id, q)``, ``{prefix}_n (n)``, ``{prefix}_si
+    (i, s)`` and per component c: ``{prefix}_v{c}_{n_iters} (i, val)``
+    — the resynced component vectors. Build the projection SELECT on
+    top (see the pca_embeddings registry query).
+    """
+    p = prefix
+    fold = "list_reduce(list_prepend(0.0, {lst}), (a, b) -> a + b)"
+    parts = [
+        f"""
+    {p}_q AS MATERIALIZED (
+      SELECT {id_expr} AS id,
+             list_transform({vec_expr},
+                            x -> CAST(round(x::DOUBLE * {scale}.0) AS BIGINT)) AS q
+      FROM {src}
+    ), {p}_n AS MATERIALIZED (
+      SELECT count(*)::BIGINT AS n FROM {p}_q
+    ), {p}_ix AS (
+      SELECT unnest(range(1, {dim + 1}))::INT AS i
+    ), {p}_si AS MATERIALIZED (
+      SELECT t.i, sum(q[t.i])::HUGEINT AS s
+      FROM {p}_q CROSS JOIN {p}_ix t GROUP BY t.i
+    ), {p}_sij AS MATERIALIZED (
+      SELECT ti.i, tj.i AS j, sum(q[ti.i] * q[tj.i])::HUGEINT AS s
+      FROM {p}_q CROSS JOIN {p}_ix ti CROSS JOIN {p}_ix tj
+      GROUP BY 1, 2
+    ), {p}_m1 AS MATERIALIZED (
+      SELECT sij.i, sij.j,
+             ((n.n * sij.s) - (sa.s * sb.s))::DOUBLE AS m
+      FROM {p}_sij sij
+      JOIN {p}_si sa ON sa.i = sij.i
+      JOIN {p}_si sb ON sb.i = sij.j
+      CROSS JOIN {p}_n n
+    )"""
+    ]
+    for c in range(1, k + 1):
+        parts.append(
+            f""", {p}_v{c}_0 AS MATERIALIZED (
+      SELECT i,
+             (('0x' || substr(md5('pca:{c}:' || (i - 1)::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 - 0.5) AS val
+      FROM {p}_ix
+    )"""
+        )
+        for r in range(1, n_iters + 1):
+            mv = fold.format(lst="list(m.m * v.val ORDER BY m.j)")
+            nrm = fold.format(lst="list(u * u ORDER BY i)")
+            parts.append(
+                f""", {p}_u{c}_{r} AS MATERIALIZED (
+      SELECT m.i, {mv} AS u
+      FROM {p}_m{c} m JOIN {p}_v{c}_{r - 1} v ON v.i = m.j
+      GROUP BY m.i
+    ), {p}_nr{c}_{r} AS MATERIALIZED (
+      SELECT sqrt({nrm}) AS nr FROM {p}_u{c}_{r}
+    ), {p}_v{c}_{r} AS MATERIALIZED (
+      SELECT i,
+             CAST(round(u / nr * 1000000000000.0) AS BIGINT)::DOUBLE
+               / 1000000000000.0 AS val
+      FROM {p}_u{c}_{r} CROSS JOIN {p}_nr{c}_{r}
+    )"""
+            )
+        if c < k:
+            mv = fold.format(lst="list(m.m * v.val ORDER BY m.j)")
+            ray = fold.format(lst="list(v.val * mv.u ORDER BY v.i)")
+            parts.append(
+                f""", {p}_mv{c} AS MATERIALIZED (
+      SELECT m.i, {mv} AS u
+      FROM {p}_m{c} m JOIN {p}_v{c}_{n_iters} v ON v.i = m.j
+      GROUP BY m.i
+    ), {p}_lam{c} AS MATERIALIZED (
+      SELECT {ray} AS lam
+      FROM {p}_v{c}_{n_iters} v JOIN {p}_mv{c} mv ON mv.i = v.i
+    ), {p}_m{c + 1} AS MATERIALIZED (
+      SELECT m.i, m.j, m.m - (l.lam * (vi.val * vj.val)) AS m
+      FROM {p}_m{c} m
+      JOIN {p}_v{c}_{n_iters} vi ON vi.i = m.i
+      JOIN {p}_v{c}_{n_iters} vj ON vj.i = m.j
+      CROSS JOIN {p}_lam{c} l
+    )"""
+            )
+    return "".join(parts)
 
 
 def kcenter_cte_sql(

@@ -369,10 +369,64 @@ def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.random_sampling(docs, k=50, seed=42)
 
 
-@register("pca_embeddings")  # rows-only: SVD sign/rotation not SQL-expressible
+_PCA_K, _PCA_ITERS, _PCA_DIM = 2, 10, 64
+
+
+def _pca_exact_oracle() -> str:
+    from datas_spark.oracle_shared import pca_power_cte_sql
+
+    ctes = pca_power_cte_sql(
+        "embeddings", "vec_id", "embedding", _PCA_K, _PCA_DIM, _PCA_ITERS
+    )
+    folds = ", ".join(
+        f"list_reduce(list_prepend(0.0, list(p.cx * v{c}.val ORDER BY p.i)),"
+        f" (a, b) -> a + b) AS s{c}"
+        for c in range(1, _PCA_K + 1)
+    )
+    joins = " ".join(
+        f"JOIN pw_v{c}_{_PCA_ITERS} v{c} ON v{c}.i = p.i"
+        for c in range(1, _PCA_K + 1)
+    )
+    outs = ", ".join(
+        f"round(s{c} / 1000000.0, 6) AS pc{c}" for c in range(1, _PCA_K + 1)
+    )
+    return f"""
+    WITH {ctes},
+    proj AS (
+      SELECT q.id, t.i, (q.q[t.i]::DOUBLE - (si.s::DOUBLE / n.n)) AS cx
+      FROM pw_q q CROSS JOIN pw_ix t
+      JOIN pw_si si ON si.i = t.i CROSS JOIN pw_n n
+    ), agg AS (
+      SELECT p.id, {folds}
+      FROM proj p {joins}
+      GROUP BY p.id
+    )
+    SELECT id AS vec_id, {outs} FROM agg
+    """
+
+
+@register("pca_embeddings", oracle=_pca_exact_oracle())
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 (main.py:362-364): PCA k=4 over the embedding column via
-    MLlib; invariants (dims, variance order) unit-tested. The component
+    """F3 (main.py:362-364), hash-checked end to end
+    (`clustering.pca_exact_project`, VERDICT r9 #5): exact-integer
+    scatter moments (one combinable aggregate), d x d matrix on the
+    driver (tiny-collect), k=2 components by fixed-round md5-seeded
+    power iteration with e12 per-round resync and Rayleigh deflation,
+    map-side projection against the component literals. The oracle
+    replays moments, every iteration, the deflation, and the
+    projection. MLlib PCA stays as `pca_embeddings_mllib`
+    (rows-only — SVD sign/rotation has no SQL replay)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return C.pca_exact_project(
+        emb, "vec_id", "embedding",
+        k=_PCA_K, dim=_PCA_DIM, n_iters=_PCA_ITERS,
+    )
+
+
+@register("pca_embeddings_mllib")  # rows-only: SVD sign/rotation not SQL-expressible
+def q_pca_embeddings_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 via MLlib PCA k=4 — the library twin of `pca_embeddings`;
+    invariants (dims, variance order) unit-tested. The component
     array is serialized to JSON so even the rows-only driver check never
     sees an unhashable list cell."""
     emb = read_table(spark, sf_dir, "embeddings")

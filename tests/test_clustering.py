@@ -156,3 +156,61 @@ def test_kmeans_lloyd_validates_params(spark):
         kmeans_lloyd(df, "id", "v", k=0)
     with _pytest.raises(ValueError):
         kmeans_lloyd(df, "id", "v", k=2, n_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# round 10: exact-covariance PCA (power iteration, e12 resync)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_exact_matches_numpy_directions(spark):
+    """On anisotropic synthetic data the power-iteration components
+    must align with numpy's eigenvectors of the same covariance
+    (|cos| ~ 1), be near-orthonormal, and order variance pc1 >= pc2."""
+    import numpy as np
+
+    from datas_spark.operators.clustering import (
+        pca_exact_components,
+        pca_exact_project,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 4)) * np.array([0.3, 0.12, 0.05, 0.02])
+    rot, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+    data = base @ rot.T
+    rows = [(int(i), [float(x) for x in data[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    comps, means, n = pca_exact_components(df, "v", k=2, dim=4, n_iters=12)
+    assert n == 300 and len(comps) == 2 and all(len(c) == 4 for c in comps)
+    c = np.array(comps)
+    # unit norm + mutual orthogonality (up to the e12 resync grid)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-9)
+    assert abs(float(c[0] @ c[1])) < 1e-6
+    cov = np.cov((data * 1e6).round().T)  # the quantized covariance
+    w, v = np.linalg.eigh(cov)
+    top2 = v[:, ::-1][:, :2].T
+    for got, ref in zip(c, top2):
+        assert abs(float(got @ ref)) > 0.999  # aligned up to sign
+    proj = pca_exact_project(df, "id", "v", k=2, dim=4, n_iters=12)
+    p = np.array([[r.pc1, r.pc2] for r in proj.collect()])
+    assert p.shape == (300, 2)
+    assert p[:, 0].var() >= p[:, 1].var()  # variance ordering
+
+
+def test_pca_exact_is_deterministic_and_validates(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.clustering import (
+        pca_exact_components,
+        pca_exact_project,
+    )
+
+    rows = [(i, [float(i % 7) / 7, float(i % 3) / 3]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a, _, _ = pca_exact_components(df, "v", k=1, dim=2, n_iters=8)
+    b, _, _ = pca_exact_components(df, "v", k=1, dim=2, n_iters=8)
+    assert a == b  # bit-identical across runs
+    with _pytest.raises(ValueError):
+        pca_exact_components(df, "v", k=0)
+    with _pytest.raises(ValueError):
+        pca_exact_project(df, "id", "v", n_iters=0)
