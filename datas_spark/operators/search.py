@@ -24,7 +24,15 @@ from pyspark.sql.functions import broadcast
 
 from datas_spark.functions.text import word_tokens
 
-__all__ = ["bm25_topk", "rrf_fuse", "ql_dirichlet_topk", "rm3_expanded_topk"]
+__all__ = [
+    "bm25_topk",
+    "rrf_fuse",
+    "ql_dirichlet_topk",
+    "rm3_expanded_topk",
+    "maxsim_scores",
+    "maxsim_rerank_topk",
+    "maxsim_recall_report",
+]
 
 
 def bm25_topk(
@@ -495,4 +503,165 @@ def rm3_expanded_topk(
         .select(F.col(id_col), F.round("score", 4).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(int(top_n))
+    )
+
+
+def _proxy_token_emb(tok, emb_dim: int):
+    """dim-``emb_dim`` md5 proxy embedding of a token Column — the
+    `clustering.embedding_proxy` construction applied per token (real
+    path: a token-embedding matrix behind the iterator pandas_udf
+    boundary, SURVEY §4)."""
+    from datas_spark.operators.scoring import hash_unit_interval
+
+    return F.array(
+        *[
+            hash_unit_interval(F.concat(tok, F.lit(f"#emb{i}"))) - F.lit(0.5)
+            for i in range(emb_dim)
+        ]
+    )
+
+
+def maxsim_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    emb_dim: int = 8,
+    max_doc_tokens: int = 64,
+) -> DataFrame:
+    """Late-interaction (MaxSim) scoring — the ColBERT relevance
+    operator (Khattab & Zaharia 2020):
+
+        score(q, d) = Σ_{t ∈ q}  max_{w ∈ d}  cos(E(t), E(w))
+
+    — per query token, the best-matching document token's cosine,
+    summed. Token embeddings here are the deterministic md5 proxy
+    (both sides of the cosine derive from md5 in Spark AND in the SQL
+    twin, so the whole interaction matrix hash-checks); the real path
+    swaps `_proxy_token_emb` for a served embedding matrix.
+
+    Returns ``(id_col, maxsim double)`` for EVERY doc (rounded 6;
+    docs with no tokens score 0). Map-only: one pass, per row
+    |terms|·min(|d|, max_doc_tokens) cosines of ``emb_dim`` dims —
+    cap ``max_doc_tokens`` (documented truncation, the ColBERT doc-
+    length budget) bounds the fan. Term maxes fold in sorted-term
+    order with init 0.0 (the cross-engine float discipline).
+    """
+    from datas_spark.functions.arrays import cosine_similarity
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if emb_dim < 1 or max_doc_tokens < 1:
+        raise ValueError(
+            f"need emb_dim/max_doc_tokens >= 1, got {emb_dim}/{max_doc_tokens}"
+        )
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.slice(
+        F.filter(
+            F.transform(word_tokens(text_col), lambda w: F.lower(w)),
+            lambda w: F.length(w) > 0,
+        ),
+        1,
+        max_doc_tokens,
+    )
+    base = docs.select(F.col(id_col), toks.alias("__w"))
+    te = base.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__w"), lambda w: _proxy_token_emb(w, emb_dim)
+        ).alias("__te"),
+    )
+    def _term_max(term: str):
+        # closure factory — HOF lambdas must not bind loop vars via
+        # default args (the default would receive the element-index
+        # Column; see the repo-wide lesson in the verify recipe)
+        temb = _proxy_token_emb(F.lit(term), emb_dim)
+        return F.coalesce(
+            F.array_max(
+                F.transform(F.col("__te"), lambda e: cosine_similarity(e, temb))
+            ),
+            F.lit(0.0),
+        )
+
+    maxes = [_term_max(t_) for t_ in terms]
+    maxsim = F.aggregate(
+        F.array(*maxes), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return te.select(F.col(id_col), F.round(maxsim, 6).alias("maxsim"))
+
+
+def maxsim_rerank_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    recall_n: int = 50,
+    top_n: int = 20,
+    emb_dim: int = 8,
+    max_doc_tokens: int = 64,
+) -> DataFrame:
+    """Two-stage late-interaction retrieval — the modern lexical →
+    token-level pipeline: BM25 recalls ``recall_n`` candidates (cheap,
+    corpus-wide), MaxSim re-scores ONLY those (expensive per doc,
+    candidate-bounded), top ``top_n`` by (maxsim DESC, id ASC).
+
+    Scale shape: stage 1 is `bm25_topk`'s plan (postings filtered to
+    the query vocabulary before any explode); the ``recall_n``-row
+    candidate frame broadcasts into a semi-join, so stage 2's token
+    fan never touches the corpus. Returns ``(id_col, maxsim)``.
+    """
+    cand = bm25_topk(
+        docs, id_col, text_col, query_terms, k1=k1, b=b, top_n=recall_n
+    ).select(id_col)
+    cdocs = docs.join(broadcast(cand), id_col, "left_semi")
+    scored = maxsim_scores(
+        cdocs, id_col, text_col, query_terms,
+        emb_dim=emb_dim, max_doc_tokens=max_doc_tokens,
+    )
+    return scored.orderBy(F.desc("maxsim"), F.asc(id_col)).limit(int(top_n))
+
+
+def maxsim_recall_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    recall_n: int = 50,
+    top_n: int = 20,
+    emb_dim: int = 8,
+    max_doc_tokens: int = 64,
+) -> DataFrame:
+    """Recall of the BM25-gated MaxSim top-k against EXACT MaxSim over
+    the whole corpus (the `ann_recall_report` discipline: the
+    approximation's quality is itself a hash-checked query). One row:
+    ``(n_exact, n_hit, recall_pct)`` — how many of the true top
+    ``top_n`` the two-stage pipeline kept."""
+    approx = maxsim_rerank_topk(
+        docs, id_col, text_col, query_terms, k1=k1, b=b,
+        recall_n=recall_n, top_n=top_n,
+        emb_dim=emb_dim, max_doc_tokens=max_doc_tokens,
+    ).select(id_col)
+    exact = (
+        maxsim_scores(
+            docs, id_col, text_col, query_terms,
+            emb_dim=emb_dim, max_doc_tokens=max_doc_tokens,
+        )
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(int(top_n))
+        .select(id_col)
+    )
+    hit = exact.join(broadcast(approx), id_col, "left_semi")
+    return exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")).crossJoin(
+        broadcast(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    ).select(
+        "n_exact",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double") * 100,
+            4,
+        ).alias("recall_pct"),
     )

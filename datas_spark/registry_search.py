@@ -713,3 +713,167 @@ def q_rm3_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fb_docs=_RM3_FB_DOCS, fb_terms=_RM3_FB_TERMS, lam=_RM3_LAM,
         top_n=_BM25_TOP,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: late-interaction (MaxSim) rerank tier (VERDICT r9 #8) —
+# ColBERT-style token-level relevance over the md5 proxy token
+# embeddings, candidates from BM25 recall; recall-vs-exact as a query.
+# ---------------------------------------------------------------------------
+
+_MAXSIM_DIM = 8
+_MAXSIM_RECALL = 50
+_MAXSIM_TOP = 20
+_MAXSIM_DOC_TOKENS = 64
+
+_MS_UNIT = "(('0x' || substr(md5({key}), 1, 8))::BIGINT / 4294967296.0)"
+
+
+def _ms_emb_sql(expr: str) -> str:
+    comps = ", ".join(
+        f"({_MS_UNIT.format(key=f'''{expr} || '#emb{i}' ''')} - 0.5)"
+        for i in range(_MAXSIM_DIM)
+    )
+    return f"[{comps}]"
+
+
+def _ms_fold(lst: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {lst}), (a, b) -> a + b)"
+
+
+def _maxsim_ctes(with_cand: bool) -> str:
+    """Shared CTE chain: BM25 candidate stage (optional gate) + the
+    per-(doc, term) token-max cosines + the sorted-term fold."""
+    rng = f"range(1, {_MAXSIM_DIM + 1})"
+    dot = _ms_fold(f"list_transform({rng}, i -> ew[i] * et[i])")
+    na = _ms_fold(f"list_transform({rng}, i -> ew[i] * ew[i])")
+    nb = _ms_fold(f"list_transform({rng}, i -> et[i] * et[i])")
+    gate = (
+        "SEMI JOIN cand c ON t.doc_id = c.doc_id" if with_cand else ""
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(w)::BIGINT AS dl FROM toks
+    ), consts AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(list_filter(w,
+              x -> x IN ({_TERMS_SQL}))) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), contribs AS (
+      SELECT tf.doc_id, tf.term,
+        ln(1.0 + (c.n_docs::DOUBLE - d.df + 0.5) / (d.df::DOUBLE + 0.5))
+        * tf.tf::DOUBLE * {_BM25_K1 + 1.0}
+        / (tf.tf::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+             * l.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE)))
+          AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN consts c
+    ), cand AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               round(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b), 4)
+                 AS score
+        FROM contribs GROUP BY doc_id
+      ) ORDER BY score DESC, doc_id ASC LIMIT {_MAXSIM_RECALL}
+    ), cembs AS MATERIALIZED (
+      SELECT doc_id, {_ms_emb_sql("tok")} AS ew
+      FROM (SELECT t.doc_id,
+                   unnest(list_filter(t.w, x -> length(x) > 0)
+                          [1:{_MAXSIM_DOC_TOKENS}]) AS tok
+            FROM toks t {gate})
+    ), qterms AS (
+      SELECT term, {_ms_emb_sql("term")} AS et
+      FROM (SELECT unnest([{_TERMS_SQL}]) AS term)
+    ), parts AS (
+      SELECT e.doc_id, q.term,
+             {dot} AS dot, {na} AS na, {nb} AS nb
+      FROM cembs e CROSS JOIN qterms q
+    ), tcos AS (
+      SELECT doc_id, term,
+             CASE WHEN (sqrt(na) * sqrt(nb)) > 0
+                  THEN dot / (sqrt(na) * sqrt(nb)) END AS cs
+      FROM parts
+    ), permax AS (
+      SELECT doc_id, term, max(cs) AS mx FROM tcos GROUP BY 1, 2
+    ), scored_docs AS (
+      SELECT doc_id FROM {"cand" if with_cand else "toks"}
+    ), summed AS (
+      SELECT s.doc_id,
+             round({_ms_fold("list(coalesce(p.mx, 0.0) ORDER BY t.term)")}, 6)
+               AS maxsim
+      FROM scored_docs s
+      CROSS JOIN (SELECT unnest([{_TERMS_SQL}]) AS term) t
+      LEFT JOIN permax p ON p.doc_id = s.doc_id AND p.term = t.term
+      GROUP BY s.doc_id
+    )"""
+
+
+_MAXSIM_RERANK_ORACLE = f"""
+    WITH {_maxsim_ctes(with_cand=True)}
+    SELECT doc_id, maxsim FROM summed
+    ORDER BY maxsim DESC, doc_id ASC LIMIT {_MAXSIM_TOP}
+"""
+
+_MAXSIM_RECALL_ORACLE = f"""
+    WITH {_maxsim_ctes(with_cand=False)},
+    exct AS (
+      SELECT doc_id FROM summed
+      ORDER BY maxsim DESC, doc_id ASC LIMIT {_MAXSIM_TOP}
+    ), appr AS (
+      SELECT doc_id FROM (
+        SELECT s.doc_id, s.maxsim FROM summed s SEMI JOIN cand c
+          ON s.doc_id = c.doc_id
+      ) ORDER BY maxsim DESC, doc_id ASC LIMIT {_MAXSIM_TOP}
+    )
+    SELECT (SELECT count(*) FROM exct)::BIGINT AS n_exact,
+           (SELECT count(*) FROM exct e SEMI JOIN appr a
+              ON e.doc_id = a.doc_id)::BIGINT AS n_hit,
+           round((SELECT count(*) FROM exct e SEMI JOIN appr a
+                    ON e.doc_id = a.doc_id)::DOUBLE
+                 / (SELECT count(*) FROM exct)::DOUBLE * 100, 4) AS recall_pct
+"""
+
+
+@register("maxsim_rerank_topk", oracle=_MAXSIM_RERANK_ORACLE)
+def q_maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (`search.maxsim_rerank_topk`,
+    Khattab & Zaharia 2020): BM25 recalls 50 candidates, then per
+    query token the best-matching document-token cosine (md5 proxy
+    embeddings, dim 8, first-64-token budget) sums to the MaxSim
+    score — both stages, the token interaction matrix, and the
+    sorted-term fold replay in the oracle."""
+    from datas_spark.operators.search import maxsim_rerank_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return maxsim_rerank_topk(
+        docs, "doc_id", "text", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B,
+        recall_n=_MAXSIM_RECALL, top_n=_MAXSIM_TOP,
+        emb_dim=_MAXSIM_DIM, max_doc_tokens=_MAXSIM_DOC_TOKENS,
+    )
+
+
+@register("maxsim_recall_report", oracle=_MAXSIM_RECALL_ORACLE)
+def q_maxsim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the BM25-gated MaxSim top-20 against exact MaxSim over
+    the whole corpus — the `ann_recall_report` discipline applied to
+    the late-interaction tier: the recall trade of the lexical gate is
+    itself a hash-checked number."""
+    from datas_spark.operators.search import maxsim_recall_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    return maxsim_recall_report(
+        docs, "doc_id", "text", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B,
+        recall_n=_MAXSIM_RECALL, top_n=_MAXSIM_TOP,
+        emb_dim=_MAXSIM_DIM, max_doc_tokens=_MAXSIM_DOC_TOKENS,
+    )

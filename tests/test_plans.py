@@ -216,6 +216,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "kmeans_clusters",                 # 1-row packed Lloyd centroid frame per round
         "datas_full_pipeline_mllib",       # the flagship's band-cuts frames (same as datas_full_pipeline)
         "ivf_topk_mllib",                  # centroids + query set (same as ivf_topk_learned)
+        "maxsim_rerank_topk",              # BM25 1-row corpus constants (recall stage)
+        "maxsim_recall_report",            # same constants + 1-row hit/total count scalars
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

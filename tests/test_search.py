@@ -179,3 +179,65 @@ def test_rm3_validates_params(spark):
         rm3_expanded_topk(docs, "doc_id", "text", ["a"], lam=1.5)
     with _pytest.raises(ValueError):
         rm3_expanded_topk(docs, "doc_id", "text", ["a"], fb_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# round 10: late-interaction (MaxSim) rerank tier
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_exact_token_match_dominates(spark):
+    """A doc containing every query token verbatim scores ~|q| (each
+    term's best cosine is cos(e(t), e(t)) = 1); a doc with none of
+    them scores strictly less; empty docs score 0."""
+    from datas_spark.operators.search import maxsim_scores
+
+    rows = [
+        (1, "data join skew and more words"),
+        (2, "completely unrelated tokens here"),
+        (3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.maxsim for r in maxsim_scores(
+        docs, "doc_id", "text", ["data", "join", "skew"]).collect()}
+    assert abs(got[1] - 3.0) < 1e-6  # three perfect matches
+    assert got[2] < got[1]
+    assert got[3] == 0.0
+
+
+def test_maxsim_rerank_stays_within_bm25_candidates(spark):
+    """The rerank's output set must be a subset of the BM25 recall
+    stage (the gate is real), ordered by maxsim desc."""
+    from datas_spark.operators.search import bm25_topk, maxsim_rerank_topk
+
+    rows = [(i, f"data join skew filler{i % 5} pad{i}") for i in range(30)]
+    rows += [(100 + i, "nothing relevant at all") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = {r.doc_id for r in bm25_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"], top_n=10).collect()}
+    out = maxsim_rerank_topk(
+        docs, "doc_id", "text", ["data", "join", "skew"],
+        recall_n=10, top_n=5).collect()
+    assert len(out) == 5
+    assert {r.doc_id for r in out} <= cand
+    sims = [r.maxsim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_maxsim_recall_report_bounds_and_validation(spark):
+    """recall_pct in [0, 100]; with recall_n covering the whole corpus
+    the gate is a no-op and recall is exactly 100."""
+    import pytest as _pytest
+
+    from datas_spark.operators.search import maxsim_recall_report, maxsim_scores
+
+    rows = [(i, f"data join skew word{i % 7} tail{i}") for i in range(25)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = maxsim_recall_report(
+        docs, "doc_id", "text", ["data", "join", "skew"],
+        recall_n=25, top_n=10).collect()[0]
+    assert r.n_exact == 10 and r.n_hit == 10 and r.recall_pct == 100.0
+    with _pytest.raises(ValueError):
+        maxsim_scores(docs, "doc_id", "text", [])
+    with _pytest.raises(ValueError):
+        maxsim_scores(docs, "doc_id", "text", ["a"], emb_dim=0)
