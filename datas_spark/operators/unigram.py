@@ -1,0 +1,236 @@
+"""Unigram-LM (SentencePiece-style) tokenizer TRAINING at corpus
+scale — the probabilistic sibling of the BPE trainer
+(`operators/bpe.py`; SURVEY §2.9 tokenizer family, VERDICT r9 #7).
+
+Algorithm (Kudo 2018, the word-frequency hard-EM formulation):
+
+1. Reduce the corpus to its word-frequency table (Heaps' law — the
+   one corpus-scale pass; `bpe.word_freq_table`), words truncated to
+   ``max_word_len`` chars (documented budget, same spirit as
+   MaxSim's token cap).
+2. Seed vocabulary: every substring piece up to ``max_piece_len``
+   chars, scored by occurrence-weighted corpus frequency; ALL
+   single-character pieces are kept (coverage guarantee) plus the
+   top ``n_multi`` longer pieces by (freq DESC, piece ASC).
+3. Each EM round:
+   - E-step (hard/Viterbi): every word's best segmentation under the
+     current piece log-probs — an in-row dynamic program over the
+     ≤ ``max_word_len`` positions (one HOF fold, map-side; NO
+     shuffle), maximizing the INTEGER-quantized total log-prob
+     (``llq = round(ln p · 1e6)``), ties → longer piece. Integer
+     scores make the argmax engine-exact.
+   - count piece usage via the backtrace (a second bounded fold),
+     one combinable groupBy(piece) over the word table;
+   - M-step: ``p(piece) = count / total``; unused multi-char pieces
+     PRUNE, single-char pieces smooth to count ≥ 1 (coverage — the
+     SentencePiece character floor).
+4. The vocab table is bounded (≤ alphabet + n_multi rows), so the
+   per-round driver round-trip is the BPE-merge-table tiny-collect;
+   the DP itself never leaves the executors.
+
+Determinism: integer scores + (score DESC, piece-length DESC) ties +
+e6-quantized log-probs (the ONE ln per piece per round is followed by
+integer resync) → the whole trainer replays in SQL
+(`oracle_shared` consumers build it inline in registry_corpus) and
+the driver hash-checks vocab, counts, and probabilities.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datas_spark.operators.bpe import word_freq_table
+
+__all__ = ["unigram_lm_learn"]
+
+
+def _llq(count: int, total: int) -> int:
+    """e6-quantized log-prob: round-half-away of (ln c − ln t)·1e6 —
+    the same expression the SQL twin evaluates (libm ulp differences
+    are ~1e-9 of the rounding grid)."""
+    y = (math.log(count) - math.log(total)) * 1e6
+    return int(math.floor(y + 0.5)) if y >= 0 else -int(math.floor(-y + 0.5))
+
+
+def _viterbi_pieces(
+    word: Column, ll_map: Column, max_word_len: int, max_piece_len: int
+) -> Column:
+    """Best-segmentation piece list for one (truncated) word under the
+    quantized log-prob MAP literal: an in-row DP fold (positions
+    1..len) then a bounded backtrace fold — both pure expressions.
+    dp[i] maximizes (Σ llq, piece length) over pieces ending at i;
+    single-char coverage guarantees reachability."""
+    n = F.length(word).cast("int")
+
+    def dp_step(acc, i):
+        cands = []
+        for j in range(1, max_piece_len + 1):
+            piece = word.substr(i - F.lit(j) + 1, F.lit(j))
+            ll = F.element_at(ll_map, piece)
+            prev = F.element_at(acc, i - F.lit(j) + 1)
+            cands.append(
+                F.when(
+                    (i >= F.lit(j)) & ll.isNotNull(),
+                    F.struct(
+                        (prev["s"] + ll).alias("s"), F.lit(j).alias("bl")
+                    ),
+                )
+            )
+        best = F.array_max(F.filter(F.array(*cands), lambda c: c.isNotNull()))
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.struct(F.lit(0).cast("long").alias("s"), F.lit(0).alias("bl"))),
+        dp_step,
+    )
+    return dp
+
+
+def _backtrace(word: Column, dp: Column, max_word_len: int) -> Column:
+    """Walk dp best-lengths from the end of the word: ≤ max_word_len
+    fixed fold steps, no-ops once position 0 is reached."""
+
+    def step(acc, _k):
+        pos = acc["pos"]
+        e = F.element_at(dp, pos + 1)
+        return F.when(
+            pos > 0,
+            F.struct(
+                (pos - e["bl"]).alias("pos"),
+                F.concat(
+                    acc["pieces"],
+                    F.array(word.substr(pos - e["bl"] + 1, e["bl"])),
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.length(word).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+    return F.aggregate(F.sequence(F.lit(1), F.lit(max_word_len)), init, step)[
+        "pieces"
+    ]
+
+
+def unigram_lm_learn(
+    df: DataFrame,
+    text_col: str,
+    n_rounds: int = 2,
+    n_multi: int = 48,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+) -> tuple[DataFrame, list[float]]:
+    """Learn a unigram-LM piece vocabulary; returns ``(vocab,
+    ll_history, word_pieces)`` — vocab = ``(piece string, cnt bigint,
+    prob double)`` (the post-round-``n_rounds`` M-step table; probs
+    sum to 1 by construction), ``ll_history[r]`` = the corpus Viterbi
+    log-likelihood achieved in round r's E-step (nats; the EM
+    monotonicity readout — non-decreasing up to the character
+    smoothing floor), and word_pieces = the FINAL round's per-word
+    segmentation ``(word, cnt, n_pieces)`` (lazy frame — the
+    fertility/compression readout input)."""
+    if n_rounds < 1 or n_multi < 1:
+        raise ValueError(f"need n_rounds/n_multi >= 1, got {n_rounds}/{n_multi}")
+    if max_word_len < 1 or not 1 <= max_piece_len <= max_word_len:
+        raise ValueError(
+            f"need 1 <= max_piece_len <= max_word_len, got "
+            f"{max_piece_len}/{max_word_len}"
+        )
+    spark = df.sparkSession
+    words = (
+        word_freq_table(df, text_col)
+        .select(F.substring("word", 1, max_word_len).alias("word"), "cnt")
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # seed: occurrence-weighted substring frequencies (one explode)
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word").cast("int")),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda j: F.when(
+                        i + j - 1 <= F.length("word"),
+                        F.col("word").substr(i, j),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    seeded = words.select(F.explode_outer(subs.alias("__s")).alias("piece"), "cnt")
+    seed_rows = (
+        seeded.where(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .collect()
+    )
+    seed = {r.piece: int(r.c) for r in seed_rows}
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        (p for p in seed if len(p) > 1),
+        key=lambda p: (-seed[p], p),
+    )[:n_multi]
+    counts = {p: seed[p] for p in chars + multi}
+    total = sum(counts.values())
+    vocab = {p: _llq(c, total) for p, c in counts.items()}
+
+    ll_history: list[float] = []
+    word_pieces = None
+    for _ in range(n_rounds):
+        flat: list[Column] = []
+        for p in sorted(vocab):
+            flat.extend([F.lit(p), F.lit(vocab[p]).cast("long")])
+        ll_map = F.create_map(*flat)
+        w = F.col("word")
+        dp = words.select(
+            "word",
+            "cnt",
+            _viterbi_pieces(w, ll_map, max_word_len, max_piece_len).alias("__dp"),
+        )
+        seg = dp.select(
+            "word",
+            "cnt",
+            F.element_at(F.col("__dp"), -1)["s"].alias("__best"),
+            _backtrace(w, F.col("__dp"), max_word_len).alias("__pieces"),
+        ).localCheckpoint(eager=False)
+        ll_row = seg.agg(
+            F.sum(F.col("cnt") * F.col("__best")).cast("long").alias("__ll")
+        ).collect()[0]
+        ll_history.append(int(ll_row["__ll"]) / 1e6)
+        cnt_rows = (
+            seg.select("cnt", F.explode_outer("__pieces").alias("piece"))
+            .where(F.col("piece").isNotNull())
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .collect()
+        )
+        word_pieces = seg.select(
+            "word", "cnt", F.size("__pieces").cast("long").alias("n_pieces")
+        )
+        used = {r.piece: int(r.c) for r in cnt_rows}
+        counts = {p: c for p, c in used.items() if len(p) > 1 and c > 0}
+        for ch in chars:
+            counts[ch] = max(used.get(ch, 0), 1)
+        total = sum(counts.values())
+        vocab = {p: _llq(c, total) for p, c in counts.items()}
+
+    def _round9(x: float) -> float:
+        # half-away-from-zero at 9 dp — SQL round() semantics, NOT
+        # Python's banker's round (probs are positive here)
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    out = spark.createDataFrame(
+        sorted(
+            ((p, c, _round9(c / total)) for p, c in counts.items()),
+        ),
+        "piece string, cnt long, prob double",
+    )
+    return out, ll_history, word_pieces

@@ -1817,3 +1817,194 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: unigram-LM (SentencePiece-style) tokenizer trainer
+# (VERDICT r9 #7) — hard-EM over the word-frequency table, every round
+# unrolled as MATERIALIZED CTEs (the BPE-chain discipline): per-position
+# Viterbi DP as Bellman steps, backtrace as bounded walk steps, integer
+# log-prob scores so the argmaxes are engine-exact.
+# ---------------------------------------------------------------------------
+
+_UNI_ROUNDS = 2
+_UNI_MULTI = 48
+_UNI_WLEN = 12
+_UNI_PLEN = 4
+
+
+def _unigram_chain(n_rounds: int, n_multi: int, wlen: int, plen: int) -> str:
+    llq = (
+        "CAST(round((ln(c::DOUBLE) - ln(t::DOUBLE)) * 1000000.0) AS BIGINT)"
+    )
+    parts = [
+        rf"""words AS MATERIALIZED (
+      SELECT word, sum(cnt)::BIGINT AS cnt FROM (
+        SELECT substr(word, 1, {wlen}) AS word, cnt FROM (
+          SELECT word, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents
+          ) WHERE len(word) > 0 GROUP BY word
+        )
+      ) GROUP BY word
+    ), seed AS MATERIALIZED (
+      SELECT substr(w.word, i.i, j.j) AS piece, sum(w.cnt)::BIGINT AS c
+      FROM words w
+      CROSS JOIN (SELECT unnest(range(1, {wlen + 1}))::INT AS i) i
+      CROSS JOIN (SELECT unnest(range(1, {plen + 1}))::INT AS j) j
+      WHERE i.i + j.j - 1 <= len(w.word)
+      GROUP BY 1
+    ), chars0 AS MATERIALIZED (
+      SELECT piece, c FROM seed WHERE length(piece) = 1
+    ), keep0 AS MATERIALIZED (
+      SELECT piece, c FROM chars0
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c FROM seed WHERE length(piece) > 1
+        ORDER BY c DESC, piece ASC LIMIT {n_multi}
+      )
+    ), tot0 AS (SELECT sum(c)::BIGINT AS t FROM keep0
+    ), v1 AS MATERIALIZED (
+      SELECT piece, {llq} AS ll FROM keep0 CROSS JOIN tot0
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", dp_{r}_0 AS (SELECT word, 0::BIGINT AS s, 0 AS bl FROM words)"""
+        )
+        for p in range(1, wlen + 1):
+            branches = "\n          UNION ALL ".join(
+                f"SELECT d.word, d.s + v.ll AS s, {j} AS j "
+                f"FROM dp_{r}_{p - j} d JOIN v{r} v "
+                f"ON v.piece = substr(d.word, {p - j + 1}, {j}) "
+                f"WHERE len(d.word) >= {p}"
+                for j in range(1, min(plen, p) + 1)
+            )
+            parts.append(
+                f""", dp_{r}_{p} AS MATERIALIZED (
+      SELECT word, s, j AS bl FROM (
+        SELECT word, s, j,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY s DESC, j DESC) AS rn
+        FROM ({branches})
+      ) WHERE rn = 1
+    )"""
+            )
+        dpall = "\n        UNION ALL ".join(
+            f"SELECT word, {p} AS pos, bl FROM dp_{r}_{p}"
+            for p in range(1, wlen + 1)
+        )
+        parts.append(
+            f""", dpall_{r} AS MATERIALIZED (
+      {dpall}
+    ), bt_{r}_0 AS (SELECT word, cnt, len(word)::INT AS pos FROM words)"""
+        )
+        for k in range(1, wlen + 1):
+            parts.append(
+                f""", bt_{r}_{k} AS MATERIALIZED (
+      SELECT b.word, b.cnt,
+             CASE WHEN b.pos > 0 THEN (b.pos - d.bl)::INT
+                  ELSE b.pos END AS pos,
+             CASE WHEN b.pos > 0
+                  THEN substr(b.word, b.pos - d.bl + 1, d.bl) END AS piece
+      FROM bt_{r}_{k - 1} b
+      LEFT JOIN dpall_{r} d ON d.word = b.word AND d.pos = b.pos
+    )"""
+            )
+        pieces = "\n        UNION ALL ".join(
+            f"SELECT word, cnt, piece FROM bt_{r}_{k} WHERE piece IS NOT NULL"
+            for k in range(1, wlen + 1)
+        )
+        parts.append(
+            f""", pieces_{r} AS MATERIALIZED (
+      {pieces}
+    ), cnts_{r} AS MATERIALIZED (
+      SELECT piece, sum(cnt)::BIGINT AS c FROM pieces_{r} GROUP BY piece
+    ), keep_{r} AS MATERIALIZED (
+      SELECT piece, c FROM cnts_{r} WHERE length(piece) > 1 AND c > 0
+      UNION ALL
+      SELECT ch.piece, greatest(coalesce(cn.c, 0), 1) AS c
+      FROM chars0 ch LEFT JOIN cnts_{r} cn ON cn.piece = ch.piece
+    ), tot_{r} AS (SELECT sum(c)::BIGINT AS t FROM keep_{r}
+    ), v{r + 1} AS MATERIALIZED (
+      SELECT piece, {llq} AS ll FROM keep_{r} CROSS JOIN tot_{r}
+    )"""
+        )
+    return "WITH " + "".join(parts)
+
+
+_UNIGRAM_ORACLE = (
+    _unigram_chain(_UNI_ROUNDS, _UNI_MULTI, _UNI_WLEN, _UNI_PLEN)
+    + f"""
+    SELECT piece, c AS cnt, round(c::DOUBLE / t::DOUBLE, 9) AS prob
+    FROM keep_{_UNI_ROUNDS} CROSS JOIN tot_{_UNI_ROUNDS}
+"""
+)
+
+
+@register("unigram_lm_learn", oracle=_UNIGRAM_ORACLE)
+def q_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM piece vocabulary on the corpus
+    (`operators/unigram.py`, Kudo 2018 hard-EM): seed substrings →
+    2 Viterbi-EM rounds with e6 integer log-probs, per-word DP as ONE
+    map-side fold (never a shuffle), pruning + character smoothing —
+    the oracle unrolls every DP position, the backtrace, and both
+    M-steps. The per-round driver round-trip is the bounded vocab
+    table (BPE-merge-table discipline)."""
+    from datas_spark.operators.unigram import unigram_lm_learn
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab, _ll, _wp = unigram_lm_learn(
+        docs, "text",
+        n_rounds=_UNI_ROUNDS, n_multi=_UNI_MULTI,
+        max_word_len=_UNI_WLEN, max_piece_len=_UNI_PLEN,
+    )
+    return vocab
+
+
+@register(
+    "unigram_fertility",
+    oracle=_unigram_chain(_UNI_ROUNDS, _UNI_MULTI, _UNI_WLEN, _UNI_PLEN)
+    + f""",
+    wl AS (
+      SELECT word, count(*)::BIGINT AS np
+      FROM pieces_{_UNI_ROUNDS} GROUP BY word
+    )
+    SELECT sum(w.cnt)::BIGINT AS n_words,
+           sum(w.cnt * wl.np)::BIGINT AS n_pieces,
+           sum(w.cnt * len(w.word))::BIGINT AS n_chars,
+           round(sum(w.cnt * wl.np)::DOUBLE / sum(w.cnt)::DOUBLE, 6)
+             AS fertility,
+           round(sum(w.cnt * len(w.word))::DOUBLE
+                 / sum(w.cnt * wl.np)::DOUBLE, 6) AS chars_per_piece
+    FROM words w JOIN wl USING (word)
+""",
+)
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility of the learned unigram-LM vocabulary (pieces per
+    corpus word + chars per piece) — the tokenizer-quality readout to
+    compare against `tokenizer_fertility`'s BPE numbers: lower
+    fertility = the learned vocab actually shortens YOUR corpus. One
+    integer aggregate over the final round's per-word segmentation."""
+    from datas_spark.operators.unigram import unigram_lm_learn
+
+    docs = read_table(spark, sf_dir, "documents")
+    _vocab, _ll, wp = unigram_lm_learn(
+        docs, "text",
+        n_rounds=_UNI_ROUNDS, n_multi=_UNI_MULTI,
+        max_word_len=_UNI_WLEN, max_piece_len=_UNI_PLEN,
+    )
+    n_pieces = F.sum(F.col("cnt") * F.col("n_pieces")).cast("long")
+    n_chars = F.sum(F.col("cnt") * F.length("word")).cast("long")
+    n_words = F.sum("cnt").cast("long")
+    return wp.agg(
+        n_words.alias("n_words"),
+        n_pieces.alias("n_pieces"),
+        n_chars.alias("n_chars"),
+        F.round(
+            n_pieces.cast("double") / n_words.cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            n_chars.cast("double") / n_pieces.cast("double"), 6
+        ).alias("chars_per_piece"),
+    )

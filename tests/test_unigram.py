@@ -1,0 +1,55 @@
+"""Unigram-LM tokenizer trainer (round 10, VERDICT r9 #7): the probs
+form a distribution, EM likelihood is monotone, coverage/pruning rules
+hold, and the fertility frame is consistent."""
+
+import pytest
+
+from datas_spark.operators.unigram import unigram_lm_learn
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the rat"),
+        (3, "mats and rats and cats and bats"),
+        (4, "the the the cat cat mat"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_unigram_probs_form_distribution_and_cover_alphabet(spark, corpus):
+    vocab, ll, wp = unigram_lm_learn(corpus, "text", n_rounds=2, n_multi=12)
+    rows = vocab.collect()
+    assert abs(sum(r.prob for r in rows) - 1.0) < 1e-6
+    assert all(r.cnt >= 1 and r.prob > 0 for r in rows)
+    # every character of the corpus survives pruning (coverage floor)
+    pieces = {r.piece for r in rows}
+    alphabet = set("thecatsonmrdb")
+    assert alphabet <= {p for p in pieces if len(p) == 1}
+    # frequent whole words become pieces
+    assert "the" in pieces and "cat" in pieces
+
+
+def test_unigram_em_likelihood_is_monotone(spark, corpus):
+    _, ll, _ = unigram_lm_learn(corpus, "text", n_rounds=4, n_multi=12)
+    assert len(ll) == 4
+    for a, b in zip(ll, ll[1:]):
+        assert b >= a - 1e-9  # hard-EM: Viterbi LL never decreases
+
+
+def test_unigram_fertility_frame_consistent(spark, corpus):
+    vocab, _, wp = unigram_lm_learn(corpus, "text", n_rounds=2, n_multi=12)
+    rows = wp.collect()
+    # every word segments into >= 1 and <= len(word) pieces
+    assert all(1 <= r.n_pieces <= len(r.word) for r in rows)
+    # 'the' is a vocab piece, so the word 'the' segments as ONE piece
+    got = {r.word: r.n_pieces for r in rows}
+    assert got["the"] == 1
+
+
+def test_unigram_validates_params(spark, corpus):
+    with pytest.raises(ValueError):
+        unigram_lm_learn(corpus, "text", n_rounds=0)
+    with pytest.raises(ValueError):
+        unigram_lm_learn(corpus, "text", max_piece_len=20, max_word_len=10)
