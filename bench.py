@@ -392,6 +392,22 @@ HEADLINE = [
     # round-9 batch 4: Brier-score anatomy and multi-rater agreement
     "brier_decomposition",
     "annotator_alpha",
+    # round-10 batch 1: the unrolled-iteration family — deterministic
+    # Lloyd KMeans (clustering, learned-quantizer IVF, the flagship),
+    # the exact-integer k-center greedy, exact-covariance PCA
+    "kmeans_clusters",
+    "ivf_topk_learned",
+    "datas_full_pipeline",
+    "kcenter_sample",
+    "pca_embeddings",
+    # round-10 batch 2: Evol-Instruct schedule, SLERP merge, the
+    # late-interaction (MaxSim) tier, the unigram-LM trainer
+    "evol_prompt_schedule",
+    "slerp_merge",
+    "maxsim_rerank_topk",
+    "maxsim_recall_report",
+    "unigram_lm_learn",
+    "unigram_fertility",
 ]
 
 RUNS_PER_QUERY = 3
