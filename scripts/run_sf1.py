@@ -52,6 +52,14 @@ def main() -> None:
     ap.add_argument("--sf1-dir", default=None)
     ap.add_argument("--same-session", action="store_true")
     ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query names (overrides --top selection; "
+             "names need not have committed floors yet — pair with "
+             "--same-session). With --append, rows append to "
+             "SF1_SCALING.md as a dated section instead of rewriting it.",
+    )
+    ap.add_argument("--append", action="store_true")
     args = ap.parse_args()
     sf1_dir = args.sf1_dir
     if sf1_dir is None:
@@ -69,7 +77,20 @@ def main() -> None:
             "run `python bench.py` first"
         )
     base = detail["queries"]
-    names = [n for n, _ in sorted(base.items(), key=lambda kv: -kv[1])][: args.top]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        base = {n: base.get(n, 0.0) for n in names}
+        if not args.same_session:
+            missing = [n for n in names if not base[n]]
+            if missing:
+                raise SystemExit(
+                    f"no committed sf0.1 floors for {missing} — "
+                    "use --same-session"
+                )
+    else:
+        names = [
+            n for n, _ in sorted(base.items(), key=lambda kv: -kv[1])
+        ][: args.top]
 
     import __spark_entry__ as E
 
@@ -144,9 +165,22 @@ def main() -> None:
         "",
     ]
     out = os.path.join(REPO, "SF1_SCALING.md")
-    with open(out, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {out}")
+    if args.append:
+        import datetime as _dt
+
+        today = _dt.date.today().isoformat()
+        block = [
+            "",
+            f"## Targeted addendum ({today}, {scope}; {mode})",
+            "",
+        ] + lines[8:]
+        with open(out, "a") as f:
+            f.write("\n".join(block))
+        print(f"appended {len(names)} rows to {out}")
+    else:
+        with open(out, "w") as f:
+            f.write("\n".join(lines))
+        print(f"wrote {out}")
     if worst:
         sys.exit(1)
 
