@@ -640,19 +640,29 @@ def maxsim_recall_report(
     approximation's quality is itself a hash-checked query). One row:
     ``(n_exact, n_hit, recall_pct)`` — how many of the true top
     ``top_n`` the two-stage pipeline kept."""
-    approx = maxsim_rerank_topk(
-        docs, id_col, text_col, query_terms, k1=k1, b=b,
-        recall_n=recall_n, top_n=top_n,
+    # the full-corpus maxsim frame feeds BOTH top-k cuts, and each
+    # top-k frame feeds two consumers (count + semi-join) — pin the
+    # tiny cuts (and derive approx from the same scored frame, so the
+    # corpus-wide token interaction runs ONCE, not three times)
+    scored_all = maxsim_scores(
+        docs, id_col, text_col, query_terms,
         emb_dim=emb_dim, max_doc_tokens=max_doc_tokens,
+    ).localCheckpoint(eager=False)
+    cand = bm25_topk(
+        docs, id_col, text_col, query_terms, k1=k1, b=b, top_n=recall_n
     ).select(id_col)
-    exact = (
-        maxsim_scores(
-            docs, id_col, text_col, query_terms,
-            emb_dim=emb_dim, max_doc_tokens=max_doc_tokens,
-        )
+    approx = (
+        scored_all.join(broadcast(cand), id_col, "left_semi")
         .orderBy(F.desc("maxsim"), F.asc(id_col))
         .limit(int(top_n))
         .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        scored_all.orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(int(top_n))
+        .select(id_col)
+        .localCheckpoint(eager=False)
     )
     hit = exact.join(broadcast(approx), id_col, "left_semi")
     return exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")).crossJoin(
