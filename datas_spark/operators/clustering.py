@@ -706,15 +706,19 @@ def pca_exact_components(
         raise ValueError("empty frame: no vectors to decompose")
     n = int(si_rows[0]["__n"])
     S1 = {int(r["__d"]): int(r["__s"]) for r in si_rows}
+    # UPPER-TRIANGLE products only (d(d+1)/2 structs per row instead of
+    # d**2 — the sf1 run measured the full-matrix explode at 13x across
+    # the decade; the mirror is free driver-side since q_i*q_j is
+    # symmetric)
     prods = base.select(
         F.flatten(
             F.transform(
                 "__q",
                 lambda xi, i: F.transform(
-                    "__q",
-                    lambda xj, j: F.struct(
+                    F.slice(F.col("__q"), i + 1, F.lit(dim) - i),
+                    lambda xj, jj: F.struct(
                         i.cast("int").alias("i"),
-                        j.cast("int").alias("j"),
+                        (i + jj).cast("int").alias("j"),
                         (xi * xj).alias("p"),
                     ),
                 ),
@@ -728,7 +732,11 @@ def pca_exact_components(
         .agg(F.sum(F.col("__e")["p"].cast("decimal(38,0)")).alias("__s"))
         .collect()
     )
-    S2 = {(int(r["__i"]), int(r["__j"])): int(r["__s"]) for r in sij_rows}
+    S2 = {}
+    for r in sij_rows:
+        i, j, v = int(r["__i"]), int(r["__j"]), int(r["__s"])
+        S2[(i, j)] = v
+        S2[(j, i)] = v
     # M ∝ covariance, converted to double EXACTLY as SQL's ::DOUBLE
     # (round-to-nearest of the exact integer)
     M = [
