@@ -408,6 +408,8 @@ HEADLINE = [
     "maxsim_recall_report",
     "unigram_lm_learn",
     "unigram_fertility",
+    # round-10 batch 3: semantic dedup over Lloyd clusters
+    "semdedup",
 ]
 
 RUNS_PER_QUERY = 3

@@ -49,6 +49,7 @@ from datas_spark.functions.text import (
 )
 
 __all__ = [
+    "semdedup",
     "MINHASH_A",
     "MINHASH_B",
     "MINHASH_P",
@@ -2471,4 +2472,112 @@ def label_propagation(
     )
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("community"), "community_size"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_rounds: int = 2,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering the embedding space and removing all-but-one of each
+    within-cluster group of near-identical points — the
+    embedding-space member of the dedup family, now fully
+    hash-checkable because the clusterer is the deterministic unrolled
+    Lloyd trainer (`clustering.kmeans_lloyd`).
+
+    Stages (each the engine's proven pattern):
+    1. k-means clusters + centroids (Lloyd, round-replayable);
+    2. candidate pairs ONLY within (cluster, hyperplane-bucket) blocks
+       with rounded cosine ≥ ``threshold`` — the extra seed-pinned
+       ``n_planes``-bit LSH tier bounds the in-cluster quadratic fan
+       exactly like the SimHash bucket cap (a fixed k would otherwise
+       make the pair stage quadratic across a data decade; at 100 TB
+       you ALSO grow k with N — both knobs documented here);
+    3. duplicate groups = connected components over the pairs;
+    4. keeper per group = the member with the LOWEST cosine to its
+       cluster centroid (the paper's keep-the-least-typical rule —
+       retains the diverse example), ties → smaller id.
+
+    Returns ``(id_col, cluster, component, csim, keep boolean)`` —
+    every input row labeled; ``keep=false`` rows are the semantic
+    duplicates to drop. Cosines round to 6 (engine-exact elections).
+    """
+    from datas_spark.functions.arrays import cosine_similarity
+    from datas_spark.operators.clustering import kmeans_lloyd
+    from datas_spark.operators.similarity import (
+        hyperplane_signature,
+        random_hyperplanes,
+    )
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if not first:
+        raise ValueError("empty frame: cannot infer vector width")
+    width = int(first[0]["n"])
+    asg, cents = kmeans_lloyd(df, id_col, vec_col, k=k, n_rounds=n_rounds)
+    planes = random_hyperplanes(width, n_planes, seed)
+    # e feeds pairs (twice), centroid sims, and membership — pin it
+    e = hyperplane_signature(
+        df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col),
+        vec_col,
+        planes,
+    ).localCheckpoint(eager=False)
+    a = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster").alias("__c"),
+        F.col("bucket").alias("__b"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("__c"),
+        F.col("bucket").alias("__b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    cos_ab = F.round(cosine_similarity("__va", "__vb"), 6) + F.lit(0.0)
+    pairs = (
+        a.join(b, ["__c", "__b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos_ab >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    csim = e.join(
+        broadcast(cents.select("cluster", F.col("centroid").alias("__cv"))),
+        "cluster",
+    ).select(
+        F.col(id_col),
+        (F.round(cosine_similarity(vec_col, "__cv"), 6) + F.lit(0.0)).alias(
+            "csim"
+        ),
+    )
+    members = (
+        e.select(F.col(id_col), "cluster")
+        .join(comp, e[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .join(csim, id_col)
+    )
+    keepers = members.groupBy("component").agg(
+        F.min_by(
+            F.col(id_col), F.struct(F.col("csim"), F.col(id_col))
+        ).alias("__keeper")
+    )
+    return members.join(keepers, "component").select(
+        F.col(id_col),
+        "cluster",
+        "component",
+        "csim",
+        (F.col(id_col) == F.col("__keeper")).alias("keep"),
     )

@@ -3050,3 +3050,87 @@ def q_customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recs = _er_records(spark, sf_dir)
     return golden_records(recs, "rec_id", matches, ["name", "phone", "addr"])
+
+
+# ---------------------------------------------------------------------------
+# round 10: SemDeDup — semantic dedup over Lloyd clusters (Abbas 2023)
+# ---------------------------------------------------------------------------
+
+_SD_K, _SD_ROUNDS, _SD_THR, _SD_PLANES = 8, 2, 0.35, 4
+
+
+def _semdedup_oracle() -> str:
+    from datas_spark.oracle_shared import IVF_COS_SQL, lloyd_cte_sql
+    from datas_spark.registry_scoring import _LSH_DOT_SQL, _planes_values_sql
+
+    lloyd = lloyd_cte_sql(
+        "embeddings", "vec_id", "embedding", _SD_K, _SD_ROUNDS, 64,
+        prefix="sd",
+    )
+    return f"""
+    WITH RECURSIVE {lloyd},
+    pl AS (SELECT * FROM {_planes_values_sql(_SD_PLANES)}),
+    dots AS (
+      SELECT e.vec_id, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM embeddings e CROSS JOIN pl p
+    ), db AS (
+      SELECT vec_id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM dots GROUP BY vec_id
+    ), eb AS MATERIALIZED (
+      SELECT emb.vec_id AS id, a.cluster, db.bucket, emb.embedding
+      FROM embeddings emb
+      JOIN sd_asg a ON a.id = emb.vec_id
+      JOIN db ON db.vec_id = emb.vec_id
+    ), prs AS MATERIALIZED (
+      SELECT x.id AS id_a, y.id AS id_b
+      FROM eb x JOIN eb y
+        ON x.cluster = y.cluster AND x.bucket = y.bucket AND x.id < y.id
+      WHERE {IVF_COS_SQL.format(a='x', b='y')} >= {_SD_THR}
+    ), e2 AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ), reach(node, r) AS (
+      SELECT a, a FROM e2
+      UNION
+      SELECT e2.a, reach.r FROM e2 JOIN reach ON reach.node = e2.b
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), cents AS (
+      SELECT j AS cluster, cv AS embedding FROM sd_cent
+    ), csim AS MATERIALIZED (
+      SELECT eb.id, {IVF_COS_SQL.format(a='eb', b='c')} AS csim
+      FROM eb JOIN cents c ON c.cluster = eb.cluster
+    ), m AS MATERIALIZED (
+      SELECT eb.id, eb.cluster, coalesce(comp.component, eb.id) AS component
+      FROM eb LEFT JOIN comp ON comp.node = eb.id
+    ), kp AS (
+      SELECT component, id AS keeper FROM (
+        SELECT m.id, m.component,
+               row_number() OVER (PARTITION BY m.component
+                                  ORDER BY c.csim ASC, m.id ASC) AS rn
+        FROM m JOIN csim c ON c.id = m.id
+      ) WHERE rn = 1
+    )
+    SELECT m.id AS vec_id, m.cluster, m.component, c.csim,
+           (m.id = kp.keeper) AS keep
+    FROM m JOIN csim c ON c.id = m.id JOIN kp ON kp.component = m.component
+    """
+
+
+@register("semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (`dedup.semdedup`, Abbas et al. 2023): Lloyd k-means
+    clusters the embedding space, near-identical points inside each
+    (cluster, LSH-bucket) block pair up at cosine >= 0.35, duplicate
+    groups resolve by connected components, and each group keeps only
+    its least-centroid-typical member. Every stage — the clustering
+    rounds, the seed-pinned buckets, the pair cosines, the CC
+    recursion, the keeper election — replays in the oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.semdedup(
+        emb, "vec_id", "embedding",
+        k=_SD_K, n_rounds=_SD_ROUNDS,
+        threshold=_SD_THR, n_planes=_SD_PLANES,
+    )

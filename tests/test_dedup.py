@@ -1076,3 +1076,52 @@ def test_label_propagation_is_deterministic_and_validates(spark):
     assert a == b
     with _pytest.raises(ValueError):
         label_propagation(pairs, n_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# round 10: SemDeDup over Lloyd clusters
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_planted_near_identical_group(spark):
+    """Three planted near-identical vectors must land in one duplicate
+    component with exactly one keeper (the least-centroid-typical
+    member); distinct vectors stay singleton keepers; every input row
+    comes back labeled."""
+    from datas_spark.operators.dedup import semdedup
+
+    base = [0.4, 0.3, -0.2, 0.1]
+    rows = [
+        (1, base),
+        (2, [x * 1.0001 for x in base]),           # near-identical twin
+        (3, [x * 0.9999 for x in base]),           # and another
+        (10, [-0.4, 0.35, 0.2, -0.1]),
+        (11, [0.1, -0.45, 0.3, 0.25]),
+        (12, [-0.2, -0.3, -0.4, 0.45]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r.id: r for r in semdedup(
+        df, "id", "v", k=2, n_rounds=2, threshold=0.95).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    grp = {out[i].component for i in (1, 2, 3)}
+    assert grp == {1}  # one component, min-id labeled
+    keeps = [i for i in (1, 2, 3) if out[i].keep]
+    assert len(keeps) == 1  # exactly one survivor in the dup group
+    for i in (10, 11, 12):
+        assert out[i].keep and out[i].component == i  # singletons keep
+
+
+def test_semdedup_threshold_one_keeps_everything(spark):
+    """threshold > max possible cosine -> no pairs -> everyone keeps."""
+    from datas_spark.operators.dedup import semdedup
+
+    rows = [(i, [float(i % 3) - 1.0, float(i % 5) / 5, 0.2, -0.1])
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = semdedup(df, "id", "v", k=2, n_rounds=1, threshold=1.0).collect()
+    assert all(r.keep for r in out) and len(out) == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup(df, "id", "v", threshold=1.5)

@@ -218,6 +218,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "ivf_topk_mllib",                  # centroids + query set (same as ivf_topk_learned)
         "maxsim_rerank_topk",              # BM25 1-row corpus constants (recall stage)
         "maxsim_recall_report",            # same constants + 1-row hit/total count scalars
+        "semdedup",                        # 1-row packed Lloyd centroid frame (same as kmeans_clusters)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
