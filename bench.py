@@ -408,8 +408,10 @@ HEADLINE = [
     "maxsim_recall_report",
     "unigram_lm_learn",
     "unigram_fertility",
-    # round-10 batch 3: semantic dedup over Lloyd clusters
+    # round-10 batch 3: semantic dedup over Lloyd clusters + the
+    # Self-Instruct ROUGE-L admission gate
     "semdedup",
+    "rougeL_novel_instructions",
 ]
 
 RUNS_PER_QUERY = 3

@@ -2008,3 +2008,95 @@ def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_chars.cast("double") / n_pieces.cast("double"), 6
         ).alias("chars_per_piece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: Self-Instruct ROUGE-L novelty gate (operators/rougel.py) —
+# the LCS rolling-row DP unrolled as chained CTE steps; within each
+# step the row builds left-to-right via DuckDB lateral column aliases
+# (n{j} references n{j-1} in the same SELECT), then renames n->c for
+# the next step.
+# ---------------------------------------------------------------------------
+
+_RL_TOKENS = 12
+_RL_THR = 0.7
+_RL_POOL = 50  # pool = doc_id < 50 (fixed size at every sf)
+
+
+def _rouge_l_oracle() -> str:
+    w = _RL_TOKENS
+
+    def cells(i: int) -> str:
+        outs = ["0 AS n0"]
+        for j in range(1, w + 1):
+            outs.append(
+                f"CASE WHEN {i} > la THEN c{j} "
+                f"ELSE CASE WHEN a[{i}] = b[{j}] THEN c{j - 1} + 1 "
+                f"ELSE greatest(c{j}, n{j - 1}) END END AS n{j}"
+            )
+        return ",\n          ".join(outs)
+
+    renames = ", ".join(f"n{j} AS c{j}" for j in range(0, w + 1))
+    zeros = ", ".join(f"0 AS c{j}" for j in range(0, w + 1))
+    steps = []
+    for i in range(1, w + 1):
+        steps.append(
+            f""", lr_p{i} AS MATERIALIZED (
+      SELECT cand_id, la, lb, a, b, {renames} FROM (
+        SELECT cand_id, la, lb, a, b,
+          {cells(i)}
+        FROM lr_p{i - 1}
+      )
+    )"""
+        )
+    clist = "[" + ", ".join(f"c{j}" for j in range(0, w + 1)) + "]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+               x -> length(x) > 0)[1:{w}] AS t
+      FROM documents
+    ), pool AS (
+      SELECT t AS b, len(t)::INT AS lb FROM toks WHERE doc_id < {_RL_POOL}
+    ), cands AS (
+      SELECT doc_id AS cand_id, t AS a, len(t)::INT AS la
+      FROM toks WHERE doc_id % 7 = 3 AND doc_id >= {_RL_POOL}
+    ), lr_p0 AS (
+      SELECT c.cand_id, c.la, p.lb, c.a, p.b, {zeros}
+      FROM cands c CROSS JOIN pool p
+    ){''.join(steps)}, scored AS (
+      SELECT cand_id,
+             CASE WHEN la > 0 AND lb > 0
+                  THEN 2.0 * ({clist}[lb + 1])::DOUBLE / (la + lb)
+                  ELSE 0.0 END AS f
+      FROM lr_p{w}
+    ), agg AS (
+      SELECT cand_id, coalesce(max(f), 0.0) AS mx FROM scored GROUP BY cand_id
+    )
+    SELECT cand_id AS doc_id, round(mx, 6) AS max_rouge_l,
+           (round(mx, 6) < {_RL_THR}) AS keep
+    FROM agg
+    """
+
+
+@register("rougeL_novel_instructions", oracle=_rouge_l_oracle())
+def q_rougeL_novel_instructions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-Instruct admission gate (`rougel.rouge_l_novelty`, Wang
+    et al. 2022): each candidate instruction scores its max ROUGE-L F
+    (= 2·LCS/(|c|+|r|)) against the fixed 50-doc pool and keeps only
+    below 0.7 — LCS as an all-integer rolling-row DP folded map-side
+    against the ONE packed broadcast pool row; the oracle unrolls
+    every DP cell. Token budget 12 per side (the documented bound
+    that keeps the DP finite)."""
+    from datas_spark.operators.rougel import rouge_l_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    pool = docs.where(F.col("doc_id") < _RL_POOL)
+    cands = docs.where(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") >= _RL_POOL)
+    )
+    return rouge_l_novelty(
+        cands, pool, "doc_id", "text",
+        max_tokens=_RL_TOKENS, threshold=_RL_THR,
+    )

@@ -219,6 +219,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "maxsim_rerank_topk",              # BM25 1-row corpus constants (recall stage)
         "maxsim_recall_report",            # same constants + 1-row hit/total count scalars
         "semdedup",                        # 1-row packed Lloyd centroid frame (same as kmeans_clusters)
+        "rougeL_novel_instructions",       # 1-row packed broadcast instruction pool
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
