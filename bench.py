@@ -412,6 +412,8 @@ HEADLINE = [
     # Self-Instruct ROUGE-L admission gate
     "semdedup",
     "rougeL_novel_instructions",
+    # round-10 batch 4: LSH-blocked margin bitext mining
+    "bitext_margin_pairs",
 ]
 
 RUNS_PER_QUERY = 3

@@ -38,6 +38,7 @@ from pyspark.sql.functions import broadcast
 from datas_spark.functions.arrays import cosine_similarity, dot
 
 __all__ = [
+    "bitext_margin_pairs",
     "cosine_topk",
     "cosine_topk_vectorized",
     "random_hyperplanes",
@@ -1206,4 +1207,128 @@ def random_projection(
                 6,
             ),
         ),
+    )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    knn: int = 4,
+    top_n: int = 20,
+    n_planes: int = 4,
+    seed: int = 42,
+    max_bucket_side: int | None = 128,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER
+    recipe): candidate translation pairs are scored by the RATIO
+    margin
+
+        margin(x, y) = cos(x, y) /
+            ( (mean_k-NN-cos(x) + mean_k-NN-cos(y)) / 2 )
+
+    — dividing by each side's local cosine neighborhood deflates hub
+    vectors that are "close to everything", the failure mode of raw
+    cosine mining. Returns the ``top_n`` mined pairs
+    ``(src_id, tgt_id, cos, margin)`` by (margin DESC, ids ASC).
+
+    Scale shape (the `lsh_blocked_near_dup` discipline): candidates —
+    and the k-NN neighborhoods the margin normalizes by — come ONLY
+    from seed-pinned hyperplane sign buckets (map-only bucketing, the
+    equi-join bounds the pair fan; at 100 TB this is exactly the
+    ANN-blocked mining FAISS-based miners run). Fixed buckets alone
+    are still quadratic across a data decade, so each bucket SIDE
+    additionally caps at ``max_bucket_side`` vectors (smallest ids
+    kept — deterministic; the SimHash in-bucket cap discipline: the
+    dropped tail is the documented recall trade, and the measured sf1
+    run without the cap was the superlinear flag that added it).
+    k-NN means fold the
+    ≤``knn`` rounded cosines in (cos DESC, partner-id ASC) order —
+    bit-reproducible, so the whole miner replays in SQL. Candidates
+    with an empty neighborhood cannot occur (each candidate pair IS
+    in both endpoints' neighborhoods).
+    """
+    if knn < 1 or top_n < 1:
+        raise ValueError(f"need knn/top_n >= 1, got {knn}/{top_n}")
+    first = src.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if not first:
+        raise ValueError("empty src frame: cannot infer vector width")
+    planes = random_hyperplanes(int(first[0]["n"]), n_planes, seed)
+    s = hyperplane_signature(
+        src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("__sv")),
+        "__sv",
+        planes,
+    )
+    t = hyperplane_signature(
+        tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("__tv")),
+        "__tv",
+        planes,
+    )
+    if max_bucket_side is not None:
+        ws = Window.partitionBy("bucket").orderBy(F.col("sid").asc())
+        s = (
+            s.withColumn("__br", F.row_number().over(ws))
+            .where(F.col("__br") <= max_bucket_side)
+            .drop("__br")
+        )
+        wt = Window.partitionBy("bucket").orderBy(F.col("tid").asc())
+        t = (
+            t.withColumn("__br", F.row_number().over(wt))
+            .where(F.col("__br") <= max_bucket_side)
+            .drop("__br")
+        )
+    cand = (
+        s.join(t, "bucket")
+        .select(
+            "sid",
+            "tid",
+            (F.round(cosine_similarity("__sv", "__tv"), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds both k-NN means + the score
+    )
+
+    def knn_mean(key: str, partner: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.col("cos").desc(), F.col(partner).asc()
+        )
+        kept = cand.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") <= knn
+        )
+        return (
+            kept.select(
+                key, F.struct(F.col("__r"), F.col("cos")).alias("__rc")
+            )
+            .groupBy(key)
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list("__rc")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["cos"],
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ).alias(f"__m_{key}")
+            )
+        )
+
+    ms = knn_mean("sid", "tid")
+    mt = knn_mean("tid", "sid")
+    denom = (F.col("__m_sid") + F.col("__m_tid")) / F.lit(2.0)
+    # a zero mean-neighborhood denominator (cosines cancelling exactly)
+    # yields NULL margin rather than a division blow-up
+    margin = F.when(denom != 0.0, F.round(F.col("cos") / denom, 6))
+    return (
+        cand.join(ms, "sid")
+        .join(mt, "tid")
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            "cos",
+            margin.alias("margin"),
+        )
+        .orderBy(F.desc("margin"), F.asc("src_id"), F.asc("tgt_id"))
+        .limit(int(top_n))
     )

@@ -1407,3 +1407,90 @@ def q_jl_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp = proj.where("vec_id < 3")
     sketch = SIM.cosine_topk(proj, qp, "vec_id", "vec_id", "rp", k=10)
     return SIM.ann_recall_report(full, sketch, "q_vec_id", "d_vec_id")
+
+
+# ---------------------------------------------------------------------------
+# round 10: margin-based bitext mining (Artetxe & Schwenk 2019) —
+# LSH-bucket-blocked candidates and neighborhoods, ratio margin.
+# ---------------------------------------------------------------------------
+
+_BTX_KNN, _BTX_TOP, _BTX_PLANES, _BTX_CAP = 4, 20, 4, 128
+
+
+def _bitext_oracle() -> str:
+    from datas_spark.oracle_shared import IVF_COS_SQL
+    from datas_spark.registry_scoring import _LSH_DOT_SQL, _planes_values_sql
+
+    fold = "list_reduce(list_prepend(0.0, {lst}), (a, b) -> a + b)"
+    mean = fold.format(lst="list(cos ORDER BY r)")
+    return f"""
+    WITH pl AS (SELECT * FROM {_planes_values_sql(_BTX_PLANES)}),
+    dots AS (
+      SELECT e.vec_id, e.label, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM embeddings e CROSS JOIN pl p
+    ), db AS (
+      SELECT vec_id, label,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM dots GROUP BY vec_id, label
+    ), sdb AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY vec_id ASC) AS rn
+        FROM db WHERE label % 2 = 0
+      ) WHERE rn <= {_BTX_CAP}
+    ), tdb AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY vec_id ASC) AS rn
+        FROM db WHERE label % 2 = 1
+      ) WHERE rn <= {_BTX_CAP}
+    ), cand AS MATERIALIZED (
+      SELECT sb.vec_id AS sid, tb.vec_id AS tid,
+             {IVF_COS_SQL.format(a='s', b='t')} AS cos
+      FROM sdb sb JOIN tdb tb ON sb.bucket = tb.bucket
+      JOIN embeddings s ON s.vec_id = sb.vec_id
+      JOIN embeddings t ON t.vec_id = tb.vec_id
+    ), ms AS (
+      SELECT sid, {mean} / count(*)::DOUBLE AS m FROM (
+        SELECT sid, cos,
+               row_number() OVER (PARTITION BY sid
+                                  ORDER BY cos DESC, tid ASC) AS r
+        FROM cand
+      ) WHERE r <= {_BTX_KNN} GROUP BY sid
+    ), mt AS (
+      SELECT tid, {mean} / count(*)::DOUBLE AS m FROM (
+        SELECT tid, cos,
+               row_number() OVER (PARTITION BY tid
+                                  ORDER BY cos DESC, sid ASC) AS r
+        FROM cand
+      ) WHERE r <= {_BTX_KNN} GROUP BY tid
+    )
+    SELECT c.sid AS src_id, c.tid AS tgt_id, c.cos,
+           CASE WHEN (ms.m + mt.m) / 2.0 != 0.0
+                THEN round(c.cos / ((ms.m + mt.m) / 2.0), 6) END AS margin
+    FROM cand c JOIN ms ON ms.sid = c.sid JOIN mt ON mt.tid = c.tid
+    ORDER BY margin DESC, src_id ASC, tgt_id ASC LIMIT {_BTX_TOP}
+    """
+
+
+@register("bitext_margin_pairs", oracle=_bitext_oracle())
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (`similarity.bitext_margin_pairs`,
+    Artetxe & Schwenk 2019): even-label vectors play the source
+    language, odd-label the target; candidates and the k-NN
+    neighborhoods the ratio margin normalizes by are LSH-bucket
+    blocked (seed-pinned planes — the miner never goes all-pairs);
+    k-NN means fold in rank order. Top-20 mined pairs by margin."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.bitext_margin_pairs(
+        emb.where(F.col("label") % 2 == 0),
+        emb.where(F.col("label") % 2 == 1),
+        "vec_id", "embedding",
+        knn=_BTX_KNN, top_n=_BTX_TOP, n_planes=_BTX_PLANES,
+        max_bucket_side=_BTX_CAP,
+    )

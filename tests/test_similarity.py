@@ -424,3 +424,53 @@ def test_pq_family_empty_queries_raise(spark):
         SIM.pq_topk_fixed(df, empty, cbs, "id", "id", "code", "v", m=4)
     with _pytest.raises(ValueError, match="empty"):
         SIM.ivfpq_topk_fixed(df, empty, cells, cbs, "id", "id", "cell", "code", "v", m=4)
+
+
+# ---------------------------------------------------------------------------
+# round 10: margin-based bitext mining
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_margin_deflates_hub_vectors(spark):
+    """A true translation pair (near-identical vectors) must out-margin
+    a hub pairing: the hub's high mean-neighborhood cosine divides its
+    margin down even when its raw cosine is high."""
+    from datas_spark.operators.similarity import bitext_margin_pairs
+
+    # src 1 <-> tgt 11 is the planted translation (same direction);
+    # src 2 is a hub: fairly close to EVERY target
+    src = spark.createDataFrame(
+        [
+            (1, [0.5, 0.1, 0.0, 0.0]),
+            (2, [0.3, 0.3, 0.3, 0.3]),
+        ],
+        "id long, v array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (11, [0.5, 0.1, 0.001, 0.0]),
+            (12, [0.25, 0.35, 0.3, 0.3]),
+            (13, [0.3, 0.25, 0.35, 0.3]),
+        ],
+        "id long, v array<double>",
+    )
+    out = bitext_margin_pairs(src, tgt, "id", "v", knn=2, top_n=10,
+                              n_planes=1)  # 1 plane: everything shares buckets
+    rows = {(r.src_id, r.tgt_id): r for r in out.collect()}
+    assert (1, 11) in rows
+    m_true = rows[(1, 11)].margin
+    hub_margins = [r.margin for (s, _), r in rows.items() if s == 2]
+    assert hub_margins and all(m_true > m for m in hub_margins)
+    # ordered by margin desc
+    ms = [r.margin for r in out.collect()]
+    assert ms == sorted(ms, reverse=True)
+
+
+def test_bitext_margin_validates(spark):
+    import pytest as _pytest
+
+    from datas_spark.operators.similarity import bitext_margin_pairs
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "id long, v array<double>")
+    with _pytest.raises(ValueError):
+        bitext_margin_pairs(df, df, "id", "v", knn=0)
