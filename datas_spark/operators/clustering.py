@@ -93,9 +93,11 @@ def kmeans_lloyd(
     - each of ``n_rounds`` rounds: assign every point to the centroid
       with the smallest INTEGER squared L2 distance (ties → smaller
       centroid index), then recompute each centroid as
-      ``floor(Σq_i / n)`` per dimension (floor of an exact-integer
-      division — no float-rounding ambiguity; empty clusters keep
-      their previous centroid);
+      ``floor(Σq_i / n)`` per dimension via EXACT integer floor
+      division (``(s - pmod(s, n)) div n`` — the pmod subtraction
+      makes the numerator exactly divisible, so truncating ``div``
+      equals floor with no float rounding at any magnitude; empty
+      clusters keep their previous centroid);
     - one final assignment pass against the round-``n_rounds``
       centroids.
 
@@ -108,9 +110,12 @@ def kmeans_lloyd(
     are NO driver collects anywhere. At 10⁹ rows the per-round cost is
     one scan + one k·dim-row aggregate, exactly KMeans' lower bound.
 
-    Σq per (cluster, dim) stays long-exact up to ~2^53/(0.5·scale)
-    rows per cluster (≈1.8e10 at the e6 default); past that, widen the
-    moment sums to decimal(38,0) (the `cluster_cohesion` discipline).
+    Σq per (cluster, dim) stays long-exact up to ~2^63/(|x|max·scale)
+    rows per cluster (≈9e12 at the e6 default with unit-norm vectors —
+    the division itself is exact at any magnitude, so the only bound is
+    the long sum); past that, widen the moment sums to decimal(38,0)
+    (the `cluster_cohesion` discipline) — the DuckDB twin's HUGEINT sum
+    is already 128-bit.
 
     Returns ``(assignments, centroids)``: assignments =
     ``(id_col, cluster int)``; centroids = ``(cluster int, centroid
@@ -176,9 +181,11 @@ def kmeans_lloyd(
             .select(
                 "__cluster",
                 "__d",
-                F.floor(F.col("__s").cast("double") / F.col("__n").cast("double"))
-                .cast("long")
-                .alias("__c"),
+                # exact integer floor division: subtracting pmod makes the
+                # numerator exactly divisible, so `div` (truncating) equals
+                # floor — no float rounding anywhere (DuckDB twin uses
+                # (s - ((s%n)+n)%n) // n, verified bit-identical)
+                F.expr("(__s - pmod(__s, __n)) div __n").alias("__c"),
             )
             .groupBy("__cluster")
             .agg(

@@ -2484,6 +2484,7 @@ def semdedup(
     threshold: float = 0.35,
     n_planes: int = 4,
     seed: int = 42,
+    max_bucket_side: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering the embedding space and removing all-but-one of each
@@ -2495,11 +2496,18 @@ def semdedup(
     Stages (each the engine's proven pattern):
     1. k-means clusters + centroids (Lloyd, round-replayable);
     2. candidate pairs ONLY within (cluster, hyperplane-bucket) blocks
-       with rounded cosine ≥ ``threshold`` — the extra seed-pinned
-       ``n_planes``-bit LSH tier bounds the in-cluster quadratic fan
-       exactly like the SimHash bucket cap (a fixed k would otherwise
-       make the pair stage quadratic across a data decade; at 100 TB
-       you ALSO grow k with N — both knobs documented here);
+       with rounded cosine ≥ ``threshold`` — the seed-pinned
+       ``n_planes``-bit LSH tier REDUCES the in-cluster quadratic fan
+       (bucketing partitions it; a dense block is still quadratic in
+       its size), and ``max_bucket_side`` BOUNDS it: each (cluster,
+       bucket) block keeps only its ``max_bucket_side`` smallest ids
+       for pair generation (the `bitext_margin_pairs` /
+       SimHash-in-bucket cap discipline — deterministic, and the
+       dropped tail's missed duplicates are the documented recall
+       trade; rows past the cap still appear in the output as
+       singletons). A fixed k would otherwise make the pair stage
+       quadratic across a data decade; at 100 TB you grow k with N
+       AND set the cap — all three knobs documented here;
     3. duplicate groups = connected components over the pairs;
     4. keeper per group = the member with the LOWEST cosine to its
        cluster centroid (the paper's keep-the-least-typical rule —
@@ -2530,13 +2538,26 @@ def semdedup(
         vec_col,
         planes,
     ).localCheckpoint(eager=False)
-    a = e.select(
+    pair_src = e
+    if max_bucket_side is not None:
+        wcap = Window.partitionBy("cluster", "bucket").orderBy(
+            F.col(id_col).asc()
+        )
+        # pair_src feeds BOTH join sides — pin it or the cap window
+        # (a shuffle) re-evaluates per branch (measured 1.8x)
+        pair_src = (
+            e.withColumn("__br", F.row_number().over(wcap))
+            .where(F.col("__br") <= int(max_bucket_side))
+            .drop("__br")
+            .localCheckpoint(eager=False)
+        )
+    a = pair_src.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster").alias("__c"),
         F.col("bucket").alias("__b"),
         F.col(vec_col).alias("__va"),
     )
-    b = e.select(
+    b = pair_src.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster").alias("__c"),
         F.col("bucket").alias("__b"),

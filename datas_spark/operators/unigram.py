@@ -124,7 +124,7 @@ def unigram_lm_learn(
     n_multi: int = 48,
     max_word_len: int = 12,
     max_piece_len: int = 4,
-) -> tuple[DataFrame, list[float]]:
+) -> tuple[DataFrame, list[float], DataFrame]:
     """Learn a unigram-LM piece vocabulary; returns ``(vocab,
     ll_history, word_pieces)`` — vocab = ``(piece string, cnt bigint,
     prob double)`` (the post-round-``n_rounds`` M-step table; probs
@@ -166,10 +166,23 @@ def unigram_lm_learn(
         )
     )
     seeded = words.select(F.explode_outer(subs.alias("__s")).alias("piece"), "cnt")
-    seed_rows = (
+    # the top-n_multi cut happens IN-ENGINE (distributed top-k via
+    # orderBy+limit, matching the oracle's ORDER BY ... LIMIT) so the
+    # driver only ever sees |alphabet| + n_multi rows — an unbounded
+    # unicode alphabet's multi-char substrings never reach the driver
+    seed_base = (
         seeded.where(F.col("piece").isNotNull())
         .groupBy("piece")
         .agg(F.sum("cnt").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = (
+        seed_base.where(F.length("piece") == 1)
+        .unionAll(
+            seed_base.where(F.length("piece") > 1)
+            .orderBy(F.col("c").desc(), F.col("piece").asc())
+            .limit(n_multi)
+        )
         .collect()
     )
     seed = {r.piece: int(r.c) for r in seed_rows}
@@ -177,7 +190,7 @@ def unigram_lm_learn(
     multi = sorted(
         (p for p in seed if len(p) > 1),
         key=lambda p: (-seed[p], p),
-    )[:n_multi]
+    )
     counts = {p: seed[p] for p in chars + multi}
     total = sum(counts.values())
     vocab = {p: _llq(c, total) for p, c in counts.items()}

@@ -207,9 +207,11 @@ def lloyd_cte_sql(
     """DuckDB CTE chain replaying `clustering.kmeans_lloyd` exactly:
     e-scale integer quantization, (md5(id), id)-order init, per-round
     integer-distance argmin assignment (ties → smaller index) and
-    floor(Σ/n) centroid update with empty-cluster carry-over, one
-    final assignment pass. Every sum is an integer, so fold order
-    never matters cross-engine.
+    floor(Σ/n) centroid update — EXACT integer floor division
+    ``(s - ((s % n) + n) % n) // n`` (HUGEINT sums), bit-identical to
+    Spark's ``(s - pmod(s, n)) div n`` — with empty-cluster carry-over,
+    one final assignment pass. Every value is an integer, so neither
+    fold order nor float rounding matters cross-engine.
 
     Emits CTEs named ``{prefix}_*``; append after your own WITH list.
     Exposes ``{prefix}_asg (id, cluster)`` and ``{prefix}_cent
@@ -248,8 +250,8 @@ def lloyd_cte_sql(
       FROM {p}_c{r - 1} pv LEFT JOIN (
         SELECT j, list(cc ORDER BY i) AS c FROM (
           SELECT cluster AS j, i,
-                 CAST(floor(sum(q[i])::DOUBLE / count(*)::DOUBLE) AS BIGINT)
-                   AS cc
+                 CAST((sum(q[i]) - ((sum(q[i]) % count(*)) + count(*))
+                       % count(*)) // count(*) AS BIGINT) AS cc
           FROM {p}_a{r} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) t
           GROUP BY 1, 2
         ) GROUP BY j

@@ -3056,7 +3056,7 @@ def q_customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 10: SemDeDup — semantic dedup over Lloyd clusters (Abbas 2023)
 # ---------------------------------------------------------------------------
 
-_SD_K, _SD_ROUNDS, _SD_THR, _SD_PLANES = 8, 2, 0.35, 4
+_SD_K, _SD_ROUNDS, _SD_THR, _SD_PLANES, _SD_CAP = 8, 2, 0.35, 4, 64
 
 
 def _semdedup_oracle() -> str:
@@ -3083,9 +3083,15 @@ def _semdedup_oracle() -> str:
       FROM embeddings emb
       JOIN sd_asg a ON a.id = emb.vec_id
       JOIN db ON db.vec_id = emb.vec_id
+    ), ebc AS MATERIALIZED (
+      SELECT id, cluster, bucket, embedding FROM (
+        SELECT eb.*, row_number() OVER (PARTITION BY cluster, bucket
+                                        ORDER BY id ASC) AS rn
+        FROM eb
+      ) WHERE rn <= {_SD_CAP}
     ), prs AS MATERIALIZED (
       SELECT x.id AS id_a, y.id AS id_b
-      FROM eb x JOIN eb y
+      FROM ebc x JOIN ebc y
         ON x.cluster = y.cluster AND x.bucket = y.bucket AND x.id < y.id
       WHERE {IVF_COS_SQL.format(a='x', b='y')} >= {_SD_THR}
     ), e2 AS (
@@ -3125,12 +3131,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters the embedding space, near-identical points inside each
     (cluster, LSH-bucket) block pair up at cosine >= 0.35, duplicate
     groups resolve by connected components, and each group keeps only
-    its least-centroid-typical member. Every stage — the clustering
-    rounds, the seed-pinned buckets, the pair cosines, the CC
-    recursion, the keeper election — replays in the oracle."""
+    its least-centroid-typical member; each (cluster, bucket) block
+    caps at its 64 smallest ids for pair generation (the quadratic-fan
+    bound). Every stage — the clustering rounds, the seed-pinned
+    buckets, the block cap, the pair cosines, the CC recursion, the
+    keeper election — replays in the oracle."""
     emb = read_table(spark, sf_dir, "embeddings")
     return D.semdedup(
         emb, "vec_id", "embedding",
         k=_SD_K, n_rounds=_SD_ROUNDS,
         threshold=_SD_THR, n_planes=_SD_PLANES,
+        max_bucket_side=_SD_CAP,
     )

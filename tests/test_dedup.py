@@ -1111,6 +1111,30 @@ def test_semdedup_planted_near_identical_group(spark):
         assert out[i].keep and out[i].component == i  # singletons keep
 
 
+def test_semdedup_bucket_cap_bounds_pair_fan(spark):
+    """max_bucket_side caps each (cluster, bucket) block to its
+    smallest ids for pair generation: with cap=2, only the two
+    smallest ids of a planted 4-twin group can pair, so the two
+    larger twins fall out of the component and survive as singleton
+    keepers — the documented recall trade; uncapped, all four dedup
+    to one keeper."""
+    from datas_spark.operators.dedup import semdedup
+
+    base = [0.4, 0.3, -0.2, 0.1]
+    rows = [(i, [x * (1.0 + i * 1e-5) for x in base]) for i in (1, 2, 3, 4)]
+    rows += [(9, [-0.4, 0.35, 0.2, -0.1])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    kw = dict(k=1, n_rounds=1, threshold=0.95)
+    full = {r.id: r for r in semdedup(df, "id", "v", **kw).collect()}
+    assert sum(1 for i in (1, 2, 3, 4) if full[i].keep) == 1
+    capped = {r.id: r for r in semdedup(
+        df, "id", "v", max_bucket_side=2, **kw).collect()}
+    assert sum(1 for i in (1, 2) if capped[i].keep) == 1  # pair formed
+    for i in (3, 4):  # past the cap: no pairs, singleton keepers
+        assert capped[i].keep and capped[i].component == i
+    assert len(capped) == 5  # every input row still labeled
+
+
 def test_semdedup_threshold_one_keeps_everything(spark):
     """threshold > max possible cosine -> no pairs -> everyone keeps."""
     from datas_spark.operators.dedup import semdedup
