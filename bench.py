@@ -414,6 +414,8 @@ HEADLINE = [
     "rougeL_novel_instructions",
     # round-10 batch 4: LSH-blocked margin bitext mining
     "bitext_margin_pairs",
+    # round-11 batch 1: deterministic GD quality-classifier trainer
+    "quality_classifier_train_exact",
 ]
 
 RUNS_PER_QUERY = 3

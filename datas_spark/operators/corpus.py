@@ -919,6 +919,170 @@ def quality_classifier_train(
     return df.sparkSession.createDataFrame(rows, "feature int, weight double")
 
 
+def logreg_gd_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_features: int = 64,
+    n_steps: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic full-batch gradient-descent logistic regression
+    over hashed-BoW counts — the hash-checkable twin of
+    `quality_classifier_train` (whose MLlib LBFGS fit is seeded but
+    not replayable): the engine's BPE/Lloyd/unigram unrolled-iteration
+    discipline applied to classifier training, so the whole fit
+    replays in ANSI SQL (``oracle_shared.logreg_cte_sql``).
+
+    Per step (weights live as EXACT ``1/scale``-unit integers ``w_q``,
+    init 0; features are exact integer token counts ``c_ib``):
+
+    - logit ``z_i = (w_q[-1] + Σ_b w_q[b]·c_ib) / scale`` — the dot
+      product is an exact integer, so ``z_i`` is the same double on
+      every engine;
+    - residual ``r_i = round((σ(z_i) − y_i)·scale)`` quantized back to
+      an integer — the one float op (the sigmoid) resyncs at 1e-6 per
+      step, the e-quantization discipline that keeps a ≤1-ulp libm
+      ``exp`` divergence from ever compounding;
+    - gradient ``G_b = Σ_i r_i·c_ib`` (exact integer, order-free; the
+      intercept row rides along as a sentinel ``b = −1, c = 1``
+      appended to every doc's sparse vector);
+    - update ``w_q[b] −= floor(lr_num·G_b / (lr_den·N))`` via exact
+      integer floor division (``(s − pmod(s,n)) div n``), N = doc
+      count.
+
+    Plan shape (the Lloyd map-only-assignment idiom): weights live in
+    ONE packed broadcast row (``num_features``+1 longs) — the residual
+    pass is a map-only fold over each doc's sparse count array, NEVER
+    a docs×features shuffle; the gradient is one combinable
+    explode → per-bucket aggregate (≤``num_features``+1 rows out); the
+    doc count is a 1-row frame crossJoined into the update, so the
+    whole ``n_steps``-deep plan is lazy with ZERO driver collects or
+    pre-plan probe jobs. Per-doc frames pin via lazy localCheckpoint
+    so lineage stays flat across steps. At 10⁹ rows each step is one
+    scan + one F-row aggregate — full-batch GD's lower bound.
+
+    Returns the same broadcastable model shape as
+    `quality_classifier_train`: ``(feature int, weight double)`` with
+    ``feature = −1`` holding the intercept and ``weight = w_q/scale``
+    (one exact-integer divide — bit-identical cross-engine).
+    """
+    from datas_spark.functions.text import hash60
+
+    if num_features < 1 or n_steps < 1:
+        raise ValueError(
+            f"need num_features/n_steps >= 1, got {num_features}/{n_steps}"
+        )
+    if lr_num < 1 or lr_den < 1:
+        raise ValueError(f"need lr_num/lr_den >= 1, got {lr_num}/{lr_den}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_tokens(text_col)).alias("__tok"),
+    )
+    bucket = (hash60(F.col("__tok")) % num_features).cast("int")
+    counts = (
+        toks.where(F.col("__tok").isNotNull())
+        .select("__id", bucket.alias("__b"))
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # sparse per-doc vector + the intercept sentinel (b=-1, c=1):
+    # the gradient explode then emits the intercept row for free
+    feats = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .join(counts, "__id", "left")
+        .groupBy("__id", "__y")
+        .agg(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit(-1).cast("int").alias("b"),
+                        F.lit(1).cast("long").alias("c"),
+                    )
+                ),
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__b").alias("b"),
+                                F.col("__c").alias("c"),
+                            )
+                        ),
+                        lambda s: s["b"].isNotNull(),
+                    )
+                ),
+            ).alias("__arr")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ncnt = feats.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    packed = feats.sparkSession.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_features)),
+            lambda i: F.lit(0).cast("long"),
+        ).alias("__w")  # index 1 = intercept (b=-1), index b+2 = bucket b
+    )
+    for _ in range(n_steps):
+        zq = F.aggregate(
+            F.col("__arr"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.element_at(F.col("__w"), s["b"] + 2) * s["c"],
+        )
+        z = zq.cast("double") / F.lit(float(scale))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        rq = (
+            F.round((p - F.col("__y").cast("double")) * F.lit(float(scale)), 0)
+            .cast("long")
+        )
+        resid = feats.crossJoin(broadcast(packed)).select(
+            "__arr", rq.alias("__rq")
+        )
+        grads = (
+            resid.select(F.explode("__arr").alias("__s"), "__rq")
+            .select(
+                F.col("__s")["b"].alias("__b"),
+                (F.col("__s")["c"] * F.col("__rq")).alias("__g"),
+            )
+            .groupBy("__b")
+            .agg(F.sum("__g").alias("__gsum"))
+        )
+        prev = packed.select(F.posexplode("__w").alias("__i", "__wq")).select(
+            (F.col("__i") - 1).cast("int").alias("__b"), "__wq"
+        )
+        packed = (
+            prev.join(grads, "__b", "left")
+            .crossJoin(broadcast(ncnt))
+            .select(
+                "__b",
+                (
+                    F.col("__wq")
+                    - F.expr(
+                        f"(({lr_num}L * coalesce(__gsum, 0L)) "
+                        f"- pmod({lr_num}L * coalesce(__gsum, 0L), {lr_den}L * __n)) "
+                        f"div ({lr_den}L * __n)"
+                    )
+                ).alias("__wq"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__b", "__wq"))),
+                    lambda s: s["__wq"],
+                ).alias("__w")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return packed.select(F.posexplode("__w").alias("__i", "__wq")).select(
+        (F.col("__i") - 1).cast("int").alias("feature"),
+        (F.col("__wq").cast("double") / F.lit(float(scale))).alias("weight"),
+    )
+
+
 def hashed_bow_score(
     df: DataFrame,
     id_col: str,

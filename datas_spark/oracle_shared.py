@@ -16,6 +16,7 @@ __all__ = [
     "lloyd_cte_sql",
     "kcenter_cte_sql",
     "pca_power_cte_sql",
+    "logreg_cte_sql",
     "IVF_COS_SQL",
 ]
 
@@ -272,6 +273,90 @@ def lloyd_cte_sql(
     )"""
     )
     return "".join(parts)
+
+def logreg_cte_sql(
+    src: str,
+    id_expr: str,
+    text_expr: str,
+    label_sql: str,
+    num_features: int,
+    n_steps: int,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    scale: int = 1_000_000,
+    prefix: str = "lr",
+) -> str:
+    """DuckDB CTE chain replaying `corpus.logreg_gd_train` exactly:
+    hash60 bucket counts, integer ``1/scale``-unit weights (init 0,
+    intercept rides as bucket −1 with count 1 per doc), per-step exact
+    integer logit → sigmoid → residual re-quantized to an integer at
+    1e-6 (the per-step resync that stops libm-exp ulp drift), exact
+    integer gradient, and the weight update via exact integer floor
+    division ``(s − ((s % n) + n) % n) // n`` with HUGEINT sums.
+
+    ``label_sql`` is a SQL expression over ``{src}``'s columns yielding
+    the 0/1 teacher label. Emits CTEs named ``{prefix}_*``; the final
+    weight table is ``{prefix}_w{n_steps} (b, wq)`` and
+    ``{prefix}_model (feature, weight)`` is the divided-back output
+    shape. Every re-referenced CTE is MATERIALIZED (plain CTEs inline
+    and replay the whole chain exponentially).
+    """
+    p = prefix
+    parts = [
+        f"""
+    {p}_cnt AS MATERIALIZED (
+      SELECT id, b, count(*)::BIGINT AS c FROM (
+        SELECT {id_expr} AS id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % {num_features}
+                 AS b
+        FROM (SELECT {id_expr},
+                     unnest(string_split_regex(trim({text_expr}), '\\s+'))
+                       AS tok
+              FROM {src})
+      ) GROUP BY id, b
+    ), {p}_lab AS MATERIALIZED (
+      SELECT {id_expr} AS id, CAST({label_sql} AS BIGINT) AS y FROM {src}
+    ), {p}_n AS (SELECT count(*)::BIGINT AS n FROM {p}_lab),
+    {p}_feat AS MATERIALIZED (
+      SELECT l.id, l.y, c.b, c.c
+      FROM {p}_lab l JOIN {p}_cnt c ON c.id = l.id
+      UNION ALL
+      SELECT id, y, -1, 1::BIGINT FROM {p}_lab
+    ), {p}_w0 AS (
+      SELECT f::INT AS b, 0::BIGINT AS wq
+      FROM (SELECT unnest(range(-1, {num_features})) AS f)
+    )"""
+    ]
+    for r in range(1, n_steps + 1):
+        parts.append(
+            f""", {p}_rq{r} AS MATERIALIZED (
+      SELECT id, CAST(round((1.0 / (1.0 + exp(-(zq::DOUBLE / {scale}.0)))
+                             - y::DOUBLE) * {scale}.0) AS BIGINT) AS rq
+      FROM (
+        SELECT f.id, any_value(f.y) AS y, sum(w.wq * f.c) AS zq
+        FROM {p}_feat f JOIN {p}_w{r - 1} w ON w.b = f.b
+        GROUP BY f.id
+      )
+    ), {p}_w{r} AS MATERIALIZED (
+      SELECT w.b,
+             w.wq - CAST((s - ((s % dn) + dn) % dn) // dn AS BIGINT) AS wq
+      FROM {p}_w{r - 1} w LEFT JOIN (
+        SELECT f.b, {lr_num} * sum(r.rq * f.c) AS g
+        FROM {p}_feat f JOIN {p}_rq{r} r ON r.id = f.id
+        GROUP BY f.b
+      ) gr ON gr.b = w.b,
+      LATERAL (SELECT coalesce(gr.g, 0)::HUGEINT AS s,
+                      ({lr_den} * (SELECT n FROM {p}_n))::HUGEINT AS dn) t
+    )"""
+        )
+    parts.append(
+        f""", {p}_model AS (
+      SELECT b AS feature, wq::DOUBLE / {scale}.0 AS weight
+      FROM {p}_w{n_steps}
+    )"""
+    )
+    return "".join(parts)
+
 
 _LANG_COUNTS_SQL = {
     lang: (

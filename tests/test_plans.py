@@ -220,6 +220,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "maxsim_recall_report",            # same constants + 1-row hit/total count scalars
         "semdedup",                        # 1-row packed Lloyd centroid frame (same as kmeans_clusters)
         "rougeL_novel_instructions",       # 1-row packed broadcast instruction pool
+        # round 11
+        "quality_classifier_train_exact",  # 1-row packed GD weight row per step + 1-row doc-count scalar
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
