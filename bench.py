@@ -416,6 +416,11 @@ HEADLINE = [
     "bitext_margin_pairs",
     # round-11 batch 1: deterministic GD quality-classifier trainer
     "quality_classifier_train_exact",
+    # round-11 batch 2: Lloyd-learned PQ/IVF-PQ codebooks + readouts
+    "pq_topk_learned",
+    "ivfpq_topk_learned",
+    "pq_recall_learned_vs_fixed",
+    "pq_distortion_learned_vs_fixed",
 ]
 
 RUNS_PER_QUERY = 3

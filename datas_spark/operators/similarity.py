@@ -644,6 +644,21 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     cb = broadcast(_pq_codebook(codebook_src, code_id, vec_col, m, sub))
+    return _pq_encode_presplit(data, cb, data_id, vec_col, m, sub)
+
+
+def _pq_encode_presplit(
+    data: DataFrame,
+    cb: DataFrame,
+    data_id: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """`pq_encode`'s body against an already-split (and already
+    broadcast-wrapped) codebook frame ``(__j, __code, __cb, __n2)`` —
+    the shape both the fixed-sample splitter (`_pq_codebook`) and the
+    per-subspace Lloyd trainer (`pq_codebooks_lloyd`) emit."""
     slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
     dsub = data.select(
         F.col(data_id).alias("__did"), F.col(vec_col).cast("array<double>").alias("__v")
@@ -694,6 +709,19 @@ def _pq_lut(
     |q|·m·ks tiny rows, then broadcast into the code scan. Also returns
     the normalized query frame ``(__qid, __v)`` for the rerank."""
     cb = broadcast(_pq_codebook(codebook_src, code_id, vec_col, m, sub))
+    return _pq_lut_presplit(queries, cb, query_id, vec_col, m, sub, ks)
+
+
+def _pq_lut_presplit(
+    queries: DataFrame,
+    cb: DataFrame,
+    query_id: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    ks: int,
+) -> tuple[DataFrame, DataFrame]:
+    """`_pq_lut`'s body against an already-split codebook frame."""
     slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).cast("array<double>").alias("__v")
@@ -812,6 +840,29 @@ def pq_topk_on_codes(
     sub = dim // m
     ks = codebook_src.count()
     q, lut = _pq_lut(queries, codebook_src, query_id, code_id, vec_col, m, sub, ks)
+    return _pq_rank_on_codes(
+        enc, data, q, lut, data_id, vec_col, qname, dname, m, ks, k, oversample
+    )
+
+
+def _pq_rank_on_codes(
+    enc: DataFrame,
+    data: DataFrame,
+    q: DataFrame,
+    lut: DataFrame,
+    data_id: str,
+    vec_col: str,
+    qname: str,
+    dname: str,
+    m: int,
+    ks: int,
+    k: int,
+    oversample: int,
+) -> DataFrame:
+    """Shared ADC-scan + exact-rerank tail of every PQ query path
+    (fixed-sample and Lloyd-learned codebooks alike): broadcast LUT
+    into the code scan, bucketed two-stage candidate rank, broadcast
+    the survivors back for the exact-cosine rerank."""
     approx = _pq_adc_score(m, ks)
     n_cand = k * max(oversample, 1)
     buckets = 64
@@ -844,6 +895,205 @@ def pq_topk_on_codes(
     )
     w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
     return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_codebooks_lloyd(
+    train: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ks: int = 8,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Lloyd-learned PQ codebooks — what real FAISS ``index_factory``
+    training does (per-subspace k-means), replacing the fixed-sample
+    codebooks of `pq_topk_fixed`, and hash-checkable because each
+    subspace trains with the deterministic unrolled Lloyd trainer
+    (`clustering.kmeans_lloyd`: e6-integer distances, (md5(id), id)
+    init, exact-integer centroid updates).
+
+    One independent ``ks``-centroid Lloyd run per subvector block
+    ``j`` (each a map-only-assignment chain over the ``dim/m``-dim
+    slices — m·n_rounds scans + k·sub-row aggregates total, zero
+    collects); ``dim`` is an explicit parameter so composing this into
+    a pipeline triggers no pre-plan width probe. Returns the pre-split
+    codebook frame ``(__j int, __code int, __cb array<double>,
+    __n2 double)`` that `_pq_encode_presplit` / `_pq_lut_presplit`
+    broadcast — contractually tiny (m·ks rows).
+    """
+    from datas_spark.operators.clustering import kmeans_lloyd
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        sl = train.select(
+            F.col(id_col).alias("__tid"),
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("__sv"),
+        )
+        _, cents = kmeans_lloyd(sl, "__tid", "__sv", k=ks, n_rounds=n_rounds)
+        parts.append(
+            cents.select(
+                F.lit(j).cast("int").alias("__j"),
+                F.col("cluster").cast("int").alias("__code"),
+                F.col("centroid").alias("__cb"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    n2 = F.aggregate(F.col("__cb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    # m·ks rows — pin once, every consumer broadcasts this frame
+    return out.withColumn("__n2", n2).localCheckpoint(eager=False)
+
+
+def pq_topk_learned(
+    data: DataFrame,
+    queries: DataFrame,
+    train: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ks: int = 8,
+    n_rounds: int = 2,
+    k: int = 10,
+    oversample: int = 4,
+) -> DataFrame:
+    """PQ ANN top-k with LEARNED per-subspace Lloyd codebooks — the
+    full FAISS ``PQ{m}`` layout end to end: train (`pq_codebooks_lloyd`
+    on ``train``), encode (`_pq_encode_presplit`), per-query ADC LUTs,
+    compressed-domain scan, exact rerank — every stage deterministic,
+    so training + encoding + ADC + rerank all replay in the oracle.
+    Same output contract as `pq_topk_fixed` (query, id, cos,
+    rank<=k)."""
+    qname, dname = _out_names(query_id, data_id)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cbn = broadcast(pq_codebooks_lloyd(train, data_id, vec_col, dim, m, ks, n_rounds))
+    enc = _pq_encode_presplit(data, cbn, data_id, vec_col, m, sub)
+    q, lut = _pq_lut_presplit(queries, cbn, query_id, vec_col, m, sub, ks)
+    return _pq_rank_on_codes(
+        enc, data, q, lut, data_id, vec_col, qname, dname, m, ks, k, oversample
+    )
+
+
+def ivfpq_topk_learned(
+    data: DataFrame,
+    queries: DataFrame,
+    train: DataFrame,
+    data_id: str,
+    query_id: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    cell_rounds: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    cb_rounds: int = 2,
+    k: int = 10,
+    oversample: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-PQ with BOTH quantizers learned — the full FAISS
+    ``IVF{n_cells},PQ{m}`` training story, hash-checkable end to end:
+    the coarse quantizer is a deterministic full-dim Lloyd run
+    (`clustering.kmeans_lloyd`, the `ivf_topk_learned` cells) and the
+    fine quantizer is `pq_codebooks_lloyd` (per-subspace Lloyd). Cell
+    assignment, codes, probes, ADC scores, candidate cut and rerank
+    all replay in the oracle. Same plan shape as `ivfpq_topk_fixed`:
+    two broadcast-join map-side index passes, probes ⋈ LUTs broadcast
+    into the code scan, vectors touched only for rerank survivors.
+    ``dim`` is explicit — composing this triggers no pre-plan width
+    probe."""
+    from datas_spark.operators.clustering import kmeans_lloyd
+
+    qname, dname = _out_names(query_id, data_id)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    _, cents = kmeans_lloyd(
+        train.select(F.col(data_id), F.col(vec_col)),
+        data_id, vec_col, k=n_cells, n_rounds=cell_rounds,
+    )
+    c = cents.select(
+        F.col("cluster").alias("__cell"), F.col("centroid").alias("__cv")
+    ).localCheckpoint(eager=False)
+    cbn = broadcast(pq_codebooks_lloyd(train, data_id, vec_col, dim, m, ks, cb_rounds))
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
+    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    assign = (
+        d.crossJoin(broadcast(c))
+        .withColumn("__cs", cs)
+        .groupBy("__did")
+        .agg(
+            F.min_by(
+                "__cell", F.struct((-F.col("__cs")).alias("n"), F.col("__cell"))
+            ).alias("__cell")
+        )
+    )
+    enc = _pq_encode_presplit(data, cbn, data_id, vec_col, m, sub).join(
+        assign, "__did"
+    )
+    q, lut = _pq_lut_presplit(queries, cbn, query_id, vec_col, m, sub, ks)
+    return _ivfpq_rank_on_index(
+        enc, data, q, lut, c, data_id, vec_col, qname, dname,
+        m, ks, k, oversample, n_probe,
+    )
+
+
+def pq_distortion_presplit(
+    data: DataFrame,
+    cb: DataFrame,
+    data_id: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """Per-subspace mean squared quantization error of a (pre-split)
+    PQ codebook — the k-means objective itself, measured as a query:
+    codebook comparisons (learned vs sample, ks choices) should land
+    with this number, not a hand-waved 'trained is better'.
+
+    Per (vector, subspace): the min rounded L2² distance to any code
+    (exactly the encoder's assignment metric), e6-quantized to an
+    integer so the corpus-wide sum is order-free exact; the mean is
+    ONE division of exact integers (deterministic cross-engine).
+    Returns ``(j int, n_vectors long, mse double)``."""
+    slices = F.array(*[F.slice(F.col("__v"), j * sub + 1, sub) for j in range(m)])
+    dsub = data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select("__did", F.posexplode(slices).alias("__j", "__sub"))
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("__sub", "__cb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ) + F.lit(0.0)
+    per = (
+        dsub.join(cb, "__j")
+        .select("__did", "__j", dist.alias("__d"))
+        .groupBy("__did", "__j")
+        .agg(F.min("__d").alias("__e2"))
+    )
+    e2q = F.round(F.col("__e2") * F.lit(1e6), 0).cast("long")
+    return per.groupBy("__j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (
+            F.round(
+                F.sum(e2q)
+                / (F.count(F.lit(1)) * F.lit(1_000_000)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mse"),
+    ).select(F.col("__j").alias("j"), "n_vectors", "mse")
 
 
 def ivfpq_topk_fixed(
@@ -955,9 +1205,34 @@ def ivfpq_topk_on_index(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     ks = codebook_src.count()
-    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
     c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
     q, lut = _pq_lut(queries, codebook_src, query_id, code_id, vec_col, m, sub, ks)
+    return _ivfpq_rank_on_index(
+        enc, data, q, lut, c, data_id, vec_col, qname, dname,
+        m, ks, k, oversample, n_probe,
+    )
+
+
+def _ivfpq_rank_on_index(
+    enc: DataFrame,
+    data: DataFrame,
+    q: DataFrame,
+    lut: DataFrame,
+    c: DataFrame,
+    data_id: str,
+    vec_col: str,
+    qname: str,
+    dname: str,
+    m: int,
+    ks: int,
+    k: int,
+    oversample: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared probe + cell-restricted ADC scan + rerank tail of the
+    IVF-PQ query paths (fixed and Lloyd-learned quantizers alike);
+    ``c`` is the normalized ``(__cell, __cv)`` cell frame."""
+    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
     qs = F.round(cosine_similarity("__v", "__cv"), 6) + F.lit(0.0)
     wp = Window.partitionBy("__qid").orderBy(F.col("__qs").desc(), F.col("__cell").asc())
     probes = (

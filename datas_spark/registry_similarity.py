@@ -1153,6 +1153,355 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 11: Lloyd-learned PQ codebooks (VERDICT r10 #2) — real FAISS
+# trains per-subspace k-means codebooks; the hash-checkable Lloyd
+# trainer makes the full train→encode→ADC→rerank layout replayable.
+_PQL_M, _PQL_KS, _PQL_ROUNDS, _PQL_SUB = 4, 8, 2, 16
+
+
+def _pq_lloyd_cbn_ctes() -> str:
+    """The learned-codebook half: 4 per-subspace Lloyd chains + the
+    ``cbn`` codebook table (j, code, sub, n2)."""
+    from datas_spark.oracle_shared import lloyd_cte_sql
+
+    m, ks, sub = _PQL_M, _PQL_KS, _PQL_SUB
+    lloyds = ",".join(
+        lloyd_cte_sql(
+            "embeddings", "vec_id",
+            f"embedding[{j * sub + 1}:{(j + 1) * sub}]",
+            ks, _PQL_ROUNDS, sub, prefix=f"pl{j}",
+        )
+        for j in range(m)
+    )
+    cbn_union = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, c.j AS code, c.cv AS sub,"
+        f" list_sum(list_transform(c.cv, x -> x*x)) AS n2 FROM pl{j}_cent c"
+        for j in range(m)
+    )
+    return f"""{lloyds},
+    cbn AS MATERIALIZED (
+      {cbn_union}
+    )"""
+
+
+def _pq_adc_chain_ctes(
+    cbn: str, p: str, n_cand: int = 80, k: int = 10, probe_joins: str = ""
+) -> str:
+    """The ADC scan + exact rerank against codebook CTE ``{cbn}``:
+    emits ``{p}asg``/``{p}dn``/``{p}top (q_vec_id, d_vec_id, cos,
+    rank<=k)``. Expects shared ``qsub``/``qn`` CTEs in scope;
+    ``probe_joins`` (extra JOIN lines over aliases ``q``/``a``)
+    restricts the scored pairs to IVF-probed cells."""
+    sub, m = _PQL_SUB, _PQL_M
+    return f"""{p}dsub AS (
+      SELECT e.vec_id AS did, t.j,
+             list_transform(e.embedding[t.j*{sub}+1 : t.j*{sub}+{sub}],
+                            x -> x::DOUBLE) AS sub
+      FROM embeddings e, range(0,{m}) t(j)
+    ), {p}asg AS MATERIALIZED (
+      SELECT did, j, code, n2 FROM (
+        SELECT d.did, d.j, c.code, c.n2,
+               row_number() OVER (PARTITION BY d.did, d.j ORDER BY
+                 round(list_sum(list_transform(range(1,{sub + 1}), i ->
+                   (d.sub[i]-c.sub[i])*(d.sub[i]-c.sub[i]))), 6) + 0.0 ASC,
+                 c.code ASC) AS rn
+        FROM {p}dsub d JOIN {cbn} c USING (j))
+      WHERE rn = 1
+    ), {p}dn AS (
+      SELECT did, list_sum(list(n2 ORDER BY j)) AS dn2 FROM {p}asg GROUP BY did
+    ), {p}ipj AS (
+      SELECT q.qid, a.did, a.j,
+             list_sum(list_transform(range(1,{sub + 1}), i -> q.sub[i]*c.sub[i])) AS dotj
+      FROM qsub q
+      JOIN {p}asg a ON a.j = q.j
+      JOIN {cbn} c ON c.j = a.j AND c.code = a.code
+      {probe_joins}
+    ), {p}approx AS (
+      SELECT i.qid, i.did,
+             round(list_sum(list(i.dotj ORDER BY i.j))
+                   / (qn.qnorm * sqrt(dn.dn2)), 6) + 0.0 AS s
+      FROM {p}ipj i JOIN qn USING (qid) JOIN {p}dn dn USING (did)
+      WHERE qn.qnorm > 0 AND dn.dn2 > 0
+      GROUP BY i.qid, i.did, qn.qnorm, dn.dn2
+    ), {p}cand AS (
+      SELECT qid, did FROM (
+        SELECT qid, did,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, did ASC) AS rn
+        FROM {p}approx)
+      WHERE rn <= {n_cand}
+    ), {p}rer AS (
+      SELECT c.qid AS q_vec_id, c.did AS d_vec_id,
+             {_IVF_COS_SQL.format(a='d', b='q')} AS cos
+      FROM {p}cand c JOIN embeddings d ON d.vec_id = c.did
+                     JOIN embeddings q ON q.vec_id = c.qid
+    ), {p}top AS (
+      SELECT q_vec_id, d_vec_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM {p}rer) WHERE rank <= {k}
+    )"""
+
+
+_PQ_QSUB_CTES = f"""qsub AS (
+      SELECT e.vec_id AS qid, t.j,
+             list_transform(e.embedding[t.j*{_PQL_SUB}+1 : t.j*{_PQL_SUB}+{_PQL_SUB}],
+                            x -> x::DOUBLE) AS sub
+      FROM embeddings e, range(0,{_PQL_M}) t(j) WHERE e.vec_id < 3
+    ), qn AS (
+      SELECT vec_id AS qid,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qnorm
+      FROM embeddings WHERE vec_id < 3
+    )"""
+
+
+@register(
+    "pq_topk_learned",
+    oracle=f"""
+    WITH {_pq_lloyd_cbn_ctes()}, {_PQ_QSUB_CTES},
+    {_pq_adc_chain_ctes("cbn", "lq_")}
+    SELECT q_vec_id, d_vec_id, cos, rank FROM lq_top
+    """,
+)
+def q_pq_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with LEARNED per-subspace Lloyd codebooks
+    (`similarity.pq_topk_learned`) — the full FAISS ``PQ4`` layout
+    end to end: 4 independent deterministic Lloyd runs over the
+    16-dim subvector blocks train the codebooks, the corpus encodes
+    against them, per-query ADC LUTs score the compressed domain, and
+    the 8·k survivors exact-rerank. Training + encoding + ADC + rerank
+    ALL replay in the oracle (4 unrolled Lloyd chains). The fixed
+    sample-codebook variant stays as `pq_topk`."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk_learned(
+        emb, emb.where("vec_id < 3"), emb,
+        "vec_id", "vec_id", "embedding", dim=64,
+        m=_PQL_M, ks=_PQL_KS, n_rounds=_PQL_ROUNDS, k=10, oversample=8,
+    )
+
+
+def _ivfpq_learned_oracle() -> str:
+    from datas_spark.oracle_shared import lloyd_cte_sql
+
+    vc = lloyd_cte_sql("embeddings", "vec_id", "embedding", 8, 2, 64, prefix="vc")
+    probe_joins = """JOIN vcas cs2 ON cs2.did = a.did
+      JOIN vprobes p ON p.qid = q.qid AND p.cell = cs2.cell"""
+    return f"""
+    WITH {vc}, vcells AS (
+      SELECT j AS cell, cv AS embedding FROM vc_cent
+    ), vca AS (
+      SELECT e.vec_id AS did, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='e', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN vcells c
+    ), vcas AS MATERIALIZED (
+      SELECT did, cell FROM vca WHERE rn = 1
+    ), vqp AS (
+      SELECT q.vec_id AS qid, c.cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_IVF_COS_SQL.format(a='q', b='c')} DESC, c.cell ASC) AS rn
+      FROM embeddings q CROSS JOIN vcells c
+      WHERE q.vec_id < 3
+    ), vprobes AS (
+      SELECT qid, cell FROM vqp WHERE rn <= 3
+    ), {_pq_lloyd_cbn_ctes().lstrip()}, {_PQ_QSUB_CTES},
+    {_pq_adc_chain_ctes("cbn", "iv_", probe_joins=probe_joins)}
+    SELECT q_vec_id, d_vec_id, cos, rank FROM iv_top
+    """
+
+
+@register("ivfpq_topk_learned", oracle=_ivfpq_learned_oracle())
+def q_ivfpq_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with BOTH quantizers Lloyd-learned
+    (`similarity.ivfpq_topk_learned`) — the full FAISS ``IVF8,PQ4``
+    training story: the coarse cells are the `ivf_topk_learned`
+    deterministic Lloyd run, the fine codebooks are per-subspace Lloyd
+    (`pq_codebooks_lloyd`), and cell assignment, codes, probes, ADC
+    scores, candidate cut and rerank ALL replay in the oracle (five
+    unrolled Lloyd chains total). The fixed sample-quantizer variant
+    stays as `ivfpq_topk`."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk_learned(
+        emb, emb.where("vec_id < 3"), emb,
+        "vec_id", "vec_id", "embedding", dim=64,
+        n_cells=8, cell_rounds=2,
+        m=_PQL_M, ks=_PQL_KS, cb_rounds=_PQL_ROUNDS,
+        k=10, oversample=8, n_probe=3,
+    )
+
+
+@register(
+    "pq_recall_learned_vs_fixed",
+    oracle=f"""
+    WITH {_pq_lloyd_cbn_ctes()},
+    cbf AS MATERIALIZED (
+      SELECT j, code, sub, list_sum(list_transform(sub, x -> x*x)) AS n2
+      FROM (
+        SELECT t.j, e.vec_id AS code,
+               list_transform(e.embedding[t.j*{_PQL_SUB}+1 : t.j*{_PQL_SUB}+{_PQL_SUB}],
+                              x -> x::DOUBLE) AS sub
+        FROM embeddings e, range(0,{_PQL_M}) t(j) WHERE e.vec_id < {_PQL_KS}
+      )
+    ), {_PQ_QSUB_CTES},
+    {_pq_adc_chain_ctes("cbn", "lq_")},
+    {_pq_adc_chain_ctes("cbf", "fq_")},
+    q0 AS (
+      SELECT vec_id AS q_vec_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), exsc AS (
+      SELECT q0.q_vec_id, d.vec_id AS d_vec_id,
+        round(
+          list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * q0.qv[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(d.embedding) + 1),
+                   i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, len(q0.qv) + 1),
+                   i -> q0.qv[i]::DOUBLE * q0.qv[i]::DOUBLE)))), 6) AS cos
+      FROM embeddings d CROSS JOIN q0
+    ), ex AS MATERIALIZED (
+      SELECT q_vec_id, d_vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cos DESC, d_vec_id ASC) AS rank
+        FROM exsc) WHERE rank <= 10
+    ), base AS MATERIALIZED (
+      SELECT q_vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1
+    ), lh AS (
+      SELECT ex.q_vec_id, count(*)::BIGINT AS n_hits
+      FROM ex JOIN lq_top USING (q_vec_id, d_vec_id) GROUP BY 1
+    ), fh AS (
+      SELECT ex.q_vec_id, count(*)::BIGINT AS n_hits
+      FROM ex JOIN fq_top USING (q_vec_id, d_vec_id) GROUP BY 1
+    )
+    SELECT 'learned' AS method, base.q_vec_id, base.n_exact,
+           coalesce(lh.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(lh.n_hits, 0) / base.n_exact::DOUBLE, 6) + 0.0 AS recall
+    FROM base LEFT JOIN lh USING (q_vec_id)
+    UNION ALL
+    SELECT 'fixed' AS method, base.q_vec_id, base.n_exact,
+           coalesce(fh.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(fh.n_hits, 0) / base.n_exact::DOUBLE, 6) + 0.0 AS recall
+    FROM base LEFT JOIN fh USING (q_vec_id)
+    """,
+)
+def q_pq_recall_learned_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ4×8 with Lloyd-learned codebooks vs the same
+    geometry with fixed sample codebooks (first-8-vectors subvectors),
+    both against the exact cosine top-10 — 'measure, don't guess' for
+    the index-design choice itself; both retrieval chains, the exact
+    chain, and the hit counting all hash-check.
+
+    Measured finding (the reason this report exists): on the test
+    embeddings — near-random, NO cluster structure — learned-mean
+    codebooks LOSE cosine recall to full-norm sample codebooks
+    (centroid means shrink ~1/√(cell size) toward the origin, so ADC
+    dots lose discrimination) even while winning reconstruction MSE
+    by ~30 % (`pq_distortion_learned_vs_fixed`, k-means' own
+    objective). On clustered real-embedding corpora the shrinkage
+    vanishes (cells are tight) and training wins both; on
+    structureless data spend the training budget on spherical k-means
+    or more codes instead."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 3")
+    exact = SIM.cosine_topk(emb, q, "vec_id", "vec_id", "embedding", k=10)
+    learned = SIM.pq_topk_learned(
+        emb, q, emb, "vec_id", "vec_id", "embedding", dim=64,
+        m=_PQL_M, ks=_PQL_KS, n_rounds=_PQL_ROUNDS, k=10, oversample=8,
+    )
+    cbs = emb.where(f"vec_id < {_PQL_KS}").select(
+        F.col("vec_id").alias("code"), "embedding"
+    )
+    fixed = SIM.pq_topk_fixed(
+        emb, q, cbs, "vec_id", "vec_id", "code", "embedding",
+        m=_PQL_M, k=10, oversample=8,
+    )
+    rep = lambda method, approx: (
+        SIM.ann_recall_report(exact, approx, "q_vec_id", "d_vec_id")
+        .select(
+            F.lit(method).alias("method"),
+            "q_vec_id", "n_exact", "n_hits", "recall",
+        )
+    )
+    return rep("learned", learned).unionAll(rep("fixed", fixed))
+
+
+@register(
+    "pq_distortion_learned_vs_fixed",
+    oracle=f"""
+    WITH {_pq_lloyd_cbn_ctes()},
+    cbf AS MATERIALIZED (
+      SELECT j, code, sub, list_sum(list_transform(sub, x -> x*x)) AS n2
+      FROM (
+        SELECT t.j, e.vec_id AS code,
+               list_transform(e.embedding[t.j*{_PQL_SUB}+1 : t.j*{_PQL_SUB}+{_PQL_SUB}],
+                              x -> x::DOUBLE) AS sub
+        FROM embeddings e, range(0,{_PQL_M}) t(j) WHERE e.vec_id < {_PQL_KS}
+      )
+    ), dsub AS MATERIALIZED (
+      SELECT e.vec_id AS did, t.j,
+             list_transform(e.embedding[t.j*{_PQL_SUB}+1 : t.j*{_PQL_SUB}+{_PQL_SUB}],
+                            x -> x::DOUBLE) AS sub
+      FROM embeddings e, range(0,{_PQL_M}) t(j)
+    ), dl AS (
+      SELECT d.did, d.j,
+             min(round(list_sum(list_transform(range(1,{_PQL_SUB + 1}), i ->
+                 (d.sub[i]-c.sub[i])*(d.sub[i]-c.sub[i]))), 6) + 0.0) AS e2
+      FROM dsub d JOIN cbn c USING (j) GROUP BY d.did, d.j
+    ), df AS (
+      SELECT d.did, d.j,
+             min(round(list_sum(list_transform(range(1,{_PQL_SUB + 1}), i ->
+                 (d.sub[i]-c.sub[i])*(d.sub[i]-c.sub[i]))), 6) + 0.0) AS e2
+      FROM dsub d JOIN cbf c USING (j) GROUP BY d.did, d.j
+    )
+    SELECT 'learned' AS method, j, count(*)::BIGINT AS n_vectors,
+           round(sum(CAST(round(e2 * 1000000.0) AS BIGINT))::DOUBLE
+                 / (count(*) * 1000000)::DOUBLE, 6) + 0.0 AS mse
+    FROM dl GROUP BY j
+    UNION ALL
+    SELECT 'fixed' AS method, j, count(*)::BIGINT AS n_vectors,
+           round(sum(CAST(round(e2 * 1000000.0) AS BIGINT))::DOUBLE
+                 / (count(*) * 1000000)::DOUBLE, 6) + 0.0 AS mse
+    FROM df GROUP BY j
+    """,
+)
+def q_pq_distortion_learned_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace reconstruction MSE of the Lloyd-learned PQ
+    codebooks vs the fixed sample codebooks
+    (`similarity.pq_distortion_presplit`) — the k-means objective as
+    a hash-checked readout. Learned wins ~30 % on the test embeddings
+    BY CONSTRUCTION (Lloyd minimizes exactly this); paired with
+    `pq_recall_learned_vs_fixed`, which shows the cosine-recall side
+    of the same trade on structureless data. Per-point errors
+    e6-quantize to integers so the corpus sums are order-free."""
+    from datas_spark.operators import similarity as SIM
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbn = F.broadcast(
+        SIM.pq_codebooks_lloyd(
+            emb, "vec_id", "embedding", 64,
+            m=_PQL_M, ks=_PQL_KS, n_rounds=_PQL_ROUNDS,
+        )
+    )
+    cbf = F.broadcast(
+        SIM._pq_codebook(
+            emb.where(f"vec_id < {_PQL_KS}").select(
+                F.col("vec_id").alias("code"), "embedding"
+            ),
+            "code", "embedding", _PQL_M, _PQL_SUB,
+        )
+    )
+    rep = lambda method, cb: (
+        SIM.pq_distortion_presplit(emb, cb, "vec_id", "embedding", _PQL_M, _PQL_SUB)
+        .select(F.lit(method).alias("method"), "j", "n_vectors", "mse")
+    )
+    return rep("learned", cbn).unionAll(rep("fixed", cbf))
+
+
 @register(
     "ivf_recall_report",
     oracle=f"""

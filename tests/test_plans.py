@@ -222,6 +222,10 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "rougeL_novel_instructions",       # 1-row packed broadcast instruction pool
         # round 11
         "quality_classifier_train_exact",  # 1-row packed GD weight row per step + 1-row doc-count scalar
+        "pq_topk_learned",                 # packed Lloyd rows (4 sub-trainers) + broadcast LUT/query set
+        "ivfpq_topk_learned",              # same + packed coarse-cell Lloyd rows + probe frame
+        "pq_recall_learned_vs_fixed",      # both PQ chains' broadcast LUTs + cosine_topk query set
+        "pq_distortion_learned_vs_fixed",  # m*ks-row broadcast codebooks (both variants)
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

@@ -474,3 +474,81 @@ def test_bitext_margin_validates(spark):
     df = spark.createDataFrame([(1, [0.1, 0.2])], "id long, v array<double>")
     with _pytest.raises(ValueError):
         bitext_margin_pairs(df, df, "id", "v", knn=0)
+
+
+# ---------------------------------------------------------------------------
+# round 11: Lloyd-learned PQ codebooks (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebooks_lloyd_shape_and_determinism(spark):
+    rows, df = _vecs(spark, n=60, dim=8, seed=13)
+    cb = SIM.pq_codebooks_lloyd(df, "id", "v", dim=8, m=2, ks=4, n_rounds=2)
+    got = cb.collect()
+    assert len(got) == 2 * 4  # m*ks entries
+    assert {(r["__j"], r["__code"]) for r in got} == {
+        (j, c) for j in range(2) for c in range(4)
+    }
+    for r in got:
+        assert len(r["__cb"]) == 4  # sub = dim/m
+        assert r["__n2"] >= 0.0
+    again = {(r["__j"], r["__code"]): r["__cb"]
+             for r in SIM.pq_codebooks_lloyd(
+                 df, "id", "v", dim=8, m=2, ks=4, n_rounds=2).collect()}
+    assert {(r["__j"], r["__code"]): r["__cb"] for r in got} == again
+
+
+def test_pq_topk_learned_full_oversample_equals_exact(spark):
+    rows, df = _vecs(spark, n=30, dim=8, seed=7)
+    q = df.where("id < 3")
+    pq = SIM.pq_topk_learned(df, q, df, "id", "id", "v", dim=8,
+                             m=4, ks=8, k=5, oversample=6)
+    exact = SIM.cosine_topk(df, q, "id", "id", "v", k=5)
+    assert sorted(map(tuple, pq.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, exact.collect()), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivfpq_topk_learned_contract(spark):
+    rows, df = _vecs(spark, n=80, dim=8, seed=9)
+    q = df.where("id < 2")
+    out = SIM.ivfpq_topk_learned(
+        df, q, df, "id", "id", "v", dim=8,
+        n_cells=4, m=4, ks=8, k=5, oversample=8, n_probe=4,
+    ).collect()
+    assert out and all(r["rank"] <= 5 for r in out)
+    # probing every cell with full oversample: each query finds itself
+    best = {r["q_id"]: r["d_id"] for r in out if r["rank"] == 1}
+    assert best == {0: 0, 1: 1}
+
+
+def test_pq_distortion_learned_beats_fixed_and_rounds_monotone(spark):
+    """Lloyd training wins its own objective: on the sf-embedding-like
+    random data the learned codebooks beat the first-ks sample
+    codebooks on reconstruction MSE, and more Lloyd rounds never make
+    it worse (per-step monotonicity of the k-means objective)."""
+    rows, df = _vecs(spark, n=200, dim=8, seed=21)
+    from pyspark.sql.functions import broadcast as _bc
+
+    mse = lambda cb: {
+        r["j"]: r["mse"]
+        for r in SIM.pq_distortion_presplit(df, _bc(cb), "id", "v", 2, 4).collect()
+    }
+    learned = mse(SIM.pq_codebooks_lloyd(df, "id", "v", dim=8, m=2, ks=4, n_rounds=3))
+    fixed = mse(SIM._pq_codebook(
+        df.where("id < 4").selectExpr("id as code", "v"), "code", "v", 2, 4
+    ))
+    one_round = mse(SIM.pq_codebooks_lloyd(df, "id", "v", dim=8, m=2, ks=4, n_rounds=1))
+    assert set(learned) == {0, 1} and all(v >= 0 for v in learned.values())
+    assert sum(learned.values()) < sum(fixed.values())
+    assert sum(learned.values()) <= sum(one_round.values()) + 1e-9
+
+
+def test_pq_learned_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    rows, df = _vecs(spark, n=10, dim=6, seed=2)
+    with _pytest.raises(ValueError):
+        SIM.pq_codebooks_lloyd(df, "id", "v", dim=6, m=4)
+    with _pytest.raises(ValueError):
+        SIM.pq_topk_learned(df, df, df, "id", "id", "v", dim=6, m=4)
