@@ -14,9 +14,16 @@ ONLY by scripts/bench_floor_merge.py (VERDICT r8 "What's wrong" #1: a
 bench run that wrote the raw session doc over the floors doc silently
 dropped every floor_canary on the next commit). Flow:
 
-    python bench.py                      # -> BENCH_RUN.json
+    python bench.py                      # -> BENCH_RUN.json (+ self-triage)
     python scripts/bench_diff.py         # gate: floors vs BENCH_RUN
     python scripts/bench_floor_merge.py  # min-merge -> BENCH_DETAIL.json
+
+Round-11 (VERDICT r10 #4): bench.py adjudicates its own session at
+close — any floor-gate flag is re-measured median-of-3 in a fresh JVM
+(after this session's spark.stop()) and the ``triage`` block is
+stamped into BENCH_RUN.json, so the driver's plain bench run carries
+its own verdicts and ``bench_diff.py --triage`` reuses them instead of
+requiring a judge-side manual pass.
 
 Each query is executed with a count()-style action (results consumed,
 not collected to the driver). Per-query time is the MEDIAN of 3 timed
@@ -475,6 +482,49 @@ def _range_sentinel(spark) -> float:
     return round(statistics.median(samples), 3)
 
 
+def self_triage(
+    run_doc: dict, run_path: str, run_triage=None, old_doc: dict | None = None
+) -> dict | None:
+    """Session-close auto-adjudication (VERDICT r10 #4): diff this
+    run against the committed floors and, on any gate flag, re-measure
+    the flagged queries median-of-3 in a FRESH JVM
+    (scripts/bench_triage.py via bench_diff.apply_triage) and stamp
+    the ``triage`` block into BENCH_RUN.json — a plain ``python
+    bench.py`` session record is then self-adjudicating:
+    ``bench_diff.py --triage`` sees the stamped block covering every
+    flag and exits without re-measuring. Round 10 still needed a
+    judge-side manual triage because the builder's stamp was
+    overwritten by the driver's own bench run; running it HERE closes
+    that hole.
+
+    ``run_triage`` and ``old_doc`` are injectable for tests. Returns
+    the stamped block, or None when the gate is clean — or when
+    floors/git are unavailable, because the bench line must print no
+    matter what.
+    """
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        import bench_diff as BD
+
+        if old_doc is None:
+            old_doc = BD._load("HEAD")
+        res = BD.diff(old_doc, run_doc)
+        if not res["fail"]:
+            return None
+        kwargs = {"run_triage": run_triage} if run_triage is not None else {}
+        tri = BD.apply_triage(old_doc, run_doc, res, **kwargs)
+        block = {k: v for k, v in tri.items() if not k.startswith("_")}
+        run_doc["triage"] = block
+        with open(run_path, "w") as fh:
+            json.dump(run_doc, fh, indent=1, sort_keys=True)
+        return block
+    except Exception as e:
+        print(f"self-triage skipped: {e!r}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -573,21 +623,17 @@ def main() -> None:
     # floors doc BENCH_DETAIL.json, which only bench_floor_merge.py may
     # write (VERDICT r8 #1: the r8 driver session clobbered the floors).
     detail_path = RUN_PATH
+    run_doc = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "canary": canary,
+    }
     with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "canary": canary,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(run_doc, f, indent=1, sort_keys=True)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
@@ -595,18 +641,28 @@ def main() -> None:
     # stdout, and the driver parses the LAST line as JSON — nothing may
     # print after it
     spark.stop()
+    # session-close self-triage (round 11, VERDICT r10 #4): adjudicate
+    # this run's own gate flags in a fresh JVM now that this one is
+    # down, so BENCH_RUN.json from a plain `python bench.py` carries
+    # its triage block and bench_diff --triage reuses it (no judge-side
+    # manual triage pass)
+    tri = self_triage(run_doc, detail_path)
     sys.stdout.flush()
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "canary_total": canary["total"],
-            "queries": slowest,
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "canary_total": canary["total"],
+        "queries": slowest,
+    }
+    if tri is not None:
+        out["triage"] = {
+            "cleared": len(tri["cleared"]),
+            "confirmed": len(tri["confirmed"]),
         }
-    )
+    line = json.dumps(out)
     assert len(line) < 1500, f"bench line too long ({len(line)} B) for driver tail"
     print(line)
 
