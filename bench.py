@@ -428,6 +428,9 @@ HEADLINE = [
     "ivfpq_topk_learned",
     "pq_recall_learned_vs_fixed",
     "pq_distortion_learned_vs_fixed",
+    # round-11 batch 3: the semantic-dedup curation stage (auto-k)
+    "curate_corpus_semantic",
+    "curate_audit_semantic",
 ]
 
 RUNS_PER_QUERY = 3

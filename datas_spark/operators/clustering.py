@@ -72,9 +72,12 @@ def kmeans_lloyd(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 3,
+    k: int | str = 3,
     n_rounds: int = 4,
     scale: int = 1_000_000,
+    auto_target: int = 256,
+    auto_min_k: int = 2,
+    auto_max_k: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic fixed-round Lloyd's KMeans (F2, reference
     main.py:316-322) — the hash-checkable twin of `kmeans_cluster`:
@@ -124,7 +127,25 @@ def kmeans_lloyd(
     """
     from pyspark.sql.functions import broadcast
 
-    if k < 1:
+    auto_k = isinstance(k, str)
+    if auto_k:
+        # k="auto" (VERDICT r10 #3): grow k with the corpus —
+        # ``clamp(ceil(sqrt(N / auto_target)), auto_min_k, auto_max_k)``
+        # computed INSIDE the plan (the `_auto_cap_expr` discipline: a
+        # lazy 1-row count crossJoined broadcast, no call-time action).
+        # The seed pool takes the top auto_max_k rows (distributed
+        # top-k) and a dynamic array slice keeps the first k — no
+        # partition-less window, no driver collect. ceil(sqrt(·)) can
+        # only flip cross-engine at perfect squares, where sqrt is
+        # exact on both.
+        if k != "auto":
+            raise ValueError(f"k must be an int >= 1 or 'auto', got {k!r}")
+        if not 1 <= auto_min_k <= auto_max_k or auto_target < 1:
+            raise ValueError(
+                f"need 1 <= auto_min_k <= auto_max_k and auto_target >= 1, "
+                f"got {auto_min_k}/{auto_max_k}/{auto_target}"
+            )
+    elif k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
@@ -134,15 +155,31 @@ def kmeans_lloyd(
     seeds = (
         pts.select(F.md5(F.col("__id").cast("string")).alias("__h"), "__id", "__q")
         .orderBy(F.col("__h").asc(), F.col("__id").asc())
-        .limit(k)
+        .limit(auto_max_k if auto_k else k)
     )
-    packed = (
-        seeds.agg(
-            F.array_sort(F.collect_list(F.struct("__h", "__id", "__q"))).alias(
-                "__raw"
-            )
+    packed = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("__h", "__id", "__q"))).alias(
+            "__raw"
         )
-        .select(
+    )
+    if auto_k:
+        n1 = pts.agg(F.count(F.lit(1)).cast("long").alias("__nn"))
+        k_expr = F.greatest(
+            F.lit(auto_min_k).cast("long"),
+            F.least(
+                F.lit(auto_max_k).cast("long"),
+                F.ceil(
+                    F.sqrt(
+                        F.col("__nn").cast("double") / F.lit(float(auto_target))
+                    )
+                ),
+            ),
+        ).cast("int")
+        packed = packed.crossJoin(broadcast(n1)).select(
+            F.slice("__raw", F.lit(1), k_expr).alias("__raw")
+        )
+    packed = (
+        packed.select(
             F.transform(
                 F.col("__raw"),
                 lambda s, i: F.struct(i.cast("int").alias("j"), s["__q"].alias("c")),

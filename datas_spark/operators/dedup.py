@@ -2479,7 +2479,7 @@ def semdedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | str = 8,
     n_rounds: int = 2,
     threshold: float = 0.35,
     n_planes: int = 4,
@@ -2506,8 +2506,11 @@ def semdedup(
        dropped tail's missed duplicates are the documented recall
        trade; rows past the cap still appear in the output as
        singletons). A fixed k would otherwise make the pair stage
-       quadratic across a data decade; at 100 TB you grow k with N
-       AND set the cap — all three knobs documented here;
+       quadratic across a data decade; ``k="auto"`` grows k with N
+       inside the plan (`kmeans_lloyd`'s lazy
+       ``clamp(ceil(sqrt(N/256)), 2, 64)`` — the `_auto_cap_expr`
+       discipline), and the cap bounds what bucketing leaves — all
+       three knobs compose at 100 TB;
     3. duplicate groups = connected components over the pairs;
     4. keeper per group = the member with the LOWEST cosine to its
        cluster centroid (the paper's keep-the-least-typical rule —

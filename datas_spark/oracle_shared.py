@@ -199,11 +199,14 @@ def lloyd_cte_sql(
     src: str,
     id_expr: str,
     vec_expr: str,
-    k: int,
+    k: int | str,
     n_rounds: int,
     dim: int,
     scale: int = 1_000_000,
     prefix: str = "lw",
+    auto_target: int = 256,
+    auto_min_k: int = 2,
+    auto_max_k: int = 64,
 ) -> str:
     """DuckDB CTE chain replaying `clustering.kmeans_lloyd` exactly:
     e-scale integer quantization, (md5(id), id)-order init, per-round
@@ -224,6 +227,25 @@ def lloyd_cte_sql(
         f"list_sum(list_transform(range(1, {dim + 1}), "
         "i -> (p.q[i] - s.c[i]) * (p.q[i] - s.c[i])))"
     )
+    if isinstance(k, str):
+        # k="auto": clamp(ceil(sqrt(n / target)), min_k, max_k) from the
+        # corpus count — mirrors kmeans_lloyd's lazy in-plan k exactly
+        c0 = f"""{p}_n AS (SELECT count(*)::BIGINT AS n FROM {p}_pts),
+    {p}_c0 AS (
+      SELECT j, c FROM (
+        SELECT (row_number() OVER (ORDER BY h, id) - 1)::INT AS j, q AS c
+        FROM (SELECT md5(id::VARCHAR) AS h, id, q FROM {p}_pts
+              ORDER BY h, id LIMIT {auto_max_k})
+      ) WHERE j < (SELECT greatest({auto_min_k}, least({auto_max_k},
+                     CAST(ceil(sqrt(n::DOUBLE / {auto_target}.0)) AS BIGINT)))
+                   FROM {p}_n)
+    )"""
+    else:
+        c0 = f"""{p}_c0 AS (
+      SELECT (row_number() OVER (ORDER BY h, id) - 1)::INT AS j, q AS c
+      FROM (SELECT md5(id::VARCHAR) AS h, id, q FROM {p}_pts
+            ORDER BY h, id LIMIT {k})
+    )"""
     parts = [
         f"""
     {p}_pts AS (
@@ -231,11 +253,7 @@ def lloyd_cte_sql(
              list_transform({vec_expr},
                             x -> CAST(round(x::DOUBLE * {scale}.0) AS BIGINT)) AS q
       FROM {src}
-    ), {p}_c0 AS (
-      SELECT (row_number() OVER (ORDER BY h, id) - 1)::INT AS j, q AS c
-      FROM (SELECT md5(id::VARCHAR) AS h, id, q FROM {p}_pts
-            ORDER BY h, id LIMIT {k})
-    )"""
+    ), {c0}"""
     ]
     for r in range(1, n_rounds + 1):
         parts.append(
@@ -273,6 +291,91 @@ def lloyd_cte_sql(
     )"""
     )
     return "".join(parts)
+
+def semdedup_cte_sql(
+    src: str,
+    id_col: str,
+    k: int | str,
+    n_rounds: int,
+    threshold: float,
+    n_planes: int,
+    cap: int,
+    dim: int = 64,
+    prefix: str = "sd",
+) -> str:
+    """DuckDB CTE chain replaying `dedup.semdedup` over ``{src}``
+    (columns ``({id_col}, embedding)``): the Lloyd clustering
+    (``k="auto"`` supported — the lazy corpus-count k), seed-pinned
+    hyperplane buckets, the per-(cluster, bucket) ``cap``, rounded
+    cosine pairs ≥ ``threshold``, CC over the pairs (RECURSIVE — the
+    caller's WITH must say ``WITH RECURSIVE``), and the
+    least-centroid-typical keeper election. Exposes ``{prefix}_lab
+    (id, cluster, component, csim, keep)``."""
+    # deferred: registry_scoring imports this module at its own load
+    from datas_spark.registry_scoring import _LSH_DOT_SQL, _planes_values_sql
+
+    p = prefix
+    lloyd = lloyd_cte_sql(
+        src, id_col, "embedding", k, n_rounds, dim, prefix=f"{p}w"
+    )
+    return f"""{lloyd},
+    {p}_pl AS (SELECT * FROM {_planes_values_sql(n_planes)}),
+    {p}_dots AS (
+      SELECT e.{id_col} AS id, p.pid, {_LSH_DOT_SQL} AS dt
+      FROM {src} e CROSS JOIN {p}_pl p
+    ), {p}_db AS (
+      SELECT id,
+        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
+          AS bucket
+      FROM {p}_dots GROUP BY id
+    ), {p}_eb AS MATERIALIZED (
+      SELECT emb.{id_col} AS id, a.cluster, db.bucket, emb.embedding
+      FROM {src} emb
+      JOIN {p}w_asg a ON a.id = emb.{id_col}
+      JOIN {p}_db db ON db.id = emb.{id_col}
+    ), {p}_ebc AS MATERIALIZED (
+      SELECT id, cluster, bucket, embedding FROM (
+        SELECT {p}_eb.*, row_number() OVER (PARTITION BY cluster, bucket
+                                            ORDER BY id ASC) AS rn
+        FROM {p}_eb
+      ) WHERE rn <= {cap}
+    ), {p}_prs AS MATERIALIZED (
+      SELECT x.id AS id_a, y.id AS id_b
+      FROM {p}_ebc x JOIN {p}_ebc y
+        ON x.cluster = y.cluster AND x.bucket = y.bucket AND x.id < y.id
+      WHERE {IVF_COS_SQL.format(a='x', b='y')} >= {threshold}
+    ), {p}_e2 AS (
+      SELECT id_a AS a, id_b AS b FROM {p}_prs
+      UNION SELECT id_b, id_a FROM {p}_prs
+    ), {p}_reach(node, r) AS (
+      SELECT a, a FROM {p}_e2
+      UNION
+      SELECT {p}_e2.a, {p}_reach.r FROM {p}_e2
+      JOIN {p}_reach ON {p}_reach.node = {p}_e2.b
+    ), {p}_comp AS (
+      SELECT node, min(r) AS component FROM {p}_reach GROUP BY node
+    ), {p}_cents AS (
+      SELECT j AS cluster, cv AS embedding FROM {p}w_cent
+    ), {p}_csim AS MATERIALIZED (
+      SELECT eb.id, {IVF_COS_SQL.format(a='eb', b='c')} AS csim
+      FROM {p}_eb eb JOIN {p}_cents c ON c.cluster = eb.cluster
+    ), {p}_m AS MATERIALIZED (
+      SELECT eb.id, eb.cluster, coalesce(cp.component, eb.id) AS component
+      FROM {p}_eb eb LEFT JOIN {p}_comp cp ON cp.node = eb.id
+    ), {p}_kp AS (
+      SELECT component, id AS keeper FROM (
+        SELECT m.id, m.component,
+               row_number() OVER (PARTITION BY m.component
+                                  ORDER BY c.csim ASC, m.id ASC) AS rn
+        FROM {p}_m m JOIN {p}_csim c ON c.id = m.id
+      ) WHERE rn = 1
+    ), {p}_lab AS (
+      SELECT m.id, m.cluster, m.component, c.csim,
+             (m.id = kp.keeper) AS keep
+      FROM {p}_m m JOIN {p}_csim c ON c.id = m.id
+      JOIN {p}_kp kp ON kp.component = m.component
+    )"""
+
 
 def logreg_cte_sql(
     src: str,

@@ -30,6 +30,7 @@ from datas_spark.operators.dedup import (
     near_dedup_keep_best,
     ngram_jaccard_pairs,
     paragraph_dedup,
+    semdedup,
     simhash_near_dup_pairs,
 )
 
@@ -54,6 +55,14 @@ def curate_corpus(
     near_dup_max_hamming: int = 3,
     near_dup_pairs: DataFrame | None = None,
     near_dup_components: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    semantic_embeddings: DataFrame | None = None,
+    semantic_id_col: str = "vec_id",
+    semantic_vec_col: str = "embedding",
+    semantic_k: int | str = "auto",
+    semantic_rounds: int = 2,
+    semantic_planes: int = 4,
+    semantic_max_bucket_side: int | None = 64,
     contamination_min_shared: int = 5,
     temperature: float | None = None,
     split_weights: dict[str, float] | None = None,
@@ -99,10 +108,21 @@ def curate_corpus(
        when an upstream stage MUTATES text (``redact_pii`` /
        ``paragraph_dedup_delimiter``) — ingest-time pairs don't
        describe rewritten documents.
-    7. decontamination    — drop docs sharing ≥ ``contamination_min_shared``
+    7. semantic dedup     — SemDeDup (`dedup.semdedup`) over
+       ``semantic_embeddings`` (``semantic_id_col`` rows matching
+       ``id_col``), if ``semantic_threshold`` is given: auto-k Lloyd
+       clusters (``semantic_k="auto"`` grows k with the surviving
+       corpus inside the plan), per-(cluster, LSH-bucket) capped pairs
+       at cosine ≥ threshold, CC groups, keep the least-centroid-
+       typical member. Runs AFTER the lexical dedups (cheap stages
+       shrink the embedding join) and only over docs that HAVE an
+       embedding — docs without one pass through (they can't be
+       semantically judged); at 100 TB the embedding side is the
+       feature-store artifact, exactly like ``near_dup_pairs``.
+    8. decontamination    — drop docs sharing ≥ ``contamination_min_shared``
        n-grams with ``benchmark`` (broadcast probe), if given
-    8. temperature sample — rebalance ``domain_col`` mixture, if given
-    9. hash split         — deterministic train/test labels, if given
+    9. temperature sample — rebalance ``domain_col`` mixture, if given
+    10. hash split        — deterministic train/test labels, if given
 
     ``materialize_stages=True`` (default) lazily checkpoints the
     survivor frame after each stage whose DOWNSTREAM consumer
@@ -207,6 +227,26 @@ def curate_corpus(
             .drop("__len", "is_representative")
         )
         snap("near_dup", out)
+    if semantic_threshold is not None:
+        if semantic_embeddings is None:
+            raise ValueError(
+                "semantic_threshold requires semantic_embeddings (the "
+                "per-doc embedding frame keyed by semantic_id_col)"
+            )
+        emb = semantic_embeddings.select(
+            F.col(semantic_id_col).alias(id_col),
+            F.col(semantic_vec_col).alias("__sv"),
+        )
+        cand = emb.join(out.select(id_col), id_col, "left_semi")
+        labels = semdedup(
+            cand, id_col, "__sv",
+            k=semantic_k, n_rounds=semantic_rounds,
+            threshold=semantic_threshold, n_planes=semantic_planes,
+            max_bucket_side=semantic_max_bucket_side,
+        )
+        sem_drop = labels.where(~F.col("keep")).select(id_col)
+        out = cut(out.join(sem_drop, id_col, "left_anti"))
+        snap("semantic", out)
     if benchmark is not None:
         clean = (
             ngram_contamination(
@@ -253,6 +293,7 @@ def curate_audit(
         "quality": "low_quality",
         "exact_dedup": "exact_duplicate",
         "near_dup": "near_duplicate",
+        "semantic": "semantic_duplicate",
         "decontamination": "contaminated",
     }
     out = docs.select(id_col)

@@ -682,6 +682,105 @@ _CURATE_FINAL_SQL = f"""
 _CURATE_ORACLE = _CURATE_CTES + _CURATE_FINAL_SQL
 
 
+# round 11 (VERDICT r10 #3): the semantic-dedup stage in the recipe —
+# exact dedup -> SemDeDup over the survivors' embeddings with auto-k
+# Lloyd (k grows with the surviving corpus INSIDE the plan), capped
+# (cluster, bucket) pairs, CC, least-typical keeper.
+_CSEM_THR, _CSEM_ROUNDS, _CSEM_PLANES, _CSEM_CAP = 0.35, 2, 4, 64
+
+
+def _curate_semantic_ctes() -> str:
+    from datas_spark.oracle_shared import semdedup_cte_sql
+
+    sem = semdedup_cte_sql(
+        "sde", "vec_id", "auto", _CSEM_ROUNDS, _CSEM_THR, _CSEM_PLANES,
+        _CSEM_CAP, dim=64, prefix="cs",
+    )
+    return f"""ded AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT d.doc_id, row_number() OVER (
+          PARTITION BY md5({_NORM_SQL.format(t='d.text')})
+          ORDER BY d.doc_id) AS rn
+        FROM documents d) WHERE rn = 1
+    ), sde AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN ded ON ded.doc_id = e.vec_id
+    ), {sem}, sem_drop AS (
+      SELECT id FROM cs_lab WHERE NOT keep
+    )"""
+
+
+@register(
+    "curate_corpus_semantic",
+    oracle=f"""
+    WITH RECURSIVE {_curate_semantic_ctes()}
+    SELECT d.doc_id FROM ded d
+    LEFT JOIN sem_drop dr ON dr.id = d.doc_id
+    WHERE dr.id IS NULL
+    """,
+)
+def q_curate_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation recipe with the SEMANTIC dedup stage (VERDICT r10
+    #3): exact dedup, then SemDeDup over the survivors that have an
+    embedding — auto-k Lloyd clusters (k = clamp(ceil(sqrt(N/256)),
+    2, 64) from a lazy in-plan count, so the SAME recipe config scales
+    from sf0.001 to 100 TB without retuning), capped LSH-bucketed
+    pairs at cosine >= 0.35, CC groups, least-centroid-typical
+    keepers; docs without an embedding pass through. The stage CTE
+    oracle replays the composition — stage wiring, the survivor join,
+    the auto-k Lloyd, the election — end to end."""
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = curate_corpus(
+        docs,
+        max_dup_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+        semantic_threshold=_CSEM_THR,
+        semantic_embeddings=emb,
+        semantic_rounds=_CSEM_ROUNDS,
+        semantic_planes=_CSEM_PLANES,
+        semantic_max_bucket_side=_CSEM_CAP,
+    )
+    return out.select("doc_id")
+
+
+@register(
+    "curate_audit_semantic",
+    oracle=f"""
+    WITH RECURSIVE {_curate_semantic_ctes()}
+    SELECT d.doc_id,
+      CASE WHEN de.doc_id IS NULL THEN 'exact_duplicate'
+           WHEN dr.id IS NOT NULL THEN 'semantic_duplicate'
+           ELSE 'kept' END AS status
+    FROM documents d
+    LEFT JOIN ded de USING (doc_id)
+    LEFT JOIN sem_drop dr ON dr.id = d.doc_id
+    """,
+)
+def q_curate_audit_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fate of the semantic recipe (same config as
+    `curate_corpus_semantic`): 'exact_duplicate', the new
+    'semantic_duplicate' status, or 'kept' — the fate-audit row for
+    the round-11 stage, read from the recipe's OWN lazy stage frames
+    so it cannot drift from the real pipeline."""
+    from datas_spark.pipeline.curate import curate_audit
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return curate_audit(
+        docs,
+        max_dup_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+        semantic_threshold=_CSEM_THR,
+        semantic_embeddings=emb,
+        semantic_rounds=_CSEM_ROUNDS,
+        semantic_planes=_CSEM_PLANES,
+        semantic_max_bucket_side=_CSEM_CAP,
+    )
+
+
 @register("curate_corpus", oracle=_CURATE_ORACLE)
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation recipe in one lazy plan: repetition filter ->

@@ -3060,68 +3060,15 @@ _SD_K, _SD_ROUNDS, _SD_THR, _SD_PLANES, _SD_CAP = 8, 2, 0.35, 4, 64
 
 
 def _semdedup_oracle() -> str:
-    from datas_spark.oracle_shared import IVF_COS_SQL, lloyd_cte_sql
-    from datas_spark.registry_scoring import _LSH_DOT_SQL, _planes_values_sql
+    from datas_spark.oracle_shared import semdedup_cte_sql
 
-    lloyd = lloyd_cte_sql(
-        "embeddings", "vec_id", "embedding", _SD_K, _SD_ROUNDS, 64,
-        prefix="sd",
+    ctes = semdedup_cte_sql(
+        "embeddings", "vec_id", _SD_K, _SD_ROUNDS, _SD_THR, _SD_PLANES,
+        _SD_CAP, dim=64, prefix="sd",
     )
     return f"""
-    WITH RECURSIVE {lloyd},
-    pl AS (SELECT * FROM {_planes_values_sql(_SD_PLANES)}),
-    dots AS (
-      SELECT e.vec_id, p.pid, {_LSH_DOT_SQL} AS dt
-      FROM embeddings e CROSS JOIN pl p
-    ), db AS (
-      SELECT vec_id,
-        sum(CASE WHEN dt >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT
-          AS bucket
-      FROM dots GROUP BY vec_id
-    ), eb AS MATERIALIZED (
-      SELECT emb.vec_id AS id, a.cluster, db.bucket, emb.embedding
-      FROM embeddings emb
-      JOIN sd_asg a ON a.id = emb.vec_id
-      JOIN db ON db.vec_id = emb.vec_id
-    ), ebc AS MATERIALIZED (
-      SELECT id, cluster, bucket, embedding FROM (
-        SELECT eb.*, row_number() OVER (PARTITION BY cluster, bucket
-                                        ORDER BY id ASC) AS rn
-        FROM eb
-      ) WHERE rn <= {_SD_CAP}
-    ), prs AS MATERIALIZED (
-      SELECT x.id AS id_a, y.id AS id_b
-      FROM ebc x JOIN ebc y
-        ON x.cluster = y.cluster AND x.bucket = y.bucket AND x.id < y.id
-      WHERE {IVF_COS_SQL.format(a='x', b='y')} >= {_SD_THR}
-    ), e2 AS (
-      SELECT id_a AS a, id_b AS b FROM prs
-      UNION SELECT id_b, id_a FROM prs
-    ), reach(node, r) AS (
-      SELECT a, a FROM e2
-      UNION
-      SELECT e2.a, reach.r FROM e2 JOIN reach ON reach.node = e2.b
-    ), comp AS (
-      SELECT node, min(r) AS component FROM reach GROUP BY node
-    ), cents AS (
-      SELECT j AS cluster, cv AS embedding FROM sd_cent
-    ), csim AS MATERIALIZED (
-      SELECT eb.id, {IVF_COS_SQL.format(a='eb', b='c')} AS csim
-      FROM eb JOIN cents c ON c.cluster = eb.cluster
-    ), m AS MATERIALIZED (
-      SELECT eb.id, eb.cluster, coalesce(comp.component, eb.id) AS component
-      FROM eb LEFT JOIN comp ON comp.node = eb.id
-    ), kp AS (
-      SELECT component, id AS keeper FROM (
-        SELECT m.id, m.component,
-               row_number() OVER (PARTITION BY m.component
-                                  ORDER BY c.csim ASC, m.id ASC) AS rn
-        FROM m JOIN csim c ON c.id = m.id
-      ) WHERE rn = 1
-    )
-    SELECT m.id AS vec_id, m.cluster, m.component, c.csim,
-           (m.id = kp.keeper) AS keep
-    FROM m JOIN csim c ON c.id = m.id JOIN kp ON kp.component = m.component
+    WITH RECURSIVE {ctes}
+    SELECT id AS vec_id, cluster, component, csim, keep FROM sd_lab
     """
 
 

@@ -209,3 +209,100 @@ def test_curate_corpus_injection_rejects_text_mutation(spark):
         curate_corpus(
             docs, near_dup_pairs=fake_pairs, paragraph_dedup_delimiter="\n"
         )
+
+
+# ---------------------------------------------------------------------------
+# round 11: the semantic-dedup stage (VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+
+def _sem_fixture(spark):
+    """6 docs; 1/2/3 are textual twins of nothing but EMBEDDING twins
+    of each other; doc 9 has no embedding at all."""
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i} with unique text") for i in (1, 2, 3, 5, 7, 9)],
+        "doc_id long, text string",
+    )
+    base = [0.4, 0.3, -0.2, 0.1]
+    emb = spark.createDataFrame(
+        [
+            (1, base),
+            (2, [x * 1.0001 for x in base]),
+            (3, [x * 0.9999 for x in base]),
+            (5, [-0.4, 0.35, 0.2, -0.1]),
+            (7, [0.1, -0.45, 0.3, 0.25]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return docs, emb
+
+
+def test_curate_semantic_stage_drops_embedding_twins(spark):
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs, emb = _sem_fixture(spark)
+    out = curate_corpus(
+        docs,
+        max_dup_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+        semantic_threshold=0.95,
+        semantic_embeddings=emb,
+        semantic_k=2,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    # exactly one of the twin group survives; singletons + the
+    # embedding-less doc 9 pass through untouched
+    assert len(kept & {1, 2, 3}) == 1
+    assert {5, 7, 9} <= kept
+
+
+def test_curate_semantic_requires_embeddings(spark):
+    import pytest as _pytest
+
+    from datas_spark.pipeline.curate import curate_corpus
+
+    docs, _ = _sem_fixture(spark)
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, semantic_threshold=0.9)
+
+
+def test_curate_audit_semantic_status(spark):
+    from datas_spark.pipeline.curate import curate_audit
+
+    docs, emb = _sem_fixture(spark)
+    fate = {r.doc_id: r.status for r in curate_audit(
+        docs,
+        max_dup_token_frac=1.0,
+        max_top_bigram_frac=1.0,
+        semantic_threshold=0.95,
+        semantic_embeddings=emb,
+        semantic_k=2,
+    ).collect()}
+    assert set(fate) == {1, 2, 3, 5, 7, 9}
+    dropped = [d for d in (1, 2, 3) if fate[d] == "semantic_duplicate"]
+    assert len(dropped) == 2  # two of the twins attributed to the stage
+    assert fate[5] == fate[7] == fate[9] == "kept"
+
+
+def test_kmeans_lloyd_auto_k_grows_with_corpus(spark):
+    from datas_spark.operators.clustering import kmeans_lloyd
+
+    import random as _random
+    rng = _random.Random(11)
+
+    def frame(n):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)],
+            "id long, v array<double>",
+        )
+
+    _, small = kmeans_lloyd(frame(100), "id", "v", k="auto",
+                            n_rounds=1, auto_target=100)
+    _, big = kmeans_lloyd(frame(1600), "id", "v", k="auto",
+                          n_rounds=1, auto_target=100)
+    ks, kb = small.count(), big.count()
+    assert ks == 2   # clamp floor: ceil(sqrt(1)) = 1 -> min_k 2
+    assert kb == 4   # ceil(sqrt(16)) = 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(frame(10), "id", "v", k="bogus")

@@ -226,6 +226,8 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "ivfpq_topk_learned",              # same + packed coarse-cell Lloyd rows + probe frame
         "pq_recall_learned_vs_fixed",      # both PQ chains' broadcast LUTs + cosine_topk query set
         "pq_distortion_learned_vs_fixed",  # m*ks-row broadcast codebooks (both variants)
+        "curate_corpus_semantic",          # packed Lloyd centroid row + 1-row auto-k count (semdedup stage)
+        "curate_audit_semantic",           # same stage frames + fate joins
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
