@@ -431,6 +431,8 @@ HEADLINE = [
     # round-11 batch 3: the semantic-dedup curation stage (auto-k)
     "curate_corpus_semantic",
     "curate_audit_semantic",
+    # round-11 batch 4: sampled exact arm for the MaxSim recall report
+    "maxsim_recall_sampled",
 ]
 
 RUNS_PER_QUERY = 3

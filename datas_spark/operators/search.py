@@ -623,6 +623,55 @@ def maxsim_rerank_topk(
     return scored.orderBy(F.desc("maxsim"), F.asc(id_col)).limit(int(top_n))
 
 
+def maxsim_recall_sampled(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    exact_sample_n: int = 400,
+    k1: float = 1.2,
+    b: float = 0.75,
+    recall_n: int = 50,
+    top_n: int = 20,
+    emb_dim: int = 8,
+    max_doc_tokens: int = 64,
+) -> DataFrame:
+    """`maxsim_recall_report` with a SAMPLED exact arm (VERDICT r10
+    #5): the full report's exact arm scores the WHOLE corpus with the
+    token-interaction fold — the honest way to get the true top-n, and
+    the suite's most expensive scan (7.6× across the sf decade). At
+    100 TB you estimate instead: elect a deterministic
+    ``exact_sample_n``-doc sub-corpus by ``(md5(id), id)`` order (the
+    seedless uniform draw every engine reproduces — the Lloyd-init
+    discipline) and run BOTH arms inside it — exact MaxSim over the
+    sample vs the BM25-gated pipeline over the sample (BM25 idf/avgdl
+    from the sample too, so the two arms see the same corpus).
+
+    The sample-restricted recall is an unbiased estimate of the
+    lexical gate's admission quality, and the interaction cost is now
+    bounded by ``exact_sample_n`` — CONSTANT in corpus size; only the
+    narrow (md5, id) top-k election scans the full corpus. Keep the
+    full-corpus `maxsim_recall_report` for small sf / final sign-off.
+    Returns the same one-row ``(n_exact, n_hit, recall_pct)``."""
+    if exact_sample_n < 1:
+        raise ValueError(f"exact_sample_n must be >= 1, got {exact_sample_n}")
+    samp_ids = (
+        docs.select(
+            F.col(id_col),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(int(exact_sample_n))
+        .select(id_col)
+    )
+    sdocs = docs.join(broadcast(samp_ids), id_col, "left_semi")
+    return maxsim_recall_report(
+        sdocs, id_col, text_col, query_terms,
+        k1=k1, b=b, recall_n=recall_n, top_n=top_n,
+        emb_dim=emb_dim, max_doc_tokens=max_doc_tokens,
+    )
+
+
 def maxsim_recall_report(
     docs: DataFrame,
     id_col: str,

@@ -741,9 +741,12 @@ def _ms_fold(lst: str) -> str:
     return f"list_reduce(list_prepend(0.0, {lst}), (a, b) -> a + b)"
 
 
-def _maxsim_ctes(with_cand: bool) -> str:
+def _maxsim_ctes(with_cand: bool, src: str = "documents") -> str:
     """Shared CTE chain: BM25 candidate stage (optional gate) + the
-    per-(doc, term) token-max cosines + the sorted-term fold."""
+    per-(doc, term) token-max cosines + the sorted-term fold.
+    ``src`` swaps the corpus (e.g. the md5-elected sample CTE of
+    `maxsim_recall_sampled` — BM25 constants then come from the
+    sub-corpus, mirroring the Spark side exactly)."""
     rng = f"range(1, {_MAXSIM_DIM + 1})"
     dot = _ms_fold(f"list_transform({rng}, i -> ew[i] * et[i])")
     na = _ms_fold(f"list_transform({rng}, i -> ew[i] * ew[i])")
@@ -756,7 +759,7 @@ def _maxsim_ctes(with_cand: bool) -> str:
       SELECT doc_id,
              list_transform(string_split_regex(trim(text), '\\s+'),
                             w -> lower(w)) AS w
-      FROM documents
+      FROM {src}
     ), lens AS (
       SELECT doc_id, len(w)::BIGINT AS dl FROM toks
     ), consts AS (
@@ -823,8 +826,7 @@ _MAXSIM_RERANK_ORACLE = f"""
     ORDER BY maxsim DESC, doc_id ASC LIMIT {_MAXSIM_TOP}
 """
 
-_MAXSIM_RECALL_ORACLE = f"""
-    WITH {_maxsim_ctes(with_cand=False)},
+_MAXSIM_RECALL_TAIL = f"""
     exct AS (
       SELECT doc_id FROM summed
       ORDER BY maxsim DESC, doc_id ASC LIMIT {_MAXSIM_TOP}
@@ -842,6 +844,23 @@ _MAXSIM_RECALL_ORACLE = f"""
                  / (SELECT count(*) FROM exct)::DOUBLE * 100, 4) AS recall_pct
 """
 
+_MAXSIM_RECALL_ORACLE = f"""
+    WITH {_maxsim_ctes(with_cand=False)},
+    {_MAXSIM_RECALL_TAIL}
+"""
+
+_MAXSIM_SAMPLE_N = 400
+
+_MAXSIM_RECALL_SAMPLED_ORACLE = f"""
+    WITH samp AS MATERIALIZED (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, md5(doc_id::VARCHAR) AS h FROM documents
+        ORDER BY h, doc_id LIMIT {_MAXSIM_SAMPLE_N}
+      )
+    ), {_maxsim_ctes(with_cand=False, src="samp")},
+    {_MAXSIM_RECALL_TAIL}
+"""
+
 
 @register("maxsim_rerank_topk", oracle=_MAXSIM_RERANK_ORACLE)
 def q_maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +875,27 @@ def q_maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return maxsim_rerank_topk(
         docs, "doc_id", "text", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B,
+        recall_n=_MAXSIM_RECALL, top_n=_MAXSIM_TOP,
+        emb_dim=_MAXSIM_DIM, max_doc_tokens=_MAXSIM_DOC_TOKENS,
+    )
+
+
+@register("maxsim_recall_sampled", oracle=_MAXSIM_RECALL_SAMPLED_ORACLE)
+def q_maxsim_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`maxsim_recall_report` with the SAMPLED exact arm (VERDICT r10
+    #5): both arms run inside a deterministic (md5(id), id)-elected
+    400-doc sub-corpus, so the exact token-interaction cost is
+    CONSTANT in corpus size — the 100 TB estimator; the full-corpus
+    report stays registered for small-sf sign-off. Sample election,
+    sample-local BM25 constants, both retrieval chains and the hit
+    counting all replay in the oracle."""
+    from datas_spark.operators.search import maxsim_recall_sampled
+
+    docs = read_table(spark, sf_dir, "documents")
+    return maxsim_recall_sampled(
+        docs, "doc_id", "text", _BM25_TERMS,
+        exact_sample_n=_MAXSIM_SAMPLE_N,
         k1=_BM25_K1, b=_BM25_B,
         recall_n=_MAXSIM_RECALL, top_n=_MAXSIM_TOP,
         emb_dim=_MAXSIM_DIM, max_doc_tokens=_MAXSIM_DOC_TOKENS,

@@ -228,6 +228,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "pq_distortion_learned_vs_fixed",  # m*ks-row broadcast codebooks (both variants)
         "curate_corpus_semantic",          # packed Lloyd centroid row + 1-row auto-k count (semdedup stage)
         "curate_audit_semantic",           # same stage frames + fate joins
+        "maxsim_recall_sampled",           # sample-local BM25 constants + 1-row hit/total scalars
     }
     failures = []
     for name, fn in sorted(E.queries().items()):

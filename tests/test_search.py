@@ -241,3 +241,38 @@ def test_maxsim_recall_report_bounds_and_validation(spark):
         maxsim_scores(docs, "doc_id", "text", [])
     with _pytest.raises(ValueError):
         maxsim_scores(docs, "doc_id", "text", ["a"], emb_dim=0)
+
+
+def test_maxsim_recall_sampled_restricts_both_arms(spark):
+    """The sampled report equals the full report computed on the
+    md5-elected sub-corpus (sample covering everything -> identical to
+    the full report), and a proper sub-sample bounds n_exact by
+    min(top_n, sample size)."""
+    import pytest as _pytest
+
+    from datas_spark.operators.search import (
+        maxsim_recall_report,
+        maxsim_recall_sampled,
+    )
+
+    rows = [(i, f"data join skew word{i % 7} tail{i}") for i in range(25)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(k1=1.2, b=0.75, recall_n=5, top_n=10)
+    full = maxsim_recall_report(
+        docs, "doc_id", "text", ["data", "join", "skew"], **kw
+    ).collect()[0]
+    covering = maxsim_recall_sampled(
+        docs, "doc_id", "text", ["data", "join", "skew"],
+        exact_sample_n=100, **kw
+    ).collect()[0]
+    assert (covering.n_exact, covering.n_hit, covering.recall_pct) == (
+        full.n_exact, full.n_hit, full.recall_pct
+    )
+    small = maxsim_recall_sampled(
+        docs, "doc_id", "text", ["data", "join", "skew"],
+        exact_sample_n=6, **kw
+    ).collect()[0]
+    assert small.n_exact == 6  # top_n capped by the 6-doc sample
+    assert 0 <= small.n_hit <= small.n_exact
+    with _pytest.raises(ValueError):
+        maxsim_recall_sampled(docs, "doc_id", "text", ["a"], exact_sample_n=0)
