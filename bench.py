@@ -433,6 +433,8 @@ HEADLINE = [
     "curate_audit_semantic",
     # round-11 batch 4: sampled exact arm for the MaxSim recall report
     "maxsim_recall_sampled",
+    # round-11 batch 5: the composed Evol select->evolve->re-score loop
+    "evol_active_loop",
 ]
 
 RUNS_PER_QUERY = 3

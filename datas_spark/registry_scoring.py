@@ -985,6 +985,84 @@ def _evol_schedule_oracle() -> str:
     """
 
 
+# round 11 (VERDICT r10 #6): the composed select -> evolve -> re-score
+# loop — promotion events where each round's re-score feeds the next
+# round's election.
+_EVL_K = 8
+
+
+def _evol_loop_oracle() -> str:
+    from datas_spark.operators.evol import EVOL_METHODS
+
+    names = "[" + ", ".join(f"'{n}'" for n, _ in EVOL_METHODS) + "]"
+    tmpls = "[" + ", ".join(f"'{t}'" for _, t in EVOL_METHODS) + "]"
+
+    def unit(x: str) -> str:
+        return f"(('0x' || substr(md5({x}), 1, 8))::BIGINT / 4294967296.0)"
+
+    ctes = [
+        f"""st0 AS MATERIALIZED (
+      SELECT doc_id AS id, substr(text, 1, 80) AS instr,
+             {unit("'ev0:' || doc_id::VARCHAR")} AS conf
+      FROM documents
+    )"""
+    ]
+    events = []
+    for r in range(1, _EVOL_ROUNDS + 1):
+        idx = (
+            f"(((('0x' || substr(md5(s.id::VARCHAR || ':{r}'), 1, 8))::BIGINT)"
+            f" % {len(EVOL_METHODS)}) + 1)::INT"
+        )
+        method = f"({names})[{idx}]"
+        prompt = f"(({tmpls})[{idx}] || s.instr)"
+        ctes.append(
+            f"""pk{r} AS MATERIALIZED (
+      SELECT id FROM st{r - 1} ORDER BY conf DESC, id ASC LIMIT {_EVL_K}
+    )"""
+        )
+        ctes.append(
+            f"""st{r} AS MATERIALIZED (
+      SELECT s.id,
+        CASE WHEN p.id IS NOT NULL
+             THEN '[' || {method} || '] ' || s.instr ELSE s.instr END AS instr,
+        CASE WHEN p.id IS NOT NULL
+             THEN {unit(prompt)} ELSE s.conf END AS conf
+      FROM st{r - 1} s LEFT JOIN pk{r} p ON p.id = s.id
+    )"""
+        )
+        events.append(
+            f"""SELECT s.id AS doc_id, {r} AS round, {method} AS method,
+             {prompt} AS prompt, {unit(prompt)} AS conf_after
+      FROM st{r - 1} s SEMI JOIN pk{r} p ON p.id = s.id"""
+        )
+    body = "\n      UNION ALL\n      ".join(events)
+    return f"""
+    WITH {", ".join(ctes)}
+    {body}
+    """
+
+
+@register("evol_active_loop", oracle=_evol_loop_oracle())
+def q_evol_active_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's intended Evol-Instruct active LOOP
+    (`evol.evol_active_loop`, main.py:37-52,487-510) as one plan:
+    each round promotes the {_EVL_K} most-confident candidates
+    (TakeOrdered, broadcast pick-join), evolves them with the round's
+    md5-elected method, marker-chains the instruction, and RE-SCORES
+    the evolved prompt — the confidence the next round's election
+    reads, so pools + election + chaining + proxy scores compose and
+    the oracle replays every round's state."""
+    from datas_spark.operators.evol import evol_active_loop
+
+    docs = read_table(spark, sf_dir, "documents")
+    pseudo = docs.select(
+        "doc_id", F.substring("text", 1, 80).alias("instruction")
+    )
+    return evol_active_loop(
+        pseudo, "doc_id", "instruction", k=_EVL_K, n_rounds=_EVOL_ROUNDS
+    )
+
+
 @register("evol_prompt_schedule", oracle=_evol_schedule_oracle())
 def q_evol_prompt_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evol-Instruct N-round evolution schedule (`operators/evol.py` —

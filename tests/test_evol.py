@@ -63,3 +63,50 @@ def test_evol_round_pools_bookkeeping(spark):
     assert len(got) == 8
     unlabeled = df.join(pools, "id", "left_anti")
     assert unlabeled.count() == 12
+
+
+def test_evol_active_loop_rescore_feeds_next_election(spark):
+    """The composed loop (VERDICT r10 #6): k promotions per round; a
+    promoted row's NEW confidence is the md5-unit of its round prompt,
+    and that re-score — not the original — decides the next round; a
+    re-promoted row's round-2 prompt wraps the round-1 marker chain."""
+    from datas_spark.operators.evol import EVOL_METHODS, evol_active_loop
+    from datas_spark.operators.scoring import hash_unit_interval
+
+    rows = [(i, f"task number {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, instruction string")
+    out = evol_active_loop(df, "id", "instruction", k=3, n_rounds=2)
+    ev = out.collect()
+    by_round = {}
+    for r in ev:
+        by_round.setdefault(r.round, []).append(r)
+    assert len(by_round[1]) == 3 and len(by_round[2]) == 3
+    tmpl = dict(EVOL_METHODS)
+    for r in ev:  # prompt = template ‖ current instruction
+        assert r.prompt.startswith(tmpl[r.method])
+        assert 0.0 <= r.conf_after < 1.0
+    # replay the loop in plain python to prove the election chain
+    import hashlib
+
+    def unit(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2.0**32
+
+    def midx(i, r):
+        return int(hashlib.md5(f"{i}:{r}".encode()).hexdigest()[:8], 16) % 5
+
+    state = {i: (f"task number {i}", unit(f"ev0:{i}")) for i in range(12)}
+    expect = []
+    for rnd in (1, 2):
+        picks = sorted(state, key=lambda i: (-state[i][1], i))[:3]
+        for i in picks:
+            name, templ = EVOL_METHODS[midx(i, rnd)]
+            prompt = templ + state[i][0]
+            c = unit(prompt)
+            expect.append((i, rnd, name, prompt))
+            state[i] = (f"[{name}] " + state[i][0], c)
+    got = sorted((r.id, r.round, r.method, r.prompt) for r in ev)
+    assert got == sorted(expect)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        evol_active_loop(df, "id", "instruction", k=0)
