@@ -435,6 +435,8 @@ HEADLINE = [
     "maxsim_recall_sampled",
     # round-11 batch 5: the composed Evol select->evolve->re-score loop
     "evol_active_loop",
+    # round-11 batch 6: packing under the learned unigram segmentation
+    "pack_sequences_unigram",
 ]
 
 RUNS_PER_QUERY = 3

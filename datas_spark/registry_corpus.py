@@ -1962,6 +1962,54 @@ def q_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
+def _pack_unigram_oracle() -> str:
+    return (
+        _unigram_chain(_UNI_ROUNDS, _UNI_MULTI, _UNI_WLEN, _UNI_PLEN)
+        + rf""",
+    pwl AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS np
+      FROM pieces_{_UNI_ROUNDS} GROUP BY word
+    ), pdt AS (
+      SELECT doc_id, substr(word, 1, {_UNI_WLEN}) AS word FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+      ) WHERE len(word) > 0
+    ), pper AS (
+      SELECT d.doc_id, sum(pwl.np)::BIGINT AS nt
+      FROM pdt d JOIN pwl USING (word) GROUP BY d.doc_id
+    ), pt AS (
+      SELECT d.source, d.doc_id, coalesce(p.nt, 0)::BIGINT AS n_tokens
+      FROM documents d LEFT JOIN pper p USING (doc_id)
+    )
+    SELECT source, doc_id, n_tokens,
+      ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_tokens) // 500)::BIGINT AS bin
+    FROM pt
+    """
+    )
+
+
+@register("pack_sequences_unigram", oracle=_pack_unigram_oracle())
+def q_pack_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in LEARNED unigram-LM pieces
+    (`unigram.pack_sequences_unigram`, VERDICT r10 #7): each doc is
+    priced by the final-round Viterbi segmentation of the trained
+    vocabulary, then the per-source running-cumsum bin plan — the
+    tokenizer-CHOICE readout against `pack_sequences_bpe` on the same
+    500-piece budget. The oracle extends the unigram trainer chain
+    (every DP cell + both M-steps) with the per-doc word join and the
+    packing window."""
+    from datas_spark.operators.unigram import pack_sequences_unigram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences_unigram(
+        docs, "doc_id", "text", budget=500, shard_col="source",
+        n_rounds=_UNI_ROUNDS, n_multi=_UNI_MULTI,
+        max_word_len=_UNI_WLEN, max_piece_len=_UNI_PLEN,
+    )
+
+
 @register(
     "unigram_fertility",
     oracle=_unigram_chain(_UNI_ROUNDS, _UNI_MULTI, _UNI_WLEN, _UNI_PLEN)

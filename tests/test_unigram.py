@@ -53,3 +53,38 @@ def test_unigram_validates_params(spark, corpus):
         unigram_lm_learn(corpus, "text", n_rounds=0)
     with pytest.raises(ValueError):
         unigram_lm_learn(corpus, "text", max_piece_len=20, max_word_len=10)
+
+
+def test_pack_sequences_unigram_prices_by_viterbi_pieces(spark):
+    """Per-doc n_tokens equals the sum over its (truncated) words of
+    the learned segmentation's piece counts; bins fill greedily under
+    the budget; wordless docs price 0 and still get a bin."""
+    from datas_spark.operators.unigram import (
+        pack_sequences_unigram,
+        unigram_lm_learn,
+    )
+
+    rows = [
+        (1, "s", "hello hello world"),
+        (2, "s", "hello world world world"),
+        (3, "s", ""),
+        (4, "t", "banana bandana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kw = dict(n_rounds=2, n_multi=8, max_word_len=12, max_piece_len=4)
+    out = {r.doc_id: r for r in pack_sequences_unigram(
+        df, "doc_id", "text", budget=6, shard_col="source", **kw
+    ).collect()}
+    _v, _ll, wp = unigram_lm_learn(df, "text", **kw)
+    np = {r.word: r.n_pieces for r in wp.collect()}
+    assert out[1].n_tokens == 2 * np["hello"] + np["world"]
+    assert out[2].n_tokens == np["hello"] + 3 * np["world"]
+    assert out[3].n_tokens == 0
+    assert out[4].n_tokens == np["banana"] + np["bandana"]
+    # greedy cumsum bins per shard: doc 1 starts bin 0; doc 2 starts at
+    # floor(prev_cumsum / 6); shard 't' restarts at bin 0
+    assert out[1].bin == 0 and out[4].bin == 0
+    assert out[2].bin == out[1].n_tokens // 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences_unigram(df, "doc_id", "text", budget=0)
