@@ -579,6 +579,7 @@ def random_projection(
     k: int = 8,
     seed: int = 42,
     out_col: str = "z",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction with fixed seeded
     pseudo-gaussian planes — `pca_reduce`'s SCALE twin: PCA needs an
@@ -596,13 +597,15 @@ def random_projection(
     """
     from datas_spark.operators.similarity import random_hyperplanes
 
-    # array columns carry no static width; probe one row for it (the
-    # only eager action — 1 row, plan-construction time only)
-    first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-    if not first:
-        raise ValueError("empty frame: cannot infer vector width")
-    width = int(first[0].n)
-    planes = random_hyperplanes(width, k, seed)
+    # array columns carry no static width; pass ``dim`` explicitly in
+    # composed pipelines (VERDICT r10 #8 — each probe is a separate
+    # Spark job at plan-construction time), else probe one row for it
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+        if not first:
+            raise ValueError("empty frame: cannot infer vector width")
+        dim = int(first[0].n)
+    planes = random_hyperplanes(dim, k, seed)
     comps = [
         F.round(
             F.aggregate(

@@ -2485,6 +2485,7 @@ def semdedup(
     n_planes: int = 4,
     seed: int = 42,
     max_bucket_side: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering the embedding space and removing all-but-one of each
@@ -2529,12 +2530,16 @@ def semdedup(
 
     if not -1.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
-    first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-    if not first:
-        raise ValueError("empty frame: cannot infer vector width")
-    width = int(first[0]["n"])
+    # pass ``dim`` explicitly in composed pipelines (VERDICT r10 #8:
+    # each width probe is a separate pre-plan Spark job); inference
+    # stays the standalone default
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+        if not first:
+            raise ValueError("empty frame: cannot infer vector width")
+        dim = int(first[0]["n"])
     asg, cents = kmeans_lloyd(df, id_col, vec_col, k=k, n_rounds=n_rounds)
-    planes = random_hyperplanes(width, n_planes, seed)
+    planes = random_hyperplanes(dim, n_planes, seed)
     # e feeds pairs (twice), centroid sims, and membership — pin it
     e = hyperplane_signature(
         df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col),

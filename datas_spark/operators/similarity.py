@@ -1495,6 +1495,7 @@ def bitext_margin_pairs(
     n_planes: int = 4,
     seed: int = 42,
     max_bucket_side: int | None = 128,
+    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER
     recipe): candidate translation pairs are scored by the RATIO
@@ -1526,10 +1527,13 @@ def bitext_margin_pairs(
     """
     if knn < 1 or top_n < 1:
         raise ValueError(f"need knn/top_n >= 1, got {knn}/{top_n}")
-    first = src.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-    if not first:
-        raise ValueError("empty src frame: cannot infer vector width")
-    planes = random_hyperplanes(int(first[0]["n"]), n_planes, seed)
+    # explicit ``dim`` skips the pre-plan width probe (VERDICT r10 #8)
+    if dim is None:
+        first = src.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+        if not first:
+            raise ValueError("empty src frame: cannot infer vector width")
+        dim = int(first[0]["n"])
+    planes = random_hyperplanes(dim, n_planes, seed)
     s = hyperplane_signature(
         src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("__sv")),
         "__sv",

@@ -63,6 +63,7 @@ def curate_corpus(
     semantic_rounds: int = 2,
     semantic_planes: int = 4,
     semantic_max_bucket_side: int | None = 64,
+    semantic_dim: int | None = None,
     contamination_min_shared: int = 5,
     temperature: float | None = None,
     split_weights: dict[str, float] | None = None,
@@ -243,6 +244,7 @@ def curate_corpus(
             k=semantic_k, n_rounds=semantic_rounds,
             threshold=semantic_threshold, n_planes=semantic_planes,
             max_bucket_side=semantic_max_bucket_side,
+            dim=semantic_dim,
         )
         sem_drop = labels.where(~F.col("keep")).select(id_col)
         out = cut(out.join(sem_drop, id_col, "left_anti"))

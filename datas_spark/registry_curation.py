@@ -742,6 +742,7 @@ def q_curate_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_rounds=_CSEM_ROUNDS,
         semantic_planes=_CSEM_PLANES,
         semantic_max_bucket_side=_CSEM_CAP,
+        semantic_dim=64,
     )
     return out.select("doc_id")
 
@@ -778,6 +779,7 @@ def q_curate_audit_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_rounds=_CSEM_ROUNDS,
         semantic_planes=_CSEM_PLANES,
         semantic_max_bucket_side=_CSEM_CAP,
+        semantic_dim=64,
     )
 
 

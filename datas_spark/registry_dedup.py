@@ -3088,5 +3088,5 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding",
         k=_SD_K, n_rounds=_SD_ROUNDS,
         threshold=_SD_THR, n_planes=_SD_PLANES,
-        max_bucket_side=_SD_CAP,
+        max_bucket_side=_SD_CAP, dim=64,
     )

@@ -1841,5 +1841,5 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("label") % 2 == 1),
         "vec_id", "embedding",
         knn=_BTX_KNN, top_n=_BTX_TOP, n_planes=_BTX_PLANES,
-        max_bucket_side=_BTX_CAP,
+        max_bucket_side=_BTX_CAP, dim=64,
     )
