@@ -77,6 +77,20 @@ def merge(old_doc: dict, new_doc: dict) -> dict:
             # drift-effective canary: the session scan total re-priced
             # to the box phase this query's run position saw (1.0 on
             # docs without drift_index)
+            dfac = drift_factor(new_doc, name)
+            # drift-spike guard (round 11): when the probe claims the
+            # block ran >1.5x slow, a near-normal raw time in it would
+            # set a normalized floor no real session can meet (the r10
+            # driver session planted 19 such phantom floors at
+            # drift 2.3x — every one re-flagged CONFIRMED by fresh-JVM
+            # triage a round later). Probe-spiked blocks are evidence
+            # for TRIAGE, not for floor-setting — skip adoption.
+            if dfac <= 1.5:
+                eff = nc["scan"] * dfac
+                cands.append((new_q[name] / eff, new_q[name], eff))
+        if not cands:
+            # new-only query measured in a drift-spiked block: keep the
+            # raw measurement (no floor existed to corrupt)
             eff = nc["scan"] * drift_factor(new_doc, name)
             cands.append((new_q[name] / eff, new_q[name], eff))
         _, raw, fc = min(cands)

@@ -173,18 +173,37 @@ class TestDriftNormalization:
         assert bench_diff.drift_factor(bad, "q1") == 1.0  # zero base probe
 
     def test_floor_merge_stores_drift_effective_canary(self):
-        # a new floor set during a 2x-slow phase must carry the
-        # re-priced canary (scan 2.0 * factor 2.0 = 4.0), so later
-        # sessions compare against the regime that measured it
+        # a new floor set during a MILD (<=1.5x) slow phase is adopted
+        # with the re-priced canary (scan 2.0 * factor 1.4 = 2.8), so
+        # later sessions compare against the regime that measured it
         old = _doc({"q_mid": 9.9}, scan_total=2.0, sentinel=0.2,
                    floor_canary={"q_mid": 2.0})
         new = _drift_doc(
             {"q_mid": 2.0}, scan_total=2.0, sentinel=0.2,
-            drift_probe=[0.1, 0.2], drift_index={"q_mid": 1},
+            drift_probe=[0.1, 0.14], drift_index={"q_mid": 1},
         )
         merged = floor_merge.merge(old, new)
         assert merged["queries"]["q_mid"] == 2.0
-        assert merged["floor_canary"]["q_mid"] == 4.0
+        assert merged["floor_canary"]["q_mid"] == pytest.approx(2.8)
+
+    def test_floor_merge_refuses_drift_spiked_floors(self):
+        # round-11 phantom-floor guard: a probe claiming a >1.5x slow
+        # block makes any near-normal raw in it look impossibly good in
+        # normalized space (the r10 driver session planted 19 such
+        # floors; all re-flagged CONFIRMED a round later). Keep the old
+        # floor; a NEW-only query still lands (nothing to corrupt).
+        old = _doc({"q_mid": 2.5}, scan_total=2.0, sentinel=0.2,
+                   floor_canary={"q_mid": 2.0})
+        new = _drift_doc(
+            {"q_mid": 2.0, "q_new": 1.0}, scan_total=2.0, sentinel=0.2,
+            drift_probe=[0.1, 0.2],
+            drift_index={"q_mid": 1, "q_new": 1},
+        )
+        merged = floor_merge.merge(old, new)
+        assert merged["queries"]["q_mid"] == 2.5      # spiked-block floor refused
+        assert merged["floor_canary"]["q_mid"] == 2.0
+        assert merged["queries"]["q_new"] == 1.0      # new-only query kept
+        assert merged["floor_canary"]["q_new"] == 4.0
 
 
 class TestRunDocSeparation:
