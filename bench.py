@@ -437,6 +437,8 @@ HEADLINE = [
     "evol_active_loop",
     # round-11 batch 6: packing under the learned unigram segmentation
     "pack_sequences_unigram",
+    # round-11 batch 7: LSH (bands, rows) index-design planner
+    "lsh_plan",
 ]
 
 RUNS_PER_QUERY = 3

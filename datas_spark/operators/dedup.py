@@ -32,6 +32,7 @@ embeds identical literals.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -57,6 +58,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_lsh_plan",
     "simhash",
     "ngram_jaccard_pairs",
     "prefix_filter_jaccard_pairs",
@@ -267,6 +269,155 @@ def minhash_lsh_pairs(
         pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _lsh_plan_theory(
+    num_hashes: int, target_threshold: float, grid: int
+) -> list[tuple]:
+    """Driver-side analytic rows of `minhash_lsh_plan` — model-bounded
+    (one row per divisor of ``num_hashes``). Every float is produced
+    by LEFT-FOLD multiplications and ascending-order sums so the SQL
+    twin (identical op order) reproduces it bit-for-bit; the only libm
+    call (the ``(1/b)^(1/r)`` threshold estimate) rounds to 6.
+    """
+
+    def powi(x: float, n: int) -> float:
+        acc = 1.0
+        for _ in range(n):
+            acc = acc * x
+        return acc
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6  # half-away, positive args
+
+    rows = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        p_curve = lambda s: 1.0 - powi(1.0 - powi(s, r), b)
+        fp = 0.0
+        fn = 0.0
+        for i in range(1, grid):
+            s = i / grid  # grid a power of two -> s exact dyadic
+            p = p_curve(s)
+            if s < target_threshold:
+                fp = fp + p
+            else:
+                fn = fn + (1.0 - p)
+        fp, fn = fp / grid, fn / grid
+        rows.append(
+            (
+                b,
+                r,
+                r6(math.pow(1.0 / b, 1.0 / r)),
+                r6(p_curve(target_threshold)),
+                r6(fp),
+                r6(fn),
+                r6(fp + fn),
+            )
+        )
+    return rows
+
+
+def minhash_lsh_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    target_threshold: float = 0.7,
+    grid: int = 64,
+) -> DataFrame:
+    """LSH index-design planner: for EVERY (bands, rows) factorization
+    of the ``num_hashes`` MinHash signature, the analytic Broder
+    S-curve operating point — collision probability at the target
+    Jaccard threshold, the ``(1/b)^{1/r}`` threshold estimate, and the
+    false-positive / false-negative areas of ``1-(1-s^r)^b`` against a
+    uniform s-grid — PLUS the MEASURED candidate-pair volume that
+    banding would generate on THIS corpus. 'Measure, don't guess'
+    applied to the (bands, rows) knob every LSH query hard-codes: at
+    100 TB the difference between (4,4) and (8,2) is billions of
+    candidate pairs, and this one query prices it before an index
+    build.
+
+    Measurement shape: ONE signature pass; each plan's banding
+    explodes to (plan, band, bucket-md5) keys — Σ_b b rows per doc
+    (31 for k=16) — then one combinable count per bucket and an exact
+    ``Σ n(n−1)/2`` per plan. Docs with empty shingle sets are excluded
+    exactly as `minhash_lsh_pairs` excludes them. The analytic columns
+    are a divisor-count-bounded driver table (left-fold powers /
+    ascending sums — the cross-engine float discipline), joined
+    broadcast onto the measured counts.
+
+    Returns ``(bands, rows_per_band, est_threshold, p_at_target,
+    fp_area, fn_area, total_err, cand_pairs, is_recommended)`` —
+    recommended = smallest ``total_err`` (ties → fewer bands).
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
+    if not 0.0 < target_threshold < 1.0:
+        raise ValueError(
+            f"target_threshold must be in (0, 1), got {target_threshold}"
+        )
+    if grid < 2 or (grid & (grid - 1)):
+        raise ValueError(f"grid must be a power of two >= 2, got {grid}")
+    theory = df.sparkSession.createDataFrame(
+        _lsh_plan_theory(num_hashes, target_threshold, grid),
+        "bands int, rows_per_band int, est_threshold double, "
+        "p_at_target double, fp_area double, fn_area double, "
+        "total_err double",
+    )
+    sigd = minhash_signature(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("__id"), "minhash"
+    )
+    plans = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash")[band * (num_hashes // b) + j]
+                            for j in range(num_hashes // b)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in plans
+            for band in range(b)
+        ]
+    )
+    # empty-shingle exclusion inside the generator (the
+    # minhash_lsh_pairs pushdown discipline)
+    gated = F.when(F.col("minhash")[0] < F.lit(MINHASH_P), keys)
+    counted = (
+        sigd.select(F.explode_outer(gated).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .groupBy(
+            F.col("__k")["bands"].alias("bands"),
+            F.col("__k")["band"].alias("__band"),
+            F.col("__k")["bucket"].alias("__bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .groupBy("bands")
+        .agg(
+            F.sum(F.expr("(__n * (__n - 1)) div 2"))
+            .cast("long")
+            .alias("cand_pairs")
+        )
+    )
+    w = Window.orderBy(F.col("total_err").asc(), F.col("bands").asc())
+    return (
+        theory.join(counted, "bands", "left")
+        .withColumn(
+            "cand_pairs", F.coalesce("cand_pairs", F.lit(0).cast("long"))
+        )
+        .withColumn("is_recommended", F.row_number().over(w) == 1)
     )
 
 

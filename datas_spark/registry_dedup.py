@@ -3090,3 +3090,103 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_SD_THR, n_planes=_SD_PLANES,
         max_bucket_side=_SD_CAP, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: LSH index-design planner — analytic Broder S-curve per
+# (bands, rows) factorization + the measured candidate volume on THIS
+# corpus, in one hash-checked query.
+# ---------------------------------------------------------------------------
+
+_LSHP_K, _LSHP_T, _LSHP_GRID = 16, 0.7, 64
+
+
+def _lsh_plan_oracle() -> str:
+    k, t, grid = _LSHP_K, _LSHP_T, _LSHP_GRID
+
+    def powi(x: str, n: int) -> str:
+        # left-fold n-times multiply — the same IEEE sequence as the
+        # driver-side powi (1.0*x == x exactly, so init is immaterial)
+        return (
+            f"list_reduce(list_transform(range({n}), z -> ({x})), "
+            f"(a, b) -> a * b)"
+        )
+
+    theory_rows = []
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        p_of = lambda s: f"(1.0 - {powi(f'1.0 - {powi(s, r)}', b)})"
+        fp = (
+            f"(list_reduce(list_prepend(0.0, list_transform(range(1, {grid}), "
+            f"i -> CASE WHEN i::DOUBLE / {grid} < {t} "
+            f"THEN {p_of(f'i::DOUBLE / {grid}')} ELSE 0.0 END)), "
+            f"(a, b) -> a + b) / {grid})"
+        )
+        fn = (
+            f"(list_reduce(list_prepend(0.0, list_transform(range(1, {grid}), "
+            f"i -> CASE WHEN i::DOUBLE / {grid} >= {t} "
+            f"THEN 1.0 - {p_of(f'i::DOUBLE / {grid}')} ELSE 0.0 END)), "
+            f"(a, b) -> a + b) / {grid})"
+        )
+        theory_rows.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, "
+            f"round(pow(1.0 / {b}, 1.0 / {r}), 6) AS est_threshold, "
+            f"round({p_of(f'{t}::DOUBLE')}, 6) AS p_at_target, "
+            f"round({fp}, 6) AS fp_area, round({fn}, 6) AS fn_area, "
+            f"round({fp} + {fn}, 6) AS total_err"
+        )
+    theory = "\n      UNION ALL ".join(theory_rows)
+    from datas_spark.oracle_shared import minhash_oracle
+
+    sig_query = minhash_oracle(k, 3).strip()
+    assert sig_query.startswith("WITH")
+    sig_ctes, sig_select = sig_query[4:].rsplit("SELECT", 1)
+    plan_keys = ", ".join(
+        f"({b}, {band}, {band * (k // b) + 1}, {(band + 1) * (k // b)})"
+        for b in range(1, k + 1) if k % b == 0
+        for band in range(b)
+    )
+    return f"""
+    WITH {sig_ctes.strip().rstrip(',')}, sig AS MATERIALIZED (
+      SELECT {sig_select.strip()}
+    ), theory AS MATERIALIZED (
+      {theory}
+    ), keys AS (
+      SELECT p.bands, p.band,
+             md5(array_to_string(s.minhash[p.lo:p.hi], ',')) AS bucket
+      FROM sig s, (VALUES {plan_keys}) p(bands, band, lo, hi)
+      WHERE s.minhash[1] < {D.MINHASH_P}
+    ), counted AS (
+      SELECT bands, sum((n * (n - 1)) // 2)::BIGINT AS cand_pairs FROM (
+        SELECT bands, band, bucket, count(*)::BIGINT AS n
+        FROM keys GROUP BY bands, band, bucket
+      ) GROUP BY bands
+    )
+    SELECT th.bands, th.rows_per_band, th.est_threshold, th.p_at_target,
+           th.fp_area, th.fn_area, th.total_err,
+           coalesce(c.cand_pairs, 0)::BIGINT AS cand_pairs,
+           (row_number() OVER (ORDER BY th.total_err ASC, th.bands ASC) = 1)
+             AS is_recommended
+    FROM theory th LEFT JOIN counted c USING (bands)
+    """
+
+
+@register("lsh_plan", oracle=_lsh_plan_oracle())
+def q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-design planner (`dedup.minhash_lsh_plan`): for every
+    (bands, rows) factorization of the 16-hash MinHash signature, the
+    analytic Broder S-curve operating point at the 0.7 near-dup
+    threshold (collision probability, threshold estimate, FP/FN areas)
+    AND the candidate-pair volume that banding would actually generate
+    on this corpus — the (bands, rows) knob every LSH query hard-codes,
+    priced before an index build. One signature pass; the analytic
+    table is divisor-count-bounded driver math with left-fold powers so
+    the oracle reproduces every float bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_plan(
+        docs, "doc_id", "text",
+        num_hashes=_LSHP_K, shingle_n=3,
+        target_threshold=_LSHP_T, grid=_LSHP_GRID,
+    )

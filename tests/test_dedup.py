@@ -1149,3 +1149,39 @@ def test_semdedup_threshold_one_keeps_everything(spark):
 
     with _pytest.raises(ValueError):
         semdedup(df, "id", "v", threshold=1.5)
+
+
+def test_minhash_lsh_plan_theory_and_measurement(spark):
+    """S-curve sanity per plan: fewer rows per band = looser gate
+    (higher collision probability at the target, more measured
+    candidate pairs); the recommended plan at t=0.7 with 16 hashes is
+    (4, 4) — the banding the engine's own near-dup queries hard-code;
+    short docs (empty shingle sets) never generate candidates."""
+    from datas_spark.operators.dedup import minhash_lsh_plan
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta " + f"w{i % 3}")
+            for i in range(30)]
+    rows += [(100 + i, "ab") for i in range(5)]  # shingle-less shorts
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bands: r for r in minhash_lsh_plan(
+        df, "doc_id", "text", num_hashes=16, target_threshold=0.7
+    ).collect()}
+    assert set(out) == {1, 2, 4, 8, 16}
+    ps = [out[b].p_at_target for b in (1, 2, 4, 8, 16)]
+    assert ps == sorted(ps)  # more bands = looser = higher P(collide)
+    cands = [out[b].cand_pairs for b in (1, 2, 4, 8, 16)]
+    assert all(a <= b for a, b in zip(cands, cands[1:]))
+    assert [b for b, r in out.items() if r.is_recommended] == [4]
+    for r in out.values():
+        assert 0.0 <= r.fp_area and 0.0 <= r.fn_area
+        assert abs(r.total_err - round(r.fp_area + r.fn_area, 6)) < 2e-6
+    # shorts excluded: an all-shorts corpus measures zero candidates
+    shorts = spark.createDataFrame(
+        [(i, "xy") for i in range(6)], "doc_id long, text string")
+    so = minhash_lsh_plan(shorts, "doc_id", "text", num_hashes=16).collect()
+    assert all(r.cand_pairs == 0 for r in so)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        minhash_lsh_plan(df, "doc_id", "text", target_threshold=1.5)
+    with _pytest.raises(ValueError):
+        minhash_lsh_plan(df, "doc_id", "text", grid=50)  # not a power of 2
