@@ -439,6 +439,8 @@ HEADLINE = [
     "pack_sequences_unigram",
     # round-11 batch 7: LSH (bands, rows) index-design planner
     "lsh_plan",
+    # round-11 batch 8: Muennighoff data-constrained budget readout
+    "data_constrained_mix",
 ]
 
 RUNS_PER_QUERY = 3

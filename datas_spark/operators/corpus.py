@@ -1790,7 +1790,18 @@ def unimax_allocation(
     src = df.groupBy(key_col).agg(
         F.sum(weight_col).cast("long").alias("avail_tokens")
     )
-    src = src.withColumn(
+    return _water_fill(src, key_col, F.lit(int(total_budget)), max_epochs)
+
+
+def _water_fill(
+    src: DataFrame, key_col: str, budget: Column, max_epochs: float
+) -> DataFrame:
+    """`unimax_allocation`'s closed-form water-filling core over a
+    per-source ``(key, avail_tokens)`` frame, with the budget as a
+    COLUMN — so a composed plan can supply it from a lazy total
+    (`data_constrained_report`'s epochs×corpus budget) with zero
+    driver actions; `unimax_allocation` passes a literal."""
+    src = src.withColumn("__budget", budget).withColumn(
         "cap_tokens",
         F.floor(F.col("avail_tokens") * F.lit(float(max_epochs))).cast("long"),
     )
@@ -1811,7 +1822,7 @@ def unimax_allocation(
     )
     is_small = (
         F.col("cap_tokens") * (F.col("__n") - F.col("__i"))
-        <= F.lit(int(total_budget)) - F.col("__cum_before")
+        <= F.col("__budget") - F.col("__cum_before")
     )
     src = src.withColumn("__small", is_small)
     agg = src.agg(
@@ -1822,7 +1833,7 @@ def unimax_allocation(
     )
     src = src.crossJoin(F.broadcast(agg))
     level = F.floor(
-        (F.lit(int(total_budget)) - F.col("__small_sum"))
+        (F.col("__budget") - F.col("__small_sum"))
         / F.greatest(F.col("__n_large"), F.lit(1))
     ).cast("long")
     alloc = F.when(F.col("__small"), F.col("cap_tokens")).otherwise(
@@ -1839,6 +1850,81 @@ def unimax_allocation(
             ),
         )
         .select(key_col, "avail_tokens", "cap_tokens", "alloc_tokens", "epochs")
+    )
+
+
+def data_constrained_report(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget_epochs: float = 4.0,
+    max_epochs: float = 8.0,
+    r_star: float = 15.39,
+) -> DataFrame:
+    """Data-constrained scaling readout (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a training
+    budget of ``budget_epochs`` × the corpus token mass, water-fill it
+    over sources (UniMax, epoch-capped at ``max_epochs``) and price
+    each source's REPEATED tokens by the paper's decaying-value law —
+    the value of data seen ``R`` extra times decays exponentially with
+    ``R*`` ≈ 15.4, so
+
+        effective_tokens = U · (1 + R*·(1 − e^{−R/R*})),
+        U = min(alloc, avail),  R = alloc/avail − 1
+
+    (repeating up to ~4 epochs is nearly free; past ~16 the marginal
+    token is worthless — the paper's headline finding, here as a
+    per-source budget report). ``efficiency = effective/alloc`` is the
+    fraction of the consumed budget that still buys new-data-equivalent
+    signal — the number that says whether to repeat this corpus or go
+    gather more.
+
+    The budget is ``floor(budget_epochs × Σ weights)`` computed INSIDE
+    the plan (lazy 1-row total crossJoined into the water-filling —
+    the auto-k discipline, zero driver actions), so the SAME query
+    scales from sf0.001 to 100 TB. The one float transcendental
+    (``exp``) evaluates on an identical double both engines and the
+    outputs re-quantize at 6 dp. Returns ``(key, avail_tokens,
+    alloc_tokens, epochs, repetitions, effective_tokens,
+    efficiency)``.
+    """
+    if budget_epochs <= 0 or max_epochs <= 0 or r_star <= 0:
+        raise ValueError(
+            f"need budget_epochs/max_epochs/r_star > 0, got "
+            f"{budget_epochs}/{max_epochs}/{r_star}"
+        )
+    src = df.groupBy(key_col).agg(
+        F.sum(weight_col).cast("long").alias("avail_tokens")
+    ).localCheckpoint(eager=False)
+    tot = src.agg(F.sum("avail_tokens").cast("long").alias("__tot"))
+    budget = F.floor(F.col("__tot") * F.lit(float(budget_epochs))).cast("long")
+    alloc = _water_fill(
+        src.crossJoin(F.broadcast(tot)), key_col, budget, max_epochs
+    ).drop("cap_tokens")
+    u = F.least(F.col("alloc_tokens"), F.col("avail_tokens")).cast("double")
+    reps = F.when(
+        F.col("avail_tokens") > 0,
+        F.greatest(
+            F.col("alloc_tokens") / F.col("avail_tokens") - F.lit(1.0),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    mult = F.lit(1.0) + F.lit(float(r_star)) * (
+        F.lit(1.0) - F.exp(-F.col("repetitions") / F.lit(float(r_star)))
+    )
+    return (
+        alloc.withColumn("repetitions", F.round(reps, 6) + F.lit(0.0))
+        .withColumn("effective_tokens", F.round(u * mult, 6) + F.lit(0.0))
+        .withColumn(
+            "efficiency",
+            F.when(
+                F.col("alloc_tokens") > 0,
+                F.round(
+                    F.col("effective_tokens") / F.col("alloc_tokens").cast("double"),
+                    6,
+                ),
+            ) + F.lit(0.0),
+        )
     )
 
 

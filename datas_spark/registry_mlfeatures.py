@@ -453,6 +453,85 @@ _UNIMAX_BUDGET = 300_000
 _UNIMAX_EPOCHS = 1.5
 
 
+_DCR_BE, _DCR_ME, _DCR_RSTAR = 4.0, 8.0, 15.39
+
+
+@register(
+    "data_constrained_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, sum(n_chars)::BIGINT AS avail_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT sum(avail_tokens)::BIGINT AS t FROM per),
+    c AS (
+      SELECT source, avail_tokens,
+             floor(avail_tokens * {_DCR_ME})::BIGINT AS cap_tokens,
+             floor(t * {_DCR_BE})::BIGINT AS budget
+      FROM per CROSS JOIN tot
+    ), o AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens ASC, source ASC) - 1 AS i,
+             count(*) OVER () AS n,
+             coalesce(sum(cap_tokens) OVER (
+               ORDER BY cap_tokens ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM c
+    ), s AS (
+      SELECT *, cap_tokens * (n - i) <= budget - cum_before AS small
+      FROM o
+    ), a AS (
+      SELECT coalesce(sum(CASE WHEN small THEN cap_tokens END), 0)::BIGINT
+               AS small_sum,
+             count(*) FILTER (NOT small)::BIGINT AS n_large
+      FROM s
+    ), al AS (
+      SELECT source, avail_tokens,
+             CASE WHEN small THEN cap_tokens
+                  ELSE least(cap_tokens,
+                             greatest(floor((budget - small_sum)
+                                            / greatest(n_large, 1))::BIGINT, 0))
+             END AS alloc_tokens
+      FROM s CROSS JOIN a
+    ), rep AS (
+      SELECT source, avail_tokens, alloc_tokens,
+             round(alloc_tokens / (CASE WHEN avail_tokens > 0
+                                        THEN avail_tokens END), 6) AS epochs,
+             round(CASE WHEN avail_tokens > 0 THEN greatest(
+                     alloc_tokens::DOUBLE / avail_tokens - 1.0, 0.0)
+                   ELSE 0.0 END, 6) + 0.0 AS repetitions,
+             least(alloc_tokens, avail_tokens)::DOUBLE AS u
+      FROM al
+    )
+    SELECT source, avail_tokens, alloc_tokens, epochs, repetitions,
+           round(u * (1.0 + {_DCR_RSTAR}
+                      * (1.0 - exp(-repetitions / {_DCR_RSTAR}))), 6) + 0.0
+             AS effective_tokens,
+           CASE WHEN alloc_tokens > 0 THEN
+             round((round(u * (1.0 + {_DCR_RSTAR}
+                      * (1.0 - exp(-repetitions / {_DCR_RSTAR}))), 6) + 0.0)
+                   / alloc_tokens::DOUBLE, 6) END + 0.0 AS efficiency
+    FROM rep
+    """,
+)
+def q_data_constrained_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained scaling readout (Muennighoff 2023,
+    `corpus.data_constrained_report`): a 4-epoch training budget
+    water-fills over sources (UniMax, 8-epoch cap), and each source's
+    repeated tokens are priced by the paper's decaying-value law
+    (R* = 15.39) — effective tokens and budget efficiency per source,
+    with the budget derived from the corpus total INSIDE the plan (the
+    same query scales across sf without retuning). The oracle replays
+    the lazy budget, the water-filling, and the decay math."""
+    from datas_spark.operators.corpus import data_constrained_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    return data_constrained_report(
+        docs, "source", "n_chars",
+        budget_epochs=_DCR_BE, max_epochs=_DCR_ME, r_star=_DCR_RSTAR,
+    )
+
+
 @register(
     "unimax_source_allocation",
     oracle=f"""

@@ -1123,3 +1123,41 @@ def test_doc_novelty_route_bloom_validates(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         doc_novelty_route_bloom(df, df, "doc_id", "text", min_novelty=-0.1)
+
+
+def test_data_constrained_report_decay_law(spark):
+    """Muennighoff decay math: a 1-epoch source is 100% efficient; a
+    repeated source's effective tokens follow U*(1+R*(1-e^{-R/R*}))
+    with efficiency strictly below 1; the in-plan budget equals
+    budget_epochs x the corpus total; allocations never exceed the
+    epoch cap."""
+    import math
+
+    rows = [("big", 1000), ("small", 100)]
+    df = spark.createDataFrame(
+        [(s, 1, w) for s, w in rows], "source string, row int, w long"
+    )
+    out = {r.source: r for r in C.data_constrained_report(
+        df, "source", "w", budget_epochs=2.0, max_epochs=8.0, r_star=15.39
+    ).collect()}
+    total = 1100
+    assert sum(r.alloc_tokens for r in out.values()) <= 2 * total
+    for s, avail in rows:
+        r = out[s]
+        assert r.avail_tokens == avail
+        assert r.alloc_tokens <= 8 * avail
+        reps = round(max(r.alloc_tokens / avail - 1.0, 0.0), 6)
+        assert abs(r.repetitions - reps) < 1e-9
+        mult = 1.0 + 15.39 * (1.0 - math.exp(-reps / 15.39))
+        assert abs(r.effective_tokens - round(avail * mult, 6)) < 1e-5
+        if r.alloc_tokens > avail:
+            assert r.efficiency < 1.0
+    # a budget of exactly 1 epoch -> no repetition, efficiency 1.0
+    one = {r.source: r for r in C.data_constrained_report(
+        df, "source", "w", budget_epochs=1.0).collect()}
+    for r in one.values():
+        if r.alloc_tokens == r.avail_tokens:
+            assert r.efficiency == 1.0 and r.repetitions == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        C.data_constrained_report(df, "source", "w", budget_epochs=0)
