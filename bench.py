@@ -441,6 +441,8 @@ HEADLINE = [
     "lsh_plan",
     # round-11 batch 8: Muennighoff data-constrained budget readout
     "data_constrained_mix",
+    # round-11 batch 9: BPE-vs-unigram segmentation agreement
+    "tokenizer_agreement",
 ]
 
 RUNS_PER_QUERY = 3

@@ -44,7 +44,11 @@ from pyspark.sql import functions as F
 
 from datas_spark.operators.bpe import word_freq_table
 
-__all__ = ["pack_sequences_unigram", "unigram_lm_learn"]
+__all__ = [
+    "pack_sequences_unigram",
+    "segmentation_agreement",
+    "unigram_lm_learn",
+]
 
 
 def _llq(count: int, total: int) -> int:
@@ -132,8 +136,9 @@ def unigram_lm_learn(
     log-likelihood achieved in round r's E-step (nats; the EM
     monotonicity readout — non-decreasing up to the character
     smoothing floor), and word_pieces = the FINAL round's per-word
-    segmentation ``(word, cnt, n_pieces)`` (lazy frame — the
-    fertility/compression readout input)."""
+    segmentation ``(word, cnt, pieces array<string> in reverse order,
+    n_pieces)`` (lazy frame — the fertility/compression/agreement
+    readout input)."""
     if n_rounds < 1 or n_multi < 1:
         raise ValueError(f"need n_rounds/n_multi >= 1, got {n_rounds}/{n_multi}")
     if max_word_len < 1 or not 1 <= max_piece_len <= max_word_len:
@@ -226,7 +231,13 @@ def unigram_lm_learn(
             .collect()
         )
         word_pieces = seg.select(
-            "word", "cnt", F.size("__pieces").cast("long").alias("n_pieces")
+            "word",
+            "cnt",
+            # NB: the backtrace walks from the END, so `pieces` is in
+            # REVERSE (last piece first) — consumers that need order
+            # (boundary extraction) fold accordingly
+            F.col("__pieces").alias("pieces"),
+            F.size("__pieces").cast("long").alias("n_pieces"),
         )
         used = {r.piece: int(r.c) for r in cnt_rows}
         counts = {p: c for p, c in used.items() if len(p) > 1 and c > 0}
@@ -319,4 +330,125 @@ def pack_sequences_unigram(
         F.floor(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
         ).cast("long"),
+    )
+
+
+def segmentation_agreement(
+    df: DataFrame,
+    text_col: str,
+    merges: list[str],
+    n_rounds: int = 2,
+    n_multi: int = 48,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """BPE-vs-unigram segmentation agreement — the tokenizer-family
+    capstone readout: where do the two trained vocabularies actually
+    CUT differently? Boundary sets (interior cut positions) of each
+    word's BPE segmentation (the learned ``merges`` replace chain)
+    and unigram Viterbi segmentation are compared corpus-weighted:
+
+    - ``boundary_precision`` = Σcnt·|B_bpe ∩ B_uni| / Σcnt·|B_bpe|
+      (BPE cuts the unigram model confirms),
+    - ``boundary_recall``    = … / Σcnt·|B_uni|,
+    - ``boundary_f1``        = micro-F1 = 2Σ|∩| / (Σ|B_bpe|+Σ|B_uni|),
+    - ``exact_match_rate``   = weighted share of words whose
+      segmentations are IDENTICAL (equal boundary sets ⇔ equal sizes
+      + full intersection).
+
+    Words of length ≥ ``max_word_len`` are excluded (the unigram
+    trainer truncates there — the shared budget contract makes them
+    incomparable). All sums are exact integers; the final ratios are
+    single rounded divisions. One row out:
+    ``(n_words, total_cnt, boundary_precision, boundary_recall,
+    boundary_f1, exact_match_rate)``.
+    """
+    from datas_spark.operators.bpe import _spaced
+
+    _vocab, _ll, wp = unigram_lm_learn(
+        df, text_col,
+        n_rounds=n_rounds, n_multi=n_multi,
+        max_word_len=max_word_len, max_piece_len=max_piece_len,
+    )
+    w = wp.where(F.length("word") < max_word_len)
+    # unigram boundaries: pieces are in REVERSE order — fold positions
+    # downward from len(word), keep the interior (> 0) cut points
+    uni_bounds = F.filter(
+        F.aggregate(
+            F.col("pieces"),
+            F.struct(
+                F.length("word").cast("int").alias("pos"),
+                F.array().cast("array<int>").alias("arr"),
+            ),
+            lambda acc, p: F.struct(
+                (acc["pos"] - F.length(p)).cast("int").alias("pos"),
+                F.concat(
+                    acc["arr"],
+                    F.array((acc["pos"] - F.length(p)).cast("int")),
+                ).alias("arr"),
+            ),
+        )["arr"],
+        lambda b: b > 0,
+    )
+    # BPE boundaries: apply the merge chain to the spaced word, prefix
+    # sums of token lengths, drop the total
+    s = _spaced(F.col("word"))
+    for pair in merges:
+        s = F.replace(s, F.lit(pair), F.lit(pair.replace(" ", "")))
+    btoks = F.split(s, " ")
+    bpe_cums = F.aggregate(
+        btoks,
+        F.array().cast("array<int>"),
+        # try_element_at: plain element_at(-1) THROWS on the empty
+        # first-iteration accumulator under ANSI semantics
+        lambda acc, p: F.concat(
+            acc,
+            F.array(
+                (
+                    F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0))
+                    + F.length(p)
+                ).cast("int")
+            ),
+        ),
+    )
+    bpe_bounds = F.filter(bpe_cums, lambda b: b < F.length("word"))
+    per = w.select(
+        "cnt",
+        F.size(F.array_intersect(bpe_bounds, uni_bounds)).alias("__i"),
+        F.size(bpe_bounds).alias("__nb"),
+        F.size(uni_bounds).alias("__nu"),
+    )
+    ci = F.sum(F.col("cnt") * F.col("__i")).cast("long")
+    cb = F.sum(F.col("cnt") * F.col("__nb")).cast("long")
+    cu = F.sum(F.col("cnt") * F.col("__nu")).cast("long")
+    cm = F.sum(
+        F.when(
+            (F.col("__nb") == F.col("__i")) & (F.col("__nu") == F.col("__i")),
+            F.col("cnt"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    ct = F.sum("cnt").cast("long")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        ct.alias("total_cnt"),
+        (
+            F.when(cb > 0, F.round(ci.cast("double") / cb.cast("double"), 6))
+            + F.lit(0.0)
+        ).alias("boundary_precision"),
+        (
+            F.when(cu > 0, F.round(ci.cast("double") / cu.cast("double"), 6))
+            + F.lit(0.0)
+        ).alias("boundary_recall"),
+        (
+            F.when(
+                (cb + cu) > 0,
+                F.round(
+                    F.lit(2.0) * ci.cast("double") / (cb + cu).cast("double"), 6
+                ),
+            )
+            + F.lit(0.0)
+        ).alias("boundary_f1"),
+        F.round(cm.cast("double") / ct.cast("double"), 6).alias(
+            "exact_match_rate"
+        ),
     )

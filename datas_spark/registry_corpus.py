@@ -1962,6 +1962,91 @@ def q_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
+def _seg_agreement_oracle() -> str:
+    """Both trainer chains composed: the BPE merge chain (w0..w{n},
+    word carried) + the unigram EM chain (backtrace CTEs expose every
+    piece's START position = the boundary set), then set-intersection
+    boundary accounting. Words of length >= wlen are excluded (the
+    unigram truncation contract)."""
+    bpe = _bpe_chain(_BPE_N, carry_word=True)
+    uni = _unigram_chain(_UNI_ROUNDS, _UNI_MULTI, _UNI_WLEN, _UNI_PLEN)
+    assert bpe.startswith("WITH ") and uni.startswith("WITH ")
+    bt_union = "\n      UNION ALL ".join(
+        f"SELECT word, pos, piece FROM bt_{_UNI_ROUNDS}_{k}"
+        for k in range(1, _UNI_WLEN + 1)
+    )
+    return f"""{bpe},
+    {uni[5:]},
+    sa_base AS MATERIALIZED (
+      SELECT word, cnt, string_split(s, ' ') AS toks
+      FROM w{_BPE_N} WHERE len(word) < {_UNI_WLEN}
+    ), sa_bb AS MATERIALIZED (
+      SELECT word,
+             unnest(list_transform(range(1, len(toks)),
+               i -> list_sum(list_transform(toks[1:i], t -> length(t)))))::INT
+               AS b
+      FROM sa_base
+    ), sa_ub AS MATERIALIZED (
+      SELECT word, pos::INT AS b FROM (
+        {bt_union}
+      ) WHERE piece IS NOT NULL AND pos > 0
+    ), sa_nb AS (SELECT word, count(*)::BIGINT AS nb FROM sa_bb GROUP BY word),
+    sa_nu AS (SELECT word, count(*)::BIGINT AS nu FROM sa_ub GROUP BY word),
+    sa_i AS (
+      SELECT x.word, count(*)::BIGINT AS i
+      FROM sa_bb x JOIN sa_ub y ON y.word = x.word AND y.b = x.b
+      GROUP BY x.word
+    ), sa_per AS MATERIALIZED (
+      SELECT s.word, s.cnt, coalesce(nb, 0) AS nb, coalesce(nu, 0) AS nu,
+             coalesce(i, 0) AS i
+      FROM sa_base s
+      LEFT JOIN sa_nb USING (word)
+      LEFT JOIN sa_nu USING (word)
+      LEFT JOIN sa_i USING (word)
+    )
+    SELECT count(*)::BIGINT AS n_words,
+           sum(cnt)::BIGINT AS total_cnt,
+           CASE WHEN sum(cnt * nb) > 0 THEN
+             round(sum(cnt * i)::DOUBLE / sum(cnt * nb)::DOUBLE, 6) END + 0.0
+             AS boundary_precision,
+           CASE WHEN sum(cnt * nu) > 0 THEN
+             round(sum(cnt * i)::DOUBLE / sum(cnt * nu)::DOUBLE, 6) END + 0.0
+             AS boundary_recall,
+           CASE WHEN sum(cnt * nb) + sum(cnt * nu) > 0 THEN
+             round(2.0 * sum(cnt * i)::DOUBLE
+                   / (sum(cnt * nb) + sum(cnt * nu))::DOUBLE, 6) END + 0.0
+             AS boundary_f1,
+           round(sum(CASE WHEN nb = i AND nu = i THEN cnt ELSE 0 END)::DOUBLE
+                 / sum(cnt)::DOUBLE, 6) AS exact_match_rate
+    FROM sa_per
+    """
+
+
+@register("tokenizer_agreement", oracle=_seg_agreement_oracle())
+def q_tokenizer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-vs-unigram segmentation agreement
+    (`unigram.segmentation_agreement`): both trained vocabularies cut
+    every sub-{_UNI_WLEN}-char corpus word; boundary precision /
+    recall / micro-F1 and the exact-match rate, corpus-weighted — the
+    readout that says whether the two tokenizer families disagree
+    enough to matter for packing and fertility. BOTH trainer chains
+    plus the boundary set algebra replay in the oracle."""
+    from datas_spark.operators.unigram import segmentation_agreement
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = [
+        r["pair"]
+        for r in BPE.learn_bpe_merges(docs, "text", n_merges=_BPE_N)
+        .orderBy("step")
+        .collect()
+    ]
+    return segmentation_agreement(
+        docs, "text", merges,
+        n_rounds=_UNI_ROUNDS, n_multi=_UNI_MULTI,
+        max_word_len=_UNI_WLEN, max_piece_len=_UNI_PLEN,
+    )
+
+
 def _pack_unigram_oracle() -> str:
     return (
         _unigram_chain(_UNI_ROUNDS, _UNI_MULTI, _UNI_WLEN, _UNI_PLEN)

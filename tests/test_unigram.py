@@ -88,3 +88,30 @@ def test_pack_sequences_unigram_prices_by_viterbi_pieces(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences_unigram(df, "doc_id", "text", budget=0)
+
+
+def test_segmentation_agreement_invariants(spark):
+    """With no BPE merges every position is a BPE boundary, so the
+    unigram cuts are a subset: recall == 1 and precision = weighted
+    |B_uni|/|B_bpe|; with max_piece_len=1 the unigram side also cuts
+    everywhere and agreement is perfect."""
+    from datas_spark.operators.unigram import segmentation_agreement
+
+    df = spark.createDataFrame(
+        [(1, "banana band banana"), (2, "ana band")],
+        "doc_id long, text string",
+    )
+    kw = dict(n_rounds=1, n_multi=8, max_word_len=12)
+    r = segmentation_agreement(df, "text", merges=[], **kw).collect()[0]
+    assert r.boundary_recall == 1.0
+    assert 0.0 < r.boundary_precision <= 1.0
+    assert 0.0 < r.boundary_f1 <= 1.0
+    perfect = segmentation_agreement(
+        df, "text", merges=[], max_piece_len=1, **kw
+    ).collect()[0]
+    assert perfect.boundary_precision == 1.0
+    assert perfect.boundary_recall == 1.0
+    assert perfect.boundary_f1 == 1.0
+    assert perfect.exact_match_rate == 1.0
+    assert perfect.n_words == 3  # banana, band, ana (all < 12 chars)
+    assert perfect.total_cnt == 5
