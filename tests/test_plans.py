@@ -229,6 +229,7 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "curate_corpus_semantic",          # packed Lloyd centroid row + 1-row auto-k count (semdedup stage)
         "curate_audit_semantic",           # same stage frames + fate joins
         "maxsim_recall_sampled",           # sample-local BM25 constants + 1-row hit/total scalars
+        "data_constrained_mix",            # 1-row corpus-total budget + 1-row (small_sum, n_large) scalar — the unimax_source_allocation shape
     }
     failures = []
     for name, fn in sorted(E.queries().items()):
