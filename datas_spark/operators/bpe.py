@@ -85,10 +85,15 @@ def learn_bpe_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = df.sparkSession
+    # lazy checkpoints throughout (round 11): each round's top-pair
+    # collect materializes (and persists) that round's words frame as
+    # part of its own job, so the separate eager-checkpoint job per
+    # round disappears — ~2x fewer driver-coordinated jobs for the
+    # identical merge sequence
     words = (
         word_freq_table(df, text_col)
         .select(_spaced(F.col("word")).alias("s"), "cnt")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -107,7 +112,7 @@ def learn_bpe_merges(
         merges.append((step, pair, merged, c))
         words = words.select(
             F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"), "cnt"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step: int, pair: string, merged: string, pair_count: long"
     )

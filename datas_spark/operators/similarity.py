@@ -913,37 +913,154 @@ def pq_codebooks_lloyd(
     (`clustering.kmeans_lloyd`: e6-integer distances, (md5(id), id)
     init, exact-integer centroid updates).
 
-    One independent ``ks``-centroid Lloyd run per subvector block
-    ``j`` (each a map-only-assignment chain over the ``dim/m``-dim
-    slices — m·n_rounds scans + k·sub-row aggregates total, zero
-    collects); ``dim`` is an explicit parameter so composing this into
-    a pipeline triggers no pre-plan width probe. Returns the pre-split
-    codebook frame ``(__j int, __code int, __cb array<double>,
-    __n2 double)`` that `_pq_encode_presplit` / `_pq_lut_presplit`
-    broadcast — contractually tiny (m·ks rows).
+    The ``m`` per-subspace Lloyd instances share the IDENTICAL seed
+    election (the ``(md5(id), id)`` draw never sees the slice), so all
+    ``m`` chains run as ONE grouped chain keyed by subspace ``__g``
+    (round-11, guide §2.4 "remove shuffles outright"): points live as
+    ``(id, g, subvector)`` rows, all m·ks centroids in one packed
+    broadcast row, and each round is ONE map-only assignment pass plus
+    ONE combinable ``groupBy(g, code)`` aggregate with per-dimension
+    long sums — versus the previous m independent `kmeans_lloyd`
+    chains (m × (assignment + 2-exchange update + merge) per round,
+    measured m× the job count for byte-identical centroids). Every
+    step replays the same exact integer arithmetic per subspace, so
+    the oracle CTEs are unchanged. ``dim`` is an explicit parameter so
+    composing this into a pipeline triggers no pre-plan width probe.
+    Returns the pre-split codebook frame ``(__j int, __code int,
+    __cb array<double>, __n2 double)`` that `_pq_encode_presplit` /
+    `_pq_lut_presplit` broadcast — contractually tiny (m·ks rows).
     """
-    from datas_spark.operators.clustering import kmeans_lloyd
+    from datas_spark.operators.clustering import _quantized
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    parts = []
-    for j in range(m):
-        sl = train.select(
-            F.col(id_col).alias("__tid"),
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("__sv"),
+    scale = 1_000_000
+    pts = train.select(
+        F.col(id_col).alias("__tid"),
+        _quantized(vec_col, scale).alias("__qf"),
+    ).localCheckpoint(eager=False)
+    # one seed election for all m chains: quantize-then-slice equals
+    # slice-then-quantize (elementwise round), and the (h, id) sort key
+    # is slice-independent, so subspace j's seeds are exactly what its
+    # standalone chain would have drawn
+    seeds = (
+        pts.select(
+            F.md5(F.col("__tid").cast("string")).alias("__h"), "__tid", "__qf"
         )
-        _, cents = kmeans_lloyd(sl, "__tid", "__sv", k=ks, n_rounds=n_rounds)
-        parts.append(
-            cents.select(
-                F.lit(j).cast("int").alias("__j"),
-                F.col("cluster").cast("int").alias("__code"),
-                F.col("centroid").alias("__cb"),
+        .orderBy(F.col("__h").asc(), F.col("__tid").asc())
+        .limit(ks)
+    )
+    packed = (
+        seeds.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__h", "__tid", "__qf"))
+            ).alias("__raw")
+        )
+        .select(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda g: F.transform(
+                        F.col("__raw"),
+                        lambda s, i: F.struct(
+                            g.cast("int").alias("g"),
+                            i.cast("int").alias("j"),
+                            F.slice(s["__qf"], g * sub + 1, F.lit(sub)).alias(
+                                "c"
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("__cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rows = pts.select(
+        "__tid",
+        F.posexplode(
+            F.array(*[F.slice("__qf", g * sub + 1, sub) for g in range(m)])
+        ).alias("__g", "__q"),
+    ).localCheckpoint(eager=False)
+
+    def _assign(cents_frame: DataFrame) -> DataFrame:
+        def d2(cvec):
+            return F.aggregate(
+                F.zip_with(F.col("__q"), cvec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("__cents"), lambda e: e["g"] == F.col("__g")),
+                lambda s: F.struct(d2(s["c"]).alias("d"), s["j"].alias("j")),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
+        return rows.crossJoin(broadcast(cents_frame)).select(
+            "__tid", "__g", "__q", best["j"].alias("__cluster")
+        )
+
+    for _ in range(n_rounds):
+        assigned = _assign(packed)
+        sums = assigned.groupBy("__g", "__cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+                for i in range(sub)
+            ],
+        )
+        newc = sums.select(
+            "__g",
+            "__cluster",
+            F.array(
+                *[
+                    F.expr(f"(__s{i} - pmod(__s{i}, __n)) div __n")
+                    for i in range(sub)
+                ]
+            ).alias("__cnew"),
+        )
+        newrow = newc.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__g").alias("g"),
+                    F.col("__cluster").alias("j"),
+                    F.col("__cnew").alias("c"),
+                )
+            ).alias("__new")
+        )
+        packed = (
+            packed.crossJoin(broadcast(newrow))
+            .select(
+                F.transform(
+                    "__cents",
+                    lambda p: F.struct(
+                        p["g"].alias("g"),
+                        p["j"].alias("j"),
+                        F.coalesce(
+                            F.get(
+                                F.filter(
+                                    F.col("__new"),
+                                    lambda x: (x["g"] == p["g"])
+                                    & (x["j"] == p["j"]),
+                                ),
+                                0,
+                            )["c"],
+                            p["c"],
+                        ).alias("c"),
+                    ),
+                ).alias("__cents")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    out = packed.select(F.explode("__cents").alias("__e")).select(
+        F.col("__e.g").cast("int").alias("__j"),
+        F.col("__e.j").cast("int").alias("__code"),
+        F.transform(
+            F.col("__e.c"), lambda x: x.cast("double") / F.lit(float(scale))
+        ).alias("__cb"),
+    )
     n2 = F.aggregate(F.col("__cb"), F.lit(0.0), lambda acc, x: acc + x * x)
     # m·ks rows — pin once, every consumer broadcasts this frame
     return out.withColumn("__n2", n2).localCheckpoint(eager=False)
