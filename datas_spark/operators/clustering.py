@@ -78,6 +78,7 @@ def kmeans_lloyd(
     auto_target: int = 256,
     auto_min_k: int = 2,
     auto_max_k: int = 64,
+    carry_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic fixed-round Lloyd's KMeans (F2, reference
     main.py:316-322) — the hash-checkable twin of `kmeans_cluster`:
@@ -121,10 +122,18 @@ def kmeans_lloyd(
     (the `cluster_cohesion` discipline) — the DuckDB twin's HUGEINT sum
     is already 128-bit.
 
+    ``carry_cols`` (round 11, guide §8): extra ``df`` columns carried
+    THROUGH the final map-only assignment pass, so a consumer that
+    needs (payload, cluster) — semdedup's vectors, the flagship's
+    instruction text — gets them without re-joining ``df`` against the
+    assignments (that join re-shuffles the payload by id at 100 TB for
+    rows the assignment pass already held). Carried columns ride the
+    pts checkpoint but stay out of the round aggregates.
+
     Returns ``(assignments, centroids)``: assignments =
-    ``(id_col, cluster int)``; centroids = ``(cluster int, centroid
-    array<double>)`` with components ``c/scale`` — the quantizer frame
-    `ivf_topk_fixed` consumes as learned cells.
+    ``(id_col, *carry_cols, cluster int)``; centroids = ``(cluster
+    int, centroid array<double>)`` with components ``c/scale`` — the
+    quantizer frame `ivf_topk_fixed` consumes as learned cells.
     """
     from pyspark.sql.functions import broadcast
 
@@ -150,8 +159,14 @@ def kmeans_lloyd(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    carry = list(carry_cols or [])
+    bad = {"__id", "__q"} & set(carry)
+    if bad:
+        raise ValueError(f"carry_cols collide with internal names: {sorted(bad)}")
     pts = df.select(
-        F.col(id_col).alias("__id"), _quantized(vec_col, scale).alias("__q")
+        F.col(id_col).alias("__id"),
+        _quantized(vec_col, scale).alias("__q"),
+        *[F.col(c) for c in carry],
     ).localCheckpoint(eager=False)
     seeds = (
         pts.select(F.md5(F.col("__id").cast("string")).alias("__h"), "__id", "__q")
@@ -189,7 +204,7 @@ def kmeans_lloyd(
         .localCheckpoint(eager=False)
     )
 
-    def _assign(cents_frame: DataFrame) -> DataFrame:
+    def _assign(cents_frame: DataFrame, extra: tuple = ()) -> DataFrame:
         def d2(cvec):
             return F.aggregate(
                 F.zip_with(F.col("__q"), cvec, lambda a, b: (a - b) * (a - b)),
@@ -204,7 +219,7 @@ def kmeans_lloyd(
             )
         )
         return pts.crossJoin(broadcast(cents_frame)).select(
-            "__id", "__q", best["j"].alias("__cluster")
+            "__id", "__q", *extra, best["j"].alias("__cluster")
         )
 
     for _ in range(n_rounds):
@@ -279,8 +294,10 @@ def kmeans_lloyd(
             .localCheckpoint(eager=False)
         )
 
-    final = _assign(packed).select(
-        F.col("__id").alias(id_col), F.col("__cluster").alias("cluster")
+    final = _assign(packed, extra=tuple(carry)).select(
+        F.col("__id").alias(id_col),
+        *carry,
+        F.col("__cluster").alias("cluster"),
     )
     cents = packed.select(F.explode("__cents").alias("__pc")).select(
         F.col("__pc")["j"].alias("cluster"),

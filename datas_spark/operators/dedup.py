@@ -2689,14 +2689,16 @@ def semdedup(
         if not first:
             raise ValueError("empty frame: cannot infer vector width")
         dim = int(first[0]["n"])
-    asg, cents = kmeans_lloyd(df, id_col, vec_col, k=k, n_rounds=n_rounds)
+    # carry the vector THROUGH the final assignment pass instead of
+    # re-joining df against the assignments (round 11, guide §8: that
+    # join re-shuffles the embedding payload by id for rows the
+    # map-only assignment pass already held)
+    asg, cents = kmeans_lloyd(
+        df, id_col, vec_col, k=k, n_rounds=n_rounds, carry_cols=[vec_col]
+    )
     planes = random_hyperplanes(dim, n_planes, seed)
     # e feeds pairs (twice), centroid sims, and membership — pin it
-    e = hyperplane_signature(
-        df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col),
-        vec_col,
-        planes,
-    ).localCheckpoint(eager=False)
+    e = hyperplane_signature(asg, vec_col, planes).localCheckpoint(eager=False)
     pair_src = e
     if max_bucket_side is not None:
         wcap = Window.partitionBy("cluster", "bucket").orderBy(
@@ -2730,24 +2732,28 @@ def semdedup(
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    csim = e.join(
+    # centroid similarity folds INTO the membership frame map-side (the
+    # centroid table broadcasts), instead of a separate csim frame
+    # re-joined by id — that equi-join shuffled the whole corpus frame
+    # a second time at scale (round 11, guide §2.4)
+    ecs = e.join(
         broadcast(cents.select("cluster", F.col("centroid").alias("__cv"))),
         "cluster",
     ).select(
         F.col(id_col),
+        "cluster",
         (F.round(cosine_similarity(vec_col, "__cv"), 6) + F.lit(0.0)).alias(
             "csim"
         ),
     )
     members = (
-        e.select(F.col(id_col), "cluster")
-        .join(comp, e[id_col] == comp["node"], "left")
+        ecs.join(comp, ecs[id_col] == comp["node"], "left")
         .select(
             F.col(id_col),
             "cluster",
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            "csim",
         )
-        .join(csim, id_col)
     )
     keepers = members.groupBy("component").agg(
         F.min_by(

@@ -648,11 +648,15 @@ def q_datas_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("input"),
     )
     emb = C.embedding_proxy(pseudo, "instruction", dim=_FLAGSHIP_DIM)
+    # instruction/input ride the map-only assignment pass out of the
+    # trainer (carry_cols) — no pseudo ⋈ assignments re-join shuffling
+    # the text payload by id (round 11, guide §8)
     asg, _ = C.kmeans_lloyd(
         emb, "doc_id", "emb_ins_alone",
         k=_FLAGSHIP_K, n_rounds=_FLAGSHIP_ROUNDS,
+        carry_cols=["instruction", "input"],
     )
-    clustered = pseudo.join(asg, "doc_id")
+    clustered = asg
     scored = SC.perplexity_scorer_proxy(clustered)
     selected = S.middle_confidence_sample(
         scored, "cluster", "ppl_ins_alone", "doc_id", n=5
