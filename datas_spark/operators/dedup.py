@@ -806,6 +806,85 @@ def lsh_blocked_near_dup_pairs(
     )
 
 
+def _cc_block_local(
+    pairs: DataFrame, src: str, dst: str, block_cols: list[str]
+) -> DataFrame:
+    """Connected components for the BLOCK-DISJOINT case: every edge's
+    endpoints carry the same block key (both pair sides joined on
+    ``block_cols``), so components provably cannot span blocks and the
+    global iterative CC is overkill. One ``groupBy(block)`` folds each
+    block's edge list into a single row, and min-label propagation runs
+    to guaranteed convergence inside ONE Catalyst ``aggregate``:
+    ``size(nodes) - 1`` rounds bounds every node's eccentricity, so the
+    fixed unroll is exact, not a heuristic cutoff. No per-round Spark
+    actions, joins, caches, or checkpoints — the whole CC is a single
+    map-side expression after one exchange, and the result stays lazy
+    inside the caller's plan.
+
+    Labels are identical to ``connected_components`` (the min node id
+    reachable; min() is order-insensitive, so ``collect_list``'s
+    nondeterministic edge order cannot leak). Per-block cost is
+    O(n·e + rounds·Σdeg); callers MUST bound the block side (semdedup's
+    ``max_bucket_side`` cap) — an unbounded block (e.g. label-blocked
+    pairs) belongs on the iterative operator instead.
+
+    Returns ``(node, component)`` over nodes that appear in pairs.
+    """
+    es = pairs.groupBy(*[F.col(c) for c in block_cols]).agg(
+        F.collect_list(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b"))
+        ).alias("__es")
+    )
+    lab = (
+        es.select(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("__es"), lambda e: F.array(e["a"], e["b"])
+                        )
+                    )
+                )
+            ).alias("__ns"),
+            "__es",
+        )
+        # edge endpoints -> 1-based positions in the sorted node array
+        .select(
+            "__ns",
+            F.expr(
+                "transform(__es, e -> struct("
+                " int(array_position(__ns, e.a)) AS ai,"
+                " int(array_position(__ns, e.b)) AS bi))"
+            ).alias("__ei"),
+        )
+        # adjacency by position (both directions), then the fold:
+        # lab[i] <- min(lab[i], lab[j] for j adjacent) per round
+        .select(
+            "__ns",
+            F.expr(
+                "transform(sequence(1, size(__ns)), i -> concat("
+                " transform(filter(__ei, p -> p.ai = i), p -> p.bi),"
+                " transform(filter(__ei, p -> p.bi = i), p -> p.ai)))"
+            ).alias("__adj"),
+        )
+        .select(
+            "__ns",
+            F.expr(
+                "aggregate("
+                " sequence(1, greatest(size(__ns) - 1, 1)), __ns,"
+                " (lab, r) -> transform(__adj, (nb, i) ->"
+                "  aggregate(nb, element_at(lab, i + 1),"
+                "   (m, j) -> least(m, element_at(lab, j)))))"
+            ).alias("__lab"),
+        )
+    )
+    return lab.select(
+        F.explode(F.arrays_zip("__ns", "__lab")).alias("__z")
+    ).select(
+        F.col("__z.__ns").alias("node"), F.col("__z.__lab").alias("component")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -2729,9 +2808,19 @@ def semdedup(
         a.join(b, ["__c", "__b"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(cos_ab >= F.lit(float(threshold)))
-        .select("id_a", "id_b")
+        .select("__c", "__b", "id_a", "id_b")
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    # every pair is INSIDE one (cluster, bucket) block, so components
+    # cannot span blocks; with the cap bounding the block side the
+    # whole CC folds into one lazy block-local aggregate (round 11,
+    # guide §2) instead of the iterative global operator. Uncapped,
+    # block size is unbounded — keep the iterative path.
+    if max_bucket_side is not None:
+        comp = _cc_block_local(pairs, "id_a", "id_b", ["__c", "__b"])
+    else:
+        comp = connected_components(
+            pairs.select("id_a", "id_b"), "id_a", "id_b"
+        )
     # centroid similarity folds INTO the membership frame map-side (the
     # centroid table broadcasts), instead of a separate csim frame
     # re-joined by id — that equi-join shuffled the whole corpus frame

@@ -146,6 +146,51 @@ def _union_find_labels(edges):
     return {n: find(n) for n in parent}
 
 
+def test_cc_block_local_matches_iterative_adversarial_blocks(spark):
+    """The block-local CC fold (semdedup's capped path) must label
+    exactly like the iterative operator on every block shape —
+    including a full-diameter chain (worst case for the fixed
+    ``size(nodes)-1`` round unroll), a clique, singleton-edge blocks,
+    and random graphs — because the semantic-dedup oracle replays the
+    min-id component recursion."""
+    import random
+
+    from datas_spark.operators.dedup import (
+        _cc_block_local,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for blk in range(12):
+        n = rng.randint(2, 40)
+        s = sorted(rng.sample(range(blk * 1000, blk * 1000 + 500), n))
+        style = ("chain", "clique", "sparse", "random")[blk % 4]
+        if style == "chain":  # diameter n-1: needs every unrolled round
+            es = [(s[i], s[i + 1]) for i in range(n - 1)]
+        elif style == "clique":
+            es = [(a, b) for i, a in enumerate(s) for b in s[i + 1 :]][:200]
+        elif style == "sparse":
+            es = [(s[0], s[1])]
+        else:
+            es = sorted(
+                {tuple(sorted(rng.sample(s, 2))) for _ in range(n)}
+            )
+        rows += [(blk % 3, blk, a, b) for a, b in es]
+    df = spark.createDataFrame(rows, "c int, b int, id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in _cc_block_local(df, "id_a", "id_b", ["c", "b"]).collect()
+    }
+    want = {
+        r.node: r.component
+        for r in connected_components(
+            df.select("id_a", "id_b"), max_iter=100
+        ).collect()
+    }
+    assert got == want
+
+
 def test_connected_components_star_matches_union_find_random_graphs(spark):
     import random
 
