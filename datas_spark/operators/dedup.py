@@ -867,14 +867,31 @@ def _cc_block_local(
                 " transform(filter(__ei, p -> p.bi = i), p -> p.ai)))"
             ).alias("__adj"),
         )
+        # the round fold: sequence(1, n-1) is the PROVABLE worst-case
+        # bound (a full-diameter chain), but each round first checks the
+        # fixpoint (lab = prev, one O(n) array compare) and no-ops once
+        # converged — a fixpoint of the neighbor-min step forces all
+        # labels in a connected block equal to the component min (an
+        # edge with unequal labels would still lower one side; labels
+        # are monotone and bounded below by the min), so stopping there
+        # is exact, and near-clique dup blocks pay ~2-3 heavy rounds
+        # instead of n-1. The label-of-label jump term shortcuts long
+        # chains to ~log n heavy rounds; it can only lower labels
+        # toward the same fixpoint, never past it.
         .select(
             "__ns",
             F.expr(
                 "aggregate("
-                " sequence(1, greatest(size(__ns) - 1, 1)), __ns,"
-                " (lab, r) -> transform(__adj, (nb, i) ->"
-                "  aggregate(nb, element_at(lab, i + 1),"
-                "   (m, j) -> least(m, element_at(lab, j)))))"
+                " sequence(1, greatest(size(__ns) - 1, 1)),"
+                " struct(__ns AS lab, slice(__ns, 1, 0) AS prev),"
+                " (acc, r) -> if(acc.lab = acc.prev, acc, named_struct("
+                "  'lab', transform(__adj, (nb, i) -> least("
+                "   aggregate(nb, element_at(acc.lab, i + 1),"
+                "    (m, j) -> least(m, element_at(acc.lab, j))),"
+                "   element_at(acc.lab,"
+                "    int(array_position(__ns, element_at(acc.lab, i + 1)))))),"
+                "  'prev', acc.lab)),"
+                " acc -> acc.lab)"
             ).alias("__lab"),
         )
     )
