@@ -22,7 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
 )
 
 

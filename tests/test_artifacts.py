@@ -32,6 +32,7 @@ def _parquet_mtime_set(root):
     return out
 
 
+@pytest.mark.slow
 def test_pairs_artifact_matches_recompute(spark, scratch_root):
     docs = ART.read_table(spark, SF, "documents")
     live = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
@@ -39,6 +40,7 @@ def test_pairs_artifact_matches_recompute(spark, scratch_root):
     assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, live.collect()))
 
 
+@pytest.mark.slow
 def test_components_artifact_matches_recompute(spark, scratch_root):
     pairs = ART.pairs_artifact(spark, SF, "jaccard")
     live = D.connected_components(pairs)
@@ -77,6 +79,7 @@ def test_unknown_family_raises(spark, scratch_root):
         ART.pairs_artifact(spark, SF, "nope")
 
 
+@pytest.mark.slow
 def test_minhash_components_use_canonical_threshold(spark, scratch_root):
     # components over minhash pairs must filter est_jaccard >= 0.2
     pairs = ART.pairs_artifact(spark, SF, "minhash").where(
@@ -195,6 +198,7 @@ def test_pq_index_artifact_matches_rebuild_and_skips(spark, scratch_root):
     assert _parquet_mtime_set(scratch_root) == before
 
 
+@pytest.mark.slow
 def test_elected_spans_artifact_matches_recompute(spark, scratch_root):
     spans = ART.spans_artifact(spark, SF)
     live = D.elect_span_owners(spans)
@@ -206,6 +210,7 @@ def test_elected_spans_artifact_matches_recompute(spark, scratch_root):
     assert _parquet_mtime_set(scratch_root) == before
 
 
+@pytest.mark.slow
 def test_partial_components_artifact_matches_recompute(spark, scratch_root):
     from pyspark.sql import functions as F
 

@@ -217,6 +217,7 @@ def test_merge_snapshot_closed_history_untouched(spark):
     assert key(merged) == key(hist)
 
 
+@pytest.mark.slow
 def test_merge_snapshot_chain_depth_stays_linear(spark):
     """VERDICT r6 #7: a chain of 12 sequential nightly merges must stay
     LINEAR in wall-clock and plan size. merge_snapshot_scd2 relies on a
@@ -267,6 +268,7 @@ def test_merge_snapshot_chain_depth_stays_linear(spark):
     assert total < 120, total
 
 
+@pytest.mark.slow
 def test_repair_equals_full_rebuild_on_shuffled_deltas(spark, changelog):
     """VERDICT r7 #8 done-criterion: repair from the retained log is
     bit-identical to a full rebuild for ARBITRARY (shuffled,

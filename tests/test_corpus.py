@@ -1,6 +1,8 @@
 """Unit tests for corpus-level curation operators (decontamination,
 stratified sampling, quota caps, TF-IDF, sequence packing)."""
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -770,6 +772,7 @@ def _separable_docs(spark):
     return spark.createDataFrame(rows, "doc_id: long, text: string, label: double")
 
 
+@pytest.mark.slow
 def test_quality_classifier_train_shape_and_separation(spark):
     docs = _separable_docs(spark)
     model = C.quality_classifier_train(
@@ -792,6 +795,7 @@ def test_quality_classifier_train_shape_and_separation(spark):
     assert min(good) > max(bad)  # separable fixture separates
 
 
+@pytest.mark.slow
 def test_quality_classifier_train_reproducible(spark):
     docs = _separable_docs(spark)
     w1 = {r["feature"]: r["weight"] for r in C.quality_classifier_train(

@@ -43,6 +43,7 @@ def test_curate_corpus_passthrough_defaults(spark):
     assert "split" not in out.columns
 
 
+@pytest.mark.slow
 def test_curate_corpus_near_dup_backends(spark, sf_dir):
     """All three near-dup backends compose into the recipe: each keeps
     at most as many docs as exact dedup alone, keeps exactly one
@@ -173,6 +174,7 @@ def test_curate_audit_first_drop_attribution(spark):
     assert audit[1] == "kept" and audit[4] == "kept"
 
 
+@pytest.mark.slow
 def test_curate_corpus_injected_components_match_inline(spark, sf_dir):
     """Feeding precomputed corpus-wide pairs/components (the artifact
     path) must return the inline-derived survivors: exact duplicates

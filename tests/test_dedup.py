@@ -1,5 +1,7 @@
 """Dedup operator tests on small in-memory frames."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datas_spark.operators import dedup as D
@@ -146,6 +148,7 @@ def _union_find_labels(edges):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.slow
 def test_cc_block_local_matches_iterative_adversarial_blocks(spark):
     """The block-local CC fold (semdedup's capped path) must label
     exactly like the iterative operator on every block shape —
@@ -191,6 +194,7 @@ def test_cc_block_local_matches_iterative_adversarial_blocks(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_union_find_random_graphs(spark):
     import random
 
@@ -656,6 +660,7 @@ def test_k_core_validates_k(spark):
         D.k_core(pairs, k=0)
 
 
+@pytest.mark.slow
 def test_merge_components_equals_full_recompute(spark):
     # old graph: {1,2}, {3}; new pairs bridge 2-3 and add {10,11}
     old_pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
@@ -1021,6 +1026,7 @@ def test_adamic_adar_multiple_common_neighbors(spark):
     assert abs(r14.aa_score - round(exp, 6)) < 1e-9
 
 
+@pytest.mark.slow
 def test_adamic_adar_hub_cap_drops_wedges(spark):
     """A hub over the cap contributes no wedges at all."""
     edges = [(10, i) for i in range(1, 6)]  # star: deg(10)=5
@@ -1030,6 +1036,7 @@ def test_adamic_adar_hub_cap_drops_wedges(spark):
     assert len(spokes) == 10
 
 
+@pytest.mark.slow
 def test_purge_components_equals_full_rebuild(spark):
     """Deleting nodes splits/repairs only affected components; result
     == full CC rebuild over the purged pair set (min-id labels are
@@ -1061,6 +1068,7 @@ def test_purge_components_equals_full_rebuild(spark):
     assert not any(n in (2, 20, 21) for n, _ in got)
 
 
+@pytest.mark.slow
 def test_purge_components_untouched_pass_through(spark):
     from datas_spark.operators.dedup import connected_components, purge_components
 
@@ -1075,6 +1083,7 @@ def test_purge_components_untouched_pass_through(spark):
     }
 
 
+@pytest.mark.slow
 def test_label_propagation_splits_bridged_triangles(spark):
     """Two triangles joined by one bridge edge: CC merges them into one
     component; 4-round LPA keeps two communities (the bridge is
@@ -1109,6 +1118,7 @@ def test_label_propagation_clique_converges_to_min_label(spark):
     assert all(r.community_size == 5 for r in out)
 
 
+@pytest.mark.slow
 def test_label_propagation_is_deterministic_and_validates(spark):
     from datas_spark.operators.dedup import label_propagation
     import pytest as _pytest

@@ -2,6 +2,8 @@
 filtered-to-nothing frames are routine — every operator family must
 plan and execute on zero rows without crashing."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -61,6 +63,7 @@ def test_selection_family_empty(spark):
     assert S.stride_sample_skew_resistant(df, "cluster", "row_id", 5, num_partitions=4).count() == 0
 
 
+@pytest.mark.slow
 def test_round3_operators_empty_inputs(spark):
     from datas_spark.operators import corpus as C
     from datas_spark.operators import joins as J
@@ -91,6 +94,7 @@ def test_round3_operators_empty_inputs(spark):
     assert len(salted) == 1 and salted[0].r_tag is None
 
 
+@pytest.mark.slow
 def test_round8_operators_empty_inputs(spark):
     """Round-8 additions on zero rows: plans build and execute."""
     from datas_spark.operators.dedup import label_propagation

@@ -1,6 +1,7 @@
 """Smoke tests of the driver contract (__spark_entry__.py)."""
 
 import __spark_entry__ as E
+from sweep_utils import sweep_sample
 
 
 def test_entry_returns_rows(spark):
@@ -18,8 +19,9 @@ def test_queries_and_oracles_aligned(spark):
 
 
 def test_each_query_runs_at_sf0001(spark, sf_dir):
-    for name, fn in E.queries().items():
-        df = fn(spark, sf_dir)
+    qs = E.queries()
+    for name in sweep_sample(sorted(qs)):
+        df = qs[name](spark, sf_dir)
         assert df.count() >= 0, name
 
 

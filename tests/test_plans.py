@@ -231,8 +231,12 @@ def test_all_registered_queries_avoid_scale_antipatterns(spark, sf_dir):
         "maxsim_recall_sampled",           # sample-local BM25 constants + 1-row hit/total scalars
         "data_constrained_mix",            # 1-row corpus-total budget + 1-row (small_sum, n_large) scalar — the unimax_source_allocation shape
     }
+    from sweep_utils import sweep_sample
+
     failures = []
-    for name, fn in sorted(E.queries().items()):
+    qs = E.queries()
+    for name in sweep_sample(sorted(qs)):
+        fn = qs[name]
         try:
             df = fn(spark, sf_dir)
         except Exception as e:  # a query that can't even plan is a bug

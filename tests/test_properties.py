@@ -6,6 +6,8 @@ max_examples kept small: every example runs Spark jobs.
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
@@ -74,6 +76,7 @@ def test_task_vector_self_diff_is_zero(spark, rows):
     scale=st.floats(min_value=-2, max_value=2, allow_nan=False),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_tv_apply_roundtrip(spark, rows, scale):
     """pretrained + scale·(finetuned − pretrained) == finetuned when
     scale == 1; linear in between."""
@@ -95,6 +98,7 @@ def test_tv_apply_roundtrip(spark, rows, scale):
     k_pct=st.sampled_from([0.1, 0.25, 0.5, 1.0]),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_ties_mask_keeps_top_magnitudes(spark, vals, k_pct):
     df = spark.createDataFrame(
         [("k", i, float(v)) for i, v in enumerate(vals)],
@@ -145,6 +149,7 @@ def test_stratified_sample_exact_per_stratum_quota(spark, rows, frac):
     w=st.sampled_from([(0.5, 0.5), (0.9, 0.1), (0.7, 0.3)]),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_hash_split_is_a_pure_function_of_id(spark, ids, w):
     from datas_spark.operators import corpus as C
 
@@ -189,6 +194,7 @@ def test_pack_sequences_bins_monotone_and_start_bounded(spark, texts, budget):
     ),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_pagerank_mass_positive_and_conserved(spark, edges):
     from datas_spark.operators.dedup import pagerank
 
@@ -236,6 +242,7 @@ def test_chunk_documents_cover_and_no_contained_chunk(spark, n_tokens, chunk, ov
 
 @given(values=st.lists(st.integers(0, 30), min_size=1, max_size=60))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_value_deciles_monotone_complete_partition(spark, values):
     from datas_spark.operators import corpus as C
 
@@ -265,6 +272,7 @@ def test_value_deciles_monotone_complete_partition(spark, values):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_doremi_weights_form_a_distribution(spark, rows):
     from datas_spark.operators import corpus as C
 
@@ -294,6 +302,7 @@ def test_doremi_weights_form_a_distribution(spark, rows):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_retention_cohort_invariants(spark, rows):
     import datetime as dt
 
@@ -318,6 +327,7 @@ def test_retention_cohort_invariants(spark, rows):
             assert r.n_active == r.cohort_size  # everyone active at birth
 
 
+@pytest.mark.slow
 def test_doremi_k_steps_converge_monotonically_on_planted_skew(spark):
     """VERDICT r7 #6 done-criterion: on a planted skew (one domain with
     large excess loss, the rest at zero) the iterated EG update must
@@ -377,6 +387,7 @@ def test_doremi_k_steps_converge_monotonically_on_planted_skew(spark):
     quota=st.integers(1, 4),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_preference_pairs_invariants(spark, rows, margin, quota):
     """For ANY response set: every emitted pair respects the margin,
     chosen is the prompt's true argmax (lowest-id on ties), rejected is
@@ -453,6 +464,7 @@ def test_pass_at_k_monotone_in_k_and_bounded(spark, outcomes):
     ).map(lambda g: [(w, l) for w, l in g if w != l])
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_bt_ratings_are_a_distribution_and_order_free(spark, games):
     """Ratings form a distribution over items; reversing the input row
     order changes nothing (the packed fold is sorted)."""

@@ -96,6 +96,7 @@ def test_lexical_rrf_fusion_rewards_agreement(spark):
     assert out[1].rrf_score == round(2 / 61, 6)
 
 
+@pytest.mark.slow
 def test_rm3_lam1_preserves_plain_ql_ranking(spark):
     """lam=1 puts all interpolation mass on the original query, so the
     expansion set collapses to the original terms with uniform weights
@@ -121,6 +122,7 @@ def test_rm3_lam1_preserves_plain_ql_ranking(spark):
     assert rm3 == plain
 
 
+@pytest.mark.slow
 def test_rm3_retains_query_term_absent_from_feedback_docs(spark):
     """Round-9 ADVICE: a query term present in the corpus but absent
     from every feedback doc must survive interpolation (p_rm1 = 0, not
@@ -243,6 +245,7 @@ def test_maxsim_recall_report_bounds_and_validation(spark):
         maxsim_scores(docs, "doc_id", "text", ["a"], emb_dim=0)
 
 
+@pytest.mark.slow
 def test_maxsim_recall_sampled_restricts_both_arms(spark):
     """The sampled report equals the full report computed on the
     md5-elected sub-corpus (sample covering everything -> identical to

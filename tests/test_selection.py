@@ -3,6 +3,8 @@ reference semantics of ``/root/reference/main.py:402-450``, checked on
 tiny in-memory frames with a pure-Python re-computation (numpy
 percentile = linear interpolation)."""
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -134,6 +136,7 @@ def test_kcenter_sampling_matches_greedy_reference(spark):
     assert got == sorted(chosen)
 
 
+@pytest.mark.slow
 def test_kcenter_sampling_large_k_no_plan_blowup(spark):
     # k=64 rounds: bounded lineage (periodic localCheckpoint), one cached
     # frame at a time, no growing isin literal list

@@ -1,5 +1,7 @@
 """Similarity-search tests: exact top-k ground truth + LSH plumbing."""
 
+import pytest
+
 import math
 import random
 
@@ -173,6 +175,7 @@ def test_cosine_topk_vectorized_prunes_per_batch(spark):
     assert sorted(got, key=lambda r: r.rank)[0][1] == 5  # self-hit first
 
 
+@pytest.mark.slow
 def test_ivf_index_persists_and_partition_prunes(spark, tmp_path):
     # the 100 TB contract from ivf_build_index's docstring: persist the
     # inverted lists partitioned by cell, and a cell probe becomes a
@@ -306,6 +309,7 @@ def test_pq_topk_rejects_indivisible_dim(spark):
         SIM.pq_encode(df, cbs, "id", "code", "v", m=4)
 
 
+@pytest.mark.slow
 def test_ivfpq_full_probe_full_oversample_equals_exact(spark):
     # probing every cell with a whole-dataset candidate cut degrades
     # IVF-PQ to exact search after the rerank
@@ -355,6 +359,7 @@ def test_ann_recall_report_counts(spark):
     assert got[2]["n_hits"] == 0 and got[2]["recall"] == 0.0
 
 
+@pytest.mark.slow
 def test_ivf_index_upsert_equals_fresh_build(spark, tmp_path):
     import os
 
@@ -397,6 +402,7 @@ def test_ivf_index_upsert_equals_fresh_build(spark, tmp_path):
     assert any(p.startswith("__cell=") for p in os.listdir(path))
 
 
+@pytest.mark.slow
 def test_pq_topk_on_persisted_codes_equals_inline(spark, tmp_path):
     from datas_spark.operators.similarity import pq_encode, pq_topk_on_codes
 

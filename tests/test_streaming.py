@@ -247,6 +247,7 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
 
 
+@pytest.mark.slow
 def test_incremental_near_dedup_sink_catches_cross_batch_near_dups(spark, tmp_path):
     import json as _json
 
@@ -366,6 +367,7 @@ def test_near_dedup_sink_skips_redelivered_batch(spark, tmp_path):
     assert len(again) == len(first)  # no duplicated appends
 
 
+@pytest.mark.slow
 def test_near_dedup_sink_replays_uncommitted_batch_without_self_match(spark, tmp_path):
     """Crash-before-commit emulation: stores hold the batch's own
     partition but no marker. The replay must exclude its own partial
@@ -404,6 +406,7 @@ def test_near_dedup_sink_replays_uncommitted_batch_without_self_match(spark, tmp
     assert len(sigs) == 1
 
 
+@pytest.mark.slow
 def test_near_dedup_sink_ttl_compaction_plateaus_store(spark, tmp_path):
     """retain_batches must bound the probe state under a rolling
     workload (and survive a restart), while rows/ keeps every
@@ -1322,6 +1325,7 @@ _RESTART_DRILLS = [
 @pytest.mark.parametrize(
     "name,drill,state,data", _RESTART_DRILLS, ids=[d[0] for d in _RESTART_DRILLS]
 )
+@pytest.mark.slow
 def test_sink_restart_equals_uninterrupted(spark, tmp_path, name, drill, state, data):
     import json as _json
 
@@ -1531,6 +1535,7 @@ def test_enrich_stream_scd2_point_in_time(spark, tmp_path):
     assert len(out) == 4  # disjoint runs: never a fan-out
 
 
+@pytest.mark.slow
 def test_ivm_compaction_preserves_protocol(spark, tmp_path):
     """VERDICT r6 #4 done-criterion: the kill-and-resume drill still
     passes after a MID-STREAM offline compaction, and the store's file
@@ -1608,6 +1613,7 @@ def test_ivm_compaction_crash_recovery(spark, tmp_path):
     assert _state_ivm(spark, root) == before
 
 
+@pytest.mark.slow
 def test_ivm_compaction_marker_protocol_crashes(spark, tmp_path):
     """The marker-verified swap (ADVICE r7: object-store rename is
     copy-then-delete, so completion must be PROVEN, not assumed) heals
