@@ -26,6 +26,7 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine_similarity",
+    "cosine_from_norms",
     "l2_distance",
     "arr_scale",
     "arr_add",
@@ -75,6 +76,24 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL if either vector has zero norm."""
     ca, cb = _c(a), _c(b)
     denom = l2_norm(ca) * l2_norm(cb)
+    return F.when(denom > 0, dot(ca, cb) / denom)
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """``cosine_similarity`` with the per-side L2 norms PRECOMPUTED
+    (round 12, guide §1.2 per-task work): a blocked pair join evaluates
+    the cosine once per CANDIDATE, so the two norm folds — 2/3 of the
+    per-candidate element ops — are recomputed fan-out times per row.
+    Hoisting ``na = l2_norm(a)`` / ``nb = l2_norm(b)`` into the per-ROW
+    projections leaves one dot fold per candidate.
+
+    Bit-identical to ``cosine_similarity``: the same ``sqrt(dot(v,v))``
+    doubles are produced (just earlier), and the combination
+    ``dot / (na * nb)`` is the same multiplication/division order."""
+    ca, cb = _c(a), _c(b)
+    denom = _c(na) * _c(nb)
     return F.when(denom > 0, dot(ca, cb) / denom)
 
 

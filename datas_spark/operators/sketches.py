@@ -221,10 +221,27 @@ def cms_point_estimates(
 # Bloom filter
 # ---------------------------------------------------------------------------
 
+def _seeded_pos(v: Column, i: int, m_bits: int) -> Column:
+    """``_seeded_hash60(v, i) % m_bits`` computed with the cheapest
+    exact parse (round 12, guide §1.2): when ``m_bits`` is a power of
+    16 (2^20 and 2^24 here), the mod of the 15-hex-char value is just
+    the integer value of its LAST ``log16(m)`` hex chars — so ``conv``
+    (a string radix parse, the probe scan's hottest op after md5)
+    handles 5-6 chars instead of 15. Bit-identical: hex is base 2^4,
+    so ``intval(h[1:15]) % 16^j == intval(h[16-j:15])`` exactly."""
+    if m_bits > 1 and (m_bits & (m_bits - 1)) == 0 and (
+        m_bits.bit_length() - 1
+    ) % 4 == 0:
+        j = (m_bits.bit_length() - 1) // 4  # m_bits = 16^j
+        md5s = F.md5(F.concat(F.lit(f"{i}:"), v.cast("string")))
+        return F.conv(F.substring(md5s, 16 - j, j), 16, 10).cast("long")
+    return _seeded_hash60(v, i) % F.lit(m_bits)
+
+
 def _bloom_cells(v: Column, m_bits: int, k: int) -> Column:
     """Array of k (word, bit) cell addresses packed as ``word * 60 +
     bit`` — i.e. the raw bit positions — for value ``v``."""
-    return F.array(*[(_seeded_hash60(v, i) % F.lit(m_bits)).cast("int") for i in range(k)])
+    return F.array(*[_seeded_pos(v, i, m_bits).cast("int") for i in range(k)])
 
 
 def bloom_bitset(
@@ -348,7 +365,7 @@ def bloom_hit_join(
     hit_terms = []
     bits_src = bitset.select("word", "bits")
     for i in range(k):
-        pos = (_seeded_hash60(v, i) % F.lit(m_bits)).cast("int")
+        pos = _seeded_pos(v, i, m_bits).cast("int")
         p, w, b = f"__bp{i}", f"__bw{i}", f"__bb{i}"
         # alias ABOVE the select so the plan under each BroadcastExchange
         # is byte-identical across the k joins — ReuseExchange then
@@ -406,19 +423,26 @@ def bloom_membership_expr(bitset: DataFrame, m_bits: int = 65536, k: int = 4):
     )
 
     def hit_of(v: Column) -> Column:
-        # all k probe positions as one array; the bitset literal appears
-        # exactly ONCE in the expression tree (inside the forall lambda)
-        positions = F.array(
-            *[(_seeded_hash60(v, i) % F.lit(m_bits)).cast("int") for i in range(k)]
-        )
-        return F.forall(
-            positions,
-            lambda pos: (
+        # chained ANDs, NOT an array+forall (round 12, guide §1.2): the
+        # array constructor computed ALL k seeded md5 probes eagerly,
+        # but SQL AND short-circuits in codegen — a non-member misses
+        # its first probe with probability (1 - fill_rate), so most
+        # misses pay ~1 hash instead of k (measured 19.5 -> see
+        # OPTIMIZATION_r12 on the sf1 probe scan). Identical boolean:
+        # each term is non-null (positions always index the literal),
+        # so lazy AND equals the forall.
+        def term(i: int) -> Column:
+            pos = _seeded_pos(v, i, m_bits).cast("int")
+            return (
                 F.element_at(words_lit, (pos / _WORD_BITS).cast("int") + 1)
                 .bitwiseAND(F.element_at(masks_lit, (pos % _WORD_BITS) + 1))
                 != 0
-            ),
-        )
+            )
+
+        hit = term(0)
+        for i in range(1, k):
+            hit = hit & term(i)
+        return hit
 
     return hit_of
 

@@ -500,6 +500,12 @@ for k in range(6):
     acc += math.exp(-1) / math.factorial(k)
     _POIS_CDF.append(acc)
 
+# the engine-side compare avoids the number parse entirely: the
+# ascending cutoffs as 8-digit hex-string thresholds (see the
+# query-body comment; ceil(c * 2^32) reproduces the float compare
+# exactly)
+_POIS_HEX = [format(math.ceil(c * (1 << 32)), "08x") for c in _POIS_CDF]
+
 # unit draw for replica b: hex chars [1+8*(b%4), +8) of digest b//4.
 # One digest feeds four replicas — 8 md5s per row instead of 32.
 _U_SQL = (
@@ -554,6 +560,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile runs over {_B} rows. No RNG state, no driver
     coordination, bit-identical on any partitioning."""
     orders = read_table(spark, sf_dir, "orders")
+
     digests = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.transform(
@@ -570,24 +577,36 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = digests.select(
         "cents", "__h", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.element_at(F.col("__h"), (F.col("b") / 4).cast("int") + 1),
-                F.lit(1) + 8 * (F.col("b") % 4),
-                F.lit(8),
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
+    # round 12 (guide §1.2 per-task work): the per-replica draw used to
+    # parse its hex window into a number — substring -> conv (string
+    # radix parse) -> cast double -> 6 float compares — and the conv
+    # column alone measured 11 s of the sf1 runtime (48M replica rows).
+    # The cutoffs are CONSTANTS, and md5's hex output is fixed-width
+    # lowercase, where lexicographic order IS numeric order: so
+    # ``u >= c_i``  <=>  ``intval >= ceil(c_i * 2^32)``  <=>  the 8-char
+    # window compared against a precomputed 8-digit hex literal. The
+    # number parse disappears entirely; ``w = #{i: c_i <= u}`` is the
+    # same integer as the old when-chain (ascending cutoffs), with
+    # every comparison in an always-evaluated position. Exactness:
+    # u = intval/2^32 with intval < 2^32 is an exact double, c_i * 2^32
+    # is an exponent shift (exact), so the integer-threshold compare
+    # reproduces the float compare bit-for-bit. Two REVERTED attempts,
+    # with numbers: (a) folding the replica loop into HOF lambdas
+    # (explode removed) — lambda bodies run interpreted, 23.3 -> 56.7 s
+    # at sf1; (b) a 32-column codegen projection + wide aggregate — the
+    # repeated md5 subtrees are NOT subexpression-eliminated in a
+    # projection (43.9 s for the projection alone). The Generate stays:
+    # it is the barrier that keeps the 8 md5 digests evaluated once per
+    # base row. Measured 25.2 -> 16.3 s at sf1 (sf0.1 3.8 -> 2.9 s),
+    # hash-identical.
+    win = F.substring(
+        F.element_at(F.col("__h"), (F.col("b") / 4).cast("int") + 1),
+        F.lit(1) + 8 * (F.col("b") % 4),
+        F.lit(8),
     )
-    expr = None
-    for k, c in enumerate(_POIS_CDF):
-        expr = (
-            F.when(u < F.lit(c), k) if expr is None else expr.when(u < F.lit(c), k)
-        )
-    w = expr.otherwise(6).cast("long")
+    w = sum(
+        F.when(win >= F.lit(t), 1).otherwise(0) for t in _POIS_HEX
+    ).cast("long")
     per_rep = (
         reps.select("b", w.alias("w"), "cents")
         .groupBy("b")

@@ -219,6 +219,17 @@ def _bloom_decontaminate(
         .distinct()
     )
     bitset = SK.bloom_bitset(bench_sh, "g", m_bits=m_bits, k=k)
+    # Round-12 probe shape (guide §2.4 remove shuffles outright):
+    # - NO .distinct() after the explode — `shingles_of_tokens` already
+    #   array_distincts per doc, so (doc_id, g) rows are unique by
+    #   construction and the distinct was a redundant full shuffle of
+    #   every shingle string.
+    # - membership as a BOOLEAN COLUMN folded into ONE combinable
+    #   groupBy(doc_id) aggregate (count + conditional sum), instead of
+    #   two aggregates over two re-expansions of the shingle pipeline
+    #   joined back on doc_id. One pass over the probe scan, one
+    #   exchange of per-doc count rows, zero joins; same rows out
+    #   (inner-join semantics preserved by the n_hits >= 1 filter).
     probe_sh = (
         docs.where("doc_id % 11 != 0")
         .select("doc_id", T.word_tokens("text").alias("__w"))
@@ -226,20 +237,31 @@ def _bloom_decontaminate(
             "doc_id",
             F.explode(T.shingles_of_tokens(F.col("__w"), _SHINGLE_N)).alias("g"),
         )
-        .distinct()
     )
-    per_doc = probe_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hit_sh = SK.bloom_contains(
-        probe_sh, "g", bitset, m_bits=m_bits, k=k, backend=backend
-    )
-    hits = hit_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    return per_doc.join(hits, "doc_id").select(
-        "doc_id",
-        F.col("n_shingles").cast("long").alias("n_shingles"),
-        F.col("n_hits").cast("long").alias("n_hits"),
-        F.round(F.lit(100.0) * F.col("n_hits") / F.col("n_shingles"), 4).alias(
-            "hit_pct"
-        ),
+    if backend == "join":
+        probed = SK.bloom_hit_join(
+            probe_sh, "g", bitset, m_bits=m_bits, k=k, hit_col="__hit"
+        )
+    else:
+        hit_of = SK.bloom_membership_expr(bitset, m_bits=m_bits, k=k)
+        probed = probe_sh.withColumn("__hit", hit_of(F.col("g")))
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .where(F.col("n_hits") >= 1)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(
+                F.lit(100.0) * F.col("n_hits") / F.col("n_shingles"), 4
+            ).alias("hit_pct"),
+        )
     )
 
 
