@@ -547,7 +547,7 @@ def maxsim_scores(
     length budget) bounds the fan. Term maxes fold in sorted-term
     order with init 0.0 (the cross-engine float discipline).
     """
-    from datas_spark.functions.arrays import cosine_similarity
+    from datas_spark.functions.arrays import cosine_from_norms, l2_norm
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -556,29 +556,49 @@ def maxsim_scores(
             f"need emb_dim/max_doc_tokens >= 1, got {emb_dim}/{max_doc_tokens}"
         )
     terms = sorted({t.lower() for t in query_terms})
-    toks = F.slice(
-        F.filter(
-            F.transform(word_tokens(text_col), lambda w: F.lower(w)),
-            lambda w: F.length(w) > 0,
-        ),
-        1,
-        max_doc_tokens,
+    # array_distinct AFTER the first-``max_doc_tokens`` budget slice:
+    # MaxSim takes a per-term MAX over document tokens, which is
+    # duplicate-invariant, so scoring each distinct token once is exact
+    # — and every duplicate dropped saves its emb_dim proxy-md5 draws
+    # and |terms| cosine folds (round 12, guide §1.2).
+    toks = F.array_distinct(
+        F.slice(
+            F.filter(
+                F.transform(word_tokens(text_col), lambda w: F.lower(w)),
+                lambda w: F.length(w) > 0,
+            ),
+            1,
+            max_doc_tokens,
+        )
     )
     base = docs.select(F.col(id_col), toks.alias("__w"))
+    # token embeddings materialize ONCE (inner transform), then the
+    # outer transform binds each emb as a lambda var and pairs it with
+    # its L2 norm — so the norm fold reads the bound array instead of
+    # re-deriving the md5 proxy, and the per-(term, token) cosine
+    # below pays ONE dot fold instead of three (`cosine_from_norms`,
+    # bit-identical; the term-embedding side is a literal, so its norm
+    # constant-folds at plan time).
     te = base.select(
         F.col(id_col),
         F.transform(
-            F.col("__w"), lambda w: _proxy_token_emb(w, emb_dim)
-        ).alias("__te"),
+            F.transform(F.col("__w"), lambda w: _proxy_token_emb(w, emb_dim)),
+            lambda e: F.struct(e.alias("e"), l2_norm(e).alias("n")),
+        ).alias("__p"),
     )
+
     def _term_max(term: str):
         # closure factory — HOF lambdas must not bind loop vars via
         # default args (the default would receive the element-index
         # Column; see the repo-wide lesson in the verify recipe)
         temb = _proxy_token_emb(F.lit(term), emb_dim)
+        tnorm = l2_norm(temb)
         return F.coalesce(
             F.array_max(
-                F.transform(F.col("__te"), lambda e: cosine_similarity(e, temb))
+                F.transform(
+                    F.col("__p"),
+                    lambda p: cosine_from_norms(p["e"], temb, p["n"], tnorm),
+                )
             ),
             F.lit(0.0),
         )

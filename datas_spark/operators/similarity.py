@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from datas_spark.functions.arrays import cosine_similarity, dot
+from datas_spark.functions.arrays import (
+    cosine_from_norms,
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 
 __all__ = [
     "bitext_margin_pairs",
@@ -108,15 +113,17 @@ def cosine_topk(
     if exclude_match_col is not None:
         d_cols.append(F.col(exclude_match_col).alias("__dx"))
         q_cols.append(F.col(exclude_match_col).alias("__qx"))
-    d = data.select(*d_cols)
-    q = queries.select(*q_cols)
+    # per-side norms hoisted above the |queries|-way fan (round 12,
+    # guide §1.2; bit-identical — see `cosine_from_norms`)
+    d = data.select(*d_cols).withColumn("__dn", l2_norm("__dv"))
+    q = queries.select(*q_cols).withColumn("__qn", l2_norm("__qv"))
     pairs = d.crossJoin(broadcast(q))
     if exclude_match_col is not None:
         pairs = pairs.where(F.col("__dx") != F.col("__qx"))
     scored = pairs.select(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
-        F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+        F.round(cosine_from_norms("__dv", "__qv", "__dn", "__qn"), 6).alias("cos"),
         F.pmod(F.xxhash64(F.col("__did")), F.lit(max(prune_buckets, 1))).alias("__b"),
     )
     part = scored.repartition(F.col(qname), F.col("__b"))
@@ -462,9 +469,15 @@ def ivf_topk_fixed(
     and probe ordering use cosine rounded to 6 (ties to the smaller
     cell id) so every engine agrees on the cell boundaries.
     """
-    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
-    c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
-    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    # per-side norms hoisted above the |cells|-way assignment fan
+    # (round 12, guide §1.2; bit-identical — `cosine_from_norms`)
+    d = data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")
+    ).withColumn("__dn", l2_norm("__dv"))
+    c = cells.select(
+        F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    cs = F.round(cosine_from_norms("__dv", "__cv", "__dn", "__cn"), 6) + F.lit(0.0)
     assign = (
         d.crossJoin(broadcast(c))
         .withColumn("__cs", cs)
@@ -476,21 +489,23 @@ def ivf_topk_fixed(
         )
         .join(d, "__did")
     )
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
-    qs = F.round(cosine_similarity("__qv", "__cv"), 6) + F.lit(0.0)
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm("__qv"))
+    qs = F.round(cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6) + F.lit(0.0)
     wp = Window.partitionBy("__qid").orderBy(F.col("__qs").desc(), F.col("__cell").asc())
     probes = (
         q.crossJoin(broadcast(c))
         .withColumn("__qs", qs)
         .withColumn("__pr", F.row_number().over(wp))
         .where(F.col("__pr") <= n_probe)
-        .select("__qid", "__qv", "__cell")
+        .select("__qid", "__qv", "__qn", "__cell")
     )
     qname, dname = _out_names(query_id, data_id)
     scored = assign.join(broadcast(probes), "__cell").select(
         F.col("__qid").alias(qname),
         F.col("__did").alias(dname),
-        F.round(cosine_similarity("__dv", "__qv"), 6).alias("cos"),
+        F.round(cosine_from_norms("__dv", "__qv", "__dn", "__qn"), 6).alias("cos"),
     )
     w = Window.partitionBy(qname).orderBy(F.col("cos").desc(), F.col(dname).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -1138,11 +1153,17 @@ def ivfpq_topk_learned(
         data_id, vec_col, k=n_cells, n_rounds=cell_rounds,
     )
     c = cents.select(
-        F.col("cluster").alias("__cell"), F.col("centroid").alias("__cv")
+        F.col("cluster").alias("__cell"),
+        F.col("centroid").alias("__cv"),
+        l2_norm("centroid").alias("__cn"),
     ).localCheckpoint(eager=False)
     cbn = broadcast(pq_codebooks_lloyd(train, data_id, vec_col, dim, m, ks, cb_rounds))
-    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
-    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    d = data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")
+    ).withColumn("__dn", l2_norm("__dv"))
+    # norms hoisted above the |cells| assignment fan (round 12,
+    # bit-identical — `cosine_from_norms`)
+    cs = F.round(cosine_from_norms("__dv", "__cv", "__dn", "__cn"), 6) + F.lit(0.0)
     assign = (
         d.crossJoin(broadcast(c))
         .withColumn("__cs", cs)
@@ -1276,9 +1297,15 @@ def ivfpq_build_fixed(
     (``__did``, ``__codes``, ``__dn2``, ``__cell``) — the m-byte-per-
     vector index table; persist with ``partitionBy("__cell")`` so
     query-time probes prune to their inverted lists' partitions."""
-    d = data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
-    c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
-    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    d = data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")
+    ).withColumn("__dn", l2_norm("__dv"))
+    c = cells.select(
+        F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    # norms hoisted above the |cells| assignment fan (round 12,
+    # bit-identical — `cosine_from_norms`)
+    cs = F.round(cosine_from_norms("__dv", "__cv", "__dn", "__cn"), 6) + F.lit(0.0)
     assign = (
         d.crossJoin(broadcast(c))
         .withColumn("__cs", cs)
@@ -1523,9 +1550,15 @@ def ivf_index_upsert(
     """
     from datas_spark.io.maintenance import upsert_partitioned
 
-    d = new_data.select(F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv"))
-    c = cells.select(F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv"))
-    cs = F.round(cosine_similarity("__dv", "__cv"), 6) + F.lit(0.0)
+    d = new_data.select(
+        F.col(data_id).alias("__did"), F.col(vec_col).alias("__dv")
+    ).withColumn("__dn", l2_norm("__dv"))
+    c = cells.select(
+        F.col(cell_id).alias("__cell"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    # norms hoisted above the |cells| assignment fan (round 12,
+    # bit-identical — `cosine_from_norms`)
+    cs = F.round(cosine_from_norms("__dv", "__cv", "__dn", "__cn"), 6) + F.lit(0.0)
     assigned = (
         d.crossJoin(broadcast(c))
         .withColumn("__cs", cs)
@@ -1681,14 +1714,23 @@ def bitext_margin_pairs(
             .where(F.col("__br") <= max_bucket_side)
             .drop("__br")
         )
+    # per-side norms hoisted above the bucket join (round 12, guide
+    # §1.2): the capped pair fan evaluates a cosine per candidate, so
+    # inlined norms would re-fold both vectors per candidate —
+    # bit-identical restructure, see `cosine_from_norms`
+    from datas_spark.functions.arrays import cosine_from_norms, l2_norm
+
+    s = s.withColumn("__sn", l2_norm("__sv"))
+    t = t.withColumn("__tn", l2_norm("__tv"))
     cand = (
         s.join(t, "bucket")
         .select(
             "sid",
             "tid",
-            (F.round(cosine_similarity("__sv", "__tv"), 6) + F.lit(0.0)).alias(
-                "cos"
-            ),
+            (
+                F.round(cosine_from_norms("__sv", "__tv", "__sn", "__tn"), 6)
+                + F.lit(0.0)
+            ).alias("cos"),
         )
         .localCheckpoint(eager=False)  # feeds both k-NN means + the score
     )
