@@ -1937,6 +1937,7 @@ def k_core(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    batch_rounds: int = 3,
 ) -> DataFrame:
     """The k-core of the near-dup pair graph: iteratively peel nodes
     with degree < k until every survivor has >= k neighbors among
@@ -1951,9 +1952,23 @@ def k_core(
     ``connected_components``). Rounds are bounded by ``max_iter``
     (peeling strictly shrinks the node set, so it terminates;
     real dedup graphs settle in a handful of rounds).
+
+    ``batch_rounds`` (round 12, VERDICT r11 #6): the convergence check
+    (an edge count action) runs once per BATCH of peel rounds, not per
+    round — peeling an already-converged graph is the identity (every
+    degree >= k ⇒ keep = all nodes ⇒ both semi-joins pass every edge),
+    so the <= 2·batch-1 extra no-op rounds the coarser check can run
+    change nothing; they cost at most that many extra degree+semi-join
+    passes over the FINAL (smallest) edge set, in exchange for ~batch×
+    fewer driver actions and their per-job scheduling barriers (the
+    peel's cascade depth — 15 at sf0.1 — is pure sequential latency).
+    ``batch_rounds=1`` is the original per-round check; equivalence is
+    fuzz-tested against it.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if batch_rounds < 1:
+        raise ValueError(f"batch_rounds must be >= 1, got {batch_rounds}")
     e = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -1961,25 +1976,27 @@ def k_core(
         .localCheckpoint(eager=False)
     )
     prev_n = e.count()
-    for _ in range(max_iter):
-        deg = (
-            e.select(F.col("a").alias("n"))
-            .unionAll(e.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("__d"))
-        )
-        keep = deg.where(F.col("__d") >= k).select("n")
-        keep = keep.localCheckpoint(eager=False)
-        e2 = (
-            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-            .localCheckpoint(eager=False)
-        )
-        # carry the previous round's edge count instead of recounting e
+    rounds_left = max_iter
+    while rounds_left > 0:
+        for _ in range(min(batch_rounds, rounds_left)):
+            rounds_left -= 1
+            deg = (
+                e.select(F.col("a").alias("n"))
+                .unionAll(e.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("__d"))
+            )
+            keep = deg.where(F.col("__d") >= k).select("n")
+            keep = keep.localCheckpoint(eager=False)
+            e = (
+                e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+        # carry the previous batch's edge count instead of recounting e
         # (which re-runs the lazily-checkpointed prior frame): one
-        # action per peel round, not two
-        n = e2.count()
-        e = e2
+        # action per batch, not two
+        n = e.count()
         if n == prev_n:
             break
         prev_n = n

@@ -598,7 +598,18 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection (43.9 s for the projection alone). The Generate stays:
     # it is the barrier that keeps the 8 md5 digests evaluated once per
     # base row. Measured 25.2 -> 16.3 s at sf1 (sf0.1 3.8 -> 2.9 s),
-    # hash-identical.
+    # hash-identical. Two MORE reverted attempts (round 12, interleaved
+    # same-JVM A/B at sf1, scripts/ab_bootstrap.py): (c) fanning per
+    # DIGEST (posexplode ×8, four (w·cents, w) lanes per aggregate row,
+    # reshaped to 32 replicas post-agg) — 4× fewer Generate rows but
+    # LOSES 13-15 s -> 17-20 s (the wider agg row + per-row string copy
+    # out of the array cost more than 36M saved int-row Generate
+    # iterations); (d) a nested short-circuit CASE for w (expected 2.2
+    # vs 6 compares per draw) — loses 16 s -> 20 s: the branchless sum
+    # of 6 compares pipelines better under codegen than data-dependent
+    # branches. This shape stands as measured-optimal; the ×32 draw fan
+    # is the query's oracle-pinned semantics, so the residual sf1 cost
+    # is the 48M-row codegen pass itself.
     win = F.substring(
         F.element_at(F.col("__h"), (F.col("b") / 4).cast("int") + 1),
         F.lit(1) + 8 * (F.col("b") % 4),

@@ -658,6 +658,38 @@ def test_k_core_validates_k(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         D.k_core(pairs, k=0)
+    with _pytest.raises(ValueError):
+        D.k_core(pairs, k=2, batch_rounds=0)
+
+
+def test_k_core_batched_equals_per_round_check(spark):
+    # round 12 (VERDICT r11 #6): the batched convergence check must be
+    # output-identical to the per-round check — deterministic adversarial
+    # graphs: long cascade chains hanging off cliques (worst case for a
+    # coarse check: convergence mid-batch), a pure cycle (fixpoint from
+    # round 0), and hash-seeded pseudo-random edges.
+    import hashlib
+
+    cases = []
+    # clique {0..3} with a 7-chain tail off node 0, plus an isolated 5-cycle
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(0, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16)]
+    cycle = [(20 + i, 20 + (i + 1) % 5) for i in range(5)]
+    cases.append(clique + tail + cycle)
+    # hash-seeded sparse random graph (24 nodes, ~30 edges)
+    rnd = []
+    for i in range(30):
+        h = hashlib.md5(f"kcore{i}".encode()).hexdigest()
+        a, b = int(h[:4], 16) % 24, int(h[4:8], 16) % 24
+        if a != b:
+            rnd.append((min(a, b), max(a, b)))
+    cases.append(rnd)
+    for rows in cases:
+        pairs = spark.createDataFrame(rows, ["id_a", "id_b"])
+        for k in (1, 2, 3):
+            batched = sorted(map(tuple, D.k_core(pairs, k=k, batch_rounds=3).collect()))
+            per_round = sorted(map(tuple, D.k_core(pairs, k=k, batch_rounds=1).collect()))
+            assert batched == per_round, (k, rows)
 
 
 @pytest.mark.slow
