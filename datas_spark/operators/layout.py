@@ -159,8 +159,14 @@ def zone_skipping_report(
     This is the design tool for the 100 TB decision "sort by one
     column or Z-order by two": run it on a sample, compare
     ``n_zones_skipped`` across layouts, THEN pay for the rewrite
-    (`zorder_write`). Cost: one range exchange per candidate layout
-    over the (sampled) frame.
+    (`zorder_write`). Cost: ONE range exchange over the frame melted
+    |layouts|× — round 12 (guide §2.4): the per-layout
+    ``skew_resistant_rank`` passes shared no exchange, so k layouts
+    paid k range exchanges + k checkpoint materializations + k sampling
+    jobs over the same input; the melted rank (cluster = layout name,
+    exactly the oracle's UNION-ALL shape) moves the same total bytes
+    through one exchange and one groupBy, halving jobs/exchanges on
+    both what-if queries with identical summary rows.
     """
     cols = list(predicates)
     match = F.lit(True)
@@ -176,31 +182,56 @@ def zone_skipping_report(
         .cast("long")
         .alias("n_rows_matching")
     )
-    frames = []
-    for name, key in layouts.items():
-        zones = zone_minmax(
-            df.withColumn("__lk", key), "__lk", zone_rows, cols, num_partitions
+    from datas_spark.operators.selection import skew_resistant_rank
+
+    # melt: one row per (input row, layout) with the layout's sort key —
+    # every layout key expression (e.g. an unrolled Hilbert ladder) is
+    # evaluated once per input row in a single projection. The array is
+    # projected in its own select before the explode consumes it
+    # (explode_outer + isNotNull: the InferFiltersFromGenerate rule
+    # would otherwise clone the whole key expression into a pushed
+    # per-row filter).
+    keyed = df.select(
+        *[F.col(c) for c in cols],
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("__layout"), key.alias("__lk"))
+                for name, key in layouts.items()
+            ]
+        ).alias("__ls"),
+    )
+    melted = (
+        keyed.select(*cols, F.explode_outer("__ls").alias("__l"))
+        .where(F.col("__l").isNotNull())
+        .select(*cols, F.col("__l.__layout").alias("__layout"), F.col("__l.__lk").alias("__lk"))
+    )
+    ranked = skew_resistant_rank(melted, "__layout", "__lk", num_partitions)
+    zoned = ranked.withColumn(
+        "zone", F.floor((F.col("__rn") - F.lit(1)) / F.lit(zone_rows)).cast("long")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    zones = zoned.groupBy("__layout", "zone").agg(*aggs)
+    skip = F.lit(False)
+    for c, (lo, hi) in predicates.items():
+        skip = skip | (F.col(f"max_{c}") < F.lit(lo)) | (F.col(f"min_{c}") > F.lit(hi))
+    out = (
+        zones.groupBy("__layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum(skip.cast("long")).cast("long").alias("n_zones_skipped"),
+            F.sum(F.when(skip, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_rows_skipped"),
         )
-        skip = F.lit(False)
-        for c, (lo, hi) in predicates.items():
-            skip = skip | (F.col(f"max_{c}") < F.lit(lo)) | (F.col(f"min_{c}") > F.lit(hi))
-        frames.append(
-            zones.agg(
-                F.count(F.lit(1)).cast("long").alias("n_zones"),
-                F.sum(skip.cast("long")).cast("long").alias("n_zones_skipped"),
-                F.sum(F.when(skip, F.col("n_rows")).otherwise(F.lit(0)))
-                .cast("long")
-                .alias("n_rows_skipped"),
-            ).select(
-                F.lit(name).alias("layout"),
-                "n_zones",
-                "n_zones_skipped",
-                "n_rows_skipped",
-            )
+        .select(
+            F.col("__layout").alias("layout"),
+            "n_zones",
+            "n_zones_skipped",
+            "n_rows_skipped",
         )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
+    )
     return out.crossJoin(F.broadcast(match_agg))
 
 
