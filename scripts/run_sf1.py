@@ -122,11 +122,14 @@ def main() -> None:
         _gc.collect()
     spark.stop()
 
-    scope = (
-        f"FULL headline set ({len(names)} queries)"
-        if args.top >= len(base)
-        else f"top-{args.top} most expensive headline queries"
-    )
+    # label fix (VERDICT r11 minor #6): an explicit --queries list used
+    # to shrink `base` and read as "FULL headline set (1 queries)"
+    if args.queries:
+        scope = f"explicit query list ({len(names)} queries)"
+    elif args.top >= len(base):
+        scope = f"FULL headline set ({len(names)} queries)"
+    else:
+        scope = f"top-{args.top} most expensive headline queries"
     mode = (
         "sf0.1 and sf1 timed back-to-back in ONE JVM per query "
         "(same-session ratios — box phase cancels)"

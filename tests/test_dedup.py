@@ -662,6 +662,7 @@ def test_k_core_validates_k(spark):
         D.k_core(pairs, k=2, batch_rounds=0)
 
 
+@pytest.mark.slow
 def test_k_core_batched_equals_per_round_check(spark):
     # round 12 (VERDICT r11 #6): the batched convergence check must be
     # output-identical to the per-round check — deterministic adversarial
