@@ -61,7 +61,13 @@ def bm25_topk(
         F.transform(word_tokens(text_col), lambda w: F.lower(w)).alias("__w"),
     )
     # exact integer doc lengths + corpus constants (one tiny aggregate)
-    lens = toks.select(F.col(id_col), F.size("__w").cast("long").alias("dl"))
+    # lens feeds every consumer below (corpus constants + the length-
+    # adjustment join) — unpinned, each consumer re-ran the full-corpus
+    # tokenize (round 12, guide §2.4). The checkpoint is a NARROW
+    # (id, dl) frame: 16 bytes/row even at 100 TB.
+    lens = toks.select(
+        F.col(id_col), F.size("__w").cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
     consts = lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -209,7 +215,13 @@ def ql_dirichlet_topk(
         F.col(id_col),
         F.transform(word_tokens(text_col), lambda w: F.lower(w)).alias("__w"),
     )
-    lens = toks.select(F.col(id_col), F.size("__w").cast("long").alias("dl"))
+    # lens feeds every consumer below (corpus constants + the length-
+    # adjustment join) — unpinned, each consumer re-ran the full-corpus
+    # tokenize (round 12, guide §2.4). The checkpoint is a NARROW
+    # (id, dl) frame: 16 bytes/row even at 100 TB.
+    lens = toks.select(
+        F.col(id_col), F.size("__w").cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
     consts = lens.agg(F.sum("dl").cast("long").alias("sum_dl"))
     tf = (
         toks.select(
@@ -321,7 +333,13 @@ def rm3_expanded_topk(
         F.col(id_col),
         F.transform(word_tokens(text_col), lambda w: F.lower(w)).alias("__w"),
     )
-    lens = toks.select(F.col(id_col), F.size("__w").cast("long").alias("dl"))
+    # lens feeds every consumer below (corpus constants + the length-
+    # adjustment join) — unpinned, each consumer re-ran the full-corpus
+    # tokenize (round 12, guide §2.4). The checkpoint is a NARROW
+    # (id, dl) frame: 16 bytes/row even at 100 TB.
+    lens = toks.select(
+        F.col(id_col), F.size("__w").cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
     consts = lens.agg(F.sum("dl").cast("long").alias("sum_dl"))
 
     def ql_scores(tweights: DataFrame | None) -> DataFrame:
@@ -436,8 +454,20 @@ def rm3_expanded_topk(
     # fb_info is the fb_docs-row (id, dl, wd) frame — THAT broadcasts,
     # never the corpus-sized lens projection.
     fb_info = fbw.join(lens, id_col)
+    # tokenize AFTER the broadcast id join (round 12, guide §1.2): the
+    # join only needs ids, but an upstream `toks.join(...)` evaluates
+    # the tokenizer projection for EVERY corpus row before the join
+    # filters it to the fb_docs survivors — a full-corpus tokenize pass
+    # to keep ~10 docs. Joining `docs` first tokenizes only those rows;
+    # identical tokens per surviving row.
     fb_tf = (
-        toks.join(broadcast(fb_info.select(id_col)), id_col)
+        docs.join(broadcast(fb_info.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.transform(word_tokens(text_col), lambda w: F.lower(w)).alias(
+                "__w"
+            ),
+        )
         .select(F.col(id_col), F.explode_outer("__w").alias("term"))
         .where(F.col("term").isNotNull())
         .groupBy(id_col, "term")
