@@ -89,7 +89,7 @@ _FAMILIES = {
     "jaccard": "jaccard_n3_t0.2",
     "simhash": "simhash_b60_4x15_h3",
     "minhash": "minhash_default",
-    "embcos": "embcos_t0.3_labelblock",
+    "embcos": "embcos_t0.3_labelblock_v2",  # v2: pairs carry the label block (round 12)
 }
 
 # which source table each family fingerprints (embcos derives from
@@ -142,7 +142,11 @@ def _compute_pairs(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
     if family == "embcos":
         emb = read_table(spark, sf_dir, "embeddings")
         return D.embedding_near_dup_pairs_vectorized(
-            emb, "vec_id", "embedding", "label", threshold=0.3
+            emb, "vec_id", "embedding", "label", threshold=0.3,
+            # the block key rides every pair (free: pairs are generated
+            # block-grouped) so block-disjoint graph consumers
+            # (k_core_blocked) need no re-derivation join — round 12
+            block_out="label",
         )
     docs = read_table(spark, sf_dir, "documents")
     if family == "jaccard":

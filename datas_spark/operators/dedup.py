@@ -74,6 +74,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "hamming_near_dup_pairs",
     "k_core",
+    "k_core_blocked",
     "merge_components",
     "purge_components",
     "long_gram_overlap_spans",
@@ -728,6 +729,7 @@ def embedding_near_dup_pairs_vectorized(
     block_col: str,
     threshold: float = 0.95,
     max_block_rows: int = 100_000,
+    block_out: str | None = None,
 ) -> DataFrame:
     """Arrow-vectorized twin of ``embedding_near_dup_pairs``: one numpy
     matmul per block instead of a per-pair ``zip_with`` fold — the wide-
@@ -745,7 +747,11 @@ def embedding_near_dup_pairs_vectorized(
     Zero-norm vectors (undefined cosine) emit no pairs, exactly as the
     expression path's NULL cos never passes its threshold filter.
 
-    Returns (id_a, id_b, cos) with id_a < id_b within each block.
+    Returns (id_a, id_b, cos) with id_a < id_b within each block;
+    ``block_out`` (round 12) additionally carries the block key on
+    every pair — free here (the pairs are generated block-grouped),
+    and it is what lets downstream block-disjoint graph operators
+    (``k_core_blocked``) run without a re-derivation join.
     """
     import numpy as np
     import pandas as pd
@@ -753,14 +759,15 @@ def embedding_near_dup_pairs_vectorized(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     id_type = df.schema[id_col].dataType
-    out_schema = StructType(
-        [
-            StructField("id_a", id_type),
-            StructField("id_b", id_type),
-            StructField("cos", DoubleType()),
-        ]
-    )
-    empty = {"id_a": [], "id_b": [], "cos": []}
+    fields = [
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("cos", DoubleType()),
+    ]
+    if block_out is not None:
+        fields.append(StructField(block_out, df.schema[block_col].dataType))
+    out_schema = StructType(fields)
+    empty = {f.name: [] for f in fields}
 
     def _round6(a):
         # half-away-from-zero, matching F.round / DuckDB (np.round is
@@ -789,9 +796,10 @@ def embedding_near_dup_pairs_vectorized(
         sims = _round6(dm @ dm.T)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": sims[ia, ib][keep]}
-        )
+        out = {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": sims[ia, ib][keep]}
+        if block_out is not None:
+            out[block_out] = np.repeat(pdf["__blk"].iloc[0], int(keep.sum()))
+        return pd.DataFrame(out)
 
     sel = df.select(
         F.col(id_col).alias("__id"),
@@ -2007,6 +2015,93 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg.where(F.col("degree") >= k)
+
+
+def k_core_blocked(
+    pairs: DataFrame,
+    block_col: str,
+    k: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_block_edges: int = 2_000_000,
+) -> DataFrame:
+    """Block-local k-core for a pair graph whose edges NEVER cross
+    ``block_col`` values (e.g. the label-blocked embcos pairs, whose
+    generator joins ``a.label = b.label`` so every edge lives inside
+    one block). Degree only counts same-block neighbors, and peeling a
+    node only cascades within its block, so the global k-core is
+    exactly the union of per-block k-cores — the `_cc_block_local`
+    argument applied to degree peeling.
+
+    Plan shape (round 12, VERDICT r11 #6): ONE shuffle on the block key
+    and the whole O(diameter)-round cascade runs as a linear-time
+    in-task peel (the classic queue algorithm) — versus the iterative
+    operator's per-round degree aggregate + two semi-joins + count
+    action (`embedding_kcore`: 56 jobs → 5, and no driver round-trips).
+    Per-block work is native-vectorless but O(E_block): the engine
+    accepts in-task Python for this family already (the pairs
+    themselves come from the Arrow-matmul `applyInPandas` generator,
+    guide §4.2), and blocks are bounded by the generator's
+    ``max_block_rows`` contract; ``max_block_edges`` turns a violated
+    bound into an error instead of a straggler. The k-core is unique
+    (the maximal subgraph of min-degree ≥ k), so removal ORDER cannot
+    change the result — equality with the iterative `k_core` is
+    fuzz-tested and oracle-checked.
+
+    Returns ``(node, degree)`` for the surviving core — identical to
+    ``k_core`` on the same (block-disjoint) graph.
+    """
+    import collections
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    id_type = pairs.schema[src].dataType
+    out_schema = StructType(
+        [StructField("node", id_type), StructField("degree", LongType())]
+    )
+
+    def _peel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_block_edges:
+            raise ValueError(
+                f"k-core block exceeds max_block_edges={max_block_edges} "
+                f"({len(pdf)} rows): the blocked-pair generator's bound "
+                "was violated — tighten the blocking key or raise the cap"
+            )
+        adj: dict = collections.defaultdict(set)
+        for a, b in zip(pdf["__a"], pdf["__b"]):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        stack = [n for n, nbrs in adj.items() if len(nbrs) < k]
+        while stack:
+            n = stack.pop()
+            nbrs = adj.get(n)
+            if nbrs is None or len(nbrs) >= k:
+                continue
+            del adj[n]
+            for m in nbrs:
+                s = adj.get(m)
+                if s is not None:
+                    s.discard(n)
+                    if len(s) < k:
+                        stack.append(m)
+        return pd.DataFrame(
+            {
+                "node": list(adj.keys()),
+                "degree": [len(v) for v in adj.values()],
+            }
+        )
+
+    sel = pairs.select(
+        F.col(src).alias("__a"),
+        F.col(dst).alias("__b"),
+        F.col(block_col).alias("__blk"),
+    )
+    return sel.groupBy("__blk").applyInPandas(_peel, out_schema)
 
 
 def merge_components(

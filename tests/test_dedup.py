@@ -662,6 +662,42 @@ def test_k_core_validates_k(spark):
         D.k_core(pairs, k=2, batch_rounds=0)
 
 
+def test_k_core_blocked_equals_iterative(spark):
+    # round 12 (VERDICT r11 #6): on a block-disjoint graph the
+    # block-local peel must equal the global iterative k_core exactly —
+    # cascades, cliques, cycles, and hash-seeded randoms per block.
+    import hashlib
+
+    rows = []
+    # block 0: clique {0..3} + 7-chain tail (deep cascade)
+    rows += [(a, b, 0) for a in range(4) for b in range(a + 1, 4)]
+    rows += [(0, 10, 0), (10, 11, 0), (11, 12, 0), (12, 13, 0), (13, 14, 0)]
+    # block 1: pure 5-cycle (fixpoint from round 0)
+    rows += [(20 + i, 20 + (i + 1) % 5, 1) for i in range(5)]
+    # block 2: hash-seeded random graph on its own node range
+    for i in range(40):
+        h = hashlib.md5(f"kcb{i}".encode()).hexdigest()
+        a, b = 40 + int(h[:4], 16) % 20, 40 + int(h[4:8], 16) % 20
+        if a != b:
+            rows.append((min(a, b), max(a, b), 2))
+    pairs = spark.createDataFrame(rows, ["id_a", "id_b", "blk"])
+    for k in (1, 2, 3):
+        blocked = sorted(
+            map(tuple, D.k_core_blocked(pairs, "blk", k=k).collect())
+        )
+        iterative = sorted(map(tuple, D.k_core(pairs, k=k).collect()))
+        assert blocked == iterative, k
+
+
+def test_k_core_blocked_enforces_edge_cap(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (1, 3, 0)], ["id_a", "id_b", "blk"]
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="max_block_edges"):
+        D.k_core_blocked(pairs, "blk", k=2, max_block_edges=2).collect()
+
+
 @pytest.mark.slow
 def test_k_core_batched_equals_per_round_check(spark):
     # round 12 (VERDICT r11 #6): the batched convergence check must be
