@@ -802,50 +802,118 @@ def pca_exact_components(
             raise ValueError("empty frame: cannot infer vector width")
         dim = int(first[0].n)
     base = df.select(_quantized(vec_col, scale).alias("__q"))
-    si_rows = (
-        base.select(F.posexplode("__q").alias("__d", "__x"))
-        .groupBy("__d")
-        .agg(
-            F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"),
-            F.count(F.lit(1)).cast("long").alias("__n"),
+    # ONE scan for ALL moments (round 12). History, with numbers: the
+    # r11 shape exploded d(d+1)/2 upper-triangle product structs per
+    # row into a decimal aggregate, in TWO collect jobs (S_i then
+    # S_ij). Folding both into one struct fan still cost 15 s of
+    # interpreted HOF array-build + 4 s Generate + 6 s decimal agg at
+    # sf1 (measured stage split) — the per-element interpreted-lambda
+    # trap again (guide §1.2/§4.2). The scatter matrix is a matmul, so
+    # the pass is now ONE mapInArrow: per batch, Gram = Qᵀ·Q via int64
+    # numpy matmul, chunked so chunk_rows·maxq² < 2⁶² (no int64
+    # overflow anywhere), accumulated across batches in PYTHON ints
+    # (arbitrary precision) — bit-exact integer sums on any
+    # partitioning, emitted per task as decimal(38,0) partials and
+    # reduced by one tiny grouped sum. sf1: 26.8 → ~3 s.
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    part_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("s", DecimalType(38, 0)),
+        ]
+    )
+    d = dim
+
+    def _scatter_partials(batches):
+        import decimal as _dec
+
+        import numpy as np
+        import pyarrow as pa
+
+        tot = None  # d×d python-int matrix (object dtype)
+        s1 = None  # d python-int vector
+        n_rows = 0
+        for batch in batches:
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lst = col
+            offs = np.asarray(lst.offsets)
+            widths = np.diff(offs)
+            if len(widths) and not np.all(widths == d):
+                raise ValueError(
+                    f"pca_exact_components: ragged vector width "
+                    f"(expected {d}, saw {set(widths.tolist())})"
+                )
+            vals = np.asarray(lst.values, dtype=np.int64)
+            if vals.size == 0:
+                continue
+            arr = vals.reshape(-1, d)
+            maxq = int(np.abs(arr).max())
+            if maxq > 3_000_000_000:
+                raise ValueError(
+                    f"pca_exact_components: |q| = {maxq} too large for "
+                    "exact int64 row products — lower `scale`"
+                )
+            safe = max(1, (1 << 62) // max(1, maxq * maxq))
+            for c0 in range(0, arr.shape[0], safe):
+                ch = arr[c0 : c0 + safe]
+                g = ch.T @ ch  # exact: safe-chunked int64
+                tot = g.astype(object) if tot is None else tot + g
+            sb = arr.sum(axis=0, dtype=object)
+            s1 = sb if s1 is None else s1 + sb
+            n_rows += arr.shape[0]
+        if n_rows == 0:
+            return
+        ii, jj, ss = [], [], []
+        for i in range(d):
+            ii.append(i)
+            jj.append(-1)
+            ss.append(_dec.Decimal(int(s1[i])))
+        for i in range(d):
+            for j in range(i, d):
+                ii.append(i)
+                jj.append(j)
+                ss.append(_dec.Decimal(int(tot[i][j])))
+        ii.append(-1)
+        jj.append(-1)
+        ss.append(_dec.Decimal(n_rows))
+        yield pa.record_batch(
+            [
+                pa.array(ii, type=pa.int32()),
+                pa.array(jj, type=pa.int32()),
+                pa.array(ss, type=pa.decimal128(38, 0)),
+            ],
+            names=["i", "j", "s"],
         )
+
+    mom_rows = (
+        base.mapInArrow(_scatter_partials, part_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("__s"))
         .collect()
     )
-    if not si_rows:
+    if not mom_rows:
         raise ValueError("empty frame: no vectors to decompose")
-    n = int(si_rows[0]["__n"])
-    S1 = {int(r["__d"]): int(r["__s"]) for r in si_rows}
-    # UPPER-TRIANGLE products only (d(d+1)/2 structs per row instead of
-    # d**2 — the sf1 run measured the full-matrix explode at 13x across
-    # the decade; the mirror is free driver-side since q_i*q_j is
-    # symmetric)
-    prods = base.select(
-        F.flatten(
-            F.transform(
-                "__q",
-                lambda xi, i: F.transform(
-                    F.slice(F.col("__q"), i + 1, F.lit(dim) - i),
-                    lambda xj, jj: F.struct(
-                        i.cast("int").alias("i"),
-                        (i + jj).cast("int").alias("j"),
-                        (xi * xj).alias("p"),
-                    ),
-                ),
-            )
-        ).alias("__ps")
-    )
-    sij_rows = (
-        prods.select(F.explode_outer("__ps").alias("__e"))
-        .where(F.col("__e").isNotNull())
-        .groupBy(F.col("__e")["i"].alias("__i"), F.col("__e")["j"].alias("__j"))
-        .agg(F.sum(F.col("__e")["p"].cast("decimal(38,0)")).alias("__s"))
-        .collect()
-    )
+    n = 0
+    S1 = {}
     S2 = {}
-    for r in sij_rows:
-        i, j, v = int(r["__i"]), int(r["__j"]), int(r["__s"])
-        S2[(i, j)] = v
-        S2[(j, i)] = v
+    for r in mom_rows:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["__s"])
+        if i < 0:
+            n = v
+        elif j < 0:
+            S1[i] = v
+        else:
+            S2[(i, j)] = v
+            S2[(j, i)] = v
     # M ∝ covariance, converted to double EXACTLY as SQL's ::DOUBLE
     # (round-to-nearest of the exact integer)
     M = [
