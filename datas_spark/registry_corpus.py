@@ -780,26 +780,38 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-vocabulary token rate — the screen that catches a feed
     whose token distribution the tokenizer was never fit to.
 
-    Scale shape: one combinable token count, a TakeOrdered top-{_VOCAB_N}
-    (never a full sort), broadcast of the {_VOCAB_N}-row vocab into a
-    map-side left join, one grouped count per source."""
+    Scale shape (round 12, guide §2.3 aggregate-before-you-shuffle):
+    ONE tokenize pass feeds ONE combinable (tok, source) count — the
+    pinned frame both branches derive from (unpinned, the vocab branch
+    and the probe branch each re-ran the full-corpus tokenize+explode;
+    the sf1 sweep flagged the query at 11.5× across the decade). The
+    vocab is a tiny grouped re-sum + TakeOrdered top-{_VOCAB_N} (never
+    a full sort) of that frame, the probe a broadcast left join over
+    its distinct (tok, source) rows — token fans never cross a shuffle
+    twice."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(tokenize("text")).alias("tok")
+    ts = (
+        docs.select("source", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)
     )
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        ts.groupBy("tok")
+        .agg(F.sum("__n").alias("__c"))
         .orderBy(F.desc("__c"), F.asc("tok"))
         .limit(_VOCAB_N)
         .select("tok", F.lit(1).alias("__in_v"))
     )
-    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    joined = ts.join(F.broadcast(vocab), "tok", "left")
     return joined.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.count_if(F.col("__in_v").isNull()).cast("long").alias("n_oov"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
         F.round(
-            F.count_if(F.col("__in_v").isNull()) / F.count(F.lit(1)).cast("double")
+            F.sum(F.when(F.col("__in_v").isNull(), F.col("__n")).otherwise(0))
+            / F.sum("__n").cast("double")
             * 100,
             6,
         ).alias("oov_pct"),
